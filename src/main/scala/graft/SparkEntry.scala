@@ -1,13 +1,519 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.filters.Filters
+import graft.functions.{Functions => F}
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract: `queries` exposes every implemented operator from
+  * SURVEY.md §2 as a named DataFrame recipe over the testdata tables;
+  * `oracleSql` gives the DuckDB-equivalent ANSI SQL for each.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - money/metric sums go through DECIMAL(18,2) (exact, order-independent),
+  *    then cast to DOUBLE for a stable output type;
+  *  - doubles produced by interpolation/division are round()ed;
+  *  - per-row double arithmetic (lag deltas, norms) is written to fold in
+  *    the same order in both engines → bit-equal;
+  *  - every query ends in a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum cast back to double: deterministic sum of 2-dec doubles. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Flagship query (SURVEY §7.2 shape): filtered event stream → hourly
+    * buckets → count + p95 latency-ish metric + distinct users.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val e = t(spark, dir, "events")
+    e.where(Filters.hasAnyType("purchase", "click") && col("value") > 1.0)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  // =================================================================
+  // Query registry — one entry per operator family (SURVEY §2.9 D1-D11
+  // + the training-data-pipeline operators).
+  // =================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- D1: scan / project / filter (F1-F10, P1, P7) ----
+    "q_scan_filter" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(Filters.hasType("purchase") && col("value") > 150.0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- D1: filter algebra combinators (and/or/not/isin) ----
+    "q_filter_algebra" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(Filters.and(
+          Filters.or(Filters.hasType("error"), Filters.hasType("signup")),
+          Filters.not(col("user_id") < 10),
+          col("value").between(5.0, 400.0)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- D2/P4: scalar fns — JSON extraction + day bucket (the
+    //      section/property pivot analog) ----
+    "q_json_day" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(date_trunc("day", col("ts")).as("day"), (F.jsonInt(col("props"), "k") % 10).as("k_bucket"))
+        .groupBy(col("day"), col("k_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("day"), col("k_bucket"))
+    }),
+
+    // ---- D5: grouped aggregates (TPC-H Q1 pricing-summary shape) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(F.revenueTerm(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("sum_disc_price"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- D4: star join (TPC-H Q5 local-supplier-revenue shape) ----
+    "q5_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+               col("o_orderdate") < lit("1999-01-01").cast(TimestampType))
+        .groupBy(col("n_name"))
+        .agg(sum(F.revenueTerm(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- D4: semi join (EXISTS) ----
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders").where(col("o_totalprice") > 300000.0)
+      c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- D4: anti join (NOT EXISTS) ----
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders"); val n = t(s, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- D3/J1: first-wins enrichment join ----
+    "q_enrich_first_wins" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val dim = Enrichment.firstWinsDim(e, "user_id", Seq("ts", "event_id"), Seq("event_type"))
+        .withColumnRenamed("event_type", "first_type")
+        .withColumnRenamed("user_id", "dim_user_id")
+      Enrichment.enrich(e, dim, "user_id", "dim_user_id")
+        .groupBy(col("first_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("first_type"), col("event_type"))
+    }),
+
+    // ---- D6/Q1: time-bucketed aggregation (date_histogram) ----
+    "q_time_bucket" -> ((s, dir) => {
+      Aggregations.timeBucketAgg(
+        t(s, dir, "events"), col("ts"), "hour", Nil,
+        Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users")))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- D7/Q2: top-K groups ----
+    "q_topk" -> ((s, dir) => {
+      Aggregations.topK(t(s, dir, "events"), Seq(col("user_id")),
+        dsum(col("value")), "total_value", 10, Seq(col("user_id")))
+    }),
+
+    // ---- D8/Q8: percentiles (exact, for oracle parity) ----
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- D8/Q7: approx distinct (HLL++; rows-only check, no oracle) ----
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- D9/Q9: derivative over time buckets ----
+    "q_derivative" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      Aggregations.derivative(hourly, lit(1), Seq(col("bucket")), col("n"), "dn")
+        .select(col("bucket"), col("n"), col("dn"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- D9/A6/A7: delta-rate (locks/safepoints heuristic pattern) ----
+    "q_delta_rate" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("dv", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("dus", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .where(col("dus").isNotNull && col("dus") > 0)
+        .groupBy(col("user_id"))
+        .agg(round(max(col("dv") * 1000000.0 / col("dus")), 4).as("max_rate"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- D10/A11: sessionization, gaps-and-islands batch flavor ----
+    "q_sessionize" -> ((s, dir) => {
+      val sessions = Aggregations.sessionize(t(s, dir, "events"), col("user_id"), col("ts"), 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+      sessions.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- D10: native Spark session_window (the streaming-capable op) ----
+    "q_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---- D11/Q10: global sort + limit (raw-row fetch) ----
+    "q_sort_limit" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(100)
+    }),
+
+    // ---- A8: pivot counts (FileHeuristic action pivot) ----
+    "q_pivot" -> ((s, dir) => {
+      Aggregations.pivotCounts(t(s, dir, "events"), col("user_id"), col("event_type"),
+        Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- A1-A5: conditional aggregates (GC-cause/heap heuristics) ----
+    "q_cond_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("value") > 150.0, 1)).as("n_high"),
+          dsum(when(col("value") > 150.0, col("value")).otherwise(lit(0.0))).as("sum_high"),
+          max(col("value")).as("max_value"),
+          min(col("value")).as("min_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- Dedup: exact (hash-groupBy) ----
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactStats(t(s, dir, "documents"), "source")
+        .orderBy(col("source"))
+    }),
+
+    // ---- Text: token stats per language ----
+    "q_text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(F.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+          round(avg(F.tokenCount(col("text")).cast(LongType)), 4).as("avg_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- Text: exact stopword-mass ratio per language ----
+    "q_stopword_mass" -> ((s, dir) => {
+      TextAnalysis.stopwordMassByGroup(t(s, dir, "documents"), "lang")
+        .orderBy(col("lang"))
+    }),
+
+    // ---- Text: portable rolling fingerprint (dup bookkeeping) ----
+    "q_doc_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(t(s, dir, "documents"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Embeddings: per-label norm profile ----
+    "q_embed_norms" -> ((s, dir) => {
+      Similarity.normStats(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label"))
+    }),
+
+    // ---- Similarity: brute-force cosine top-k (ids only — fp-safe) ----
+    "q_knn_brute" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(embs.where(col("vec_id") < 3), embs, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- Dedup: MinHash-LSH near-dup pairs (rows-only; Spark-hash based) ----
+    "q_minhash_pairs" -> ((s, dir) => {
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Dedup: SimHash near-dup pairs (rows-only; Spark-hash based) ----
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  // =================================================================
+  // DuckDB oracle SQL — same column names, same ordering, same
+  // deterministic arithmetic as the Spark recipes above.
+  // =================================================================
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_scan_filter" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 150.0
+        |ORDER BY event_id""".stripMargin,
+
+    "q_filter_algebra" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE (event_type = 'error' OR event_type = 'signup')
+        |  AND NOT (user_id < 10) AND value BETWEEN 5.0 AND 400.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_day" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(props->>'k' AS BIGINT) % 10 AS k_bucket, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT n_name, count(*) AS n_customers FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_enrich_first_wins" ->
+      """WITH dim AS (
+        |  SELECT user_id AS dim_user_id, event_type AS first_type FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT first_type, event_type, count(*) AS n
+        |FROM events LEFT JOIN dim ON user_id = dim_user_id
+        |GROUP BY first_type, event_type ORDER BY first_type, event_type""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_derivative" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT bucket, n, n - lag(n) OVER (ORDER BY bucket) AS dn
+        |FROM b ORDER BY bucket""".stripMargin,
+
+    "q_delta_rate" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    value - lag(value) OVER w AS dv,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dus
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, ROUND(MAX(dv * 1000000.0 / dus), 4) AS max_rate
+        |FROM d WHERE dus IS NOT NULL AND dus > 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+        |  FROM flags),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions, MAX(n_events) AS max_session_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_session_window" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flags)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |ORDER BY ts DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_cond_agg" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE value > 150.0) AS n_high,
+        |  CAST(SUM(CASE WHEN value > 150.0 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_high,
+        |  MAX(value) AS max_value, MIN(value) AS min_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  SUM(len(string_split(text, ' '))) AS total_tokens,
+        |  ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_stopword_mass" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  SUM(len(string_split(text, ' '))) AS total_tokens,
+        |  ROUND(CAST(SUM(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','an','of','and','or','to','in','is','it')))) AS DOUBLE)
+        |    / SUM(len(string_split(text, ' '))), 6) AS stopword_mass
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_norms" ->
+      """SELECT label, count(*) AS n,
+        |  ROUND(MIN(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS min_norm,
+        |  ROUND(MAX(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+  )
 }

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function library — all pure `Column` expressions (whole-stage
+  * codegen friendly; no Scala UDFs on the hot path).
+  *
+  * Covers the reference's per-record transforms
+  * (reference: readers/common/src/main/java/.../reader/GarmadonMessage.java:70-120,
+  * UriHelper.java:30-40, protobuf/ProtoConcatenator.java:81-106) plus the
+  * text-analysis scalar layer a large-scale training-data pipeline needs.
+  */
+object Functions {
+
+  // ---------------------------------------------------------------- P3: URIs
+
+  /** Canonicalize a cluster URI: drop the port, then apply an alias map
+    * (reference: readers/common/src/main/java/.../reader/UriHelper.java:30-40 and
+    * hdfs-mapping.properties semantics). The alias map is tiny → a `when`
+    * chain, fully codegen'd; no lookup UDF, no broadcast needed.
+    */
+  def normalizeUri(uri: Column, aliases: Map[String, String] = Map.empty): Column = {
+    val noPort = regexp_replace(uri, ":[0-9]+$", "")
+    aliases.foldLeft(noPort) { case (acc, (from, to)) =>
+      when(acc === from, lit(to)).otherwise(acc)
+    }
+  }
+
+  /** Strip a URI prefix from a path column (reference: GarmadonMessage.java:77-86). */
+  def stripUriPrefix(path: Column, uri: Column): Column =
+    when(path.startsWith(uri), path.substr(length(uri) + 1, length(path)))
+      .otherwise(path)
+
+  // ------------------------------------------------------- P1: scalar clamps
+
+  /** The reference clamps -Inf doubles to -MaxDouble before indexing
+    * (reference: ProtoConcatenator.java:209-215).
+    */
+  def clampNegInf(c: Column): Column =
+    when(c === lit(Double.NegativeInfinity), lit(-Double.MaxValue)).otherwise(c)
+
+  // ------------------------------------------------------ P8: time bucketing
+
+  /** Event-time day bucket in UTC (reference: writer/PartitionedWriter.java:102-106). */
+  def dayBucket(ts: Column): Column = to_date(date_trunc("day", ts))
+
+  /** Fixed-interval time bucket (the dashboards' date_histogram). */
+  def timeBucket(ts: Column, interval: String): Column = date_trunc(interval, ts)
+
+  // ------------------------------------------------- P4 analog: JSON pivots
+
+  /** Extract an int property from a JSON props column (the analog of the
+    * reference's dynamic section/property pivot,
+    * reference: readers/elasticsearch/src/main/java/.../EventHelper.java:20-44).
+    */
+  def jsonInt(props: Column, key: String): Column =
+    get_json_object(props, s"$$.$key").cast(LongType)
+
+  def jsonDouble(props: Column, key: String): Column =
+    get_json_object(props, s"$$.$key").cast(DoubleType)
+
+  // --------------------------------------------------------- money / decimal
+
+  /** Exact-decimal cast used before SUM so aggregates are order-independent
+    * (double summation is not associative; decimal is exact). Cast back to
+    * double at the end of the aggregation for a stable, engine-neutral type.
+    */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact revenue term: extendedprice * (1 - discount), in decimal. */
+  def revenueTerm(extendedprice: Column, discount: Column): Column =
+    dec(extendedprice) * (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - dec(discount))
+
+  // ------------------------------------------------------------ text analysis
+
+  /** Whitespace tokenization on single spaces (oracle-parity flavor). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Regex tokenization: word-ish chunks, a BPE-ish approximation that keeps
+    * punctuation as its own tokens.
+    */
+  def tokensRegex(text: Column): Column =
+    filter(split(text, "[^\\p{L}\\p{N}']+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast(DoubleType)
+        / length(text).cast(DoubleType))
+
+  /** Fraction of tokens that are in the stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stops).cast(DoubleType) / size(toks).cast(DoubleType))
+  }
+
+  /** Mean token length (characters per token). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType)
+        / size(toks).cast(DoubleType))
+  }
+
+  /** Simple quality score in [0,1]: penalizes very short docs, high
+    * punctuation density and stopword-free (keyword-spam) text. The exact
+    * formula is ours; the *shape* (length/punct/stopword signals) is the
+    * standard quality heuristic for pretraining corpora.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(text).cast(DoubleType) / lit(50.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 5, lit(1.0))
+    (lenScore + punctScore + stopScore) / 3
+  }
+
+  /** Deterministic 64-bit rolling (polynomial) fingerprint of the token
+    * sequence: hash = fold(h * 31 + xxhash64(token)). Order-sensitive, so
+    * permuted documents get different fingerprints (unlike a bag hash).
+    */
+  def docFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * 31 + xxhash64(t))
+
+  // --------------------------------------------------------------- embeddings
+
+  /** Elementwise dot product of two float-array columns, computed in double.
+    * Backed by the codegen'd [[VectorExpressions.VecDot]] (left-to-right
+    * double accumulation — bit-identical to a sequential fold).
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.vec_dot(a, b)
+
+  /** L2 norm of a float-array column, computed in double (codegen'd). */
+  def vecNorm(v: Column): Column = VectorExpressions.vec_norm(v)
+
+  /** Cosine similarity of two float-array columns (codegen'd). */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.vec_cosine(a, b)
+}

@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / resize / frame-sample
+  * stages.
+  *
+  * Design for 100 TB: media bytes ride in a single BinaryType column of a
+  * Parquet table (or pointers to object storage when blobs exceed row-group
+  * sanity); metadata is a typed struct so planning-time predicates
+  * (format, width, duration) prune row groups WITHOUT touching the bytes —
+  * Parquet column pruning means `WHERE meta.format = 'png'` never reads the
+  * blob column. Decode runs partition-parallel via `mapPartitions` over a
+  * typed Dataset (the Scala analog of Python's mapInPandas: batch-shaped,
+  * schema-stable, executor-local).
+  *
+  * The actual codec call is STUBBED (`FakeCodec`) — the container ships no
+  * image/audio libs — but deterministic, so tests pin the plumbing: schema,
+  * partitioning, batch shape and null/corrupt handling.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to the blob. */
+  final case class MediaMeta(format: String, width: Int, height: Int, durationMs: Long)
+
+  /** A media row: id + opaque bytes + typed metadata. */
+  final case class MediaRow(media_id: Long, content: Array[Byte], meta: MediaMeta)
+
+  /** Decoded features emitted by the (stubbed) decoder. */
+  final case class MediaFeatures(
+      media_id: Long,
+      ok: Boolean,
+      n_bytes: Int,
+      byte_entropy_q: Double,   // quantized entropy proxy from the fake codec
+      feature: Array[Float])    // fixed-size feature vector
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("durationMs", LongType, nullable = false))), nullable = true)))
+
+  val FeatureDim = 16
+
+  /** Deterministic stand-in for the real image/audio decoder. A real
+    * deployment swaps `decodeOne` for the codec call (??? boundary); the
+    * Spark-side contract — per-partition batching, nullable-corrupt rows,
+    * fixed feature dim — is what the engine guarantees.
+    */
+  object FakeCodec {
+    def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      if (bytes == null || bytes.isEmpty)
+        return MediaFeatures(id, ok = false, 0, 0.0, Array.fill(FeatureDim)(0.0f))
+      // entropy proxy: distinct-byte ratio, deterministic
+      val distinct = bytes.distinct.length.toDouble / math.min(bytes.length, 256)
+      val feat = Array.tabulate(FeatureDim) { i =>
+        var h = 1125899906842597L
+        var j = i
+        while (j < bytes.length) { h = 31 * h + bytes(j); j += FeatureDim }
+        (h % 1000).toFloat / 1000.0f
+      }
+      MediaFeatures(id, ok = true, bytes.length, math.rint(distinct * 1000) / 1000, feat)
+    }
+  }
+
+  /** Feature extraction: partition-parallel decode of the blob column.
+    * Batch-shaped like mapInPandas — one iterator per partition, constant
+    * memory, no driver involvement.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it => it.map(r => FakeCodec.decodeOne(r.media_id, r.content)) }
+  }
+
+  /** "Resize" stage: a metadata-only transform — rewrites the meta struct
+    * and truncates the blob deterministically (stub for the real resample).
+    */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val m = r.meta
+      val scale = if (math.max(m.width, m.height) <= maxDim) 1.0
+        else maxDim.toDouble / math.max(m.width, m.height)
+      val nw = math.max(1, (m.width * scale).toInt)
+      val nh = math.max(1, (m.height * scale).toInt)
+      val nBytes = if (r.content == null) null
+        else r.content.take(math.max(1, (r.content.length * scale * scale).toInt))
+      MediaRow(r.media_id, nBytes, m.copy(width = nw, height = nh))
+    }
+  }
+
+  /** Frame sampling for video-ish blobs: emit one row per sampled "frame"
+    * (deterministic offsets), exploding by a computed array — the Spark
+    * shape of frame extraction (flatMap, partition-local).
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = math.max(1, (r.meta.durationMs / math.max(1L, everyMs)).toInt)
+      (0 until math.min(n, 64)).map { i =>
+        val off = if (r.content == null || r.content.isEmpty) 0
+          else (i.toLong * 2654435761L % math.max(1, r.content.length)).toInt
+        (r.media_id, i, i * everyMs, off)
+      }
+    }.toDF("media_id", "frame_idx", "frame_ts_ms", "byte_offset")
+  }
+
+  /** Build a deterministic fake media table from the documents table (test
+    * fixture path: text bytes stand in for media bytes).
+    */
+  def fakeMediaFromDocs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
+      .map { case (id, text, n) =>
+        MediaRow(id, text.getBytes("UTF-8"),
+          MediaMeta(if (id % 3 == 0) "png" else "jpg", (n % 640).toInt + 1, ((n * 7) % 480).toInt + 1, n * 40))
+      }
+  }
+}

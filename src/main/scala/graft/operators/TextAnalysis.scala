@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Functions => F}
+
+/** Text-analysis operators for a training-data pipeline over a `documents`
+  * table (doc_id, text, lang, source, n_chars). All transforms are pure
+  * Column expressions → whole-stage codegen, no shuffles except the final
+  * aggregations; at 100 TB this runs as a map-only stage over the corpus.
+  */
+object TextAnalysis {
+
+  /** Default English-ish stopword list used by quality scoring. */
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  /** Per-document token statistics: token count (single-space split,
+    * oracle-parity flavor), char count, mean token length.
+    */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", F.tokenCount(t))
+      .withColumn("n_chars_computed", length(t))
+      .withColumn("mean_token_len", F.meanTokenLength(t))
+  }
+
+  /** Per-document quality signals + composite score. */
+  def qualitySignals(docs: DataFrame, stopwords: Seq[String] = defaultStopwords, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_tokens", F.tokenCount(t))
+      .withColumn("punct_ratio", F.punctRatio(t))
+      .withColumn("stopword_ratio", F.stopwordRatio(t, stopwords))
+      .withColumn("quality", F.qualityScore(t, stopwords))
+  }
+
+  /** Exact stopword-mass ratio per group: sums exact integer token counts
+    * and divides once — deterministic across partitionings (unlike
+    * avg-of-double-ratios, whose summation order varies).
+    */
+  def stopwordMassByGroup(docs: DataFrame, groupCol: String, stopwords: Seq[String] = defaultStopwords, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = F.tokens(t)
+    val stops = filter(toks, x => x.isInCollection(stopwords))
+    docs
+      .select(col(groupCol), size(toks).cast(LongType).as("_tot"), size(stops).cast(LongType).as("_stop"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("_tot").as("total_tokens"),
+        round(sum("_stop").cast(DoubleType) / sum("_tot"), 6).as("stopword_mass"))
+  }
+
+  /** Language ID via character n-gram profile scoring (the classic
+    * heuristic: score each candidate language by how many of its signature
+    * trigrams/words occur). Profiles are data-derived signature tokens per
+    * language; pure Column expr (array intersection), no UDF.
+    */
+  def languageId(docs: DataFrame, profiles: Map[String, Seq[String]], textCol: String = "text"): DataFrame = {
+    val toks = F.tokens(col(textCol))
+    // score(lang) = #tokens found in profile(lang); predicted = argmax, stable tiebreak on lang name
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, sig) =>
+      struct(size(filter(toks, t => t.isInCollection(sig))).as("score"), lit(lang).as("lang"))
+    }
+    docs.withColumn("lang_pred",
+      greatest(scored: _*).getField("lang"))
+  }
+
+  /** Deterministic rolling polynomial fingerprint of the token sequence,
+    * mod p so it is engine-portable (no silent 64-bit wrap): order-sensitive
+    * document identity for near-dup bookkeeping.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fp",
+      aggregate(F.tokens(col(textCol)), lit(0L),
+        (acc, t) => (acc * 31 + length(t)) % 1000000007L))
+
+  /** Stronger (xxhash64-based) rolling fingerprint — Spark-native flavor,
+    * used internally where oracle parity is not required.
+    */
+  def fingerprintStrong(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("fp_strong", F.docFingerprint(col(textCol)))
+}

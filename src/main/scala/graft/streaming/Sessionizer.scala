@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** D10/A11: sessionized stateful aggregation per application lifetime.
+  *
+  * The reference folds every event into per-(app#attempt, container)
+  * counters and flushes one result row per app when the END StateEvent
+  * empties the container registry; state is lost on crash and there is no
+  * safety-net timeout (acknowledged TODO,
+  * reference: readers/heuristics/src/main/java/.../Heuristics.java:129-167).
+  *
+  * Spark mapping: `groupByKey(app#attempt).flatMapGroupsWithState` with an
+  * event-time timeout — same flush-on-END semantics plus the missing
+  * safety net, and state survives restarts via the state store (strictly
+  * stronger than the reference). Scale: state is partitioned by app key
+  * across executors; per-key state is O(#containers) capped logically by
+  * the heuristics' 10-container detail limit.
+  */
+object Sessionizer {
+
+  /** Input: the generic shape every heuristic fold consumes. */
+  final case class SessionEvent(
+      appKey: String,          // applicationId + "#" + attemptId
+      containerId: String,
+      eventType: String,       // e.g. GC_EVENT / JVMSTATS_EVENT / STATE_EVENT
+      state: String,           // StateEvent payload ("END" closes the app)
+      tsMillis: Long,
+      metric: Double)          // the folded measure (pause time, heap used, ...)
+
+  /** Per-session accumulated state. */
+  final case class SessionState(
+      containers: Set[String],
+      count: Long,
+      sum: Double,
+      max: Double,
+      min: Double,
+      firstTs: Long,
+      lastTs: Long)
+
+  /** Output row on session close. */
+  final case class SessionResult(
+      appKey: String,
+      nContainers: Int,
+      count: Long,
+      sum: Double,
+      max: Double,
+      min: Double,
+      durationMillis: Long,
+      closedBy: String)        // "END" | "TIMEOUT"
+
+  val emptyState: SessionState =
+    SessionState(Set.empty, 0L, 0.0, Double.MinValue, Double.MaxValue, Long.MaxValue, Long.MinValue)
+
+  def fold(s: SessionState, e: SessionEvent): SessionState =
+    SessionState(
+      containers = s.containers + e.containerId,
+      count = s.count + 1,
+      sum = s.sum + e.metric,
+      max = math.max(s.max, e.metric),
+      min = math.min(s.min, e.metric),
+      firstTs = math.min(s.firstTs, e.tsMillis),
+      lastTs = math.max(s.lastTs, e.tsMillis))
+
+  def result(key: String, s: SessionState, closedBy: String): SessionResult =
+    SessionResult(key, s.containers.size, s.count, s.sum, s.max, s.min,
+      if (s.count == 0) 0L else s.lastTs - s.firstTs, closedBy)
+
+  /** The stateful session operator. Works identically on a streaming or
+    * batch Dataset (Spark runs flatMapGroupsWithState in batch as a
+    * single-pass group fold).
+    *
+    * @param timeoutMillis optional safety-net flush if no events arrive for
+    *                      this long (processing-time timeout — the missing
+    *                      "safety net" the reference acknowledges at
+    *                      Heuristics.java:139-140). None ⇒ flush only on END.
+    *                      Note a processing-time timeout makes Spark trigger
+    *                      empty micro-batches continuously to evaluate
+    *                      timeouts — enable it only with a real trigger
+    *                      interval on the query.
+    */
+  def sessionAggregate(events: Dataset[SessionEvent],
+                       timeoutMillis: Option[Long] = None): Dataset[SessionResult] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionResult]
+    implicit val keyEnc = Encoders.STRING
+
+    val timeoutConf =
+      if (timeoutMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    events.groupByKey(_.appKey)
+      .flatMapGroupsWithState[SessionState, SessionResult](
+        OutputMode.Append, timeoutConf) {
+        (key: String, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => result(key, s, "TIMEOUT")).iterator
+            state.remove()
+            out
+          } else {
+            var s = state.getOption.getOrElse(emptyState)
+            var ended = false
+            it.foreach { e =>
+              s = fold(s, e)
+              if (e.eventType == "STATE_EVENT" && e.state == "END") ended = true
+            }
+            if (ended) {
+              state.remove()
+              Iterator.single(result(key, s, "END"))
+            } else {
+              state.update(s)
+              timeoutMillis.foreach(state.setTimeoutDuration)
+              Iterator.empty
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.filters.Filters
+
+/** Filter algebra semantics incl. De Morgan equivalences (mirrors the
+  * reference's GarmadonMessageFiltersTest).
+  */
+class FiltersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  lazy val df = Seq(
+    ("FS_EVENT", Seq("YARN_APPLICATION"), "c1", "SPARK"),
+    ("FS_EVENT", Seq("FORWARDER"), "c2", "MAPREDUCE"),
+    ("GC_EVENT", Seq("YARN_APPLICATION", "STANDALONE"), "c1", "SPARK"),
+    ("STATE_EVENT", Seq.empty[String], "c3", "YARN"))
+    .toDF("event_type", "tags", "container_id", "framework")
+
+  test("hasType / hasTag / hasContainerId / hasFramework") {
+    assert(df.where(Filters.hasType("FS_EVENT")).count() == 2)
+    assert(df.where(Filters.hasTag("YARN_APPLICATION")).count() == 2)
+    assert(df.where(Filters.hasContainerId("c1")).count() == 2)
+    assert(df.where(Filters.hasFramework("SPARK")).count() == 2)
+    assert(df.where(Filters.hasAnyType("FS_EVENT", "GC_EVENT")).count() == 3)
+  }
+
+  test("ANY / NONE constants") {
+    assert(df.where(Filters.any).count() == 4)
+    assert(df.where(Filters.none).count() == 0)
+  }
+
+  test("and/or/not composition (the heuristics route F9)") {
+    val route = Filters.and(
+      Filters.hasTag("YARN_APPLICATION"),
+      Filters.hasType("GC_EVENT"),
+      Filters.or(Filters.hasFramework("SPARK"), Filters.hasFramework("MAPREDUCE")))
+    assert(df.where(route).count() == 1)
+  }
+
+  test("De Morgan: !(a && b) === !a || !b over the sample") {
+    val a = Filters.hasType("FS_EVENT"); val b = Filters.hasFramework("SPARK")
+    val left = df.where(Filters.not(Filters.and(a, b))).select("container_id", "event_type")
+    val right = df.where(Filters.or(Filters.not(a), Filters.not(b))).select("container_id", "event_type")
+    assert(left.except(right).count() == 0 && right.except(left).count() == 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+import graft.sources.Tables
+
+/** Multimodal plumbing: schema, partition-parallel decode, corrupt rows,
+  * batch shape. The codec itself is a deterministic stub (no media libs in
+  * the container) — these tests pin the Spark-side contract.
+  */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  lazy val media = Multimodal.fakeMediaFromDocs(spark, Tables.documents(spark, sfDir))
+
+  test("fake media table has the declared schema") {
+    assert(media.toDF().schema("content").dataType.typeName == "binary")
+    assert(media.toDF().schema("meta").dataType.typeName == "struct")
+    assert(media.count() == 500)
+  }
+
+  test("extractFeatures is deterministic, partition-parallel, fixed-dim") {
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).orderBy("media_id").collect()
+    assert(f1.length == 500 && f1.forall(_.feature.length == Multimodal.FeatureDim))
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.media_id == b.media_id && a.byte_entropy_q == b.byte_entropy_q &&
+        a.feature.toSeq == b.feature.toSeq })
+  }
+
+  test("corrupt (null/empty) blobs produce ok=false rows, not failures") {
+    val rows = Seq(
+      MediaRow(1L, null, MediaMeta("jpg", 10, 10, 0)),
+      MediaRow(2L, Array[Byte](), MediaMeta("jpg", 10, 10, 0)),
+      MediaRow(3L, "payload".getBytes, MediaMeta("png", 10, 10, 0))).toDS()
+    val out = Multimodal.extractFeatures(rows).orderBy("media_id").collect()
+    assert(out.map(_.ok).toSeq == Seq(false, false, true))
+  }
+
+  test("resize shrinks metadata and blob proportionally") {
+    val out = Multimodal.resize(media, maxDim = 64).collect()
+    assert(out.forall(r => r.meta.width <= 64 && r.meta.height <= 64))
+  }
+
+  test("sampleFrames emits bounded deterministic frame rows") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_ts_ms", "byte_offset"))
+    val perDoc = frames.groupBy("media_id").count().agg(max("count")).as[Long].head()
+    assert(perDoc <= 64)
+  }
+}

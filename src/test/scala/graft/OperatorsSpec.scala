@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Functions => F}
+import graft.operators._
+
+/** Operator-level semantics on small in-memory data + the sf0.001 tables. */
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("normalizeUri drops port and applies alias map (P3)") {
+    val df = Seq("hdfs://root:8020", "hdfs://prod", "hdfs://other:50070")
+      .toDF("uri")
+      .select(F.normalizeUri(col("uri"), Map("hdfs://prod" -> "hdfs://cluster-a")).as("u"))
+    assert(df.as[String].collect().toSeq == Seq("hdfs://root", "hdfs://cluster-a", "hdfs://other"))
+  }
+
+  test("stripUriPrefix removes the uri from absolute paths (P3)") {
+    val df = Seq(("hdfs://root/tmp/x", "hdfs://root"), ("/local/path", "hdfs://root"))
+      .toDF("path", "uri")
+      .select(F.stripUriPrefix(col("path"), col("uri")).as("p"))
+    assert(df.as[String].collect().toSeq == Seq("/tmp/x", "/local/path"))
+  }
+
+  test("clampNegInf clamps -Inf to -MaxDouble (P1)") {
+    val out = Seq(Double.NegativeInfinity, 1.5).toDF("v")
+      .select(F.clampNegInf(col("v")).as("v")).as[Double].collect()
+    assert(out(0) == -Double.MaxValue && out(1) == 1.5)
+  }
+
+  test("firstWinsDim picks the earliest row per key deterministically (J1)") {
+    val events = Seq(
+      (1L, 10L, "b"), (1L, 5L, "a"), (2L, 7L, "c"), (2L, 7L, "b"))
+      .toDF("k", "ord", "attr")
+    val dim = Enrichment.firstWinsDim(events, "k", Seq("ord", "attr"), Seq("attr"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(dim == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("resolveComponent maps UNKNOWN to APP_MASTER/APP_SLAVE (J1)") {
+    val df = Seq(("UNKNOWN", "c1", "c1"), ("UNKNOWN", "c2", "c1"), ("EXECUTOR", "c3", "c1"))
+      .toDF("component", "container_id", "am_container_id")
+      .select(Enrichment.resolveComponent(col("component"), col("container_id"), col("am_container_id")).as("c"))
+    assert(df.as[String].collect().toSeq == Seq("APP_MASTER", "APP_SLAVE", "EXECUTOR"))
+  }
+
+  test("sessionize splits on gap and counts sessions (D10 batch)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(60)), (1L, ts(65)),
+      (2L, ts(0)))
+      .toDF("user_id", "ts")
+    val out = Aggregations.sessionize(df, col("user_id"), col("ts"), 1800L)
+      .groupBy("user_id").agg(countDistinct("session_id").as("n"))
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("deltaRatePerSec computes per-key rates (A6/A7)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val df = Seq(("c1", ts(0), 0.0), ("c1", ts(10), 100.0), ("c1", ts(20), 400.0))
+      .toDF("k", "ts", "v")
+    val rates = Aggregations.deltaRatePerSec(df, col("k"), col("ts"), col("v"))
+      .where(col("rate_per_sec").isNotNull)
+      .select("rate_per_sec").as[Double].collect().toSeq.sorted
+    assert(rates == Seq(10.0, 30.0))
+  }
+
+  test("exact dedup drops duplicate texts keeping min id") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.dropExactDups(docs, "doc_id").select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("shingles produces k-grams (dedup primitives)") {
+    val out = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("sh")).as[Seq[String]].collect().head
+    assert(out.toSet == Set("a b", "b c", "c d"))
+  }
+
+  test("minhash est_jaccard ≈ 1 for identical docs, low for disjoint") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simhash hamming 0 for identical docs; simHashPairs finds them") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(docs, "doc_id", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("ngramJaccard verifies candidate pairs exactly") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(pairs, docs, "doc_id")
+      .orderBy("id_a", "id_b").select("jaccard").as[Double].collect()
+    assert(out(0) > 0.3 && out(1) == 0.0)
+  }
+
+  test("bruteForceTopK returns k nearest by cosine, self excluded") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(embs.where(col("vec_id") === 0), embs, "vec_id", "embedding", 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 3L), (2, 1L)))
+  }
+
+  test("lshTopK finds same top-1 as brute force for aligned vectors") {
+    val embs = Seq(
+      (0L, Seq.fill(64)(1.0f)), (1L, Seq.fill(64)(0.99f)), (2L, Seq.fill(64)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(embs.where(col("vec_id") === 0), embs, "vec_id", "embedding", 1, sigBits = 4)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("languageId picks the profile with most signature hits") {
+    val docs = Seq((1L, "le chat noir"), (2L, "the black cat")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs,
+      Map("fr" -> Seq("le", "chat", "noir"), "en" -> Seq("the", "black", "cat")))
+      .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
+    assert(out == Seq("fr", "en"))
+  }
+
+  test("fingerprint is order-sensitive (rolling, not bag)") {
+    val docs = Seq((1L, "a bb ccc"), (2L, "ccc bb a")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(docs).select("fp").as[Long].collect().toSeq
+    assert(fps(0) != fps(1))
+  }
+
+  test("severity thresholds mirror the reference tables") {
+    import graft.heuristics.Severity
+    // HeapUsage boundaries (HeapUsage.java:84-87)
+    assert(Severity.heapUsage(100, 70, 0) == Severity.None)   // ratio 30
+    assert(Severity.heapUsage(100, 69, 0) == Severity.Low)    // ratio 31
+    assert(Severity.heapUsage(100, 49, 0) == Severity.Moderate)
+    assert(Severity.heapUsage(100, 29, 0) == Severity.Severe)
+    assert(Severity.heapUsage(100, 10, 1) == Severity.None)   // major GC discards
+    // Locks (Locks.java:36-40)
+    assert(Severity.locks(10) == Severity.None)
+    assert(Severity.locks(11) == Severity.Low)
+    assert(Severity.locks(51) == Severity.Moderate)
+    assert(Severity.locks(101) == Severity.Severe)
+    assert(Severity.locks(501) == Severity.Critical)
+    // Safepoints (Safepoints.java:36-40)
+    assert(Severity.safepoints(3) == Severity.None)
+    assert(Severity.safepoints(4) == Severity.Low)
+    assert(Severity.safepoints(6) == Severity.Moderate)
+    assert(Severity.safepoints(8) == Severity.Severe)
+    assert(Severity.safepoints(11) == Severity.Critical)
+  }
+}

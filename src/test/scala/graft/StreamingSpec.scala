@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Sessionizer
+import graft.streaming.Sessionizer.{SessionEvent, SessionResult}
+
+/** Streaming state machinery: session close on END event, per-key isolation,
+  * batch/stream parity (the reference's Heuristics.java:141-158 semantics).
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ev(app: String, container: String, tpe: String, state: String, ts: Long, m: Double) =
+    SessionEvent(app, container, tpe, state, ts, m)
+
+  test("batch flavor: session flushes on END with fold results") {
+    val events = Seq(
+      ev("app1#1", "c1", "GC_EVENT", "", 1000L, 10.0),
+      ev("app1#1", "c2", "GC_EVENT", "", 2000L, 30.0),
+      ev("app1#1", "c1", "STATE_EVENT", "END", 3000L, 0.0),
+      ev("app2#1", "c9", "GC_EVENT", "", 1000L, 5.0)).toDS()
+    val out = Sessionizer.sessionAggregate(events).collect().toSeq
+    // app2 never ENDs → no batch output for it (state discarded at end of batch)
+    assert(out.map(_.appKey) == Seq("app1#1"))
+    val r = out.head
+    assert(r.nContainers == 2 && r.count == 3 && r.sum == 40.0 && r.max == 30.0 && r.closedBy == "END")
+    assert(r.durationMillis == 2000L)
+  }
+
+  test("streaming flavor: state persists across micro-batches until END") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionizer.sessionAggregate(input.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev("appA#1", "c1", "JVMSTATS_EVENT", "", 1000L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // open session → no output yet
+      input.addData(
+        ev("appA#1", "c2", "JVMSTATS_EVENT", "", 2000L, 3.0),
+        ev("appA#1", "c1", "STATE_EVENT", "END", 2500L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").as[SessionResult].collect().toSeq
+      assert(rows.size == 1)
+      val r = rows.head
+      assert(r.appKey == "appA#1" && r.count == 3 && r.nContainers == 2 && r.sum == 4.0)
+    } finally q.stop()
+  }
+
+  test("independent keys close independently") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionizer.sessionAggregate(input.toDS())
+      .writeStream.format("memory").queryName("sessions2").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev("a#1", "c1", "GC_EVENT", "", 1L, 1.0),
+        ev("b#1", "c1", "GC_EVENT", "", 1L, 2.0),
+        ev("a#1", "c1", "STATE_EVENT", "END", 2L, 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions2").as[SessionResult].collect().map(_.appKey).toSeq
+      assert(closed == Seq("a#1"))
+    } finally q.stop()
+  }
+}
