@@ -1,15 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Dev utility: time individual SparkEntry queries at a given SF dir. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { q =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      val n = SparkEntry.queries(q)(spark, dir).count()
       println(s"BENCHONE $q rows=$n sec=${(System.nanoTime()-t0)/1e9}")
     }
     spark.stop()

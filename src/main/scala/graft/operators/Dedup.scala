@@ -124,9 +124,33 @@ object Dedup {
 
   // --------------------------------------------------------------- SimHash
 
+  /** Relational 64-bit SimHash: one row per doc with `sh BIGINT`. Shape:
+    * explode tokens → hash once per token → hash-aggregate with 64
+    * conditional-sum partials (map-side combine), then assemble the sign
+    * bits with constant shifts. Fully codegen'd — use this at corpus scale
+    * (the Column-fold [[simHash64]] is interpreted and ~300× slower).
+    */
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("id"), explode(F.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$j")
+    }
+    val assembled = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    exploded.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), assembled.as("sh"))
+  }
+
   /** 64-bit SimHash of the token multiset: bit j of the hash is 1 iff the
     * sum over tokens of ±1 (sign of bit j of xxhash64(token)) is positive.
     * Implemented as a pure Column fold over a 64-long counter array.
+    * NOTE: interpreted (nested higher-order lambdas) — fine for ad-hoc
+    * expressions on small data; at corpus scale use [[simHashSignatures]].
     */
   def simHash64(text: Column): Column = {
     val toks = F.tokens(text)
@@ -147,7 +171,7 @@ object Dedup {
     * ≥1 quarter — pigeonhole), so the join is bucket-local, not all-pairs.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh"))
+    val hashed = simHashSignatures(docs, idCol, textCol).persist()
     val blocked = hashed.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         q => struct(q.as("q"), call_function("shiftright", col("sh"), q.cast(IntegerType) * 16).bitwiseAND(0xFFFFL).as("qk")))).as("b"))

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** J1, streaming flavor: enrich every event with application-level
+  * attributes maintained as keyed state.
+  *
+  * The reference keeps a first-wins cache `application_id → app attrs`
+  * built from APPLICATION_EVENTs with 5-minute expire-after-access, and a
+  * container→component registry; every event is enriched on arrival
+  * (reference: readers/elasticsearch/src/main/java/.../cache/
+  * ElasticSearchCacheManager.java:15-92, AppEventEnrichment.java:6-23).
+  *
+  * Spark mapping: union the app-event stream and the fact stream into one
+  * Dataset keyed by application_id, `flatMapGroupsWithState` holds the
+  * first-wins attrs per app (TTL via processing-time timeout). Events that
+  * arrive before their app's attrs pass through un-enriched — exactly the
+  * reference's cache-miss behavior.
+  *
+  * Scale: state is one small record per live application (≪ events), hash
+  * partitioned by app id; the event stream shuffles once on app id, which
+  * a 1000-executor cluster absorbs as the natural keyed repartition.
+  */
+object StreamingEnrichment {
+
+  /** App-level attributes (first-wins). */
+  final case class AppAttrs(
+      applicationName: String,
+      framework: String,
+      username: String,
+      amContainerId: String,
+      yarnTags: Seq[String])
+
+  /** Union input: either an APPLICATION_EVENT carrying attrs, or a fact event. */
+  final case class EnrichInput(
+      applicationId: String,
+      isAppEvent: Boolean,
+      attrs: Option[AppAttrs],
+      eventType: String,
+      containerId: String,
+      component: String,
+      tsMillis: Long)
+
+  final case class EnrichedEvent(
+      applicationId: String,
+      eventType: String,
+      containerId: String,
+      tsMillis: Long,
+      applicationName: Option[String],
+      framework: Option[String],
+      username: Option[String],
+      component: String,
+      enriched: Boolean)
+
+  /** Resolve UNKNOWN components against the AM container id
+    * (reference: AppEventEnrichment.java:14-22).
+    */
+  def resolveComponent(component: String, containerId: String, attrs: Option[AppAttrs]): String =
+    if (component == "UNKNOWN") attrs match {
+      case Some(a) if a.amContainerId == containerId => "APP_MASTER"
+      case Some(_) => "APP_SLAVE"
+      case None => component
+    } else component
+
+  def enrich(events: Dataset[EnrichInput], ttlMillis: Option[Long] = None): Dataset[EnrichedEvent] = {
+    implicit val stateEnc = Encoders.product[AppAttrs]
+    implicit val outEnc = Encoders.product[EnrichedEvent]
+    implicit val keyEnc = Encoders.STRING
+    val timeoutConf =
+      if (ttlMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    events.groupByKey(_.applicationId)
+      .flatMapGroupsWithState[AppAttrs, EnrichedEvent](OutputMode.Append, timeoutConf) {
+        (appId: String, it: Iterator[EnrichInput], state: GroupState[AppAttrs]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedEvent]
+            // In-batch determinism: fold in event-time order so "first-wins"
+            // is by timestamp, not arrival order (SURVEY §7.4 risk 3).
+            it.toSeq.sortBy(e => (e.tsMillis, e.eventType)).foreach { e =>
+              if (e.isAppEvent) {
+                if (!state.exists) e.attrs.foreach(state.update) // first-wins
+              } else {
+                val attrs = state.getOption
+                out += EnrichedEvent(
+                  appId, e.eventType, e.containerId, e.tsMillis,
+                  attrs.map(_.applicationName), attrs.map(_.framework), attrs.map(_.username),
+                  resolveComponent(e.component, e.containerId, attrs),
+                  enriched = attrs.isDefined)
+              }
+            }
+            if (state.exists) ttlMillis.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+}
