@@ -303,6 +303,25 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", maxHamming = 16)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Dedup: exact n-gram Jaccard on candidate pairs (oracle-checked;
+    //      pairs = consecutive doc ids, the LSH-verification shape) ----
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "doc_id")
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
+    // ---- Similarity: hyperplane-LSH ANN (rows-only; the scale path) ----
+    "q_lsh_ann" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.lshTopK(embs.where(col("vec_id") < 50), embs, "vec_id", "embedding",
+        k = 5, sigBits = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -514,6 +533,22 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents)
+        |SELECT p.id_a, p.id_b,
+        |  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))) END AS jaccard
+        |FROM pairs p
+        |JOIN sh a ON a.doc_id = p.id_a
+        |JOIN sh b ON b.doc_id = p.id_b
+        |ORDER BY p.id_a""".stripMargin
   )
 }

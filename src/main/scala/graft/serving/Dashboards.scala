@@ -1,0 +1,110 @@
+package graft.serving
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.filters.Filters
+import graft.functions.{Functions => F}
+import graft.operators.Aggregations
+
+/** The dashboard query surface (SURVEY §2.6, extracted from the 10 Grafana
+  * dashboards) as a typed Scala API over the garmadon-shaped event tables.
+  *
+  * Every method returns a lazy DataFrame plan: filter → (time-bucket ×
+  * group) → metric aggs, the `date_histogram`+`terms`+metric census
+  * {sum, avg, count, max, cardinality, percentiles, derivative,
+  * raw_document}. Partition-pruning note: on the day-partitioned sink
+  * layout (event_type, day), every one of these prunes to the queried
+  * event type's partitions before scanning.
+  */
+object Dashboards {
+
+  /** "FS OPS $action per user" (garmadon-hdfs.json): count + p99 latency
+    * by action × user per bucket, for one normalized uri. The §7.2
+    * flagship shape.
+    */
+  def fsOpsPerUser(fsEvents: DataFrame, uri: String, interval: String = "30 seconds",
+                   aliases: Map[String, String] = Map.empty): DataFrame =
+    fsEvents
+      .withColumn("uri", F.normalizeUri(col("uri"), aliases))
+      .where(col("uri") === uri)
+      .groupBy(window(col("timestamp"), interval).as("bucket"), col("hdfs_user"), col("action"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("method_duration_millis"), lit(0.99), lit(10000)).as("p99_ms"))
+      .select(col("bucket.start").as("bucket_start"), col("hdfs_user"), col("action"),
+        col("n"), col("p99_ms"))
+
+  /** Time-bucketed FS op counts + latency percentiles by action. */
+  def fsOpsLatency(fsEvents: DataFrame, interval: String = "30 seconds"): DataFrame =
+    fsEvents
+      .groupBy(window(col("timestamp"), interval).as("bucket"), col("action"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("method_duration_millis"), lit(0.99), lit(10000)).as("p99_ms"))
+      .select(col("bucket.start").as("bucket_start"), col("action"), col("n"), col("p99_ms"))
+
+  /** "YARN Memory Used/Reserved" (garmadon-compute.json): sum(value),
+    * sum(limit) of container MEMORY per 10 s bucket.
+    */
+  def containerMemory(containerEvents: DataFrame, interval: String = "10 seconds"): DataFrame =
+    containerEvents
+      .where(col("type") === "MEMORY")
+      .groupBy(window(col("timestamp"), interval).as("bucket"))
+      .agg(sum(col("value")).as("used"), sum(col("limit")).as("reserved"))
+      .select(col("bucket.start").as("bucket_start"), col("used"), col("reserved"))
+
+  /** Running containers / apps (cardinality panels, garmadon-compute.json). */
+  def runningCardinality(events: DataFrame, interval: String = "30 seconds"): DataFrame =
+    events
+      .groupBy(window(col("timestamp"), interval).as("bucket"))
+      .agg(
+        approx_count_distinct(col("container_id")).as("n_containers"),
+        approx_count_distinct(col("application_id")).as("n_apps"))
+      .select(col("bucket.start").as("bucket_start"), col("n_containers"), col("n_apps"))
+
+  /** GC pause time per collector per bucket (garmadon-jvm.json). */
+  def gcPause(gcEvents: DataFrame, interval: String = "30 seconds"): DataFrame =
+    gcEvents
+      .groupBy(window(col("timestamp"), interval).as("bucket"), col("collector_name"))
+      .agg(sum(col("pause_time")).as("pause_ms"), count(lit(1)).as("n_gcs"),
+        max(col("pause_time")).as("max_pause_ms"))
+      .select(col("bucket.start").as("bucket_start"), col("collector_name"),
+        col("pause_ms"), col("n_gcs"), col("max_pause_ms"))
+
+  /** Q9 derivative panels: rate-of-change of a bucketed max (GC CPU time/s,
+    * threads created/s — garmadon-jvm.json derivative aggs).
+    */
+  def bucketedDerivative(events: DataFrame, valueCol: Column, interval: String,
+                         groupCols: Seq[Column] = Nil): DataFrame = {
+    val bucketed = events
+      .groupBy((window(col("timestamp"), interval).as("bucket") +: groupCols): _*)
+      .agg(max(valueCol).as("v"))
+      .select((col("bucket.start").as("bucket_start") +: groupCols :+ col("v")): _*)
+    val w = groupCols match {
+      case Nil => Window.orderBy(col("bucket_start"))
+      case gs => Window.partitionBy(gs: _*).orderBy(col("bucket_start"))
+    }
+    bucketed.withColumn("dv_per_bucket", col("v") - lag(col("v"), 1).over(w))
+  }
+
+  /** Top-K users by FS op volume (terms-with-size panels). */
+  def topUsers(fsEvents: DataFrame, k: Int = 20): DataFrame =
+    Aggregations.topK(fsEvents, Seq(col("hdfs_user")), count(lit(1)), "n_ops", k,
+      Seq(col("hdfs_user")))
+
+  /** Q10/Q11 raw-document + annotation queries: latest rows matching a
+    * predicate (state transitions, restore times).
+    */
+  def rawEvents(events: DataFrame, predicate: Column, n: Int = 100): DataFrame =
+    events.where(predicate).orderBy(col("timestamp").desc).limit(n)
+
+  /** Annotation query: stage/app state-transition points
+    * (garmadon-spark-job.json annotations).
+    */
+  def stateAnnotations(events: DataFrame, applicationId: String, state: String = "BEGIN"): DataFrame =
+    rawEvents(events,
+      Filters.hasType("SPARK_STAGE_STATE_EVENT") &&
+        col("application_id") === applicationId && col("state") === state)
+      .select(col("timestamp"), col("tags"))
+}
