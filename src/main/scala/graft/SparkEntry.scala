@@ -301,7 +301,9 @@ object SparkEntry {
 
     // ---- Dedup: SimHash near-dup pairs (rows-only; Spark-hash based) ----
     "q_simhash_pairs" -> ((s, dir) => {
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", maxHamming = 16)
+      // maxHamming=3 is the pigeonhole bound for 4-quarter blocking:
+      // recall is exact (any pair within distance 3 shares a quarter).
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

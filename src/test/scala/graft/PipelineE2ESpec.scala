@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.EventModel
+import graft.model.EventModel.Frame
+import graft.sources.FrameSource
+import graft.streaming.EventSink
+
+/** End-to-end streaming pipeline (SURVEY §3.2 batch-dump path): binary
+  * wire frames → lazy codegen decode → day-partitioned checkpointed
+  * Parquet sink → catalog-style readback with partition pruning.
+  */
+class PipelineE2ESpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def frame(marker: Int, dayOffsetMs: Long, body: String): Array[Byte] =
+    EventModel.encode(Frame(marker,
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime + dayOffsetMs,
+      Array[Byte](1), body.getBytes("UTF-8")))
+
+  test("frames stream through decode into the partitioned sink exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("e2e-sink").toString
+    val ckpt = Files.createTempDirectory("e2e-ckpt").toString
+
+    val input = MemoryStream[(Array[Byte], Long)]
+    input.addData(
+      frame(1, 0L, "fs-1") -> 1L,                      // FS_EVENT day 1
+      frame(1000, 3600 * 1000L, "gc-1") -> 2L,         // GC_EVENT day 1
+      frame(1, 25L * 3600 * 1000, "fs-2") -> 3L,       // FS_EVENT day 2
+      frame(3, 0L, "state") -> 4L,                     // STATE_EVENT filtered out
+      Array.fill[Byte](5)(0) -> 5L)                    // corrupt dropped
+    val decoded = FrameSource.decodeFramesFast(
+      input.toDF().toDF("value", "offset"),
+      acceptedTypes = Seq("FS_EVENT", "GC_EVENT"))
+      .drop("header", "body") // parquet-friendly projection
+    val q = EventSink.partitionedStreamWriter(decoded, dir, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val out = spark.read.parquet(dir)
+    assert(out.count() == 3)
+    // layout prunes on both partition columns
+    assert(new java.io.File(s"$dir/event_type=FS_EVENT/day=2024-03-01").isDirectory)
+    assert(new java.io.File(s"$dir/event_type=FS_EVENT/day=2024-03-02").isDirectory)
+    assert(new java.io.File(s"$dir/event_type=GC_EVENT/day=2024-03-01").isDirectory)
+    assert(out.where(col("event_type") === "FS_EVENT" && col("day") === "2024-03-01").count() == 1)
+
+    // restart with same checkpoint + same data → no duplicates (exactly-once resume)
+    val q2 = EventSink.partitionedStreamWriter(
+      FrameSource.decodeFramesFast(input.toDF().toDF("value", "offset"),
+        acceptedTypes = Seq("FS_EVENT", "GC_EVENT")).drop("header", "body"),
+      dir, ckpt, trigger = Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+}
