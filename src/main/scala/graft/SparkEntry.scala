@@ -317,6 +317,17 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // ---- Dedup: embedding cosine near-dups via LSH blocking (rows-only).
+    //      The synthetic embeddings contain no true near-dups (max pairwise
+    //      cosine ≈ 0.48), so the threshold is set low to exercise the
+    //      block-join + exact-verify path with non-empty output. ----
+    "q_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, sigBits = 6)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- Similarity: hyperplane-LSH ANN (rows-only; the scale path) ----
     "q_lsh_ann" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")

@@ -210,8 +210,8 @@ object Dedup {
     */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, sigBits: Int = 12): DataFrame = {
-    val sig = Similarity.hyperplaneSig(col(vecCol), sigBits, dim = 64)
-    val withSig = embs.select(col(idCol).as("id"), col(vecCol).as("v")).withColumn("sig", sig)
+    val withSig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", Similarity.hyperplaneSig(col("v"), sigBits, dim = 64))
     val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, "sig")
