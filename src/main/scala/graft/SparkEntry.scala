@@ -255,12 +255,16 @@ object SparkEntry {
 
     // ---- Text: token stats per language ----
     "q_text_tokens" -> ((s, dir) => {
+      // avg = one double division of exact integer sums (NO round()):
+      // round-of-double differs between engines near ties; a single IEEE
+      // division of exact ints is bit-identical everywhere.
       t(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(F.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
-          round(avg(F.tokenCount(col("text")).cast(LongType)), 4).as("avg_tokens"),
+          (sum(F.tokenCount(col("text")).cast(LongType)).cast(DoubleType) / count(lit(1)))
+            .as("avg_tokens"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"))
@@ -505,16 +509,16 @@ object SparkEntry {
     "q_text_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         |  SUM(len(string_split(text, ' '))) AS total_tokens,
-        |  ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_stopword_mass" ->
       """SELECT lang, count(*) AS n_docs,
         |  SUM(len(string_split(text, ' '))) AS total_tokens,
-        |  ROUND(CAST(SUM(len(list_filter(string_split(text, ' '),
+        |  CAST(SUM(len(list_filter(string_split(text, ' '),
         |    t -> t IN ('the','a','an','of','and','or','to','in','is','it')))) AS DOUBLE)
-        |    / SUM(len(string_split(text, ' '))), 6) AS stopword_mass
+        |    / SUM(len(string_split(text, ' '))) AS stopword_mass
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_doc_fingerprint" ->

@@ -39,8 +39,9 @@ object TextAnalysis {
   }
 
   /** Exact stopword-mass ratio per group: sums exact integer token counts
-    * and divides once — deterministic across partitionings (unlike
-    * avg-of-double-ratios, whose summation order varies).
+    * and divides ONCE, with no rounding — a single IEEE division of exact
+    * integers is bit-identical across engines and partitionings (round-of-
+    * double is not: engines disagree near decimal ties).
     */
   def stopwordMassByGroup(docs: DataFrame, groupCol: String, stopwords: Seq[String] = defaultStopwords, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -52,7 +53,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("_tot").as("total_tokens"),
-        round(sum("_stop").cast(DoubleType) / sum("_tot"), 6).as("stopword_mass"))
+        (sum("_stop").cast(DoubleType) / sum("_tot")).as("stopword_mass"))
   }
 
   /** Language ID via character n-gram profile scoring (the classic
