@@ -1,6 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** Dev utility: time individual SparkEntry queries at a given SF dir. */
+/** Dev utility: time individual SparkEntry queries at a given SF dir.
+  * Each query runs twice (cold, warm) against the noop sink — the same
+  * full-evaluation measurement Bench uses.
+  */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -11,9 +14,13 @@ object BenchOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { q =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, dir).count()
-      println(s"BENCHONE $q rows=$n sec=${(System.nanoTime()-t0)/1e9}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once(); val warm = once()
+      println(f"BENCHONE $q cold=$cold%.2f warm=$warm%.2f sec")
     }
     spark.stop()
   }

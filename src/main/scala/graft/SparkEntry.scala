@@ -169,12 +169,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // ---- D8/Q7: approx distinct (HLL++; rows-only check, no oracle) ----
+    // ---- D8/Q7: approx distinct (HLL++) — oracle-checkable via the
+    //      engine-neutral property "estimate within 5% of exact" (the
+    //      oracle emits the exact count and literal TRUE) ----
     "q_approx_distinct" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("_approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("_approx") - col("exact_users")).cast(DoubleType)
+            / col("exact_users") <= 0.05).as("within_5pct"))
         .orderBy(col("event_type"))
     }),
 
@@ -297,16 +303,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---- Dedup: MinHash-LSH near-dup pairs (rows-only; Spark-hash based) ----
+    // ---- Dedup: MinHash-LSH near-dups, exact-verified — the emitted set
+    //      is "pairs with exact 3-gram Jaccard ≥ 0.5", an engine-neutral
+    //      property the oracle reproduces by brute force; LSH is only the
+    //      candidate generator (est ≥ 0.3 prefilter, 0.2 margin) ----
     "q_minhash_pairs" -> ((s, dir) => {
-      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", threshold = 0.3)
+      Dedup.minHashNearDupsExact(t(s, dir, "documents"), "doc_id",
+        threshold = 0.5, margin = 0.2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- Dedup: SimHash near-dup pairs (rows-only; Spark-hash based) ----
+    // ---- Dedup: SimHash near-dup pairs. Signatures use the portable
+    //      polynomial token hash, so the oracle recomputes the exact
+    //      signatures and Hamming distances; maxHamming=3 is the
+    //      pigeonhole bound for 4-quarter blocking (recall is exact) ----
     "q_simhash_pairs" -> ((s, dir) => {
-      // maxHamming=3 is the pigeonhole bound for 4-quarter blocking:
-      // recall is exact (any pair within distance 3 shares a quarter).
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -321,22 +332,26 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
-    // ---- Dedup: embedding cosine near-dups via LSH blocking (rows-only).
-    //      The synthetic embeddings contain no true near-dups (max pairwise
-    //      cosine ≈ 0.48), so the threshold is set low to exercise the
-    //      block-join + exact-verify path with non-empty output. ----
+    // ---- Dedup: embedding cosine near-dups via banded hyperplane LSH +
+    //      exact cosine verify. Emitted set = "pairs with exact cosine ≥
+    //      0.45" (the top tail of this synthetic corpus, max ≈ 0.51) —
+    //      oracle reproduces it by brute force. 48 bands × 4 bits gives
+    //      per-pair miss ≈ (1−0.177)^48 < 1e-4 at this similarity. ----
     "q_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.2, sigBits = 6)
+        threshold = 0.45, bands = 48, bitsPerBand = 4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- Similarity: hyperplane-LSH ANN (rows-only; the scale path) ----
+    // ---- Similarity: banded hyperplane-LSH ANN (the scale path), tuned
+    //      for full recall on this corpus (40 bands × 2 bits: per-neighbor
+    //      miss < 1e-7 down to cosine 0.1) so the emitted top-5 matches
+    //      the oracle's exact brute-force top-5, ids-only. ----
     "q_lsh_ann" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       Similarity.lshTopK(embs.where(col("vec_id") < 50), embs, "vec_id", "embedding",
-        k = 5, sigBits = 4)
+        k = 5, bands = 40, bitsPerBand = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     })
@@ -347,7 +362,89 @@ object SparkEntry {
   // deterministic arithmetic as the Spark recipes above.
   // =================================================================
 
+  /** DuckDB brute-force SimHash: recomputes the portable polynomial token
+    * hash (graft.functions.TextExpressions — two 31-bit poly hashes packed
+    * into 62 bits, no 64-bit wraparound anywhere, so plain BIGINT SQL
+    * reproduces it exactly), folds the per-bit ±1 counters, assembles the
+    * signature, and emits all pairs with Hamming ≤ 3 — which Spark's
+    * 4-quarter pigeonhole blocking finds with guaranteed recall.
+    */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 62).map(j =>
+      s"SUM(CASE WHEN (ph >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val assemble = (0 until 62).map(j =>
+      s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)").mkString(" | ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (h, c) -> (h * 131 + c) % 2147483647)
+       |    | (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |      (h, c) -> (h * 137 + c) % 2147483629) << 31) AS ph
+       |  FROM toks),
+       |bits AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $assemble AS sh FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.sh, b.sh)) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |         ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.s, b.s))) END AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash_pairs" -> simhashOracle,
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM s WHERE cosine >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_lsh_ann" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_scan_filter" ->
       """SELECT event_id, user_id, value FROM events

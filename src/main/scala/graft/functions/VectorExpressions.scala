@@ -133,10 +133,88 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Random-hyperplane LSH signature of a float/double vector: bit b =
+    * sign(dot(v, plane(seed, b))), planes derived deterministically from
+    * (seed, b, dim index) via a splitmix64 parity — identical on every
+    * executor with zero shipped state, and distinct per `seed` so B
+    * independent bands are B calls with seeds 0..B-1.
+    *
+    * Generates a tight bits×dim loop (the Column-combinator fold is
+    * interpreted and was the dominant cost of the ANN queries).
+    */
+  case class HyperplaneSig(child: Expression, sigBits: Int, seed: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    private lazy val isDouble = elemIsDouble(child.dataType)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var sig = 0L
+      var b = 0
+      while (b < sigBits) {
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          val x = if (isDouble) a.getDouble(d) else a.getFloat(d).toDouble
+          acc += x * planeSign(seed, b, d)
+          d += 1
+        }
+        if (acc > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      ctx.addNewFunction("graftPlaneSign",
+        """
+          |private double graftPlaneSign(long seed, int b, int d) {
+          |  long z = (seed * 4194304L + ((long) b << 6) + d) + 0x9E3779B97F4A7C15L;
+          |  z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L;
+          |  z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL;
+          |  z = z ^ (z >>> 31);
+          |  return ((z & 1L) == 1L) ? 1.0 : -1.0;
+          |}
+        """.stripMargin)
+      nullSafeCodeGen(ctx, ev, a => {
+        val b = ctx.freshName("b"); val d = ctx.freshName("d"); val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc"); val sig = ctx.freshName("sig")
+        val gx = if (isDouble) s"$a.getDouble($d)" else s"(double) $a.getFloat($d)"
+        s"""
+           |int $n = $a.numElements();
+           |long $sig = 0L;
+           |for (int $b = 0; $b < $sigBits; $b++) {
+           |  double $acc = 0.0;
+           |  for (int $d = 0; $d < $n; $d++) {
+           |    $acc += $gx * graftPlaneSign($seed, $b, $d);
+           |  }
+           |  if ($acc > 0) $sig |= (1L << $b);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Scala mirror of the generated plane-sign (kept in sync with
+    * graftPlaneSign in [[HyperplaneSig.doGenCode]]).
+    */
+  private[graft] def planeSign(seed: Long, b: Int, d: Int): Double = {
+    var z = (seed * 4194304L + (b.toLong << 6) + d) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
   // ------------------------------------------------------ Column wrappers
 
   def array_agree_count(a: Column, b: Column): Column = column(ArrayAgreeCount(expression(a), expression(b)))
   def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
   def vec_norm(a: Column): Column = column(VecL2Norm(expression(a)))
   def vec_cosine(a: Column, b: Column): Column = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+  def hyperplane_sig(v: Column, sigBits: Int, seed: Int): Column =
+    column(HyperplaneSig(expression(v), sigBits, seed))
 }

@@ -58,8 +58,11 @@ object HeuristicAggs {
       .groupBy(appKey: _*).agg(count(lit(1)).as("major_gc"))
     val joined = heap.join(majors, Seq("application_id", "attempt_id", "container_id"), "left")
       .na.fill(0L, Seq("major_gc"))
+      // Integer division on purpose (reference HeapUsage.java:83 uses Java
+      // long division): ratio truncates, so e.g. max=1000, peak=700 gives
+      // exactly 30 → LOW is NOT triggered, matching the reference boundary.
       .withColumn("ratio",
-        when(col("max") > col("peak"), (col("max") - col("peak")) * 100 / col("max")))
+        when(col("max") > col("peak"), expr("(max - peak) * 100 div max")))
     joined.withColumn("severity",
       when(col("major_gc") > 0 || col("max") <= col("peak"), Severity.None)
         .when(col("ratio") > 70, Severity.Severe)
@@ -76,8 +79,10 @@ object HeuristicAggs {
       .agg(
         max(col("thread_count")).as("max_count"),
         max_by(col("thread_total"), col(tsCol)).as("last_total"))
+      // Integer division (reference Threads.java:44): max_count=9 over
+      // total=1000 is ratio 0 → MODERATE, not 0.9 → LOW.
       .withColumn("ratio",
-        when(col("last_total") > 0, col("max_count") * 100 / col("last_total")))
+        when(col("last_total") > 0, expr("max_count * 100 div last_total")))
       .withColumn("severity",
         when(col("last_total") === 0 || col("ratio") > 10, Severity.None)
           .when(col("ratio") <= 0, Severity.Moderate)

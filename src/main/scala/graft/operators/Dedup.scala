@@ -5,18 +5,28 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Functions => F}
+import graft.functions.{Functions => F, SignatureAggregates, TextExpressions, VectorExpressions}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash and n-gram-Jaccard near-dup detection.
   *
   * Scale design (100 TB corpus):
   *  - exact dedup = hash-shuffle on the text hash (never on the raw text);
-  *  - MinHash/LSH = map-only signature computation (pure Column exprs over
-  *    the shingle array — codegen'd, no UDF), then a shuffle keyed on
-  *    (band_id, band_hash) whose fan-in is the LSH bucket size, then
-  *    candidate-pair verification joining only within buckets. No global
-  *    cross join ever happens; skewed buckets are bounded by `maxBucket`.
+  *  - signatures are computed in ONE pass per doc by the
+  *    [[graft.functions.SignatureAggregates]] typed aggregates (mergeable
+  *    partials: the shuffle carries one 64-long buffer per doc per
+  *    partition, not shingles);
+  *  - candidate generation is a shuffle keyed on band/bucket whose fan-in
+  *    is the LSH bucket size; NO all-pairs join ever happens;
+  *  - every bucketed self-join is bounded by `maxBucket`
+  *    ([[capBuckets]]); [[oversizedBuckets]] reports what a cap dropped so
+  *    recall loss is visible, never silent;
+  *  - at corpus scale, materialize the signature table once
+  *    (`minHashSignatures(...).write.parquet(...)`) and run candidate
+  *    generation from it, instead of relying on in-plan reuse. The
+  *    operators here deliberately do NOT `persist()` intermediates — a
+  *    cached-block leak in a long-lived session costs more than one
+  *    signature recompute (now a single cheap aggregate).
   */
 object Dedup {
 
@@ -38,47 +48,50 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  // --------------------------------------------------------- bucket bounds
+
+  /** Drop rows belonging to buckets larger than `maxBucket` (skew guard for
+    * bucketed self-joins: one boilerplate-heavy bucket must not go
+    * quadratic). Implemented as aggregate → broadcast anti-join: the
+    * oversized-bucket list is tiny by construction, so no window sort over
+    * the full data is needed.
+    */
+  def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    df.join(broadcast(oversizedBuckets(df, keys, maxBucket).drop("bucket_size")),
+      keys, "left_anti")
+
+  /** The buckets [[capBuckets]] would drop, with their sizes — report this
+    * next to any capped run so the recall loss is observable.
+    */
+  def oversizedBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
+
   // ------------------------------------------------------------- shingling
 
-  /** Word k-shingles of a document as a distinct array column. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = F.tokens(text)
-    val n = size(toks)
-    array_distinct(
-      transform(sequence(lit(0), greatest(n - k, lit(0))),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
-  }
+  /** Word k-shingles of a document as a distinct array column. Backed by
+    * the codegen [[TextExpressions.WordShingles]] byte scan (the HOF
+    * transform/slice form is interpreted and was the corpus-scan
+    * bottleneck); semantics identical to
+    * `transform(sequence(0, greatest(n-k,0)), i -> array_join(slice(toks, i+1, k), " "))`.
+    */
+  def shingles(text: Column, k: Int): Column =
+    array_distinct(TextExpressions.word_shingles(text, k))
 
   // -------------------------------------------------------------- MinHash
 
-  /** MinHash signature as a Column expression: for seed s, min over
-    * shingles of xxhash64(shingle, s).
-    *
-    * NOTE: nested higher-order functions are evaluated interpreted (no
-    * whole-stage codegen) — fine for ad-hoc use on small arrays, but for
-    * corpus-scale signatures use [[minHashSignatures]], the relational
-    * (explode + 64 codegen'd min-aggregates) form, which is ~300× faster
-    * and shuffles only (id, shingle-hash) pairs.
-    */
-  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shinglesCol, sh => xxhash64(sh, s))))
-
   /** Relational MinHash: one row per doc with `sig ARRAY<BIGINT>` of length
-    * `numHashes`. Shape: explode shingles → hash once per (shingle, seed)
-    * inside a single codegen'd projection → hash-aggregate with numHashes
-    * partial `min`s (map-side combine ⇒ the shuffle carries one row of
-    * numHashes longs per doc per partition, not the shingles).
+    * `numHashes`. Shape: explode shingles → ONE xxhash64 per shingle →
+    * single-pass [[SignatureAggregates.MinHashAgg]] (map-side combine ⇒ the
+    * shuffle carries one long[numHashes] buffer per doc per partition).
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int, numHashes: Int): DataFrame = {
-    val exploded = docs
+                        shingleK: Int, numHashes: Int): DataFrame =
+    docs
       .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleK)).as("shingle"))
-    val minCols = (0 until numHashes).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"m$s"))
-    exploded.groupBy(col("id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
-  }
+      .groupBy(col("id"))
+      .agg(SignatureAggregates.minhash_agg(xxhash64(col("shingle")), numHashes).as("sig"))
 
   /** LSH band keys from a MinHash signature: bands × rowsPerBand must equal
     * signature length; band key = xxhash64 of the band's slice.
@@ -89,7 +102,7 @@ object Dedup {
         xxhash64(array_join(transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast(StringType)), ",")).as("bucket")))
 
-  /** MinHash-LSH candidate pairs: docs sharing ≥1 LSH bucket, verified by
+  /** MinHash-LSH candidate pairs: docs sharing ≥1 LSH bucket, scored by
     * estimated Jaccard (signature agreement rate) ≥ `threshold`.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     */
@@ -98,86 +111,77 @@ object Dedup {
                       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    // Materialize signatures ONCE: the subtree is referenced by both sides
-    // of the self-join — without a barrier Catalyst re-computes it per
-    // side. The persist holds (id, 8·numHashes bytes) per doc — tiny next
-    // to the text.
-    val sigs = minHashSignatures(docs, idCol, textCol, shingleK, numHashes).persist()
+    val sigs = minHashSignatures(docs, idCol, textCol, shingleK, numHashes)
     val banded = sigs
       .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // Bound pathological buckets (boilerplate-heavy corpora) before the self-join.
-    val bounded = banded.withColumn("_bn",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .where(col("_bn") <= maxBucket).drop("_bn")
-      .persist()
+    val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucket)
     val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (graft.functions.VectorExpressions.array_agree_count(col("sig_a"), col("sig_b"))
+        (VectorExpressions.array_agree_count(col("sig_a"), col("sig_b"))
           .cast(DoubleType) / numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Exact-verified near-dup pairs: MinHash-LSH candidates (estimate ≥
+    * threshold − margin, so borderline pairs survive to verification) →
+    * exact n-gram Jaccard ≥ threshold. The output is an engine-neutral
+    * exact property of the corpus — any engine can reproduce it by brute
+    * force, which is what makes this oracle-checkable; LSH is only the
+    * candidate generator.
+    */
+  def minHashNearDupsExact(docs: DataFrame, idCol: String, textCol: String = "text",
+                           shingleK: Int = 3, threshold: Double = 0.5, margin: Double = 0.2,
+                           numHashes: Int = 64, bands: Int = 16,
+                           maxBucket: Int = 1000): DataFrame = {
+    val candidates = minHashLshPairs(docs, idCol, textCol, shingleK, numHashes, bands,
+      threshold - margin, maxBucket).select(col("id_a"), col("id_b"))
+    ngramJaccard(candidates, docs, idCol, textCol, shingleK)
+      .where(col("jaccard") >= threshold)
+  }
+
   // --------------------------------------------------------------- SimHash
 
-  /** Relational 64-bit SimHash: one row per doc with `sh BIGINT`. Shape:
-    * explode tokens → hash once per token → hash-aggregate with 64
-    * conditional-sum partials (map-side combine), then assemble the sign
-    * bits with constant shifts. Fully codegen'd — use this at corpus scale
-    * (the Column-fold [[simHash64]] is interpreted and ~300× slower).
+  /** 62-bit SimHash per doc (`sh BIGINT`): explode tokens → one portable
+    * polynomial hash per token ([[TextExpressions.PortableTokenHash64]]) →
+    * single-pass [[SignatureAggregates.SimHashAgg]].
+    *
+    * The token hash is deliberately engine-portable (two 31-bit polynomial
+    * hashes, no 64-bit wraparound), so a reference engine can recompute the
+    * exact signatures and the pair set is verifiable end-to-end.
     */
-  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs
+  def simHashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("id"), explode(F.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j")
-    }
-    val assembled = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    exploded.groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), assembled.as("sh"))
-  }
-
-  /** 64-bit SimHash of the token multiset: bit j of the hash is 1 iff the
-    * sum over tokens of ±1 (sign of bit j of xxhash64(token)) is positive.
-    * Implemented as a pure Column fold over a 64-long counter array.
-    * NOTE: interpreted (nested higher-order lambdas) — fine for ad-hoc
-    * expressions on small data; at corpus scale use [[simHashSignatures]].
-    */
-  def simHash64(text: Column): Column = {
-    val toks = F.tokens(text)
-    val counts = aggregate(toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (c, j) => c + when(call_function("shiftright", h, j.cast(IntegerType)).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
-    aggregate(zip_with(counts, sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j.cast(IntegerType))).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+      .groupBy(col("id"))
+      .agg(SignatureAggregates.simhash_agg(
+        TextExpressions.portable_token_hash(col("tok"))).as("sh"))
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxHamming, blocked on the
     * 4 16-bit quarters of the hash (a pair within distance ≤3 must agree on
     * ≥1 quarter — pigeonhole), so the join is bucket-local, not all-pairs.
+    *
+    * `maxBucket` bounds pathological quarter buckets (the 16-bit keyspace
+    * is fixed, so bucket population grows with corpus size); a capped
+    * bucket loses the pigeonhole guarantee for its members — report
+    * [[oversizedBuckets]] alongside. At 10^8+ docs prefer wider compound
+    * keys (e.g. Manku-style rotate-and-sort over 2×32-bit halves).
     */
-  def simHashPairs(docs: DataFrame, idCol: String, textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val hashed = simHashSignatures(docs, idCol, textCol).persist()
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String = "text",
+                   maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming <= 3, "4-quarter blocking guarantees recall only for maxHamming <= 3")
+    val hashed = simHashSignatures(docs, idCol, textCol)
     val blocked = hashed.select(col("id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         q => struct(q.as("q"), call_function("shiftright", col("sh"), q.cast(IntegerType) * 16).bitwiseAND(0xFFFFL).as("qk")))).as("b"))
       .select(col("id"), col("sh"), col("b.q").as("q"), col("b.qk").as("qk"))
-    val a = blocked.select(col("q"), col("qk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = blocked.select(col("q"), col("qk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val bounded = capBuckets(blocked, Seq("q", "qk"), maxBucket)
+    val a = bounded.select(col("q"), col("qk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = bounded.select(col("q"), col("qk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("q", "qk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
@@ -204,18 +208,37 @@ object Dedup {
 
   // ----------------------------------------- embedding cosine near-dup
 
-  /** Embedding near-duplicates: pairs with cosine ≥ threshold, blocked by
-    * random-hyperplane LSH signature (see [[Similarity.hyperplaneSig]]) so
-    * the self-join is bucket-local. Exact cosine verifies each candidate.
+  /** Embedding near-duplicates: pairs with exact cosine ≥ threshold,
+    * candidates from B independent random-hyperplane bands (codegen
+    * [[VectorExpressions.HyperplaneSig]], seed = band index), each band's
+    * buckets capped at `maxBucket`. The band join carries ids only;
+    * vectors are joined back after the candidate pairs are deduped, so the
+    * wide rows never ride the candidate shuffle. Exact cosine verifies
+    * every candidate — the output is an exact property of the corpus.
+    *
+    * Parameters trade recall vs candidate volume: miss probability per
+    * pair ≈ (1 − p^bitsPerBand)^bands with p = 1 − θ/π. For true near-dup
+    * corpora (cosine ≥ 0.9) use bitsPerBand 12-16; low thresholds need few
+    * bits and many bands.
     */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, sigBits: Int = 12): DataFrame = {
-    val withSig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", Similarity.hyperplaneSig(col("v"), sigBits, dim = 64))
-    val a = withSig.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withSig.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, "sig")
+                        threshold: Double = 0.9, bands: Int = 16, bitsPerBand: Int = 8,
+                        maxBucket: Int = 100000): DataFrame = {
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = base.select(col("id"),
+      explode(array((0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"),
+          VectorExpressions.hyperplane_sig(col("v"), bitsPerBand, bnd).as("sig"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val bounded = capBuckets(banded, Seq("band", "sig"), maxBucket)
+    val pairs = bounded.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(bounded.select(col("band"), col("sig"), col("id").as("id_b")), Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"), F.cosine(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }

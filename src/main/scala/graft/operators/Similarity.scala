@@ -3,9 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-import graft.functions.{Functions => F}
+import graft.functions.{Functions => F, VectorExpressions}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -14,32 +13,30 @@ import graft.functions.{Functions => F}
   *    so the corpus is scanned once, map-side, with a per-partition top-k
   *    (the `row_number` window partitioned by query) — correct baseline,
   *    O(|Q|·|corpus|) work but zero corpus shuffle.
-  *  - [[lshTopK]]: random-hyperplane LSH bucketing — each vector is mapped
-  *    to a deterministic signature; queries probe only their own bucket
-  *    (plus optional neighboring probes). The scale path: at 100 TB the
-  *    bucket join shuffles signatures + ids only, never all-pairs.
+  *  - [[lshTopK]]: B independent random-hyperplane bands (the IVF/LSH scale
+  *    path) — a query only scores corpus vectors sharing ≥1 band bucket.
+  *    The band join carries ids only (vectors join back after candidate
+  *    dedup), buckets are capped, and signatures come from the codegen
+  *    [[VectorExpressions.HyperplaneSig]] (the Column-fold form was
+  *    interpreted and dominated the query cost).
+  *
+  * Recall tuning: P(candidate) = 1 − (1 − p^bits)^bands, p = 1 − θ/π.
+  * High-similarity neighbors need few bands; low-similarity corpora (like
+  * the synthetic testdata, max cosine ≈ 0.5) need many bands of few bits.
+  * Measured recall vs [[bruteForceTopK]] is asserted in SimilaritySpec.
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component for (bit b, dim d):
-    * a fixed hash mapped to ±1. Avoids shipping any random state — the
-    * "planes" are pure functions of (b, d), identical on every executor.
+  /** Banded hyperplane signatures of a vector column: one row per (id,
+    * band, sig), seed = band index.
     */
-  private def planeSign(b: Column, d: Column): Column =
-    when(xxhash64(b.cast(StringType), d.cast(StringType)).bitwiseAND(1L) === 1L, lit(1.0))
-      .otherwise(lit(-1.0))
-
-  /** sigBits-bit random-hyperplane signature of a float-vector column:
-    * bit b = sign(dot(v, plane_b)). Pure Column expression.
-    */
-  def hyperplaneSig(vec: Column, sigBits: Int, dim: Int): Column =
-    aggregate(sequence(lit(0), lit(sigBits - 1)), lit(0L), (acc, b) => {
-      val dotB = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, d) => x.cast(DoubleType) * planeSign(b, d)),
-        lit(0.0), (a, v) => a + v)
-      acc.bitwiseOR(when(dotB > 0, call_function("shiftleft", lit(1L), b.cast(IntegerType))).otherwise(lit(0L)))
-    })
+  private def bandSigs(df: DataFrame, idOut: String, vec: Column,
+                       bands: Int, bitsPerBand: Int): DataFrame =
+    df.select(col(idOut),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          VectorExpressions.hyperplane_sig(vec, bitsPerBand, b).as("sig"))): _*)).as("bk"))
+      .select(col(idOut), col("bk.band").as("band"), col("bk.sig").as("sig"))
 
   /** Exact brute-force cosine top-k: for each query row, the k most similar
     * corpus rows (excluding itself). Returns (query_id, rank, neighbor_id,
@@ -56,18 +53,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** LSH-bucketed approximate top-k: queries only score corpus vectors in
-    * the same hyperplane bucket. Recall grows with smaller sigBits (bigger
-    * buckets); work per query is the bucket size, not the corpus size.
+  /** Banded-LSH approximate top-k: queries score only corpus vectors that
+    * share ≥1 of `bands` hyperplane buckets. Work per query ≈ bands ×
+    * bucket size (capped), not the corpus size.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, sigBits: Int = 8, dim: Int = 64): DataFrame = {
+              k: Int, bands: Int = 16, bitsPerBand: Int = 8,
+              maxBucket: Int = 100000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("sig", hyperplaneSig(col("qv"), sigBits, dim))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("sig", hyperplaneSig(col("cv"), sigBits, dim))
-    val scored = c.join(q, "sig")
+    val qSigs = bandSigs(q, "query_id", col("qv"), bands, bitsPerBand)
+    val cSigs = Dedup.capBuckets(
+      bandSigs(c, "neighbor_id", col("cv"), bands, bitsPerBand),
+      Seq("band", "sig"), maxBucket)
+    val candidates = cSigs.join(qSigs, Seq("band", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
+      .join(q, "query_id")
+      .join(c, "neighbor_id")
       .withColumn("cosine", F.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -120,7 +120,8 @@ class OperatorsSpec extends SparkSpecBase {
     val embs = Seq(
       (0L, Seq.fill(64)(1.0f)), (1L, Seq.fill(64)(0.99f)), (2L, Seq.fill(64)(-1.0f)))
       .toDF("vec_id", "embedding")
-    val out = Similarity.lshTopK(embs.where(col("vec_id") === 0), embs, "vec_id", "embedding", 1, sigBits = 4)
+    val out = Similarity.lshTopK(embs.where(col("vec_id") === 0), embs, "vec_id", "embedding", 1,
+      bands = 8, bitsPerBand = 2)
       .select("neighbor_id").as[Long].collect().toSeq
     assert(out == Seq(1L))
   }
