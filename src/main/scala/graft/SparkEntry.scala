@@ -354,6 +354,45 @@ object SparkEntry {
         k = 5, bands = 40, bitsPerBand = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- S2/S3: full wire pipeline, end-to-end. Each events row is
+    //      deterministically encoded as a garmadon FS_EVENT wire frame
+    //      (proto3 header + body inside the 20-byte envelope), then decoded
+    //      back through the engine's envelope + typed-protobuf path and
+    //      aggregated. The oracle computes the same aggregate from the raw
+    //      table directly — any divergence anywhere in the codec chain
+    //      (varint, enum names, proto3 defaults, envelope layout) breaks
+    //      the hash match. ----
+    "q_wire_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.{EventModel, ProtoDescriptors}
+      import graft.sources.FrameSource
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long, String, Long)]
+      val frames = rows.mapPartitions { it =>
+        it.map { case (eventId, userId, eventType, tsMs) =>
+          val header = ProtoDescriptors.header.encode(Seq(
+            s"application_${userId % 50}", "1", "graft_pipeline", s"user_${userId % 7}",
+            s"container_${eventId % 1000}", s"host_${userId % 11}", "", "YARN", "EXECUTOR",
+            "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+          val body = ProtoDescriptors.fsEvent.encode(Seq(
+            "", "", eventType.toUpperCase, "hdfs://root", eventId % 997,
+            s"user_${userId % 7}", if (eventId % 10 == 0) "FAILURE" else "SUCCESS"))
+          (EventModel.encode(EventModel.Frame(
+            EventModel.markerForName("FS_EVENT"), tsMs, header, body)), eventId)
+        }
+      }.toDF("value", "offset")
+      FrameSource.typedTable(FrameSource.decodeFramesFast(frames), "FS_EVENT")
+        .groupBy(col("action"), col("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("method_duration_millis")).cast(LongType).as("sum_duration"),
+          countDistinct(col("application_id")).as("apps"),
+          min(unix_millis(col("timestamp"))).as("min_ts_ms"))
+        .orderBy(col("action"), col("status"))
     })
   )
 
@@ -417,6 +456,17 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_simhash_pairs" -> simhashOracle,
+
+    "q_wire_roundtrip" ->
+      """SELECT upper(event_type) AS action,
+        |  CASE WHEN event_id % 10 = 0 THEN 'FAILURE' ELSE 'SUCCESS' END AS status,
+        |  count(*) AS n,
+        |  CAST(sum(event_id % 997) AS BIGINT) AS sum_duration,
+        |  count(DISTINCT 'application_' || CAST(user_id % 50 AS VARCHAR)) AS apps,
+        |  CAST(min(epoch_ns(ts) // 1000000) AS BIGINT) AS min_ts_ms
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY action, status""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -77,6 +77,44 @@ object FrameSource {
       .withColumn("timestamp", timestamp_millis(col("timestamp_millis")))
   }
 
+  /** S2 completion: envelope frames → ONE typed per-type table
+    * `header ++ body ++ (timestamp, kafka_offset, event_type)` — the row
+    * shape every downstream operator (Dashboards, HeuristicAggs, JvmStats)
+    * consumes, matching the reference's flattened event
+    * (reference: readers/common/src/main/java/.../protobuf/
+    * ProtoConcatenator.java:81-168, readers/hdfs/.../EventsWithHeader.java:126-135).
+    *
+    * Plan shape: the `event_type` equality filter prunes on the small
+    * string column BEFORE either proto decode runs (Catalyst orders the
+    * predicate below the projection), so non-matching rows never pay a
+    * parse — the reference's lazy deserialization. Both decodes and the
+    * struct flatten stay inside one whole-stage-codegen stage.
+    */
+  def typedTable(frames: DataFrame, eventType: String): DataFrame = {
+    import graft.functions.ProtoExpressions.proto_decode
+    import graft.model.ProtoDescriptors
+    val bodyDesc = ProtoDescriptors.byEventType(eventType)
+    val headerCols = ProtoDescriptors.header.schema.fieldNames.toSeq
+      .map(f => col("_h").getField(f).as(f))
+    val bodyCols = bodyDesc.schema.fieldNames.toSeq
+      .map(f => col("_b").getField(f).as(f))
+    frames.where(col("event_type") === eventType)
+      .select(
+        proto_decode(col("header"), ProtoDescriptors.header).as("_h"),
+        proto_decode(col("body"), bodyDesc).as("_b"),
+        col("timestamp"), col("kafka_offset"), col("event_type"))
+      .where(col("_h").isNotNull && col("_b").isNotNull)
+      .select(headerCols ++ bodyCols ++
+        Seq(col("timestamp"), col("kafka_offset"), col("event_type")): _*)
+  }
+
+  /** All typed tables present in a frame stream — feed to
+    * [[EventTables.unionView]] for the cross-type view.
+    */
+  def typedTables(frames: DataFrame,
+                  types: Seq[String] = EventModel.typeMarkers.values.toSeq): Map[String, DataFrame] =
+    types.map(t => t -> typedTable(frames, t)).toMap
+
   /** Kafka streaming source for the event topic (S1). Not exercised in the
     * offline test environment (no broker) but the production entry point.
     */
