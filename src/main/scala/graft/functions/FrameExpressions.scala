@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * The relational translation: these expressions read fixed offsets out of
   * the binary `value` column inside whole-stage codegen — a marker filter
   * runs over the raw bytes with zero copies, and header/body arrays are
-  * materialized only for rows that survive it. ~6× the throughput of the
-  * Dataset-flatMap decode (which pays an Encoder round-trip per row and
-  * copies both arrays unconditionally).
+  * materialized only for rows that survive it (the flatMap decode pays an
+  * Encoder round-trip per row and copies both arrays unconditionally).
+  * Measured ~1.2-1.3× the flatMap path on the full decode slice
+  * (ThroughputBench); the structural win is column pruning — projections
+  * that don't touch header/body never copy them.
   *
   * Frame layout (reference: schema/.../protocol/ProtocolMessage.java:27-42):
   * int32 marker | int64 tsMillis | int32 headerLen | int32 bodyLen | header | body

@@ -57,65 +57,91 @@ object ProtoWire {
     /** The Spark schema this descriptor decodes to. */
     lazy val schema: StructType = StructType(fields.map(f => StructField(f.name, dataTypeOf(f.kind))))
 
-    @transient private lazy val byNumber: Map[Int, Int] =
-      fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    /** Direct field-number → index table (hot-loop lookup without boxing;
+      * field numbers here are small, max 35).
+      */
+    @transient private lazy val numberToIdx: Array[Int] = {
+      val maxN = fields.map(_.number).max
+      val a = Array.fill(maxN + 1)(-1)
+      fields.zipWithIndex.foreach { case (f, i) => a(f.number) = i }
+      a
+    }
+
+    /** Per-row default values, built once and cloned per decode (the boxed
+      * zeros / empty strings / empty arrays are immutable and shared).
+      */
+    @transient private lazy val defaultsTemplate: Array[Any] =
+      fields.map(f => defaultOf(f.kind)).toArray
+
+    @transient private lazy val kindArr: Array[PKind] = fields.map(_.kind).toArray
+
+    /** Interned enum-name UTF8Strings per field (no per-row allocation). */
+    @transient private lazy val enumUtf8: Array[Array[UTF8String]] =
+      fields.map(_.kind match {
+        case PEnum(names) => names.map(UTF8String.fromString).toArray
+        case _ => null
+      }).toArray
 
     /** Decode one message payload to an InternalRow; null if corrupt. */
     def decode(bytes: Array[Byte]): InternalRow =
-      try decodeRange(bytes, 0, bytes.length)
+      try decodeRange(bytes, 0, bytes.length, new Cursor)
       catch { case NonFatal(_) => null }
 
-    private[ProtoWire] def decodeRange(b: Array[Byte], start: Int, end: Int): InternalRow = {
+    /** Hot loop: one Cursor per row, zero per-field allocations beyond the
+      * decoded values themselves.
+      */
+    private[ProtoWire] def decodeRange(b: Array[Byte], start: Int, end: Int, cur: Cursor): InternalRow = {
       val n = fields.length
-      val values = new Array[Any](n)
-      var i = 0
-      while (i < n) { values(i) = defaultOf(fields(i).kind); i += 1 }
+      val values = defaultsTemplate.clone()
       var repeated: Array[ArrayBuffer[Any]] = null
+      val n2i = numberToIdx
+      val kinds = kindArr
 
-      var pos = start
-      while (pos < end) {
-        val key = readVarint(b, pos, end)
-        pos = key._2
-        val fieldNumber = (key._1 >>> 3).toInt
-        val wireType = (key._1 & 7).toInt
-        byNumber.get(fieldNumber) match {
-          case None =>
-            pos = skip(b, pos, end, wireType)
-          case Some(idx) =>
-            fields(idx).kind match {
-              case PString =>
-                val (len, p) = readLen(b, pos, end); pos = p
-                values(idx) = UTF8String.fromBytes(b, pos, len); pos += len
-              case PInt32 =>
-                val (v, p) = readVarint(b, pos, end); pos = p; values(idx) = v.toInt
-              case PInt64 =>
-                val (v, p) = readVarint(b, pos, end); pos = p; values(idx) = v
-              case PBool =>
-                val (v, p) = readVarint(b, pos, end); pos = p; values(idx) = v != 0L
-              case PFloat =>
-                values(idx) = java.lang.Float.intBitsToFloat(readLE32(b, pos, end)); pos += 4
-              case PDouble =>
-                val d = java.lang.Double.longBitsToDouble(readLE64(b, pos, end)); pos += 8
-                // reference ProtoConcatenator.java:100 clamps only DOUBLE
-                values(idx) = if (d == Double.NegativeInfinity) -java.lang.Double.MAX_VALUE else d
-              case PEnum(names) =>
-                val (v, p) = readVarint(b, pos, end); pos = p
-                val vi = v.toInt
-                values(idx) = UTF8String.fromString(
-                  if (vi >= 0 && vi < names.length) names(vi) else vi.toString)
-              case PStringList =>
-                val (len, p) = readLen(b, pos, end); pos = p
-                if (repeated == null) repeated = new Array[ArrayBuffer[Any]](n)
-                if (repeated(idx) == null) repeated(idx) = new ArrayBuffer[Any]
-                repeated(idx) += UTF8String.fromBytes(b, pos, len); pos += len
-              case PMessageList(desc) =>
-                val (len, p) = readLen(b, pos, end); pos = p
-                if (repeated == null) repeated = new Array[ArrayBuffer[Any]](n)
-                if (repeated(idx) == null) repeated(idx) = new ArrayBuffer[Any]
-                val row = desc.decodeRange(b, pos, pos + len)
-                if (row == null) throw new IllegalArgumentException("corrupt embedded message")
-                repeated(idx) += row; pos += len
-            }
+      cur.pos = start
+      while (cur.pos < end) {
+        val key = readVarint(b, cur, end)
+        val fieldNumber = (key >>> 3).toInt
+        val wireType = (key & 7).toInt
+        val idx = if (fieldNumber >= 0 && fieldNumber < n2i.length) n2i(fieldNumber) else -1
+        if (idx < 0) {
+          skip(b, cur, end, wireType)
+        } else {
+          kinds(idx) match {
+            case PString =>
+              val len = readLen(b, cur, end)
+              values(idx) = UTF8String.fromBytes(b, cur.pos, len); cur.pos += len
+            case PInt32 =>
+              values(idx) = readVarint(b, cur, end).toInt
+            case PInt64 =>
+              values(idx) = readVarint(b, cur, end)
+            case PBool =>
+              values(idx) = readVarint(b, cur, end) != 0L
+            case PFloat =>
+              values(idx) = java.lang.Float.intBitsToFloat(readLE32(b, cur.pos, end)); cur.pos += 4
+            case PDouble =>
+              val d = java.lang.Double.longBitsToDouble(readLE64(b, cur.pos, end)); cur.pos += 8
+              // reference ProtoConcatenator.java:100 clamps only DOUBLE
+              values(idx) = if (d == Double.NegativeInfinity) -java.lang.Double.MAX_VALUE else d
+            case PEnum(names) =>
+              val vi = readVarint(b, cur, end).toInt
+              val interned = enumUtf8(idx)
+              values(idx) =
+                if (vi >= 0 && vi < interned.length) interned(vi)
+                else UTF8String.fromString(vi.toString)
+            case PStringList =>
+              val len = readLen(b, cur, end)
+              if (repeated == null) repeated = new Array[ArrayBuffer[Any]](n)
+              if (repeated(idx) == null) repeated(idx) = new ArrayBuffer[Any]
+              repeated(idx) += UTF8String.fromBytes(b, cur.pos, len); cur.pos += len
+            case PMessageList(desc) =>
+              val len = readLen(b, cur, end)
+              if (repeated == null) repeated = new Array[ArrayBuffer[Any]](n)
+              if (repeated(idx) == null) repeated(idx) = new ArrayBuffer[Any]
+              val innerEnd = cur.pos + len
+              val row = desc.decodeRange(b, cur.pos, innerEnd, new Cursor)
+              if (row == null) throw new IllegalArgumentException("corrupt embedded message")
+              repeated(idx) += row; cur.pos = innerEnd
+          }
         }
       }
       if (repeated != null) {
@@ -200,27 +226,31 @@ object ProtoWire {
 
   // ------------------------------------------------------- wire reading
 
-  /** Read an unsigned LEB128 varint; returns (value, newPos). */
-  private def readVarint(b: Array[Byte], start: Int, end: Int): (Long, Int) = {
+  /** Mutable read position — one per decoded row, so the readers return
+    * bare values with no per-field tuple allocation.
+    */
+  private[ProtoWire] final class Cursor { var pos: Int = 0 }
+
+  /** Read an unsigned LEB128 varint at `cur.pos`, advancing the cursor. */
+  private def readVarint(b: Array[Byte], cur: Cursor, end: Int): Long = {
     var result = 0L
     var shift = 0
-    var pos = start
+    var pos = cur.pos
     while (shift < 64) {
       if (pos >= end) throw new IllegalArgumentException("truncated varint")
       val byte = b(pos)
       pos += 1
       result |= (byte & 0x7FL) << shift
-      if ((byte & 0x80) == 0) return (result, pos)
+      if ((byte & 0x80) == 0) { cur.pos = pos; return result }
       shift += 7
     }
     throw new IllegalArgumentException("varint too long")
   }
 
-  private def readLen(b: Array[Byte], start: Int, end: Int): (Int, Int) = {
-    val (v, p) = readVarint(b, start, end)
-    val len = v.toInt
-    if (len < 0 || p + len > end) throw new IllegalArgumentException("bad length")
-    (len, p)
+  private def readLen(b: Array[Byte], cur: Cursor, end: Int): Int = {
+    val len = readVarint(b, cur, end).toInt
+    if (len < 0 || cur.pos + len > end) throw new IllegalArgumentException("bad length")
+    len
   }
 
   private def readLE32(b: Array[Byte], pos: Int, end: Int): Int = {
@@ -236,11 +266,13 @@ object ProtoWire {
     r
   }
 
-  private def skip(b: Array[Byte], start: Int, end: Int, wireType: Int): Int = wireType match {
-    case 0 => readVarint(b, start, end)._2
-    case 1 => if (start + 8 > end) throw new IllegalArgumentException("truncated"); start + 8
-    case 2 => val (len, p) = readLen(b, start, end); p + len
-    case 5 => if (start + 4 > end) throw new IllegalArgumentException("truncated"); start + 4
+  private def skip(b: Array[Byte], cur: Cursor, end: Int, wireType: Int): Unit = wireType match {
+    case 0 => readVarint(b, cur, end); ()
+    case 1 =>
+      if (cur.pos + 8 > end) throw new IllegalArgumentException("truncated"); cur.pos += 8
+    case 2 => val len = readLen(b, cur, end); cur.pos += len
+    case 5 =>
+      if (cur.pos + 4 > end) throw new IllegalArgumentException("truncated"); cur.pos += 4
     case _ => throw new IllegalArgumentException(s"unsupported wire type $wireType")
   }
 

@@ -48,8 +48,14 @@ object FrameSource {
     * expressions ([[graft.functions.FrameExpressions]]); the marker/type
     * filter runs over raw bytes with no array copies, and header/body are
     * materialized only for surviving rows — the reference's lazy
-    * deserialization, expressed as Catalyst projection ordering. ~6× the
-    * Dataset-flatMap path. Corrupt frames null out and are filtered.
+    * deserialization, expressed as Catalyst projection ordering.
+    * Measured (ThroughputBench, per-variant warmup, median round-robin):
+    * ~1.2-1.3× the Dataset-flatMap path on the full decode-filter-aggregate
+    * slice (both are an order of magnitude above the BASELINE 45 k
+    * ev/s/core target); the gap widens when downstream prunes columns,
+    * since unreferenced header/body copies are never materialized —
+    * the flatMap path always copies both. Corrupt frames null out and are
+    * filtered.
     */
   def decodeFramesFast(raw: DataFrame, valueCol: String = "value", offsetCol: String = "offset",
                        acceptedTypes: Seq[String] = Nil): DataFrame = {
