@@ -52,8 +52,44 @@ object JvmStats {
   def numericProps(propsMap: Column): Column =
     map_filter(transform_values(propsMap, (_, v) => v.cast(DoubleType)), (_, v) => v.isNotNull)
 
+  /** The curated `{section}_{property}` key list the reference's ES index
+    * template maps explicitly (reference: readers/elasticsearch/src/main/
+    * resources/template.json) — the default serving-layer pivot width.
+    * Dynamic families (per-collector `gc(Name)_count/time`, per-device
+    * disk/network metrics) are intentionally absent: those go through
+    * [[deviceSplit]] / stay in the map form, like the template's
+    * dynamic_templates.
+    */
+  val knownKeys: Seq[String] = Seq(
+    "class_initialized", "class_inittime", "class_loaded", "class_loadtime",
+    "class_unloaded", "class_veriftime",
+    "code_committed", "code_init", "code_max", "code_used",
+    "compile_count", "compile_failed", "compile_invalidated", "compile_threads",
+    "compile_time",
+    "compressedclassspace_committed", "compressedclassspace_init",
+    "compressedclassspace_max", "compressedclassspace_used",
+    "cpu_cores",
+    "descriptors_max", "descriptors_open",
+    "eden_committed", "eden_init", "eden_max", "eden_used",
+    "gc_pause_ratio_1_min",
+    "heap_committed", "heap_init", "heap_max", "heap_used",
+    "machinecpu_ctxtswitches", "machinecpu_interrupts",
+    "memory_physical", "memory_swap",
+    "metaspace_committed", "metaspace_init", "metaspace_max", "metaspace_used",
+    "nonheap_committed", "nonheap_init", "nonheap_max", "nonheap_used",
+    "old_committed", "old_init", "old_max", "old_used",
+    "os_physicalfree", "os_physicaltotal", "os_swapfree", "os_swaptotal", "os_virtual",
+    "process_ctxtswitches", "process_interrupts", "process_read", "process_rss",
+    "process_threads", "process_vsz", "process_written",
+    "safepoints_count", "safepoints_synctime", "safepoints_totaltime",
+    "survivor_committed", "survivor_init", "survivor_max", "survivor_used",
+    "synclocks_contendedlockattempts", "synclocks_deflations",
+    "synclocks_futilewakeups", "synclocks_inflations", "synclocks_monextant",
+    "synclocks_notifications", "synclocks_parks",
+    "threads_count", "threads_daemon", "threads_internal", "threads_total")
+
   /** Serving-layer pivot over a KNOWN key list: one column per key. */
-  def pivotKnown(df: DataFrame, propsMapCol: String, keys: Seq[String]): DataFrame =
+  def pivotKnown(df: DataFrame, propsMapCol: String, keys: Seq[String] = knownKeys): DataFrame =
     keys.foldLeft(df) { (acc, k) =>
       acc.withColumn(k, element_at(col(propsMapCol), k).cast(DoubleType))
     }

@@ -37,23 +37,40 @@ object EventSink {
       .trigger(trigger)
   }
 
-  /** Batch writer with the same layout (used by tests and backfills). */
+  /** Batch writer with the same layout (used by tests and backfills).
+    * Q12: rows are sorted by (partition cols, event time) within each task,
+    * so every output file is time-ordered — parquet row-group min/max stats
+    * then prune time-range predicates, the engine's equivalent of the
+    * reference's index-time sort (ElasticSearchReader.java:177-184).
+    * (Streaming writes can't sort — Spark disallows sort on unaggregated
+    * streams — so the stream sink relies on [[compactPartition]]'s
+    * sorted rewrite to restore time order.)
+    */
   def writePartitioned(events: DataFrame, path: String, tsCol: String = "timestamp"): Unit =
     events
       .withColumn("day", to_date(date_trunc("day", col(tsCol))))
+      .sortWithinPartitions(col("event_type"), col("day"), col(tsCol))
       .write.mode(SaveMode.Append)
       .partitionBy("event_type", "day")
       .parquet(path)
 
   /** ST5: small-file compaction — rewrite partitions whose file count
-    * exceeds `maxFiles` into `targetFiles` files. Rewrite-then-swap per
-    * partition directory; idempotent (re-running compacts nothing new).
-    * The reference merges row groups binary-wise on close
-    * (ProtoParquetWriterWithOffset.java:137-172); a relational rewrite is
-    * the Spark-native equivalent (no Catalyst support for in-place merge).
+    * exceeds `maxFiles` into `targetFiles` time-sorted files. Idempotent
+    * (re-running compacts nothing new). The reference merges row groups
+    * binary-wise on close (ProtoParquetWriterWithOffset.java:137-172); a
+    * relational rewrite is the Spark-native equivalent (no Catalyst support
+    * for in-place merge) and restores the Q12 time-sort for row-group
+    * pruning.
+    *
+    * Crash safety: originals are renamed into `.compact_trash` BEFORE the
+    * compacted files move in, so every intermediate state still holds a
+    * full copy of the data — a crash mid-swap is repaired by
+    * [[recoverCompaction]] (originals are authoritative until the trash is
+    * dropped, which happens only after all renames succeed).
     */
   def compactPartition(spark: SparkSession, tablePath: String, partitionSpec: Map[String, String],
-                       maxFiles: Int = 8, targetFiles: Int = 1): Boolean = {
+                       maxFiles: Int = 8, targetFiles: Int = 1,
+                       sortCol: Option[String] = Some("timestamp")): Boolean = {
     val partPath = partitionSpec.map { case (k, v) => s"$k=$v" }.mkString("/")
     val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$partPath")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -61,18 +78,97 @@ object EventSink {
     val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
     if (files.length <= maxFiles) return false
     val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$partPath")
-    spark.read.parquet(dir.toString)
-      .repartition(targetFiles)
+    val compacted = spark.read.parquet(dir.toString).repartition(targetFiles)
+    sortCol.filter(compacted.columns.contains)
+      .map(c => compacted.sortWithinPartitions(col(c))).getOrElse(compacted)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // swap: move new files in, drop old ones
     val newFiles = fs.listStatus(tmp).filter(f => f.getPath.getName.endsWith(".parquet"))
-    files.foreach(f => fs.delete(f.getPath, false))
+    // swap, never destroying the only copy: originals → trash, new files in,
+    // then drop trash. A unique compacted-file prefix keeps re-compaction
+    // renames collision-free.
+    val trash = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$partPath")
+    fs.mkdirs(trash)
+    files.foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+    val stamp = System.currentTimeMillis()
     newFiles.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, s"compacted-$i.parquet"))
+      fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, s"compacted-$stamp-$i.parquet"))
     }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp"), true)
     true
   }
+
+  /** Repair an interrupted [[compactPartition]]: if `.compact_trash`
+    * exists, a swap did not complete — drop any compacted files that made
+    * it into the affected partitions, restore the originals, and clear the
+    * temp dirs. Returns the restored partition paths. Call on writer
+    * startup (the reference's equivalent is offset-based replay).
+    */
+  def recoverCompaction(spark: SparkSession, tablePath: String): Seq[String] = {
+    val unqualified = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash")
+    val fs = unqualified.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(unqualified)) return Nil
+    // qualify so prefix-stripping below matches listStatus's URIs
+    val trashRoot = fs.makeQualified(unqualified)
+    // every dir under trash mirrors a partition dir: tablePath/<part...>
+    def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val children = fs.listStatus(p)
+      val subdirs = children.filter(_.isDirectory)
+      if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(d => leafDirs(d.getPath))
+    }
+    val restored = leafDirs(trashRoot).map { trashDir =>
+      val rel = trashDir.toString.stripPrefix(trashRoot.toString).stripPrefix("/")
+      val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
+      fs.mkdirs(dir)
+      // originals are authoritative: drop half-moved compacted files …
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith("compacted-"))
+        .foreach(f => fs.delete(f.getPath, false))
+      // … and move the originals back
+      fs.listStatus(trashDir).foreach(f =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
+      dir.toString
+    }
+    fs.delete(trashRoot, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp"), true)
+    restored
+  }
+
+  /** P9/ST4: day-close markers — an empty `_DONE` file in every
+    * (event_type, day) partition whose day is strictly before
+    * `closedBefore`, so downstream batch consumers can poll "is day D
+    * complete?" exactly like the reference's checkpoint files
+    * (reference: readers/hdfs/src/main/java/.../writer/
+    * DelayedDailyPathComputer.java:19-23, offset/FsBasedCheckpointer.java:45-60).
+    * Pass `closedBefore = day(current watermark)`: Spark's watermark
+    * already carries the lateness grace (the reference's temporalDelay),
+    * so a day is closed once the watermark leaves it. Idempotent; returns
+    * newly created marker paths.
+    */
+  def writeDayCloseMarkers(spark: SparkSession, tablePath: String,
+                           closedBefore: java.time.LocalDate): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    for {
+      typeDir <- fs.listStatus(root).toSeq
+      if typeDir.isDirectory && typeDir.getPath.getName.startsWith("event_type=")
+      dayDir <- fs.listStatus(typeDir.getPath).toSeq
+      if dayDir.isDirectory && dayDir.getPath.getName.startsWith("day=")
+      day = java.time.LocalDate.parse(dayDir.getPath.getName.stripPrefix("day="))
+      if day.isBefore(closedBefore)
+      marker = new org.apache.hadoop.fs.Path(dayDir.getPath, "_DONE")
+      if !fs.exists(marker)
+    } yield {
+      fs.create(marker).close()
+      marker.toString
+    }
+  }
+
+  /** The day the watermark closes: everything strictly before
+    * `day(watermarkMillis)` is final (UTC bucketing, P8).
+    */
+  def closedDayFromWatermark(watermarkMillis: Long): java.time.LocalDate =
+    java.time.Instant.ofEpochMilli(watermarkMillis).atZone(java.time.ZoneOffset.UTC).toLocalDate
 
   /** Q12: retention — drop day partitions older than `retainDays` relative
     * to `today` (the reference's ILM hot→warm→delete collapses to partition

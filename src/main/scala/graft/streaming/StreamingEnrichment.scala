@@ -63,8 +63,15 @@ object StreamingEnrichment {
       case None => component
     } else component
 
+  /** J2 per-app state: first-wins app attrs + the container→component
+    * registry learned from every header
+    * (reference: ElasticSearchCacheManager.java:48-92). Registry size is
+    * bounded by live containers per application — small next to the events.
+    */
+  final case class EnrichState(attrs: Option[AppAttrs], containers: Map[String, String])
+
   def enrich(events: Dataset[EnrichInput], ttlMillis: Option[Long] = None): Dataset[EnrichedEvent] = {
-    implicit val stateEnc = Encoders.product[AppAttrs]
+    implicit val stateEnc = Encoders.product[EnrichState]
     implicit val outEnc = Encoders.product[EnrichedEvent]
     implicit val keyEnc = Encoders.STRING
     val timeoutConf =
@@ -72,26 +79,51 @@ object StreamingEnrichment {
       else GroupStateTimeout.NoTimeout
 
     events.groupByKey(_.applicationId)
-      .flatMapGroupsWithState[AppAttrs, EnrichedEvent](OutputMode.Append, timeoutConf) {
-        (appId: String, it: Iterator[EnrichInput], state: GroupState[AppAttrs]) =>
+      .flatMapGroupsWithState[EnrichState, EnrichedEvent](OutputMode.Append, timeoutConf) {
+        (appId: String, it: Iterator[EnrichInput], state: GroupState[EnrichState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedEvent]
+            var st = state.getOption.getOrElse(EnrichState(None, Map.empty))
             // In-batch determinism: fold in event-time order so "first-wins"
             // is by timestamp, not arrival order (SURVEY §7.4 risk 3).
             it.toSeq.sortBy(e => (e.tsMillis, e.eventType)).foreach { e =>
               if (e.isAppEvent) {
-                if (!state.exists) e.attrs.foreach(state.update) // first-wins
+                if (st.attrs.isEmpty) st = st.copy(attrs = e.attrs) // first-wins
               } else {
-                val attrs = state.getOption
+                // learn container→component from every header carrying a
+                // real component (first-wins, UNKNOWN/empty never learned —
+                // ElasticSearchCacheManager.java:48-56)
+                if (e.containerId.nonEmpty && e.component.nonEmpty &&
+                    e.component != "UNKNOWN" && !st.containers.contains(e.containerId))
+                  st = st.copy(containers = st.containers + (e.containerId -> e.component))
+                val attrs = st.attrs
+                // component enrichment only runs once app attrs are cached
+                // (enrichEvent returns early on cache miss,
+                // ElasticSearchCacheManager.java:58-70); registry hit
+                // overrides, UNKNOWN resolves via AM container and the
+                // resolution is learned back (lines 71-92)
+                val component =
+                  if (attrs.isEmpty || e.containerId.isEmpty) e.component
+                  else st.containers.get(e.containerId) match {
+                    case Some(c) => c
+                    case None if e.component == "UNKNOWN" =>
+                      val resolved = resolveComponent(e.component, e.containerId, attrs)
+                      st = st.copy(containers = st.containers + (e.containerId -> resolved))
+                      resolved
+                    case None => e.component
+                  }
                 out += EnrichedEvent(
                   appId, e.eventType, e.containerId, e.tsMillis,
                   attrs.map(_.applicationName), attrs.map(_.framework), attrs.map(_.username),
-                  resolveComponent(e.component, e.containerId, attrs),
+                  component,
                   enriched = attrs.isDefined)
               }
             }
-            if (state.exists) ttlMillis.foreach(state.setTimeoutDuration)
+            if (st.attrs.isDefined || st.containers.nonEmpty) {
+              state.update(st)
+              ttlMillis.foreach(state.setTimeoutDuration)
+            }
             out.iterator
           }
       }

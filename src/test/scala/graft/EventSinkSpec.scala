@@ -44,6 +44,65 @@ class EventSinkSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 24) // no data lost
   }
 
+  test("compacted files are time-sorted (Q12 row-group pruning)") {
+    val dir = Files.createTempDirectory("sorted").toString
+    // append out-of-order batches, then compact with the sort
+    (0 until 10).foreach { i =>
+      val base = java.sql.Timestamp.valueOf("2024-03-01 08:00:00")
+      val shuffled = Seq(9, 3, 7, 1).map(j =>
+        ("FS_EVENT", new java.sql.Timestamp(base.getTime + ((10 - i) * 100 + j) * 1000L), s"c$i$j"))
+      EventSink.writePartitioned(shuffled.toDF("event_type", "timestamp", "container_id"), dir)
+    }
+    EventSink.compactPartition(spark, dir,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 2)
+    val part = s"$dir/event_type=FS_EVENT/day=2024-03-01"
+    val ts = spark.read.parquet(part).select("timestamp")
+      .collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts == ts.sorted, "rows within the compacted file must be time-ordered")
+  }
+
+  test("recoverCompaction restores originals after an interrupted swap") {
+    val dir = Files.createTempDirectory("recover").toString
+    (0 until 4).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
+    val part = new org.apache.hadoop.fs.Path(s"$dir/event_type=FS_EVENT/day=2024-03-01")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash mid-swap: originals in trash, one compacted file in
+    val trash = new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/event_type=FS_EVENT/day=2024-03-01")
+    fs.mkdirs(trash)
+    fs.listStatus(part).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+    val half = new org.apache.hadoop.fs.Path(part, "compacted-42-0.parquet")
+    fs.create(half).close() // bogus partial compacted file
+    val restored = EventSink.recoverCompaction(spark, dir)
+    assert(restored.size == 1 && restored.head.contains("day=2024-03-01"))
+    assert(!fs.exists(half), "half-moved compacted file must be dropped")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash")))
+    assert(spark.read.parquet(dir).count() == 8) // originals authoritative, no loss
+  }
+
+  test("writeDayCloseMarkers closes only watermark-passed days, idempotently (P9)") {
+    val dir = Files.createTempDirectory("markers").toString
+    EventSink.writePartitioned(sampleEvents(3, "2024-03-01"), dir)
+    EventSink.writePartitioned(sampleEvents(3, "2024-03-02"), dir)
+    EventSink.writePartitioned(sampleEvents(3, "2024-03-03"), dir)
+    // watermark inside 2024-03-03 (08:00 of day 3 minus nothing): days 1-2 closed
+    val closedBefore = EventSink.closedDayFromWatermark(
+      java.sql.Timestamp.valueOf("2024-03-03 06:00:00").getTime)
+    assert(closedBefore == java.time.LocalDate.parse("2024-03-03"))
+    val created = EventSink.writeDayCloseMarkers(spark, dir, closedBefore)
+    assert(created.size == 2)
+    assert(created.forall(_.endsWith("_DONE")))
+    assert(new java.io.File(s"$dir/event_type=FS_EVENT/day=2024-03-01/_DONE").exists())
+    assert(new java.io.File(s"$dir/event_type=FS_EVENT/day=2024-03-02/_DONE").exists())
+    assert(!new java.io.File(s"$dir/event_type=FS_EVENT/day=2024-03-03/_DONE").exists())
+    // idempotent: nothing new on re-run
+    assert(EventSink.writeDayCloseMarkers(spark, dir, closedBefore).isEmpty)
+    // day 3 closes once the watermark passes into day 4
+    val later = EventSink.writeDayCloseMarkers(spark, dir,
+      java.time.LocalDate.parse("2024-03-04"))
+    assert(later.size == 1 && later.head.contains("day=2024-03-03"))
+  }
+
   test("dropExpiredPartitions removes only days older than retention") {
     val dir = Files.createTempDirectory("retention").toString
     EventSink.writePartitioned(sampleEvents(3, "2024-03-01"), dir)

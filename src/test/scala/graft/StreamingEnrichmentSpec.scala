@@ -54,6 +54,45 @@ class StreamingEnrichmentSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("J2: component learned from headers overrides later UNKNOWN (registry first-wins)") {
+    val in = Seq(
+      appEv("app1", attrsA, 10L),
+      ev("app1", "GC_EVENT", "c-7", "EXECUTOR", 100L),  // header teaches c-7 → EXECUTOR
+      ev("app1", "FS_EVENT", "c-7", "UNKNOWN", 200L),   // registry hit → EXECUTOR, not APP_SLAVE
+      ev("app1", "FS_EVENT", "c-7", "MAP", 300L))       // registry STILL wins (first-wins)
+      .toDS()
+    val out = StreamingEnrichment.enrich(in).collect().sortBy(_.tsMillis)
+    assert(out.map(_.component).toSeq == Seq("EXECUTOR", "EXECUTOR", "EXECUTOR"))
+  }
+
+  test("J2: AM resolution is learned into the registry and persists across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EnrichInput]
+    val q = StreamingEnrichment.enrich(input.toDS())
+      .writeStream.format("memory").queryName("enriched_j2").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(appEv("appZ", attrsA, 1L), ev("appZ", "GC_EVENT", "c-am", "UNKNOWN", 2L))
+      q.processAllAvailable()
+      // next batch: same container, still UNKNOWN → resolved from the
+      // learned registry entry (APP_MASTER), exercising cross-batch state
+      input.addData(ev("appZ", "FS_EVENT", "c-am", "UNKNOWN", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_j2").as[EnrichedEvent].collect().sortBy(_.tsMillis)
+      assert(rows.map(_.component).toSeq == Seq("APP_MASTER", "APP_MASTER"))
+    } finally q.stop()
+  }
+
+  test("J2: UNKNOWN is never learned — registry stays empty on cache miss") {
+    // no app event: enrichment (incl. registry) never runs, UNKNOWN passes
+    // through and must not poison the registry for later batches
+    val in = Seq(
+      ev("app3", "GC_EVENT", "c-5", "UNKNOWN", 100L),
+      appEv("app3", attrsA, 150L),
+      ev("app3", "FS_EVENT", "c-5", "UNKNOWN", 200L)).toDS()
+    val out = StreamingEnrichment.enrich(in).collect().sortBy(_.tsMillis)
+    assert(out.map(_.component).toSeq == Seq("UNKNOWN", "APP_SLAVE"))
+  }
+
   test("in-batch ordering is by event time, not arrival order") {
     // app event at ts=50 arrives "after" the fact event in the input Seq,
     // but the fold sorts by event time → the event at ts=100 IS enriched.
