@@ -61,7 +61,9 @@ object TextAnalysis {
     * trigrams/words occur). Profiles are data-derived signature tokens per
     * language; pure Column expr (array intersection), no UDF.
     */
-  def languageId(docs: DataFrame, profiles: Map[String, Seq[String]], textCol: String = "text"): DataFrame = {
+  def languageId(docs: DataFrame,
+                 profiles: Map[String, Seq[String]] = LanguageProfiles.profiles,
+                 textCol: String = "text"): DataFrame = {
     val toks = F.tokens(col(textCol))
     // score(lang) = #tokens found in profile(lang); predicted = argmax, stable tiebreak on lang name
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, sig) =>

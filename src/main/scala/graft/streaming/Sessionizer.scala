@@ -71,14 +71,16 @@ object Sessionizer {
     * batch Dataset (Spark runs flatMapGroupsWithState in batch as a
     * single-pass group fold).
     *
-    * @param timeoutMillis optional safety-net flush if no events arrive for
-    *                      this long (processing-time timeout — the missing
+    * @param timeoutMillis optional safety-net flush once the WATERMARK
+    *                      passes `last event + timeoutMillis` — the missing
     *                      "safety net" the reference acknowledges at
-    *                      Heuristics.java:139-140). None ⇒ flush only on END.
-    *                      Note a processing-time timeout makes Spark trigger
-    *                      empty micro-batches continuously to evaluate
-    *                      timeouts — enable it only with a real trigger
-    *                      interval on the query.
+    *                      Heuristics.java:139-140. Event-time, not
+    *                      processing-time, so a replay of the same stream
+    *                      closes the same sessions at the same points
+    *                      (SURVEY §2.5/A11's determinism requirement).
+    *                      Callers must put a watermark on the stream (e.g.
+    *                      `timestamp_millis(tsMillis)` + `withWatermark`)
+    *                      before this operator. None ⇒ flush only on END.
     */
   def sessionAggregate(events: Dataset[SessionEvent],
                        timeoutMillis: Option[Long] = None): Dataset[SessionResult] = {
@@ -87,7 +89,7 @@ object Sessionizer {
     implicit val keyEnc = Encoders.STRING
 
     val timeoutConf =
-      if (timeoutMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      if (timeoutMillis.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
 
     events.groupByKey(_.appKey)
@@ -110,7 +112,10 @@ object Sessionizer {
               Iterator.single(result(key, s, "END"))
             } else {
               state.update(s)
-              timeoutMillis.foreach(state.setTimeoutDuration)
+              // fire when the watermark passes last-event + timeout (must
+              // stay above the current watermark or Spark rejects it)
+              timeoutMillis.foreach(t => state.setTimeoutTimestamp(
+                math.max(s.lastTs + t, state.getCurrentWatermarkMs + 1)))
               Iterator.empty
             }
           }

@@ -134,6 +134,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out == Seq("fr", "en"))
   }
 
+  test("languageId with the shipped function-word profiles identifies real sentences") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy with that"),
+      (2L, "le chat est sur la table et il ne veut pas partir pour le moment"),
+      (3L, "der hund ist nicht mit der katze auf dem sofa aber er war im garten"),
+      (4L, "el perro está en la casa y no quiere salir porque hace más frío"),
+      (5L, "il gatto non è sulla sedia ma anche il cane era con lui per ora"),
+      (6L, "de hond is niet met de kat op de bank maar ook niet in de tuin"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.languageId(docs)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "es", 5L -> "it", 6L -> "nl"))
+  }
+
   test("fingerprint is order-sensitive (rolling, not bag)") {
     val docs = Seq((1L, "a bb ccc"), (2L, "ccc bb a")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprint(docs).select("fp").as[Long].collect().toSeq

@@ -49,6 +49,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("A11 safety net: event-time timeout closes abandoned sessions deterministically") {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    // event-time timeout requires a watermark on the stream
+    val withWm = input.toDS()
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[SessionEvent]
+    val q = Sessionizer.sessionAggregate(withWm, timeoutMillis = Some(5000L))
+      .writeStream.format("memory").queryName("sessions_to").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev("stale#1", "c1", "GC_EVENT", "", 1000L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_to").count() == 0) // watermark still at 1000
+      // watermark jumps past 1000 + 5000 → stale session must time out
+      input.addData(ev("live#1", "c9", "GC_EVENT", "", 100000L, 2.0))
+      q.processAllAvailable()
+      input.addData(ev("live#1", "c9", "GC_EVENT", "", 101000L, 2.0)) // extra batch evaluates timeouts
+      q.processAllAvailable()
+      val rows = spark.table("sessions_to").as[SessionResult].collect().toSeq
+      assert(rows.map(r => (r.appKey, r.closedBy)) == Seq(("stale#1", "TIMEOUT")))
+    } finally q.stop()
+  }
+
   test("independent keys close independently") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
