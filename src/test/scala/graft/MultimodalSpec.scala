@@ -50,4 +50,26 @@ class MultimodalSpec extends SparkSpecBase {
     val perDoc = frames.groupBy("media_id").count().agg(max("count")).as[Long].head()
     assert(perDoc <= 64)
   }
+
+  test("blob pointers: packBlobs externalizes large blobs, resolveBlobs restores them exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("packs").toString
+    val packed = Multimodal.packBlobs(media, dir, inlineMax = 100)
+    packed.cache()
+    val rows = packed.collect()
+    val (external, inline) = rows.partition(_.ref.isDefined)
+    assert(external.nonEmpty && inline.nonEmpty, "threshold must split the fixture both ways")
+    assert(external.forall(_.content == null), "externalized rows carry no inline bytes")
+    assert(inline.forall(r => r.content == null || r.content.length <= 100))
+    // pack files exist, one per writing partition
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("pack-")))
+    // metadata predicates run without touching any blob bytes
+    val pngs = packed.filter(_.meta.format == "png").count()
+    assert(pngs > 0)
+    // resolve restores the original bytes byte-for-byte
+    val original = media.collect().map(r => r.media_id -> r.content.toSeq).toMap
+    val restored = Multimodal.resolveBlobs(packed).collect()
+    assert(restored.length == original.size)
+    restored.foreach(r => assert(r.content.toSeq == original(r.media_id), s"blob ${r.media_id} differs"))
+    packed.unpersist()
+  }
 }
