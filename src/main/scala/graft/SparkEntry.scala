@@ -356,6 +356,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- Dedup clustering: connected components over the exact-verified
+    //      near-dup graph (3-gram Jaccard >= 0.5 pairs), component = min
+    //      doc id; every doc listed (singletons map to themselves). The
+    //      oracle reproduces the same graph by brute force and closes it
+    //      with a recursive CTE — engine-neutral exact output. ----
+    "q_dedup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDupsExact(docs, "doc_id", threshold = 0.5, margin = 0.2)
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Similarity: IVF ANN (inverted-file scale path). Deterministic
     //      hash-seeded Lloyd's centroids, probe 8/16 clusters, exact-cosine
     //      verify. Emits the engine-neutral measured property "recall@5 vs
@@ -477,6 +493,32 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_simhash_pairs" -> simhashOracle,
+
+    "q_dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |                / len(list_distinct(list_concat(a.s, b.s))) END >= 0.5),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_ivf_ann" ->
       "SELECT 20 AS n_queries, 5 AS k, TRUE AS recall_ok",

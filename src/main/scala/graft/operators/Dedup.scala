@@ -206,6 +206,69 @@ object Dedup {
         when(col("uni") === 0, 0.0).otherwise(col("inter").cast(DoubleType) / col("uni")).as("jaccard"))
   }
 
+  // ------------------------------------------------ dedup clustering
+
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors until a fixpoint. Converges in
+    * O(component diameter) rounds — near-dup graphs are dense clusters
+    * with tiny diameters, so a handful of iterations closes them (the
+    * alternating large-star/small-star variant is the published
+    * contingency for adversarial long-chain graphs at extreme scale).
+    * Each round is one shuffle keyed on node id; the driver only checks a
+    * scalar convergence count.
+    *
+    * Returns (id, component) with component = min id of the node's
+    * component. Nodes appear iff they appear in `pairs`. The result is
+    * PERSISTED (the fixpoint loop materializes each round to keep lineage
+    * one round deep — without that, every downstream action re-derives all
+    * rounds): consume it and `unpersist()`, or write it to a table; at
+    * corpus scale the component table is a real artifact you want stored
+    * anyway.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    // each round materializes (persist + count) so lineage stays one round
+    // deep — iterative algorithms must not re-derive round N-1 per action
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // neighbor labels + own label → new label = min
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist()
+      val changed = next.alias("n")
+        .join(labels.alias("l"), Seq("id"))
+        .where(col("n.component") =!= col("l.component"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Keep one representative per near-dup group: docs not in any pair pass
+    * through; grouped docs survive iff they are their component's min id.
+    * The standard "dedup cluster → keep canonical" pipeline step.
+    */
+  def dropNearDupGroups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    docs.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .where(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   // ----------------------------------------- embedding cosine near-dup
 
   /** Embedding near-duplicates: pairs with exact cosine ≥ threshold,

@@ -81,6 +81,18 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.toSet == Set("a b", "b c", "c d"))
   }
 
+  test("connectedComponents closes chains and dropNearDupGroups keeps one per group") {
+    // chain 1-2-3 (transitive), pair 10-11, singleton 99
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.dropNearDupGroups(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 10L, 99L))
+  }
+
   test("minhash est_jaccard ≈ 1 for identical docs, low for disjoint") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
