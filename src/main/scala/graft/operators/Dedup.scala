@@ -227,14 +227,24 @@ object Dedup {
     * anyway.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // the edge set participates in EVERY round's join — persist it for the
+    // loop's lifetime or each round re-derives the (expensive) pair
+    // generation lineage; released before returning
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .persist()
     // each round materializes (persist + count) so lineage stays one round
     // deep — iterative algorithms must not re-derive round N-1 per action
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist()
+    // labels only ever DECREASE, so the fixpoint test is "sum of labels
+    // unchanged" — one aggregate per round, no join against the previous
+    // round (sum as DECIMAL(38,0): overflow-free for any id range)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -246,15 +256,14 @@ object Dedup {
         .union(viaNeighbors)
         .groupBy("id").agg(min("component").as("component"))
         .persist()
-      val changed = next.alias("n")
-        .join(labels.alias("l"), Seq("id"))
-        .where(col("n.component") =!= col("l.component"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
+    sym.unpersist()
     labels
   }
 
