@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.filters.Filters
 import graft.functions.{Functions => F}
+import graft.heuristics.HeuristicAggs
 import graft.operators._
 import graft.sources.Tables
 
@@ -356,6 +357,40 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- A4 Threads heuristic end-to-end: thread-stats rows derived
+    //      deterministically from events, folded by HeuristicAggs.threads
+    //      (max live, last total by event_id recency, INTEGER-division
+    //      ratio, reference severity boundaries — Threads.java:44-52). ----
+    "q_heuristic_threads" -> ((s, dir) => {
+      val stats = t(s, dir, "events").select(
+        concat(lit("application_"), (col("user_id") % 20).cast(StringType)).as("application_id"),
+        lit("1").as("attempt_id"),
+        concat(lit("container_"), (col("user_id") % 97).cast(StringType)).as("container_id"),
+        (col("event_id") % 100).as("thread_count"),
+        (lit(50) + col("event_id") % 200).as("thread_total"),
+        col("event_id"))
+      HeuristicAggs.threads(stats, tsCol = "event_id")
+        .orderBy("application_id", "attempt_id", "container_id")
+    }),
+
+    // ---- A3 HeapUsage heuristic end-to-end: heap peaks vs max with the
+    //      major-GC discard and integer-division unused-heap ratio
+    //      (HeapUsage.java:76-89). ----
+    "q_heuristic_heap" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val key = Seq(
+        concat(lit("application_"), (col("user_id") % 20).cast(StringType)).as("application_id"),
+        lit("1").as("attempt_id"),
+        concat(lit("container_"), (col("user_id") % 97).cast(StringType)).as("container_id"))
+      val heapStats = e.select(key :+ (col("event_id") % 1000).as("heap_used")
+        :+ (lit(500) + col("user_id") % 2048).as("heap_max"): _*)
+      val gcEvents = e.where(col("event_id") % 7 === 0)
+        .select(key :+ when(col("event_id") % 21 === 0, "G1 Old Generation")
+          .otherwise("PS Scavenge").as("collector_name"): _*)
+      HeuristicAggs.heapUsage(heapStats, gcEvents)
+        .orderBy("application_id", "attempt_id", "container_id")
+    }),
+
     // ---- Dedup clustering: connected components over the exact-verified
     //      near-dup graph (3-gram Jaccard >= 0.5 pairs), component = min
     //      doc id; every doc listed (singletons map to themselves). The
@@ -493,6 +528,56 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_simhash_pairs" -> simhashOracle,
+
+    "q_heuristic_threads" ->
+      """WITH stats AS (
+        |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |         '1' AS attempt_id,
+        |         'container_' || CAST(user_id % 97 AS VARCHAR) AS container_id,
+        |         event_id % 100 AS thread_count,
+        |         50 + event_id % 200 AS thread_total,
+        |         event_id
+        |  FROM events),
+        |agg AS (
+        |  SELECT application_id, attempt_id, container_id,
+        |    max(thread_count) AS max_count,
+        |    arg_max(thread_total, event_id) AS last_total
+        |  FROM stats GROUP BY 1, 2, 3)
+        |SELECT application_id, attempt_id, container_id, max_count, last_total,
+        |  CASE WHEN last_total > 0 THEN max_count * 100 // last_total END AS ratio,
+        |  CASE WHEN last_total = 0 OR max_count * 100 // last_total > 10 THEN 0
+        |       WHEN max_count * 100 // last_total <= 0 THEN 2
+        |       ELSE 1 END AS severity
+        |FROM agg
+        |ORDER BY application_id, attempt_id, container_id""".stripMargin,
+
+    "q_heuristic_heap" ->
+      """WITH heap AS (
+        |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |         '1' AS attempt_id,
+        |         'container_' || CAST(user_id % 97 AS VARCHAR) AS container_id,
+        |         max(event_id % 1000) AS peak,
+        |         max(500 + user_id % 2048) AS "max"
+        |  FROM events GROUP BY 1, 2, 3),
+        |majors AS (
+        |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |         '1' AS attempt_id,
+        |         'container_' || CAST(user_id % 97 AS VARCHAR) AS container_id,
+        |         count(*) AS major_gc
+        |  FROM events WHERE event_id % 7 = 0 AND event_id % 21 = 0
+        |  GROUP BY 1, 2, 3)
+        |SELECT h.application_id, h.attempt_id, h.container_id, h.peak, h."max",
+        |  coalesce(m.major_gc, 0) AS major_gc,
+        |  CASE WHEN h."max" > h.peak THEN (h."max" - h.peak) * 100 // h."max" END AS ratio,
+        |  CASE WHEN coalesce(m.major_gc, 0) > 0 OR h."max" <= h.peak THEN 0
+        |       WHEN (h."max" - h.peak) * 100 // h."max" > 70 THEN 3
+        |       WHEN (h."max" - h.peak) * 100 // h."max" > 50 THEN 2
+        |       WHEN (h."max" - h.peak) * 100 // h."max" > 30 THEN 1
+        |       ELSE 0 END AS severity
+        |FROM heap h LEFT JOIN majors m
+        |  ON h.application_id = m.application_id AND h.attempt_id = m.attempt_id
+        |  AND h.container_id = m.container_id
+        |ORDER BY h.application_id, h.attempt_id, h.container_id""".stripMargin,
 
     "q_dedup_groups" ->
       """WITH RECURSIVE sh AS (
