@@ -357,6 +357,42 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- P1/P6 union view over a multi-type wire stream: events encode
+    //      alternately as FS_EVENT / STATE_EVENT frames, decode through
+    //      typedTables, union with unionByName (absent body columns null),
+    //      aggregate per type. Oracle reproduces the aggregate directly. ----
+    "q_wire_union" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.{EventModel, ProtoDescriptors}
+      import graft.sources.{EventTables, FrameSource}
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .as[(Long, Long, String)]
+      val frames = rows.mapPartitions { it =>
+        it.map { case (eventId, userId, eventType) =>
+          val header = ProtoDescriptors.header.encode(Seq(
+            s"application_${userId % 50}", "1", "p", "u", s"container_$userId", "h", "",
+            "YARN", "EXECUTOR", "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+          val (marker, body) =
+            if (eventId % 2 == 0)
+              (1, ProtoDescriptors.fsEvent.encode(Seq(
+                "", "", eventType.toUpperCase, "hdfs://root", eventId % 31, "u", "SUCCESS")))
+            else
+              (3, ProtoDescriptors.stateEvent.encode(Seq(s"STATE_${eventId % 5}")))
+          (EventModel.encode(EventModel.Frame(marker, 1700000000000L + eventId, header, body)), eventId)
+        }
+      }.toDF("value", "offset")
+      val decoded = FrameSource.decodeFramesFast(frames)
+      val union = EventTables.unionView(
+        FrameSource.typedTables(decoded, Seq("FS_EVENT", "STATE_EVENT")))
+      union.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("application_id")).as("apps"),
+          sum(col("method_duration_millis")).cast(LongType).as("sum_dur"), // null for STATE rows
+          countDistinct(col("state")).as("states"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- A4 Threads heuristic end-to-end: thread-stats rows derived
     //      deterministically from events, folded by HeuristicAggs.threads
     //      (max live, last total by event_id recency, INTEGER-division
@@ -528,6 +564,18 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_simhash_pairs" -> simhashOracle,
+
+    "q_wire_union" ->
+      """SELECT 'FS_EVENT' AS event_type, count(*) AS n,
+        |  count(DISTINCT user_id % 50) AS apps,
+        |  CAST(sum(event_id % 31) AS BIGINT) AS sum_dur,
+        |  0 AS states
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT 'STATE_EVENT', count(*), count(DISTINCT user_id % 50),
+        |  CAST(NULL AS BIGINT), count(DISTINCT event_id % 5)
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY event_type""".stripMargin,
 
     "q_heuristic_threads" ->
       """WITH stats AS (
