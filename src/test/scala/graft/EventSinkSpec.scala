@@ -103,6 +103,37 @@ class EventSinkSpec extends SparkSpecBase {
     assert(later.size == 1 && later.head.contains("day=2024-03-03"))
   }
 
+  test("ST1/ST8: restart from checkpoint resumes exactly where the stream stopped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("restart").toString
+    val ckpt = Files.createTempDirectory("restart_ckpt").toString
+    val in = MemoryStream[(String, java.sql.Timestamp, String)]
+    def start() = EventSink.partitionedStreamWriter(
+      in.toDF().toDF("event_type", "timestamp", "container_id"), dir, ckpt).start()
+
+    val base = java.sql.Timestamp.valueOf("2024-03-01 08:00:00")
+    def ev(i: Int) = ("FS_EVENT", new java.sql.Timestamp(base.getTime + i * 1000L), s"c$i")
+
+    val q1 = start()
+    try {
+      in.addData(ev(1), ev(2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // new query instance, same checkpoint: must pick up AFTER offset 2 —
+    // the committed batch is not reprocessed, the new one is
+    val q2 = start()
+    try {
+      in.addData(ev(3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() == 3, "restart must neither lose nor duplicate rows")
+    assert(rows.select("container_id").as[String].collect().sorted.toSeq == Seq("c1", "c2", "c3"))
+  }
+
   test("dropExpiredPartitions removes only days older than retention") {
     val dir = Files.createTempDirectory("retention").toString
     EventSink.writePartitioned(sampleEvents(3, "2024-03-01"), dir)

@@ -81,6 +81,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.toSet == Set("a b", "b c", "c d"))
   }
 
+  test("saltedEquiJoin matches the plain join on skewed keys, all supported join types") {
+    // 1000 rows of one hot key + a long tail; dim with dup keys + a miss
+    val skewed = ((1 to 1000).map(_ => ("hot", 1)) ++ Seq(("a", 2), ("b", 3), ("nomatch", 4)))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H1"), ("hot", "H2"), ("a", "A"), ("b", "B"), ("unused", "U"))
+      .toDF("k", "d")
+    Seq("inner", "left_outer", "left_semi", "left_anti").foreach { jt =>
+      val plain = skewed.join(dim, Seq("k"), jt)
+      val salted = graft.operators.Joins.saltedEquiJoin(skewed, dim, Seq("k"), salt = 8, jt)
+      assert(salted.count() == plain.count(), s"$jt count mismatch")
+      val cols = plain.columns.map(col)
+      assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).isEmpty &&
+        plain.select(cols: _*).exceptAll(salted.select(cols: _*)).isEmpty,
+        s"$jt content mismatch")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Joins.saltedEquiJoin(skewed, dim, Seq("k"), 8, "full_outer")
+    }
+  }
+
   test("connectedComponents closes chains and dropNearDupGroups keeps one per group") {
     // chain 1-2-3 (transitive), pair 10-11, singleton 99
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
