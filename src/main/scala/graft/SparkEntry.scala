@@ -9,6 +9,7 @@ import graft.filters.Filters
 import graft.functions.{Functions => F}
 import graft.heuristics.HeuristicAggs
 import graft.operators._
+import graft.serving.Dashboards
 import graft.sources.Tables
 
 /** Driver contract: `queries` exposes every implemented operator from
@@ -393,6 +394,51 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- A2 G1 full-GC heuristic: major-collection counts + cumulative
+    //      pause per container with the sticky-severe rule
+    //      (G1GC.java:18-46). ----
+    "q_heuristic_g1gc" -> ((s, dir) => {
+      val gc = t(s, dir, "events").select(
+        concat(lit("application_"), (col("user_id") % 20).cast(StringType)).as("application_id"),
+        lit("1").as("attempt_id"),
+        concat(lit("container_"), (col("user_id") % 97).cast(StringType)).as("container_id"),
+        when(col("event_id") % 21 === 0, "G1 Old Generation")
+          .otherwise("PS Scavenge").as("collector_name"),
+        (col("event_id") % 400).as("pause_time"))
+      HeuristicAggs.g1FullGc(gc)
+        .withColumn("major_pause_ms", col("major_pause_ms").cast(LongType))
+        .orderBy("application_id", "attempt_id", "container_id")
+    }),
+
+    // ---- Q11 annotations through the typed wire path: state-transition
+    //      points of one application's SPARK_STAGE_STATE_EVENTs (latest
+    //      100 BEGINs), from encoded frames → typed table → Dashboards. ----
+    "q_annotations" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.{EventModel, ProtoDescriptors}
+      import graft.sources.FrameSource
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("user_id")).as[(Long, Long)]
+      val frames = rows.mapPartitions { it =>
+        it.map { case (eventId, userId) =>
+          val header = ProtoDescriptors.header.encode(Seq(
+            s"application_${userId % 50}", "1", "p", "u", s"c_$eventId", "h", "",
+            "SPARK", "EXECUTOR", "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+          val body = ProtoDescriptors.sparkStageStateEvent.encode(Seq(
+            if (eventId % 4 == 0) "BEGIN" else "END",
+            s"stage_${eventId % 9}", (eventId % 9).toString, "0", (eventId % 17).toInt))
+          (EventModel.encode(EventModel.Frame(
+            EventModel.markerForName("SPARK_STAGE_STATE_EVENT"),
+            1700000000000L + eventId, header, body)), eventId)
+        }
+      }.toDF("value", "offset")
+      val typed = FrameSource.typedTable(FrameSource.decodeFramesFast(frames), "SPARK_STAGE_STATE_EVENT")
+      Dashboards.stateAnnotations(typed, "application_7", "BEGIN")
+        .select(unix_millis(col("timestamp")).as("ts_ms"),
+          array_join(col("tags"), "|").as("tags"))
+        .orderBy(col("ts_ms"))
+    }),
+
     // ---- A4 Threads heuristic end-to-end: thread-stats rows derived
     //      deterministically from events, folded by HeuristicAggs.threads
     //      (max live, last total by event_id recency, INTEGER-division
@@ -564,6 +610,25 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_simhash_pairs" -> simhashOracle,
+
+    "q_heuristic_g1gc" ->
+      """SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |  '1' AS attempt_id,
+        |  'container_' || CAST(user_id % 97 AS VARCHAR) AS container_id,
+        |  count(*) AS major_gc,
+        |  CAST(sum(event_id % 400) AS BIGINT) AS major_pause_ms,
+        |  3 AS severity
+        |FROM events WHERE event_id % 21 = 0
+        |GROUP BY 1, 2, 3
+        |ORDER BY application_id, attempt_id, container_id""".stripMargin,
+
+    "q_annotations" ->
+      """SELECT * FROM (
+        |  SELECT 1700000000000 + event_id AS ts_ms, 'YARN_APPLICATION' AS tags
+        |  FROM events
+        |  WHERE user_id % 50 = 7 AND event_id % 4 = 0
+        |  ORDER BY ts_ms DESC LIMIT 100)
+        |ORDER BY ts_ms""".stripMargin,
 
     "q_wire_union" ->
       """SELECT 'FS_EVENT' AS event_type, count(*) AS n,
