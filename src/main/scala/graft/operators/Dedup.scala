@@ -168,8 +168,8 @@ object Dedup {
     * `maxBucket` bounds pathological quarter buckets (the 16-bit keyspace
     * is fixed, so bucket population grows with corpus size); a capped
     * bucket loses the pigeonhole guarantee for its members — report
-    * [[oversizedBuckets]] alongside. At 10^8+ docs prefer wider compound
-    * keys (e.g. Manku-style rotate-and-sort over 2×32-bit halves).
+    * [[oversizedBuckets]] alongside. At 10^8+ docs switch to
+    * [[simHashPairsWide]]: same exact recall, ~32-bit compound keys.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String = "text",
                    maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
@@ -204,6 +204,49 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
         when(col("uni") === 0, 0.0).otherwise(col("inter").cast(DoubleType) / col("uni")).as("jaccard"))
+  }
+
+  /** Wide-key SimHash blocking for huge corpora (Manku-style): split the
+    * 64-bit signature into `blocks` contiguous blocks; a pair within
+    * Hamming distance ≤ `maxHamming` differs in at most `maxHamming`
+    * blocks, so it agrees on some (blocks − maxHamming)-subset —
+    * pigeonhole-exact recall, like the quarter scheme, but the block key
+    * is the CONCATENATION of an entire block subset (e.g. 6 blocks,
+    * subsets of 3 ⇒ ~32-bit compound keys vs the quarters' 16-bit), so
+    * bucket population at 10^8+ docs shrinks by the extra key width. Cost:
+    * C(blocks, blocks−maxHamming) table copies (20 for 6/3) instead of 4 —
+    * the standard space-for-skew trade once 2^16 buckets saturate.
+    */
+  def simHashPairsWide(docs: DataFrame, idCol: String, textCol: String = "text",
+                       maxHamming: Int = 3, blocks: Int = 6,
+                       maxBucket: Int = 1000000): DataFrame = {
+    require(blocks > maxHamming, "need more blocks than allowed differing bits")
+    require(blocks <= 16, "block key layout packs block values into 64-bit lanes")
+    val agree = blocks - maxHamming
+    val bitsPer = 64 / blocks // first blocks-1 blocks bitsPer wide, last takes the remainder
+    def blockVal(sh: Column, b: Int): Column = {
+      val width = if (b == blocks - 1) 64 - bitsPer * (blocks - 1) else bitsPer
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      call_function("shiftright", sh, lit(bitsPer * b)).bitwiseAND(mask)
+    }
+    val subsets = (0 until blocks).combinations(agree).toSeq.zipWithIndex
+    val hashed = simHashSignatures(docs, idCol, textCol)
+    val blocked = hashed.select(col("id"), col("sh"),
+      explode(array(subsets.map { case (subset, si) =>
+        // compound key: subset id + the subset's block values hashed together
+        struct(lit(si).as("t"),
+          xxhash64(concat_ws(",", subset.map(b => blockVal(col("sh"), b).cast(StringType)): _*))
+            .as("bk"))
+      }: _*)).as("s"))
+      .select(col("id"), col("sh"), col("s.t").as("t"), col("s.bk").as("bk"))
+    val bounded = capBuckets(blocked, Seq("t", "bk"), maxBucket)
+    val a = bounded.select(col("t"), col("bk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = bounded.select(col("t"), col("bk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("t", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ------------------------------------------------ dedup clustering

@@ -29,6 +29,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"recall@5 $recall below 0.9")
   }
 
+  test("simHashPairsWide emits exactly the quarter-blocked pair set (pigeonhole equivalence)") {
+    val docs = Tables.load(spark, sf01, "documents")
+    val quarters = Dedup.simHashPairs(docs, "doc_id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+    val wide = Dedup.simHashPairsWide(docs, "doc_id", maxHamming = 3, blocks = 6)
+      .select("id_a", "id_b", "hamming")
+    // plain collect-compare: exceptAll over this plan trips a Catalyst
+    // BindReferences internal error (hamming attr lost under the
+    // replication-count rewrite) in Spark 4.1
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val qs = pairSet(quarters)
+    assert(pairSet(wide) == qs, "both blockings must find the identical Hamming<=3 pair set")
+    assert(qs.nonEmpty, "fixture must produce pairs for the equivalence to mean anything")
+  }
+
   test("ivfTopK: deterministic centroids, measured recall vs brute force on sf0.01") {
     val embs = Tables.load(spark, sf01, "embeddings")
     val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
