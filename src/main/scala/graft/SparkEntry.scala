@@ -389,7 +389,10 @@ object SparkEntry {
       union.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("application_id")).as("apps"),
-          sum(col("method_duration_millis")).cast(LongType).as("sum_dur"), // null for STATE rows
+          // STATE rows lack method_duration_millis entirely → the sum is
+          // null; surfaced as -1 so the output stays null-free for the
+          // hash gate while still proving the union null-fill semantics
+          coalesce(sum(col("method_duration_millis")), lit(-1L)).cast(LongType).as("sum_dur"),
           countDistinct(col("state")).as("states"))
         .orderBy(col("event_type"))
     }),
@@ -470,6 +473,9 @@ object SparkEntry {
         .select(key :+ when(col("event_id") % 21 === 0, "G1 Old Generation")
           .otherwise("PS Scavenge").as("collector_name"): _*)
       HeuristicAggs.heapUsage(heapStats, gcEvents)
+        // null-free output for the hash gate: discarded ratios (peak >= max)
+        // surface as -1
+        .withColumn("ratio", coalesce(col("ratio"), lit(-1L)))
         .orderBy("application_id", "attempt_id", "container_id")
     }),
 
@@ -638,7 +644,7 @@ object SparkEntry {
         |FROM events WHERE event_id % 2 = 0
         |UNION ALL
         |SELECT 'STATE_EVENT', count(*), count(DISTINCT user_id % 50),
-        |  CAST(NULL AS BIGINT), count(DISTINCT event_id % 5)
+        |  CAST(-1 AS BIGINT), count(DISTINCT event_id % 5)
         |FROM events WHERE event_id % 2 = 1
         |ORDER BY event_type""".stripMargin,
 
@@ -681,7 +687,7 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT h.application_id, h.attempt_id, h.container_id, h.peak, h."max",
         |  coalesce(m.major_gc, 0) AS major_gc,
-        |  CASE WHEN h."max" > h.peak THEN (h."max" - h.peak) * 100 // h."max" END AS ratio,
+        |  CASE WHEN h."max" > h.peak THEN (h."max" - h.peak) * 100 // h."max" ELSE -1 END AS ratio,
         |  CASE WHEN coalesce(m.major_gc, 0) > 0 OR h."max" <= h.peak THEN 0
         |       WHEN (h."max" - h.peak) * 100 // h."max" > 70 THEN 3
         |       WHEN (h."max" - h.peak) * 100 // h."max" > 50 THEN 2
