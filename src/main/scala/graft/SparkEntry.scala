@@ -925,14 +925,14 @@ object SparkEntry {
 
     "q_text_tokens" ->
       """SELECT lang, count(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS total_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_stopword_mass" ->
       """SELECT lang, count(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS total_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(SUM(len(list_filter(string_split(text, ' '),
         |    t -> t IN ('the','a','an','of','and','or','to','in','is','it')))) AS DOUBLE)
         |    / SUM(len(string_split(text, ' '))) AS stopword_mass

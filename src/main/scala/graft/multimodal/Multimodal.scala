@@ -125,9 +125,16 @@ object Multimodal {
     * (uri, offset, length) pointer; small blobs stay inline. This is the
     * "pointers to object storage when blobs exceed row-group sanity" path:
     * the parquet table keeps row groups small and metadata predicates never
-    * drag multi-MB byte ranges through the scan. One pack file per
-    * partition ⇒ no write contention and sequential appends; works on any
-    * Hadoop filesystem (file:// in tests, hdfs:///s3a:// in production).
+    * drag multi-MB byte ranges through the scan. One pack file per TASK
+    * ATTEMPT (`pack-<pid>-<attemptId>.bin`) ⇒ no write contention,
+    * sequential appends, and — critically — a speculative duplicate or
+    * retried attempt of the same partition writes its OWN file instead of
+    * truncating the one the winning attempt's BlobRefs point into
+    * (file:// and s3a:// have no lease to stop a concurrent second
+    * writer). Losing attempts leave orphan pack files; they cost space,
+    * not correctness — sweep files not referenced by the committed pointer
+    * table. Works on any Hadoop filesystem (file:// in tests,
+    * hdfs:///s3a:// in production).
     *
     * Materialize the result (write the pointer table to parquet, or cache
     * it) before resolving: packBlobs has a write side effect, so a lazy
@@ -137,7 +144,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val path = new org.apache.hadoop.fs.Path(s"$packDir/pack-$pid.bin")
+      // attempt-unique name: concurrent attempts of one partition must never
+      // share a file (UUID fallback covers the no-TaskContext local case)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(tc => tc.taskAttemptId().toString)
+        .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+      val path = new org.apache.hadoop.fs.Path(s"$packDir/pack-$pid-$attempt.bin")
       var out: org.apache.hadoop.fs.FSDataOutputStream = null
       var offset = 0L
       Option(org.apache.spark.TaskContext.get()).foreach(
@@ -146,7 +158,7 @@ object Multimodal {
         if (r.content != null && r.content.length > inlineMax) {
           if (out == null) {
             val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            out = fs.create(path, true)
+            out = fs.create(path, false)
           }
           val off = offset
           out.write(r.content)

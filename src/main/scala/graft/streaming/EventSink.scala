@@ -74,6 +74,10 @@ object EventSink {
     val partPath = partitionSpec.map { case (k, v) => s"$k=$v" }.mkString("/")
     val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$partPath")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A leftover trash dir means a previous swap died mid-flight; repair it
+    // first so the listing below sees exactly one authoritative copy.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash")))
+      recoverCompaction(spark, tablePath)
     if (!fs.exists(dir)) return false
     val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
     if (files.length <= maxFiles) return false
@@ -84,24 +88,33 @@ object EventSink {
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val newFiles = fs.listStatus(tmp).filter(f => f.getPath.getName.endsWith(".parquet"))
     // swap, never destroying the only copy: originals → trash, new files in,
-    // then drop trash. A unique compacted-file prefix keeps re-compaction
-    // renames collision-free.
-    val trash = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$partPath")
+    // then drop trash. The stamp is unique per run (previous originals may
+    // themselves be compacted-* files from an earlier run), and it is
+    // persisted in the trash dir BEFORE any rename so recovery can tell
+    // THIS run's half-moved files from prior-compaction originals — deleting
+    // by bare `compacted-*` prefix would destroy originals not yet in trash.
+    val stamp = System.currentTimeMillis() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val trashRoot = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash")
+    val trash = new org.apache.hadoop.fs.Path(trashRoot, partPath)
     fs.mkdirs(trash)
+    fs.create(new org.apache.hadoop.fs.Path(trashRoot, s"_STAMP-$stamp"), true).close()
     files.foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
-    val stamp = System.currentTimeMillis()
     newFiles.zipWithIndex.foreach { case (f, i) =>
       fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, s"compacted-$stamp-$i.parquet"))
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash"), true)
+    fs.delete(trashRoot, true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp"), true)
     true
   }
 
   /** Repair an interrupted [[compactPartition]]: if `.compact_trash`
-    * exists, a swap did not complete — drop any compacted files that made
-    * it into the affected partitions, restore the originals, and clear the
-    * temp dirs. Returns the restored partition paths. Call on writer
+    * exists, a swap did not complete — drop any compacted files from THAT
+    * run (identified by the `_STAMP-<stamp>` marker the swap persisted
+    * before its first rename) that made it into the affected partitions,
+    * restore the originals, and clear the temp dirs. Files named
+    * `compacted-<otherStamp>-*` are prior-compaction ORIGINALS and must
+    * survive recovery. Returns the restored partition paths. Call on writer
     * startup (the reference's equivalent is offset-based replay).
     */
   def recoverCompaction(spark: SparkSession, tablePath: String): Seq[String] = {
@@ -110,18 +123,26 @@ object EventSink {
     if (!fs.exists(unqualified)) return Nil
     // qualify so prefix-stripping below matches listStatus's URIs
     val trashRoot = fs.makeQualified(unqualified)
+    // Stamps of the interrupted run(s): only their files are half-moved
+    // duplicates; every other compacted-* file is an original. No stamp
+    // marker ⇒ the crash happened before any rename ⇒ delete nothing.
+    val stamps = fs.listStatus(trashRoot)
+      .map(_.getPath.getName).filter(_.startsWith("_STAMP-"))
+      .map(_.stripPrefix("_STAMP-")).toSet
     // every dir under trash mirrors a partition dir: tablePath/<part...>
     def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val children = fs.listStatus(p)
       val subdirs = children.filter(_.isDirectory)
       if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(d => leafDirs(d.getPath))
     }
-    val restored = leafDirs(trashRoot).map { trashDir =>
+    val restored = leafDirs(trashRoot).filter(_ != trashRoot).map { trashDir =>
       val rel = trashDir.toString.stripPrefix(trashRoot.toString).stripPrefix("/")
       val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
       fs.mkdirs(dir)
-      // originals are authoritative: drop half-moved compacted files …
-      fs.listStatus(dir).filter(_.getPath.getName.startsWith("compacted-"))
+      // originals are authoritative: drop the interrupted run's half-moved
+      // compacted files (and only those) …
+      fs.listStatus(dir)
+        .filter(f => stamps.exists(s => f.getPath.getName.startsWith(s"compacted-$s-")))
         .foreach(f => fs.delete(f.getPath, false))
       // … and move the originals back
       fs.listStatus(trashDir).foreach(f =>

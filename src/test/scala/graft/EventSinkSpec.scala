@@ -71,6 +71,8 @@ class EventSinkSpec extends SparkSpecBase {
     fs.mkdirs(trash)
     fs.listStatus(part).filter(_.getPath.getName.endsWith(".parquet"))
       .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+    // the swap persists its stamp before renaming anything
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/_STAMP-42"), true).close()
     val half = new org.apache.hadoop.fs.Path(part, "compacted-42-0.parquet")
     fs.create(half).close() // bogus partial compacted file
     val restored = EventSink.recoverCompaction(spark, dir)
@@ -78,6 +80,59 @@ class EventSinkSpec extends SparkSpecBase {
     assert(!fs.exists(half), "half-moved compacted file must be dropped")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash")))
     assert(spark.read.parquet(dir).count() == 8) // originals authoritative, no loss
+  }
+
+  test("recoverCompaction keeps prior-compaction originals (compacted-* names)") {
+    val dir = Files.createTempDirectory("recover2").toString
+    // first compaction completes: the partition's ORIGINALS are now named
+    // compacted-<s1>-*.parquet
+    (0 until 12).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
+    assert(EventSink.compactPartition(spark, dir,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 8))
+    val part = new org.apache.hadoop.fs.Path(s"$dir/event_type=FS_EVENT/day=2024-03-01")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstGen = fs.listStatus(part).map(_.getPath.getName)
+      .filter(_.startsWith("compacted-")).toSeq
+    assert(firstGen.size == 1)
+    // two more small appends arrive
+    (0 until 2).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
+    // second compaction crashes partway through the originals→trash loop:
+    // stamp persisted, the two new appends moved to trash, but the
+    // first-generation compacted original is still sitting in the partition,
+    // and one of the new run's files already moved in
+    val trash = new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/event_type=FS_EVENT/day=2024-03-01")
+    fs.mkdirs(trash)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/_STAMP-99-abc"), true).close()
+    fs.listStatus(part).filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("compacted-"))
+      .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+    fs.create(new org.apache.hadoop.fs.Path(part, "compacted-99-abc-0.parquet")).close()
+    val restored = EventSink.recoverCompaction(spark, dir)
+    assert(restored.size == 1)
+    val after = fs.listStatus(part).map(_.getPath.getName).toSet
+    assert(firstGen.forall(after.contains),
+      "prior-compaction originals must survive recovery")
+    assert(!after.contains("compacted-99-abc-0.parquet"),
+      "the interrupted run's half-moved file must be dropped")
+    assert(spark.read.parquet(dir).count() == 28) // 24 compacted + 2×2 appended
+  }
+
+  test("compactPartition auto-recovers a pending trash before compacting") {
+    val dir = Files.createTempDirectory("recover3").toString
+    (0 until 12).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
+    val part = new org.apache.hadoop.fs.Path(s"$dir/event_type=FS_EVENT/day=2024-03-01")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash state: everything in trash, stamp present, nothing moved back
+    val trash = new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/event_type=FS_EVENT/day=2024-03-01")
+    fs.mkdirs(trash)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/_STAMP-7-x"), true).close()
+    fs.listStatus(part).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+    // compaction first repairs, then compacts the restored originals
+    assert(EventSink.compactPartition(spark, dir,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 8))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash")))
+    assert(spark.read.parquet(dir).count() == 24)
   }
 
   test("writeDayCloseMarkers closes only watermark-passed days, idempotently (P9)") {

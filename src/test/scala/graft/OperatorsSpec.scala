@@ -113,6 +113,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(kept == Seq(1L, 10L, 99L))
   }
 
+  test("connectedComponents throws instead of returning non-converged labels") {
+    // chain of diameter 4 cannot close in 1 round
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIters = 1)
+    }
+  }
+
+  test("lshBandingFor sizes bands to the threshold's miss bound") {
+    // J=0.5: 16x4 would miss ~35%; sized banding must pick r with
+    // (1 - 0.5^r)^(64/r) <= 2% — that's r=2 (miss ~1e-4), not r=4
+    assert(Dedup.lshBandingFor(64, 0.5) == (32, 2))
+    // higher thresholds afford wider rows (fewer false candidates)
+    val (b9, r9) = Dedup.lshBandingFor(64, 0.9)
+    assert(r9 > 2 && b9 * r9 == 64)
+    assert(math.pow(1 - math.pow(0.9, r9.toDouble), b9.toDouble) <= 0.02)
+    // every returned layout divides the signature exactly
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.95); n <- Seq(32, 64, 128)) {
+      val (b, r) = Dedup.lshBandingFor(n, t)
+      assert(b * r == n)
+      assert(math.pow(1 - math.pow(t, r.toDouble), b.toDouble) <= 0.02 || r == 1)
+    }
+  }
+
   test("minhash est_jaccard ≈ 1 for identical docs, low for disjoint") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),

@@ -42,6 +42,12 @@ for name, sql in sorted(oracle.items()):
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     bad = []
+    # The driver hashes raw values: an int64 vs float64 column (e.g. DuckDB
+    # HUGEINT SUM -> float64 via pandas) hash-mismatches even when equal.
+    for c in o.columns:
+        ok_, sk_ = o[c].dtype.kind, s[c].dtype.kind
+        if {ok_, sk_} == {"i", "f"}:
+            bad.append((c, "DTYPE", str(o[c].dtype), str(s[c].dtype)))
     for c in o.columns:
         oc, sc = o[c], s[c]
         # normalize timestamps to ns ints, decimals to float
