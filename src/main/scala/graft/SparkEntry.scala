@@ -479,6 +479,45 @@ object SparkEntry {
         .orderBy("application_id", "attempt_id", "container_id")
     }),
 
+    // ---- A5 CodeCacheUsage heuristic end-to-end: peak code-cache use vs
+    //      capacity with the within-5% MODERATE rule and integer-division
+    //      boundary (CodeCacheUsage.java:28-47). ----
+    "q_heuristic_codecache" -> ((s, dir) => {
+      val stats = t(s, dir, "events").select(
+        concat(lit("application_"), (col("user_id") % 20).cast(StringType)).as("application_id"),
+        lit("1").as("attempt_id"),
+        concat(lit("container_"), (col("user_id") % 97).cast(StringType)).as("container_id"),
+        (col("event_id") % 1000).as("cc_used"),
+        (lit(950L) + col("user_id") % 100).as("cc_max"))
+      HeuristicAggs.codeCacheUsage(stats)
+        .orderBy("application_id", "attempt_id", "container_id")
+    }),
+
+    // ---- A8 FileHeuristic end-to-end: per-(app,attempt) counts pivoted by
+    //      FS action with 0-fill for absent actions and the files-created
+    //      severity thresholds (FileHeuristic.java:31-97). ----
+    "q_heuristic_files" -> ((s, dir) => {
+      val fsEvents = t(s, dir, "events").select(
+        concat(lit("application_"), (col("user_id") % 20).cast(StringType)).as("application_id"),
+        lit("1").as("attempt_id"),
+        element_at(array(HeuristicAggs.fsActions.map(lit): _*),
+          (col("event_id") % 8).cast(IntegerType) + 1).as("action"))
+      HeuristicAggs.fileHeuristic(fsEvents, maxCreatedFiles = 500L)
+        .orderBy("application_id", "attempt_id")
+    }),
+
+    // ---- A9 FlinkCheckpointDuration end-to-end: max checkpoint duration
+    //      per (app, job) with the sticky 15-minute SEVERE rule
+    //      (flink/FlinkCheckpointDuration.java:45-53,96-110). ----
+    "q_flink_checkpoint" -> ((s, dir) => {
+      val jobs = t(s, dir, "events").select(
+        concat(lit("application_"), (col("user_id") % 20).cast(StringType)).as("application_id"),
+        concat(lit("job_"), (col("event_id") % 7).cast(StringType)).as("job_name"),
+        (col("event_id") * 131 % 1500000).as("last_checkpoint_duration"))
+      HeuristicAggs.flinkCheckpointDuration(jobs)
+        .orderBy("application_id", "job_name")
+    }),
+
     // ---- Dedup clustering: connected components over the exact-verified
     //      near-dup graph (3-gram Jaccard >= 0.5 pairs), component = min
     //      doc id; every doc listed (singletons map to themselves). The
@@ -635,6 +674,47 @@ object SparkEntry {
         |  WHERE user_id % 50 = 7 AND event_id % 4 = 0
         |  ORDER BY ts_ms DESC LIMIT 100)
         |ORDER BY ts_ms""".stripMargin,
+
+    "q_heuristic_codecache" ->
+      """WITH agg AS (
+        |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |         '1' AS attempt_id,
+        |         'container_' || CAST(user_id % 97 AS VARCHAR) AS container_id,
+        |         max(event_id % 1000) AS peak,
+        |         max(950 + user_id % 100) AS cache_max
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT application_id, attempt_id, container_id, peak, cache_max,
+        |  CASE WHEN cache_max > 0 AND NOT (cache_max > peak
+        |         AND (cache_max - peak) * 100 // cache_max >= 5)
+        |       THEN 2 ELSE 0 END AS severity
+        |FROM agg
+        |ORDER BY application_id, attempt_id, container_id""".stripMargin,
+
+    "q_heuristic_files" ->
+      """SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |  '1' AS attempt_id,
+        |  count(*) FILTER (WHERE event_id % 8 = 0) AS "READ",
+        |  count(*) FILTER (WHERE event_id % 8 = 1) AS "WRITE",
+        |  count(*) FILTER (WHERE event_id % 8 = 2) AS "RENAME",
+        |  count(*) FILTER (WHERE event_id % 8 = 3) AS "DELETE",
+        |  count(*) FILTER (WHERE event_id % 8 = 4) AS "APPEND",
+        |  count(*) FILTER (WHERE event_id % 8 = 5) AS "ADD_BLOCK",
+        |  count(*) FILTER (WHERE event_id % 8 = 6) AS "LIST_STATUS",
+        |  count(*) FILTER (WHERE event_id % 8 = 7) AS "GET_CONTENT_SUMMARY",
+        |  CASE WHEN count(*) FILTER (WHERE event_id % 8 = 1) > 500 THEN 3
+        |       WHEN count(*) FILTER (WHERE event_id % 8 = 1) > 250 THEN 2
+        |       WHEN count(*) FILTER (WHERE event_id % 8 = 1) > 50 THEN 1
+        |       ELSE 0 END AS severity
+        |FROM events GROUP BY 1, 2
+        |ORDER BY application_id, attempt_id""".stripMargin,
+
+    "q_flink_checkpoint" ->
+      """SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |  'job_' || CAST(event_id % 7 AS VARCHAR) AS job_name,
+        |  max(event_id * 131 % 1500000) AS max_checkpoint_ms,
+        |  CASE WHEN max(event_id * 131 % 1500000) > 900000 THEN 3 ELSE 0 END AS severity
+        |FROM events GROUP BY 1, 2
+        |ORDER BY application_id, job_name""".stripMargin,
 
     "q_wire_union" ->
       """SELECT 'FS_EVENT' AS event_type, count(*) AS n,

@@ -88,6 +88,20 @@ object HeuristicAggs {
           .when(col("ratio") <= 0, Severity.Moderate)
           .otherwise(Severity.Low))
 
+  /** A5 CodeCacheUsage: peak(used) vs cache capacity; MODERATE iff the peak
+    * came within 5 % of max — integer division, same boundary semantics as
+    * the reference (CodeCacheUsage.java:28-47). Input columns: appKey +
+    * (cc_used, cc_max).
+    */
+  def codeCacheUsage(codeCacheStats: DataFrame): DataFrame =
+    codeCacheStats.groupBy(appKey: _*)
+      .agg(max(col("cc_used")).as("peak"), max(col("cc_max")).as("cache_max"))
+      .withColumn("severity",
+        when(col("cache_max") > 0 &&
+          !(col("cache_max") > col("peak") &&
+            expr("(cache_max - peak) * 100 div cache_max") >= 5), Severity.Moderate)
+          .otherwise(Severity.None))
+
   /** A6/A7 delta-rate heuristics (Locks/Safepoints): max over the per-event
     * rate (count delta per second), thresholded
     * (reference: Locks.java:17-61, Safepoints.java:16-48).

@@ -169,7 +169,13 @@ object Dedup {
                            shingleK: Int = 3, threshold: Double = 0.5, margin: Double = 0.2,
                            numHashes: Int = 64, bands: Int = 0,
                            maxBucket: Int = 1000): DataFrame = {
-    val candidates = minHashLshPairs(docs, idCol, textCol, shingleK, numHashes, bands,
+    // Size the banding at the FINAL threshold (the recall we promise), not
+    // at threshold − margin: the margin only widens the estimate cutoff to
+    // absorb est-Jaccard variance after a band collision. Sizing at the
+    // lower cutoff would force 1-row bands (every shared hash a candidate)
+    // and blow up candidate volume for no recall the verify step keeps.
+    val sizedBands = if (bands == 0) lshBandingFor(numHashes, threshold)._1 else bands
+    val candidates = minHashLshPairs(docs, idCol, textCol, shingleK, numHashes, sizedBands,
       threshold - margin, maxBucket).select(col("id_a"), col("id_b"))
     ngramJaccard(candidates, docs, idCol, textCol, shingleK)
       .where(col("jaccard") >= threshold)

@@ -125,6 +125,64 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Persist the IVF index as a LAYOUT: the corpus written
+    * `partitionBy(cid)`, cid = nearest centroid. Probing a query then
+    * becomes partition pruning — only the probed clusters' files are ever
+    * read, which is the classic inverted-file index expressed as a
+    * partitioned table instead of a bespoke index structure. Store the
+    * centroids next to the data ([[writeCentroids]]) so readers probe with
+    * the exact array the index was built with.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], path: String): Unit =
+    corpus.select(col(idCol), col(vecCol),
+      element_at(VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Centroids as a tiny parquet table (cid, centroid) — the index's
+    * metadata, co-located with the layout.
+    */
+  def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+                     centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "centroid").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** IVF top-k against a persisted [[writeIvfIndex]] layout. The probed
+    * cluster ids (≤ centroids.length, a driver-safe scalar list — NOT a
+    * data-sized collect) become a static `cid IN (...)` predicate, so the
+    * parquet scan prunes to the probed partitions at planning time;
+    * everything downstream is the [[ivfTopK]] candidate shape.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+                       indexPath: String, idCol: String, vecCol: String,
+                       k: Int, centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qProbes = q.select(col("query_id"),
+      explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
+    val probed = qProbes.select("cid").distinct().collect().map(_.getInt(0))
+    val idx = spark.read.parquet(indexPath)
+      .where(col("cid").isin(probed.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cid"))
+    val candidates = qProbes.join(idx, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
+      .join(q, "query_id")
+      .join(idx.select(col("neighbor_id"), col("cv")), "neighbor_id")
+      .withColumn("cosine", F.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Banded-LSH approximate top-k: queries score only corpus vectors that
     * share ≥1 of `bands` hyperplane buckets. Work per query ≈ bands ×
     * bucket size (capped), not the corpus size.

@@ -74,6 +74,14 @@ object Dashboards {
 
   /** Q9 derivative panels: rate-of-change of a bucketed max (GC CPU time/s,
     * threads created/s — garmadon-jvm.json derivative aggs).
+    *
+    * Scale note: the `groupCols = Nil` flavor runs an unpartitioned window
+    * (Spark logs "No Partition Defined") — deliberately. The window's input
+    * is the ALREADY-AGGREGATED bucket series, whose size is timeRange /
+    * interval — bounded by the dashboard's time axis (thousands of rows),
+    * independent of corpus size. A single-partition sort over that is
+    * cheaper than any gap-sensitive self-join rewrite; per-entity panels
+    * pass groupCols and get a partitioned window.
     */
   def bucketedDerivative(events: DataFrame, valueCol: Column, interval: String,
                          groupCols: Seq[Column] = Nil): DataFrame = {

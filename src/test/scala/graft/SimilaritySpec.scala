@@ -69,6 +69,45 @@ class SimilaritySpec extends SparkSpecBase {
     assert(perQueryCandidates < embs.count(), "IVF must prune the corpus per query")
   }
 
+  test("ivfTopKFromIndex: persisted partitionBy(cid) layout prunes to probed clusters") {
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", centroids, s"$dir/index")
+    Similarity.writeCentroids(spark, centroids, s"$dir/centroids")
+    // the index round-trips its own metadata
+    val loaded = Similarity.readCentroids(spark, s"$dir/centroids")
+    assert(loaded.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq)
+    // few queries, few probes: the probed-cid union must stay a strict
+    // subset of the 16 clusters for the pruning assertion to bite
+    val queries = embs.where(col("vec_id") < 3)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, queries, s"$dir/index",
+      "vec_id", "embedding", k = 5, loaded, nProbe = 2)
+    val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 5, centroids, nProbe = 2)
+    // same ANN semantics as the in-memory path
+    assert(fromIndex.select("query_id", "rank", "neighbor_id").collect().toSet ==
+      direct.select("query_id", "rank", "neighbor_id").collect().toSet)
+    // and the scan actually prunes: a cid predicate over the layout reads
+    // only the matching partitions' files (inputFiles ignores pruning, and
+    // AQE hides the scan node in executedPlan, so count the statically
+    // selected files on the pre-AQE physical plan)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.selectedPartitions.totalNumberOfFiles).sum
+    val probed = embs.where(col("vec_id") < 3)
+      .select(explode(graft.functions.VectorExpressions
+        .centroid_probes(col("embedding"), loaded, 2)).as("cid"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val prunedFiles = filesRead(
+      spark.read.parquet(s"$dir/index").where(col("cid").isin(probed: _*)))
+    val allFiles = filesRead(spark.read.parquet(s"$dir/index"))
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"index scan must touch only probed clusters ($prunedFiles/$allFiles files)")
+  }
+
   test("embeddingNearDups finds every exact-cosine pair >= threshold (full recall on sf0.01)") {
     val embs = Tables.load(spark, sf01, "embeddings").limit(200)
     val lshPairs = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
