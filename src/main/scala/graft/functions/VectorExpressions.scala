@@ -264,6 +264,71 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** LSH band-bucket hashes of a MinHash signature: element `b` is a
+    * splitmix64-style fold of the band's `rowsPerBand` longs (band index
+    * seeds the fold). Replaces the interpreted
+    * transform-of-slice-of-transform Column form, which paid the
+    * higher-order-lambda tax once per band per document — this is one tight
+    * generated loop per document. Bucket values are internal join keys
+    * only (never oracle-compared), so the mix just needs uniformity.
+    */
+  case class SigBandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+    require(bands >= 1 && rowsPerBand >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0x9E3779B97F4A7C15L * (b + 1)
+        var i = b * rowsPerBand
+        val end = math.min(i + rowsPerBand, a.numElements())
+        while (i < end) { h = mix64(h ^ a.getLong(i)); i += 1 }
+        out(b) = h
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      ctx.addNewFunction("graftMix64",
+        """
+          |private long graftMix64(long z) {
+          |  z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L;
+          |  z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL;
+          |  return z ^ (z >>> 31);
+          |}
+        """.stripMargin)
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out"); val b = ctx.freshName("b")
+        val h = ctx.freshName("h"); val i = ctx.freshName("i"); val end = ctx.freshName("end")
+        s"""
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $h = 0x9E3779B97F4A7C15L * ($b + 1);
+           |  int $end = java.lang.Math.min(($b + 1) * $rowsPerBand, $a.numElements());
+           |  for (int $i = $b * $rowsPerBand; $i < $end; $i++) {
+           |    $h = graftMix64($h ^ $a.getLong($i));
+           |  }
+           |  $out[$b] = $h;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Scala mirror of the generated graftMix64. */
+  private[graft] def mix64(z0: Long): Long = {
+    var z = (z0 ^ (z0 >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Scala mirror of the generated plane-sign (kept in sync with
     * graftPlaneSign in [[HyperplaneSig.doGenCode]]).
     */
@@ -285,4 +350,6 @@ object VectorExpressions {
     column(CentroidProbes(expression(v), centroids, probes))
   def hyperplane_sig(v: Column, sigBits: Int, seed: Int): Column =
     column(HyperplaneSig(expression(v), sigBits, seed))
+  def sig_band_hashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    column(SigBandHashes(expression(sig), bands, rowsPerBand))
 }

@@ -110,48 +110,66 @@ object Dedup {
       .filter { r =>
         math.pow(1 - math.pow(threshold, r), (numHashes / r).toDouble) <= maxMiss
       }
+    if (viable.isEmpty) {
+      // even 1-row bands (every shared hash a candidate) exceed the bound —
+      // the documented recall guarantee does NOT hold; say so instead of
+      // silently returning a layout that breaks the caller's contract
+      val missAtR1 = math.pow(1 - threshold, numHashes.toDouble)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshBandingFor($numHashes, $threshold): no banding meets maxMiss=$maxMiss " +
+          f"(best achievable miss $missAtR1%.4f at r=1) — raise numHashes to restore the recall bound")
+    }
     val r = if (viable.isEmpty) 1 else viable.max
     (numHashes / r, r)
   }
-
-  /** LSH band keys from a MinHash signature: bands × rowsPerBand must equal
-    * signature length; band key = xxhash64 of the band's slice.
-    */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(array_join(transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast(StringType)), ",")).as("bucket")))
 
   /** MinHash-LSH candidate pairs: docs sharing ≥1 LSH bucket, scored by
     * estimated Jaccard (signature agreement rate) ≥ `threshold`.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     *
+    * Shuffle discipline: the band self-join carries (band, bucket, id)
+    * ONLY — a candidate row costs ~24 bytes, not the ~1 KB it would cost
+    * with both 126-long signatures aboard. Signatures are joined back
+    * AFTER `dropDuplicates` collapses the multi-band hits, so each
+    * surviving pair fetches its two signatures exactly once. Band-bucket
+    * keys come from the codegen [[VectorExpressions.SigBandHashes]] (one
+    * tight loop per doc; the transform-of-slice Column form is
+    * interpreted).
+    *
     * `bands = 0` (default) sizes the banding to the threshold via
     * [[lshBandingFor]] so the banding-stage miss probability at J =
     * threshold is ≤ 2 %; an explicit `bands` overrides (its miss rate is
-    * then the caller's responsibility: (1 − t^r)^bands).
+    * then the caller's responsibility: (1 − t^r)^bands). The default
+    * `numHashes = 126` makes r=3 banding viable at t=0.5 (42 bands, miss
+    * ≈ 0.4 %) where 64 hashes force r=2 — and r=3 collapses the
+    * background-pair candidate rate at J≈0.1 from ~27 % to ~4 %: the
+    * difference between a candidate set that tracks true near-dups and
+    * one that grows with N².
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String = "text",
-                      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 0,
+                      shingleK: Int = 3, numHashes: Int = 126, bands: Int = 0,
                       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val nBands = if (bands == 0) lshBandingFor(numHashes, threshold)._1 else bands
     val rowsPerBand = numHashes / nBands
     require(nBands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sigs = minHashSignatures(docs, idCol, textCol, shingleK, numHashes)
     val banded = sigs
-      .select(col("id"), col("sig"), explode(lshBandKeys(col("sig"), nBands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .select(col("id"),
+        posexplode(VectorExpressions.sig_band_hashes(col("sig"), nBands, rowsPerBand))
+          .as(Seq("band", "bucket")))
     val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-    val a = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val candidates = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (VectorExpressions.array_agree_count(col("sig_a"), col("sig_b"))
           .cast(DoubleType) / numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Near-dup pairs with exact scores: MinHash-LSH candidates (estimate ≥
@@ -159,15 +177,19 @@ object Dedup {
     * exact n-gram Jaccard ≥ threshold. Every EMITTED pair carries its exact,
     * engine-neutral Jaccard (any engine can re-verify each pair by brute
     * force); the pair SET is still LSH-recalled — with the default
-    * auto-sized banding ([[lshBandingFor]] at threshold − margin) the
-    * banding stage misses a borderline pair with probability ≤ 2 %, and
-    * near-identical pairs (J ≈ 1) essentially never. A fixture whose
-    * planted pairs sit well above threshold is deterministic; corpora with
-    * pairs AT the threshold are subject to that miss rate.
+    * auto-sized banding ([[lshBandingFor]] at the FINAL threshold) the
+    * banding stage misses a pair at J = threshold with probability ≤ 2 %,
+    * and near-identical pairs (J ≈ 1) essentially never. Pairs between
+    * threshold − margin and threshold get no banding guarantee (the margin
+    * only widens the est-Jaccard cutoff to absorb estimator variance after
+    * a band collision — such pairs are discarded by the exact-Jaccard
+    * verify anyway). A fixture whose planted pairs sit well above
+    * threshold is deterministic; corpora with pairs AT the threshold are
+    * subject to that miss rate.
     */
   def minHashNearDupsExact(docs: DataFrame, idCol: String, textCol: String = "text",
                            shingleK: Int = 3, threshold: Double = 0.5, margin: Double = 0.2,
-                           numHashes: Int = 64, bands: Int = 0,
+                           numHashes: Int = 126, bands: Int = 0,
                            maxBucket: Int = 1000): DataFrame = {
     // Size the banding at the FINAL threshold (the recall we promise), not
     // at threshold − margin: the margin only widens the estimate cutoff to
