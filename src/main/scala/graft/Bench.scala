@@ -10,7 +10,16 @@ import org.apache.spark.sql.SparkSession
   *    column (a bare `count()` lets Catalyst prune unreferenced projection
   *    work, so map-only queries would measure as free);
   *  - one unmeasured warmup run per query (codegen + JIT), then
-  *    median-of-3 measured runs (this box shows large transient outliers);
+  *    median-of-N measured runs (this box shows large transient outliers);
+  *  - per-query {min, median, max, spread} are emitted so a regression can
+  *    be told apart from host contention: an untouched query whose spread
+  *    spans 20x is noise, a tight spread that moved is a plan change;
+  *  - a fixed canary query (lineitem group-agg, not part of the query set)
+  *    is timed before and after the sweep (min of 5 after warmup — min
+  *    tracks the machine's available capacity, not stragglers); if the two
+  *    diverge by more than 50 % AND 0.5 s the box was contended mid-run
+  *    and the whole round is marked `"dirty": true` — per-query numbers
+  *    are then unattributable;
   *  - failures propagate — a broken query must fail the bench, not record
   *    a fake fast time.
   */
@@ -22,10 +31,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed load sentinel: one scan + one shuffle over lineitem. Cheap,
+    * stable across rounds, and sensitive to both CPU and IO contention.
+    */
+  private def canaryOnce(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def medianOf(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,16 +61,34 @@ object Bench {
     // Warm the JVM/session so the first query isn't charged for executor
     // start; per-query warmup below handles per-plan codegen.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    graft.sources.Tables.load(spark, sfDir, "lineitem").write.format("noop").mode("overwrite").save()
+    // canary warmup x3: JIT keeps speeding this plan up for a few runs, and
+    // the canary must measure host contention, not warm-in drift
+    (1 to 3).foreach(_ => canaryOnce(spark, sfDir))
+    val canaryFirst = Seq.fill(5)(canaryOnce(spark, sfDir)).min
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       runOnce(spark, fn, sfDir) // warmup (codegen, shuffle-file cache)
       val times = Seq.fill(runs)(runOnce(spark, fn, sfDir)).sorted
-      name -> times(times.length / 2)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val canaryLast = Seq.fill(5)(canaryOnce(spark, sfDir)).min
+    val canarySpread =
+      math.max(canaryFirst, canaryLast) / math.max(math.min(canaryFirst, canaryLast), 1e-9) - 1.0
+    // relative drift alone would flag sub-second jitter at tiny SF; demand
+    // both >50% drift and >0.5s absolute before declaring the round dirty
+    val dirty = canarySpread > 0.5 && math.abs(canaryFirst - canaryLast) > 0.5
+    def f(d: Double): String = "%.4f".format(d)
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f(medianOf(ts)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val stats = results.map { case (k, ts) =>
+      val med = medianOf(ts)
+      val spread = if (med > 0) (ts.max - ts.min) / med else 0.0
+      "\"" + k + "\":{\"min\":" + f(ts.min) + ",\"median\":" + f(med) +
+        ",\"max\":" + f(ts.max) + ",\"spread\":" + f(spread) + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(ts => medianOf(ts._2)).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$stats,""" +
+      s""""canary":{"first":${f(canaryFirst)},"last":${f(canaryLast)},"spread":${f(canarySpread)}},""" +
+      s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

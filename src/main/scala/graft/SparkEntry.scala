@@ -228,6 +228,14 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ---- A11 via the STREAMING ENGINE: file-source stream →
+    //      flatMapGroupsWithState session fold → foreachBatch parquet
+    //      sink. Every row crossed the streaming state store; the oracle
+    //      recomputes the per-user END-closed session relationally.
+    //      metric = floor(value*100) is integer-valued in double, so the
+    //      stateful sum is exact and micro-batch fold order is moot. ----
+    "q_stream_sessionize" -> ((s, dir) => streaming.StreamingGate.streamSessionize(s, dir)),
+
     // ---- D11/Q10: global sort + limit (raw-row fetch) ----
     "q_sort_limit" -> ((s, dir) => {
       t(s, dir, "events")
@@ -978,6 +986,21 @@ object SparkEntry {
         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms,
+        |    floor(value * 100) AS metric
+        |  FROM events)
+        |SELECT user_id,
+        |  count(DISTINCT event_type) + 1 AS n_containers,
+        |  count(*) + 1 AS n_events,
+        |  sum(metric) AS sum_metric,
+        |  greatest(max(metric), 0.0) AS max_metric,
+        |  least(min(metric), 0.0) AS min_metric,
+        |  (max(ms) + 1000) - min(ms) AS duration_ms,
+        |  'END' AS closed_by
+        |FROM base GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
