@@ -292,6 +292,18 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Text: language ID — function-word profile argmax. The oracle
+    //      replays the same profiles (one generated VALUES list, deduped
+    //      because Spark's isInCollection is set-membership) and the same
+    //      tiebreak (greatest over (score, lang) structs = ORDER BY score
+    //      DESC, lang DESC); docs matching no profile fall back to the
+    //      lexicographically largest language code. ----
+    "q_language_id" -> ((s, dir) => {
+      TextAnalysis.languageId(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: portable rolling fingerprint (dup bookkeeping) ----
     "q_doc_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(t(s, dir, "documents"))
@@ -563,6 +575,63 @@ object SparkEntry {
           (col("_hits") >= lit(60L)).as("recall_ok"))
     }),
 
+    // ---- S2→P5→A3, the production heuristic chain on WIRE input: each
+    //      events row is encoded as a JVMSTATS_EVENT frame whose body
+    //      carries real sections (heap + threads, nested
+    //      Section/Property PMessageList), every 7th row additionally as
+    //      a GC_EVENT frame; both decode through
+    //      envelope → proto_decode → JvmStats.heapProjection →
+    //      HeuristicAggs.heapUsage — the reference's HDFS-reader path
+    //      (ReaderFactory.java:126-170 feeding HeapUsage.java:22-95).
+    //      The oracle recomputes the heuristic from the raw columns, so
+    //      any drift in the nested-message decode breaks the hash. ----
+    "q_jvmstats_chain" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.{EventModel, ProtoDescriptors}
+      import graft.sources.FrameSource
+      val rows = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long, Long)]
+      val frames = rows.mapPartitions { it =>
+        it.flatMap { case (eventId, userId, tsMs) =>
+          val header = ProtoDescriptors.header.encode(Seq(
+            s"application_${userId % 20}", "1", "graft_pipeline", s"user_${userId % 7}",
+            s"container_${userId % 97}", s"host_${userId % 11}", "", "YARN", "EXECUTOR",
+            "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+          val jvmBody = ProtoDescriptors.jvmStatisticsData.encode(Seq(Seq(
+            Seq("heap", Seq(
+              Seq("init", "536870912"),
+              Seq("committed", (500 + userId % 2048).toString),
+              Seq("used", (eventId % 1000).toString),
+              Seq("max", (500 + userId % 2048).toString))),
+            Seq("threads", Seq(
+              Seq("count", (userId % 64).toString),
+              Seq("total", "100"))))))
+          val jvm = (EventModel.encode(EventModel.Frame(
+            EventModel.markerForName("JVMSTATS_EVENT"), tsMs, header, jvmBody)), eventId)
+          if (eventId % 7 == 0) {
+            val gcBody = ProtoDescriptors.gcStatisticsData.encode(Seq(
+              if (eventId % 21 == 0) "G1 Old Generation" else "PS Scavenge",
+              eventId % 50, "Allocation Failure",
+              0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0.0f))
+            Seq(jvm, (EventModel.encode(EventModel.Frame(
+              EventModel.markerForName("GC_EVENT"), tsMs, header, gcBody)), eventId))
+          } else Seq(jvm)
+        }
+      }.toDF("value", "offset")
+      val decoded = FrameSource.decodeFramesFast(frames)
+      val heapStats = JvmStats.heapProjection(
+          FrameSource.typedTable(decoded, "JVMSTATS_EVENT"))
+        .select(col("application_id"), col("attempt_id"), col("container_id"),
+          col("heap_used"), col("heap_max"))
+      val gcEvents = FrameSource.typedTable(decoded, "GC_EVENT")
+        .select(col("application_id"), col("attempt_id"), col("container_id"),
+          col("collector_name"))
+      HeuristicAggs.heapUsage(heapStats, gcEvents)
+        .withColumn("ratio", coalesce(col("ratio"), lit(-1L)))
+        .orderBy("application_id", "attempt_id", "container_id")
+    }),
+
     // ---- S2/S3: full wire pipeline, end-to-end. Each events row is
     //      deterministically encoded as a garmadon FS_EVENT wire frame
     //      (proto3 header + body inside the 20-byte envelope), then decoded
@@ -615,6 +684,31 @@ object SparkEntry {
     * signature, and emits all pairs with Hamming ≤ 3 — which Spark's
     * 4-quarter pigeonhole blocking finds with guaranteed recall.
     */
+  /** DuckDB language-ID oracle generated from the SAME
+    * [[graft.operators.LanguageProfiles.profiles]] the Spark operator
+    * uses — one source of truth for the 12 profiles. Words are deduped
+    * (isInCollection is set-membership; a duplicated profile word must not
+    * double-count a token match in the join).
+    */
+  private def languageIdOracle: String = {
+    val prof = graft.operators.LanguageProfiles.profiles
+    val rows = prof.toSeq.sortBy(_._1).flatMap { case (lang, ws) =>
+      ws.distinct.map(w => s"('$lang', '${w.replace("'", "''")}')")
+    }.mkString(", ")
+    val fallback = prof.keys.max // the all-zero-scores argmax under (score, lang) ordering
+    s"""WITH prof(lang, w) AS (VALUES $rows),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |scores AS (
+       |  SELECT t.doc_id, p.lang, count(*) AS score
+       |  FROM toks t JOIN prof p ON t.w = p.w GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, lang FROM scores
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1)
+       |SELECT d.doc_id, coalesce(b.lang, '$fallback') AS lang_pred
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def simhashOracle: String = {
     val bitSums = (0 until 62).map(j =>
       s"SUM(CASE WHEN (ph >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
@@ -757,6 +851,38 @@ object SparkEntry {
         |       ELSE 1 END AS severity
         |FROM agg
         |ORDER BY application_id, attempt_id, container_id""".stripMargin,
+
+    // Same relational recompute as q_heuristic_heap — the Spark side
+    // differs by running the full wire codec (nested Section/Property
+    // lists) before the heuristic, which the oracle does not need to
+    // model: a decode drift surfaces as a value/hash mismatch.
+    "q_jvmstats_chain" ->
+      """WITH heap AS (
+        |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |         '1' AS attempt_id,
+        |         'container_' || CAST(user_id % 97 AS VARCHAR) AS container_id,
+        |         max(event_id % 1000) AS peak,
+        |         max(500 + user_id % 2048) AS "max"
+        |  FROM events GROUP BY 1, 2, 3),
+        |majors AS (
+        |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |         '1' AS attempt_id,
+        |         'container_' || CAST(user_id % 97 AS VARCHAR) AS container_id,
+        |         count(*) AS major_gc
+        |  FROM events WHERE event_id % 7 = 0 AND event_id % 21 = 0
+        |  GROUP BY 1, 2, 3)
+        |SELECT h.application_id, h.attempt_id, h.container_id, h.peak, h."max",
+        |  coalesce(m.major_gc, 0) AS major_gc,
+        |  CASE WHEN h."max" > h.peak THEN (h."max" - h.peak) * 100 // h."max" ELSE -1 END AS ratio,
+        |  CASE WHEN coalesce(m.major_gc, 0) > 0 OR h."max" <= h.peak THEN 0
+        |       WHEN (h."max" - h.peak) * 100 // h."max" > 70 THEN 3
+        |       WHEN (h."max" - h.peak) * 100 // h."max" > 50 THEN 2
+        |       WHEN (h."max" - h.peak) * 100 // h."max" > 30 THEN 1
+        |       ELSE 0 END AS severity
+        |FROM heap h LEFT JOIN majors m
+        |  ON h.application_id = m.application_id AND h.attempt_id = m.attempt_id
+        |  AND h.container_id = m.container_id
+        |ORDER BY h.application_id, h.attempt_id, h.container_id""".stripMargin,
 
     "q_heuristic_heap" ->
       """WITH heap AS (
@@ -1040,6 +1166,8 @@ object SparkEntry {
         |    t -> t IN ('the','a','an','of','and','or','to','in','is','it')))) AS DOUBLE)
         |    / SUM(len(string_split(text, ' '))) AS stopword_mass
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_language_id" -> languageIdOracle,
 
     "q_doc_fingerprint" ->
       """SELECT doc_id,
