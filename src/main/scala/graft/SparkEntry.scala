@@ -575,6 +575,46 @@ object SparkEntry {
           (col("_hits") >= lit(60L)).as("recall_ok"))
     }),
 
+    // ---- Similarity: the IVF index AS A LAYOUT. Writes the corpus
+    //      partitionBy(cid), reloads centroids from the index metadata,
+    //      and answers probes off the persisted layout. Two measured
+    //      properties ride the row: the persisted path returns exactly
+    //      the in-memory ivfTopK rows, and the probe predicate actually
+    //      pruned the parquet scan (statically selected files < full
+    //      layout — the 100 TB story: probing IS partition pruning). ----
+    "q_ivf_index" -> ((s, dir) => {
+      import s.implicits._
+      val embs = t(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+      Similarity.writeIvfIndex(embs, "vec_id", "embedding", centroids, s"$work/index")
+      Similarity.writeCentroids(s, centroids, s"$work/centroids")
+      val loaded = Similarity.readCentroids(s, s"$work/centroids")
+      val queries = embs.where(col("vec_id") < 3)
+      val fromIndex = Similarity.ivfTopKFromIndex(s, queries, s"$work/index",
+        "vec_id", "embedding", k = 5, loaded, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+        k = 5, centroids, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val nIdx = fromIndex.count(); val nMem = direct.count()
+      val same = nIdx == nMem && fromIndex.intersect(direct).count() == nIdx
+      // pruning witness: statically selected files under the cid predicate
+      // vs the full layout (pre-AQE plan; inputFiles ignores pruning)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      def filesRead(df: DataFrame): Long =
+        df.queryExecution.sparkPlan.collect { case sc: FileSourceScanExec => sc }
+          .map(_.selectedPartitions.totalNumberOfFiles).sum
+      val probed = queries.select(explode(graft.functions.VectorExpressions
+          .centroid_probes(col("embedding"), loaded, 2)).as("cid"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val all = s.read.parquet(s"$work/index")
+      val totalParts = all.select("cid").distinct().count()
+      val prunedOk = filesRead(all.where(col("cid").isin(probed: _*))) < filesRead(all) ||
+        probed.length.toLong == totalParts // vacuous only if every cluster probed
+      Seq((3, 5, same, prunedOk)).toDF("n_queries", "k", "same_as_inmem", "pruned_scan")
+    }),
+
     // ---- S2→P5→A3, the production heuristic chain on WIRE input: each
     //      events row is encoded as a JVMSTATS_EVENT frame whose body
     //      carries real sections (heap + threads, nested
@@ -940,6 +980,9 @@ object SparkEntry {
 
     "q_ivf_ann" ->
       "SELECT 20 AS n_queries, 5 AS k, TRUE AS recall_ok",
+
+    "q_ivf_index" ->
+      "SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem, TRUE AS pruned_scan",
 
     "q_wire_roundtrip" ->
       """SELECT upper(event_type) AS action,

@@ -157,18 +157,30 @@ object Similarity {
     * cluster ids (≤ centroids.length, a driver-safe scalar list — NOT a
     * data-sized collect) become a static `cid IN (...)` predicate, so the
     * parquet scan prunes to the probed partitions at planning time;
-    * everything downstream is the [[ivfTopK]] candidate shape.
+    * everything downstream is the [[ivfTopK]] candidate shape, including
+    * the same `maxBucket` cap on pathological clusters (a skewed cluster
+    * must not degrade the persisted path relative to the in-memory one).
+    *
+    * The probe table is persisted before the cid collect: it is tiny
+    * (|queries| × nProbe ints) and both the collect and the candidate
+    * join consume it — without the persist an expensive or
+    * non-deterministic `queries` plan would evaluate twice (and could
+    * probe different clusters than it joins).
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
                        indexPath: String, idCol: String, vecCol: String,
-                       k: Int, centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+                       k: Int, centroids: Array[Array[Double]], nProbe: Int,
+                       maxBucket: Int = 1000000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val qProbes = q.select(col("query_id"),
       explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
+      .persist()
     val probed = qProbes.select("cid").distinct().collect().map(_.getInt(0))
-    val idx = spark.read.parquet(indexPath)
-      .where(col("cid").isin(probed.toSeq: _*))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cid"))
+    val idx = Dedup.capBuckets(
+      spark.read.parquet(indexPath)
+        .where(col("cid").isin(probed.toSeq: _*))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cid")),
+      Seq("cid"), maxBucket)
     val candidates = qProbes.join(idx, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
