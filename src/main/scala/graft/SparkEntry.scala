@@ -188,12 +188,17 @@ object SparkEntry {
 
     // ---- D9/Q9: derivative over time buckets ----
     "q_derivative" -> ((s, dir) => {
+      // Window partitioned by the series' NATURAL key (event_type): the
+      // derivative of a bucketed series parallelizes across series — no
+      // single-partition WindowExec (a lit(1) key would put every bucket
+      // row through one task; harmless post-aggregation, but the plan
+      // should be self-evidently scale-safe).
       val hourly = t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
         .agg(count(lit(1)).as("n"))
-      Aggregations.derivative(hourly, lit(1), Seq(col("bucket")), col("n"), "dn")
-        .select(col("bucket"), col("n"), col("dn"))
-        .orderBy(col("bucket"))
+      Aggregations.derivative(hourly, col("event_type"), Seq(col("bucket")), col("n"), "dn")
+        .select(col("event_type"), col("bucket"), col("n"), col("dn"))
+        .orderBy(col("event_type"), col("bucket"))
     }),
 
     // ---- D9/A6/A7: delta-rate (locks/safepoints heuristic pattern) ----
@@ -1105,10 +1110,11 @@ object SparkEntry {
 
     "q_derivative" ->
       """WITH b AS (
-        |  SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
-        |  FROM events GROUP BY 1)
-        |SELECT bucket, n, n - lag(n) OVER (ORDER BY bucket) AS dn
-        |FROM b ORDER BY bucket""".stripMargin,
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        |  n - lag(n) OVER (PARTITION BY event_type ORDER BY bucket) AS dn
+        |FROM b ORDER BY event_type, bucket""".stripMargin,
 
     "q_delta_rate" ->
       """WITH d AS (

@@ -169,6 +169,32 @@ object Multimodal {
     }
   }
 
+  /** Sweep orphan pack files: delete `pack-*.bin` files under `packDir`
+    * that no committed pointer references (the files losing/speculative
+    * task attempts left behind — [[packBlobs]] gives every attempt its own
+    * file precisely so the losers are deletable garbage, not corruption).
+    * `packed` must be the COMMITTED pointer table (read back from its
+    * parquet location, not the lazy packBlobs plan — re-evaluating that
+    * plan would write fresh pack files while this sweeps).
+    *
+    * The referenced-uri set is one distinct over a string column collected
+    * to the driver — bounded by #successful tasks, not by rows. Returns
+    * the deleted paths.
+    */
+  def sweepOrphanPacks(packed: Dataset[PackedMediaRow], packDir: String): Seq[String] = {
+    val referenced = packed.select("ref.uri").where(col("ref").isNotNull)
+      .distinct().collect().map(_.getString(0))
+      .map(u => new org.apache.hadoop.fs.Path(u).toUri.getPath).toSet
+    val dir = new org.apache.hadoop.fs.Path(packDir)
+    val fs = dir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("pack-") && p.getName.endsWith(".bin"))
+      .filterNot(p => referenced.contains(p.toUri.getPath))
+      .map { p => fs.delete(p, false); p.toString }
+  }
+
   /** Re-inline external blobs by positioned reads against the pack files —
     * one open stream per (partition, uri), `readFully(offset)` per row, so
     * a selective downstream (metadata predicates pruned BEFORE resolving)

@@ -72,4 +72,25 @@ class MultimodalSpec extends SparkSpecBase {
     restored.foreach(r => assert(r.content.toSeq == original(r.media_id), s"blob ${r.media_id} differs"))
     packed.unpersist()
   }
+
+  test("sweepOrphanPacks deletes losing-attempt files, preserves referenced packs byte-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("packs_sweep").toString
+    val ptrTable = s"$dir/pointers"
+    // commit the pointer table the way production would (write, read back)
+    Multimodal.packBlobs(media, dir, inlineMax = 100).write.parquet(ptrTable)
+    import org.apache.spark.sql.Encoders
+    val committed = spark.read.parquet(ptrTable).as(
+      Encoders.product[graft.multimodal.Multimodal.PackedMediaRow])
+    // a losing task attempt's leftover: same partition id, different attempt
+    val orphan = java.nio.file.Path.of(dir, "pack-0-99999.bin")
+    java.nio.file.Files.write(orphan, Array.fill[Byte](64)(7))
+    val swept = Multimodal.sweepOrphanPacks(committed, dir)
+    assert(swept.exists(_.endsWith("pack-0-99999.bin")), s"orphan not swept: $swept")
+    assert(!java.nio.file.Files.exists(orphan))
+    // every committed pointer still resolves byte-exact after the sweep
+    val original = media.collect().map(r => r.media_id -> r.content.toSeq).toMap
+    val restored = Multimodal.resolveBlobs(committed).collect()
+    assert(restored.length == original.size)
+    restored.foreach(r => assert(r.content.toSeq == original(r.media_id)))
+  }
 }

@@ -16,6 +16,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(df.as[String].collect().toSeq == Seq("hdfs://root", "hdfs://cluster-a", "hdfs://other"))
   }
 
+  test("UriAliases loads a properties file into the normalizeUri alias map (P3)") {
+    val dir = java.nio.file.Files.createTempDirectory("uri_aliases")
+    val file = dir.resolve("hdfs-mapping.properties")
+    java.nio.file.Files.writeString(file,
+      "hdfs://prod = hdfs://cluster-a\nhdfs://backup=hdfs://cluster-b\n# comment\n")
+    val aliases = graft.sources.UriAliases.load(spark, file.toString)
+    assert(aliases == Map("hdfs://prod" -> "hdfs://cluster-a", "hdfs://backup" -> "hdfs://cluster-b"))
+    val df = Seq("hdfs://prod:8020", "hdfs://backup", "hdfs://other")
+      .toDF("uri")
+      .select(F.normalizeUri(col("uri"), aliases).as("u"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("hdfs://cluster-a", "hdfs://cluster-b", "hdfs://other"))
+    // missing file = optional config: empty map, port-strip still works
+    assert(graft.sources.UriAliases.load(spark, s"$dir/absent.properties").isEmpty)
+  }
+
   test("stripUriPrefix removes the uri from absolute paths (P3)") {
     val df = Seq(("hdfs://root/tmp/x", "hdfs://root"), ("/local/path", "hdfs://root"))
       .toDF("path", "uri")
