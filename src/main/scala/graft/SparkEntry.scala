@@ -508,12 +508,15 @@ object SparkEntry {
     //      capacity with the within-5% MODERATE rule and integer-division
     //      boundary (CodeCacheUsage.java:28-47). ----
     "q_heuristic_codecache" -> ((s, dir) => {
+      // cc_max is constant per group, so last-by-ts == max and the oracle
+      // can recompute with max(); the CODE path still exercises max_by
       val stats = t(s, dir, "events").select(
         concat(lit("application_"), (col("user_id") % 20).cast(StringType)).as("application_id"),
         lit("1").as("attempt_id"),
         concat(lit("container_"), (col("user_id") % 97).cast(StringType)).as("container_id"),
         (col("event_id") % 1000).as("cc_used"),
-        (lit(950L) + col("user_id") % 100).as("cc_max"))
+        (lit(950L) + col("user_id") % 100).as("cc_max"),
+        col("ts").as("timestamp"))
       HeuristicAggs.codeCacheUsage(stats)
         .orderBy("application_id", "attempt_id", "container_id")
     }),
@@ -831,7 +834,7 @@ object SparkEntry {
         |         max(950 + user_id % 100) AS cache_max
         |  FROM events GROUP BY 1, 2, 3)
         |SELECT application_id, attempt_id, container_id, peak, cache_max,
-        |  CASE WHEN cache_max > 0 AND NOT (cache_max > peak
+        |  CASE WHEN NOT (cache_max > peak
         |         AND (cache_max - peak) * 100 // cache_max >= 5)
         |       THEN 2 ELSE 0 END AS severity
         |FROM agg

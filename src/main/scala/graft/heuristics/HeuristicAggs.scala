@@ -91,14 +91,21 @@ object HeuristicAggs {
   /** A5 CodeCacheUsage: peak(used) vs cache capacity; MODERATE iff the peak
     * came within 5 % of max — integer division, same boundary semantics as
     * the reference (CodeCacheUsage.java:28-47). Input columns: appKey +
-    * (cc_used, cc_max).
+    * (cc_used, cc_max, tsCol).
+    *
+    * Last-value fidelity: the reference keeps the LAST-seen `max` property
+    * (plain assignment per event) — `max_by(cc_max, ts)`, like
+    * [[threads]]'s `last_total` — not max-over-time (cc_max is normally
+    * constant, but a mid-run -XX:ReservedCodeCacheSize restart would
+    * diverge). Degenerate cache_max = 0 yields MODERATE exactly like the
+    * reference (`max > peak` is false there): deliberately no `> 0` guard.
     */
-  def codeCacheUsage(codeCacheStats: DataFrame): DataFrame =
+  def codeCacheUsage(codeCacheStats: DataFrame, tsCol: String = "timestamp"): DataFrame =
     codeCacheStats.groupBy(appKey: _*)
-      .agg(max(col("cc_used")).as("peak"), max(col("cc_max")).as("cache_max"))
+      .agg(max(col("cc_used")).as("peak"),
+        max_by(col("cc_max"), col(tsCol)).as("cache_max"))
       .withColumn("severity",
-        when(col("cache_max") > 0 &&
-          !(col("cache_max") > col("peak") &&
+        when(!(col("cache_max") > col("peak") &&
             expr("(cache_max - peak) * 100 div cache_max") >= 5), Severity.Moderate)
           .otherwise(Severity.None))
 

@@ -62,11 +62,21 @@ object EventSink {
     * for in-place merge) and restores the Q12 time-sort for row-group
     * pruning.
     *
-    * Crash safety: originals are renamed into `.compact_trash` BEFORE the
-    * compacted files move in, so every intermediate state still holds a
-    * full copy of the data — a crash mid-swap is repaired by
-    * [[recoverCompaction]] (originals are authoritative until the trash is
+    * Crash safety: originals are renamed into the RUN-SCOPED trash dir
+    * `.compact_trash/<stamp>/<partPath>` BEFORE the compacted files move
+    * in, so every intermediate state still holds a full copy of the data —
+    * a crash mid-swap is repaired by [[recoverCompaction]] at writer
+    * startup (originals are authoritative until the run's trash is
     * dropped, which happens only after all renames succeed).
+    *
+    * Concurrency: compactors of DIFFERENT partitions of one table may run
+    * concurrently — each run owns its own trash dir, so nobody repairs (=
+    * clobbers) somebody else's in-flight swap; that interference is
+    * exactly why there is no auto-recovery on entry. Per PARTITION, a
+    * create-exclusive lock file under `.compact_locks/` serializes
+    * compactors: a second call on a locked partition returns false. A
+    * crashed run leaves its lock behind; [[recoverCompaction]] (startup,
+    * when no compactor is live) clears locks along with the trash.
     */
   def compactPartition(spark: SparkSession, tablePath: String, partitionSpec: Map[String, String],
                        maxFiles: Int = 8, targetFiles: Int = 1,
@@ -74,83 +84,91 @@ object EventSink {
     val partPath = partitionSpec.map { case (k, v) => s"$k=$v" }.mkString("/")
     val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$partPath")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // A leftover trash dir means a previous swap died mid-flight; repair it
-    // first so the listing below sees exactly one authoritative copy.
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash")))
-      recoverCompaction(spark, tablePath)
     if (!fs.exists(dir)) return false
-    val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
-    if (files.length <= maxFiles) return false
-    val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$partPath")
-    val compacted = spark.read.parquet(dir.toString).repartition(targetFiles)
-    sortCol.filter(compacted.columns.contains)
-      .map(c => compacted.sortWithinPartitions(col(c))).getOrElse(compacted)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val newFiles = fs.listStatus(tmp).filter(f => f.getPath.getName.endsWith(".parquet"))
-    // swap, never destroying the only copy: originals → trash, new files in,
-    // then drop trash. The stamp is unique per run (previous originals may
-    // themselves be compacted-* files from an earlier run), and it is
-    // persisted in the trash dir BEFORE any rename so recovery can tell
-    // THIS run's half-moved files from prior-compaction originals — deleting
-    // by bare `compacted-*` prefix would destroy originals not yet in trash.
-    val stamp = System.currentTimeMillis() + "-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val trashRoot = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash")
-    val trash = new org.apache.hadoop.fs.Path(trashRoot, partPath)
-    fs.mkdirs(trash)
-    fs.create(new org.apache.hadoop.fs.Path(trashRoot, s"_STAMP-$stamp"), true).close()
-    files.foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
-    newFiles.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, s"compacted-$stamp-$i.parquet"))
-    }
-    fs.delete(trashRoot, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp"), true)
-    true
+    // exclusive per-partition lock (atomic create-no-overwrite on HDFS;
+    // object stores without atomic create should front this with their own
+    // conditional-put — same caveat as every rename-based committer there)
+    val lockDir = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_locks")
+    fs.mkdirs(lockDir)
+    val lock = new org.apache.hadoop.fs.Path(lockDir, partPath.replace("/", "__") + ".lock")
+    val locked = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
+    if (!locked) return false
+    try {
+      val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
+      if (files.length <= maxFiles) return false
+      // The stamp names this run's trash/tmp dirs AND its output files:
+      // recovery matches `compacted-<stamp>-*` against the trash dir name,
+      // so half-moved files of an interrupted run are distinguishable from
+      // prior-compaction originals (which are compacted-<otherStamp>-*).
+      val stamp = System.currentTimeMillis() + "-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp/$partPath")
+      val compacted = spark.read.parquet(dir.toString).repartition(targetFiles)
+      sortCol.filter(compacted.columns.contains)
+        .map(c => compacted.sortWithinPartitions(col(c))).getOrElse(compacted)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val newFiles = fs.listStatus(tmp).filter(f => f.getPath.getName.endsWith(".parquet"))
+      // swap, never destroying the only copy: all originals → this run's
+      // trash, new files in, then drop the run's trash
+      val trash = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$stamp/$partPath")
+      fs.mkdirs(trash)
+      files.foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+      newFiles.zipWithIndex.foreach { case (f, i) =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, s"compacted-$stamp-$i.parquet"))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$stamp"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp"), true)
+      true
+    } finally fs.delete(lock, false)
   }
 
-  /** Repair an interrupted [[compactPartition]]: if `.compact_trash`
-    * exists, a swap did not complete — drop any compacted files from THAT
-    * run (identified by the `_STAMP-<stamp>` marker the swap persisted
-    * before its first rename) that made it into the affected partitions,
-    * restore the originals, and clear the temp dirs. Files named
-    * `compacted-<otherStamp>-*` are prior-compaction ORIGINALS and must
-    * survive recovery. Returns the restored partition paths. Call on writer
-    * startup (the reference's equivalent is offset-based replay).
+  /** Repair interrupted [[compactPartition]] runs: every dir under
+    * `.compact_trash/<stamp>/` is a swap that did not complete — drop the
+    * `compacted-<stamp>-*` files that made it into the affected
+    * partitions, restore the originals, and clear tmp dirs and locks.
+    * Files named `compacted-<otherStamp>-*` are prior-compaction ORIGINALS
+    * and must survive recovery. Returns the restored partition paths.
+    *
+    * Call at writer STARTUP, before any compactor starts (the reference's
+    * equivalent is offset-based replay): it assumes no compactor is live —
+    * it clears the lock files, and a live run's trash dir is
+    * indistinguishable from a crashed one's.
     */
   def recoverCompaction(spark: SparkSession, tablePath: String): Seq[String] = {
     val unqualified = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash")
     val fs = unqualified.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(unqualified)) return Nil
+    def clearAux(): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_locks"), true)
+    }
+    if (!fs.exists(unqualified)) { clearAux(); return Nil }
     // qualify so prefix-stripping below matches listStatus's URIs
     val trashRoot = fs.makeQualified(unqualified)
-    // Stamps of the interrupted run(s): only their files are half-moved
-    // duplicates; every other compacted-* file is an original. No stamp
-    // marker ⇒ the crash happened before any rename ⇒ delete nothing.
-    val stamps = fs.listStatus(trashRoot)
-      .map(_.getPath.getName).filter(_.startsWith("_STAMP-"))
-      .map(_.stripPrefix("_STAMP-")).toSet
-    // every dir under trash mirrors a partition dir: tablePath/<part...>
     def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val children = fs.listStatus(p)
-      val subdirs = children.filter(_.isDirectory)
+      val subdirs = fs.listStatus(p).filter(_.isDirectory)
       if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(d => leafDirs(d.getPath))
     }
-    val restored = leafDirs(trashRoot).filter(_ != trashRoot).map { trashDir =>
-      val rel = trashDir.toString.stripPrefix(trashRoot.toString).stripPrefix("/")
-      val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
-      fs.mkdirs(dir)
-      // originals are authoritative: drop the interrupted run's half-moved
-      // compacted files (and only those) …
-      fs.listStatus(dir)
-        .filter(f => stamps.exists(s => f.getPath.getName.startsWith(s"compacted-$s-")))
-        .foreach(f => fs.delete(f.getPath, false))
-      // … and move the originals back
-      fs.listStatus(trashDir).foreach(f =>
-        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
-      dir.toString
+    val restored = fs.listStatus(trashRoot).filter(_.isDirectory).toSeq.flatMap { runDir =>
+      val stamp = runDir.getPath.getName
+      val runRoot = fs.makeQualified(runDir.getPath)
+      // every dir under the run's trash mirrors a partition dir
+      leafDirs(runRoot).filter(_ != runRoot).map { trashDir =>
+        val rel = trashDir.toString.stripPrefix(runRoot.toString).stripPrefix("/")
+        val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
+        fs.mkdirs(dir)
+        // originals are authoritative: drop this run's half-moved compacted
+        // files (and only those) …
+        fs.listStatus(dir)
+          .filter(_.getPath.getName.startsWith(s"compacted-$stamp-"))
+          .foreach(f => fs.delete(f.getPath, false))
+        // … and move the originals back
+        fs.listStatus(trashDir).foreach(f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
+        dir.toString
+      }
     }
     fs.delete(trashRoot, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp"), true)
+    clearAux()
     restored
   }
 

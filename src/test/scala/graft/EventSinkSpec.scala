@@ -66,13 +66,12 @@ class EventSinkSpec extends SparkSpecBase {
     (0 until 4).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
     val part = new org.apache.hadoop.fs.Path(s"$dir/event_type=FS_EVENT/day=2024-03-01")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // simulate a crash mid-swap: originals in trash, one compacted file in
-    val trash = new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/event_type=FS_EVENT/day=2024-03-01")
+    // simulate a crash mid-swap: originals in the RUN's trash dir (the dir
+    // name is the run stamp), one compacted file in
+    val trash = new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/42/event_type=FS_EVENT/day=2024-03-01")
     fs.mkdirs(trash)
     fs.listStatus(part).filter(_.getPath.getName.endsWith(".parquet"))
       .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
-    // the swap persists its stamp before renaming anything
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/_STAMP-42"), true).close()
     val half = new org.apache.hadoop.fs.Path(part, "compacted-42-0.parquet")
     fs.create(half).close() // bogus partial compacted file
     val restored = EventSink.recoverCompaction(spark, dir)
@@ -97,12 +96,11 @@ class EventSinkSpec extends SparkSpecBase {
     // two more small appends arrive
     (0 until 2).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
     // second compaction crashes partway through the originals→trash loop:
-    // stamp persisted, the two new appends moved to trash, but the
+    // the two new appends moved to the run's trash, but the
     // first-generation compacted original is still sitting in the partition,
     // and one of the new run's files already moved in
-    val trash = new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/event_type=FS_EVENT/day=2024-03-01")
+    val trash = new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/99-abc/event_type=FS_EVENT/day=2024-03-01")
     fs.mkdirs(trash)
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/_STAMP-99-abc"), true).close()
     fs.listStatus(part).filter(f => f.getPath.getName.endsWith(".parquet") &&
         !f.getPath.getName.startsWith("compacted-"))
       .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
@@ -117,22 +115,45 @@ class EventSinkSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() == 28) // 24 compacted + 2×2 appended
   }
 
-  test("compactPartition auto-recovers a pending trash before compacting") {
+  test("concurrent compactors: in-flight run on another partition is untouched; same partition is locked out") {
     val dir = Files.createTempDirectory("recover3").toString
-    (0 until 12).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
-    val part = new org.apache.hadoop.fs.Path(s"$dir/event_type=FS_EVENT/day=2024-03-01")
-    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash state: everything in trash, stamp present, nothing moved back
-    val trash = new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/event_type=FS_EVENT/day=2024-03-01")
-    fs.mkdirs(trash)
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/_STAMP-7-x"), true).close()
-    fs.listStatus(part).filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
-    // compaction first repairs, then compacts the restored originals
+    (0 until 12).foreach { _ =>
+      EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir)
+      EventSink.writePartitioned(sampleEvents(2, "2024-03-02"), dir)
+    }
+    val partA = new org.apache.hadoop.fs.Path(s"$dir/event_type=FS_EVENT/day=2024-03-01")
+    val fs = partA.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // run X is live mid-swap on partition A: lock held, originals in its
+    // run-scoped trash, one output file already in
+    val lockA = new org.apache.hadoop.fs.Path(
+      s"$dir/.compact_locks/event_type=FS_EVENT__day=2024-03-01.lock")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/.compact_locks"))
+    fs.createNewFile(lockA)
+    val trashA = new org.apache.hadoop.fs.Path(s"$dir/.compact_trash/7-x/event_type=FS_EVENT/day=2024-03-01")
+    fs.mkdirs(trashA)
+    fs.listStatus(partA).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trashA, f.getPath.getName)))
+    fs.create(new org.apache.hadoop.fs.Path(partA, "compacted-7-x-0.parquet")).close()
+    val trashFilesBefore = fs.listStatus(trashA).map(_.getPath.getName).toSet
+    // a concurrent compactor on partition B proceeds and must NOT repair
+    // (= clobber) run X's in-flight swap
     assert(EventSink.compactPartition(spark, dir,
-      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 8))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.compact_trash")))
-    assert(spark.read.parquet(dir).count() == 24)
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-02"), maxFiles = 8))
+    assert(fs.exists(trashA), "in-flight run's trash must survive a concurrent compactor")
+    assert(fs.listStatus(trashA).map(_.getPath.getName).toSet == trashFilesBefore)
+    assert(fs.exists(lockA), "in-flight run's lock must survive")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(partA, "compacted-7-x-0.parquet")))
+    // a concurrent compactor on partition A itself is locked out
+    assert(!EventSink.compactPartition(spark, dir,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 0))
+    // run X crashes; startup recovery restores A (and only deletes X's
+    // half-moved output), clears locks
+    val restored = EventSink.recoverCompaction(spark, dir)
+    assert(restored.exists(_.contains("day=2024-03-01")))
+    assert(!fs.exists(lockA))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(partA, "compacted-7-x-0.parquet")))
+    assert(spark.read.parquet(dir.toString).where(col("day") === "2024-03-01").count() == 24)
+    assert(spark.read.parquet(dir.toString).where(col("day") === "2024-03-02").count() == 24)
   }
 
   test("writeDayCloseMarkers closes only watermark-passed days, idempotently (P9)") {
