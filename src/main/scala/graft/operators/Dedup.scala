@@ -146,6 +146,26 @@ object Dedup {
     * difference between a candidate set that tracks true near-dups and
     * one that grows with N².
     */
+  /** The deduped LSH candidate id-pair stage of [[minHashLshPairs]],
+    * exposed separately so scale harnesses (ScaleBench) can measure
+    * candidate volume — THE number that decides whether the dedup plan
+    * survives a corpus-size jump — without the verify stage.
+    * `sigs` is a [[minHashSignatures]] output.
+    */
+  def minHashCandidatePairs(sigs: DataFrame, nBands: Int, rowsPerBand: Int,
+                            maxBucket: Int): DataFrame = {
+    val banded = sigs
+      .select(col("id"),
+        posexplode(VectorExpressions.sig_band_hashes(col("sig"), nBands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+    bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String = "text",
                       shingleK: Int = 3, numHashes: Int = 126, bands: Int = 0,
                       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
@@ -153,17 +173,7 @@ object Dedup {
     val rowsPerBand = numHashes / nBands
     require(nBands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sigs = minHashSignatures(docs, idCol, textCol, shingleK, numHashes)
-    val banded = sigs
-      .select(col("id"),
-        posexplode(VectorExpressions.sig_band_hashes(col("sig"), nBands, rowsPerBand))
-          .as(Seq("band", "bucket")))
-    val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-    val candidates = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
+    minHashCandidatePairs(sigs, nBands, rowsPerBand, maxBucket)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
