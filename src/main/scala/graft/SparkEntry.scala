@@ -241,6 +241,13 @@ object SparkEntry {
     //      stateful sum is exact and micro-batch fold order is moot. ----
     "q_stream_sessionize" -> ((s, dir) => streaming.StreamingGate.streamSessionize(s, dir)),
 
+    // ---- J1/J2 via the STREAMING ENGINE: first-wins app attrs +
+    //      container→component registry + AM resolution in keyed state;
+    //      oracle reproduces the registry with arg_min per container
+    //      (every event of a container gets the component its FIRST
+    //      event decided). ----
+    "q_stream_enrich" -> ((s, dir) => streaming.StreamingGate.streamEnrich(s, dir)),
+
     // ---- D11/Q10: global sort + limit (raw-row fetch) ----
     "q_sort_limit" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1164,6 +1171,35 @@ object SparkEntry {
         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_enrich" ->
+      """WITH facts AS (
+        |  SELECT 'app_' || CAST(user_id % 50 AS VARCHAR) AS application_id,
+        |         event_type,
+        |         'container_' || CAST(event_id % 5 AS VARCHAR) AS container_id,
+        |         event_id AS ts_ms,
+        |         user_id % 50 AS a,
+        |         CASE WHEN event_id % 3 = 0 THEN 'UNKNOWN' ELSE 'EXECUTOR' END AS raw_component
+        |  FROM events),
+        |first_comp AS (
+        |  SELECT application_id, container_id,
+        |         arg_min(raw_component, ts_ms) AS first_component
+        |  FROM facts GROUP BY 1, 2),
+        |registry AS (
+        |  SELECT application_id, container_id,
+        |         CASE WHEN first_component <> 'UNKNOWN' THEN first_component
+        |              WHEN container_id = 'container_0' THEN 'APP_MASTER'
+        |              ELSE 'APP_SLAVE' END AS component
+        |  FROM first_comp)
+        |SELECT f.application_id, f.event_type, f.container_id, f.ts_ms,
+        |  'name_first_' || CAST(f.a AS VARCHAR) AS application_name,
+        |  'SPARK' AS framework,
+        |  'user_' || CAST(f.a % 7 AS VARCHAR) AS username,
+        |  r.component,
+        |  TRUE AS enriched
+        |FROM facts f JOIN registry r
+        |  ON f.application_id = r.application_id AND f.container_id = r.container_id
+        |ORDER BY f.ts_ms""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH base AS (

@@ -96,6 +96,43 @@ object Dashboards {
     bucketed.withColumn("dv_per_bucket", col("v") - lag(col("v"), 1).over(w))
   }
 
+  /** "Threads created/s per container" for ONE application
+    * (garmadon-yarn-application.json's per-app derivative panel): the
+    * thread-total derivative bucketed per container — a partitioned
+    * window over (application_id, container_id), never single-partition.
+    * Input: JVMSTATS pivot rows carrying `threads_total`.
+    */
+  def appThreadsRate(jvmStats: DataFrame, applicationId: String,
+                     interval: String = "30 seconds"): DataFrame =
+    bucketedDerivative(
+      jvmStats.where(col("application_id") === applicationId),
+      col("threads_total"), interval,
+      groupCols = Seq(col("application_id"), col("container_id")))
+
+  /** "Container memory used vs limit" for ONE application
+    * (garmadon-yarn-application.json): per-container MEMORY series — the
+    * drill-down flavor of [[containerMemory]]'s cluster-wide panel.
+    */
+  def appContainerMemory(containerEvents: DataFrame, applicationId: String,
+                         interval: String = "10 seconds"): DataFrame =
+    containerEvents
+      .where(col("application_id") === applicationId && col("type") === "MEMORY")
+      .groupBy(window(col("timestamp"), interval).as("bucket"), col("container_id"))
+      .agg(max(col("value")).as("used"), max(col("limit")).as("limit"))
+      .select(col("bucket.start").as("bucket_start"), col("container_id"),
+        col("used"), col("limit"))
+
+  /** "Stage duration / task count" per stage for one application
+    * (garmadon-spark-job.json): one row per completed stage attempt,
+    * duration = completion ts − start_time.
+    */
+  def sparkStageDurations(stageEvents: DataFrame, applicationId: String): DataFrame =
+    stageEvents
+      .where(col("application_id") === applicationId && col("status") === "COMPLETED")
+      .select(col("stage_id"), col("stage_attempt_id"), col("stage_name"),
+        col("num_tasks"),
+        (unix_millis(col("timestamp")) - col("start_time")).as("duration_ms"))
+
   /** Top-K users by FS op volume (terms-with-size panels). */
   def topUsers(fsEvents: DataFrame, k: Int = 20): DataFrame =
     Aggregations.topK(fsEvents, Seq(col("hdfs_user")), count(lit(1)), "n_ops", k,

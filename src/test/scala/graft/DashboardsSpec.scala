@@ -52,6 +52,47 @@ class DashboardsSpec extends SparkSpecBase {
     assert(out.map(r => Option(r.get(0))).toSeq == Seq(None, Some(5L), Some(3L)))
   }
 
+  test("appThreadsRate: per-app per-container partitioned thread derivative") {
+    val jvm = Seq(
+      ("app_1", "c1", 100L, ts(0)), ("app_1", "c1", 130L, ts(31)),
+      ("app_1", "c2", 50L, ts(1)), ("app_1", "c2", 90L, ts(32)),
+      ("app_2", "c9", 999L, ts(0)))
+      .toDF("application_id", "container_id", "threads_total", "timestamp")
+    val out = Dashboards.appThreadsRate(jvm, "app_1")
+      .orderBy("container_id", "bucket_start").collect()
+    assert(out.length == 4) // two containers × two buckets, app_2 filtered
+    val deltas = out.map(r => Option(r.getAs[Long]("dv_per_bucket"))).toSeq
+    assert(deltas == Seq(None, Some(30L), None, Some(40L)))
+  }
+
+  test("appContainerMemory: per-container used/limit for one app") {
+    val ce = Seq(
+      ("app_1", "c1", "MEMORY", 100.0f, 512L, ts(0)),
+      ("app_1", "c1", "MEMORY", 250.0f, 512L, ts(3)),
+      ("app_1", "c2", "MEMORY", 90.0f, 256L, ts(4)),
+      ("app_1", "c1", "VCORE", 2.0f, 4L, ts(5)),
+      ("app_2", "c3", "MEMORY", 999.0f, 999L, ts(6)))
+      .toDF("application_id", "container_id", "type", "value", "limit", "timestamp")
+    val rows = Dashboards.appContainerMemory(ce, "app_1")
+      .orderBy("container_id").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[Float]("used") == 250.0f && rows.head.getAs[Long]("limit") == 512L)
+    assert(rows.last.getAs[Float]("used") == 90.0f)
+  }
+
+  test("sparkStageDurations: completed stages only, duration from start_time") {
+    val stages = Seq(
+      ("app_1", "1", "0", "collect at X", 8, "COMPLETED", ts(10).getTime - 4000L, ts(10)),
+      ("app_1", "2", "0", "save at Y", 4, "FAILED", ts(20).getTime - 1000L, ts(20)),
+      ("app_2", "1", "0", "other", 1, "COMPLETED", ts(5).getTime, ts(5)))
+      .toDF("application_id", "stage_id", "stage_attempt_id", "stage_name",
+        "num_tasks", "status", "start_time", "timestamp")
+    val rows = Dashboards.sparkStageDurations(stages, "app_1").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("stage_id") == "1")
+    assert(rows.head.getAs[Long]("duration_ms") == 4000L)
+  }
+
   test("topUsers returns K users by op count") {
     val out = Dashboards.topUsers(fsEvents, k = 1).collect()
     assert(out.length == 1 && out.head.getAs[String]("hdfs_user") == "alice"
