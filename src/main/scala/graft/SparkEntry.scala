@@ -304,6 +304,32 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Text: per-doc quality signals (length / punctuation / stopword
+    //      ratios, both tokenizers, composite score). The documents corpus
+    //      carries no punctuation, so the punct signal would be vacuously 0
+    //      there; the events table's JSON props strings are punct-rich and
+    //      are unioned in (id-offset) so every signal varies on real input.
+    //      All ratios are single IEEE divisions / fixed-order arithmetic on
+    //      exact integers — bit-identical across engines. ----
+    "q_text_quality" -> ((s, dir) => {
+      def signals(in: DataFrame): DataFrame =
+        TextAnalysis.qualitySignals(in)
+          .select(col("id"),
+            col("n_tokens").cast(LongType).as("n_tokens"),
+            size(F.tokensRegex(col("text"))).cast(LongType).as("n_tokens_regex"),
+            col("punct_ratio"),
+            col("stopword_ratio"),
+            F.meanTokenLength(col("text")).as("mean_token_len"),
+            col("quality"))
+      val docs = signals(
+        t(s, dir, "documents").where(col("doc_id") < 40)
+          .select(col("doc_id").as("id"), col("text")))
+      val props = signals(
+        t(s, dir, "events").where(col("event_id") < 40)
+          .select((col("event_id") + 1000000L).as("id"), col("props").as("text")))
+      docs.unionByName(props).orderBy(col("id"))
+    }),
+
     // ---- Text: language ID — function-word profile argmax. The oracle
     //      replays the same profiles (one generated VALUES list, deduped
     //      because Spark's isInCollection is set-membership) and the same
@@ -1254,6 +1280,34 @@ object SparkEntry {
         |    t -> t IN ('the','a','an','of','and','or','to','in','is','it')))) AS DOUBLE)
         |    / SUM(len(string_split(text, ' '))) AS stopword_mass
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT event_id + 1000000 AS id, props AS text FROM events WHERE event_id < 40
+        |), s AS (
+        |  SELECT id, text,
+        |    len(string_split(text, ' ')) AS nt,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |           / CAST(length(text) AS DOUBLE) END AS pr,
+        |    CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+        |           / CAST(len(string_split(text, ' ')) AS DOUBLE) END AS sr
+        |  FROM d)
+        |SELECT id,
+        |  CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}'']+'),
+        |    t -> length(t) > 0)) AS BIGINT) AS n_tokens_regex,
+        |  pr AS punct_ratio,
+        |  sr AS stopword_ratio,
+        |  CASE WHEN nt = 0 THEN 0.0
+        |    ELSE CAST(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum') AS DOUBLE)
+        |         / CAST(nt AS DOUBLE) END AS mean_token_len,
+        |  (least(CAST(nt AS DOUBLE) / 50.0, 1.0) + (1.0 - least(pr * 4, 1.0)) + least(sr * 5, 1.0)) / 3 AS quality
+        |FROM s ORDER BY id""".stripMargin,
 
     "q_language_id" -> languageIdOracle,
 
