@@ -10,7 +10,7 @@ import graft.functions.{Functions => F}
 import graft.heuristics.HeuristicAggs
 import graft.operators._
 import graft.serving.Dashboards
-import graft.sources.Tables
+import graft.sources.{BucketedTables, Tables}
 
 /** Driver contract: `queries` exposes every implemented operator from
   * SURVEY.md §2 as a named DataFrame recipe over the testdata tables;
@@ -112,6 +112,32 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum(F.revenueTerm(col("l_extendedprice"), col("l_discount"))).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ---- D4: bucketed co-located join — the layout that deletes the
+    //      fact-to-fact shuffle at 100 TB. Both tables are written
+    //      bucketBy(8, orderkey) sortBy(orderkey); the merge-hinted join
+    //      then needs ZERO exchanges (and zero sorts), which the plan
+    //      witness checks (Spark-side measured property; the oracle
+    //      contributes the exact join-aggregate values). ----
+    "q_bucketed_join" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+      BucketedTables.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "graft_bkt_lineitem", "l_orderkey", 8, Some(s"$work/lineitem"))
+      BucketedTables.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_bkt_orders", "o_orderkey", 8, Some(s"$work/orders"))
+      val joined = BucketedTables.bucketedEquiJoin(s,
+        "graft_bkt_lineitem", "graft_bkt_orders", "l_orderkey", "o_orderkey")
+      val shuffleFree = BucketedTables.countShuffles(joined) == 0
+      joined
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(F.revenueTerm(col("l_extendedprice"), col("l_discount")))
+            .cast(DoubleType).as("revenue"))
+        .withColumn("shuffle_free_join", lit(shuffleFree))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // ---- D4: semi join (EXISTS) ----
@@ -632,14 +658,20 @@ object SparkEntry {
       Similarity.writeCentroids(s, centroids, s"$work/centroids")
       val loaded = Similarity.readCentroids(s, s"$work/centroids")
       val queries = embs.where(col("vec_id") < 3)
+      // persist both result sets: count + intersect + count below are four
+      // actions that would otherwise each re-run the full topK (index scan
+      // included) — the witness needs the rows, not four recomputes
       val fromIndex = Similarity.ivfTopKFromIndex(s, queries, s"$work/index",
         "vec_id", "embedding", k = 5, loaded, nProbe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .persist()
       val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
         k = 5, centroids, nProbe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .persist()
       val nIdx = fromIndex.count(); val nMem = direct.count()
       val same = nIdx == nMem && fromIndex.intersect(direct).count() == nIdx
+      fromIndex.unpersist(); direct.unpersist()
       // pruning witness: statically selected files under the cid predicate
       // vs the full layout (pre-AQE plan; inputFiles ignores pruning)
       import org.apache.spark.sql.execution.FileSourceScanExec
@@ -1103,6 +1135,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  TRUE AS shuffle_free_join
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
