@@ -399,6 +399,29 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Dedup: INCREMENTAL — a new batch (docs 0..99 relabeled +100000)
+    //      deduped against the corpus via its signature table only; the
+    //      corpus is never re-shingled. LSH candidates (est ≥ threshold −
+    //      margin) → exact n-gram Jaccard ≥ 0.5, like the self-join
+    //      flavor. Oracle brute-forces the new × corpus cross pairs;
+    //      qualifying fixture pairs sit at J ≥ 0.9 where 42×3 banding
+    //      miss is ~1e-24 — deterministic in practice. ----
+    "q_incremental_dedup" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents")
+      // at corpus scale this is a materialized parquet table, signed once
+      val corpusSigs = Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 126)
+      val newBatch = corpus.where(col("doc_id") < 100)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val cands = Dedup.minHashLshPairsAgainst(newBatch, corpusSigs, "doc_id", "text",
+        threshold = 0.3)
+      val all = corpus.select(col("doc_id"), col("text")).unionByName(newBatch)
+      Dedup.ngramJaccard(
+          cands.select(col("new_id").as("id_a"), col("corpus_id").as("id_b")), all, "doc_id")
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // ---- Dedup: SimHash near-dup pairs. Signatures use the portable
     //      polynomial token hash, so the oracle recomputes the exact
     //      signatures and Hamming distances; maxHamming=3 is the
@@ -868,6 +891,22 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |n AS (SELECT doc_id + 100000 AS new_id, s FROM sh WHERE doc_id < 100),
+        |p AS (
+        |  SELECT n.new_id, c.doc_id AS corpus_id,
+        |    CASE WHEN len(list_distinct(list_concat(n.s, c.s))) = 0 THEN 0.0
+        |         ELSE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(n.s, c.s))) END AS jaccard
+        |  FROM n JOIN sh c ON TRUE)
+        |SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     "q_simhash_pairs" -> simhashOracle,
 

@@ -166,6 +166,60 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** LSH candidate pairs between a NEW batch and an EXISTING corpus
+    * signature table — the daily-increment shape at corpus scale: the
+    * corpus is never re-shingled or re-signed, only its materialized
+    * `minHashSignatures` table is scanned band-wise (at 100 TB that table
+    * is parquet written once; re-signing the corpus per increment would
+    * dominate the whole pipeline). Returns (new_id, corpus_id) candidates.
+    *
+    * Buckets are capped on the CORPUS side — its bucket population is what
+    * grows with corpus size; the new batch is assumed increment-sized.
+    * Both signature tables must share (shingleK, numHashes).
+    */
+  def minHashCandidatePairsAgainst(newSigs: DataFrame, corpusSigs: DataFrame,
+                                   nBands: Int, rowsPerBand: Int,
+                                   maxBucket: Int): DataFrame = {
+    def banded(sigs: DataFrame, idName: String) = sigs
+      .select(col("id").as(idName),
+        posexplode(VectorExpressions.sig_band_hashes(col("sig"), nBands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    banded(newSigs, "new_id")
+      .join(capBuckets(banded(corpusSigs, "corpus_id"), Seq("band", "bucket"), maxBucket),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+  }
+
+  /** Estimate-scored near-dup pairs of a new batch against a corpus
+    * signature table: shingle+sign the new batch only, id-only band join
+    * against the corpus signatures ([[minHashCandidatePairsAgainst]]),
+    * signatures joined back after pair dedup. `corpusSigs` is a
+    * [[minHashSignatures]] output with the same (shingleK, numHashes).
+    */
+  def minHashLshPairsAgainst(newDocs: DataFrame, corpusSigs: DataFrame,
+                             idCol: String, textCol: String = "text",
+                             shingleK: Int = 3, numHashes: Int = 126, bands: Int = 0,
+                             threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val nBands = if (bands == 0) lshBandingFor(numHashes, threshold)._1 else bands
+    val rowsPerBand = numHashes / nBands
+    require(nBands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val newSigs = minHashSignatures(newDocs, idCol, textCol, shingleK, numHashes)
+    minHashCandidatePairsAgainst(newSigs, corpusSigs, nBands, rowsPerBand, maxBucket)
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (VectorExpressions.array_agree_count(col("sig_a"), col("sig_b"))
+          .cast(DoubleType) / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** The increment that survives dedup: new docs with no near-dup pair in
+    * `pairs` (a [[minHashLshPairsAgainst]]-shaped (new_id, …) table).
+    */
+  def filterNovel(newDocs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    newDocs.join(pairs.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String = "text",
                       shingleK: Int = 3, numHashes: Int = 126, bands: Int = 0,
                       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {

@@ -163,6 +163,38 @@ class OperatorsSpec extends SparkSpecBase {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("incremental dedup: new batch deduped against corpus signatures only") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8")).toDF("doc_id", "text")
+    // the corpus signature table is materialized once (the 100 TB usage:
+    // signed at ingest, parquet thereafter) — increments never re-shingle it
+    val sigDir = java.nio.file.Files.createTempDirectory("inc_dedup_sigs_").toString
+    Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 126)
+      .write.mode("overwrite").parquet(sigDir)
+    val corpusSigs = spark.read.parquet(sigDir)
+    val newBatch = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8"), // dup of corpus 1
+      (11L, "q1 q2 q3 q4 q5 q6 q7 q8")  // novel
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairsAgainst(newBatch, corpusSigs, "doc_id",
+      threshold = 0.9)
+    assert(pairs.select("new_id", "corpus_id").as[(Long, Long)].collect().toSeq
+      == Seq((10L, 1L)))
+    // corpus text appears nowhere in the plan: the only shingling sites are
+    // the new batch's (band join + signature join-back re-derive it; the
+    // exchange is reused at runtime)
+    val shingleScans = pairs.queryExecution.optimizedPlan.collect {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.TextExpressions.WordShingles])) => p
+    }
+    assert(shingleScans.size == 2, s"expected only the new batch's 2 shingling sites, got $shingleScans")
+    // and the surviving increment is exactly the novel doc
+    val novel = Dedup.filterNovel(newBatch, "doc_id", pairs)
+    assert(novel.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+  }
+
   test("simhash hamming 0 for identical docs; simHashPairs finds them") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "entirely different words here")).toDF("doc_id", "text")
