@@ -368,6 +368,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Text: deterministic content-hash train/val split (90/10).
+    //      Per-split counts + exact token mass; the oracle recomputes the
+    //      same fingerprint-mod assignment per doc. ----
+    "q_hash_split" -> ((s, dir) => {
+      TextAnalysis.hashSplit(t(s, dir, "documents"), 90)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(F.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("split"))
+    }),
+
     // ---- Text: portable rolling fingerprint (dup bookkeeping) ----
     "q_doc_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(t(s, dir, "documents"))
@@ -641,6 +653,19 @@ object SparkEntry {
       docs.select(col("doc_id"))
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Dedup: quality-aware representative per near-dup cluster (keep
+    //      the longest doc, ties → min id) — the "keep canonical by
+    //      quality" pipeline step. Oracle replays the recursive-CTE
+    //      component closure + the same argmax. ----
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDupsExact(docs, "doc_id", threshold = 0.5, margin = 0.2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.keepBestPerGroup(docs, "doc_id", pairs, F.tokenCount(col("text")).cast(LongType))
+        .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1090,6 +1115,38 @@ object SparkEntry {
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |                / len(list_distinct(list_concat(a.s, b.s))) END >= 0.5),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src),
+        |scored AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |    len(string_split(d.text, ' ')) AS score
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY component ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q_ivf_ann" ->
       "SELECT 20 AS n_queries, 5 AS k, TRUE AS recall_ok",
 
@@ -1389,6 +1446,19 @@ object SparkEntry {
         |FROM s ORDER BY id""".stripMargin,
 
     "q_language_id" -> languageIdOracle,
+
+    "q_hash_split" ->
+      """WITH f AS (
+        |  SELECT lang, text,
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 < 90
+        |    THEN 'train' ELSE 'val' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM f GROUP BY split ORDER BY split""".stripMargin,
 
     "q_doc_fingerprint" ->
       """SELECT doc_id,

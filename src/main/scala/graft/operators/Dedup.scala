@@ -456,6 +456,26 @@ object Dedup {
       .drop("component")
   }
 
+  /** Keep the BEST-scoring doc per near-dup component (docs in no pair pass
+    * through) — the standard "keep canonical by quality" pipeline step
+    * (vs [[dropNearDupGroups]]'s min-id representative). `scoreCol` is any
+    * deterministic Column over `docs` (quality score, token count, …); ties
+    * break on min id so the selection is replay-stable. One window over the
+    * component key after the component join — no extra shuffle beyond the
+    * component computation itself.
+    */
+  def keepBestPerGroup(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       scoreCol: Column): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val withComp = docs
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("_comp", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("_comp")).orderBy(scoreCol.desc, col(idCol))
+    withComp.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_comp", "component")
+  }
+
   // ----------------------------------------- embedding cosine near-dup
 
   /** Embedding near-duplicates: pairs with exact cosine ≥ threshold,

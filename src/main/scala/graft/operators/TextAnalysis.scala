@@ -73,14 +73,35 @@ object TextAnalysis {
       greatest(scored: _*).getField("lang"))
   }
 
+  /** The portable rolling-fingerprint Column ([[fingerprint]]'s formula as
+    * a reusable expression): fold (acc*31 + len(token)) mod 1e9+7 over the
+    * token sequence.
+    */
+  def portableFingerprint(text: Column): Column =
+    aggregate(F.tokens(text), lit(0L),
+      (acc, t) => (acc * 31 + length(t)) % 1000000007L)
+
   /** Deterministic rolling polynomial fingerprint of the token sequence,
     * mod p so it is engine-portable (no silent 64-bit wrap): order-sensitive
     * document identity for near-dup bookkeeping.
     */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("fp",
-      aggregate(F.tokens(col(textCol)), lit(0L),
-        (acc, t) => (acc * 31 + length(t)) % 1000000007L))
+    docs.withColumn("fp", portableFingerprint(col(textCol)))
+
+  /** Deterministic train/validation split: the side is a pure function of
+    * document CONTENT (fingerprint mod 100 < trainPct), so it is stable
+    * across runs, engines, partitionings and corpus growth — a doc never
+    * changes sides because the rows around it changed, which `sample()`
+    * (RNG order) cannot promise. The portable fingerprint keeps the split
+    * engine-recomputable; production pipelines wanting better mixing swap
+    * in [[fingerprintStrong]]'s xxhash64 flavor (same shape, Spark-local).
+    */
+  def hashSplit(docs: DataFrame, trainPct: Int, textCol: String = "text"): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct must be 0..100, got $trainPct")
+    docs.withColumn("split",
+      when(portableFingerprint(col(textCol)) % 100 < trainPct, "train")
+        .otherwise("val"))
+  }
 
   /** Stronger (xxhash64-based) rolling fingerprint — Spark-native flavor,
     * used internally where oracle parity is not required.

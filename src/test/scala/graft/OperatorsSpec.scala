@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Functions => F}
 import graft.operators._
+import graft.sources.Tables
 
 /** Operator-level semantics on small in-memory data + the sf0.001 tables. */
 class OperatorsSpec extends SparkSpecBase {
@@ -193,6 +194,28 @@ class OperatorsSpec extends SparkSpecBase {
     // and the surviving increment is exactly the novel doc
     val novel = Dedup.filterNovel(newBatch, "doc_id", pairs)
     assert(novel.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+  }
+
+  test("keepBestPerGroup keeps the argmax-score doc per cluster, singletons pass") {
+    val docs = Seq(
+      (1L, "a a a", 5L), (2L, "a a a a", 9L), // cluster {1,2}: 2 wins on score
+      (3L, "solo doc", 1L),
+      (4L, "tie x", 7L), (5L, "tie y", 7L)    // cluster {4,5}: tie → min id 4
+    ).toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerGroup(docs, "doc_id", pairs, col("score"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 3L, 4L))
+  }
+
+  test("hashSplit is a pure function of content and covers both sides") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val split = TextAnalysis.hashSplit(docs, 90).select("doc_id", "split")
+    val again = TextAnalysis.hashSplit(docs.orderBy(org.apache.spark.sql.functions.rand(7)), 90)
+      .select("doc_id", "split")
+    assert(split.exceptAll(again).isEmpty) // row order / partitioning irrelevant
+    val sides = split.select("split").distinct().as[String].collect().toSet
+    assert(sides == Set("train", "val"))
   }
 
   test("simhash hamming 0 for identical docs; simHashPairs finds them") {
