@@ -88,6 +88,51 @@ object ScaleBench {
         concat(regexp_replace(col("text"), " ", s"_c$i "), lit(s"_c$i")).as("text"))
     }.reduce(_ unionByName _)
 
+  /** Embedding-LSH scale point: candidate volume for hyperplane banding at
+    * the production operating point (threshold ~0.9). Unlike MinHash
+    * banding (bucket = full band hash, cardinality grows with the corpus),
+    * hyperplane buckets are a FIXED 2^bits keyspace — with fixed bits,
+    * candidates grow ~N²/2^bits per band, so bits must grow with
+    * log2(corpus) (bands re-sized to hold recall). The harness measures
+    * both the naive fixed-bits 10× point (expected super-linear) and the
+    * tuned bits+log2(copies) point (expected flat), making the documented
+    * tuning rule a measured fact.
+    */
+  private def measureEmb(spark: SparkSession, label: String, embs: DataFrame,
+                         bands: Int, bitsPerBand: Int, maxBucket: Int): (Long, Long) = {
+    val listener = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val base = embs.select(col("vec_id").as("id"), col("embedding").as("v")).persist()
+    val nDocs = base.count()
+    val candidates = Dedup.embeddingCandidatePairs(base, bands, bitsPerBand, maxBucket).count()
+    base.unpersist()
+    val secs = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(listener)
+    val mb = listener.bytes.get() / 1024.0 / 1024.0
+    println(f"""{"scale_point":"$label","n_docs":$nDocs,"bands":$bands,"bits_per_band":$bitsPerBand,""" +
+      f""""candidate_pairs":$candidates,"cand_per_doc":${candidates.toDouble / nDocs}%.2f,""" +
+      f""""shuffle_mb":$mb%.1f,"sec":$secs%.1f}""")
+    (nDocs, candidates)
+  }
+
+  /** 10× embeddings via per-copy deterministic sign flips: within-copy
+    * cosines are EXACTLY preserved (both vectors flip the same dims), so
+    * truth pairs scale exactly 10×; cross-copy cosines become random-sign
+    * sums (|cos| ~ 1/√dim ≈ 0.125) — never near-dups at the 0.9 operating
+    * point. Any super-linear candidate growth is the LSH's own bucket
+    * crowding, the constant under test.
+    */
+  private def scaledEmb(embs: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      embs.select(
+        (col("vec_id") * copies + i).as("vec_id"),
+        transform(col("embedding"),
+          (x, d) => when(pmod(xxhash64(lit(i), d), lit(2L)) === 0L, x).otherwise(-x))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val threshold = 0.5
@@ -111,6 +156,23 @@ object ScaleBench {
     val ratio = perDoc10 / perDoc1
     println(f"""{"linearity":{"cand_per_doc_1x":$perDoc1%.3f,"cand_per_doc_10x":$perDoc10%.3f,""" +
       f""""ratio":$ratio%.2f,"linear_ok":${ratio <= 2.0}}}""")
+
+    // ---- embedding-LSH points (production threshold ~0.9 regime) ----
+    val embBase = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select("vec_id", "embedding")
+    val emb10 = scaledEmb(embBase, 10)
+    val (en1, ec1) = measureEmb(spark, "emb sf0.1 16x12", embBase, bands = 16, bitsPerBand = 12, maxBucket = 100000)
+    // naive: same layout at 10× — expected super-linear (fixed 2^12 buckets)
+    val (_, ecNaive) = measureEmb(spark, "emb x10 16x12 naive", emb10, bands = 16, bitsPerBand = 12, maxBucket = 100000)
+    // tuned: bits += ~log2(10), bands re-sized to hold the miss bound at 0.9
+    // ((1-p^16)^31 ≈ (1-p^12)^16 for p = 1 − acos(0.9)/π)
+    val (en10, ecTuned) = measureEmb(spark, "emb x10 31x16 tuned", emb10, bands = 31, bitsPerBand = 16, maxBucket = 100000)
+    val embPerDoc1 = ec1.toDouble / en1
+    val embNaivePerDoc = ecNaive.toDouble / en10
+    val embTunedPerDoc = ecTuned.toDouble / en10
+    println(f"""{"emb_linearity":{"cand_per_doc_1x":$embPerDoc1%.2f,"naive_10x":$embNaivePerDoc%.2f,""" +
+      f""""tuned_10x":$embTunedPerDoc%.2f,"tuned_ratio":${embTunedPerDoc / embPerDoc1}%.2f,""" +
+      f""""tuned_linear_ok":${embTunedPerDoc / embPerDoc1 <= 2.0}}}""")
     spark.stop()
   }
 }

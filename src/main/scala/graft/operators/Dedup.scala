@@ -491,22 +491,36 @@ object Dedup {
     * corpora (cosine ≥ 0.9) use bitsPerBand 12-16; low thresholds need few
     * bits and many bands.
     */
-  def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.9, bands: Int = 16, bitsPerBand: Int = 8,
-                        maxBucket: Int = 100000): DataFrame = {
-    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+  /** The deduped hyperplane-LSH candidate id-pair stage of
+    * [[embeddingNearDups]], exposed separately (like
+    * [[minHashCandidatePairs]]) so scale harnesses can measure candidate
+    * volume against corpus growth. Input must have (id, v).
+    *
+    * Tuning rule the harness verifies: with FIXED `bitsPerBand`, candidate
+    * volume grows ~N²/2^bits per band — bits must grow with log2(corpus)
+    * (bucket count tracking corpus size) to keep candidates-per-doc flat,
+    * with bands re-sized to hold the recall bound.
+    */
+  def embeddingCandidatePairs(base: DataFrame, bands: Int, bitsPerBand: Int,
+                              maxBucket: Int): DataFrame = {
     val banded = base.select(col("id"),
       explode(array((0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
           VectorExpressions.hyperplane_sig(col("v"), bitsPerBand, bnd).as("sig"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
     val bounded = capBuckets(banded, Seq("band", "sig"), maxBucket)
-    val pairs = bounded.select(col("band"), col("sig"), col("id").as("id_a"))
+    bounded.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(bounded.select(col("band"), col("sig"), col("id").as("id_b")), Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+  }
+
+  def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.9, bands: Int = 16, bitsPerBand: Int = 8,
+                        maxBucket: Int = 100000): DataFrame = {
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    embeddingCandidatePairs(base, bands, bitsPerBand, maxBucket)
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"), F.cosine(col("v_a"), col("v_b")).as("cosine"))
