@@ -48,6 +48,25 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Streaming exact dedup: drop re-arrivals of the same content hash while
+    * it is inside the watermark window. State is one (hash) key per doc
+    * seen within `delay` of the stream's max event time — bounded, evicted
+    * by the engine when the watermark passes (unbounded-state
+    * `dropDuplicates` on a stream would grow forever at ingest scale; the
+    * watermark bound is the production shape). The hash column keeps state
+    * at 8 bytes per key instead of a document body. At-least-once sources
+    * (Kafka replays) therefore cannot double-ingest a document whose
+    * duplicate arrives within the lateness bound — the same guarantee the
+    * batch layer's [[dropExactDups]] gives retrospectively.
+    */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, delay: String,
+                          textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("_content_hash", xxhash64(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_content_hash")
+      .drop("_content_hash")
+
   // --------------------------------------------------------- bucket bounds
 
   /** Drop rows belonging to buckets larger than `maxBucket` (skew guard for

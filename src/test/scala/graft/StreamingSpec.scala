@@ -89,4 +89,26 @@ class StreamingSpec extends SparkSpecBase {
       assert(closed == Seq("a#1"))
     } finally q.stop()
   }
+
+  test("streamingExactDedup drops same-content re-arrivals across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val stream = input.toDF().toDF("doc_id", "ts_ms", "text")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = graft.operators.Dedup.streamingExactDedup(stream, "ts", "10 seconds")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData((1L, 1000L, "same text"), (2L, 1500L, "other text"))
+      q.processAllAvailable()
+      // duplicate content arrives in a LATER micro-batch, inside the watermark
+      input.addData((3L, 2000L, "same text"), (4L, 2500L, "fresh text"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").select("doc_id")
+        .as[Long].collect().toSeq.sorted
+      assert(kept == Seq(1L, 2L, 4L)) // 3 dropped: same content as 1 within watermark
+    } finally q.stop()
+  }
 }
