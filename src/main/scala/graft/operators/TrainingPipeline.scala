@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Functions => F}
+
+/** The composed training-data preparation pipeline: documents in →
+  * deduplicated, quality-filtered, deterministically split corpus out.
+  * Each stage is one of the individually-gated operators; this is the
+  * composition a pretraining-data user actually runs, end to end:
+  *
+  *  1. exact dedup (content-hash, min-id representative);
+  *  2. near-dup clustering (MinHash-LSH pairs → connected components) with
+  *     the QUALITY-argmax representative per cluster, not min-id — dup
+  *     clusters should keep their best member;
+  *  3. quality floor (composite length/punct/stopword score);
+  *  4. deterministic content-hash train/val split.
+  *
+  * Everything is a single declarative plan per stage; the near-dup stage
+  * materializes its component table (see [[Dedup.connectedComponents]]).
+  * At corpus scale, run stages as separate jobs writing intermediate
+  * tables — the signature table and the component table are real
+  * artifacts (the increment path [[Dedup.minHashLshPairsAgainst]] needs
+  * the former on every batch).
+  */
+object TrainingPipeline {
+
+  /** @param minQuality   drop docs scoring below this (0 disables)
+    * @param trainPct     content-hash split percentage for the train side
+    * @param nearDupThreshold exact n-gram Jaccard cutoff for near-dup pairs
+    */
+  final case class Config(
+    shingleK: Int = 3,
+    nearDupThreshold: Double = 0.5,
+    margin: Double = 0.2,
+    minQuality: Double = 0.0,
+    trainPct: Int = 90,
+    stopwords: Seq[String] = TextAnalysis.defaultStopwords)
+
+  /** Run the full preparation over `docs(idCol, textCol, …)`. Output keeps
+    * the input columns and adds `quality` and `split`.
+    */
+  def prepare(docs: DataFrame, idCol: String, textCol: String = "text",
+              cfg: Config = Config()): DataFrame = {
+    val exact = Dedup.dropExactDups(docs, idCol, textCol)
+    val pairs = Dedup.minHashNearDupsExact(exact, idCol, textCol,
+      cfg.shingleK, cfg.nearDupThreshold, cfg.margin)
+      .select(col("id_a"), col("id_b"))
+    val canonical = Dedup.keepBestPerGroup(exact, idCol, pairs,
+      F.qualityScore(col(textCol), cfg.stopwords))
+    val scored = canonical.withColumn("quality",
+      F.qualityScore(col(textCol), cfg.stopwords))
+    val filtered =
+      if (cfg.minQuality > 0.0) scored.where(col("quality") >= cfg.minQuality)
+      else scored
+    TextAnalysis.hashSplit(filtered, cfg.trainPct, textCol)
+  }
+}

@@ -18,6 +18,28 @@ import graft.streaming.EventSink
 class PipelineE2ESpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("training pipeline: dedup -> keep-best -> quality floor -> split, idempotent") {
+    import graft.operators.{Dedup, TrainingPipeline}
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val out = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = TrainingPipeline.Config(minQuality = 0.1)).persist()
+    val n = out.count()
+    assert(n > 0 && n < docs.count()) // fixture contains dups → something dropped
+    // no exact duplicates survive
+    assert(out.groupBy(xxhash64(col("text"))).count().where(col("count") > 1).isEmpty)
+    // no near-dup pair survives either: re-running detection on the output is empty
+    assert(Dedup.minHashNearDupsExact(out, "doc_id").isEmpty)
+    // quality floor holds, split covers both sides
+    assert(out.where(col("quality") < 0.1).isEmpty)
+    assert(out.select("split").distinct().count() == 2)
+    // deterministic: running the whole pipeline again yields the same rows
+    val again = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = TrainingPipeline.Config(minQuality = 0.1))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
   private def frame(marker: Int, dayOffsetMs: Long, body: String): Array[Byte] =
     EventModel.encode(Frame(marker,
       java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime + dayOffsetMs,
