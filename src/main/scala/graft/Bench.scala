@@ -47,6 +47,9 @@ object Bench {
   private def medianOf(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
 
   def main(args: Array[String]): Unit = {
+    // %f formatting must be locale-independent or the JSON line breaks
+    // on decimal-comma locales
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt

@@ -6,6 +6,9 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    // %f formatting must be locale-independent or the JSON line breaks
+    // on decimal-comma locales
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")

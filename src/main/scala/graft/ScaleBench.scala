@@ -58,9 +58,19 @@ object ScaleBench {
       posexplode(graft.functions.VectorExpressions
         .sig_band_hashes(col("sig"), nBands, rowsPerBand)).as(Seq("band", "bucket")))
     val cappedBuckets = Dedup.oversizedBuckets(banded, Seq("band", "bucket"), maxBucket).count()
-    val candidates = Dedup.minHashCandidatePairs(sigs, nBands, rowsPerBand, maxBucket).count()
-    val verified = Dedup.minHashLshPairs(docs, "doc_id", numHashes = numHashes,
-      threshold = threshold, maxBucket = maxBucket).count()
+    // verified REUSES the persisted sigs and the counted candidate stage —
+    // re-running minHashLshPairs(docs, …) here would re-shingle and re-join
+    // from scratch and the listener would publish ~2× the real plan's
+    // shuffle bytes/time as the measured constants
+    val candDf = Dedup.minHashCandidatePairs(sigs, nBands, rowsPerBand, maxBucket).persist()
+    val candidates = candDf.count()
+    val verified = candDf
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .where(graft.functions.VectorExpressions.array_agree_count(col("sig_a"), col("sig_b"))
+        .cast(org.apache.spark.sql.types.DoubleType) / numHashes >= threshold)
+      .count()
+    candDf.unpersist()
     sigs.unpersist()
     val secs = (System.nanoTime() - t0) / 1e9
     // the listener bus is async; give it a moment to drain before reading
@@ -134,6 +144,9 @@ object ScaleBench {
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
+    // %f formatting must be locale-independent or the JSON line breaks
+    // on decimal-comma locales
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val threshold = 0.5
     val maxBucket = 1000

@@ -22,6 +22,9 @@ import graft.sources.FrameSource
   */
 object ThroughputBench {
   def main(args: Array[String]): Unit = {
+    // %f formatting must be locale-independent or the JSON line breaks
+    // on decimal-comma locales
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val nEvents = args.headOption.map(_.toInt).getOrElse(2000000)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt

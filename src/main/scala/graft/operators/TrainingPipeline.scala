@@ -43,17 +43,19 @@ object TrainingPipeline {
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String = "text",
               cfg: Config = Config()): DataFrame = {
+    // quality is computed ONCE, before clustering: the same column orders
+    // the keep-best window AND survives as the output score (recomputing
+    // the three full-text scans inside the window ordering would double
+    // the corpus-scan work and could drift from the emitted value)
     val exact = Dedup.dropExactDups(docs, idCol, textCol)
+      .withColumn("quality", F.qualityScore(col(textCol), cfg.stopwords))
     val pairs = Dedup.minHashNearDupsExact(exact, idCol, textCol,
       cfg.shingleK, cfg.nearDupThreshold, cfg.margin)
       .select(col("id_a"), col("id_b"))
-    val canonical = Dedup.keepBestPerGroup(exact, idCol, pairs,
-      F.qualityScore(col(textCol), cfg.stopwords))
-    val scored = canonical.withColumn("quality",
-      F.qualityScore(col(textCol), cfg.stopwords))
+    val canonical = Dedup.keepBestPerGroup(exact, idCol, pairs, col("quality"))
     val filtered =
-      if (cfg.minQuality > 0.0) scored.where(col("quality") >= cfg.minQuality)
-      else scored
+      if (cfg.minQuality > 0.0) canonical.where(col("quality") >= cfg.minQuality)
+      else canonical
     TextAnalysis.hashSplit(filtered, cfg.trainPct, textCol)
   }
 }

@@ -75,8 +75,10 @@ object EventSink {
     * exactly why there is no auto-recovery on entry. Per PARTITION, a
     * create-exclusive lock file under `.compact_locks/` serializes
     * compactors: a second call on a locked partition returns false. A
-    * crashed run leaves its lock behind; [[recoverCompaction]] (startup,
-    * when no compactor is live) clears locks along with the trash.
+    * crashed run — OR one whose swap threw after the first destructive
+    * rename; the finally block treats that identically — leaves its lock
+    * behind; [[recoverCompaction]] (startup, when no compactor is live)
+    * clears locks along with the trash.
     */
   def compactPartition(spark: SparkSession, tablePath: String, partitionSpec: Map[String, String],
                        maxFiles: Int = 8, targetFiles: Int = 1,
@@ -93,6 +95,13 @@ object EventSink {
     val lock = new org.apache.hadoop.fs.Path(lockDir, partPath.replace("/", "__") + ".lock")
     val locked = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
     if (!locked) return false
+    // once the destructive swap begins, an exception must behave like a
+    // crash: the lock stays behind (recoverCompaction clears it with the
+    // trash at startup). Releasing it here would let a second compactor
+    // consume the half-moved state, whose rows recovery then restores ON
+    // TOP of the second run's output — duplicated data.
+    var swapStarted = false
+    var completed = false
     try {
       val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
       if (files.length <= maxFiles) return false
@@ -112,14 +121,18 @@ object EventSink {
       // trash, new files in, then drop the run's trash
       val trash = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$stamp/$partPath")
       fs.mkdirs(trash)
+      swapStarted = true
       files.foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
       newFiles.zipWithIndex.foreach { case (f, i) =>
         fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, s"compacted-$stamp-$i.parquet"))
       }
       fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$stamp"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp"), true)
+      completed = true
       true
-    } finally fs.delete(lock, false)
+    } finally {
+      if (completed || !swapStarted) fs.delete(lock, false)
+    }
   }
 
   /** Repair interrupted [[compactPartition]] runs: every dir under
