@@ -380,6 +380,18 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // ---- Text: deterministic stratified downsampling (mixture control:
+    //      keep 50% of en, 25% of zh, all else whole; selection = salted
+    //      content fingerprint mod 10^4 — replay-stable, oracle
+    //      recomputes the per-doc decision). ----
+    "q_stratified_sample" -> ((s, dir) => {
+      TextAnalysis.stratifiedSample(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "zh" -> 0.25), seed = 7L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- Text: portable rolling fingerprint (dup bookkeeping) ----
     "q_doc_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(t(s, dir, "documents"))
@@ -1446,6 +1458,19 @@ object SparkEntry {
         |FROM s ORDER BY id""".stripMargin,
 
     "q_language_id" -> languageIdOracle,
+
+    "q_stratified_sample" ->
+      """WITH f AS (
+        |  SELECT lang, doc_id,
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) + 7) * 2654435761 % 1000000007) % 10000 AS sel
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
+        |FROM f
+        |WHERE CAST(sel AS DOUBLE) <
+        |  (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END) * 10000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_hash_split" ->
       """WITH f AS (

@@ -103,6 +103,31 @@ object TextAnalysis {
         .otherwise("val"))
   }
 
+  /** Deterministic stratified downsampling — the data-mixture control step
+    * (downweight overrepresented languages/sources to a target mix): keep
+    * each stratum's docs with probability `fractions(stratum)` where the
+    * selection is a pure function of content and `seed` (salted fingerprint
+    * mod 10⁴), so the sample is replay/partitioning-stable and
+    * engine-recomputable — `sample()`'s RNG order is neither. Strata absent
+    * from `fractions` are kept whole. Different `seed`s decorrelate this
+    * selection from [[hashSplit]] (which uses the unsalted fingerprint).
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       fractions: Map[String, Double], seed: Long = 1L,
+                       textCol: String = "text"): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    // multiplicative (Knuth) mix so different seeds select decorrelated
+    // subsets (an additive salt only shifts the selector by a constant —
+    // near-identical samples); pmod keeps it in range for negative seeds.
+    // (fp + seed) ≤ ~2·10^9, × 2654435761 ≈ 5·10^18 < Long.MaxValue.
+    val salted = pmod((portableFingerprint(col(textCol)) + lit(seed)) * 2654435761L,
+      lit(1000000007L))
+    val frac = coalesce(
+      element_at(typedlit(fractions), col(strataCol)), lit(1.0))
+    docs.where(pmod(salted, lit(10000L)).cast(DoubleType) < frac * 10000)
+  }
+
   /** Stronger (xxhash64-based) rolling fingerprint — Spark-native flavor,
     * used internally where oracle parity is not required.
     */

@@ -218,6 +218,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(sides == Set("train", "val"))
   }
 
+  test("stratifiedSample is deterministic, honors per-stratum fractions and default-keeps") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fr = Map("en" -> 0.5, "zh" -> 0.0)
+    val s1 = TextAnalysis.stratifiedSample(docs, "lang", fr, seed = 7L).select("doc_id")
+    val s2 = TextAnalysis.stratifiedSample(
+      docs.orderBy(org.apache.spark.sql.functions.rand(3)), "lang", fr, seed = 7L).select("doc_id")
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val byLang = TextAnalysis.stratifiedSample(docs, "lang", fr, seed = 7L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val orig = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("zh"))                         // fraction 0 → all dropped
+    assert(byLang("en") < orig("en"))                      // en downsampled
+    orig.keys.filterNot(Set("en", "zh")).foreach { l =>
+      assert(byLang(l) == orig(l))                         // absent strata kept whole
+    }
+    // a different seed selects a different (still deterministic) subset
+    val other = TextAnalysis.stratifiedSample(docs, "lang", fr, seed = 8L).select("doc_id")
+    assert(s1.exceptAll(other).count() > 0)
+  }
+
   test("simhash hamming 0 for identical docs; simHashPairs finds them") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "entirely different words here")).toDF("doc_id", "text")
