@@ -64,11 +64,8 @@ object ScaleBench {
     // shuffle bytes/time as the measured constants
     val candDf = Dedup.minHashCandidatePairs(sigs, nBands, rowsPerBand, maxBucket).persist()
     val candidates = candDf.count()
-    val verified = candDf
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .where(graft.functions.VectorExpressions.array_agree_count(col("sig_a"), col("sig_b"))
-        .cast(org.apache.spark.sql.types.DoubleType) / numHashes >= threshold)
+    val verified = Dedup.estJaccardScores(candDf, sigs, sigs, "id_a", "id_b", numHashes)
+      .where(col("est_jaccard") >= threshold)
       .count()
     candDf.unpersist()
     sigs.unpersist()

@@ -224,12 +224,9 @@ object Dedup {
     val rowsPerBand = numHashes / nBands
     require(nBands * rowsPerBand == numHashes, "bands must divide numHashes")
     val newSigs = minHashSignatures(newDocs, idCol, textCol, shingleK, numHashes)
-    minHashCandidatePairsAgainst(newSigs, corpusSigs, nBands, rowsPerBand, maxBucket)
-      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
-      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
-      .select(col("new_id"), col("corpus_id"),
-        (VectorExpressions.array_agree_count(col("sig_a"), col("sig_b"))
-          .cast(DoubleType) / numHashes).as("est_jaccard"))
+    estJaccardScores(
+      minHashCandidatePairsAgainst(newSigs, corpusSigs, nBands, rowsPerBand, maxBucket),
+      newSigs, corpusSigs, "new_id", "corpus_id", numHashes)
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -239,6 +236,22 @@ object Dedup {
   def filterNovel(newDocs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     newDocs.join(pairs.select(col("new_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** The estimate-scoring verify stage shared by [[minHashLshPairs]],
+    * [[minHashLshPairsAgainst]] and the ScaleBench harness — ONE
+    * definition so a measurement harness can never drift from the
+    * production plan it publishes numbers for. Joins each side's
+    * signature back onto the (deduped) candidate pairs and emits
+    * `est_jaccard` = signature agreement rate.
+    */
+  def estJaccardScores(pairs: DataFrame, leftSigs: DataFrame, rightSigs: DataFrame,
+                       leftCol: String, rightCol: String, numHashes: Int): DataFrame =
+    pairs
+      .join(leftSigs.select(col("id").as(leftCol), col("sig").as("sig_a")), leftCol)
+      .join(rightSigs.select(col("id").as(rightCol), col("sig").as("sig_b")), rightCol)
+      .select(col(leftCol), col(rightCol),
+        (VectorExpressions.array_agree_count(col("sig_a"), col("sig_b"))
+          .cast(DoubleType) / numHashes).as("est_jaccard"))
+
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String = "text",
                       shingleK: Int = 3, numHashes: Int = 126, bands: Int = 0,
                       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
@@ -246,12 +259,8 @@ object Dedup {
     val rowsPerBand = numHashes / nBands
     require(nBands * rowsPerBand == numHashes, "bands must divide numHashes")
     val sigs = minHashSignatures(docs, idCol, textCol, shingleK, numHashes)
-    minHashCandidatePairs(sigs, nBands, rowsPerBand, maxBucket)
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (VectorExpressions.array_agree_count(col("sig_a"), col("sig_b"))
-          .cast(DoubleType) / numHashes).as("est_jaccard"))
+    estJaccardScores(minHashCandidatePairs(sigs, nBands, rowsPerBand, maxBucket),
+      sigs, sigs, "id_a", "id_b", numHashes)
       .where(col("est_jaccard") >= threshold)
   }
 

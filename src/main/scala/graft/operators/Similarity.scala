@@ -161,25 +161,21 @@ object Similarity {
     * the same `maxBucket` cap on pathological clusters (a skewed cluster
     * must not degrade the persisted path relative to the in-memory one).
     *
-    * The probe table is materialized to the driver ONCE (tiny by
-    * contract: |queries| × nProbe (id, cid) rows) and re-enters the plan
-    * as a local relation: the cid list and the candidate join consume the
-    * SAME materialized rows — consistent even under a non-deterministic
-    * `queries` plan — and unlike a `persist()` (which the returned plan
-    * would reference forever, leaking a cache block per call into the
-    * session) there is nothing left to release.
+    * The `queries` plan is referenced three times (cid collect, candidate
+    * join, scoring join) — standard Spark reuse semantics apply: it must
+    * be deterministic, and an EXPENSIVE plan should be persisted by the
+    * CALLER (who can unpersist after consuming the result; a persist
+    * inside this helper would leak a cache block per call, since the
+    * returned plan references it forever).
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
                        indexPath: String, idCol: String, vecCol: String,
                        k: Int, centroids: Array[Array[Double]], nProbe: Int,
                        maxBucket: Int = 1000000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probesPlan = q.select(col("query_id"),
+    val qProbes = q.select(col("query_id"),
       explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
-    val probeRows = probesPlan.collect()
-    val qProbes = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
-    val probed = probeRows.map(_.getInt(1)).distinct
+    val probed = qProbes.select("cid").distinct().collect().map(_.getInt(0)).toSeq
     val idx = Dedup.capBuckets(
       spark.read.parquet(indexPath)
         .where(col("cid").isin(probed.toSeq: _*))

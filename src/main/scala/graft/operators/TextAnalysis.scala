@@ -119,9 +119,13 @@ object TextAnalysis {
       "fractions must be in [0,1]")
     // multiplicative (Knuth) mix so different seeds select decorrelated
     // subsets (an additive salt only shifts the selector by a constant —
-    // near-identical samples); pmod keeps it in range for negative seeds.
-    // (fp + seed) ≤ ~2·10^9, × 2654435761 ≈ 5·10^18 < Long.MaxValue.
-    val salted = pmod((portableFingerprint(col(textCol)) + lit(seed)) * 2654435761L,
+    // near-identical samples). The seed is reduced mod p FIRST: fp and the
+    // reduced seed are each < 10^9, so (fp + seed') × 2654435761 ≈ 5·10^18
+    // stays below Long.MaxValue — an unreduced large seed (e.g. a
+    // timestamp) would silently wrap in 64-bit and break the documented
+    // exact-arithmetic recomputability of the selection.
+    val seedReduced = ((seed % 1000000007L) + 1000000007L) % 1000000007L
+    val salted = pmod((portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
       lit(1000000007L))
     val frac = coalesce(
       element_at(typedlit(fractions), col(strataCol)), lit(1.0))

@@ -121,10 +121,17 @@ object EventSink {
       // trash, new files in, then drop the run's trash
       val trash = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$stamp/$partPath")
       fs.mkdirs(trash)
+      // FileSystem.rename signals many failures by returning FALSE, not
+      // throwing — proceeding past one would delete the trash (= the only
+      // copy of the un-renamed rows). Escalate to an exception so the
+      // mid-swap-failure path (lock retained, recovery restores) handles it.
+      def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename failed: $src -> $dst")
       swapStarted = true
-      files.foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+      files.foreach(f => renameOrThrow(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
       newFiles.zipWithIndex.foreach { case (f, i) =>
-        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, s"compacted-$stamp-$i.parquet"))
+        renameOrThrow(f.getPath, new org.apache.hadoop.fs.Path(dir, s"compacted-$stamp-$i.parquet"))
       }
       fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$stamp"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp"), true)
