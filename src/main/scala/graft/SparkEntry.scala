@@ -32,6 +32,46 @@ object SparkEntry {
   /** Exact decimal sum cast back to double: deterministic sum of 2-dec doubles. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
+  /** Shared wire fixture for the JVMSTATS gate queries: every events row
+    * encodes as a JVMSTATS_EVENT frame with real heap + threads sections
+    * (nested Section/Property PMessageList), every 7th row additionally as
+    * a GC_EVENT frame — all behind real proto3 headers.
+    */
+  private def jvmWireFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.model.{EventModel, ProtoDescriptors}
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (eventId, userId, tsMs) =>
+          val header = ProtoDescriptors.header.encode(Seq(
+            s"application_${userId % 20}", "1", "graft_pipeline", s"user_${userId % 7}",
+            s"container_${userId % 97}", s"host_${userId % 11}", "", "YARN", "EXECUTOR",
+            "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+          val jvmBody = ProtoDescriptors.jvmStatisticsData.encode(Seq(Seq(
+            Seq("heap", Seq(
+              Seq("init", "536870912"),
+              Seq("committed", (500 + userId % 2048).toString),
+              Seq("used", (eventId % 1000).toString),
+              Seq("max", (500 + userId % 2048).toString))),
+            Seq("threads", Seq(
+              Seq("count", (userId % 64).toString),
+              Seq("total", "100"))))))
+          val jvm = (EventModel.encode(EventModel.Frame(
+            EventModel.markerForName("JVMSTATS_EVENT"), tsMs, header, jvmBody)), eventId)
+          if (eventId % 7 == 0) {
+            val gcBody = ProtoDescriptors.gcStatisticsData.encode(Seq(
+              if (eventId % 21 == 0) "G1 Old Generation" else "PS Scavenge",
+              eventId % 50, "Allocation Failure",
+              0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0.0f))
+            Seq(jvm, (EventModel.encode(EventModel.Frame(
+              EventModel.markerForName("GC_EVENT"), tsMs, header, gcBody)), eventId))
+          } else Seq(jvm)
+        }
+      }.toDF("value", "offset")
+  }
+
   /** Flagship query (SURVEY §7.2 shape): filtered event stream → hourly
     * buckets → count + p95 latency-ish metric + distinct users.
     */
@@ -758,41 +798,33 @@ object SparkEntry {
     //      (ReaderFactory.java:126-170 feeding HeapUsage.java:22-95).
     //      The oracle recomputes the heuristic from the raw columns, so
     //      any drift in the nested-message decode breaks the hash. ----
-    "q_jvmstats_chain" -> ((s, dir) => {
-      import s.implicits._
-      import graft.model.{EventModel, ProtoDescriptors}
+    // ---- S2→P4: the ES-serving pivot path on WIRE input — typed decode →
+    //      sections→`{section}_{prop}` map flatten (toPropsMap) →
+    //      known-key pivot → numeric extraction (numericProps), aggregated
+    //      per application. The oracle recomputes every pivoted value from
+    //      the fixture formulas, so the nested-sections map flatten and the
+    //      double-if-possible parse are hash-gated end to end. ----
+    "q_jvmstats_pivot" -> ((s, dir) => {
       import graft.sources.FrameSource
-      val rows = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
-        .as[(Long, Long, Long)]
-      val frames = rows.mapPartitions { it =>
-        it.flatMap { case (eventId, userId, tsMs) =>
-          val header = ProtoDescriptors.header.encode(Seq(
-            s"application_${userId % 20}", "1", "graft_pipeline", s"user_${userId % 7}",
-            s"container_${userId % 97}", s"host_${userId % 11}", "", "YARN", "EXECUTOR",
-            "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
-          val jvmBody = ProtoDescriptors.jvmStatisticsData.encode(Seq(Seq(
-            Seq("heap", Seq(
-              Seq("init", "536870912"),
-              Seq("committed", (500 + userId % 2048).toString),
-              Seq("used", (eventId % 1000).toString),
-              Seq("max", (500 + userId % 2048).toString))),
-            Seq("threads", Seq(
-              Seq("count", (userId % 64).toString),
-              Seq("total", "100"))))))
-          val jvm = (EventModel.encode(EventModel.Frame(
-            EventModel.markerForName("JVMSTATS_EVENT"), tsMs, header, jvmBody)), eventId)
-          if (eventId % 7 == 0) {
-            val gcBody = ProtoDescriptors.gcStatisticsData.encode(Seq(
-              if (eventId % 21 == 0) "G1 Old Generation" else "PS Scavenge",
-              eventId % 50, "Allocation Failure",
-              0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0.0f))
-            Seq(jvm, (EventModel.encode(EventModel.Frame(
-              EventModel.markerForName("GC_EVENT"), tsMs, header, gcBody)), eventId))
-          } else Seq(jvm)
-        }
-      }.toDF("value", "offset")
-      val decoded = FrameSource.decodeFramesFast(frames)
+      val typed = FrameSource.typedTable(
+        FrameSource.decodeFramesFast(jvmWireFrames(s, dir)), "JVMSTATS_EVENT")
+      val withMap = typed.withColumn("props", JvmStats.toPropsMap(col("sections")))
+      JvmStats.pivotKnown(withMap, "props",
+          Seq("heap_committed", "heap_used", "threads_count", "threads_total"))
+        .withColumn("n_numeric", size(JvmStats.numericProps(col("props"))))
+        .groupBy(col("application_id"))
+        .agg(count(lit(1)).as("n"),
+          max(col("heap_committed")).cast(LongType).as("max_heap_committed"),
+          sum(col("heap_used")).cast(LongType).as("sum_heap_used"),
+          max(col("threads_count")).cast(LongType).as("max_threads_count"),
+          min(col("threads_total")).cast(LongType).as("min_threads_total"),
+          max(col("n_numeric")).as("max_numeric_props"))
+        .orderBy(col("application_id"))
+    }),
+
+    "q_jvmstats_chain" -> ((s, dir) => {
+      import graft.sources.FrameSource
+      val decoded = FrameSource.decodeFramesFast(jvmWireFrames(s, dir))
       val heapStats = JvmStats.heapProjection(
           FrameSource.typedTable(decoded, "JVMSTATS_EVENT"))
         .select(col("application_id"), col("attempt_id"), col("container_id"),
@@ -1045,6 +1077,16 @@ object SparkEntry {
     // differs by running the full wire codec (nested Section/Property
     // lists) before the heuristic, which the oracle does not need to
     // model: a decode drift surfaces as a value/hash mismatch.
+    "q_jvmstats_pivot" ->
+      """SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |  count(*) AS n,
+        |  CAST(max(500 + user_id % 2048) AS BIGINT) AS max_heap_committed,
+        |  CAST(sum(event_id % 1000) AS BIGINT) AS sum_heap_used,
+        |  CAST(max(user_id % 64) AS BIGINT) AS max_threads_count,
+        |  CAST(100 AS BIGINT) AS min_threads_total,
+        |  6 AS max_numeric_props
+        |FROM events GROUP BY 1 ORDER BY application_id""".stripMargin,
+
     "q_jvmstats_chain" ->
       """WITH heap AS (
         |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
