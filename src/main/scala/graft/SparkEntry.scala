@@ -432,6 +432,22 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Text: PII scrubbing (corpus cleaning). The tables carry no PII,
+    //      so the query builds deterministic PII-bearing text from events
+    //      columns (emails, IPv4s, long digit runs), scrubs it, and the
+    //      oracle replays the same construction + RE2-compatible regex
+    //      chain — every masked string hash-gated. ----
+    "q_pii_scrub" -> ((s, dir) => {
+      val text = concat(
+        lit("contact user"), col("user_id"), lit(" at u"), col("user_id"),
+        lit("@example.com or 10.0."), col("user_id") % 256, lit("."), col("event_id") % 256,
+        lit(" tel 555"), lpad((col("event_id") % 10000).cast(StringType), 7, "0"),
+        lit(" ref "), col("event_type"))
+      t(s, dir, "events").where(col("event_id") < 200)
+        .select(col("event_id"), F.scrubPii(text).as("scrubbed"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- Text: portable rolling fingerprint (dup bookkeeping) ----
     "q_doc_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(t(s, dir, "documents"))
@@ -1500,6 +1516,20 @@ object SparkEntry {
         |FROM s ORDER BY id""".stripMargin,
 
     "q_language_id" -> languageIdOracle,
+
+    "q_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    'contact user' || CAST(user_id AS VARCHAR) || ' at u' || CAST(user_id AS VARCHAR) ||
+        |    '@example.com or 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) ||
+        |    ' tel 555' || lpad(CAST(event_id % 10000 AS VARCHAR), 7, '0') || ' ref ' || event_type AS text
+        |  FROM events WHERE event_id < 200)
+        |SELECT event_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "q_stratified_sample" ->
       """WITH f AS (

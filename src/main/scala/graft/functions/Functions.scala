@@ -120,6 +120,24 @@ object Functions {
     (lenScore + punctScore + stopScore) / 3
   }
 
+  /** PII scrubbing for training corpora: masks emails, bare IPv4 literals
+    * and 7+-digit runs (phone/account-ish) with typed placeholders, in
+    * that order (an email must not first lose its digits to the number
+    * rule). Pure regexp_replace chain — codegen'd, and the patterns are
+    * deliberately RE2-compatible (character classes, bounded repeats,
+    * `\b`) so an engine-neutral oracle can replay them exactly.
+    */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val digits = "[0-9]{7,}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      digits, "<NUM>")
+  }
+
   /** Deterministic 64-bit rolling (polynomial) fingerprint of the token
     * sequence: hash = fold(h * 31 + xxhash64(token)). Order-sensitive, so
     * permuted documents get different fingerprints (unlike a bag hash).

@@ -238,6 +238,12 @@ class OperatorsSpec extends SparkSpecBase {
     assert(s1.exceptAll(other).count() > 0)
   }
 
+  test("scrubPii masks emails, IPv4s and long digit runs; short numbers survive") {
+    val out = Seq("mail a.b@x.io ip 192.168.0.1 acct 12345678 ok 123")
+      .toDF("text").select(F.scrubPii(col("text")).as("s")).as[String].head()
+    assert(out == "mail <EMAIL> ip <IP> acct <NUM> ok 123")
+  }
+
   test("simhash hamming 0 for identical docs; simHashPairs finds them") {
     val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
       (3L, "entirely different words here")).toDF("doc_id", "text")
