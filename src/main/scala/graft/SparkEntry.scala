@@ -804,16 +804,6 @@ object SparkEntry {
       Seq((3, 5, same, prunedOk)).toDF("n_queries", "k", "same_as_inmem", "pruned_scan")
     }),
 
-    // ---- S2→P5→A3, the production heuristic chain on WIRE input: each
-    //      events row is encoded as a JVMSTATS_EVENT frame whose body
-    //      carries real sections (heap + threads, nested
-    //      Section/Property PMessageList), every 7th row additionally as
-    //      a GC_EVENT frame; both decode through
-    //      envelope → proto_decode → JvmStats.heapProjection →
-    //      HeuristicAggs.heapUsage — the reference's HDFS-reader path
-    //      (ReaderFactory.java:126-170 feeding HeapUsage.java:22-95).
-    //      The oracle recomputes the heuristic from the raw columns, so
-    //      any drift in the nested-message decode breaks the hash. ----
     // ---- S2→P4: the ES-serving pivot path on WIRE input — typed decode →
     //      sections→`{section}_{prop}` map flatten (toPropsMap) →
     //      known-key pivot → numeric extraction (numericProps), aggregated
@@ -838,6 +828,16 @@ object SparkEntry {
         .orderBy(col("application_id"))
     }),
 
+    // ---- S2→P5→A3, the production heuristic chain on WIRE input: each
+    //      events row is encoded as a JVMSTATS_EVENT frame whose body
+    //      carries real sections (heap + threads, nested
+    //      Section/Property PMessageList), every 7th row additionally as
+    //      a GC_EVENT frame; both decode through
+    //      envelope → proto_decode → JvmStats.heapProjection →
+    //      HeuristicAggs.heapUsage — the reference's HDFS-reader path
+    //      (ReaderFactory.java:126-170 feeding HeapUsage.java:22-95).
+    //      The oracle recomputes the heuristic from the raw columns, so
+    //      any drift in the nested-message decode breaks the hash. ----
     "q_jvmstats_chain" -> ((s, dir) => {
       import graft.sources.FrameSource
       val decoded = FrameSource.decodeFramesFast(jvmWireFrames(s, dir))
@@ -1525,9 +1525,11 @@ object SparkEntry {
         |    ' tel 555' || lpad(CAST(event_id % 10000 AS VARCHAR), 7, '0') || ' ref ' || event_type AS text
         |  FROM events WHERE event_id < 200)
         |SELECT event_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<NUM>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
         |FROM t ORDER BY event_id""".stripMargin,
 

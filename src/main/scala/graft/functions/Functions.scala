@@ -120,21 +120,35 @@ object Functions {
     (lenScore + punctScore + stopScore) / 3
   }
 
-  /** PII scrubbing for training corpora: masks emails, bare IPv4 literals
-    * and 7+-digit runs (phone/account-ish) with typed placeholders, in
-    * that order (an email must not first lose its digits to the number
-    * rule). Pure regexp_replace chain — codegen'd, and the patterns are
-    * deliberately RE2-compatible (character classes, bounded repeats,
-    * `\b`) so an engine-neutral oracle can replay them exactly.
+  /** Baseline PII scrubbing for training corpora: masks emails (including
+    * IP-literal and single-label domains via the local-part catch-all),
+    * bare IPv4 literals, separator-formatted phone numbers and 7+-digit
+    * runs with typed placeholders. Rule order matters: emails first (an
+    * address must not first lose its digits to the number rule), then the
+    * catch-all `local@host`, then bare IPs, then number shapes. Pure
+    * regexp_replace chain — codegen'd, and the patterns are deliberately
+    * RE2-compatible (character classes, bounded repeats, `\b`) so an
+    * engine-neutral oracle can replay them exactly.
+    *
+    * This is the BASELINE pattern set — a real deployment extends it
+    * (international phone formats, IBANs, national id shapes, …); the
+    * point here is the operator shape: a deterministic, engine-replayable
+    * masking pass that stays inside whole-stage codegen.
     */
   def scrubPii(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val emailAny = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
     val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phoneSep = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
     val digits = "[0-9]{7,}"
     regexp_replace(
       regexp_replace(
-        regexp_replace(text, email, "<EMAIL>"),
-        ipv4, "<IP>"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, email, "<EMAIL>"),
+            emailAny, "<EMAIL>"),
+          ipv4, "<IP>"),
+        phoneSep, "<NUM>"),
       digits, "<NUM>")
   }
 

@@ -154,31 +154,40 @@ object Similarity {
       .collect().map(_.getSeq[Double](1).toArray)
 
   /** IVF top-k against a persisted [[writeIvfIndex]] layout. The probed
-    * cluster ids (≤ centroids.length, a driver-safe scalar list — NOT a
-    * data-sized collect) become a static `cid IN (...)` predicate, so the
+    * cluster ids (≤ centroids.length distinct values) become a static
+    * `cid IN (...)` predicate, so the
     * parquet scan prunes to the probed partitions at planning time;
     * everything downstream is the [[ivfTopK]] candidate shape, including
     * the same `maxBucket` cap on pathological clusters (a skewed cluster
     * must not degrade the persisted path relative to the in-memory one).
     *
-    * The `queries` plan is referenced three times (cid collect, candidate
-    * join, scoring join) — standard Spark reuse semantics apply: it must
-    * be deterministic, and an EXPENSIVE plan should be persisted by the
-    * CALLER (who can unpersist after consuming the result; a persist
-    * inside this helper would leak a cache block per call, since the
-    * returned plan references it forever).
+    * The query batch is evaluated ONCE and materialized to the driver as a
+    * local relation (query_id, qv, cid): the pruning cid list, the
+    * candidate join and the scoring join all consume the SAME rows —
+    * consistent even under a non-deterministic `queries` plan — and there
+    * is no cache block to leak (a persist here could never be released,
+    * since the returned plan references it). This requires the query batch
+    * to be driver-sized, which is the standing contract of the whole ANN
+    * query API (brute force broadcasts the query set for the same reason);
+    * corpus-sized "queries" belong in [[graft.operators.Dedup.embeddingNearDups]].
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
                        indexPath: String, idCol: String, vecCol: String,
                        k: Int, centroids: Array[Array[Double]], nProbe: Int,
                        maxBucket: Int = 1000000): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val qProbes = q.select(col("query_id"),
-      explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
-    val probed = qProbes.select("cid").distinct().collect().map(_.getInt(0)).toSeq
+    val probesPlan = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
+    val probeRows = probesPlan.collect()
+    val materialized = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val q = materialized.select(col("query_id"), col("qv")).dropDuplicates("query_id")
+    val qProbes = materialized.select(col("query_id"), col("cid"))
+    val probed = probeRows.map(_.getInt(2)).distinct.toSeq
     val idx = Dedup.capBuckets(
       spark.read.parquet(indexPath)
-        .where(col("cid").isin(probed.toSeq: _*))
+        .where(col("cid").isin(probed: _*))
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cid")),
       Seq("cid"), maxBucket)
     val candidates = qProbes.join(idx, "cid")

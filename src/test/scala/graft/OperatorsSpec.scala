@@ -242,6 +242,11 @@ class OperatorsSpec extends SparkSpecBase {
     val out = Seq("mail a.b@x.io ip 192.168.0.1 acct 12345678 ok 123")
       .toDF("text").select(F.scrubPii(col("text")).as("s")).as[String].head()
     assert(out == "mail <EMAIL> ip <IP> acct <NUM> ok 123")
+    // catch-all local@host: IP-literal and single-label domains must not
+    // leak the identifying local part; separator phones are numbers too
+    val hard = Seq("joe.smith@10.2.3.4 or joe@localhost tel 555-123-4567")
+      .toDF("text").select(F.scrubPii(col("text")).as("s")).as[String].head()
+    assert(hard == "<EMAIL> or <EMAIL> tel <NUM>")
   }
 
   test("simhash hamming 0 for identical docs; simHashPairs finds them") {
