@@ -420,6 +420,14 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // ---- Text: token-repetition signals (Gopher-style boilerplate/spam
+    //      filters). Single IEEE divisions of exact integer aggregates. ----
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(
+          t(s, dir, "documents").where(col("doc_id") < 100), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: deterministic stratified downsampling (mixture control:
     //      keep 50% of en, 25% of zh, all else whole; selection = salted
     //      content fingerprint mod 10^4 — replay-stable, oracle
@@ -1532,6 +1540,18 @@ object SparkEntry {
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<NUM>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
         |FROM t ORDER BY event_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_share,
+        |  CAST(count(*) AS DOUBLE) / sum(cnt) AS distinct_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       """WITH f AS (

@@ -103,6 +103,25 @@ object TextAnalysis {
         .otherwise("val"))
   }
 
+  /** Per-doc token-repetition signals — the Gopher-style repetition
+    * filters (a doc dominated by one token, or with a collapsed
+    * vocabulary, is boilerplate/spam): `top_token_share` = most frequent
+    * token's share, `distinct_ratio` = vocabulary size / length. Shaped
+    * relationally (explode → two keyed aggregations), so at corpus scale
+    * it is two map-side-combined shuffles, not a per-row O(n²) scan;
+    * bigram flavors reuse [[Dedup.shingles]](k=2) as the token stream.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(F.tokens(col(textCol))).as("tok"))
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (max("cnt").cast(DoubleType) / sum("cnt")).as("top_token_share"),
+        (count(lit(1)).cast(DoubleType) / sum("cnt")).as("distinct_ratio"))
+  }
+
   /** Deterministic stratified downsampling — the data-mixture control step
     * (downweight overrepresented languages/sources to a target mix): keep
     * each stratum's docs with probability `fractions(stratum)` where the

@@ -238,6 +238,15 @@ class OperatorsSpec extends SparkSpecBase {
     assert(s1.exceptAll(other).count() > 0)
   }
 
+  test("repetitionSignals: top-token share and distinct ratio per doc") {
+    val docs = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(docs, "doc_id")
+      .orderBy("doc_id")
+      .select("n_tokens", "n_distinct", "top_token_share", "distinct_ratio")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq((4L, 2L, 0.75, 0.5), (4L, 4L, 0.25, 1.0)))
+  }
+
   test("scrubPii masks emails, IPv4s and long digit runs; short numbers survive") {
     val out = Seq("mail a.b@x.io ip 192.168.0.1 acct 12345678 ok 123")
       .toDF("text").select(F.scrubPii(col("text")).as("s")).as[String].head()
