@@ -440,6 +440,52 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Text: test-set decontamination. Eval set = every 20th doc;
+    //      corpus docs sharing any 8-token shingle with it are flagged
+    //      (the fixture's planted near-dup partners). Broadcast semi-join
+    //      on the exploded gram stream — the corpus is never shuffled. ----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval = docs.where(col("doc_id") % 20 === 0)
+      val corpus = docs.where(col("doc_id") % 20 =!= 0)
+      TextAnalysis.contaminatedIds(corpus, eval, "doc_id", k = 8)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Text: duplicated n-gram span statistics (relational exact-
+    //      substring-dedup signal): per-doc fraction of distinct 3-grams
+    //      appearing in >= 2 docs of the slice. Exact integer counts,
+    //      single IEEE division. ----
+    "q_dup_ngrams" -> ((s, dir) => {
+      TextAnalysis.dupNgramStats(
+          t(s, dir, "documents").where(col("doc_id") < 120), "doc_id", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Text: fixed-size overlapping token chunks (32-token windows,
+    //      stride 24) — the retrieval/embedding preprocessing shape;
+    //      map-only, no shuffle. ----
+    "q_chunk" -> ((s, dir) => {
+      TextAnalysis.chunk(t(s, dir, "documents").where(col("doc_id") < 40),
+          "doc_id", chunkTokens = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- Text: deterministic concatenate-and-cut sequence packing
+    //      (256-token budget, 8 content-hash bins); per-pack stats. The
+    //      oracle replays the same bin assignment, within-bin order and
+    //      running-sum cut. ----
+    "q_seq_pack" -> ((s, dir) => {
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id",
+          budgetTokens = 256, numBins = 8)
+        .groupBy(col("bin"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("bin"), col("pack_id"))
+    }),
+
     // ---- Text: PII scrubbing (corpus cleaning). The tables carry no PII,
     //      so the query builds deterministic PII-bearing text from events
     //      columns (emails, IPv4s, long digit runs), scrubs it, and the
@@ -1540,6 +1586,67 @@ object SparkEntry {
         |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<NUM>', 'g'),
         |    '[0-9]{7,}', '<NUM>', 'g') AS scrubbed
         |FROM t ORDER BY event_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 8, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+8], ' ')))) AS gram
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (gram)
+        |  WHERE s.doc_id % 20 <> 0)
+        |SELECT h.doc_id, d.lang, d.n_chars
+        |FROM hits h JOIN documents d USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin,
+
+    "q_dup_ngrams" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))) AS gram
+        |  FROM documents WHERE doc_id < 120),
+        |gd AS (SELECT gram, count(*) AS n_docs_with FROM sh GROUP BY gram)
+        |SELECT s.doc_id,
+        |  count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN gd.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(sum(CASE WHEN gd.n_docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
+        |FROM sh s JOIN gd USING (gram)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 40),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+        |  CAST(least(len(toks) - start, 32) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(toks[start+1:start+32], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_tokens, fp % 8 AS bin,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY fp % 8 ORDER BY fp, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM f)
+        |SELECT bin, cum_before // 256 AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM w GROUP BY bin, cum_before // 256
+        |ORDER BY bin, pack_id""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -156,4 +157,125 @@ object TextAnalysis {
     */
   def fingerprintStrong(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp_strong", F.docFingerprint(col(textCol)))
+
+  // ------------------------------------------------- decontamination
+
+  /** Distinct k-token shingles of an eval/benchmark set — the
+    * contamination reference. Eval sets are small by nature (10³–10⁵
+    * docs), so the result is broadcastable; [[contaminatedIds]] relies on
+    * that.
+    */
+  def evalGrams(evalDocs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    evalDocs.select(explode(Dedup.shingles(col(textCol), k)).as("gram")).distinct()
+
+  /** Ids of corpus docs sharing ≥ 1 k-token shingle with the eval set —
+    * test-set contamination detection (the n-gram-overlap decontamination
+    * step every pretraining pipeline runs before training). Shape:
+    * explode corpus shingles → broadcast LEFT SEMI against the eval gram
+    * set → distinct ids. The corpus stream is never shuffled (the semi
+    * join is map-side against the broadcast hash set); the only shuffle is
+    * the distinct over the contaminated-id set, which is bounded by the
+    * corpus rows that actually overlap the eval set.
+    */
+  def contaminatedIds(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                      k: Int = 8, textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
+      .join(broadcast(evalGrams(evalDocs, k, textCol)), Seq("gram"), "left_semi")
+      .select(idCol).distinct()
+
+  /** Drop contaminated docs. The contaminated-id set is broadcast on the
+    * anti-join: it is at most the overlap support, normally orders of
+    * magnitude below the corpus (a corpus where most docs overlap the eval
+    * set has a bigger problem than a shuffle).
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+                    k: Int = 8, textCol: String = "text"): DataFrame =
+    docs.join(broadcast(contaminatedIds(docs, evalDocs, idCol, k, textCol)),
+      Seq(idCol), "left_anti")
+
+  // ------------------------------------------- duplicated-span statistics
+
+  /** Per-doc duplicated n-gram statistics — the relational approximation
+    * of exact substring dedup (the "dup-fraction" signal: how much of a
+    * doc's content also appears elsewhere in the corpus): for each doc,
+    * the fraction of its DISTINCT k-grams occurring in ≥ 2 distinct
+    * documents. Shape: explode per-doc-distinct shingles → gram-keyed
+    * count (= #docs containing the gram, since shingles are per-doc
+    * distinct) → join back → id-keyed aggregate. Three map-side-combined
+    * shuffles, all linear in the exploded gram stream; gram keys stay as
+    * strings for engine-neutral exactness (an xxhash64 pre-hash would
+    * shrink the shuffle ~2× at the cost of collision-corrupted counts and
+    * oracle replayability).
+    */
+  def dupNgramStats(docs: DataFrame, idCol: String, k: Int = 3,
+                    textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), k)).as("gram"))
+    val gramDocs = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs_with"))
+    val shared = sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))
+    grams.join(gramDocs, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        shared.as("n_shared"),
+        (shared.cast(DoubleType) / count(lit(1))).as("dup_fraction"))
+  }
+
+  // ------------------------------------------------------------ chunking
+
+  /** Fixed-size token windows with stride — the embedding/retrieval
+    * preprocessing shape (stride < chunkTokens gives overlapping chunks).
+    * Map-only: posexplode over a stride sequence + array slice, no
+    * shuffle, stays in whole-stage codegen; at corpus scale this is a pure
+    * scan → scan stage. Emits (idCol, chunk_idx, chunk_tokens,
+    * chunk_text); tail chunks may be shorter than `chunkTokens`.
+    */
+  def chunk(docs: DataFrame, idCol: String, chunkTokens: Int, stride: Int,
+            textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0, s"stride must be positive, got $stride")
+    docs
+      .select(col(idCol), F.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        least(size(col("_toks")) - col("_start"), lit(chunkTokens))
+          .cast(LongType).as("chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  // ----------------------------------------------------- sequence packing
+
+  /** Deterministic concatenate-and-cut sequence packing — the standard
+    * pretraining batching step (docs are concatenated in a fixed order and
+    * cut every `budgetTokens` tokens; a doc belongs to the pack where it
+    * STARTS, and may span the cut into the next pack). Layout: each doc
+    * goes to a content-hash bin (`fp mod numBins`); within a bin the order
+    * is (fingerprint, id) — fully content-determined, so the packing is
+    * replay/partitioning-stable and engine-recomputable.
+    *
+    * Scale: the window is partitioned by bin, so the sort is per-bin after
+    * a hash shuffle — size `numBins` so a bin holds ~10⁴–10⁶ docs
+    * (numBins ≈ corpusTokens / (budgetTokens × targetPacksPerBin)) and no
+    * single-partition WindowExec appears. Emits (idCol, n_tokens, bin,
+    * pack_id) where pack_id is the cut index within the bin.
+    */
+  def packSequences(docs: DataFrame, idCol: String, budgetTokens: Int,
+                    numBins: Int, textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(numBins > 0, s"numBins must be positive, got $numBins")
+    val w = Window.partitionBy(col("bin")).orderBy(col("fp"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), portableFingerprint(col(textCol)).as("fp"),
+        F.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("bin", pmod(col("fp"), lit(numBins.toLong)))
+      .withColumn("_cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"_cum_before DIV $budgetTokens"))
+      .drop("_cum_before", "fp")
+  }
 }

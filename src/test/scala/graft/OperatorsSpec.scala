@@ -342,4 +342,72 @@ class OperatorsSpec extends SparkSpecBase {
     assert(Severity.safepoints(8) == Severity.Severe)
     assert(Severity.safepoints(11) == Severity.Critical)
   }
+
+  test("contaminatedIds flags docs sharing a k-gram with the eval set; decontaminate drops them") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares the eval 3-gram
+      (2L, "zeta eta theta iota kappa"),        // disjoint
+      (3L, "one two alpha beta gamma"))         // shares it at a different offset
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma prime")).toDF("doc_id", "text")
+    val hit = TextAnalysis.contaminatedIds(corpus, eval, "doc_id", k = 3)
+      .as[Long].collect().toSet
+    assert(hit == Set(1L, 3L))
+    val clean = TextAnalysis.decontaminate(corpus, eval, "doc_id", k = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(2L))
+  }
+
+  test("dupNgramStats: shared-gram fraction per doc, exact counts") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // 3-grams: abc bcd cde
+      (2L, "a b c x y"),       // abc bcx cxy — shares abc with doc 1
+      (3L, "p q r s t"))       // disjoint
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.dupNgramStats(docs, "doc_id", k = 3)
+      .orderBy("doc_id")
+      .select("n_grams", "n_shared", "dup_fraction")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq((3L, 1L, 1.0 / 3), (3L, 1L, 1.0 / 3), (3L, 0L, 0.0)))
+  }
+
+  test("chunk emits overlapping fixed-size windows covering every token") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(docs, "doc_id", chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_tokens", "chunk_text")
+      .as[(Int, Long, String)].collect().toSeq
+    assert(chunks == Seq(
+      (0, 4L, "t1 t2 t3 t4"), (1, 4L, "t4 t5 t6 t7"), (2, 4L, "t7 t8 t9 t10"), (3, 1L, "t10")))
+    // stride == chunkTokens → disjoint cover, total tokens preserved
+    val disjoint = TextAnalysis.chunk(docs, "doc_id", chunkTokens = 4, stride = 4)
+      .agg(sum("chunk_tokens")).as[Long].head()
+    assert(disjoint == 10L)
+  }
+
+  test("packSequences: content-determined bins, ordered fill, docs counted once") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", budgetTokens = 256, numBins = 8)
+    // every doc appears exactly once
+    assert(packed.count() == docs.count())
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    // replay-stable under reordering
+    val again = TextAnalysis.packSequences(
+      docs.orderBy(rand(5)), "doc_id", budgetTokens = 256, numBins = 8)
+    assert(packed.exceptAll(again).isEmpty && again.exceptAll(packed).isEmpty)
+    // cut discipline: within a bin, pack p+1's docs start at cumulative
+    // token offsets >= (p+1) * budget — packs are contiguous cuts
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bin").orderBy("pack_id")
+    val packs = packed.groupBy("bin", "pack_id")
+      .agg(sum("n_tokens").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .withColumn("next_start", col("cum") - col("tok"))
+      .where(col("pack_id") > 0)
+    // a pack with index p starts at offset in [p*256, (p+1)*256)
+    val bad = packs.where(
+      col("next_start") < col("pack_id") * 256 ||
+        col("next_start") >= (col("pack_id") + 1) * 256).count()
+    assert(bad == 0)
+  }
 }
