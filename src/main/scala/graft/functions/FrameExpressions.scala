@@ -40,11 +40,18 @@ object FrameExpressions {
          |  return hl >= 0 && bl >= 0 && b.length == $Delim + hl + bl;
          |}
        """.stripMargin)
+    // NOTE: generated-Java lines must never BEGIN with `|`: the final class
+    // body is assembled inside s"""...""".stripMargin (GenerateUnsafeProjection
+    // and friends), which eats a leading whitespace+`|` as a margin delimiter
+    // and silently drops the operator — janino then fails to parse and Spark
+    // falls back to the interpreted projection (a pure perf loss, no error
+    // surfaced). Keep binary operators at end-of-line. CodegenHealthSpec
+    // guards this.
     ctx.addNewFunction("graftReadInt",
       """
         |private int graftReadInt(byte[] b, int off) {
-        |  return ((b[off] & 0xFF) << 24) | ((b[off+1] & 0xFF) << 16)
-        |       | ((b[off+2] & 0xFF) << 8) | (b[off+3] & 0xFF);
+        |  return ((b[off] & 0xFF) << 24) | ((b[off+1] & 0xFF) << 16) |
+        |         ((b[off+2] & 0xFF) << 8) | (b[off+3] & 0xFF);
         |}
       """.stripMargin)
     ctx.addNewFunction("graftReadLong",

@@ -70,10 +70,13 @@ object TextExpressions {
         """.stripMargin)
       nullSafeCodeGen(ctx, ev, v => {
         val s = ctx.freshName("s")
+        // operator kept at end-of-line: a generated line beginning with `|`
+        // is eaten by the outer class-assembly stripMargin (see
+        // FrameExpressions.readerFuncs note)
         s"""
            |String $s = $v.toString();
-           |${ev.value} = graftPolyHash($s, ${Mult1}L, ${Mod1}L)
-           |  | (graftPolyHash($s, ${Mult2}L, ${Mod2}L) << 31);
+           |${ev.value} = graftPolyHash($s, ${Mult1}L, ${Mod1}L) |
+           |  (graftPolyHash($s, ${Mult2}L, ${Mod2}L) << 31);
          """.stripMargin
       })
     }
