@@ -6,29 +6,34 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Functions => F}
 
 /** The composed training-data preparation pipeline: documents in →
-  * deduplicated, quality-filtered, deterministically split corpus out.
-  * Each stage is one of the individually-gated operators; this is the
-  * composition a pretraining-data user actually runs, end to end:
+  * deduplicated, decontaminated, quality-filtered, deterministically split
+  * corpus out. Each stage is one of the individually-gated operators; this
+  * is the composition a pretraining-data user actually runs, end to end:
   *
   *  1. exact dedup (content-hash, min-id representative);
   *  2. near-dup clustering (MinHash-LSH pairs → connected components) with
   *     the QUALITY-argmax representative per cluster, not min-id — dup
   *     clusters should keep their best member;
-  *  3. quality floor (composite length/punct/stopword score);
-  *  4. deterministic content-hash train/val split.
+  *  3. test-set decontamination (drop docs sharing any k-gram with the
+  *     eval set — optional, on when `evalDocs` is given);
+  *  4. quality floor (composite length/punct/stopword score);
+  *  5. deterministic content-hash train/val split.
   *
   * Everything is a single declarative plan per stage; the near-dup stage
   * materializes its component table (see [[Dedup.connectedComponents]]).
   * At corpus scale, run stages as separate jobs writing intermediate
   * tables — the signature table and the component table are real
   * artifacts (the increment path [[Dedup.minHashLshPairsAgainst]] needs
-  * the former on every batch).
+  * the former on every batch). Downstream, [[TextAnalysis.packSequences]]
+  * turns the train side into fixed-budget training sequences.
   */
 object TrainingPipeline {
 
   /** @param minQuality   drop docs scoring below this (0 disables)
     * @param trainPct     content-hash split percentage for the train side
     * @param nearDupThreshold exact n-gram Jaccard cutoff for near-dup pairs
+    * @param decontaminateK eval-overlap shingle size (8 ≈ the standard
+    *                     n-gram-overlap decontamination window)
     */
   final case class Config(
     shingleK: Int = 3,
@@ -36,13 +41,15 @@ object TrainingPipeline {
     margin: Double = 0.2,
     minQuality: Double = 0.0,
     trainPct: Int = 90,
-    stopwords: Seq[String] = TextAnalysis.defaultStopwords)
+    stopwords: Seq[String] = TextAnalysis.defaultStopwords,
+    decontaminateK: Int = 8)
 
   /** Run the full preparation over `docs(idCol, textCol, …)`. Output keeps
-    * the input columns and adds `quality` and `split`.
+    * the input columns and adds `quality` and `split`. `evalDocs`, when
+    * given, enables the decontamination stage against that eval set.
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String = "text",
-              cfg: Config = Config()): DataFrame = {
+              cfg: Config = Config(), evalDocs: Option[DataFrame] = None): DataFrame = {
     // quality is computed ONCE, before clustering: the same column orders
     // the keep-best window AND survives as the output score (recomputing
     // the three full-text scans inside the window ordering would double
@@ -53,9 +60,18 @@ object TrainingPipeline {
       cfg.shingleK, cfg.nearDupThreshold, cfg.margin)
       .select(col("id_a"), col("id_b"))
     val canonical = Dedup.keepBestPerGroup(exact, idCol, pairs, col("quality"))
+    // decontaminate after dedup: the contaminated-id scan then runs over
+    // the already-shrunk canonical set, and a dup cluster whose survivor
+    // overlaps the eval set is dropped wholesale (its members were dups of
+    // a contaminated doc)
+    val decontaminated = evalDocs match {
+      case Some(ev) =>
+        TextAnalysis.decontaminate(canonical, ev, idCol, cfg.decontaminateK, textCol)
+      case None => canonical
+    }
     val filtered =
-      if (cfg.minQuality > 0.0) canonical.where(col("quality") >= cfg.minQuality)
-      else canonical
+      if (cfg.minQuality > 0.0) decontaminated.where(col("quality") >= cfg.minQuality)
+      else decontaminated
     TextAnalysis.hashSplit(filtered, cfg.trainPct, textCol)
   }
 }

@@ -96,6 +96,20 @@ class CodegenHealthSpec extends SparkSpecBase {
     assert(errs.isEmpty, s"codegen fell back to interpreter:\n${errs.mkString("\n")}")
   }
 
+  test("custom-expression query families run with zero codegen fallbacks") {
+    // one gate query per custom-expression family (WordShingles/MinHashAgg/
+    // SigBandHashes, SimHashAgg/PortableTokenHash64, HyperplaneSig,
+    // VecDot/VecL2Norm, CentroidProbes) at sf0.001 — any compile failure in
+    // any plan shape these reach surfaces here instead of as silent
+    // interpreted-path throughput loss
+    val families = Seq("q_minhash_pairs", "q_simhash_pairs", "q_embed_neardup",
+      "q_knn_brute", "q_ivf_ann")
+    val errs = codegenErrors {
+      families.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect())
+    }
+    assert(errs.isEmpty, s"codegen fell back to interpreter:\n${errs.mkString("\n")}")
+  }
+
   test("portable token hash (two-hash combine) compiles in a forced projection") {
     import graft.functions.TextExpressions.portable_token_hash
     val docs = (0 until 64).map(i => (i.toLong, s"alpha beta $i")).toDF("doc_id", "text")

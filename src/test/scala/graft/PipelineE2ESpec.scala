@@ -40,6 +40,23 @@ class PipelineE2ESpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("training pipeline with decontamination: eval-overlapping docs dropped") {
+    import graft.operators.{TextAnalysis, TrainingPipeline}
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val eval = docs.where(col("doc_id") % 20 === 0)
+    val corpus = docs.where(col("doc_id") % 20 =!= 0)
+    val out = TrainingPipeline.prepare(corpus, "doc_id",
+      cfg = TrainingPipeline.Config(decontaminateK = 8), evalDocs = Some(eval)).persist()
+    // nothing in the output shares an 8-gram with the eval set
+    assert(TextAnalysis.contaminatedIds(out, eval, "doc_id", k = 8).isEmpty)
+    // decontamination only ever removes rows vs the plain pipeline
+    val plain = TrainingPipeline.prepare(corpus, "doc_id")
+    assert(out.count() <= plain.count())
+    assert(out.select("doc_id").exceptAll(plain.select("doc_id")).isEmpty)
+    out.unpersist()
+  }
+
   private def frame(marker: Int, dayOffsetMs: Long, body: String): Array[Byte] =
     EventModel.encode(Frame(marker,
       java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime + dayOffsetMs,
