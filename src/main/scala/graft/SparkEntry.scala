@@ -1626,7 +1626,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
         |  CAST(least(len(toks) - start, 32) AS BIGINT) AS chunk_tokens,
         |  array_to_string(toks[start+1:start+32], ' ') AS chunk_text
-        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+        |FROM s
+        |WHERE start = 0 OR start + 8 < len(toks)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_seq_pack" ->
       """WITH f AS (

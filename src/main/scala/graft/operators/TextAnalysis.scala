@@ -230,17 +230,27 @@ object TextAnalysis {
     * Map-only: posexplode over a stride sequence + array slice, no
     * shuffle, stays in whole-stage codegen; at corpus scale this is a pure
     * scan → scan stage. Emits (idCol, chunk_idx, chunk_tokens,
-    * chunk_text); tail chunks may be shorter than `chunkTokens`.
+    * chunk_text); the final chunk may be shorter than `chunkTokens`, and a
+    * window whose content the PREVIOUS window already fully covered is not
+    * emitted (it would add zero new tokens — duplicate chunks inflate a
+    * retrieval index and return duplicate hits). Kept starts are a prefix
+    * of the stride grid, so `chunk_idx` stays contiguous from 0.
     */
   def chunk(docs: DataFrame, idCol: String, chunkTokens: Int, stride: Int,
             textCol: String = "text"): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(stride > 0, s"stride must be positive, got $stride")
+    require(stride <= chunkTokens,
+      s"stride ($stride) > chunkTokens ($chunkTokens) would skip tokens")
     docs
       .select(col(idCol), F.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), col("_toks"),
         posexplode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)),
           lit(stride))).as(Seq("chunk_idx", "_start")))
+      // keep a window iff the previous one did not already reach the end:
+      // prev end = start − stride + chunkTokens < n  ⇔  start + (c−s) < n
+      .where(col("_start") === 0 ||
+        col("_start") + (chunkTokens - stride) < size(col("_toks")))
       .select(col(idCol), col("chunk_idx"),
         least(size(col("_toks")) - col("_start"), lit(chunkTokens))
           .cast(LongType).as("chunk_tokens"),

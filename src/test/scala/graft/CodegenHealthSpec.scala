@@ -13,9 +13,13 @@ import graft.model.EventModel
 class CodegenHealthSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private class ErrorProbe extends org.apache.logging.log4j.core.filter.AbstractFilter {}
-
-  /** Run `body` and return any codegen-compile failures Spark logged. */
+  /** Run `body` with interpreter fallback DISABLED (factoryMode=CODEGEN_ONLY
+    * turns an expression-codegen failure into a thrown error; codegen.fallback
+    * =false does the same for whole-stage codegen) and return any
+    * codegen-compile failures Spark logged anyway — belt and suspenders: the
+    * hard-fail confs catch what log wording changes would hide, the log scrape
+    * catches paths the confs don't govern.
+    */
   private def codegenErrors(body: => Unit): Seq[String] = {
     val ctx = org.apache.logging.log4j.LogManager.getContext(false)
       .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
@@ -38,8 +42,16 @@ class CodegenHealthSpec extends SparkSpecBase {
     val cfg = ctx.getConfiguration
     cfg.getRootLogger.addAppender(appender, org.apache.logging.log4j.Level.WARN, null)
     ctx.updateLoggers()
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     try { body; collected.synchronized(collected.toList) }
     finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
       cfg.getRootLogger.removeAppender("graft-codegen-probe")
       ctx.updateLoggers()
       appender.stop()

@@ -377,12 +377,21 @@ class OperatorsSpec extends SparkSpecBase {
       .orderBy("chunk_idx")
       .select("chunk_idx", "chunk_tokens", "chunk_text")
       .as[(Int, Long, String)].collect().toSeq
+    // start=9 is suppressed: chunk 2 already covered through t10, so a
+    // "t10"-only tail would be pure duplication
     assert(chunks == Seq(
-      (0, 4L, "t1 t2 t3 t4"), (1, 4L, "t4 t5 t6 t7"), (2, 4L, "t7 t8 t9 t10"), (3, 1L, "t10")))
+      (0, 4L, "t1 t2 t3 t4"), (1, 4L, "t4 t5 t6 t7"), (2, 4L, "t7 t8 t9 t10")))
     // stride == chunkTokens → disjoint cover, total tokens preserved
     val disjoint = TextAnalysis.chunk(docs, "doc_id", chunkTokens = 4, stride = 4)
       .agg(sum("chunk_tokens")).as[Long].head()
     assert(disjoint == 10L)
+    // every token of every doc appears in >= 1 chunk (coverage, no gaps)
+    val multi = Seq((1L, (1 to 9).map(i => s"a$i").mkString(" ")), (2L, "b1 b2"))
+      .toDF("doc_id", "text")
+    val covered = TextAnalysis.chunk(multi, "doc_id", chunkTokens = 4, stride = 2)
+      .select(col("doc_id"), explode(split(col("chunk_text"), " ")).as("tok"))
+      .distinct().count()
+    assert(covered == 11)
   }
 
   test("packSequences: content-determined bins, ordered fill, docs counted once") {
