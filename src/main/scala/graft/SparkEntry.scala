@@ -463,6 +463,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Text: duplicated-span REMOVAL (exact-substring-dedup rewrite):
+    //      tokens covered by an 8-gram occurring in >= 2 docs of the slice
+    //      are cut, survivors rejoined in order. The slice contains two
+    //      planted near-dup pairs whose shared spans get scrubbed; the
+    //      oracle replays the whole positioned-gram pipeline. ----
+    "q_drop_spans" -> ((s, dir) => {
+      TextAnalysis.dropSharedSpans(
+          t(s, dir, "documents").where(col("doc_id") < 180), "doc_id", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: fixed-size overlapping token chunks (32-token windows,
     //      stride 24) — the retrieval/embedding preprocessing shape;
     //      map-only, no shuffle. ----
@@ -1614,6 +1625,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN gd.n_docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_fraction
         |FROM sh s JOIN gd USING (gram)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_drop_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 180),
+        |tok AS (
+        |  SELECT doc_id, pos, toks[pos+1] AS tok
+        |  FROM t, UNNEST(range(0, len(toks))) AS u(pos)),
+        |grams AS (
+        |  SELECT doc_id, gpos, array_to_string(toks[gpos+1:gpos+8], ' ') AS gram
+        |  FROM t, UNNEST(range(0, greatest(len(toks) - 8, 0) + 1)) AS g(gpos)),
+        |shared AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+        |  GROUP BY gram HAVING count(*) >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos
+        |  FROM (SELECT g.doc_id, g.gpos FROM grams g JOIN shared USING (gram)) gs,
+        |    UNNEST(range(gs.gpos, gs.gpos + 8)) AS c(pos)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tok
+        |  FROM tok ANTI JOIN covered USING (doc_id, pos)),
+        |rebuilt AS (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS kept_text,
+        |    count(*) AS n FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.kept_text, '') AS kept_text,
+        |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_tokens_kept
+        |FROM t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_chunk" ->
       """WITH t AS (

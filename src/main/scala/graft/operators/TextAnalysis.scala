@@ -223,6 +223,53 @@ object TextAnalysis {
         (shared.cast(DoubleType) / count(lit(1))).as("dup_fraction"))
   }
 
+  /** Remove corpus-duplicated spans from each document — the transform
+    * behind the dup-fraction signal ([[dupNgramStats]]): every token
+    * covered by a k-gram occurring in ≥ 2 distinct documents is dropped,
+    * and the survivors are rejoined in order. This is the span-level
+    * complement of document-level dedup: boilerplate shared across
+    * otherwise-distinct docs (headers, license blocks, navigation) is cut
+    * without discarding the documents.
+    *
+    * Shape: positioned token/gram streams (posexplode — NON-distinct
+    * shingles, every occurrence covers its span) → gram-keyed distinct-doc
+    * count → the shared-gram join marks covered positions → anti-join
+    * against the token stream → per-doc ordered rebuild
+    * (array_sort(collect_list(struct(pos, tok)))). All exchanges are
+    * map-side-combined and linear in the token stream; per-doc state in
+    * the rebuild is bounded by document length. Emits (idCol, kept_text,
+    * n_tokens_kept); docs whose every token is covered keep an empty
+    * string.
+    */
+  def dropSharedSpans(docs: DataFrame, idCol: String, k: Int = 8,
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(F.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val grams = docs.select(col(idCol),
+      posexplode(graft.functions.TextExpressions.word_shingles(col(textCol), k))
+        .as(Seq("gpos", "gram")))
+    val shared = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs_with"))
+      .where(col("n_docs_with") >= 2)
+      .select(col("gram"))
+    val covered = grams.join(shared, Seq("gram"))
+      .select(col(idCol),
+        explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    docs.select(col(idCol))
+      .join(
+        kept.groupBy(col(idCol))
+          .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("_ordered"))
+          .select(col(idCol),
+            concat_ws(" ", transform(col("_ordered"), x => x.getField("tok"))).as("kept_text"),
+            size(col("_ordered")).cast(LongType).as("n_tokens_kept")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
   // ------------------------------------------------------------ chunking
 
   /** Fixed-size token windows with stride — the embedding/retrieval

@@ -371,6 +371,25 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r == Seq((3L, 1L, 1.0 / 3), (3L, 1L, 1.0 / 3), (3L, 0L, 0.0)))
   }
 
+  test("dropSharedSpans cuts cross-doc spans, keeps unique content, empties full dups") {
+    val docs = Seq(
+      (1L, "SHARED HEADER LINE alpha beta"),
+      (2L, "SHARED HEADER LINE gamma delta"),
+      (3L, "unique content only here now"),
+      (4L, "same exact text twice here"),
+      (5L, "same exact text twice here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dropSharedSpans(docs, "doc_id", k = 3)
+      .orderBy("doc_id")
+      .select("kept_text", "n_tokens_kept")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("alpha beta", 2L),          // header span cut
+      ("gamma delta", 2L),
+      ("unique content only here now", 5L), // untouched
+      ("", 0L), ("", 0L)))         // exact dups fully covered
+  }
+
   test("chunk emits overlapping fixed-size windows covering every token") {
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val chunks = TextAnalysis.chunk(docs, "doc_id", chunkTokens = 4, stride = 3)
