@@ -240,6 +240,14 @@ object TextAnalysis {
     * the rebuild is bounded by document length. Emits (idCol, kept_text,
     * n_tokens_kept); docs whose every token is covered keep an empty
     * string.
+    *
+    * Cost note: the lazy plan derives the positioned-gram stream in two
+    * arms (shared-gram count, covered positions) with different exchange
+    * keys, so the corpus is tokenized/shingled twice and scanned four
+    * times per invocation. At corpus scale, materialize the positioned
+    * gram table once (write it, or persist() it before calling) and the
+    * plan collapses to single-derivation — same guidance as
+    * [[dupNgramStats]].
     */
   def dropSharedSpans(docs: DataFrame, idCol: String, k: Int = 8,
                       textCol: String = "text"): DataFrame = {
