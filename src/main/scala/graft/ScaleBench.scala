@@ -140,6 +140,34 @@ object ScaleBench {
           .as("embedding"))
     }.reduce(_ unionByName _)
 
+  /** Span-removal scale point: [[graft.operators.TextAnalysis.dropSharedSpans]]
+    * is linear by construction (gram-keyed aggregates, k× covered-position
+    * fan-out bounded by total gram occurrences) — this measures that
+    * constant. On the token-renamed 10× corpus, cross-copy grams are
+    * disjoint, so shared-gram structure (and covered volume) scales
+    * exactly with the corpus; super-linear shuffle records would mean the
+    * plan shape regressed.
+    */
+  private def measureSpans(spark: SparkSession, label: String, docs: DataFrame,
+                           k: Int): (Long, Long) = {
+    val listener = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val nDocs = docs.count()
+    val out = graft.operators.TextAnalysis.dropSharedSpans(docs, "doc_id", k)
+      .agg(sum(col("n_tokens_kept")).as("kept"),
+        count(when(col("kept_text") === "", 1)).as("emptied"))
+      .collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(listener)
+    val mb = listener.bytes.get() / 1024.0 / 1024.0
+    val records = listener.records.get()
+    println(f"""{"scale_point":"$label","n_docs":$nDocs,"k":$k,"kept_tokens":${out.getLong(0)},""" +
+      f""""emptied_docs":${out.getLong(1)},"shuffle_mb":$mb%.1f,"shuffle_records":$records,"sec":$secs%.1f}""")
+    (nDocs, records)
+  }
+
   def main(args: Array[String]): Unit = {
     // %f formatting must be locale-independent or the JSON line breaks
     // on decimal-comma locales
@@ -183,6 +211,16 @@ object ScaleBench {
     println(f"""{"emb_linearity":{"cand_per_doc_1x":$embPerDoc1%.2f,"naive_10x":$embNaivePerDoc%.2f,""" +
       f""""tuned_10x":$embTunedPerDoc%.2f,"tuned_ratio":${embTunedPerDoc / embPerDoc1}%.2f,""" +
       f""""tuned_linear_ok":${embTunedPerDoc / embPerDoc1 <= 2.0}}}""")
+
+    // ---- span-removal points (linear-by-construction check) ----
+    measureSpans(spark, "spans sf0.01", small, k = 8)
+    val (sn1, sr1) = measureSpans(spark, "spans sf0.1", base, k = 8)
+    val (sn10, sr10) = measureSpans(spark, "spans sf0.1 x10", scaled(base, 10), k = 8)
+    val spansPerDoc1 = sr1.toDouble / sn1
+    val spansPerDoc10 = sr10.toDouble / sn10
+    println(f"""{"spans_linearity":{"records_per_doc_1x":$spansPerDoc1%.1f,""" +
+      f""""records_per_doc_10x":$spansPerDoc10%.1f,"ratio":${spansPerDoc10 / spansPerDoc1}%.2f,""" +
+      f""""linear_ok":${spansPerDoc10 / spansPerDoc1 <= 2.0}}}""")
     spark.stop()
   }
 }
