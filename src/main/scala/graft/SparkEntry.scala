@@ -526,6 +526,16 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // ---- Embeddings: int8 quantization audit. Codes use
+    //      floor(x/maxAbs*127 + 0.5) — portable half-up rounding — and the
+    //      squared reconstruction error folds in array order, so even the
+    //      raw double hash-matches DuckDB. ----
+    "q_quantize_int8" -> ((s, dir) => {
+      Similarity.quantError(
+          t(s, dir, "embeddings").where(col("vec_id") < 100), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- Similarity: brute-force cosine top-k (ids only — fp-safe) ----
     "q_knn_brute" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
@@ -1741,6 +1751,29 @@ object SparkEntry {
         |  ROUND(MAX(sqrt(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_quantize_int8" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+        |    embedding
+        |  FROM embeddings WHERE vec_id < 100),
+        |c AS (
+        |  SELECT vec_id, max_abs, embedding,
+        |    list_transform(embedding, x -> CASE WHEN max_abs = 0 THEN 0
+        |      ELSE CAST(floor(CAST(x AS DOUBLE) / max_abs * 127 + 0.5) AS INT) END) AS codes
+        |  FROM b)
+        |SELECT vec_id, max_abs,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(codes, x -> CAST(x AS BIGINT))), (a, v) -> a + v) AS code_sum,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(codes, x -> CAST(abs(x) AS BIGINT))), (a, v) -> a + v) AS code_abs_sum,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(embedding, codes),
+        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * max_abs / 127)
+        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * max_abs / 127))),
+        |    (a, e) -> a + e) AS err2
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "q_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),

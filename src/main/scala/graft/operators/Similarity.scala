@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import graft.functions.{Functions => F, VectorExpressions}
 
@@ -242,4 +243,45 @@ object Similarity {
         count(lit(1)).as("n"),
         round(min(col("norm")), 4).as("min_norm"),
         round(max(col("norm")), 4).as("max_norm"))
+
+  /** Per-vector symmetric int8 quantization — the 4× memory shrink that
+    * makes a 100 TB embedding corpus fit ANN serving (float32 → int8 codes
+    * + one double scale per vector). code = floor(x/maxAbs·127 + 0.5)
+    * (half-up-toward-+inf — floor(+0.5) is portable across engines where
+    * round() half-mode is not), codes ∈ [−127, 127]; the all-zero vector
+    * gets scale 0 / all-zero codes. Map-only, stays in codegen.
+    */
+  /** codes = floor(x/maxAbs·127 + 0.5) per element, 0 for the zero vector. */
+  private def int8Codes(vCol: Column, maxAbsCol: Column): Column =
+    transform(vCol, v =>
+      when(maxAbsCol === 0d, lit(0))
+        .otherwise(floor(v.cast(DoubleType) / maxAbsCol * 127d + 0.5d)
+          .cast(IntegerType)))
+
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast(DoubleType))))
+    embs.select(col(idCol), maxAbs.as("max_abs"), col(vecCol).as("_v"))
+      .select(col(idCol), col("max_abs"),
+        int8Codes(col("_v"), col("max_abs")).as("codes"))
+  }
+
+  /** Reconstruction-error audit for [[quantizeInt8]]: per-vector squared
+    * error of the dequantized codes (x̂ = code·maxAbs/127), folded in
+    * array order so the double sum is bit-identical across engines.
+    * Single map-only chain (no join, no shuffle). Emits (idCol, max_abs,
+    * code_sum, code_abs_sum, err2).
+    */
+  def quantError(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast(DoubleType))))
+    embs.select(col(idCol), maxAbs.as("max_abs"), col(vecCol).as("_v"))
+      .select(col(idCol), col("max_abs"), col("_v"),
+        int8Codes(col("_v"), col("max_abs")).as("codes"))
+      .select(col(idCol), col("max_abs"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + abs(c)).as("code_abs_sum"),
+        aggregate(
+          zip_with(col("_v"), col("codes"), (x, c) =>
+            x.cast(DoubleType) - c.cast(DoubleType) * col("max_abs") / 127d),
+          lit(0d), (a, e) => a + e * e).as("err2"))
+  }
 }

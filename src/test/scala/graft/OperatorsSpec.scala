@@ -274,6 +274,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(0) > 0.3 && out(1) == 0.0)
   }
 
+  test("quantizeInt8: exact codes, zero-vector safe, small reconstruction error") {
+    val embs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .select("max_abs", "codes")
+      .as[(Double, Seq[Int])].collect().toSeq
+    // floor(x/maxAbs*127 + 0.5): 1.0→127, -0.5→floor(-63.0)=-63, 0.25→floor(32.25)=32
+    assert(q == Seq((1.0, Seq(127, -63, 32)), (0.0, Seq(0, 0, 0))))
+    // codes bounded and error small on real vectors
+    val audit = Similarity.quantError(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding")
+    import org.apache.spark.sql.functions.{max => smax}
+    val worstCode = Similarity.quantizeInt8(
+        Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding")
+      .select(smax(array_max(transform(col("codes"), c => abs(c))))).as[Int].head()
+    assert(worstCode <= 127)
+    // per-dim rms error <= half a quantization step (maxAbs/127/2, maxAbs ~ 0.3)
+    val bad = audit.where(col("err2") > col("max_abs") * col("max_abs") / (127.0 * 127.0) * 64)
+    assert(bad.isEmpty) // 256-dim: err2 <= dims * (step/2)^2 = 256/4 * step^2 = 64 step^2
+  }
+
   test("bruteForceTopK returns k nearest by cosine, self excluded") {
     val embs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f)))
