@@ -879,6 +879,54 @@ object SparkEntry {
       Seq((3, 5, same, prunedOk)).toDF("n_queries", "k", "same_as_inmem", "pruned_scan")
     }),
 
+    // ---- ANN: QUANTIZED IVF serving layout — int8 codes + per-vector
+    //      scale in the partitioned index (the RAM-resident shape at
+    //      100 TB), approx ranking on raw codes (cosine is
+    //      scale-invariant), exact re-rank of the k×4 shortlist against
+    //      the full-precision corpus. Witnesses: result ≡ the exact
+    //      in-memory IVF path, the scan is partition-pruned, and the
+    //      quantized index is smaller on disk than the float one.
+    //      Spark-side measured booleans, honestly labeled (oracle row is
+    //      the expected literal). ----
+    "q_ivf_quant" -> ((s, dir) => {
+      import s.implicits._
+      val embs = t(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+      val work = java.nio.file.Files.createTempDirectory("graft_ivf_q_").toString
+      Similarity.writeIvfIndex(embs, "vec_id", "embedding", centroids, s"$work/full")
+      Similarity.writeIvfIndexQuantized(embs, "vec_id", "embedding", centroids, s"$work/quant")
+      val queries = embs.where(col("vec_id") < 3)
+      val fromQuant = Similarity.ivfTopKFromQuantizedIndex(s, queries, s"$work/quant",
+        embs, "vec_id", "embedding", k = 5, centroids, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .persist()
+      val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+        k = 5, centroids, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .persist()
+      val nQ = fromQuant.count(); val nMem = direct.count()
+      val same = nQ == nMem && fromQuant.intersect(direct).count() == nQ
+      fromQuant.unpersist(); direct.unpersist()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      def filesRead(df: DataFrame): Long =
+        df.queryExecution.sparkPlan.collect { case sc: FileSourceScanExec => sc }
+          .map(_.selectedPartitions.totalNumberOfFiles).sum
+      val probed = queries.select(explode(graft.functions.VectorExpressions
+          .centroid_probes(col("embedding"), centroids, 2)).as("cid"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val all = s.read.parquet(s"$work/quant")
+      val totalParts = all.select("cid").distinct().count()
+      val prunedOk = filesRead(all.where(col("cid").isin(probed: _*))) < filesRead(all) ||
+        probed.length.toLong == totalParts
+      def dirBytes(p: String): Long = {
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+      }
+      val smaller = dirBytes(s"$work/quant") < dirBytes(s"$work/full")
+      Seq((3, 5, same, prunedOk, smaller))
+        .toDF("n_queries", "k", "same_as_inmem", "pruned_scan", "index_smaller")
+    }),
+
     // ---- S2→P4: the ES-serving pivot path on WIRE input — typed decode →
     //      sections→`{section}_{prop}` map flatten (toPropsMap) →
     //      known-key pivot → numeric extraction (numericProps), aggregated
@@ -1297,6 +1345,10 @@ object SparkEntry {
 
     "q_ivf_index" ->
       "SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem, TRUE AS pruned_scan",
+
+    "q_ivf_quant" ->
+      """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
+        |  TRUE AS pruned_scan, TRUE AS index_smaller""".stripMargin,
 
     "q_wire_roundtrip" ->
       """SELECT upper(event_type) AS action,

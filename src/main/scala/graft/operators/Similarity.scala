@@ -251,6 +251,75 @@ object Similarity {
     * round() half-mode is not), codes ∈ [−127, 127]; the all-zero vector
     * gets scale 0 / all-zero codes. Map-only, stays in codegen.
     */
+  /** Quantized IVF layout: the same partitionBy(cid) pruning story as
+    * [[writeIvfIndex]], but rows carry int8 codes + one double scale
+    * instead of the float vector — the serving-memory shape for a 100 TB
+    * corpus (codes live in RAM, full-precision vectors stay in the primary
+    * store and are touched only for the re-rank join). cid assignment uses
+    * the ORIGINAL vector (quantization must not move a point across a
+    * centroid boundary).
+    */
+  def writeIvfIndexQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                             centroids: Array[Array[Double]], path: String): Unit = {
+    val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast(DoubleType))))
+    corpus.select(col(idCol),
+      element_at(VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1).as("cid"),
+      maxAbs.as("max_abs"), col(vecCol).as("_v"))
+      .select(col(idCol), col("cid"), col("max_abs"),
+        int8Codes(col("_v"), col("max_abs")).as("codes"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /** Serve top-k from the QUANTIZED index: probe = partition pruning (as
+    * [[ivfTopKFromIndex]]), approximate ranking on the int8 codes
+    * directly — cosine is scale-invariant, so cos(q, codes) equals
+    * cos(q, dequantized) with no per-candidate multiply — then an EXACT
+    * re-rank of the per-query top `k·preselect` approx candidates against
+    * the full-precision `corpus` (id-only candidate list crosses the
+    * shuffle; the full vectors join in once, k·preselect rows per query).
+    * Output matches the exact path whenever the true top-k survive the
+    * approx preselection — measured, not assumed, by the gate query.
+    */
+  def ivfTopKFromQuantizedIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+                                indexPath: String, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                k: Int, centroids: Array[Array[Double]], nProbe: Int,
+                                preselect: Int = 4, maxBucket: Int = 1000000): DataFrame = {
+    val probesPlan = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
+    val probeRows = probesPlan.collect()
+    val materialized = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val q = materialized.select(col("query_id"), col("qv")).dropDuplicates("query_id")
+    val qProbes = materialized.select(col("query_id"), col("cid"))
+    val probed = probeRows.map(_.getInt(2)).distinct.toSeq
+    val idx = Dedup.capBuckets(
+      spark.read.parquet(indexPath)
+        .where(col("cid").isin(probed: _*))
+        .select(col(idCol).as("neighbor_id"), col("codes"), col("cid")),
+      Seq("cid"), maxBucket)
+    val approx = qProbes.join(idx, "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .join(q, "query_id")
+      .withColumn("approx_cos",
+        F.cosine(col("qv"), transform(col("codes"), c => c.cast(DoubleType))))
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val shortlist = approx.withColumn("arank", row_number().over(wApprox))
+      .where(col("arank") <= k * preselect)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val exact = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .withColumn("cosine", F.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** codes = floor(x/maxAbs·127 + 0.5) per element, 0 for the zero vector. */
   private def int8Codes(vCol: Column, maxAbsCol: Column): Column =
     transform(vCol, v =>

@@ -108,6 +108,34 @@ class SimilaritySpec extends SparkSpecBase {
       s"index scan must touch only probed clusters ($prunedFiles/$allFiles files)")
   }
 
+  test("ivfTopKFromQuantizedIndex: int8 layout matches the exact path after re-rank, smaller on disk") {
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_quant").toString
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", centroids, s"$dir/full")
+    Similarity.writeIvfIndexQuantized(embs, "vec_id", "embedding", centroids, s"$dir/quant")
+    val queries = embs.where(col("vec_id") < 5)
+    val fromQuant = Similarity.ivfTopKFromQuantizedIndex(spark, queries, s"$dir/quant",
+      embs, "vec_id", "embedding", k = 5, centroids, nProbe = 2)
+    val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 5, centroids, nProbe = 2)
+    // exact re-rank of the preselected shortlist reproduces the exact path
+    assert(fromQuant.select("query_id", "rank", "neighbor_id").collect().toSet ==
+      direct.select("query_id", "rank", "neighbor_id").collect().toSet)
+    // quantized rows must occupy less disk than the float layout
+    def bytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    assert(bytes(s"$dir/quant") < bytes(s"$dir/full"),
+      s"quantized index (${bytes(s"$dir/quant")}) not smaller than float (${bytes(s"$dir/full")})")
+    // cid assignment must come from the ORIGINAL vector: every (id, cid) in
+    // the quantized layout matches the float layout
+    val qCids = spark.read.parquet(s"$dir/quant").select("vec_id", "cid")
+    val fCids = spark.read.parquet(s"$dir/full").select("vec_id", "cid")
+    assert(qCids.exceptAll(fCids).isEmpty && fCids.exceptAll(qCids).isEmpty)
+  }
+
   test("embeddingNearDups finds every exact-cosine pair >= threshold (full recall on sf0.01)") {
     val embs = Tables.load(spark, sf01, "embeddings").limit(200)
     val lshPairs = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
