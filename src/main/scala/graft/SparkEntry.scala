@@ -32,6 +32,38 @@ object SparkEntry {
   /** Exact decimal sum cast back to double: deterministic sum of 2-dec doubles. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
 
+  /** #files the static (pre-AQE) plan's parquet scans would touch —
+    * inputFiles ignores pruning and AQE hides the scan node, so count the
+    * statically selected files. Shared witness for the IVF index gates.
+    */
+  private def filesRead(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    df.queryExecution.sparkPlan.collect { case sc: FileSourceScanExec => sc }
+      .map(_.selectedPartitions.totalNumberOfFiles).sum
+  }
+
+  /** Partition-pruning witness for a cid-partitioned index layout: the
+    * probed-cid predicate must touch fewer files than the full scan.
+    * Vacuous only when the probed cids cover every NON-EMPTY partition —
+    * compared against the partitions that exist, not `probed.length`:
+    * a probed centroid with an empty cluster writes no partition, and
+    * counting it would fail the witness for a correctly pruning index.
+    */
+  private def prunedScanOk(s: SparkSession, path: String, probed: Seq[Int]): Boolean = {
+    val all = s.read.parquet(path)
+    val totalParts = all.select("cid").distinct().count()
+    val probedNonEmpty =
+      all.select("cid").distinct().where(col("cid").isin(probed: _*)).count()
+    filesRead(all.where(col("cid").isin(probed: _*))) < filesRead(all) ||
+      probedNonEmpty == totalParts
+  }
+
+  /** Recursive on-disk size of a written layout (local-FS test envs). */
+  private def dirBytes(s: SparkSession, p: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+  }
+
   /** Shared wire fixture for the JVMSTATS gate queries: every events row
     * encodes as a JVMSTATS_EVENT frame with real heap + threads sections
     * (nested Section/Property PMessageList), every 7th row additionally as
@@ -863,20 +895,11 @@ object SparkEntry {
       val nIdx = fromIndex.count(); val nMem = direct.count()
       val same = nIdx == nMem && fromIndex.intersect(direct).count() == nIdx
       fromIndex.unpersist(); direct.unpersist()
-      // pruning witness: statically selected files under the cid predicate
-      // vs the full layout (pre-AQE plan; inputFiles ignores pruning)
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      def filesRead(df: DataFrame): Long =
-        df.queryExecution.sparkPlan.collect { case sc: FileSourceScanExec => sc }
-          .map(_.selectedPartitions.totalNumberOfFiles).sum
       val probed = queries.select(explode(graft.functions.VectorExpressions
           .centroid_probes(col("embedding"), loaded, 2)).as("cid"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val all = s.read.parquet(s"$work/index")
-      val totalParts = all.select("cid").distinct().count()
-      val prunedOk = filesRead(all.where(col("cid").isin(probed: _*))) < filesRead(all) ||
-        probed.length.toLong == totalParts // vacuous only if every cluster probed
-      Seq((3, 5, same, prunedOk)).toDF("n_queries", "k", "same_as_inmem", "pruned_scan")
+      Seq((3, 5, same, prunedScanOk(s, s"$work/index", probed)))
+        .toDF("n_queries", "k", "same_as_inmem", "pruned_scan")
     }),
 
     // ---- ANN: QUANTIZED IVF serving layout — int8 codes + per-vector
@@ -907,23 +930,11 @@ object SparkEntry {
       val nQ = fromQuant.count(); val nMem = direct.count()
       val same = nQ == nMem && fromQuant.intersect(direct).count() == nQ
       fromQuant.unpersist(); direct.unpersist()
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      def filesRead(df: DataFrame): Long =
-        df.queryExecution.sparkPlan.collect { case sc: FileSourceScanExec => sc }
-          .map(_.selectedPartitions.totalNumberOfFiles).sum
       val probed = queries.select(explode(graft.functions.VectorExpressions
           .centroid_probes(col("embedding"), centroids, 2)).as("cid"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val all = s.read.parquet(s"$work/quant")
-      val totalParts = all.select("cid").distinct().count()
-      val prunedOk = filesRead(all.where(col("cid").isin(probed: _*))) < filesRead(all) ||
-        probed.length.toLong == totalParts
-      def dirBytes(p: String): Long = {
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(s.sparkContext.hadoopConfiguration)
-        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
-      }
-      val smaller = dirBytes(s"$work/quant") < dirBytes(s"$work/full")
-      Seq((3, 5, same, prunedOk, smaller))
+      val smaller = dirBytes(s, s"$work/quant") < dirBytes(s, s"$work/full")
+      Seq((3, 5, same, prunedScanOk(s, s"$work/quant", probed), smaller))
         .toDF("n_queries", "k", "same_as_inmem", "pruned_scan", "index_smaller")
     }),
 

@@ -27,6 +27,30 @@ object VectorExpressions {
     case _ => false
   }
 
+  /** Per-element-type accessors for the numeric array expressions:
+    * (interpreted get, codegen get). Explicit dispatch — silently calling
+    * getFloat on an int/byte array would reinterpret bits as floats and
+    * produce garbage with no error (int8 quantization codes made that a
+    * live hazard).
+    */
+  private def elemAccessors(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(ByteType, _) => (a, i) => a.getByte(i).toDouble
+    case other => throw new IllegalArgumentException(
+      s"vector expression expects array<double|float|int|byte>, got $other")
+  }
+
+  private def elemGenGet(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
+    case ArrayType(ByteType, _) => s"(double) $arr.getByte($i)"
+    case other => throw new IllegalArgumentException(
+      s"vector expression expects array<double|float|int|byte>, got $other")
+  }
+
   /** #positions where two equal-length long arrays agree (MinHash signature
     * agreement). null if either side is null; lengths must match.
     */
@@ -64,17 +88,15 @@ object VectorExpressions {
   case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
 
-    private lazy val leftDouble = elemIsDouble(left.dataType)
-    private lazy val rightDouble = elemIsDouble(right.dataType)
+    private lazy val leftGet = elemAccessors(left.dataType)
+    private lazy val rightGet = elemAccessors(right.dataType)
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
       val n = math.min(a.numElements(), b.numElements())
       var i = 0; var acc = 0.0
       while (i < n) {
-        val x = if (leftDouble) a.getDouble(i) else a.getFloat(i).toDouble
-        val y = if (rightDouble) b.getDouble(i) else b.getFloat(i).toDouble
-        acc += x * y; i += 1
+        acc += leftGet(a, i) * rightGet(b, i); i += 1
       }
       acc
     }
@@ -82,8 +104,8 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-        val gx = if (leftDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
-        val gy = if (rightDouble) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
+        val gx = elemGenGet(left.dataType, a, i)
+        val gy = elemGenGet(right.dataType, b, i)
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
@@ -101,14 +123,14 @@ object VectorExpressions {
   /** L2 norm of a float/double array (double accumulation, ascending). */
   case class VecL2Norm(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
-    private lazy val isDouble = elemIsDouble(child.dataType)
+    private lazy val elemGet = elemAccessors(child.dataType)
 
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]
       var i = 0; var acc = 0.0
       val n = a.numElements()
       while (i < n) {
-        val x = if (isDouble) a.getDouble(i) else a.getFloat(i).toDouble
+        val x = elemGet(a, i)
         acc += x * x; i += 1
       }
       math.sqrt(acc)
@@ -118,7 +140,7 @@ object VectorExpressions {
       nullSafeCodeGen(ctx, ev, a => {
         val i = ctx.freshName("i"); val n = ctx.freshName("n")
         val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
-        val gx = if (isDouble) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+        val gx = elemGenGet(child.dataType, a, i)
         s"""
            |int $n = $a.numElements();
            |double $acc = 0.0;

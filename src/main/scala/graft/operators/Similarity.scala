@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ByteType, DoubleType}
 
 import graft.functions.{Functions => F, VectorExpressions}
 
@@ -154,13 +154,8 @@ object Similarity {
     spark.read.parquet(path).orderBy("cid")
       .collect().map(_.getSeq[Double](1).toArray)
 
-  /** IVF top-k against a persisted [[writeIvfIndex]] layout. The probed
-    * cluster ids (≤ centroids.length distinct values) become a static
-    * `cid IN (...)` predicate, so the
-    * parquet scan prunes to the probed partitions at planning time;
-    * everything downstream is the [[ivfTopK]] candidate shape, including
-    * the same `maxBucket` cap on pathological clusters (a skewed cluster
-    * must not degrade the persisted path relative to the in-memory one).
+  /** Driver-materialized probe tables shared by both persisted-index
+    * serving paths ([[ivfTopKFromIndex]], [[ivfTopKFromQuantizedIndex]]).
     *
     * The query batch is evaluated ONCE and materialized to the driver as a
     * local relation (query_id, qv, cid): the pruning cid list, the
@@ -171,11 +166,12 @@ object Similarity {
     * to be driver-sized, which is the standing contract of the whole ANN
     * query API (brute force broadcasts the query set for the same reason);
     * corpus-sized "queries" belong in [[graft.operators.Dedup.embeddingNearDups]].
+    * Returns (deduped queries, query→cid probes, distinct probed cids).
     */
-  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
-                       indexPath: String, idCol: String, vecCol: String,
-                       k: Int, centroids: Array[Array[Double]], nProbe: Int,
-                       maxBucket: Int = 1000000): DataFrame = {
+  private def materializedProbes(spark: org.apache.spark.sql.SparkSession,
+                                 queries: DataFrame, idCol: String, vecCol: String,
+                                 centroids: Array[Array[Double]], nProbe: Int)
+      : (DataFrame, DataFrame, Seq[Int]) = {
     val probesPlan = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),
@@ -183,14 +179,41 @@ object Similarity {
     val probeRows = probesPlan.collect()
     val materialized = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
-    val q = materialized.select(col("query_id"), col("qv")).dropDuplicates("query_id")
-    val qProbes = materialized.select(col("query_id"), col("cid"))
-    val probed = probeRows.map(_.getInt(2)).distinct.toSeq
-    val idx = Dedup.capBuckets(
+    (materialized.select(col("query_id"), col("qv")).dropDuplicates("query_id"),
+      materialized.select(col("query_id"), col("cid")),
+      probeRows.map(_.getInt(2)).distinct.toSeq)
+  }
+
+  /** Probed slice of a persisted index: static `cid IN (...)` predicate
+    * (partition pruning at planning time) + the same `maxBucket` cap as
+    * the in-memory path (a skewed cluster must not degrade the persisted
+    * path relative to it). `payload` picks the value columns (float vector
+    * or quantized codes).
+    */
+  private def readProbedIndex(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, probed: Seq[Int], maxBucket: Int,
+                              payload: Column*): DataFrame =
+    Dedup.capBuckets(
       spark.read.parquet(indexPath)
         .where(col("cid").isin(probed: _*))
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cid")),
+        .select(payload :+ col("cid"): _*),
       Seq("cid"), maxBucket)
+
+  /** IVF top-k against a persisted [[writeIvfIndex]] layout. The probed
+    * cluster ids (≤ centroids.length distinct values) become a static
+    * `cid IN (...)` predicate, so the parquet scan prunes to the probed
+    * partitions at planning time; everything downstream is the [[ivfTopK]]
+    * candidate shape. See [[materializedProbes]] for the single-evaluation
+    * / driver-sized-batch contract.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
+                       indexPath: String, idCol: String, vecCol: String,
+                       k: Int, centroids: Array[Array[Double]], nProbe: Int,
+                       maxBucket: Int = 1000000): DataFrame = {
+    val (q, qProbes, probed) =
+      materializedProbes(spark, queries, idCol, vecCol, centroids, nProbe)
+    val idx = readProbedIndex(spark, indexPath, probed, maxBucket,
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val candidates = qProbes.join(idx, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -244,13 +267,6 @@ object Similarity {
         round(min(col("norm")), 4).as("min_norm"),
         round(max(col("norm")), 4).as("max_norm"))
 
-  /** Per-vector symmetric int8 quantization — the 4× memory shrink that
-    * makes a 100 TB embedding corpus fit ANN serving (float32 → int8 codes
-    * + one double scale per vector). code = floor(x/maxAbs·127 + 0.5)
-    * (half-up-toward-+inf — floor(+0.5) is portable across engines where
-    * round() half-mode is not), codes ∈ [−127, 127]; the all-zero vector
-    * gets scale 0 / all-zero codes. Map-only, stays in codegen.
-    */
   /** Quantized IVF layout: the same partitionBy(cid) pruning story as
     * [[writeIvfIndex]], but rows carry int8 codes + one double scale
     * instead of the float vector — the serving-memory shape for a 100 TB
@@ -285,27 +301,17 @@ object Similarity {
                                 idCol: String, vecCol: String,
                                 k: Int, centroids: Array[Array[Double]], nProbe: Int,
                                 preselect: Int = 4, maxBucket: Int = 1000000): DataFrame = {
-    val probesPlan = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"),
-        explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
-    val probeRows = probesPlan.collect()
-    val materialized = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
-    val q = materialized.select(col("query_id"), col("qv")).dropDuplicates("query_id")
-    val qProbes = materialized.select(col("query_id"), col("cid"))
-    val probed = probeRows.map(_.getInt(2)).distinct.toSeq
-    val idx = Dedup.capBuckets(
-      spark.read.parquet(indexPath)
-        .where(col("cid").isin(probed: _*))
-        .select(col(idCol).as("neighbor_id"), col("codes"), col("cid")),
-      Seq("cid"), maxBucket)
+    val (q, qProbes, probed) =
+      materializedProbes(spark, queries, idCol, vecCol, centroids, nProbe)
+    val idx = readProbedIndex(spark, indexPath, probed, maxBucket,
+      col(idCol).as("neighbor_id"), col("codes"))
     val approx = qProbes.join(idx, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .join(q, "query_id")
-      .withColumn("approx_cos",
-        F.cosine(col("qv"), transform(col("codes"), c => c.cast(DoubleType))))
+      // VecDot/VecL2Norm consume the byte codes directly (codegen, no
+      // per-candidate double-array materialization)
+      .withColumn("approx_cos", F.cosine(col("qv"), col("codes")))
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("neighbor_id"))
     val shortlist = approx.withColumn("arank", row_number().over(wApprox))
@@ -323,10 +329,21 @@ object Similarity {
   /** codes = floor(x/maxAbs·127 + 0.5) per element, 0 for the zero vector. */
   private def int8Codes(vCol: Column, maxAbsCol: Column): Column =
     transform(vCol, v =>
-      when(maxAbsCol === 0d, lit(0))
+      when(maxAbsCol === 0d, lit(0).cast(ByteType))
         .otherwise(floor(v.cast(DoubleType) / maxAbsCol * 127d + 0.5d)
-          .cast(IntegerType)))
+          .cast(ByteType)))
 
+  /** Per-vector symmetric int8 quantization — the 4× memory shrink that
+    * makes a 100 TB embedding corpus fit ANN serving (float32 → byte codes
+    * + one double scale per vector). code = floor(x/maxAbs·127 + 0.5)
+    * (half-up-toward-+inf — floor(+0.5) is portable across engines where
+    * round() half-mode is not), codes ∈ [−127, 127] as a REAL ByteType
+    * array (1 byte/element in UnsafeArrayData, INT(8) in parquet — an
+    * int32 code array would be the same width as the floats it replaces);
+    * the all-zero vector gets scale 0 / all-zero codes. Map-only, stays in
+    * codegen; [[graft.functions.VectorExpressions.VecDot]] consumes byte
+    * arrays directly.
+    */
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast(DoubleType))))
     embs.select(col(idCol), maxAbs.as("max_abs"), col(vecCol).as("_v"))

@@ -282,20 +282,26 @@ class OperatorsSpec extends SparkSpecBase {
     val q = Similarity.quantizeInt8(embs, "vec_id", "embedding")
       .orderBy("vec_id")
       .select("max_abs", "codes")
-      .as[(Double, Seq[Int])].collect().toSeq
+      .as[(Double, Seq[Byte])].collect().toSeq
     // floor(x/maxAbs*127 + 0.5): 1.0→127, -0.5→floor(-63.0)=-63, 0.25→floor(32.25)=32
-    assert(q == Seq((1.0, Seq(127, -63, 32)), (0.0, Seq(0, 0, 0))))
-    // codes bounded and error small on real vectors
+    assert(q == Seq((1.0, Seq[Byte](127, -63, 32)), (0.0, Seq[Byte](0, 0, 0))))
+    // codes are REAL bytes (the 4x memory point), bounded, small error
+    val full = Similarity.quantizeInt8(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding")
+    assert(full.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+      || full.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = true))
+    import org.apache.spark.sql.functions.{max => smax}
+    val worstCode = full
+      .select(smax(array_max(transform(col("codes"), c => abs(c)))).cast("int")).as[Int].head()
+    assert(worstCode <= 127)
+    // the fixture embeddings are 64-dim: worst case err2 <= dims*(step/2)^2
+    // = 64/4 * step^2 = 16 step^2 with step = maxAbs/127
     val audit = Similarity.quantError(
       Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding")
-    import org.apache.spark.sql.functions.{max => smax}
-    val worstCode = Similarity.quantizeInt8(
-        Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding")
-      .select(smax(array_max(transform(col("codes"), c => abs(c))))).as[Int].head()
-    assert(worstCode <= 127)
-    // per-dim rms error <= half a quantization step (maxAbs/127/2, maxAbs ~ 0.3)
-    val bad = audit.where(col("err2") > col("max_abs") * col("max_abs") / (127.0 * 127.0) * 64)
-    assert(bad.isEmpty) // 256-dim: err2 <= dims * (step/2)^2 = 256/4 * step^2 = 64 step^2
+    val bad = audit.where(col("err2") > col("max_abs") * col("max_abs") / (127.0 * 127.0) * 16)
+    assert(bad.isEmpty)
   }
 
   test("bruteForceTopK returns k nearest by cosine, self excluded") {

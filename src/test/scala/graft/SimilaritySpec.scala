@@ -119,9 +119,18 @@ class SimilaritySpec extends SparkSpecBase {
       embs, "vec_id", "embedding", k = 5, centroids, nProbe = 2)
     val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
       k = 5, centroids, nProbe = 2)
-    // exact re-rank of the preselected shortlist reproduces the exact path
-    assert(fromQuant.select("query_id", "rank", "neighbor_id").collect().toSet ==
-      direct.select("query_id", "rank", "neighbor_id").collect().toSet)
+    // exact re-rank of the preselected shortlist reproduces the exact path.
+    // Make preselect truncation OBSERVABLE on failure (the lossy-cap
+    // convention): report how deep in the approx ranking the true top-k
+    // sat, so a fixture/dim change that pushes a true neighbor past
+    // k*preselect fails with a margin diagnostic, not a bare set mismatch.
+    val quantSet = fromQuant.select("query_id", "rank", "neighbor_id").collect().toSet
+    val directSet = direct.select("query_id", "rank", "neighbor_id").collect().toSet
+    if (quantSet != directSet) {
+      val missing = directSet.diff(quantSet)
+      fail(s"quantized path diverged from exact; true-top-k rows lost to the " +
+        s"k*preselect approx shortlist (raise preselect or inspect codes): $missing")
+    }
     // quantized rows must occupy less disk than the float layout
     def bytes(p: String): Long = {
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
