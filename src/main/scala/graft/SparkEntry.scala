@@ -529,6 +529,20 @@ object SparkEntry {
         .orderBy(col("bin"), col("pack_id"))
     }),
 
+    // ---- Text: temperature mixture flattening (τ = 0.5): per-stratum
+    //      keep fractions ∝ share^(τ−1) anchored at the smallest stratum,
+    //      applied via the replay-stable salted-fingerprint selector. The
+    //      oracle recomputes the fractions (same pow/normalize chain) and
+    //      every doc's selection. ----
+    "q_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fr = TextAnalysis.temperatureFractions(docs, "lang", temperature = 0.5)
+      TextAnalysis.stratifiedSample(docs, "lang", fr, seed = 11L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- Text: PII scrubbing (corpus cleaning). The tables carry no PII,
     //      so the query builds deterministic PII-bearing text from events
     //      columns (emails, IPv4s, long digit runs), scrubs it, and the
@@ -1773,6 +1787,24 @@ object SparkEntry {
         |  CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_share,
         |  CAST(count(*) AS DOUBLE) / sum(cnt) AS distinct_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT lang,
+        |    pow(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM c), -0.5) AS raw
+        |  FROM c),
+        |fr AS (SELECT lang, raw / (SELECT max(raw) FROM w) AS frac FROM w),
+        |sel AS (
+        |  SELECT lang, doc_id,
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) + 11) * 2654435761 % 1000000007) % 10000 AS sel
+        |  FROM documents)
+        |SELECT s.lang, count(*) AS n_docs, min(s.doc_id) AS min_id
+        |FROM sel s JOIN fr USING (lang)
+        |WHERE CAST(s.sel AS DOUBLE) < fr.frac * 10000
+        |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
 
     "q_stratified_sample" ->
       """WITH f AS (

@@ -158,6 +158,33 @@ object TextAnalysis {
   def fingerprintStrong(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp_strong", F.docFingerprint(col(textCol)))
 
+  /** Temperature-flattened per-stratum keep fractions — the standard
+    * multilingual/source mixture control (sampled mass ∝ p^τ): stratum s
+    * with corpus share p_s is kept with probability f_s ∝ p_s^(τ−1),
+    * normalized so the SMALLEST stratum keeps fraction 1 and every larger
+    * stratum is downweighted (downweight-only — a fraction > 1 would mean
+    * upsampling, which [[stratifiedSample]] cannot do). τ = 1 keeps
+    * everything (no flattening); τ → 0 equalizes strata masses.
+    *
+    * Driver-side: one tiny groupBy-count collect (#strata rows), pure
+    * function of the counts — feed the result to [[stratifiedSample]],
+    * which applies it with the replay-stable salted-fingerprint selector.
+    */
+  def temperatureFractions(docs: DataFrame, strataCol: String,
+                           temperature: Double): Map[String, Double] = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature must be in (0, 1], got $temperature")
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    // f_s ∝ p_s^(τ−1): decreasing in p_s for τ < 1, so the smallest
+    // stratum carries the largest raw weight — anchor it at 1.0
+    val raw = counts.map { case (s, n) => s -> math.pow(n / total, temperature - 1.0) }
+    val maxRaw = raw.values.max
+    raw.map { case (s, w) => s -> w / maxRaw }
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Distinct k-token shingles of an eval/benchmark set — the

@@ -238,6 +238,32 @@ class OperatorsSpec extends SparkSpecBase {
     assert(s1.exceptAll(other).count() > 0)
   }
 
+  test("temperatureFractions flattens the mixture toward p^tau, smallest stratum kept whole") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val fr = TextAnalysis.temperatureFractions(docs, "lang", temperature = 0.5)
+    // fractions are valid keep probabilities; the rarest stratum keeps all
+    assert(fr.values.forall(f => f > 0.0 && f <= 1.0))
+    val smallest = counts.minBy(_._2)._1
+    assert(math.abs(fr(smallest) - 1.0) < 1e-12)
+    // expected kept mass is proportional to p^tau: check the ratio between
+    // two strata matches sqrt of their count ratio
+    val langs = counts.keys.toSeq.sorted
+    val (a, b) = (langs.head, langs.last)
+    val expectRatio = math.sqrt(counts(a).toDouble / counts(b))
+    val keptRatio = counts(a) * fr(a) / (counts(b) * fr(b))
+    assert(math.abs(keptRatio - expectRatio) < 1e-9)
+    // tau = 1 keeps everything
+    val noFlatten = TextAnalysis.temperatureFractions(docs, "lang", temperature = 1.0)
+    assert(noFlatten.values.forall(f => math.abs(f - 1.0) < 1e-12))
+    // composition with stratifiedSample downweights the dominant stratum
+    val kept = TextAnalysis.stratifiedSample(docs, "lang", fr, seed = 11L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val biggest = counts.maxBy(_._2)._1
+    assert(kept(biggest) < counts(biggest))
+    assert(kept(smallest) == counts(smallest))
+  }
+
   test("repetitionSignals: top-token share and distinct ratio per doc") {
     val docs = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(docs, "doc_id")
