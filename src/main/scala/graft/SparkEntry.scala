@@ -1103,6 +1103,19 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB rendition of [[TextAnalysis.portableFingerprint]] over `text` —
+    * shared by every selector-based oracle so a formula change is made in
+    * ONE place (plus the Scala expression).
+    */
+  private val fpSql: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  /** The salted Knuth-mixed selector of [[TextAnalysis.stratifiedSample]]. */
+  private def selectorSql(seed: Long): String =
+    s"(($fpSql + $seed) * 2654435761 % 1000000007) % 10000"
+
   def oracleSql: Map[String, String] = Map(
 
     "q_approx_distinct" ->
@@ -1757,14 +1770,11 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_seq_pack" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |w AS (
+      s"""WITH f AS (
+         |  SELECT doc_id, $fpSql AS fp,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w AS (
         |  SELECT doc_id, n_tokens, fp % 8 AS bin,
         |    CAST(coalesce(sum(n_tokens) OVER (
         |      PARTITION BY fp % 8 ORDER BY fp, doc_id
@@ -1789,55 +1799,44 @@ object SparkEntry {
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_temperature_mix" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |w AS (
-        |  SELECT lang,
-        |    pow(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM c), -0.5) AS raw
-        |  FROM c),
-        |fr AS (SELECT lang, raw / (SELECT max(raw) FROM w) AS frac FROM w),
-        |sel AS (
-        |  SELECT lang, doc_id,
-        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) + 11) * 2654435761 % 1000000007) % 10000 AS sel
-        |  FROM documents)
-        |SELECT s.lang, count(*) AS n_docs, min(s.doc_id) AS min_id
-        |FROM sel s JOIN fr USING (lang)
-        |WHERE CAST(s.sel AS DOUBLE) < fr.frac * 10000
-        |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |w AS (
+         |  SELECT lang,
+         |    pow(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM c), -0.5) AS raw
+         |  FROM c),
+         |fr AS (SELECT lang, raw / (SELECT max(raw) FROM w) AS frac FROM w),
+         |sel AS (
+         |  SELECT lang, doc_id, ${selectorSql(11L)} AS sel
+         |  FROM documents)
+         |SELECT s.lang, count(*) AS n_docs, min(s.doc_id) AS min_id
+         |FROM sel s JOIN fr USING (lang)
+         |WHERE CAST(s.sel AS DOUBLE) < fr.frac * 10000
+         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
 
     "q_stratified_sample" ->
-      """WITH f AS (
-        |  SELECT lang, doc_id,
-        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) + 7) * 2654435761 % 1000000007) % 10000 AS sel
-        |  FROM documents)
-        |SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
-        |FROM f
-        |WHERE CAST(sel AS DOUBLE) <
-        |  (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END) * 10000
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+      s"""WITH f AS (
+         |  SELECT lang, doc_id, ${selectorSql(7L)} AS sel
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM f
+         |WHERE CAST(sel AS DOUBLE) <
+         |  (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END) * 10000
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_hash_split" ->
-      """WITH f AS (
-        |  SELECT lang, text,
-        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
-        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 < 90
-        |    THEN 'train' ELSE 'val' END AS split
-        |  FROM documents)
+      s"""WITH f AS (
+         |  SELECT lang, text,
+         |    CASE WHEN $fpSql % 100 < 90
+         |    THEN 'train' ELSE 'val' END AS split
+         |  FROM documents)
         |SELECT split, count(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  count(DISTINCT lang) AS n_langs
         |FROM f GROUP BY split ORDER BY split""".stripMargin,
 
     "q_doc_fingerprint" ->
-      """SELECT doc_id,
-        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
-        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, $fpSql AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT label, count(*) AS n,

@@ -177,6 +177,12 @@ object TextAnalysis {
     val counts = docs.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureFractions: empty corpus (no strata)")
+    // a null stratum key cannot be looked up by stratifiedSample's map
+    // lookup — those docs would silently be kept whole while still
+    // inflating `total`, skewing every other fraction
+    require(!counts.contains(null),
+      s"temperatureFractions: null values in '$strataCol' — fill or filter them first")
     val total = counts.values.sum.toDouble
     // f_s ∝ p_s^(τ−1): decreasing in p_s for τ < 1, so the smallest
     // stratum carries the largest raw weight — anchor it at 1.0
