@@ -28,6 +28,19 @@ object EventRouter {
   /** Route a raw wire stream (`value` binary, `offset` long) to
     * `basePath/<event_type>/` typed day-partitioned parquet tables.
     *
+    * The envelope decode runs INSIDE the streaming plan (before
+    * foreachBatch) so the stream carries a real event-time `timestamp`
+    * column and `withWatermark(lateness)` applies — the query's
+    * `lastProgress.eventTime("watermark")` is then the lateness-adjusted
+    * input [[closeDays]] documents.
+    *
+    * Delivery is at-least-once per micro-batch, like the reference's
+    * offset-tracked writers (COVERAGE ST8): if the fan-out fails midway
+    * (some types appended, one write failed), the retried micro-batch
+    * re-appends the already-written types. Downstream dedups on
+    * (kafka_offset) or tolerates duplicates, exactly as it must for the
+    * reference's replay-from-offset recovery.
+    *
     * @param types the event types to materialize (default: all known)
     * @param lateness watermark grace for the day-close markers
     */
@@ -36,35 +49,41 @@ object EventRouter {
                  lateness: String = "26 hours",
                  trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
       : DataStreamWriter[org.apache.spark.sql.Row] = {
-    raw.writeStream
+    FrameSource.decodeFramesFast(raw, acceptedTypes = types)
+      .withWatermark("timestamp", lateness)
+      .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        routeBatch(batch, basePath, types)
+        routeDecodedBatch(batch, basePath, types)
       }
   }
 
-  /** One micro-batch (also the batch/backfill entry): decode the envelope
-    * once, cache it, append every type's typed rows to its table.
+  /** Batch/backfill entry over raw wire frames: decode, then fan out. */
+  def routeBatch(batch: DataFrame, basePath: String, types: Seq[String]): Unit =
+    routeDecodedBatch(FrameSource.decodeFramesFast(batch, acceptedTypes = types),
+      basePath, types)
+
+  /** One decoded micro-batch: cache it, find the types actually present
+    * with ONE job (a per-type isEmpty would scan the whole cached batch
+    * once per ABSENT type), append each present type's typed rows.
     */
-  def routeBatch(batch: DataFrame, basePath: String, types: Seq[String]): Unit = {
-    val frames = FrameSource.decodeFramesFast(batch, acceptedTypes = types)
+  def routeDecodedBatch(frames: DataFrame, basePath: String, types: Seq[String]): Unit = {
     frames.persist()
     try {
       import org.apache.spark.sql.functions.{col, date_trunc, to_date}
-      types.foreach { tpe =>
+      val present = frames.select("event_type").distinct()
+        .collect().map(_.getString(0)).toSet
+      types.filter(present).foreach { tpe =>
         val typed = FrameSource.typedTable(frames, tpe)
-        // empty micro-batches for a type must not create empty files
-        if (!typed.isEmpty) {
-          // per-type tables partition by day only — the type IS the
-          // directory (reference's one-table-per-descriptor layout);
-          // unionView re-tags event_type when reading across types
-          typed.drop("event_type")
-            .withColumn("day", to_date(date_trunc("day", col("timestamp"))))
-            .sortWithinPartitions(col("day"), col("timestamp"))
-            .write.mode(org.apache.spark.sql.SaveMode.Append)
-            .partitionBy("day").parquet(s"$basePath/$tpe")
-        }
+        // per-type tables partition by day only — the type IS the
+        // directory (reference's one-table-per-descriptor layout);
+        // unionView re-tags event_type when reading across types
+        typed.drop("event_type")
+          .withColumn("day", to_date(date_trunc("day", col("timestamp"))))
+          .sortWithinPartitions(col("day"), col("timestamp"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("day").parquet(s"$basePath/$tpe")
       }
     } finally frames.unpersist()
   }
@@ -72,27 +91,16 @@ object EventRouter {
   /** Watermark epilogue: write `_DONE` markers for all routed tables once
     * the watermark (already lateness-adjusted by Spark) passes a day.
     * Call from a `StreamingQueryListener` or after `processAllAvailable`
-    * with the query's `lastProgress.eventTime("watermark")`.
+    * with the query's `lastProgress.eventTime("watermark")` — which
+    * [[routeTyped]]'s in-plan watermark guarantees is populated.
     */
   def closeDays(spark: SparkSession, basePath: String, types: Seq[String],
                 watermarkMillis: Long): Seq[String] = {
     val closedBefore = EventSink.closedDayFromWatermark(watermarkMillis)
-    types.flatMap { tpe =>
-      // typed tables are partitioned by day only (type is the directory)
-      val root = new org.apache.hadoop.fs.Path(s"$basePath/$tpe")
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(root)) Nil
-      else for {
-        dayDir <- fs.listStatus(root).toSeq
-        if dayDir.isDirectory && dayDir.getPath.getName.startsWith("day=")
-        day = java.time.LocalDate.parse(dayDir.getPath.getName.stripPrefix("day="))
-        if day.isBefore(closedBefore)
-        marker = new org.apache.hadoop.fs.Path(dayDir.getPath, "_DONE")
-        if !fs.exists(marker)
-      } yield {
-        fs.create(marker).close()
-        marker.toString
-      }
-    }
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // typed tables are partitioned by day only (type is the directory)
+    EventSink.markClosedDayDirs(fs,
+      types.map(t => new org.apache.hadoop.fs.Path(s"$basePath/$t")), closedBefore)
   }
 }

@@ -21,7 +21,16 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   */
 object EventSink {
 
-  /** Streaming writer: day-partitioned parquet with 26 h watermark. */
+  /** Streaming writer: day-partitioned parquet with 26 h watermark.
+    *
+    * Late-data semantics (same contract as the reference's delayed-path
+    * writer): the watermark DRIVES THE DAY-CLOSE MARKERS, it does not drop
+    * rows — a stateless file sink appends rows later than the grace into
+    * their (already `_DONE`-stamped) day partition. `_DONE` therefore
+    * means "complete up to the grace"; a consumer needing the
+    * beyond-grace stragglers re-lists the partition (the reference's
+    * consumers re-read the delayed path the same way).
+    */
   def partitionedStreamWriter(events: DataFrame, path: String, checkpoint: String,
                               lateness: String = "26 hours",
                               trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
@@ -80,6 +89,17 @@ object EventSink {
     * behind; [[recoverCompaction]] (startup, when no compactor is live)
     * clears locks along with the trash.
     */
+  /** A table written by the checkpointed FileStreamSink tracks every part
+    * file in `_spark_metadata`; renaming or deleting those files out from
+    * under the log makes the table unreadable (reads resolve through the
+    * log: missing originals throw, untracked replacements are invisible).
+    * Compaction and retention therefore REFUSE log-tracked tables — the
+    * deployment recipe for compactable tables is the foreachBatch append
+    * layout ([[EventRouter.routeTyped]] / [[writePartitioned]]).
+    */
+  private def isStreamLogTracked(fs: org.apache.hadoop.fs.FileSystem, tablePath: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/_spark_metadata"))
+
   def compactPartition(spark: SparkSession, tablePath: String, partitionSpec: Map[String, String],
                        maxFiles: Int = 8, targetFiles: Int = 1,
                        sortCol: Option[String] = Some("timestamp")): Boolean = {
@@ -87,6 +107,7 @@ object EventSink {
     val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$partPath")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return false
+    if (isStreamLogTracked(fs, tablePath)) return false
     // exclusive per-partition lock (atomic create-no-overwrite on HDFS;
     // object stores without atomic create should front this with their own
     // conditional-put — same caveat as every rename-based committer there)
@@ -112,7 +133,14 @@ object EventSink {
       val stamp = System.currentTimeMillis() + "-" +
         java.util.UUID.randomUUID().toString.take(8)
       val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp/$partPath")
-      val compacted = spark.read.parquet(dir.toString).repartition(targetFiles)
+      // read EXACTLY the snapshotted file list, not the directory: a live
+      // writer may commit a new file between the listing above and the
+      // read's own listing — a directory read would fold that file's rows
+      // into the compacted output while the swap (driven by `files`) leaves
+      // the file in place, duplicating its rows
+      val compacted = spark.read
+        .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+        .repartition(targetFiles)
       sortCol.filter(compacted.columns.contains)
         .map(c => compacted.sortWithinPartitions(col(c))).getOrElse(compacted)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -208,10 +236,24 @@ object EventSink {
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
+    val typeRoots = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("event_type="))
+      .map(_.getPath)
+    markClosedDayDirs(fs, typeRoots, closedBefore)
+  }
+
+  /** The one copy of the day-close marker protocol: under each root, every
+    * `day=` dir strictly before `closedBefore` gets an idempotent `_DONE`.
+    * Shared by [[writeDayCloseMarkers]] (event_type=/day= layout) and
+    * [[EventRouter.closeDays]] (per-type tables, day= at the root).
+    */
+  private[streaming] def markClosedDayDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                           roots: Seq[org.apache.hadoop.fs.Path],
+                                           closedBefore: java.time.LocalDate): Seq[String] =
     for {
-      typeDir <- fs.listStatus(root).toSeq
-      if typeDir.isDirectory && typeDir.getPath.getName.startsWith("event_type=")
-      dayDir <- fs.listStatus(typeDir.getPath).toSeq
+      root <- roots
+      if fs.exists(root)
+      dayDir <- fs.listStatus(root).toSeq
       if dayDir.isDirectory && dayDir.getPath.getName.startsWith("day=")
       day = java.time.LocalDate.parse(dayDir.getPath.getName.stripPrefix("day="))
       if day.isBefore(closedBefore)
@@ -221,7 +263,6 @@ object EventSink {
       fs.create(marker).close()
       marker.toString
     }
-  }
 
   /** The day the watermark closes: everything strictly before
     * `day(watermarkMillis)` is final (UTC bucketing, P8).
@@ -238,6 +279,9 @@ object EventSink {
     val base = new org.apache.hadoop.fs.Path(s"$tablePath/event_type=$eventType")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Nil
+    // see isStreamLogTracked: deleting files a FileStreamSink log still
+    // references corrupts every read of the table
+    if (isStreamLogTracked(fs, tablePath)) return Nil
     val cutoff = today.minusDays(retainDays.toLong)
     fs.listStatus(base).toSeq
       .filter(_.isDirectory)

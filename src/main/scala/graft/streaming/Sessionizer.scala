@@ -29,7 +29,11 @@ object Sessionizer {
       tsMillis: Long,
       metric: Double)          // the folded measure (pause time, heap used, ...)
 
-  /** Per-session accumulated state. */
+  /** Per-session accumulated state. `ended` marks a TOMBSTONE: the session
+    * closed on END but the key's state is retained (until the event-time
+    * timeout reaps it) so at-least-once stragglers arriving after the END
+    * cannot restart the session as a bogus second one.
+    */
   final case class SessionState(
       containers: Set[String],
       count: Long,
@@ -37,7 +41,8 @@ object Sessionizer {
       max: Double,
       min: Double,
       firstTs: Long,
-      lastTs: Long)
+      lastTs: Long,
+      ended: Boolean = false)
 
   /** Output row on session close. */
   final case class SessionResult(
@@ -67,9 +72,13 @@ object Sessionizer {
     SessionResult(key, s.containers.size, s.count, s.sum, s.max, s.min,
       if (s.count == 0) 0L else s.lastTs - s.firstTs, closedBy)
 
-  /** The stateful session operator. Works identically on a streaming or
-    * batch Dataset (Spark runs flatMapGroupsWithState in batch as a
-    * single-pass group fold).
+  /** The stateful session operator. Works on a streaming or batch Dataset
+    * (Spark runs flatMapGroupsWithState in batch as a single-pass group
+    * fold) — with the one inherent difference that TIMEOUT flushes are a
+    * streaming concept: batch planning eliminates the watermark, so in
+    * batch only END closes sessions (non-ENDed groups emit nothing) and no
+    * timeout is registered (registering one would throw — there is no
+    * watermark to time out against).
     *
     * @param timeoutMillis optional safety-net flush once the WATERMARK
     *                      passes `last event + timeoutMillis` — the missing
@@ -80,7 +89,12 @@ object Sessionizer {
     *                      (SURVEY §2.5/A11's determinism requirement).
     *                      Callers must put a watermark on the stream (e.g.
     *                      `timestamp_millis(tsMillis)` + `withWatermark`)
-    *                      before this operator. None ⇒ flush only on END.
+    *                      before this operator. None ⇒ flush only on END,
+    *                      and a straggler after END restarts state for the
+    *                      key (there is no timeout to reap a tombstone);
+    *                      with a timeout configured, an ENDed key leaves a
+    *                      tombstone that swallows stragglers until the
+    *                      timeout reaps it.
     */
   def sessionAggregate(events: Dataset[SessionEvent],
                        timeoutMillis: Option[Long] = None): Dataset[SessionResult] = {
@@ -96,27 +110,50 @@ object Sessionizer {
       .flatMapGroupsWithState[SessionState, SessionResult](
         OutputMode.Append, timeoutConf) {
         (key: String, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // batch planning eliminates the watermark (EliminateEventTime-
+          // Watermark); getCurrentWatermarkMs then THROWS. No watermark ⇒
+          // timeouts can never fire ⇒ register none.
+          def watermarkMs: Option[Long] =
+            try Some(state.getCurrentWatermarkMs)
+            catch { case _: UnsupportedOperationException => None }
+          // fire when the watermark passes last-event + timeout (must
+          // stay above the current watermark or Spark rejects it)
+          def armTimeout(lastTs: Long): Unit =
+            for (t <- timeoutMillis; wm <- watermarkMs)
+              state.setTimeoutTimestamp(math.max(lastTs + t, wm + 1))
           if (state.hasTimedOut) {
-            val out = state.getOption.map(s => result(key, s, "TIMEOUT")).iterator
+            // a tombstone reaping is silent — its END row already went out
+            val out = state.getOption.filterNot(_.ended)
+              .map(s => result(key, s, "TIMEOUT")).iterator
             state.remove()
             out
           } else {
-            var s = state.getOption.getOrElse(emptyState)
-            var ended = false
-            it.foreach { e =>
-              s = fold(s, e)
-              if (e.eventType == "STATE_EVENT" && e.state == "END") ended = true
-            }
-            if (ended) {
-              state.remove()
-              Iterator.single(result(key, s, "END"))
-            } else {
-              state.update(s)
-              // fire when the watermark passes last-event + timeout (must
-              // stay above the current watermark or Spark rejects it)
-              timeoutMillis.foreach(t => state.setTimeoutTimestamp(
-                math.max(s.lastTs + t, state.getCurrentWatermarkMs + 1)))
+            val prior = state.getOption.getOrElse(emptyState)
+            if (prior.ended) {
+              // at-least-once straggler after END: swallow, keep the
+              // tombstone armed so the timeout still reaps it
+              armTimeout(prior.lastTs)
               Iterator.empty
+            } else {
+              var s = prior
+              var ended = false
+              it.foreach { e =>
+                s = fold(s, e)
+                if (e.eventType == "STATE_EVENT" && e.state == "END") ended = true
+              }
+              if (ended) {
+                if (timeoutMillis.isDefined && watermarkMs.isDefined) {
+                  // leave a tombstone (see SessionState.ended) instead of
+                  // removing: stragglers must not restart the session
+                  state.update(s.copy(ended = true))
+                  armTimeout(s.lastTs)
+                } else state.remove()
+                Iterator.single(result(key, s, "END"))
+              } else {
+                state.update(s)
+                armTimeout(s.lastTs)
+                Iterator.empty
+              }
             }
           }
       }

@@ -67,6 +67,31 @@ class EventRouterSpec extends SparkSpecBase {
     assert(closed.forall(p => p.contains("day=2024-03-01") && p.endsWith("_DONE")))
   }
 
+  test("routeTyped's in-plan watermark populates query progress (closeDays' input)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("router_wm").toString
+    val ckpt = Files.createTempDirectory("router_wm_ckpt").toString
+    val in = MemoryStream[(Array[Byte], Long)]
+    val q = EventRouter.routeTyped(in.toDF().toDF("value", "offset"), base, ckpt,
+      types = Seq("FS_EVENT"), lateness = "1 hour").start()
+    try {
+      in.addData(fsFrame(day1, "WRITE", 1))
+      q.processAllAvailable()
+      in.addData(fsFrame(day2, "READ", 2))
+      q.processAllAvailable()
+      // the decode+withWatermark lives INSIDE the streaming plan, so the
+      // progress carries the lateness-adjusted watermark closeDays needs
+      val wm = q.lastProgress.eventTime.get("watermark")
+      assert(wm != null, "no watermark entry in query progress")
+      val wmMillis = java.time.Instant.parse(wm).toEpochMilli
+      assert(wmMillis == day1 - 3600 * 1000L,
+        s"watermark $wmMillis should be first batch's max event time minus the 1h grace")
+      // and it drives the day-close markers end to end
+      val closed = EventRouter.closeDays(spark, base, Seq("FS_EVENT"), wmMillis)
+      assert(closed.isEmpty) // watermark still inside day 1 — nothing closes
+    } finally q.stop()
+  }
+
   test("batch routeBatch appends without duplicating other types") {
     val base = Files.createTempDirectory("router_b").toString
     val b1 = Seq(fsFrame(day1, "WRITE", 1)).toDF("value", "offset")

@@ -210,6 +210,30 @@ class EventSinkSpec extends SparkSpecBase {
     assert(rows.select("container_id").as[String].collect().sorted.toSeq == Seq("c1", "c2", "c3"))
   }
 
+  test("compaction and retention refuse a FileStreamSink table (_spark_metadata tracked)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("logsink").toString
+    val ckpt = Files.createTempDirectory("logsink_ckpt").toString
+    val in = MemoryStream[(String, java.sql.Timestamp, String)]
+    val q = EventSink.partitionedStreamWriter(
+      in.toDF().toDF("event_type", "timestamp", "container_id"), dir, ckpt).start()
+    val base = java.sql.Timestamp.valueOf("2024-03-01 08:00:00")
+    try {
+      in.addData((0 until 12).map(i =>
+        ("FS_EVENT", new java.sql.Timestamp(base.getTime + i * 1000L), s"c$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = spark.read.parquet(dir).count()
+    // renaming files tracked by _spark_metadata would corrupt the table:
+    // both maintenance ops must refuse and leave the layout untouched
+    assert(!EventSink.compactPartition(spark, dir,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 1))
+    assert(EventSink.dropExpiredPartitions(spark, dir, "FS_EVENT",
+      java.time.LocalDate.parse("2024-06-01"), retainDays = 1).isEmpty)
+    assert(spark.read.parquet(dir).count() == before)
+  }
+
   test("dropExpiredPartitions removes only days older than retention") {
     val dir = Files.createTempDirectory("retention").toString
     EventSink.writePartitioned(sampleEvents(3, "2024-03-01"), dir)

@@ -74,6 +74,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("batch flavor with a timeout configured: no crash, END still closes, no TIMEOUT rows") {
+    // batch planning removes the watermark; the operator must not call
+    // getCurrentWatermarkMs (it throws there) and must not register
+    // timeouts — only END closes in batch
+    val batch = Seq(
+      ev("done#1", "c1", "GC_EVENT", "", 1000L, 1.0),
+      ev("done#1", "c1", "STATE_EVENT", "END", 2000L, 0.0),
+      ev("open#1", "c2", "GC_EVENT", "", 1000L, 2.0)).toDS()
+    val out = Sessionizer.sessionAggregate(batch, timeoutMillis = Some(5000L))
+      .collect().toSeq
+    assert(out.map(r => (r.appKey, r.closedBy)) == Seq(("done#1", "END")))
+  }
+
+  test("straggler after END is swallowed by the tombstone (no bogus second session)") {
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val withWm = input.toDS()
+      .withColumn("eventTime", timestamp_millis(col("tsMillis")))
+      .withWatermark("eventTime", "0 seconds")
+      .as[SessionEvent]
+    val q = Sessionizer.sessionAggregate(withWm, timeoutMillis = Some(5000L))
+      .writeStream.format("memory").queryName("sessions_tomb").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        ev("app#1", "c1", "GC_EVENT", "", 1000L, 1.0),
+        ev("app#1", "c1", "STATE_EVENT", "END", 2000L, 0.0))
+      q.processAllAvailable()
+      // at-least-once replay: a straggler for the ENDed key arrives later
+      input.addData(ev("app#1", "c1", "GC_EVENT", "", 2500L, 9.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to reap the tombstone silently
+      input.addData(ev("other#1", "c2", "GC_EVENT", "", 100000L, 1.0))
+      q.processAllAvailable()
+      input.addData(ev("other#1", "c2", "GC_EVENT", "", 101000L, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_tomb").as[SessionResult].collect().toSeq
+      // exactly ONE result for app#1 (the END) — no straggler-born TIMEOUT
+      assert(rows.filter(_.appKey == "app#1").map(_.closedBy) == Seq("END"))
+    } finally q.stop()
+  }
+
   test("independent keys close independently") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
