@@ -472,6 +472,28 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Text: corpus-LM familiarity (CCNet-style LM filter with corpus
+    //      bigram counts as the model): reference = en docs, scored slice
+    //      = doc_id < 100. Integer hit counts + one IEEE division; a mean
+    //      log-prob would sum doubles in engine order and is deliberately
+    //      not gated. ----
+    "q_lm_familiarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.bigramCounts(docs.where(col("lang") === "en"))
+      TextAnalysis.lmFamiliarity(docs.where(col("doc_id") < 100), lm, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Text: per-source quality gate (Gopher-style): keep the top half
+    //      of each source by composite quality, rank-gated (integer-exact
+    //      boundary, doc_id tiebreak) — the oracle replays the same
+    //      formula, window and cut. ----
+    "q_quality_gate" -> ((s, dir) => {
+      TextAnalysis.qualityGate(t(s, dir, "documents"), "source", "doc_id", 1, 2)
+        .select(col("doc_id"), col("source"), col("rnk"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: test-set decontamination. Eval set = every 20th doc;
     //      corpus docs sharing any 8-token shingle with it are flagged
     //      (the fixture's planted near-dup partners). Broadcast semi-join
@@ -1797,6 +1819,55 @@ object SparkEntry {
         |  CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_share,
         |  CAST(count(*) AS DOUBLE) / sum(cnt) AS distinct_ratio
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_lm_familiarity" ->
+      """WITH ref AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+        |refbg AS (
+        |  SELECT ts[pos] || ' ' || ts[pos+1] AS bigram
+        |  FROM ref, UNNEST(range(1, len(ts))) AS u(pos)),
+        |lm AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM refbg GROUP BY bigram),
+        |d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 100),
+        |dbg AS (
+        |  SELECT doc_id, ts[pos] || ' ' || ts[pos+1] AS bigram
+        |  FROM d, UNNEST(range(1, len(ts))) AS u(pos)),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, count(c) AS hit_bigrams,
+        |         coalesce(sum(c), 0) AS hit_mass
+        |  FROM dbg LEFT JOIN lm USING (bigram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(hit_bigrams, 0) AS BIGINT) AS hit_bigrams,
+        |  CAST(coalesce(hit_mass, 0) AS BIGINT) AS hit_mass,
+        |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |       ELSE CAST(hit_bigrams AS DOUBLE) / n_bigrams END AS familiarity
+        |FROM d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS nt,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |           / CAST(length(text) AS DOUBLE) END AS pr,
+        |    CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','an','of','and','or','to','in','is','it'))) AS DOUBLE)
+        |           / CAST(len(string_split(text, ' ')) AS DOUBLE) END AS sr
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    (least(CAST(nt AS DOUBLE) / 50.0, 1.0) + (1.0 - least(pr * 4, 1.0))
+        |     + least(sr * 5, 1.0)) / 3 AS quality
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n_grp
+        |  FROM q)
+        |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk, quality
+        |FROM r WHERE rnk * 2 <= n_grp * 1 ORDER BY doc_id""".stripMargin,
 
     "q_temperature_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -191,6 +191,108 @@ object TextAnalysis {
     raw.map { case (s, w) => s -> w / maxRaw }
   }
 
+  // ------------------------------------------------- corpus-LM scoring
+
+  /** Adjacent-token bigram strings ("w1 w2") of a document, in order.
+    * Empty/one-token docs yield an empty array (slice with a non-positive
+    * length throws, so the `size >= 2` guard is load-bearing).
+    */
+  def bigramStream(text: Column): Column = {
+    val toks = F.tokens(text)
+    when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Reference bigram count table — the "language model" of the CCNet-style
+    * LM filter, with corpus counts standing in for a trained KenLM/neural
+    * model (no model artifacts exist in this environment; the relational
+    * shape — build the model table once from a reference slice, score the
+    * whole corpus against it — is exactly the production one). One row per
+    * distinct adjacent token pair: (bigram, c).
+    *
+    * At 100 TB the reference slice is small by construction (a curated
+    * wiki-like subset), so this table broadcasts; a full-corpus reference
+    * degrades gracefully to a shuffle join on `bigram` with map-side
+    * combine on both derivations.
+    */
+  def bigramCounts(refDocs: DataFrame, textCol: String = "text"): DataFrame =
+    refDocs
+      .select(explode(bigramStream(col(textCol))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).cast(LongType).as("c"))
+
+  /** Per-doc familiarity against a [[bigramCounts]] reference table — the
+    * LM-filter decision signals: how much of the document's bigram stream
+    * the reference model has seen. `familiarity` = hit_bigrams/n_bigrams
+    * (a single IEEE division of exact integers — engine-bit-identical);
+    * `hit_mass` = total reference count over the doc's hit bigrams (an
+    * exact integer weight favoring common constructions). A true mean
+    * log-probability would sum doubles in engine-specific order and is
+    * deliberately NOT the gated column; consumers wanting it can derive
+    * ln-space scores from (hit_mass, n_bigrams) downstream.
+    *
+    * Plan shape: explode → left join on bigram (broadcast when the model
+    * is a curated slice) → one keyed aggregation per doc; docs with no
+    * bigrams re-enter via the final left join with zeroed signals.
+    */
+  def lmFamiliarity(docs: DataFrame, lm: DataFrame, idCol: String,
+                    textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(bigramStream(col(textCol))).as("bigram"))
+    val stats = exploded
+      .join(lm, Seq("bigram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("c")).as("hit_bigrams"),
+        coalesce(sum(col("c")), lit(0L)).as("hit_mass"))
+    docs.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("hit_bigrams"), lit(0L)).as("hit_bigrams"),
+        coalesce(col("hit_mass"), lit(0L)).as("hit_mass"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("hit_bigrams").cast(DoubleType) / col("n_bigrams"))
+          .as("familiarity"))
+  }
+
+  // ------------------------------------------------- quality gating
+
+  /** Per-group quality gate (the Gopher-style per-source filter): keep the
+    * top `keepNum/keepDen` fraction of each group's documents by composite
+    * quality score. RANK-based, not threshold-based — a float quality
+    * threshold makes boundary membership hinge on double comparisons near
+    * the cut, while `row_number × keepDen ≤ n_group × keepNum` is exact
+    * integer arithmetic (ties broken by `idCol`, so the kept set is fully
+    * deterministic and engine-recomputable). Keeps ⌊n·num/den⌋ per group.
+    *
+    * Scale: the exact gate is one shuffle + sort per group (row_number
+    * window) — fine when groups are source-sized shards. At full 100 TB
+    * prefer the two-pass flavor: `percentile_approx` per group (tiny
+    * driver-side threshold map, like [[temperatureFractions]]) then a
+    * map-only filter; the exact rank gate is the oracle-parity flavor and
+    * the correctness reference for that approximation.
+    */
+  def qualityGate(docs: DataFrame, groupCol: String, idCol: String,
+                  keepNum: Int, keepDen: Int,
+                  stopwords: Seq[String] = defaultStopwords,
+                  textCol: String = "text"): DataFrame = {
+    require(keepDen > 0 && keepNum >= 0 && keepNum <= keepDen,
+      s"keep fraction must be 0..1, got $keepNum/$keepDen")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    qualitySignals(docs, stopwords, textCol)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("_n_grp", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .where(col("rnk") * keepDen <= col("_n_grp") * keepNum)
+      .drop("_n_grp")
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Distinct k-token shingles of an eval/benchmark set — the

@@ -494,4 +494,41 @@ class OperatorsSpec extends SparkSpecBase {
         col("next_start") >= (col("pack_id") + 1) * 256).count()
     assert(bad == 0)
   }
+
+  test("lmFamiliarity: hit counts vs a reference bigram table, zero-bigram docs kept") {
+    val ref = Seq("the cat sat", "the cat ran").toDF("text")
+    val lm = TextAnalysis.bigramCounts(ref)
+    // model: "the cat" ×2, "cat sat" ×1, "cat ran" ×1
+    assert(lm.as[(String, Long)].collect().toMap ==
+      Map("the cat" -> 2L, "cat sat" -> 1L, "cat ran" -> 1L))
+    val docs = Seq(
+      (1L, "the cat sat"),   // both bigrams known: fam 1.0, mass 2+1
+      (2L, "dog cat sat"),   // "dog cat" unseen, "cat sat" hit: fam 0.5
+      (3L, "solo"),          // one token → no bigrams → zeroed, fam 0.0
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmFamiliarity(docs, lm, "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "hit_bigrams", "hit_mass", "familiarity")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 3L, 1.0),
+      (2L, 2L, 1L, 1L, 0.5),
+      (3L, 0L, 0L, 0L, 0.0),
+      (4L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("qualityGate: per-group rank cut, doc_id tiebreak, floor semantics") {
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      // s1: qualities strictly ordered by token count (all < 50 tokens)
+      (1L, "s1", toks(40, "a") + " the of and in is"), // highest: len + stopwords
+      (2L, "s1", toks(20, "b")),
+      (3L, "s1", toks(20, "b")),                        // tie with doc 2 → doc 2 wins rank
+      (4L, "s1", toks(2, "c")),
+      // s2: one doc → floor(1 * 1/2) = 0 kept
+      (9L, "s2", toks(10, "z"))).toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.qualityGate(docs, "source", "doc_id", 1, 2)
+      .select("doc_id", "rnk").as[(Long, Long)].collect().toMap
+    assert(kept == Map(1L -> 1L, 2L -> 2L)) // floor(4/2)=2 from s1, none from s2
+  }
 }
