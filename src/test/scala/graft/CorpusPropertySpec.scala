@@ -98,4 +98,45 @@ class CorpusPropertySpec extends SparkSpecBase {
       .select("kept_text").as[String].head()
     assert(kept == "a b c d e")
   }
+
+  test("lmFamiliarity: bounds, self-model saturation, every doc represented (random corpora)") {
+    forSamples(genCorpus, 6) { corpus =>
+      val docs = corpus.toDF("doc_id", "text")
+      val lm = TextAnalysis.bigramCounts(docs)
+      val out = TextAnalysis.lmFamiliarity(docs, lm, "doc_id").collect()
+      // every doc exactly once
+      assert(out.map(_.getAs[Long]("doc_id")).toSet == corpus.map(_._1).toSet)
+      out.foreach { r =>
+        val n = r.getAs[Long]("n_bigrams"); val h = r.getAs[Long]("hit_bigrams")
+        val f = r.getAs[Double]("familiarity")
+        assert(h >= 0 && h <= n && f >= 0.0 && f <= 1.0)
+        // model trained on the SAME corpus: every bigram of every doc is
+        // in the model, so familiarity saturates at 1 (0 for bigram-less)
+        assert(if (n == 0) f == 0.0 && h == 0 else f == 1.0 && h == n)
+        assert(r.getAs[Long]("hit_mass") >= h) // each hit counts >= 1
+      }
+    }
+  }
+
+  test("qualityGate: per-group floor count, kept set invariant under reordering (random corpora)") {
+    forSamples(Gen.zip(genCorpus, Gen.chooseNum(1, 3)), 6) { case (corpus, num) =>
+      val den = 3
+      val docs = corpus.toDF("doc_id", "text")
+        .withColumn("source", (col("doc_id") % 2).cast("string"))
+      val kept = TextAnalysis.qualityGate(docs, "source", "doc_id", num, den)
+      // exactly floor(n_group * num / den) docs survive per group
+      val groupSizes = corpus.groupBy(_._1 % 2).view.mapValues(_.size.toLong).toMap
+      val keptSizes = kept.groupBy("source").count()
+        .collect().map(r => r.getString(0).toLong -> r.getAs[Long]("count")).toMap
+      groupSizes.foreach { case (g, n) =>
+        assert(keptSizes.getOrElse(g, 0L) == n * num / den,
+          s"group $g: expected ${n * num / den} of $n kept")
+      }
+      // membership is a pure function of content — row order must not matter
+      val again = TextAnalysis.qualityGate(
+        docs.orderBy(rand(7)), "source", "doc_id", num, den)
+      assert(kept.select("doc_id").exceptAll(again.select("doc_id")).isEmpty &&
+        again.select("doc_id").exceptAll(kept.select("doc_id")).isEmpty)
+    }
+  }
 }
