@@ -293,6 +293,31 @@ object TextAnalysis {
       .drop("_n_grp")
   }
 
+  /** The 100 TB flavor of [[qualityGate]]: per-group `percentile_approx`
+    * quality threshold (one tiny aggregate, #groups rows) broadcast back,
+    * then a MAP-ONLY filter — no per-group total sort, so the corpus is
+    * never globally ordered. The cut is approximate at the boundary
+    * (within `percentile_approx`'s rank error, ±1/accuracy of the group)
+    * and threshold-based (ties at the threshold all survive), which is why
+    * the exact rank gate above stays the oracle/correctness reference.
+    */
+  def qualityGateApprox(docs: DataFrame, groupCol: String, keepFrac: Double,
+                        accuracy: Int = 10000,
+                        stopwords: Seq[String] = defaultStopwords,
+                        textCol: String = "text"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val scored = qualitySignals(docs, stopwords, textCol)
+    val thresholds = scored
+      .groupBy(col(groupCol))
+      .agg(percentile_approx(col("quality"), lit(1.0 - keepFrac), lit(accuracy))
+        .as("_thr"))
+    scored
+      .join(broadcast(thresholds), Seq(groupCol))
+      .where(col("quality") >= col("_thr"))
+      .drop("_thr")
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Distinct k-token shingles of an eval/benchmark set — the

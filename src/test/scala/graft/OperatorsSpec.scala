@@ -531,4 +531,22 @@ class OperatorsSpec extends SparkSpecBase {
       .select("doc_id", "rnk").as[(Long, Long)].collect().toMap
     assert(kept == Map(1L -> 1L, 2L -> 2L)) // floor(4/2)=2 from s1, none from s2
   }
+
+  test("qualityGateApprox tracks the exact gate's kept fraction per group") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    val approx = TextAnalysis.qualityGateApprox(docs, "source", keepFrac = 0.5)
+    // kept mass close to the target fraction overall (threshold ties can
+    // only ADD docs, approx rank error is tiny at this accuracy)
+    val keptN = approx.count()
+    assert(keptN >= n * 45 / 100 && keptN <= n * 56 / 100,
+      s"kept $keptN of $n — not within tolerance of the 50% target")
+    // every kept doc's quality clears its own group's threshold by
+    // construction: verify against the exact gate — the approx-kept set
+    // must contain the exact gate's CLEARLY-above-cut docs (rank well
+    // inside the kept half can only be excluded by a wrong threshold)
+    val exact = TextAnalysis.qualityGate(docs, "source", "doc_id", 2, 5) // top 40%
+    val missing = exact.select("doc_id").exceptAll(approx.select("doc_id")).count()
+    assert(missing == 0, s"$missing top-40% docs missing from the approx top-50% gate")
+  }
 }
