@@ -17,7 +17,11 @@ import graft.functions.{Functions => F}
   *  3. test-set decontamination (drop docs sharing any k-gram with the
   *     eval set — optional, on when `evalDocs` is given);
   *  4. quality floor (composite length/punct/stopword score);
-  *  5. deterministic content-hash train/val split.
+  *  5. LM familiarity floor against a reference-slice bigram model
+  *     (CCNet-style — optional, on when `lmRefDocs` is given);
+  *  6. per-group relative quality gate (Gopher-style keep-top-fraction
+  *     per source, map-only percentile threshold — optional);
+  *  7. deterministic content-hash train/val split.
   *
   * Everything is a single declarative plan per stage; the near-dup stage
   * materializes its component table (see [[Dedup.connectedComponents]]).
@@ -34,6 +38,16 @@ object TrainingPipeline {
     * @param nearDupThreshold exact n-gram Jaccard cutoff for near-dup pairs
     * @param decontaminateK eval-overlap shingle size (8 ≈ the standard
     *                     n-gram-overlap decontamination window)
+    * @param gateGroupCol per-group RELATIVE quality gate (Gopher-style):
+    *                     when set, keep the top `gateKeepFrac` of each
+    *                     group (e.g. source) by the pipeline's quality
+    *                     column — map-only percentile-threshold flavor,
+    *                     reusing the already-computed score
+    * @param gateKeepFrac fraction each gate group keeps (1.0 disables)
+    * @param minFamiliarity CCNet-style LM floor: drop docs whose
+    *                     [[TextAnalysis.lmFamiliarity]] against
+    *                     `lmRefDocs`' bigram model falls below this
+    *                     (0 disables; requires `lmRefDocs` in [[prepare]])
     */
   final case class Config(
     shingleK: Int = 3,
@@ -42,14 +56,22 @@ object TrainingPipeline {
     minQuality: Double = 0.0,
     trainPct: Int = 90,
     stopwords: Seq[String] = TextAnalysis.defaultStopwords,
-    decontaminateK: Int = 8)
+    decontaminateK: Int = 8,
+    gateGroupCol: Option[String] = None,
+    gateKeepFrac: Double = 1.0,
+    minFamiliarity: Double = 0.0)
 
   /** Run the full preparation over `docs(idCol, textCol, …)`. Output keeps
     * the input columns and adds `quality` and `split`. `evalDocs`, when
     * given, enables the decontamination stage against that eval set.
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String = "text",
-              cfg: Config = Config(), evalDocs: Option[DataFrame] = None): DataFrame = {
+              cfg: Config = Config(), evalDocs: Option[DataFrame] = None,
+              lmRefDocs: Option[DataFrame] = None): DataFrame = {
+    require(cfg.gateKeepFrac > 0.0 && cfg.gateKeepFrac <= 1.0,
+      s"gateKeepFrac must be in (0, 1], got ${cfg.gateKeepFrac}")
+    require(cfg.minFamiliarity == 0.0 || lmRefDocs.isDefined,
+      "minFamiliarity > 0 requires lmRefDocs (the LM reference slice)")
     // quality is computed ONCE, before clustering: the same column orders
     // the keep-best window AND survives as the output score (recomputing
     // the three full-text scans inside the window ordering would double
@@ -72,6 +94,29 @@ object TrainingPipeline {
     val filtered =
       if (cfg.minQuality > 0.0) decontaminated.where(col("quality") >= cfg.minQuality)
       else decontaminated
-    TextAnalysis.hashSplit(filtered, cfg.trainPct, textCol)
+    // CCNet-style LM floor: model table from the reference slice (small by
+    // construction → broadcast), score the survivors, drop the unfamiliar
+    val familiar = lmRefDocs match {
+      case Some(ref) if cfg.minFamiliarity > 0.0 =>
+        val lm = TextAnalysis.bigramCounts(ref, textCol)
+        val fam = TextAnalysis.lmFamiliarity(
+          filtered.select(col(idCol), col(textCol)), lm, idCol, textCol)
+          .select(col(idCol), col("familiarity"))
+        filtered.join(fam, Seq(idCol))
+          .where(col("familiarity") >= cfg.minFamiliarity)
+      case _ => filtered
+    }
+    // per-group relative gate reusing the pipeline's own quality column —
+    // the map-only qualityGateApprox shape without a second corpus scan
+    val gated = cfg.gateGroupCol match {
+      case Some(g) if cfg.gateKeepFrac < 1.0 =>
+        val thr = familiar.groupBy(col(g))
+          .agg(percentile_approx(col("quality"), lit(1.0 - cfg.gateKeepFrac),
+            lit(10000)).as("_thr"))
+        familiar.join(broadcast(thr), Seq(g))
+          .where(col("quality") >= col("_thr")).drop("_thr")
+      case _ => familiar
+    }
+    TextAnalysis.hashSplit(gated, cfg.trainPct, textCol)
   }
 }

@@ -57,6 +57,30 @@ class PipelineE2ESpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("training pipeline: LM floor and per-source gate only remove rows, honor bounds") {
+    import graft.operators.{TextAnalysis, TrainingPipeline}
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    val plain = TrainingPipeline.prepare(docs, "doc_id").persist()
+    // LM floor against an en-slice model: survivors all clear the floor,
+    // and the stage is drop-only vs the plain pipeline
+    val ref = graft.sources.Tables.load(spark, sfDir, "documents")
+      .where(col("lang") === "en").select("doc_id", "text")
+    val withLm = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = TrainingPipeline.Config(minFamiliarity = 0.3), lmRefDocs = Some(ref))
+    assert(withLm.where(col("familiarity") < 0.3).isEmpty)
+    assert(withLm.select("doc_id").exceptAll(plain.select("doc_id")).isEmpty)
+    // per-source gate: kept mass ≈ the target fraction, drop-only
+    val gated = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = TrainingPipeline.Config(gateGroupCol = Some("source"), gateKeepFrac = 0.5))
+      .persist()
+    val n = plain.count(); val kept = gated.count()
+    assert(kept >= n * 45 / 100 && kept <= n * 60 / 100,
+      s"gate kept $kept of $n — far from the 50% target")
+    assert(gated.select("doc_id").exceptAll(plain.select("doc_id")).isEmpty)
+    plain.unpersist(); gated.unpersist()
+  }
+
   private def frame(marker: Int, dayOffsetMs: Long, body: String): Array[Byte] =
     EventModel.encode(Frame(marker,
       java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime + dayOffsetMs,
