@@ -304,18 +304,33 @@ object TextAnalysis {
   def qualityGateApprox(docs: DataFrame, groupCol: String, keepFrac: Double,
                         accuracy: Int = 10000,
                         stopwords: Seq[String] = defaultStopwords,
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text"): DataFrame =
+    gateScoredByGroup(qualitySignals(docs, stopwords, textCol),
+      groupCol, keepFrac, accuracy)
+
+  /** The threshold-gate core over a PRE-SCORED DataFrame — shared by
+    * [[qualityGateApprox]] and `TrainingPipeline.prepare`'s gate stage (one
+    * implementation, one boundary semantics). The group match is NULL-SAFE
+    * (`<=>`): a null group is a real stratum (scraped-corpus metadata is
+    * full of them) and gates like any other — a plain equi-join would
+    * silently drop every null-group row, diverging from the exact
+    * [[qualityGate]] whose window partition keeps them.
+    */
+  private[graft] def gateScoredByGroup(scored: DataFrame, groupCol: String,
+                                       keepFrac: Double, accuracy: Int,
+                                       scoreCol: String = "quality"): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in (0, 1], got $keepFrac")
-    val scored = qualitySignals(docs, stopwords, textCol)
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
     val thresholds = scored
       .groupBy(col(groupCol))
-      .agg(percentile_approx(col("quality"), lit(1.0 - keepFrac), lit(accuracy))
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - keepFrac), lit(accuracy))
         .as("_thr"))
+      .withColumnRenamed(groupCol, "_gate_grp")
     scored
-      .join(broadcast(thresholds), Seq(groupCol))
-      .where(col("quality") >= col("_thr"))
-      .drop("_thr")
+      .join(broadcast(thresholds), col(groupCol) <=> col("_gate_grp"))
+      .where(col(scoreCol) >= col("_thr"))
+      .drop("_gate_grp", "_thr")
   }
 
   // ------------------------------------------------- decontamination

@@ -59,11 +59,14 @@ object TrainingPipeline {
     decontaminateK: Int = 8,
     gateGroupCol: Option[String] = None,
     gateKeepFrac: Double = 1.0,
+    gateAccuracy: Int = 10000,
     minFamiliarity: Double = 0.0)
 
   /** Run the full preparation over `docs(idCol, textCol, …)`. Output keeps
-    * the input columns and adds `quality` and `split`. `evalDocs`, when
-    * given, enables the decontamination stage against that eval set.
+    * the input columns and adds `quality` and `split` — plus `familiarity`
+    * when the LM floor runs. `evalDocs`, when given, enables the
+    * decontamination stage against that eval set; `lmRefDocs` is the LM
+    * reference slice (required when `minFamiliarity` > 0).
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String = "text",
               cfg: Config = Config(), evalDocs: Option[DataFrame] = None,
@@ -94,27 +97,32 @@ object TrainingPipeline {
     val filtered =
       if (cfg.minQuality > 0.0) decontaminated.where(col("quality") >= cfg.minQuality)
       else decontaminated
+    val lmStage = lmRefDocs.isDefined && cfg.minFamiliarity > 0.0
+    val gateStage = cfg.gateGroupCol.isDefined && cfg.gateKeepFrac < 1.0
+    // the optional stages reference their input MULTIPLE times (the LM
+    // scorer twice + its join-back, the gate's threshold agg + filter);
+    // without a stage boundary each reference re-executes the whole
+    // dedup→keep-best→decontaminate lineage. Materialize it once —
+    // in-API via localCheckpoint; at corpus scale write the intermediate
+    // table instead (see the object doc)
+    val base = if (lmStage || gateStage) filtered.localCheckpoint() else filtered
     // CCNet-style LM floor: model table from the reference slice (small by
     // construction → broadcast), score the survivors, drop the unfamiliar
-    val familiar = lmRefDocs match {
-      case Some(ref) if cfg.minFamiliarity > 0.0 =>
-        val lm = TextAnalysis.bigramCounts(ref, textCol)
+    val familiar =
+      if (lmStage) {
+        val lm = TextAnalysis.bigramCounts(lmRefDocs.get, textCol)
         val fam = TextAnalysis.lmFamiliarity(
-          filtered.select(col(idCol), col(textCol)), lm, idCol, textCol)
+          base.select(col(idCol), col(textCol)), lm, idCol, textCol)
           .select(col(idCol), col("familiarity"))
-        filtered.join(fam, Seq(idCol))
+        base.join(fam, Seq(idCol))
           .where(col("familiarity") >= cfg.minFamiliarity)
-      case _ => filtered
-    }
-    // per-group relative gate reusing the pipeline's own quality column —
-    // the map-only qualityGateApprox shape without a second corpus scan
+      } else base
+    // per-group relative gate reusing the pipeline's own quality column
+    // (no re-score) — one shared implementation with qualityGateApprox,
+    // null-safe on the group key
     val gated = cfg.gateGroupCol match {
-      case Some(g) if cfg.gateKeepFrac < 1.0 =>
-        val thr = familiar.groupBy(col(g))
-          .agg(percentile_approx(col("quality"), lit(1.0 - cfg.gateKeepFrac),
-            lit(10000)).as("_thr"))
-        familiar.join(broadcast(thr), Seq(g))
-          .where(col("quality") >= col("_thr")).drop("_thr")
+      case Some(g) if gateStage =>
+        TextAnalysis.gateScoredByGroup(familiar, g, cfg.gateKeepFrac, cfg.gateAccuracy)
       case _ => familiar
     }
     TextAnalysis.hashSplit(gated, cfg.trainPct, textCol)

@@ -31,8 +31,9 @@ object EventRouter {
     * The envelope decode runs INSIDE the streaming plan (before
     * foreachBatch) so the stream carries a real event-time `timestamp`
     * column and `withWatermark(lateness)` applies — the query's
-    * `lastProgress.eventTime("watermark")` is then the lateness-adjusted
-    * input [[closeDays]] documents.
+    * `lastProgress.eventTime("watermark")` is then populated with the
+    * lateness-adjusted watermark, which is exactly the input
+    * [[closeDays]] needs.
     *
     * Delivery is at-least-once per micro-batch, like the reference's
     * offset-tracked writers (COVERAGE ST8): if the fan-out fails midway
@@ -76,14 +77,21 @@ object EventRouter {
         .collect().map(_.getString(0)).toSet
       types.filter(present).foreach { tpe =>
         val typed = FrameSource.typedTable(frames, tpe)
-        // per-type tables partition by day only — the type IS the
-        // directory (reference's one-table-per-descriptor layout);
-        // unionView re-tags event_type when reading across types
-        typed.drop("event_type")
-          .withColumn("day", to_date(date_trunc("day", col("timestamp"))))
-          .sortWithinPartitions(col("day"), col("timestamp"))
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .partitionBy("day").parquet(s"$basePath/$tpe")
+        // the present set is PRE-decode: a type whose only frames fail the
+        // proto decode (typedTable's isNotNull filter) still reaches here,
+        // and an empty Append would create a schema-less table dir that
+        // breaks readers until real data arrives — so the cheap per-
+        // PRESENT-type guard stays (absent types never get this far)
+        if (!typed.isEmpty) {
+          // per-type tables partition by day only — the type IS the
+          // directory (reference's one-table-per-descriptor layout);
+          // unionView re-tags event_type when reading across types
+          typed.drop("event_type")
+            .withColumn("day", to_date(date_trunc("day", col("timestamp"))))
+            .sortWithinPartitions(col("day"), col("timestamp"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .partitionBy("day").parquet(s"$basePath/$tpe")
+        }
       }
     } finally frames.unpersist()
   }

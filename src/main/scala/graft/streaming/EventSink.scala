@@ -97,8 +97,18 @@ object EventSink {
     * deployment recipe for compactable tables is the foreachBatch append
     * layout ([[EventRouter.routeTyped]] / [[writePartitioned]]).
     */
-  private def isStreamLogTracked(fs: org.apache.hadoop.fs.FileSystem, tablePath: String): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/_spark_metadata"))
+  private def isStreamLogTracked(fs: org.apache.hadoop.fs.FileSystem, tablePath: String): Boolean = {
+    // walk ANCESTORS too: callers may address a subdirectory of the sink's
+    // root as the table (the per-type layout does exactly that), and the
+    // log lives at the sink root — a same-level-only check would let the
+    // swap proceed and corrupt the log-tracked table anyway
+    var p = fs.makeQualified(new org.apache.hadoop.fs.Path(tablePath))
+    while (p != null) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, "_spark_metadata"))) return true
+      p = p.getParent
+    }
+    false
+  }
 
   def compactPartition(spark: SparkSession, tablePath: String, partitionSpec: Map[String, String],
                        maxFiles: Int = 8, targetFiles: Int = 1,

@@ -92,6 +92,21 @@ class EventRouterSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a type whose only frames fail proto decode creates no table directory") {
+    val base = Files.createTempDirectory("router_corrupt").toString
+    // valid envelope (marker 1000 = GC_EVENT, real timestamp) but a body
+    // the proto decoder nulls out (truncated varint tag): the type is in
+    // the pre-decode present set yet yields zero typed rows — must not
+    // leave a schema-less empty table dir behind
+    val corrupt = (EventModel.encode(EventModel.Frame(1000, day1,
+      header, Array[Byte](0xFF.toByte))), 1L)
+    val b = Seq(fsFrame(day1, "WRITE", 2), corrupt).toDF("value", "offset")
+    EventRouter.routeBatch(b, base, Seq("FS_EVENT", "GC_EVENT"))
+    assert(spark.read.parquet(s"$base/FS_EVENT").count() == 1)
+    assert(!new java.io.File(s"$base/GC_EVENT").exists(),
+      "corrupt-only GC_EVENT batch must not create an empty table dir")
+  }
+
   test("batch routeBatch appends without duplicating other types") {
     val base = Files.createTempDirectory("router_b").toString
     val b1 = Seq(fsFrame(day1, "WRITE", 1)).toDF("value", "offset")

@@ -231,6 +231,11 @@ class EventSinkSpec extends SparkSpecBase {
       Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 1))
     assert(EventSink.dropExpiredPartitions(spark, dir, "FS_EVENT",
       java.time.LocalDate.parse("2024-06-01"), retainDays = 1).isEmpty)
+    // addressing a SUBDIRECTORY of the sink root as the table must refuse
+    // too — the metadata log lives at the root, but the rename would
+    // corrupt it all the same (guard walks ancestors)
+    assert(!EventSink.compactPartition(spark, s"$dir/event_type=FS_EVENT",
+      Map("day" -> "2024-03-01"), maxFiles = 1))
     assert(spark.read.parquet(dir).count() == before)
   }
 

@@ -549,4 +549,19 @@ class OperatorsSpec extends SparkSpecBase {
     val missing = exact.select("doc_id").exceptAll(approx.select("doc_id")).count()
     assert(missing == 0, s"$missing top-40% docs missing from the approx top-50% gate")
   }
+
+  test("qualityGateApprox gates a null group as a real stratum (no silent drop)") {
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, null: String, toks(40, "a") + " the of and in is"),
+      (2L, null: String, toks(2, "b")),
+      (3L, "s", toks(40, "c") + " the of and in is"),
+      (4L, "s", toks(2, "d"))).toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.qualityGateApprox(docs, "source", keepFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // the null group gates like any other — its best doc survives (an
+    // equi-join on the group key would have dropped ids 1 and 2 outright)
+    assert(kept.contains(1L), "best null-group doc must survive the gate")
+    assert(kept.contains(3L))
+  }
 }
