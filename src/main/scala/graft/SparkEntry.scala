@@ -193,15 +193,19 @@ object SparkEntry {
     //      witness checks (Spark-side measured property; the oracle
     //      contributes the exact join-aggregate values). ----
     "q_bucketed_join" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft_bucketed_").toString
+      // stamp-suffixed table names + exit-time cleanup: repeated/concurrent
+      // runs sharing a warehouse must not race on a fixed name or leak dirs
+      val work = BucketedTables.scratchDir("graft_bucketed_")
+      val stamp = work.getFileName.toString.stripPrefix("graft_bucketed_")
+      val (lTable, oTable) = (s"graft_bkt_lineitem_$stamp", s"graft_bkt_orders_$stamp")
       BucketedTables.writeBucketed(
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-        "graft_bkt_lineitem", "l_orderkey", 8, Some(s"$work/lineitem"))
+        lTable, "l_orderkey", 8, Some(s"$work/lineitem"))
       BucketedTables.writeBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_bkt_orders", "o_orderkey", 8, Some(s"$work/orders"))
+        oTable, "o_orderkey", 8, Some(s"$work/orders"))
       val joined = BucketedTables.bucketedEquiJoin(s,
-        "graft_bkt_lineitem", "graft_bkt_orders", "l_orderkey", "o_orderkey")
+        lTable, oTable, "l_orderkey", "o_orderkey")
       val shuffleFree = BucketedTables.countShuffles(joined) == 0
       joined
         .groupBy(col("o_orderpriority"))
@@ -554,8 +558,9 @@ object SparkEntry {
     // ---- Text: temperature mixture flattening (τ = 0.5): per-stratum
     //      keep fractions ∝ share^(τ−1) anchored at the smallest stratum,
     //      applied via the replay-stable salted-fingerprint selector. The
-    //      oracle recomputes the fractions (same pow/normalize chain) and
-    //      every doc's selection. ----
+    //      oracle recomputes the fractions via the τ=½ sqrt identity
+    //      (bit-exact cross-engine; see temperatureFractions) and every
+    //      doc's integer-cut selection. ----
     "q_temperature_mix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val fr = TextAnalysis.temperatureFractions(docs, "lang", temperature = 0.5)
@@ -1134,9 +1139,15 @@ object SparkEntry {
       |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
       |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
-  /** The salted Knuth-mixed selector of [[TextAnalysis.stratifiedSample]]. */
-  private def selectorSql(seed: Long): String =
-    s"(($fpSql + $seed) * 2654435761 % 1000000007) % 10000"
+  /** The salted Knuth-mixed selector of [[TextAnalysis.stratifiedSample]].
+    * The seed is reduced mod p exactly as the operator does it
+    * (TextAnalysis.scala `seedReduced`) — embedding the raw seed would make
+    * the two renditions drift for any seed ≥ p (e.g. a timestamp) or < 0.
+    */
+  private def selectorSql(seed: Long): String = {
+    val seedReduced = ((seed % 1000000007L) + 1000000007L) % 1000000007L
+    s"(($fpSql + $seedReduced) * 2654435761 % 1000000007) % 10000"
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1869,19 +1880,22 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk, quality
         |FROM r WHERE rnk * 2 <= n_grp * 1 ORDER BY doc_id""".stripMargin,
 
+    // fractions via the τ=½ identity f_s = sqrt(n_min/n_s) (the operator
+    // computes exactly this): sqrt is correctly rounded in IEEE 754, so
+    // both engines produce the bit-identical double and the integer
+    // floor(frac·10⁴) cut cannot straddle a pow ulp.
     "q_temperature_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-         |w AS (
+         |fr AS (
          |  SELECT lang,
-         |    pow(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM c), -0.5) AS raw
+         |    sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) AS frac
          |  FROM c),
-         |fr AS (SELECT lang, raw / (SELECT max(raw) FROM w) AS frac FROM w),
          |sel AS (
          |  SELECT lang, doc_id, ${selectorSql(11L)} AS sel
          |  FROM documents)
          |SELECT s.lang, count(*) AS n_docs, min(s.doc_id) AS min_id
          |FROM sel s JOIN fr USING (lang)
-         |WHERE CAST(s.sel AS DOUBLE) < fr.frac * 10000
+         |WHERE s.sel < CAST(floor(fr.frac * 10000) AS BIGINT)
          |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
 
     "q_stratified_sample" ->
@@ -1890,8 +1904,9 @@ object SparkEntry {
          |  FROM documents)
          |SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
          |FROM f
-         |WHERE CAST(sel AS DOUBLE) <
-         |  (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END) * 10000
+         |WHERE sel < CAST(floor(
+         |  (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END) * 10000)
+         |  AS BIGINT)
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_hash_split" ->

@@ -28,6 +28,14 @@ import graft.functions.{Functions => F, VectorExpressions}
   */
 object Similarity {
 
+  /** Hard cap on driver-materialized probe rows (queries × nProbe) — the
+    * enforcement constant behind the ANN API's driver-sized-query-batch
+    * contract (see [[materializedProbes]]). 1M rows of (id, vector, cid)
+    * is tens-to-hundreds of MB on the driver: comfortably under default
+    * driver memory, far past any interactive query batch.
+    */
+  val MaxProbeRows: Int = 1 << 20
+
   /** Banded hyperplane signatures of a vector column: one row per (id,
     * band, sig), seed = band index.
     */
@@ -177,6 +185,13 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
     val probeRows = probesPlan.collect()
+    // enforce the driver-sized contract by name: a corpus-sized `queries`
+    // DataFrame should fail with this message, not an opaque driver OOM
+    require(probeRows.length <= MaxProbeRows,
+      s"ANN query batch too large for the driver-materialized probe contract: " +
+        s"${probeRows.length} probe rows (= queries × nProbe) > $MaxProbeRows. " +
+        "The ANN query API requires a driver-sized query batch; corpus-sized " +
+        "\"queries\" belong in graft.operators.Dedup.embeddingNearDups.")
     val materialized = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
     (materialized.select(col("query_id"), col("qv")).dropDuplicates("query_id"),

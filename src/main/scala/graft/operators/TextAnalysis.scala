@@ -149,7 +149,13 @@ object TextAnalysis {
       lit(1000000007L))
     val frac = coalesce(
       element_at(typedlit(fractions), col(strataCol)), lit(1.0))
-    docs.where(pmod(salted, lit(10000L)).cast(DoubleType) < frac * 10000)
+    // integer gate: keep iff selector < floor(frac·10⁴). Selector and cut
+    // are both longs, so there is no float-threshold comparison to straddle;
+    // the only double ops (frac·10⁴, floor) are single correctly-rounded
+    // IEEE operations — bit-identical in any engine given the same frac —
+    // unlike a raw `sel < frac·10⁴` double compare where a 1-ulp fraction
+    // drift flips docs whose selector sits on the cut.
+    docs.where(pmod(salted, lit(10000L)) < floor(frac * 10000))
   }
 
   /** Stronger (xxhash64-based) rolling fingerprint — Spark-native flavor,
@@ -174,21 +180,32 @@ object TextAnalysis {
                            temperature: Double): Map[String, Double] = {
     require(temperature > 0.0 && temperature <= 1.0,
       s"temperature must be in (0, 1], got $temperature")
+    require(docs.schema(strataCol).dataType == StringType,
+      s"temperatureFractions: '$strataCol' must be StringType — fractions key " +
+        s"into a Map[String, Double] consumed by stratifiedSample's map lookup; " +
+        s"got ${docs.schema(strataCol).dataType.simpleString} (cast it first)")
     val counts = docs.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureFractions: empty corpus (no strata)")
     // a null stratum key cannot be looked up by stratifiedSample's map
     // lookup — those docs would silently be kept whole while still
-    // inflating `total`, skewing every other fraction
+    // inflating the totals, skewing every other fraction
     require(!counts.contains(null),
       s"temperatureFractions: null values in '$strataCol' — fill or filter them first")
-    val total = counts.values.sum.toDouble
-    // f_s ∝ p_s^(τ−1): decreasing in p_s for τ < 1, so the smallest
-    // stratum carries the largest raw weight — anchor it at 1.0
-    val raw = counts.map { case (s, n) => s -> math.pow(n / total, temperature - 1.0) }
-    val maxRaw = raw.values.max
-    raw.map { case (s, w) => s -> w / maxRaw }
+    // f_s = (p_s/p_min)^(τ−1) = (n_min/n_s)^(1−τ): anchoring at the
+    // smallest stratum directly (corpus total cancels) is one op per
+    // stratum, and τ = ½ — the common flattening choice — goes through
+    // sqrt, which IEEE 754 guarantees correctly rounded (pow is only
+    // ~1-ulp): an engine recomputing n_min/n_s then sqrt reproduces the
+    // fraction BIT-EXACTLY, so the floor(frac·10⁴) cut downstream cannot
+    // drift across engines.
+    val nMin = counts.values.min
+    counts.map { case (s, n) =>
+      val ratio = nMin.toDouble / n
+      s -> (if (temperature == 0.5) math.sqrt(ratio)
+            else math.pow(ratio, 1.0 - temperature))
+    }
   }
 
   // ------------------------------------------------- corpus-LM scoring

@@ -28,6 +28,25 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   */
 object BucketedTables {
 
+  /** Scratch directory for throwaway bucketed layouts, deleted recursively
+    * on JVM exit. Gate/bench queries write bucketed fixtures INSIDE the
+    * query closure, where eager deletion is impossible (the returned lazy
+    * plan still reads the files) — without the hook every invocation leaks
+    * a directory. The unique stamp in the name doubles as a table-name
+    * suffix so concurrent runs sharing a warehouse cannot race on a fixed
+    * catalog name.
+    */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Path}
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach((p: Path) => { Files.deleteIfExists(p); () })
+      catch { case _: Exception => () } // best-effort: never block JVM exit
+    }))
+    dir
+  }
+
   /** Write `df` as a bucketed, per-bucket-sorted parquet catalog table.
     * `path` makes it an external table (data under `path`, metadata in the
     * session catalog) — at corpus scale the location is a real layout

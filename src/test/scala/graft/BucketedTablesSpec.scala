@@ -10,24 +10,29 @@ import graft.sources.{BucketedTables, Tables}
   */
 class BucketedTablesSpec extends SparkSpecBase {
 
-  private lazy val work =
-    java.nio.file.Files.createTempDirectory("bucketed_spec_").toString
+  // stamp-suffixed names + exit-time dir cleanup, same hygiene as
+  // q_bucketed_join: concurrent suites sharing a warehouse must not race
+  private lazy val workDir = BucketedTables.scratchDir("bucketed_spec_")
+  private lazy val work = workDir.toString
+  private lazy val stamp = workDir.getFileName.toString.stripPrefix("bucketed_spec_")
+  private lazy val lineitemTable = s"spec_bkt_lineitem_$stamp"
+  private lazy val ordersTable = s"spec_bkt_orders_$stamp"
 
   private def writeFixtures(): Unit = {
     BucketedTables.writeBucketed(
       Tables.load(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity")),
-      "spec_bkt_lineitem", "l_orderkey", 4, Some(s"$work/lineitem"))
+      lineitemTable, "l_orderkey", 4, Some(s"$work/lineitem"))
     BucketedTables.writeBucketed(
       Tables.load(spark, sfDir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority")),
-      "spec_bkt_orders", "o_orderkey", 4, Some(s"$work/orders"))
+      ordersTable, "o_orderkey", 4, Some(s"$work/orders"))
   }
 
   test("bucketed-bucketed equi-join plans zero shuffles and zero sorts") {
     writeFixtures()
     def joined = BucketedTables.bucketedEquiJoin(spark,
-      "spec_bkt_lineitem", "spec_bkt_orders", "l_orderkey", "o_orderkey")
+      lineitemTable, ordersTable, "l_orderkey", "o_orderkey")
     assert(BucketedTables.countShuffles(joined) == 0)
     // and it is a sort-merge join, not a broadcast that would hide the test
     val smj = BucketedTables.PlanWitness.collectNodes(joined) {
@@ -50,7 +55,7 @@ class BucketedTablesSpec extends SparkSpecBase {
   test("bucketed join result equals the unbucketed join") {
     writeFixtures()
     val bucketed = BucketedTables.bucketedEquiJoin(spark,
-      "spec_bkt_lineitem", "spec_bkt_orders", "l_orderkey", "o_orderkey")
+      lineitemTable, ordersTable, "l_orderkey", "o_orderkey")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
     val plain = Tables.load(spark, sfDir, "lineitem")
@@ -65,7 +70,7 @@ class BucketedTablesSpec extends SparkSpecBase {
     writeFixtures()
     val unbucketedOrders = Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
-    val joined = spark.table("spec_bkt_lineitem").hint("merge")
+    val joined = spark.table(lineitemTable).hint("merge")
       .join(unbucketedOrders, col("l_orderkey") === col("o_orderkey"))
     assert(BucketedTables.countShuffles(joined) == 1)
   }
