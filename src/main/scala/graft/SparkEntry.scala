@@ -350,6 +350,14 @@ object SparkEntry {
     //      event decided). ----
     "q_stream_enrich" -> ((s, dir) => streaming.StreamingGate.streamEnrich(s, dir)),
 
+    // ---- S1→S2→S7 via the STREAMING ENGINE: the batch-dump lifecycle.
+    //      Wire frames → file stream → EventRouter.routeTyped (decode +
+    //      watermark in-plan, per-type day-partitioned append in
+    //      foreachBatch) → closeDays markers; result re-reads the ROUTED
+    //      tables from disk. day_partitioned/markers_ok are measured
+    //      layout witnesses (oracle hardcodes TRUE). ----
+    "q_stream_route" -> ((s, dir) => streaming.StreamingGate.streamRoute(s, dir)),
+
     // ---- D11/Q10: global sort + limit (raw-row fetch) ----
     "q_sort_limit" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1645,6 +1653,32 @@ object SparkEntry {
         |  (max(ms) + 1000) - min(ms) AS duration_ms,
         |  'END' AS closed_by
         |FROM base GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the routed-table aggregate recomputed from raw events columns: the
+    // FS half covers every row, the GC half the every-7th rows; the two
+    // layout witnesses are Spark-side measured, hardcoded TRUE here
+    "q_stream_route" ->
+      """WITH fs AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |         upper(event_type) AS grp,
+        |         count(*) AS n,
+        |         count(DISTINCT user_id % 20) AS n_apps,
+        |         CAST(sum(event_id % 997) AS BIGINT) AS checksum
+        |  FROM events GROUP BY 1, 2),
+        |gc AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |         CASE WHEN event_id % 21 = 0 THEN 'G1 Old Generation'
+        |              ELSE 'PS Scavenge' END AS grp,
+        |         count(*) AS n,
+        |         count(DISTINCT user_id % 20) AS n_apps,
+        |         CAST(sum(event_id % 50) AS BIGINT) AS checksum
+        |  FROM events WHERE event_id % 7 = 0 GROUP BY 1, 2)
+        |SELECT 'FS_EVENT' AS event_type, day, grp, n, n_apps, checksum,
+        |       TRUE AS day_partitioned, TRUE AS markers_ok FROM fs
+        |UNION ALL
+        |SELECT 'GC_EVENT' AS event_type, day, grp, n, n_apps, checksum,
+        |       TRUE AS day_partitioned, TRUE AS markers_ok FROM gc
+        |ORDER BY event_type, day, grp""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events

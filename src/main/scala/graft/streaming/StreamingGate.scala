@@ -2,10 +2,10 @@ package graft.streaming
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.streaming.Sessionizer.{SessionEvent, SessionResult}
 import graft.streaming.StreamingEnrichment.{AppAttrs, EnrichInput, EnrichedEvent}
@@ -81,6 +81,122 @@ object StreamingGate {
         col("durationMillis").as("duration_ms"),
         col("closedBy").as("closed_by"))
       .orderBy(col("user_id"))
+  }
+
+  /** S1→S2→S7 through the streaming engine: the reference's batch-dump
+    * lifecycle (one consumer fanning decoded messages out to per-type
+    * day-partitioned writers, then stamping finished days — reference
+    * readers/hdfs/src/main/java/.../ReaderFactory.java:191-314) executed
+    * end-to-end. Every events row is encoded as an FS_EVENT wire frame
+    * (every 7th additionally as a GC_EVENT), the frames go through a file
+    * stream → [[EventRouter.routeTyped]] (envelope decode + watermark
+    * in-plan, per-type proto decode + day-partitioned append inside
+    * `foreachBatch`) → [[EventRouter.closeDays]] with the query's final
+    * watermark. The result re-reads the ROUTED TABLES from disk and
+    * aggregates per (type, day, group); the DuckDB oracle recomputes the
+    * same aggregate from the raw events columns, so any drift anywhere in
+    * encode → stream → route → day-partition → read-back breaks the hash.
+    * `day_partitioned` / `markers_ok` are Spark-side MEASURED layout
+    * witnesses (day= dirs exist; every watermark-closed day carries
+    * `_DONE`); the oracle contributes the data values and hardcodes the
+    * witnesses TRUE.
+    */
+  def streamRoute(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.model.{EventModel, ProtoDescriptors}
+    val work = Files.createTempDirectory("graft_stream_route_").toFile.getAbsolutePath
+    val srcDir = s"$work/frames"; val base = s"$work/tables"; val ckpt = s"$work/ckpt"
+
+    val rows = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long, String, Long)]
+    val frames = rows.mapPartitions { it =>
+      it.flatMap { case (eventId, userId, eventType, tsMs) =>
+        val header = ProtoDescriptors.header.encode(Seq(
+          s"application_${userId % 20}", "1", "graft_pipeline", s"user_${userId % 7}",
+          s"container_${eventId % 97}", s"host_${userId % 11}", "", "YARN", "EXECUTOR",
+          "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+        val fsBody = ProtoDescriptors.fsEvent.encode(Seq(
+          "", "", eventType.toUpperCase, "hdfs://root", eventId % 997,
+          s"user_${userId % 7}", if (eventId % 10 == 0) "FAILURE" else "SUCCESS"))
+        val fsFrame = (EventModel.encode(EventModel.Frame(
+          EventModel.markerForName("FS_EVENT"), tsMs, header, fsBody)), eventId)
+        if (eventId % 7 == 0) {
+          val gcBody = ProtoDescriptors.gcStatisticsData.encode(Seq(
+            if (eventId % 21 == 0) "G1 Old Generation" else "PS Scavenge",
+            eventId % 50, "Allocation Failure",
+            0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0.0f))
+          Seq(fsFrame, (EventModel.encode(EventModel.Frame(
+            EventModel.markerForName("GC_EVENT"), tsMs, header, gcBody)), eventId))
+        } else Seq(fsFrame)
+      }
+    }.toDF("value", "offset")
+    // two source files ⇒ two micro-batches (see maxFilesPerTrigger below):
+    // the routed tables must come out identical however the engine batches
+    frames.repartition(2).write.mode("overwrite").parquet(srcDir)
+
+    // one file per micro-batch: the progress-reported watermark always
+    // lags the current batch (it is computed from the PREVIOUS batches'
+    // event-time stats), so a single-batch run would report epoch 0 and
+    // close nothing — two batches leave the final watermark covering the
+    // first file's max event time minus the grace (a random half of a
+    // ~month of fixture days: many days close, which is all the boolean
+    // witness needs)
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("value", BinaryType), StructField("offset", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val types = Seq("FS_EVENT", "GC_EVENT")
+    val query = EventRouter.routeTyped(raw, base, ckpt, types,
+        trigger = Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    // lifecycle epilogue: stamp the days the final watermark closed
+    val wmMillis = Option(query.lastProgress)
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(w => java.time.Instant.parse(w).toEpochMilli)
+    val closed = wmMillis.toSeq.flatMap(EventRouter.closeDays(spark, base, types, _))
+
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dayDirs(tpe: String): Seq[org.apache.hadoop.fs.Path] =
+      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$base/$tpe")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(_.getPath)
+    val dayPartitioned = types.forall(dayDirs(_).nonEmpty)
+    // every day strictly before the watermark's close day must be stamped,
+    // and (with ~a month of fixture days vs a 26 h grace) some day must be
+    val markersOk = closed.nonEmpty && wmMillis.exists { wm =>
+      val closedBefore = EventSink.closedDayFromWatermark(wm)
+      types.forall(dayDirs(_).forall { p =>
+        val day = java.time.LocalDate.parse(p.getName.stripPrefix("day="))
+        !day.isBefore(closedBefore) ||
+          hfs.exists(new org.apache.hadoop.fs.Path(p, "_DONE"))
+      })
+    }
+
+    def routedAgg(tpe: String, grp: Column, checksum: Column): DataFrame =
+      spark.read.parquet(s"$base/$tpe")
+        // normalize the inferred day= partition type to midnight-UTC
+        // timestamp — the cross-engine day representation every other
+        // gate query uses (DATE round-trips as pandas Timestamp anyway)
+        .withColumn("day",
+          col("day").cast(org.apache.spark.sql.types.DateType)
+            .cast(org.apache.spark.sql.types.TimestampType))
+        .groupBy(col("day"), grp.as("grp"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("application_id")).as("n_apps"),
+          sum(checksum).as("checksum"))
+        .select(lit(tpe).as("event_type"), col("day"), col("grp"),
+          col("n"), col("n_apps"), col("checksum"))
+    routedAgg("FS_EVENT", col("action"), col("method_duration_millis"))
+      .unionByName(routedAgg("GC_EVENT", col("collector_name"), col("pause_time")))
+      .withColumn("day_partitioned", lit(dayPartitioned))
+      .withColumn("markers_ok", lit(markersOk))
+      .orderBy(col("event_type"), col("day"), col("grp"))
   }
 
   /** J1/J2 through the streaming engine: per-app first-wins attrs, the
