@@ -578,6 +578,23 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Text: temperature mixture UPSAMPLING (τ = 0.5): small strata
+    //      repeated (n_max/n_s)^(1−τ)× (capped), anchored at the largest
+    //      stratum; each doc's copy count = floor(f) + a salted-selector
+    //      extra, tagged with a 0-based epoch. The oracle replays the
+    //      factor chain (sqrt + least, bit-exact), every doc's copy count,
+    //      and the epoch expansion via a lateral range. ----
+    "q_upsample_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val factors = TextAnalysis.upsampleFactors(docs, "lang",
+        temperature = 0.5, maxFactor = 4.0)
+      TextAnalysis.upsample(docs, "lang", factors, seed = 13L)
+        .groupBy(col("lang"), col("epoch").cast(LongType).as("epoch"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("lang"), col("epoch"))
+    }),
+
     // ---- Text: PII scrubbing (corpus cleaning). The tables carry no PII,
     //      so the query builds deterministic PII-bearing text from events
     //      columns (emails, IPv4s, long digit runs), scrubs it, and the
@@ -1931,6 +1948,33 @@ object SparkEntry {
          |FROM sel s JOIN fr USING (lang)
          |WHERE s.sel < CAST(floor(fr.frac * 10000) AS BIGINT)
          |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+
+    // factor chain replayed via the τ=½ identity f = min(sqrt(n_max/n_s),
+    // cap): sqrt and least are correctly rounded / exact, floor(f) and
+    // f − floor(f) are IEEE-exact, so whole copies + the fractional
+    // integer cut match the operator's driver-side constants bit-exactly
+    "q_upsample_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |f AS (
+         |  SELECT lang,
+         |    least(sqrt(CAST((SELECT max(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)),
+         |          4.0) AS f
+         |  FROM c),
+         |k AS (
+         |  SELECT lang, CAST(floor(f) AS BIGINT) AS whole,
+         |         CAST(floor((f - floor(f)) * 10000) AS BIGINT) AS cut
+         |  FROM f),
+         |sel AS (SELECT lang, doc_id, ${selectorSql(13L)} AS sel FROM documents),
+         |copies AS (
+         |  SELECT s.lang, s.doc_id,
+         |         k.whole + (CASE WHEN s.sel < k.cut THEN 1 ELSE 0 END) AS n_copies
+         |  FROM sel s JOIN k USING (lang)),
+         |exploded AS (
+         |  SELECT lang, doc_id, u.epoch
+         |  FROM copies, UNNEST(range(n_copies)) AS u(epoch))
+         |SELECT lang, epoch, count(*) AS n_docs, min(doc_id) AS min_id,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM exploded GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin,
 
     "q_stratified_sample" ->
       s"""WITH f AS (

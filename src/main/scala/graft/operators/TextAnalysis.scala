@@ -180,19 +180,7 @@ object TextAnalysis {
                            temperature: Double): Map[String, Double] = {
     require(temperature > 0.0 && temperature <= 1.0,
       s"temperature must be in (0, 1], got $temperature")
-    require(docs.schema(strataCol).dataType == StringType,
-      s"temperatureFractions: '$strataCol' must be StringType — fractions key " +
-        s"into a Map[String, Double] consumed by stratifiedSample's map lookup; " +
-        s"got ${docs.schema(strataCol).dataType.simpleString} (cast it first)")
-    val counts = docs.groupBy(col(strataCol))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty, "temperatureFractions: empty corpus (no strata)")
-    // a null stratum key cannot be looked up by stratifiedSample's map
-    // lookup — those docs would silently be kept whole while still
-    // inflating the totals, skewing every other fraction
-    require(!counts.contains(null),
-      s"temperatureFractions: null values in '$strataCol' — fill or filter them first")
+    val counts = stratumCounts(docs, strataCol, "temperatureFractions")
     // f_s = (p_s/p_min)^(τ−1) = (n_min/n_s)^(1−τ): anchoring at the
     // smallest stratum directly (corpus total cancels) is one op per
     // stratum, and τ = ½ — the common flattening choice — goes through
@@ -206,6 +194,95 @@ object TextAnalysis {
       s -> (if (temperature == 0.5) math.sqrt(ratio)
             else math.pow(ratio, 1.0 - temperature))
     }
+  }
+
+  /** Driver-side per-stratum doc counts (one tiny #strata-row collect),
+    * with the contract checks the mixture-control map lookups rely on.
+    */
+  private def stratumCounts(docs: DataFrame, strataCol: String,
+                            caller: String): Map[String, Long] = {
+    require(docs.schema(strataCol).dataType == StringType,
+      s"$caller: '$strataCol' must be StringType — factors key into a " +
+        s"Map[String, Double] consumed by a per-row map lookup; " +
+        s"got ${docs.schema(strataCol).dataType.simpleString} (cast it first)")
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, s"$caller: empty corpus (no strata)")
+    // a null stratum key cannot be looked up by the map lookup — those
+    // docs would silently be kept whole while still inflating the totals,
+    // skewing every other stratum's factor
+    require(!counts.contains(null),
+      s"$caller: null values in '$strataCol' — fill or filter them first")
+    counts
+  }
+
+  /** Temperature-controlled UPSAMPLING factors — the other half of mixture
+    * control ([[temperatureFractions]] downweights large strata toward the
+    * target mix; this repeats small high-quality strata toward it):
+    * stratum s gets factor f_s = (n_max/n_s)^(1−τ) ≥ 1, anchored at the
+    * LARGEST stratum (factor exactly 1 — never repeated), capped at
+    * `maxFactor` so a tiny stratum cannot explode into thousands of
+    * epochs. τ = ½ goes through IEEE-correctly-rounded sqrt and `min`
+    * (exact), so an engine recomputing n_max/n_s reproduces every factor
+    * bit-exactly — same cross-engine determinism contract as
+    * [[temperatureFractions]]. Feed the result to [[upsample]].
+    */
+  def upsampleFactors(docs: DataFrame, strataCol: String, temperature: Double,
+                      maxFactor: Double = 8.0): Map[String, Double] = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature must be in (0, 1], got $temperature")
+    require(maxFactor >= 1.0, s"maxFactor must be >= 1, got $maxFactor")
+    val counts = stratumCounts(docs, strataCol, "upsampleFactors")
+    val nMax = counts.values.max
+    counts.map { case (s, n) =>
+      val ratio = nMax.toDouble / n
+      val f = if (temperature == 0.5) math.sqrt(ratio)
+              else math.pow(ratio, 1.0 - temperature)
+      s -> math.min(f, maxFactor)
+    }
+  }
+
+  /** Deterministic stratified upsampling: a doc in stratum s with factor
+    * f emits `floor(f)` guaranteed copies plus one extra copy iff its
+    * salted selector < floor(frac(f)·10⁴) — so a stratum's emitted mass
+    * converges to f× its input mass, and WHICH docs get the extra epoch
+    * is a pure function of content and `seed` (replay/partitioning-stable
+    * and engine-recomputable, like [[stratifiedSample]]; `sample()`-style
+    * RNG repetition is neither). Copies are tagged with an `epoch` column
+    * (0-based) so downstream shuffles/packing can keep replicas apart and
+    * training can cap repetition per epoch. Strata absent from `factors`
+    * are emitted once. Map-only (explode of a ≤`maxRepeat` sequence): no
+    * shuffle, no skew — the 100 TB shape.
+    *
+    * The fractional gate is the same integer floor(frac·10⁴) cut as
+    * [[stratifiedSample]]: both per-stratum constants (`floor(f)` and the
+    * cut) are computed ONCE driver-side from IEEE-exact ops (floor, the
+    * exact subtraction f − floor(f), one rounding multiply), so any
+    * engine replaying the factor chain reproduces the exact copy count of
+    * every doc.
+    */
+  def upsample(docs: DataFrame, strataCol: String, factors: Map[String, Double],
+               seed: Long = 3L, maxRepeat: Int = 16,
+               textCol: String = "text"): DataFrame = {
+    require(factors.values.forall(_ >= 1.0),
+      "upsample factors must be >= 1 (downweighting is stratifiedSample's job)")
+    require(factors.values.forall(_ <= maxRepeat),
+      s"a factor exceeds maxRepeat=$maxRepeat — raise the cap explicitly " +
+        "or lower upsampleFactors' maxFactor")
+    val whole: Map[String, Int] =
+      factors.map { case (s, f) => s -> math.floor(f).toInt }
+    val cut: Map[String, Long] =
+      factors.map { case (s, f) => s -> math.floor((f - math.floor(f)) * 10000).toLong }
+    val seedReduced = ((seed % 1000000007L) + 1000000007L) % 1000000007L
+    val sel = pmod(
+      pmod((portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
+        lit(1000000007L)),
+      lit(10000L))
+    val copies = coalesce(element_at(typedlit(whole), col(strataCol)), lit(1)) +
+      when(sel < coalesce(element_at(typedlit(cut), col(strataCol)), lit(0L)), 1)
+        .otherwise(0)
+    docs.withColumn("epoch", explode(sequence(lit(0), copies - 1)))
   }
 
   // ------------------------------------------------- corpus-LM scoring

@@ -21,7 +21,10 @@ import graft.functions.{Functions => F}
   *     (CCNet-style — optional, on when `lmRefDocs` is given);
   *  6. per-group relative quality gate (Gopher-style keep-top-fraction
   *     per source, map-only percentile threshold — optional);
-  *  7. deterministic content-hash train/val split.
+  *  7. deterministic content-hash train/val split;
+  *  8. temperature upsampling of small train strata toward the target mix
+  *     (deterministic epoch-tagged repetition — optional; the val side is
+  *     never repeated).
   *
   * Everything is a single declarative plan per stage; the near-dup stage
   * materializes its component table (see [[Dedup.connectedComponents]]).
@@ -48,6 +51,13 @@ object TrainingPipeline {
     *                     [[TextAnalysis.lmFamiliarity]] against
     *                     `lmRefDocs`' bigram model falls below this
     *                     (0 disables; requires `lmRefDocs` in [[prepare]])
+    * @param upsampleStrataCol when set, temperature-upsample the TRAIN side
+    *                     per this stratum column ([[TextAnalysis.upsample]]
+    *                     with [[TextAnalysis.upsampleFactors]]): small
+    *                     high-quality strata are repeated toward the
+    *                     τ-target mix, epoch-tagged; every output row then
+    *                     carries an `epoch` column (val rows always 0)
+    * @param upsampleMaxFactor repetition cap for the upsample stage
     */
   final case class Config(
     shingleK: Int = 3,
@@ -60,7 +70,11 @@ object TrainingPipeline {
     gateGroupCol: Option[String] = None,
     gateKeepFrac: Double = 1.0,
     gateAccuracy: Int = 10000,
-    minFamiliarity: Double = 0.0)
+    minFamiliarity: Double = 0.0,
+    upsampleStrataCol: Option[String] = None,
+    upsampleTemperature: Double = 0.5,
+    upsampleMaxFactor: Double = 8.0,
+    upsampleSeed: Long = 3L)
 
   /** Run the full preparation over `docs(idCol, textCol, …)`. Output keeps
     * the input columns and adds `quality` and `split` — plus `familiarity`
@@ -125,6 +139,21 @@ object TrainingPipeline {
         TextAnalysis.gateScoredByGroup(familiar, g, cfg.gateKeepFrac, cfg.gateAccuracy)
       case _ => familiar
     }
-    TextAnalysis.hashSplit(gated, cfg.trainPct, textCol)
+    val split = TextAnalysis.hashSplit(gated, cfg.trainPct, textCol)
+    cfg.upsampleStrataCol match {
+      case Some(sc) =>
+        // factors come from the FINAL train mix (post-gates, post-split) —
+        // counting an earlier stage would correct toward a mix that no
+        // longer exists. The stage references `split` three times (factor
+        // count, train side, val side): materialize it once.
+        val mat = split.localCheckpoint()
+        val train = mat.where(col("split") === "train")
+        val factors = TextAnalysis.upsampleFactors(train, sc,
+          cfg.upsampleTemperature, cfg.upsampleMaxFactor)
+        TextAnalysis.upsample(train, sc, factors, cfg.upsampleSeed, textCol = textCol)
+          .unionByName(mat.where(col("split") =!= "train")
+            .withColumn("epoch", lit(0)))
+      case None => split
+    }
   }
 }

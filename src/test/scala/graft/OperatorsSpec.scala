@@ -264,6 +264,44 @@ class OperatorsSpec extends SparkSpecBase {
     assert(kept(smallest) == counts(smallest))
   }
 
+  test("upsample emits deterministic epoch-tagged copies toward the factor mass") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val factors = TextAnalysis.upsampleFactors(docs, "lang", temperature = 0.5,
+      maxFactor = 4.0)
+    // the largest stratum is the anchor (factor exactly 1), everything
+    // else repeats by (n_max/n_s)^(1/2) up to the cap
+    val biggest = counts.maxBy(_._2)._1
+    assert(factors(biggest) == 1.0)
+    assert(factors.values.forall(f => f >= 1.0 && f <= 4.0))
+    val up = TextAnalysis.upsample(docs, "lang", factors, seed = 13L)
+    // partitioning/row-order invariant: same (doc_id, epoch) multiset
+    val again = TextAnalysis.upsample(
+      docs.orderBy(org.apache.spark.sql.functions.rand(5)), "lang", factors, seed = 13L)
+    assert(up.select("doc_id", "epoch").exceptAll(again.select("doc_id", "epoch")).isEmpty)
+    // per-stratum emitted mass lands within one ulp-of-the-cut of f·n:
+    // floor(f) copies guaranteed, the fractional epoch gated at
+    // floor(frac·10⁴)/10⁴ of the stratum
+    val outCounts = up.groupBy("lang").count().as[(String, Long)].collect().toMap
+    counts.foreach { case (lang, n) =>
+      val f = factors(lang)
+      val lo = math.floor(f) * n
+      val hi = math.ceil(f) * n
+      assert(outCounts(lang) >= lo && outCounts(lang) <= hi,
+        s"$lang: ${outCounts(lang)} outside [$lo, $hi] for factor $f")
+    }
+    // anchor stratum: exactly once, all epoch 0
+    assert(outCounts(biggest) == counts(biggest))
+    // epochs are a dense 0-based prefix per doc: max epoch < ceil(f)
+    val maxEpoch = up.groupBy("lang").agg(max("epoch").as("m"))
+      .as[(String, Int)].collect().toMap
+    counts.keys.foreach { lang =>
+      assert(maxEpoch(lang) <= math.ceil(factors(lang)).toInt - 1)
+    }
+    // every doc survives with at least its epoch-0 copy
+    assert(up.where(col("epoch") === 0).count() == docs.count())
+  }
+
   test("repetitionSignals: top-token share and distinct ratio per doc") {
     val docs = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(docs, "doc_id")

@@ -81,6 +81,26 @@ class PipelineE2ESpec extends SparkSpecBase {
     plain.unpersist(); gated.unpersist()
   }
 
+  test("training pipeline: upsample stage repeats small train strata, never val") {
+    import graft.operators.TrainingPipeline
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+    val plain = TrainingPipeline.prepare(docs, "doc_id").persist()
+    val up = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = TrainingPipeline.Config(upsampleStrataCol = Some("lang"),
+        upsampleMaxFactor = 4.0)).persist()
+    // same underlying docs, same split decisions — only repetition added
+    assert(up.select("doc_id").distinct()
+      .exceptAll(plain.select("doc_id").distinct()).isEmpty)
+    assert(up.where(col("epoch") === 0).select("doc_id", "split")
+      .exceptAll(plain.select("doc_id", "split")).isEmpty)
+    // val rows are never repeated; some train stratum is
+    assert(up.where(col("split") === "val" && col("epoch") > 0).isEmpty)
+    assert(up.where(col("split") === "train").count() >
+      plain.where(col("split") === "train").count())
+    plain.unpersist(); up.unpersist()
+  }
+
   private def frame(marker: Int, dayOffsetMs: Long, body: String): Array[Byte] =
     EventModel.encode(Frame(marker,
       java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime + dayOffsetMs,
