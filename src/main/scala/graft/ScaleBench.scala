@@ -149,7 +149,7 @@ object ScaleBench {
     * plan shape regressed.
     */
   private def measureSpans(spark: SparkSession, label: String, docs: DataFrame,
-                           k: Int): (Long, Long) = {
+                           k: Int, witness: Boolean = false): (Long, Long) = {
     val listener = new ShuffleBytesListener
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
@@ -163,8 +163,26 @@ object ScaleBench {
     spark.sparkContext.removeSparkListener(listener)
     val mb = listener.bytes.get() / 1024.0 / 1024.0
     val records = listener.records.get()
+    // derivation witness (cheap point only): the corpus must be shingled
+    // ONCE — the pinned gram exchange is reused by both plan arms, and a
+    // regression here doubles the operator's most expensive scan. Runs
+    // the operator's own plan (the aggregate above collapses it into a
+    // different one) and counts shingling Generate nodes in the final
+    // adaptive plan.
+    val gens = if (witness) {
+      val spans = graft.operators.TextAnalysis.dropSharedSpans(docs, "doc_id", k)
+      // collect() (NOT foreach: that detours via .rdd with a fresh
+      // QueryExecution, leaving THIS plan un-finalized and the witness
+      // reading the pre-AQE tree where reuse has not been applied yet)
+      spans.collect()
+      graft.sources.BucketedTables.PlanWitness.collectNodes(spans) {
+        case g: org.apache.spark.sql.execution.GenerateExec
+          if g.boundGenerator.toString.toLowerCase.contains("shingle") => g
+      }.size
+    } else -1
+    val witnessField = if (witness) f""","shingle_derivations":$gens""" else ""
     println(f"""{"scale_point":"$label","n_docs":$nDocs,"k":$k,"kept_tokens":${out.getLong(0)},""" +
-      f""""emptied_docs":${out.getLong(1)},"shuffle_mb":$mb%.1f,"shuffle_records":$records,"sec":$secs%.1f}""")
+      f""""emptied_docs":${out.getLong(1)},"shuffle_mb":$mb%.1f,"shuffle_records":$records$witnessField,"sec":$secs%.1f}""")
     (nDocs, records)
   }
 
@@ -182,45 +200,55 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // section selector: no args = all; any of "minhash", "emb", "spans"
+    val sections = if (args.isEmpty) Set("minhash", "emb", "spans") else args.toSet
     val small = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select("doc_id", "text")
     val base = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "documents")
       .select("doc_id", "text")
-    measure(spark, "sf0.01", small, threshold, maxBucket)
-    val (n1, c1) = measure(spark, "sf0.1", base, threshold, maxBucket)
-    val (n10, c10) = measure(spark, "sf0.1 x10", scaled(base, 10), threshold, maxBucket)
-    val perDoc1 = c1.toDouble / n1
-    val perDoc10 = c10.toDouble / n10
-    val ratio = perDoc10 / perDoc1
-    println(f"""{"linearity":{"cand_per_doc_1x":$perDoc1%.3f,"cand_per_doc_10x":$perDoc10%.3f,""" +
-      f""""ratio":$ratio%.2f,"linear_ok":${ratio <= 2.0}}}""")
 
-    // ---- embedding-LSH points (production threshold ~0.9 regime) ----
-    val embBase = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
-      .select("vec_id", "embedding")
-    val emb10 = scaledEmb(embBase, 10)
-    val (en1, ec1) = measureEmb(spark, "emb sf0.1 16x12", embBase, bands = 16, bitsPerBand = 12, maxBucket = 100000)
-    // naive: same layout at 10× — expected super-linear (fixed 2^12 buckets)
-    val (_, ecNaive) = measureEmb(spark, "emb x10 16x12 naive", emb10, bands = 16, bitsPerBand = 12, maxBucket = 100000)
-    // tuned: bits += ~log2(10), bands re-sized to hold the miss bound at 0.9
-    // ((1-p^16)^31 ≈ (1-p^12)^16 for p = 1 − acos(0.9)/π)
-    val (en10, ecTuned) = measureEmb(spark, "emb x10 31x16 tuned", emb10, bands = 31, bitsPerBand = 16, maxBucket = 100000)
-    val embPerDoc1 = ec1.toDouble / en1
-    val embNaivePerDoc = ecNaive.toDouble / en10
-    val embTunedPerDoc = ecTuned.toDouble / en10
-    println(f"""{"emb_linearity":{"cand_per_doc_1x":$embPerDoc1%.2f,"naive_10x":$embNaivePerDoc%.2f,""" +
-      f""""tuned_10x":$embTunedPerDoc%.2f,"tuned_ratio":${embTunedPerDoc / embPerDoc1}%.2f,""" +
-      f""""tuned_linear_ok":${embTunedPerDoc / embPerDoc1 <= 2.0}}}""")
+    if (sections("minhash")) {
+      measure(spark, "sf0.01", small, threshold, maxBucket)
+      val (n1, c1) = measure(spark, "sf0.1", base, threshold, maxBucket)
+      val (n10, c10) = measure(spark, "sf0.1 x10", scaled(base, 10), threshold, maxBucket)
+      val perDoc1 = c1.toDouble / n1
+      val perDoc10 = c10.toDouble / n10
+      val ratio = perDoc10 / perDoc1
+      println(f"""{"linearity":{"cand_per_doc_1x":$perDoc1%.3f,"cand_per_doc_10x":$perDoc10%.3f,""" +
+        f""""ratio":$ratio%.2f,"linear_ok":${ratio <= 2.0}}}""")
+    }
 
-    // ---- span-removal points (linear-by-construction check) ----
-    measureSpans(spark, "spans sf0.01", small, k = 8)
-    val (sn1, sr1) = measureSpans(spark, "spans sf0.1", base, k = 8)
-    val (sn10, sr10) = measureSpans(spark, "spans sf0.1 x10", scaled(base, 10), k = 8)
-    val spansPerDoc1 = sr1.toDouble / sn1
-    val spansPerDoc10 = sr10.toDouble / sn10
-    println(f"""{"spans_linearity":{"records_per_doc_1x":$spansPerDoc1%.1f,""" +
-      f""""records_per_doc_10x":$spansPerDoc10%.1f,"ratio":${spansPerDoc10 / spansPerDoc1}%.2f,""" +
-      f""""linear_ok":${spansPerDoc10 / spansPerDoc1 <= 2.0}}}""")
+    if (sections("emb")) {
+      // ---- embedding-LSH points (production threshold ~0.9 regime) ----
+      val embBase = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        .select("vec_id", "embedding")
+      val emb10 = scaledEmb(embBase, 10)
+      val (en1, ec1) = measureEmb(spark, "emb sf0.1 16x12", embBase, bands = 16, bitsPerBand = 12, maxBucket = 100000)
+      // naive: same layout at 10× — expected super-linear (fixed 2^12 buckets)
+      val (_, ecNaive) = measureEmb(spark, "emb x10 16x12 naive", emb10, bands = 16, bitsPerBand = 12, maxBucket = 100000)
+      // tuned: bits += ~log2(10), bands re-sized to hold the miss bound at 0.9
+      // ((1-p^16)^31 ≈ (1-p^12)^16 for p = 1 − acos(0.9)/π)
+      val (en10, ecTuned) = measureEmb(spark, "emb x10 31x16 tuned", emb10, bands = 31, bitsPerBand = 16, maxBucket = 100000)
+      val embPerDoc1 = ec1.toDouble / en1
+      val embNaivePerDoc = ecNaive.toDouble / en10
+      val embTunedPerDoc = ecTuned.toDouble / en10
+      println(f"""{"emb_linearity":{"cand_per_doc_1x":$embPerDoc1%.2f,"naive_10x":$embNaivePerDoc%.2f,""" +
+        f""""tuned_10x":$embTunedPerDoc%.2f,"tuned_ratio":${embTunedPerDoc / embPerDoc1}%.2f,""" +
+        f""""tuned_linear_ok":${embTunedPerDoc / embPerDoc1 <= 2.0}}}""")
+    }
+
+    if (sections("spans")) {
+      // ---- span-removal points (linear-by-construction check); the
+      //      sf0.01 point also witnesses single-derivation shingling ----
+      measureSpans(spark, "spans sf0.01", small, k = 8, witness = true)
+      val (sn1, sr1) = measureSpans(spark, "spans sf0.1", base, k = 8)
+      val (sn10, sr10) = measureSpans(spark, "spans sf0.1 x10", scaled(base, 10), k = 8)
+      val spansPerDoc1 = sr1.toDouble / sn1
+      val spansPerDoc10 = sr10.toDouble / sn10
+      println(f"""{"spans_linearity":{"records_per_doc_1x":$spansPerDoc1%.1f,""" +
+        f""""records_per_doc_10x":$spansPerDoc10%.1f,"ratio":${spansPerDoc10 / spansPerDoc1}%.2f,""" +
+        f""""linear_ok":${spansPerDoc10 / spansPerDoc1 <= 2.0}}}""")
+    }
     spark.stop()
   }
 }

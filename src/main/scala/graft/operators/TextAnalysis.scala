@@ -469,28 +469,75 @@ object TextAnalysis {
     * of exact substring dedup (the "dup-fraction" signal: how much of a
     * doc's content also appears elsewhere in the corpus): for each doc,
     * the fraction of its DISTINCT k-grams occurring in ≥ 2 distinct
-    * documents. Shape: explode per-doc-distinct shingles → gram-keyed
-    * count (= #docs containing the gram, since shingles are per-doc
-    * distinct) → join back → id-keyed aggregate. Three map-side-combined
-    * shuffles, all linear in the exploded gram stream; gram keys stay as
-    * strings for engine-neutral exactness (an xxhash64 pre-hash would
-    * shrink the shuffle ~2× at the cost of collision-corrupted counts and
-    * oracle replayability).
+    * documents. Shape: explode per-doc-distinct shingles → ONE pinned
+    * gram-keyed exchange feeding both the doc-count aggregate and the
+    * join back → id-keyed aggregate. Both consumers read the same shuffle
+    * output (see [[pinForReuse]]), so the corpus is tokenized/shingled
+    * ONCE per invocation; gram keys stay as strings for engine-neutral
+    * exactness (an xxhash64 pre-hash would shrink the shuffle ~2× at the
+    * cost of collision-corrupted counts and oracle replayability).
+    *
+    * `grams`, when given, must be a pre-materialized positioned gram
+    * table ([[positionedGrams]] at the same k, written or persisted by
+    * the caller) — the occurrence stream is then read from it instead of
+    * being derived from `docs` at all.
     */
   def dupNgramStats(docs: DataFrame, idCol: String, k: Int = 3,
-                    textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col(idCol),
-      explode(Dedup.shingles(col(textCol), k)).as("gram"))
-    val gramDocs = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_docs_with"))
+                    textCol: String = "text",
+                    grams: Option[DataFrame] = None): DataFrame = {
+    val gramStream = grams
+      .map(_.select(col(idCol), col("gram")).distinct())
+      .getOrElse(docs.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), k)).as("gram")))
+    val byGram = pinForReuse(gramStream.select(col(idCol), col("gram")))
+    // count(id) = #docs containing the gram, since the stream is per-doc
+    // distinct AND null-free (pinForReuse filters); counting the id —
+    // not lit(1) — makes this arm consume the same (id, gram) column set
+    // as the join arm, so column pruning cannot specialize (and un-share)
+    // the pinned exchange with a narrower Project
+    val gramDocs = byGram.groupBy(col("gram"))
+      .agg(count(col(idCol)).as("n_docs_with"))
     val shared = sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L))
-    grams.join(gramDocs, Seq("gram"))
+    byGram.join(gramDocs, Seq("gram"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_grams"),
         shared.as("n_shared"),
         (shared.cast(DoubleType) / count(lit(1))).as("dup_fraction"))
   }
+
+  /** The positioned k-gram occurrence stream (idCol, gpos, gram) both
+    * span operators consume — expose it so a pipeline running
+    * [[dupNgramStats]] AND [[dropSharedSpans]] over the same corpus can
+    * write/persist it once and pass it to both.
+    */
+  def positionedGrams(docs: DataFrame, idCol: String, k: Int,
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      posexplode(graft.functions.TextExpressions.word_shingles(col(textCol), k))
+        .as(Seq("gpos", "gram")))
+
+  /** Pin a gram-keyed exchange so MULTIPLE consumers of the stream map to
+    * ONE shuffle of one derivation: Catalyst's ReuseExchange (and AQE's
+    * stage reuse) dedups identical exchange subtrees, so two plan arms
+    * that each need gram-keyed clustering read the same shuffle files
+    * instead of re-scanning + re-shingling the corpus per arm. Aggregates
+    * downstream lose their map-side partial step (the shuffle now carries
+    * raw occurrences), but the join arm always shipped the full stream
+    * anyway — the same bytes now move once, and the corpus scan count
+    * halves.
+    *
+    * The explicit not-null filter (semantics-neutral: a null id or gram
+    * neither joins nor counts downstream) pre-empts the per-arm inferred
+    * constraints (`isnotnull` from the join key on one arm, from the
+    * distinct aggregate on the other) that would otherwise specialize
+    * each arm's subtree below the exchange and break their identity —
+    * ReuseExchange only fires on IDENTICAL canonical subtrees.
+    */
+  private def pinForReuse(gramStream: DataFrame): DataFrame =
+    gramStream
+      .where(gramStream.columns.map(col(_).isNotNull).reduce(_ && _))
+      .repartition(col("gram"))
 
   /** Remove corpus-duplicated spans from each document — the transform
     * behind the dup-fraction signal ([[dupNgramStats]]): every token
@@ -501,35 +548,44 @@ object TextAnalysis {
     * without discarding the documents.
     *
     * Shape: positioned token/gram streams (posexplode — NON-distinct
-    * shingles, every occurrence covers its span) → gram-keyed distinct-doc
-    * count → the shared-gram join marks covered positions → anti-join
+    * shingles, every occurrence covers its span) → ONE pinned gram-keyed
+    * exchange ([[pinForReuse]]) feeding both the distinct-doc count and
+    * the shared-gram join that marks covered positions → anti-join
     * against the token stream → per-doc ordered rebuild
-    * (array_sort(collect_list(struct(pos, tok)))). All exchanges are
-    * map-side-combined and linear in the token stream; per-doc state in
+    * (array_sort(collect_list(struct(pos, tok)))). The corpus is
+    * tokenized once and shingled ONCE (both gram consumers read the same
+    * shuffle output — plan-witnessed in OperatorsSpec); per-doc state in
     * the rebuild is bounded by document length. Emits (idCol, kept_text,
     * n_tokens_kept); docs whose every token is covered keep an empty
     * string.
     *
-    * Cost note: the lazy plan derives the positioned-gram stream in two
-    * arms (shared-gram count, covered positions) with different exchange
-    * keys, so the corpus is tokenized/shingled twice and scanned four
-    * times per invocation. At corpus scale, materialize the positioned
-    * gram table once (write it, or persist() it before calling) and the
-    * plan collapses to single-derivation — same guidance as
-    * [[dupNgramStats]].
+    * `grams`, when given, must be a pre-materialized [[positionedGrams]]
+    * table at the same k — a pipeline also running [[dupNgramStats]]
+    * writes the stream once and passes it to both.
     */
   def dropSharedSpans(docs: DataFrame, idCol: String, k: Int = 8,
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      grams: Option[DataFrame] = None): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(F.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val grams = docs.select(col(idCol),
-      posexplode(graft.functions.TextExpressions.word_shingles(col(textCol), k))
-        .as(Seq("gpos", "gram")))
-    val shared = grams.select(col(idCol), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs_with"))
-      .where(col("n_docs_with") >= 2)
+    val byGram = pinForReuse(
+      grams.map(_.select(col(idCol), col("gpos"), col("gram")))
+        .getOrElse(positionedGrams(docs, idCol, k, textCol)))
+    // countDistinct needs no extra exchange (gram-partitioning satisfies
+    // the (gram, id) clustering of its first phase). The min(gpos) rider
+    // keeps this arm consuming the same (id, gpos, gram) column set as
+    // the join arm — pruning would otherwise specialize (and un-share)
+    // the pinned exchange with a narrower Project — and must stay LIVE:
+    // it is referenced in the filter (trivially true: positions are
+    // non-negative, but not provably so to the optimizer, which would
+    // prune an unreferenced aggregate away again)
+    val shared = byGram
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("n_docs_with"),
+        min(col("gpos")).as("_prune_pin"))
+      .where(col("n_docs_with") >= 2 && col("_prune_pin") >= 0)
       .select(col("gram"))
-    val covered = grams.join(shared, Seq("gram"))
+    val covered = byGram.join(shared, Seq("gram"))
       .select(col(idCol),
         explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("pos"))
       .distinct()

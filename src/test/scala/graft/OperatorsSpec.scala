@@ -302,6 +302,44 @@ class OperatorsSpec extends SparkSpecBase {
     assert(up.where(col("epoch") === 0).count() == docs.count())
   }
 
+  test("span operators shingle the corpus once (pinned exchange reused by both arms)") {
+    import graft.sources.BucketedTables.PlanWitness
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    val spans = TextAnalysis.dropSharedSpans(docs, "doc_id", k = 8)
+    spans.collect() // AQE finalizes the plan; reuse shows post-execution
+    val shingleGens = PlanWitness.collectNodes(spans) {
+      case g: GenerateExec if g.boundGenerator.toString.toLowerCase.contains("shingle") => g
+    }
+    assert(shingleGens.size == 1,
+      s"expected ONE shingling Generate, got ${shingleGens.size} — the gram " +
+        "stream is being derived per plan arm again")
+    assert(PlanWitness.collectNodes(spans) { case r: ReusedExchangeExec => r }.nonEmpty,
+      "no ReusedExchange in the executed plan — the pinned gram exchange was not shared")
+
+    val stats = TextAnalysis.dupNgramStats(docs, "doc_id", k = 3)
+    stats.collect()
+    val statGens = PlanWitness.collectNodes(stats) {
+      case g: GenerateExec if g.boundGenerator.toString.toLowerCase.contains("shingle") => g
+    }
+    assert(statGens.size == 1,
+      s"expected ONE shingling Generate in dupNgramStats, got ${statGens.size}")
+
+    // a pre-materialized gram table short-circuits derivation entirely and
+    // produces identical results
+    val gramTable = TextAnalysis.positionedGrams(docs, "doc_id", 8).persist()
+    try {
+      val viaTable = TextAnalysis.dropSharedSpans(docs, "doc_id", k = 8,
+        grams = Some(gramTable))
+      assert(viaTable.exceptAll(spans).isEmpty && spans.exceptAll(viaTable).isEmpty)
+      assert(PlanWitness.collectNodes(viaTable) {
+        case g: GenerateExec if g.boundGenerator.toString.toLowerCase.contains("shingle") => g
+      }.isEmpty, "grams=Some(table) must not re-shingle")
+    } finally { gramTable.unpersist(); () }
+  }
+
   test("repetitionSignals: top-token share and distinct ratio per doc") {
     val docs = Seq((1L, "a a a b"), (2L, "w x y z")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(docs, "doc_id")
