@@ -104,6 +104,37 @@ object SparkEntry {
       }.toDF("value", "offset")
   }
 
+  /** Wire fixture for the delta-rate heuristics: every events row encodes
+    * as a JVMSTATS_EVENT frame whose body carries `synclocks` and
+    * `safepoints` sections (the counters Locks/Safepoints fold over,
+    * reference readers' heuristic chain), with globally-unique event-id
+    * timestamps so the per-key lag window has no order ties to drift on.
+    */
+  private def lockWireFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.model.{EventModel, ProtoDescriptors}
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id")).as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (eventId, userId) =>
+          val tsMs = 1700000000000L + eventId * 1000L
+          val header = ProtoDescriptors.header.encode(Seq(
+            s"application_${userId % 20}", "1", "graft_pipeline", s"user_${userId % 7}",
+            s"container_${userId % 5}", s"host_${userId % 11}", "", "YARN", "EXECUTOR",
+            "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+          val body = ProtoDescriptors.jvmStatisticsData.encode(Seq(Seq(
+            Seq("synclocks", Seq(
+              Seq("contendedlockattempts", ((eventId * 37) % 10007).toString),
+              Seq("inflations", (eventId % 13).toString))),
+            Seq("safepoints", Seq(
+              Seq("count", ((eventId * 11) % 4001).toString),
+              Seq("totaltime", (eventId % 29).toString))))))
+          (EventModel.encode(EventModel.Frame(
+            EventModel.markerForName("JVMSTATS_EVENT"), tsMs, header, body)), eventId)
+        }
+      }.toDF("value", "offset")
+  }
+
   /** Flagship query (SURVEY §7.2 shape): filtered event stream → hourly
     * buckets → count + p95 latency-ish metric + distinct users.
     */
@@ -1053,6 +1084,34 @@ object SparkEntry {
         .orderBy("application_id", "attempt_id", "container_id")
     }),
 
+    // ---- S2→P4→A6/A7 on WIRE input: JVMSTATS frames carrying
+    //      synclocks/safepoints sections → proto_decode → props-map
+    //      extraction → the Locks/Safepoints delta-rate heuristics with
+    //      their severity ladders — the wire→heuristic chain the
+    //      reference's HDFS reader runs for lock contention. The oracle
+    //      recomputes counters, lag-window delta rates, truncation and
+    //      severity from the raw events columns. ----
+    "q_heuristic_locks" -> ((s, dir) => {
+      import graft.sources.FrameSource
+      val typed = FrameSource.typedTable(
+        FrameSource.decodeFramesFast(lockWireFrames(s, dir)), "JVMSTATS_EVENT")
+      val stats = typed
+        .withColumn("props", JvmStats.toPropsMap(col("sections")))
+        .select(col("application_id"), col("attempt_id"), col("container_id"),
+          unix_millis(col("timestamp")).as("ts_millis"),
+          element_at(col("props"), "synclocks_contendedlockattempts")
+            .cast(LongType).as("contendedlockattempts"),
+          element_at(col("props"), "safepoints_count")
+            .cast(LongType).as("safepoint_count"))
+      val l = HeuristicAggs.locks(stats).withColumn("heuristic", lit("locks"))
+      val sp = HeuristicAggs.safepoints(stats).withColumn("heuristic", lit("safepoints"))
+      l.unionByName(sp)
+        .select(col("heuristic"), col("application_id"), col("attempt_id"),
+          col("container_id"), col("max_rate"),
+          col("severity").cast(LongType).as("severity"))
+        .orderBy(col("heuristic"), col("application_id"), col("container_id"))
+    }),
+
     // ---- S2/S3: full wire pipeline, end-to-end. Each events row is
     //      deterministically encoded as a garmadon FS_EVENT wire frame
     //      (proto3 header + body inside the 20-byte envelope), then decoded
@@ -1445,6 +1504,47 @@ object SparkEntry {
     "q_ivf_quant" ->
       """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
         |  TRUE AS pruned_scan, TRUE AS index_smaller""".stripMargin,
+
+    // wire-input delta-rate heuristics: counters and unique timestamps
+    // replayed from raw events columns; `/` is true division in both
+    // engines (one correctly-rounded IEEE op on exact integer inputs) and
+    // trunc() reproduces Spark's double->long cast for negative deltas too
+    "q_heuristic_locks" ->
+      """WITH s AS (
+        |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |         '1' AS attempt_id,
+        |         'container_' || CAST(user_id % 5 AS VARCHAR) AS container_id,
+        |         1700000000000 + event_id * 1000 AS ts_millis,
+        |         (event_id * 37) % 10007 AS lck,
+        |         (event_id * 11) % 4001 AS spc
+        |  FROM events),
+        |d AS (
+        |  SELECT application_id, attempt_id, container_id,
+        |    lck - lag(lck) OVER w AS dc,
+        |    spc - lag(spc) OVER w AS ds,
+        |    ts_millis - lag(ts_millis) OVER w AS dt
+        |  FROM s WINDOW w AS (
+        |    PARTITION BY application_id, attempt_id, container_id
+        |    ORDER BY ts_millis)),
+        |r AS (
+        |  SELECT application_id, attempt_id, container_id,
+        |    CAST(trunc(max(dc * 1000 / dt)) AS BIGINT) AS lock_rate,
+        |    CAST(trunc(max(ds * 1000 / dt)) AS BIGINT) AS sp_rate
+        |  FROM d WHERE dt IS NOT NULL AND dt <> 0 GROUP BY 1, 2, 3)
+        |SELECT 'locks' AS heuristic, application_id, attempt_id, container_id,
+        |  lock_rate AS max_rate,
+        |  CAST(CASE WHEN lock_rate > 500 THEN 4 WHEN lock_rate > 100 THEN 3
+        |       WHEN lock_rate > 50 THEN 2 WHEN lock_rate > 10 THEN 1
+        |       ELSE 0 END AS BIGINT) AS severity
+        |FROM r
+        |UNION ALL
+        |SELECT 'safepoints' AS heuristic, application_id, attempt_id, container_id,
+        |  sp_rate AS max_rate,
+        |  CAST(CASE WHEN sp_rate > 10 THEN 4 WHEN sp_rate > 7 THEN 3
+        |       WHEN sp_rate > 5 THEN 2 WHEN sp_rate > 3 THEN 1
+        |       ELSE 0 END AS BIGINT) AS severity
+        |FROM r
+        |ORDER BY heuristic, application_id, container_id""".stripMargin,
 
     "q_wire_roundtrip" ->
       """SELECT upper(event_type) AS action,
