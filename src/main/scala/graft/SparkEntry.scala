@@ -334,6 +334,45 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // ---- garmadon-jvm "GC CPU time" panel (jvm.json:684-770): per-app
+    //      derivative of the bucketed hidden-max of a cumulative gc-time
+    //      counter — date_histogram + max + derivative pipeline agg, the
+    //      dashboard's hardest shape, via Dashboards.gcCpuTime. ----
+    "q_dash_gc_rate" -> ((s, dir) => {
+      val gc = t(s, dir, "events").select(
+        concat(lit("application_"), (col("user_id") % 20).cast(StringType))
+          .as("application_id"),
+        col("ts").as("timestamp"),
+        ((col("event_id") * 13) % 100000).as("gc_time"))
+      serving.Dashboards.gcCpuTime(gc, col("gc_time"), "1 hour",
+          groupCols = Seq(col("application_id")))
+        .select(col("application_id"), col("bucket_start"), col("v"),
+          col("dv_per_bucket"))
+        .orderBy(col("application_id"), col("bucket_start"))
+    }),
+
+    // ---- garmadon-hdfs "FS OPS/Latency $action per user" panel
+    //      (hdfs.json:441): normalized-uri filter (port strip + alias
+    //      map) → bucket × user × action count + p99 latency, via
+    //      Dashboards.fsOpsPerUser (exact-percentile oracle-parity mode;
+    //      serving default is the sketch). ----
+    "q_dash_fsops_user" -> ((s, dir) => {
+      val fs = t(s, dir, "events").select(
+        col("ts").as("timestamp"),
+        concat(lit("user_"), (col("user_id") % 7).cast(StringType)).as("hdfs_user"),
+        upper(col("event_type")).as("action"),
+        (col("event_id") % 997).as("method_duration_millis"),
+        when(col("event_id") % 3 === 0, lit("hdfs://preprod-am6:8020"))
+          .when(col("event_id") % 3 === 1, lit("hdfs://root-ns"))
+          .otherwise(lit("hdfs://other")).as("uri"))
+      serving.Dashboards.fsOpsPerUser(fs, uri = "hdfs://root-ns", interval = "1 hour",
+          aliases = Map("hdfs://preprod-am6" -> "hdfs://root-ns"),
+          exactPercentiles = true)
+        .select(col("bucket_start"), col("hdfs_user"), col("action"), col("n"),
+          round(col("p99_ms"), 4).as("p99_ms"))
+        .orderBy(col("bucket_start"), col("hdfs_user"), col("action"))
+    }),
+
     // ---- D9/A6/A7: delta-rate (locks/safepoints heuristic pattern) ----
     "q_delta_rate" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -1672,6 +1711,34 @@ object SparkEntry {
         |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dash_gc_rate" ->
+      """WITH g AS (
+        |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |         date_trunc('hour', ts) AS bucket_start,
+        |         (event_id * 13) % 100000 AS gc_time
+        |  FROM events),
+        |b AS (
+        |  SELECT application_id, bucket_start, max(gc_time) AS v
+        |  FROM g GROUP BY 1, 2)
+        |SELECT application_id, bucket_start, v,
+        |  v - lag(v) OVER (PARTITION BY application_id ORDER BY bucket_start)
+        |    AS dv_per_bucket
+        |FROM b ORDER BY application_id, bucket_start""".stripMargin,
+
+    // the alias map sends hdfs://preprod-am6:8020 through port-strip +
+    // alias to hdfs://root-ns; event_id % 3 = 2 rows go to a different
+    // uri and must be filtered out
+    "q_dash_fsops_user" ->
+      """WITH f AS (
+        |  SELECT date_trunc('hour', ts) AS bucket_start,
+        |         'user_' || CAST(user_id % 7 AS VARCHAR) AS hdfs_user,
+        |         upper(event_type) AS action,
+        |         event_id % 997 AS d
+        |  FROM events WHERE event_id % 3 IN (0, 1))
+        |SELECT bucket_start, hdfs_user, action, count(*) AS n,
+        |  ROUND(quantile_cont(d, 0.99), 4) AS p99_ms
+        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_derivative" ->
       """WITH b AS (

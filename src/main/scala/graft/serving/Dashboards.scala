@@ -20,20 +20,75 @@ import graft.operators.Aggregations
   */
 object Dashboards {
 
-  /** "FS OPS $action per user" (garmadon-hdfs.json): count + p99 latency
+  /** "FS OPS $action per user (top 20)" + "FS Latency $action per user"
+    * (garmadon-hdfs.json:441 and the latency twin): count + p99 latency
     * by action × user per bucket, for one normalized uri. The §7.2
-    * flagship shape.
+    * flagship shape. `exactPercentiles` swaps the approx sketch for the
+    * exact interpolated percentile — oracle-parity/test mode; serving
+    * keeps the default sketch (SCALE.md).
     */
   def fsOpsPerUser(fsEvents: DataFrame, uri: String, interval: String = "30 seconds",
-                   aliases: Map[String, String] = Map.empty): DataFrame =
+                   aliases: Map[String, String] = Map.empty,
+                   exactPercentiles: Boolean = false): DataFrame =
+    fsOpsPerGroup(fsEvents, Seq(col("hdfs_user")), uri, interval, aliases,
+      exactPercentiles)
+
+  /** "FS OPS $action per application (top 20)" (garmadon-hdfs.json). */
+  def fsOpsPerApplication(fsEvents: DataFrame, uri: String,
+                          interval: String = "30 seconds",
+                          aliases: Map[String, String] = Map.empty): DataFrame =
+    fsOpsPerGroup(fsEvents, Seq(col("application_id")), uri, interval, aliases)
+
+  /** "FS OPS $action per framework/component" (garmadon-hdfs.json). */
+  def fsOpsPerFrameworkComponent(fsEvents: DataFrame, uri: String,
+                                 interval: String = "30 seconds",
+                                 aliases: Map[String, String] = Map.empty): DataFrame =
+    fsOpsPerGroup(fsEvents, Seq(col("framework"), col("component")), uri, interval, aliases)
+
+  /** "FS OPS $action per host-user-pid" — the standalone-JVM drill-down
+    * (garmadon-hdfs.json).
+    */
+  def fsOpsPerHostUserPid(fsEvents: DataFrame, uri: String,
+                          interval: String = "30 seconds",
+                          aliases: Map[String, String] = Map.empty): DataFrame =
+    fsOpsPerGroup(fsEvents, Seq(col("hostname"), col("hdfs_user"), col("pid")),
+      uri, interval, aliases)
+
+  /** The shared shape of every per-entity FS panel: normalize + filter the
+    * uri, bucket time, group by (entity × action), count + p99 latency.
+    * On the day-partitioned (event_type, day) sink layout the uri filter
+    * and event-type pruning reach the scan; the single group-by exchange
+    * is keyed (bucket, entity, action) — no global sort, no window.
+    */
+  private def fsOpsPerGroup(fsEvents: DataFrame, groupCols: Seq[Column], uri: String,
+                            interval: String, aliases: Map[String, String],
+                            exactPercentiles: Boolean = false): DataFrame = {
+    val p99 =
+      if (exactPercentiles) expr("percentile(method_duration_millis, 0.99)")
+      else percentile_approx(col("method_duration_millis"), lit(0.99), lit(10000))
     fsEvents
       .withColumn("uri", F.normalizeUri(col("uri"), aliases))
       .where(col("uri") === uri)
-      .groupBy(window(col("timestamp"), interval).as("bucket"), col("hdfs_user"), col("action"))
-      .agg(count(lit(1)).as("n"),
-        percentile_approx(col("method_duration_millis"), lit(0.99), lit(10000)).as("p99_ms"))
-      .select(col("bucket.start").as("bucket_start"), col("hdfs_user"), col("action"),
-        col("n"), col("p99_ms"))
+      .groupBy((window(col("timestamp"), interval).as("bucket") +: groupCols :+ col("action")): _*)
+      .agg(count(lit(1)).as("n"), p99.as("p99_ms"))
+      .select((col("bucket.start").as("bucket_start") +: groupCols :+ col("action") :+
+        col("n") :+ col("p99_ms")): _*)
+  }
+
+  /** "FS OPS for $uri" / "Failures" (garmadon-hdfs.json): per-action (or
+    * failure-only) op counts per bucket over the normalized uri.
+    */
+  def fsOpsPerAction(fsEvents: DataFrame, uri: String, interval: String = "30 seconds",
+                     aliases: Map[String, String] = Map.empty,
+                     failuresOnly: Boolean = false): DataFrame = {
+    val base = fsEvents
+      .withColumn("uri", F.normalizeUri(col("uri"), aliases))
+      .where(col("uri") === uri)
+    (if (failuresOnly) base.where(col("status") === "FAILURE") else base)
+      .groupBy(window(col("timestamp"), interval).as("bucket"), col("action"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket.start").as("bucket_start"), col("action"), col("n"))
+  }
 
   /** Time-bucketed FS op counts + latency percentiles by action. */
   def fsOpsLatency(fsEvents: DataFrame, interval: String = "30 seconds"): DataFrame =
@@ -95,6 +150,58 @@ object Dashboards {
     }
     bucketed.withColumn("dv_per_bucket", col("v") - lag(col("v"), 1).over(w))
   }
+
+  /** Any single-metric JVMSTATS series panel of garmadon-jvm.json (CPU,
+    * HEAP/OFF-HEAP/metaspace usage, #Threads, #File Descriptors, compile
+    * counts/time/threads, safepoint count/sync/total time): the props-map
+    * key is bucketed and folded with the panel's metric agg. One method =
+    * the whole date_histogram × {avg,max,sum} census over the stable
+    * MapType form (`JvmStats.toPropsMap`); the serving pivot
+    * (`pivotKnown`) is not needed per panel.
+    */
+  def jvmSeries(jvmStats: DataFrame, key: String, agg: String = "avg",
+                interval: String = "30 seconds",
+                groupCols: Seq[Column] = Nil): DataFrame = {
+    val v = element_at(col("props"), key).cast("double")
+    val folded = agg match {
+      case "avg" => avg(v)
+      case "max" => max(v)
+      case "sum" => sum(v)
+      case other => throw new IllegalArgumentException(
+        s"jvmSeries agg must be avg/max/sum (the dashboards' census), got '$other'")
+    }
+    jvmStats
+      .groupBy((window(col("timestamp"), interval).as("bucket") +: groupCols): _*)
+      .agg(folded.as("v"))
+      .select((col("bucket.start").as("bucket_start") +: groupCols :+ col("v")): _*)
+  }
+
+  /** "GC CPU time" (garmadon-jvm.json:684-770): the rate of a cumulative
+    * per-collector GC time counter — date_histogram bucket, hidden `max`,
+    * `derivative` pipeline agg — as one series per group (app, collector,
+    * pid… whatever the panel's terms agg keys on).
+    */
+  def gcCpuTime(jvmStats: DataFrame, valueCol: Column, interval: String = "30 seconds",
+                groupCols: Seq[Column] = Seq(col("application_id"))): DataFrame =
+    bucketedDerivative(jvmStats, valueCol, interval, groupCols)
+
+  /** "GC Count" (garmadon-jvm.json): bucketed max of the cumulative
+    * per-collector count counter (no derivative — the panel plots the
+    * counter itself).
+    */
+  def gcCount(jvmStats: DataFrame, valueCol: Column, interval: String = "30 seconds",
+              groupCols: Seq[Column] = Nil): DataFrame =
+    jvmStats
+      .groupBy((window(col("timestamp"), interval).as("bucket") +: groupCols): _*)
+      .agg(max(valueCol).as("v"))
+      .select((col("bucket.start").as("bucket_start") +: groupCols :+ col("v")): _*)
+
+  /** "#Threads Created" (garmadon-jvm.json): derivative of the bucketed
+    * cumulative threads_total.
+    */
+  def threadsCreatedRate(jvmStats: DataFrame, interval: String = "30 seconds",
+                         groupCols: Seq[Column] = Nil): DataFrame =
+    bucketedDerivative(jvmStats, col("threads_total"), interval, groupCols)
 
   /** "Threads created/s per container" for ONE application
     * (garmadon-yarn-application.json's per-app derivative panel): the

@@ -29,6 +29,80 @@ class DashboardsSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L))
   }
 
+  private lazy val fsEventsFull = Seq(
+    ("alice", "READ", "hdfs://root:8020", 10L, ts(0), "app_1", "SPARK", "EXECUTOR", "h1", "p1", "SUCCESS"),
+    ("alice", "READ", "hdfs://root:8020", 30L, ts(5), "app_1", "SPARK", "EXECUTOR", "h1", "p1", "FAILURE"),
+    ("bob", "WRITE", "hdfs://root:8020", 100L, ts(40), "app_2", "FLINK", "TASK_MANAGER", "h2", "p2", "SUCCESS"),
+    ("bob", "DELETE", "hdfs://other:8020", 5L, ts(41), "app_2", "FLINK", "TASK_MANAGER", "h2", "p2", "SUCCESS"))
+    .toDF("hdfs_user", "action", "uri", "method_duration_millis", "timestamp",
+      "application_id", "framework", "component", "hostname", "pid", "status")
+
+  private lazy val jvmProps = Seq(
+    ("app_1", Map("heap_used" -> "100", "threads_count" -> "8", "compile_time" -> "40",
+      "safepoints_count" -> "3", "descriptors_open" -> "17"), 900L, 5L, ts(0)),
+    ("app_1", Map("heap_used" -> "300", "threads_count" -> "10", "compile_time" -> "70",
+      "safepoints_count" -> "5", "descriptors_open" -> "18"), 1500L, 9L, ts(31)))
+    .toDF("application_id", "props", "gc_time", "threads_total", "timestamp")
+
+  test("panel census: every garmadon-jvm/garmadon-hdfs panel maps to a running operator") {
+    // one executable row per CONCRETE panel of the two flagship dashboards
+    // (reference grafana/garmadon-jvm.json + garmadon-hdfs.json): panel
+    // title -> the Dashboards call that serves it. Raw-document/annotation
+    // table panels map to rawEvents (covered in its own test below).
+    val census: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
+      ("jvm", "CPU", Dashboards.jvmSeries(jvmProps, "cpu_%load", "sum")),
+      ("jvm", "HEAP Usage", Dashboards.jvmSeries(jvmProps, "heap_used", "avg")),
+      ("jvm", "OFF-HEAP Usage", Dashboards.jvmSeries(jvmProps, "nonheap_used", "avg")),
+      ("jvm", "Metadata Space Used", Dashboards.jvmSeries(jvmProps, "metaspace_used", "avg")),
+      ("jvm", "GC Pause duration", Dashboards.gcPause(gcEvents)),
+      ("jvm", "GC CPU time", Dashboards.gcCpuTime(jvmProps, col("gc_time"))),
+      ("jvm", "GC Count", Dashboards.gcCount(jvmProps, col("gc_time"))),
+      ("jvm", "GC Events", Dashboards.rawEvents(gcEvents, col("pause_time") > 0)),
+      ("jvm", "#Threads", Dashboards.jvmSeries(jvmProps, "threads_count", "avg")),
+      ("jvm", "#Threads Created", Dashboards.threadsCreatedRate(jvmProps)),
+      ("jvm", "#File Descriptors", Dashboards.jvmSeries(jvmProps, "descriptors_open", "avg")),
+      ("jvm", "Compile Count", Dashboards.jvmSeries(jvmProps, "compile_count", "avg")),
+      ("jvm", "Compile Time", Dashboards.jvmSeries(jvmProps, "compile_time", "avg")),
+      ("jvm", "Number of compile threads", Dashboards.jvmSeries(jvmProps, "compile_threads", "avg")),
+      ("jvm", "Safepoint Count", Dashboards.jvmSeries(jvmProps, "safepoints_count", "avg")),
+      ("jvm", "Safepoint Time", Dashboards.jvmSeries(jvmProps, "safepoints_totaltime", "avg")),
+      ("jvm", "FS action on $uri", Dashboards.fsOpsPerAction(fsEventsFull, "hdfs://root")),
+      ("jvm", "FS Latency action on $uri", Dashboards.fsOpsLatency(fsEventsFull)),
+      ("hdfs", "FS OPS for $uri:$path", Dashboards.fsOpsPerAction(fsEventsFull, "hdfs://root")),
+      ("hdfs", "FS Latency for $uri:$path", Dashboards.fsOpsLatency(fsEventsFull)),
+      ("hdfs", "Failures", Dashboards.fsOpsPerAction(fsEventsFull, "hdfs://root", failuresOnly = true)),
+      ("hdfs", "FS OPS $action per user (top 20)", Dashboards.fsOpsPerUser(fsEventsFull, "hdfs://root")),
+      ("hdfs", "FS Latency $action per user (top 20)", Dashboards.fsOpsPerUser(fsEventsFull, "hdfs://root")),
+      ("hdfs", "FS OPS $action per application (top 20)", Dashboards.fsOpsPerApplication(fsEventsFull, "hdfs://root")),
+      ("hdfs", "FS OPS per framework/component", Dashboards.fsOpsPerFrameworkComponent(fsEventsFull, "hdfs://root")),
+      ("hdfs", "FS OPS per host-user-pid", Dashboards.fsOpsPerHostUserPid(fsEventsFull, "hdfs://root")))
+    census.foreach { case (dash, panel, df) =>
+      val n = df.count()
+      assert(n >= 0, s"[$dash] $panel did not execute")
+      assert(df.columns.contains("bucket_start") || df.columns.contains("timestamp") ||
+        df.columns.contains("collector_name"),
+        s"[$dash] $panel output carries no time axis: ${df.columns.mkString(",")}")
+    }
+    // spot-check semantics on the census fixtures: failures panel counts
+    // only FAILURE rows; the framework/component panel groups both keys
+    val fails = Dashboards.fsOpsPerAction(fsEventsFull, "hdfs://root", failuresOnly = true)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(fails == 1L)
+    val fw = Dashboards.fsOpsPerFrameworkComponent(fsEventsFull, "hdfs://root")
+    assert(fw.columns.toSeq.containsSlice(Seq("framework", "component")))
+    assert(fw.count() == 2) // (SPARK, EXECUTOR) bucket 0, (FLINK, TASK_MANAGER) bucket 30
+    // jvmSeries folds the props-map key with the panel's agg
+    val heap = Dashboards.jvmSeries(jvmProps, "heap_used", "avg", "30 seconds")
+      .orderBy("bucket_start").select("v").collect().map(_.getDouble(0)).toSeq
+    assert(heap == Seq(100.0, 300.0))
+    val gcRate = Dashboards.gcCpuTime(jvmProps, col("gc_time"), "30 seconds")
+      .orderBy("bucket_start").select("dv_per_bucket").collect()
+    assert(gcRate.map(r => Option(r.get(0))).toSeq == Seq(None, Some(600L)))
+    intercept[IllegalArgumentException] {
+      Dashboards.jvmSeries(jvmProps, "heap_used", "median")
+    }
+  }
+
   test("containerMemory sums value/limit for MEMORY type only") {
     val ce = Seq(
       ("MEMORY", 100.0f, 512L, ts(0)), ("MEMORY", 200.0f, 512L, ts(3)), ("VCORE", 2.0f, 4L, ts(4)))
