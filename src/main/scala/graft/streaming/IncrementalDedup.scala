@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Dedup
+
+/** The 100 TB daily-ingest near-dup story EXECUTED in streaming: each
+  * micro-batch of new documents is deduplicated against a materialized
+  * corpus SIGNATURE table — the corpus itself is never re-read and never
+  * re-shingled — and the surviving (novel) docs are appended to the
+  * accepted table and SIGNED into the signature table, so later batches
+  * dedup against them too.
+  *
+  * Per batch: shingle+sign the increment ONCE ([[Dedup.minHashSignatures]],
+  * reused for both the band join and the sig append), id-only band join
+  * against the corpus signatures ([[Dedup.minHashCandidatePairsAgainst]] —
+  * corpus-side bucket caps, candidate rows ≈ 24 B), estimate verify,
+  * anti-join the batch down to novel docs. Writes are ordered
+  * accepted-first, signatures-second: a batch replayed after a failure
+  * between the two writes re-offers its docs (they are not yet
+  * self-signed) and re-appends — AT-LEAST-ONCE on the accepted table,
+  * like every sink here (dedup downstream on id); the opposite order
+  * would silently DROP such docs (they would look like dups of
+  * themselves). A batch replayed after BOTH writes committed is a no-op:
+  * its docs are now in the signature table, so every one of them collides
+  * with itself at est_jaccard 1.0 and is filtered — replay idempotence
+  * falls out of the dedup semantics instead of needing a transaction.
+  */
+object IncrementalDedup {
+
+  /** One increment batch against the `sigTablePath` signature table
+    * ((id, sig) parquet, [[Dedup.minHashSignatures]] layout; must share
+    * (shingleK, numHashes) across all writers). Novel docs append to
+    * `acceptedPath`, their signatures to the signature table.
+    */
+  def processBatch(batch: DataFrame, idCol: String, sigTablePath: String,
+                   acceptedPath: String, textCol: String = "text",
+                   shingleK: Int = 3, numHashes: Int = 126,
+                   threshold: Double = 0.5, maxBucket: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
+    val corpusSigs = spark.read.parquet(sigTablePath)
+    val newSigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleK, numHashes)
+      .persist() // consumed by the band join, the verify AND the sig append
+    try {
+      val pairs = Dedup.estJaccardScores(
+        Dedup.minHashCandidatePairsAgainst(newSigs, corpusSigs, nBands, rowsPerBand, maxBucket),
+        newSigs, corpusSigs, "new_id", "corpus_id", numHashes)
+        .where(col("est_jaccard") >= threshold)
+      val novel = Dedup.filterNovel(batch, idCol, pairs)
+      novel.write.mode(SaveMode.Append).parquet(acceptedPath)
+      newSigs
+        .join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .write.mode(SaveMode.Append).parquet(sigTablePath)
+    } finally { newSigs.unpersist(); () }
+  }
+
+  /** The streaming wrapper: increments → [[processBatch]] per micro-batch.
+    * Caller starts it with its own trigger/checkpoint.
+    */
+  def dedupStream(increments: DataFrame, idCol: String, sigTablePath: String,
+                  acceptedPath: String, textCol: String = "text",
+                  shingleK: Int = 3, numHashes: Int = 126,
+                  threshold: Double = 0.5, maxBucket: Int = 1000): DataStreamWriter[Row] =
+    increments.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, idCol, sigTablePath, acceptedPath, textCol,
+          shingleK, numHashes, threshold, maxBucket)
+      }
+}

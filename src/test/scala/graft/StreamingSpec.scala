@@ -153,4 +153,78 @@ class StreamingSpec extends SparkSpecBase {
       assert(kept == Seq(1L, 2L, 4L)) // 3 dropped: same content as 1 within watermark
     } finally q.stop()
   }
+
+  test("incremental near-dup dedup E2E: increments stream against a signature table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.IncrementalDedup
+    implicit val sqlCtx = spark.sqlContext
+
+    val work = java.nio.file.Files.createTempDirectory("inc_dedup_").toString
+    val sigTable = s"$work/sigs"; val accepted = s"$work/accepted"
+    val ckpt = s"$work/ckpt"
+
+    def doc(id: Long, text: String) = (id, text)
+    // distinctive 12-token corpus texts (3-shingles well separated)
+    val corpusDocs = Seq(
+      doc(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      doc(2L, "one two three four five six seven eight nine ten eleven twelve"),
+      doc(3L, "red orange yellow green blue indigo violet cyan magenta teal navy plum"))
+      .toDF("doc_id", "text")
+    // seed: corpus accepted + its signature table (the materialized artifact)
+    corpusDocs.write.parquet(accepted)
+    Dedup.minHashSignatures(corpusDocs, "doc_id", "text", 3, 126).write.parquet(sigTable)
+
+    val novel1 = "cat dog bird fish horse sheep goat cow duck hen pig llama"
+    val novel2 = "sun moon star comet planet nebula quasar pulsar meteor orbit dust ring"
+    val novel3 = "oak pine birch maple cedar willow aspen elm spruce fir yew ash"
+    val input = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.dedupStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", sigTable, accepted)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // batch 1: one exact dup of corpus doc 1, two novel docs
+      input.addData(doc(11L, novel1),
+        doc(12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        doc(13L, novel2))
+      q.processAllAvailable()
+      // batch 2: a dup of a BATCH-1 SURVIVOR (proves survivors were signed
+      // into the table — the corpus docs are never re-read) + one novel
+      input.addData(doc(21L, novel1), doc(22L, novel3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val keptIds = spark.read.parquet(accepted).select("doc_id")
+      .as[Long].collect().toSeq.sorted
+    assert(keptIds == Seq(1L, 2L, 3L, 11L, 13L, 22L),
+      s"accepted table wrong: $keptIds")
+    val signedIds = spark.read.parquet(sigTable).select("id")
+      .as[Long].collect().toSeq.sorted
+    assert(signedIds == Seq(1L, 2L, 3L, 11L, 13L, 22L),
+      "every accepted doc (and only those) must be signed")
+
+    // replay idempotence: re-deliver batch 2 AFTER both its writes
+    // committed (the at-least-once redelivery case) — its docs are now
+    // self-signed, collide with themselves at est 1.0, and are dropped
+    IncrementalDedup.processBatch(
+      Seq(doc(21L, novel1), doc(22L, novel3)).toDF("doc_id", "text"),
+      "doc_id", sigTable, accepted)
+    assert(spark.read.parquet(accepted).count() == 6,
+      "replayed committed batch must be a no-op")
+
+    // the corpus is never re-shingled/re-read: every file scan in the
+    // batch plan reads the SIGNATURE table — the corpus docs parquet
+    // path appears nowhere
+    val pairs = Dedup.minHashLshPairsAgainst(
+      Seq(doc(31L, novel2)).toDF("doc_id", "text"),
+      spark.read.parquet(sigTable), "doc_id")
+    val scans = graft.sources.BucketedTables.PlanWitness.collectNodes(pairs) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("/sigs")),
+      s"batch plan must only scan the signature table, saw: $scans")
+  }
 }
