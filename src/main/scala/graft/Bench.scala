@@ -92,6 +92,17 @@ object Bench {
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$stats,""" +
       s""""canary":{"first":${f(canaryFirst)},"last":${f(canaryLast)},"spread":${f(canarySpread)}},""" +
       s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}""")
+    // Compact SECOND line after the full stats: the driver's artifact
+    // captures the output tail, and the full per-query line is ~15 KB —
+    // truncation used to leave BENCH_r*.json unparseable. This line is
+    // complete on its own: total, count, the 5 most expensive medians,
+    // canary + dirty.
+    val top5 = results.map { case (k, ts) => k -> medianOf(ts) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, m) => "\"" + k + "\":" + f(m) }.mkString("{", ",", "}")
+    println(s"""{"metric":"summary","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""top5":$top5,"canary_first":${f(canaryFirst)},"canary_last":${f(canaryLast)},""" +
+      s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
