@@ -45,6 +45,16 @@ object Dashboards {
                                  aliases: Map[String, String] = Map.empty): DataFrame =
     fsOpsPerGroup(fsEvents, Seq(col("framework"), col("component")), uri, interval, aliases)
 
+  /** "FS OPS/Latency action per App/Attempt/Container on $uri" — the
+    * per-application drill-down (garmadon-yarn-application.json FS row).
+    */
+  def fsOpsPerContainer(fsEvents: DataFrame, uri: String,
+                        interval: String = "30 seconds",
+                        aliases: Map[String, String] = Map.empty): DataFrame =
+    fsOpsPerGroup(fsEvents,
+      Seq(col("application_id"), col("attempt_id"), col("container_id")),
+      uri, interval, aliases)
+
   /** "FS OPS $action per host-user-pid" — the standalone-JVM drill-down
     * (garmadon-hdfs.json).
     */
@@ -150,6 +160,62 @@ object Dashboards {
     }
     bucketed.withColumn("dv_per_bucket", col("v") - lag(col("v"), 1).over(w))
   }
+
+  /** The generic date_histogram × terms × {sum,avg,max,min} series — the
+    * panel shape every remaining graph of the 10 dashboards reduces to
+    * (YARN memory/vcore sums, OS disk/network byte sums, Spark
+    * task/stage shuffle metrics, Flink job/checkpoint metrics, …): an
+    * optional row filter, a time bucket, optional terms keys, one metric
+    * agg over a typed column. One exchange keyed (bucket × terms), fully
+    * partial-aggregated map-side; on the (event_type, day) sink layout
+    * the event-type filter prunes partitions before the scan.
+    */
+  def metricSeries(events: DataFrame, valueCol: Column, agg: String = "sum",
+                   interval: String = "30 seconds",
+                   groupCols: Seq[Column] = Nil,
+                   where: Column = lit(true)): DataFrame = {
+    val folded = agg match {
+      case "sum" => sum(valueCol)
+      case "avg" => avg(valueCol)
+      case "max" => max(valueCol)
+      case "min" => min(valueCol)
+      case "count" => count(valueCol)
+      case other => throw new IllegalArgumentException(
+        s"metricSeries agg must be sum/avg/max/min/count, got '$other'")
+    }
+    events.where(where)
+      .groupBy((window(col("timestamp"), interval).as("bucket") +: groupCols): _*)
+      .agg(folded.as("v"))
+      .select((col("bucket.start").as("bucket_start") +: groupCols :+ col("v")): _*)
+  }
+
+  /** The percentile-series shape ("Task runtime", latency percentiles
+    * outside the FS family): approx p-quantile of a typed column per
+    * bucket × terms keys. Sketch-based — the oracle-parity exact flavor
+    * lives on the FS path ([[fsOpsPerUser]] `exactPercentiles`).
+    */
+  def percentileSeries(events: DataFrame, valueCol: Column, p: Double,
+                       interval: String = "30 seconds",
+                       groupCols: Seq[Column] = Nil,
+                       where: Column = lit(true)): DataFrame =
+    events.where(where)
+      .groupBy((window(col("timestamp"), interval).as("bucket") +: groupCols): _*)
+      .agg(percentile_approx(valueCol, lit(p), lit(10000)).as("v"))
+      .select((col("bucket.start").as("bucket_start") +: groupCols :+ col("v")): _*)
+
+  /** The cardinality-series shape ("Applications/Containers running",
+    * "#Applications Per User/Framework", "Top app running container"):
+    * approx distinct of a key per bucket (× optional terms keys) —
+    * HLL++ partial-aggregated, same single exchange as [[metricSeries]].
+    */
+  def cardinalitySeries(events: DataFrame, keyCol: Column,
+                        interval: String = "30 seconds",
+                        groupCols: Seq[Column] = Nil,
+                        where: Column = lit(true)): DataFrame =
+    events.where(where)
+      .groupBy((window(col("timestamp"), interval).as("bucket") +: groupCols): _*)
+      .agg(approx_count_distinct(keyCol).as("v"))
+      .select((col("bucket.start").as("bucket_start") +: groupCols :+ col("v")): _*)
 
   /** Any single-metric JVMSTATS series panel of garmadon-jvm.json (CPU,
     * HEAP/OFF-HEAP/metaspace usage, #Threads, #File Descriptors, compile
