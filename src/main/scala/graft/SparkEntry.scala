@@ -135,6 +135,43 @@ object SparkEntry {
       }.toDF("value", "offset")
   }
 
+  /** Wire fixture for the GC/FS heuristic chain: every events row encodes
+    * as BOTH a GC_EVENT frame (deterministic collector/cause/pause) and an
+    * FS_EVENT frame (deterministic action) behind one header — the mixed
+    * per-container stream the reference's heuristics consumer folds.
+    */
+  private def gcFsWireFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.model.{EventModel, ProtoDescriptors}
+    val collectors = Array("G1 Old Generation", "G1 Young Generation",
+      "PS Scavenge", "ConcurrentMarkSweep")
+    val causes = Array("Allocation Failure", "Metadata GC Threshold",
+      "Ergonomics", "System.gc()", "G1 Evacuation Pause")
+    val actions = HeuristicAggs.fsActions.toArray
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (eventId, userId, tsMs) =>
+          val header = ProtoDescriptors.header.encode(Seq(
+            s"application_${userId % 20}", "1", "graft_pipeline", s"user_${userId % 7}",
+            s"container_${userId % 5}", s"host_${userId % 11}", "", "YARN", "EXECUTOR",
+            "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+          val gcBody = ProtoDescriptors.gcStatisticsData.encode(Seq(
+            collectors((eventId % 4).toInt), eventId % 500, causes((eventId % 5).toInt),
+            0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0.0f))
+          val fsBody = ProtoDescriptors.fsEvent.encode(Seq(
+            "", "", actions((eventId % 8).toInt), "hdfs://root", eventId % 997,
+            s"user_${userId % 7}", "SUCCESS"))
+          Seq(
+            (EventModel.encode(EventModel.Frame(
+              EventModel.markerForName("GC_EVENT"), tsMs, header, gcBody)), eventId),
+            (EventModel.encode(EventModel.Frame(
+              EventModel.markerForName("FS_EVENT"), tsMs, header, fsBody)), eventId))
+        }
+      }.toDF("value", "offset")
+  }
+
   /** Flagship query (SURVEY §7.2 shape): filtered event stream → hourly
     * buckets → count + p95 latency-ish metric + distinct users.
     */
@@ -1123,6 +1160,35 @@ object SparkEntry {
         .orderBy("application_id", "attempt_id", "container_id")
     }),
 
+    // ---- S2→A1/A2/A8 on WIRE input: one mixed GC_EVENT + FS_EVENT frame
+    //      stream → typed decode → GCCause, G1 full-GC and FileHeuristic
+    //      folds with their severity ladders, unioned into a common
+    //      (heuristic, key, metric, extra, severity) shape — with
+    //      q_jvmstats_chain (A3) and q_heuristic_locks (A6/A7) this
+    //      closes the wire→heuristic matrix. Oracle recomputes every
+    //      count/sum/severity from raw events columns. ----
+    "q_gc_wire_chain" -> ((s, dir) => {
+      import graft.sources.FrameSource
+      val decoded = FrameSource.decodeFramesFast(gcFsWireFrames(s, dir))
+      val gc = FrameSource.typedTable(decoded, "GC_EVENT")
+      val fs = FrameSource.typedTable(decoded, "FS_EVENT")
+      val a1 = HeuristicAggs.gcCause(gc)
+        .select(lit("gc_cause").as("heuristic"), col("application_id"),
+          col("attempt_id"), col("container_id"), col("flagged_gc").as("metric"),
+          lit(0L).as("extra"), col("severity").cast(LongType).as("severity"))
+      val a2 = HeuristicAggs.g1FullGc(gc)
+        .select(lit("g1_full_gc").as("heuristic"), col("application_id"),
+          col("attempt_id"), col("container_id"), col("major_gc").as("metric"),
+          col("major_pause_ms").as("extra"),
+          col("severity").cast(LongType).as("severity"))
+      val a8 = HeuristicAggs.fileHeuristic(fs, maxCreatedFiles = 50L)
+        .select(lit("files").as("heuristic"), col("application_id"),
+          col("attempt_id"), lit("").as("container_id"), col("WRITE").as("metric"),
+          col("READ").as("extra"), col("severity").cast(LongType).as("severity"))
+      a1.unionByName(a2).unionByName(a8)
+        .orderBy(col("heuristic"), col("application_id"), col("container_id"))
+    }),
+
     // ---- S2→P4→A6/A7 on WIRE input: JVMSTATS frames carrying
     //      synclocks/safepoints sections → proto_decode → props-map
     //      extraction → the Locks/Safepoints delta-rate heuristics with
@@ -1543,6 +1609,49 @@ object SparkEntry {
     "q_ivf_quant" ->
       """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
         |  TRUE AS pruned_scan, TRUE AS index_smaller""".stripMargin,
+
+    // the GC/FS wire chain: every count/sum/severity recomputed from raw
+    // events columns (cause codes 1/2 = the flagged causes, collector 0 =
+    // G1 Old Generation, action 1/0 = WRITE/READ in fsActions order);
+    // g1FullGc filters to G1-old BEFORE grouping, so the oracle's a2 arm
+    // keeps only groups that have such rows
+    "q_gc_wire_chain" ->
+      """WITH e AS (
+        |  SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |         '1' AS attempt_id,
+        |         'container_' || CAST(user_id % 5 AS VARCHAR) AS container_id,
+        |         event_id % 4 AS coll, event_id % 5 AS cause,
+        |         event_id % 500 AS pause, event_id % 8 AS act
+        |  FROM events),
+        |a1 AS (
+        |  SELECT application_id, attempt_id, container_id,
+        |    count(*) FILTER (WHERE cause IN (1, 2)) AS metric
+        |  FROM e GROUP BY 1, 2, 3),
+        |a2 AS (
+        |  SELECT application_id, attempt_id, container_id,
+        |    count(*) AS metric, CAST(sum(pause) AS BIGINT) AS extra
+        |  FROM e WHERE coll = 0 GROUP BY 1, 2, 3),
+        |a8 AS (
+        |  SELECT application_id, attempt_id,
+        |    count(*) FILTER (WHERE act = 1) AS metric,
+        |    count(*) FILTER (WHERE act = 0) AS extra
+        |  FROM e GROUP BY 1, 2)
+        |SELECT 'gc_cause' AS heuristic, application_id, attempt_id, container_id,
+        |  metric, CAST(0 AS BIGINT) AS extra,
+        |  CAST(CASE WHEN metric > 0 THEN 2 ELSE 0 END AS BIGINT) AS severity
+        |FROM a1
+        |UNION ALL
+        |SELECT 'g1_full_gc' AS heuristic, application_id, attempt_id, container_id,
+        |  metric, extra,
+        |  CAST(CASE WHEN metric > 0 THEN 3 ELSE 0 END AS BIGINT) AS severity
+        |FROM a2
+        |UNION ALL
+        |SELECT 'files' AS heuristic, application_id, attempt_id, '' AS container_id,
+        |  metric, extra,
+        |  CAST(CASE WHEN metric > 50 THEN 3 WHEN metric > 25 THEN 2
+        |       WHEN metric > 5 THEN 1 ELSE 0 END AS BIGINT) AS severity
+        |FROM a8
+        |ORDER BY heuristic, application_id, container_id""".stripMargin,
 
     // wire-input delta-rate heuristics: counters and unique timestamps
     // replayed from raw events columns; `/` is true division in both
