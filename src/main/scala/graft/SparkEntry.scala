@@ -979,12 +979,34 @@ object SparkEntry {
     // ---- A9 FlinkCheckpointDuration end-to-end: max checkpoint duration
     //      per (app, job) with the sticky 15-minute SEVERE rule
     //      (flink/FlinkCheckpointDuration.java:45-53,96-110). ----
+    // ---- A9 on WIRE input (upgraded from synthetic columns round 5):
+    //      FLINK_JOB_EVENT frames → typed decode → max checkpoint
+    //      duration per (app, job) with the 15 min severity cut; the
+    //      oracle is unchanged (same formula from raw columns), so the
+    //      hash now gates the flink body codec too. ----
     "q_flink_checkpoint" -> ((s, dir) => {
-      val jobs = t(s, dir, "events").select(
-        concat(lit("application_"), (col("user_id") % 20).cast(StringType)).as("application_id"),
-        concat(lit("job_"), (col("event_id") % 7).cast(StringType)).as("job_name"),
-        (col("event_id") * 131 % 1500000).as("last_checkpoint_duration"))
-      HeuristicAggs.flinkCheckpointDuration(jobs)
+      import s.implicits._
+      import graft.model.{EventModel, ProtoDescriptors}
+      import graft.sources.FrameSource
+      val frames = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (eventId, userId, tsMs) =>
+            val header = ProtoDescriptors.header.encode(Seq(
+              s"application_${userId % 20}", "1", "graft_pipeline", s"user_${userId % 7}",
+              s"container_${userId % 5}", s"host_${userId % 11}", "", "FLINK",
+              "JOB_MANAGER", "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+            val body = ProtoDescriptors.flinkJobEvent.encode(Seq(
+              s"jid_${eventId % 7}", s"job_${eventId % 7}", 0L, 0L, 0L, 0L,
+              0L, 0, 0L, 0L, 0L, 0L, eventId * 131 % 1500000, 0L, ""))
+            (EventModel.encode(EventModel.Frame(
+              EventModel.markerForName("FLINK_JOB_EVENT"), tsMs, header, body)), eventId)
+          }
+        }.toDF("value", "offset")
+      val typed = FrameSource.typedTable(
+        FrameSource.decodeFramesFast(frames), "FLINK_JOB_EVENT")
+      HeuristicAggs.flinkCheckpointDuration(typed)
         .orderBy("application_id", "job_name")
     }),
 
