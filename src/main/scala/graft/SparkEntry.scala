@@ -1211,6 +1211,60 @@ object SparkEntry {
         .orderBy(col("heuristic"), col("application_id"), col("container_id"))
     }),
 
+    // ---- S2→S5 on WIRE input: SPARK_TASK_EVENT + CONTAINER_MONITORING
+    //      frames → typed decode → the dashboard panel layer (shuffle-read
+    //      sums per status, peak-memory max per locality, YARN memory
+    //      used) — gates the spark-task and container body codecs AND the
+    //      generic panel primitives in one row. ----
+    "q_spark_wire_panels" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.{EventModel, ProtoDescriptors}
+      import graft.sources.FrameSource
+      val localities = Array("PROCESS_LOCAL", "NODE_LOCAL", "ANY")
+      val frames = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.flatMap { case (eventId, userId, tsMs) =>
+            val header = ProtoDescriptors.header.encode(Seq(
+              s"application_${userId % 20}", "1", "graft_pipeline", s"user_${userId % 7}",
+              s"container_${userId % 5}", s"host_${userId % 11}", "", "SPARK",
+              "EXECUTOR", "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+            val taskBody = ProtoDescriptors.sparkTaskEvent.encode(Seq(
+              0L, s"task_$eventId", s"stage_${eventId % 9}", "0", "h",
+              if (eventId % 5 == 0) "FAILED" else "COMPLETED", "",
+              0L, 0L, eventId % 1000, 0L, 0L, 0L, 0L, eventId % 100000,
+              0L, 0L, 0L, 0L, 0L, 0L, eventId % 4096, 0L, 0L, 0L,
+              0L, 0L, 0L, eventId % 50, 0L, 0L, 0L,
+              "", localities((eventId % 3).toInt), 0))
+            val ceBody = ProtoDescriptors.containerResourceEvent.encode(Seq(
+              if (eventId % 2 == 0) "MEMORY" else "VCORE",
+              1024L + userId % 2048, (eventId % 1000).toFloat))
+            Seq(
+              (EventModel.encode(EventModel.Frame(
+                EventModel.markerForName("SPARK_TASK_EVENT"), tsMs, header, taskBody)), eventId),
+              (EventModel.encode(EventModel.Frame(
+                EventModel.markerForName("CONTAINER_MONITORING_EVENT"), tsMs, header, ceBody)), eventId))
+          }
+        }.toDF("value", "offset")
+      val decoded = FrameSource.decodeFramesFast(frames)
+      val tasks = FrameSource.typedTable(decoded, "SPARK_TASK_EVENT")
+      val ce = FrameSource.typedTable(decoded, "CONTAINER_MONITORING_EVENT")
+      val shuffleRead = serving.Dashboards.metricSeries(tasks,
+          col("shuffle_read_total_bytes"), "sum", "1 hour", Seq(col("status")))
+        .select(lit("shuffle_read").as("panel"), col("bucket_start"),
+          col("status").as("grp"), col("v").cast(DoubleType).as("v"))
+      val peakMem = serving.Dashboards.metricSeries(tasks,
+          col("peak_execution_memory"), "max", "1 hour", Seq(col("locality")))
+        .select(lit("peak_memory").as("panel"), col("bucket_start"),
+          col("locality").as("grp"), col("v").cast(DoubleType).as("v"))
+      val yarnMem = serving.Dashboards.containerMemory(ce, "1 hour")
+        .select(lit("yarn_memory").as("panel"), col("bucket_start"),
+          lit("MEMORY").as("grp"), col("used").cast(DoubleType).as("v"))
+      shuffleRead.unionByName(peakMem).unionByName(yarnMem)
+        .orderBy(col("panel"), col("bucket_start"), col("grp"))
+    }),
+
     // ---- S2→P4→A6/A7 on WIRE input: JVMSTATS frames carrying
     //      synclocks/safepoints sections → proto_decode → props-map
     //      extraction → the Locks/Safepoints delta-rate heuristics with
@@ -1631,6 +1685,31 @@ object SparkEntry {
     "q_ivf_quant" ->
       """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
         |  TRUE AS pruned_scan, TRUE AS index_smaller""".stripMargin,
+
+    // spark-task/container wire panels: the sums are exact (integer-valued
+    // floats/longs folded in double stay exact below 2^53, so the fold
+    // order the engines use is irrelevant)
+    "q_spark_wire_panels" ->
+      """WITH base AS (
+        |  SELECT date_trunc('hour', ts) AS bucket_start,
+        |         CASE WHEN event_id % 5 = 0 THEN 'FAILED' ELSE 'COMPLETED' END AS status,
+        |         CASE event_id % 3 WHEN 0 THEN 'PROCESS_LOCAL'
+        |              WHEN 1 THEN 'NODE_LOCAL' ELSE 'ANY' END AS locality,
+        |         event_id % 4096 AS srb, event_id % 100000 AS pem,
+        |         event_id % 2 AS ctype, event_id % 1000 AS cval
+        |  FROM events)
+        |SELECT 'shuffle_read' AS panel, bucket_start, status AS grp,
+        |  CAST(sum(srb) AS DOUBLE) AS v
+        |FROM base GROUP BY bucket_start, status
+        |UNION ALL
+        |SELECT 'peak_memory' AS panel, bucket_start, locality AS grp,
+        |  CAST(max(pem) AS DOUBLE) AS v
+        |FROM base GROUP BY bucket_start, locality
+        |UNION ALL
+        |SELECT 'yarn_memory' AS panel, bucket_start, 'MEMORY' AS grp,
+        |  CAST(sum(cval) FILTER (WHERE ctype = 0) AS DOUBLE) AS v
+        |FROM base GROUP BY bucket_start
+        |ORDER BY panel, bucket_start, grp""".stripMargin,
 
     // the GC/FS wire chain: every count/sum/severity recomputed from raw
     // events columns (cause codes 1/2 = the flagged causes, collector 0 =
