@@ -1211,6 +1211,122 @@ object SparkEntry {
         .orderBy(col("heuristic"), col("application_id"), col("container_id"))
     }),
 
+    // ---- S2 capstone: EVERY typed body codec wire-gated in one row.
+    //      500 rows × the 13 event types no other gate query decodes
+    //      (PATH, STATE, APPLICATION, CONTAINER, SPARK stage/executor-
+    //      state/storage/rdd, FLINK jm/tm/task/operator/kafka) — encode →
+    //      envelope + typed proto decode → per-type count + integer
+    //      checksum over the decoded numerics (+ a bool/list/double
+    //      field each where the type has one) + a min string tag. Any
+    //      drift in any field codec of any type breaks the hash. ----
+    "q_wire_all_types" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.{EventModel, ProtoDescriptors => P}
+      import graft.sources.FrameSource
+      val frames = t(s, dir, "events").where(col("event_id") < 500)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          it.flatMap { case (eid, tsMs) =>
+            val header = P.header.encode(Seq(
+              s"application_${eid % 20}", "1", "p", s"user_${eid % 7}",
+              s"container_${eid % 5}", "h", "", "YARN", "EXECUTOR",
+              "", Seq("YARN_APPLICATION"), "", "", "", 0, ""))
+            def f(tpe: String, body: Array[Byte]) =
+              (EventModel.encode(EventModel.Frame(
+                EventModel.markerForName(tpe), tsMs, header, body)), eid)
+            Seq(
+              f("PATH_EVENT", P.pathEvent.encode(Seq(
+                s"p_${eid % 97}", if (eid % 2 == 0) "FILE" else "DIR"))),
+              f("STATE_EVENT", P.stateEvent.encode(Seq(s"S${eid % 5}"))),
+              f("APPLICATION_EVENT", P.applicationEvent.encode(Seq(
+                if (eid % 2 == 0) "RUNNING" else "FINISHED", "q", "", "",
+                Seq(s"tag_${eid % 3}"), "", "", "", eid % 1009, eid % 503,
+                "", 0L, 0L))),
+              f("CONTAINER_EVENT", P.containerEvent.encode(Seq(
+                s"ST${eid % 3}", "GUARANTEED", "", (eid % 7).toInt, 0L, 0L,
+                eid % 2 == 0, s"h${eid % 4}", "", (eid % 31).toInt,
+                (eid % 4096).toInt))),
+              f("SPARK_STAGE_EVENT", P.sparkStageEvent.encode(
+                Seq[Any](0L, s"sn${eid % 6}", s"${eid % 9}", "0", (eid % 13).toInt,
+                  if (eid % 4 == 0) "FAILED" else "COMPLETED", "") ++
+                // TaskMetrics 8-32: run_time (10) and input_records (29) set
+                Seq.fill(2)(0L) ++ Seq(eid % 1000) ++ Seq.fill(18)(0L) ++
+                Seq(eid % 50) ++ Seq.fill(3)(0L))),
+              f("SPARK_EXECUTOR_STATE_EVENT", P.sparkExecutorStateEvent.encode(Seq(
+                s"E${eid % 3}", "h", "", (eid % 6).toInt))),
+              f("SPARK_EXECUTOR_STORAGE_STATUS_EVENT", P.sparkExecutorStorageStatus.encode(Seq(
+                s"h${eid % 4}", 0L, eid % 4096, 0L, 0L, eid % 128, 0L, 0L,
+                eid % 64, 0L))),
+              f("SPARK_RDD_STORAGE_STATUS_EVENT", P.sparkRddStorageStatus.encode(Seq(
+                s"rdd${eid % 5}", 0L, eid % 2048, eid % 32))),
+              f("FLINK_JOB_MANAGER_EVENT", P.flinkJobManagerEvent.encode(Seq(
+                eid % 9, eid % 11, eid % 13, eid % 17))),
+              f("FLINK_TASK_MANAGER_EVENT", P.flinkTaskManagerEvent.encode(Seq(
+                eid % 64, eid % 32))),
+              f("FLINK_TASK_EVENT", P.flinkTaskEvent.encode(Seq(
+                "j", s"job${eid % 3}", "t", "tn", "0",
+                eid % 16, 0L, 0L, 0L, eid % 256, eid % 512, eid % 1024,
+                0L, 0L, 0L, 0L, 0L,
+                (eid % 10).toDouble, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                "0", eid % 100, 0L))),
+              f("FLINK_OPERATOR_EVENT", P.flinkOperatorEvent.encode(Seq(
+                "j", "jn", "t", "tn", "oid", s"op${eid % 5}", "0",
+                eid % 200, 0L, 0L, 0L, 0L, 0L, eid % 29, 0L,
+                (eid % 17).toDouble, 0.0, 0.0))),
+              f("FLINK_KAFKA_CONSUMER_EVENT", P.flinkKafkaConsumerEvent.encode(Seq(
+                "j", "jn", "t", "tn", "oid", "on", "0",
+                s"t${eid % 3}", s"${eid % 8}", eid % 8191, eid % 4001))))
+          }
+        }.toDF("value", "offset")
+      val decoded = FrameSource.decodeFramesFast(frames)
+      def arm(tpe: String, num: Column, tag: Column,
+              num2: Option[Column] = None): DataFrame =
+        FrameSource.typedTable(decoded, tpe)
+          .agg(count(lit(1)).as("n"),
+            sum(num).cast(LongType).as("checksum"),
+            num2.map(d => sum(d).cast(LongType)).getOrElse(max(lit(0L))).as("checksum2"),
+            min(tag).as("tag"))
+          .select(lit(tpe).as("event_type"), col("n"), col("checksum"),
+            col("checksum2"), col("tag"))
+      Seq(
+        arm("PATH_EVENT", length(col("path")), col("type")),
+        arm("STATE_EVENT", length(col("state")), col("state")),
+        arm("APPLICATION_EVENT", col("memory_seconds") + col("vcore_seconds"),
+          concat(col("state"), lit("|"), element_at(col("yarn_tags"), 1))),
+        arm("CONTAINER_EVENT",
+          col("vcores_reserved") + col("memory_reserved") + col("exit_status"),
+          col("state"), Some(col("is_finished").cast(IntegerType))),
+        arm("SPARK_STAGE_EVENT",
+          col("executor_run_time") + col("num_tasks") + col("input_records"),
+          col("status")),
+        arm("SPARK_EXECUTOR_STATE_EVENT", col("task_failures"), col("state")),
+        arm("SPARK_EXECUTOR_STORAGE_STATUS_EVENT",
+          col("rdd_memory_used") + col("stream_memory_used") + col("broadcast_memory_used"),
+          col("executor_hostname")),
+        arm("SPARK_RDD_STORAGE_STATUS_EVENT",
+          col("memory_used") + col("disk_used"), col("rdd_name")),
+        arm("FLINK_JOB_MANAGER_EVENT",
+          col("num_registered_task_managers") + col("num_running_jobs") +
+            col("task_slots_available") + col("task_slots_total"),
+          lit("-")),
+        arm("FLINK_TASK_MANAGER_EVENT",
+          col("network_total_memory_segments") + col("network_available_memory_segments"),
+          lit("-")),
+        arm("FLINK_TASK_EVENT",
+          col("num_records_in") + col("num_records_out") + col("num_bytes_out") +
+            col("current_input_watermark") + col("buffers_input_queue_length"),
+          col("job_name"), Some(col("num_bytes_out_per_second"))),
+        arm("FLINK_OPERATOR_EVENT",
+          col("current_input_watermark") + col("commits_succeeded"),
+          col("operator_name"), Some(col("records_lag_max"))),
+        arm("FLINK_KAFKA_CONSUMER_EVENT",
+          col("current_offsets") + col("committed_offsets"),
+          concat(col("topic"), lit("-"), col("partition"))))
+        .reduce(_ unionByName _)
+        .orderBy(col("event_type"))
+    }),
+
     // ---- S2→S5 on WIRE input: SPARK_TASK_EVENT + CONTAINER_MONITORING
     //      frames → typed decode → the dashboard panel layer (shuffle-read
     //      sums per status, peak-memory max per locality, YARN memory
@@ -1685,6 +1801,67 @@ object SparkEntry {
     "q_ivf_quant" ->
       """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
         |  TRUE AS pruned_scan, TRUE AS index_smaller""".stripMargin,
+
+    // every remaining typed body codec replayed from eid arithmetic; the
+    // per-type checksums cover int64/int32/bool/double/string-list fields
+    "q_wire_all_types" ->
+      """WITH e AS (SELECT event_id AS eid FROM events WHERE event_id < 500)
+        |SELECT 'PATH_EVENT' AS event_type, count(*) AS n,
+        |  CAST(sum(length('p_' || CAST(eid % 97 AS VARCHAR))) AS BIGINT) AS checksum,
+        |  CAST(0 AS BIGINT) AS checksum2,
+        |  min(CASE WHEN eid % 2 = 0 THEN 'FILE' ELSE 'DIR' END) AS tag FROM e
+        |UNION ALL
+        |SELECT 'STATE_EVENT', count(*),
+        |  CAST(sum(length('S' || CAST(eid % 5 AS VARCHAR))) AS BIGINT),
+        |  CAST(0 AS BIGINT), min('S' || CAST(eid % 5 AS VARCHAR)) FROM e
+        |UNION ALL
+        |SELECT 'APPLICATION_EVENT', count(*),
+        |  CAST(sum(eid % 1009 + eid % 503) AS BIGINT), CAST(0 AS BIGINT),
+        |  min((CASE WHEN eid % 2 = 0 THEN 'RUNNING' ELSE 'FINISHED' END)
+        |      || '|tag_' || CAST(eid % 3 AS VARCHAR)) FROM e
+        |UNION ALL
+        |SELECT 'CONTAINER_EVENT', count(*),
+        |  CAST(sum(eid % 31 + eid % 4096 + eid % 7) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE eid % 2 = 0) AS BIGINT),
+        |  min('ST' || CAST(eid % 3 AS VARCHAR)) FROM e
+        |UNION ALL
+        |SELECT 'FLINK_JOB_MANAGER_EVENT', count(*),
+        |  CAST(sum(eid % 9 + eid % 11 + eid % 13 + eid % 17) AS BIGINT),
+        |  CAST(0 AS BIGINT), '-' FROM e
+        |UNION ALL
+        |SELECT 'FLINK_KAFKA_CONSUMER_EVENT', count(*),
+        |  CAST(sum(eid % 8191 + eid % 4001) AS BIGINT), CAST(0 AS BIGINT),
+        |  min('t' || CAST(eid % 3 AS VARCHAR) || '-' || CAST(eid % 8 AS VARCHAR)) FROM e
+        |UNION ALL
+        |SELECT 'FLINK_OPERATOR_EVENT', count(*),
+        |  CAST(sum(eid % 200 + eid % 29) AS BIGINT),
+        |  CAST(sum(eid % 17) AS BIGINT),
+        |  min('op' || CAST(eid % 5 AS VARCHAR)) FROM e
+        |UNION ALL
+        |SELECT 'FLINK_TASK_EVENT', count(*),
+        |  CAST(sum(eid % 512 + eid % 256 + eid % 1024 + eid % 100 + eid % 16) AS BIGINT),
+        |  CAST(sum(eid % 10) AS BIGINT),
+        |  min('job' || CAST(eid % 3 AS VARCHAR)) FROM e
+        |UNION ALL
+        |SELECT 'FLINK_TASK_MANAGER_EVENT', count(*),
+        |  CAST(sum(eid % 64 + eid % 32) AS BIGINT), CAST(0 AS BIGINT), '-' FROM e
+        |UNION ALL
+        |SELECT 'SPARK_EXECUTOR_STATE_EVENT', count(*),
+        |  CAST(sum(eid % 6) AS BIGINT), CAST(0 AS BIGINT),
+        |  min('E' || CAST(eid % 3 AS VARCHAR)) FROM e
+        |UNION ALL
+        |SELECT 'SPARK_EXECUTOR_STORAGE_STATUS_EVENT', count(*),
+        |  CAST(sum(eid % 4096 + eid % 128 + eid % 64) AS BIGINT), CAST(0 AS BIGINT),
+        |  min('h' || CAST(eid % 4 AS VARCHAR)) FROM e
+        |UNION ALL
+        |SELECT 'SPARK_RDD_STORAGE_STATUS_EVENT', count(*),
+        |  CAST(sum(eid % 2048 + eid % 32) AS BIGINT), CAST(0 AS BIGINT),
+        |  min('rdd' || CAST(eid % 5 AS VARCHAR)) FROM e
+        |UNION ALL
+        |SELECT 'SPARK_STAGE_EVENT', count(*),
+        |  CAST(sum(eid % 1000 + eid % 13 + eid % 50) AS BIGINT), CAST(0 AS BIGINT),
+        |  min(CASE WHEN eid % 4 = 0 THEN 'FAILED' ELSE 'COMPLETED' END) FROM e
+        |ORDER BY event_type""".stripMargin,
 
     // spark-task/container wire panels: the sums are exact (integer-valued
     // floats/longs folded in double stay exact below 2^53, so the fold
