@@ -200,8 +200,14 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // section selector: no args = all; any of "minhash", "emb", "spans"
-    val sections = if (args.isEmpty) Set("minhash", "emb", "spans") else args.toSet
+    // section selector: no args = all; any of "minhash", "emb", "spans".
+    // Unknown names fail fast — a typo'd section must not produce a
+    // successful-looking run that measured nothing.
+    val known = Set("minhash", "emb", "spans")
+    val sections = if (args.isEmpty) known else args.toSet
+    require(sections.subsetOf(known),
+      s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
+        s"valid: ${known.mkString(", ")}")
     val small = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select("doc_id", "text")
     val base = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "documents")

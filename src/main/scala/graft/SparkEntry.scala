@@ -1884,8 +1884,8 @@ object SparkEntry {
         |FROM base GROUP BY bucket_start, locality
         |UNION ALL
         |SELECT 'yarn_memory' AS panel, bucket_start, 'MEMORY' AS grp,
-        |  CAST(sum(cval) FILTER (WHERE ctype = 0) AS DOUBLE) AS v
-        |FROM base GROUP BY bucket_start
+        |  CAST(sum(cval) AS DOUBLE) AS v
+        |FROM base WHERE ctype = 0 GROUP BY bucket_start
         |ORDER BY panel, bucket_start, grp""".stripMargin,
 
     // the GC/FS wire chain: every count/sum/severity recomputed from raw

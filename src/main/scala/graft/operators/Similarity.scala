@@ -184,9 +184,12 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
-    val probeRows = probesPlan.collect()
-    // enforce the driver-sized contract by name: a corpus-sized `queries`
-    // DataFrame should fail with this message, not an opaque driver OOM
+    // enforce the driver-sized contract by name, BEFORE unbounded driver
+    // materialization: the limit caps what collect() can pull, so a
+    // corpus-sized `queries` DataFrame fails with this message instead of
+    // an opaque driver OOM; when the limit does not bite, probeRows IS the
+    // complete probe set (one execution, no second pass)
+    val probeRows = probesPlan.limit(MaxProbeRows + 1).collect()
     require(probeRows.length <= MaxProbeRows,
       s"ANN query batch too large for the driver-materialized probe contract: " +
         s"${probeRows.length} probe rows (= queries × nProbe) > $MaxProbeRows. " +

@@ -150,7 +150,12 @@ object TrainingPipeline {
         val train = mat.where(col("split") === "train")
         val factors = TextAnalysis.upsampleFactors(train, sc,
           cfg.upsampleTemperature, cfg.upsampleMaxFactor)
-        TextAnalysis.upsample(train, sc, factors, cfg.upsampleSeed, textCol = textCol)
+        // plumb the configured cap through as upsample's repeat bound —
+        // otherwise any upsampleMaxFactor above upsample's default
+        // maxRepeat (16) would be an unusable configuration that throws
+        TextAnalysis.upsample(train, sc, factors, cfg.upsampleSeed,
+          maxRepeat = math.max(16, math.ceil(cfg.upsampleMaxFactor).toInt),
+          textCol = textCol)
           .unionByName(mat.where(col("split") =!= "train")
             .withColumn("epoch", lit(0)))
       case None => split

@@ -32,8 +32,11 @@ object IncrementalDedup {
 
   /** One increment batch against the `sigTablePath` signature table
     * ((id, sig) parquet, [[Dedup.minHashSignatures]] layout; must share
-    * (shingleK, numHashes) across all writers). Novel docs append to
-    * `acceptedPath`, their signatures to the signature table.
+    * (shingleK, numHashes) across all writers). The batch is first
+    * deduplicated INTERNALLY (a day's increment routinely contains its
+    * own near-dups; the min-id member of each intra-batch pair survives),
+    * then against the corpus. Novel docs append to `acceptedPath`, their
+    * signatures to the signature table.
     */
   def processBatch(batch: DataFrame, idCol: String, sigTablePath: String,
                    acceptedPath: String, textCol: String = "text",
@@ -43,17 +46,30 @@ object IncrementalDedup {
     val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
     val corpusSigs = spark.read.parquet(sigTablePath)
     val newSigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleK, numHashes)
-      .persist() // consumed by the band join, the verify AND the sig append
+      .persist() // consumed by both band joins, the verifies AND the sig append
     try {
+      // intra-batch near-dups first: without this, two copies arriving in
+      // the SAME batch would both pass the corpus check and both be signed
+      // permanently. Keep the min-id side of each pair (id_a < id_b is the
+      // self-join's emit order).
+      val selfPairs = Dedup.estJaccardScores(
+        Dedup.minHashCandidatePairs(newSigs, nBands, rowsPerBand, maxBucket),
+        newSigs, newSigs, "id_a", "id_b", numHashes)
+        .where(col("est_jaccard") >= threshold)
       val pairs = Dedup.estJaccardScores(
         Dedup.minHashCandidatePairsAgainst(newSigs, corpusSigs, nBands, rowsPerBand, maxBucket),
         newSigs, corpusSigs, "new_id", "corpus_id", numHashes)
         .where(col("est_jaccard") >= threshold)
-      val novel = Dedup.filterNovel(batch, idCol, pairs)
-      novel.write.mode(SaveMode.Append).parquet(acceptedPath)
-      newSigs
-        .join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        .write.mode(SaveMode.Append).parquet(sigTablePath)
+      val novel = Dedup.filterNovel(
+          Dedup.filterNovel(batch, idCol, selfPairs.select(col("id_b").as("new_id"))),
+          idCol, pairs)
+        .persist() // written twice (accepted + sig semi-join) — one compute
+      try {
+        novel.write.mode(SaveMode.Append).parquet(acceptedPath)
+        newSigs
+          .join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi")
+          .write.mode(SaveMode.Append).parquet(sigTablePath)
+      } finally { novel.unpersist(); () }
     } finally { newSigs.unpersist(); () }
   }
 

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -33,7 +31,8 @@ object StreamingGate {
     */
   def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft_stream_gate_").toFile.getAbsolutePath
+    val work = graft.sources.BucketedTables.scratchDir("graft_stream_gate_")
+      .toFile.getAbsolutePath
     val srcDir = s"$work/src"; val outDir = s"$work/out"; val ckpt = s"$work/ckpt"
 
     val events = graft.sources.Tables.load(spark, sfDir, "events")
@@ -104,7 +103,11 @@ object StreamingGate {
   def streamRoute(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.model.{EventModel, ProtoDescriptors}
-    val work = Files.createTempDirectory("graft_stream_route_").toFile.getAbsolutePath
+    // exit-time-cleaned scratch: the returned plan lazily reads the routed
+    // tables, so eager deletion is impossible and a plain temp dir would
+    // leak frames + tables + checkpoint on every invocation
+    val work = graft.sources.BucketedTables.scratchDir("graft_stream_route_")
+      .toFile.getAbsolutePath
     val srcDir = s"$work/frames"; val base = s"$work/tables"; val ckpt = s"$work/ckpt"
 
     val rows = graft.sources.Tables.load(spark, sfDir, "events")
@@ -214,7 +217,8 @@ object StreamingGate {
     */
   def streamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val work = Files.createTempDirectory("graft_stream_enrich_").toFile.getAbsolutePath
+    val work = graft.sources.BucketedTables.scratchDir("graft_stream_enrich_")
+      .toFile.getAbsolutePath
     val srcDir = s"$work/src"; val outDir = s"$work/out"; val ckpt = s"$work/ckpt"
 
     val events = graft.sources.Tables.load(spark, sfDir, "events")

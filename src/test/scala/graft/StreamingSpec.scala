@@ -184,11 +184,15 @@ class StreamingSpec extends SparkSpecBase {
         input.toDF().toDF("doc_id", "text"), "doc_id", sigTable, accepted)
       .option("checkpointLocation", ckpt)
       .start()
+    val novel4 = "iron copper zinc tin lead gold silver nickel cobalt chrome brass steel"
     try {
-      // batch 1: one exact dup of corpus doc 1, two novel docs
+      // batch 1: one exact dup of corpus doc 1, two novel docs, and TWO
+      // copies of a novel doc in the SAME batch (intra-batch dedup: only
+      // the min-id copy may survive — without the self-pair stage both
+      // would pass the corpus check and be signed permanently)
       input.addData(doc(11L, novel1),
         doc(12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
-        doc(13L, novel2))
+        doc(13L, novel2), doc(14L, novel4), doc(15L, novel4))
       q.processAllAvailable()
       // batch 2: a dup of a BATCH-1 SURVIVOR (proves survivors were signed
       // into the table — the corpus docs are never re-read) + one novel
@@ -198,11 +202,11 @@ class StreamingSpec extends SparkSpecBase {
 
     val keptIds = spark.read.parquet(accepted).select("doc_id")
       .as[Long].collect().toSeq.sorted
-    assert(keptIds == Seq(1L, 2L, 3L, 11L, 13L, 22L),
+    assert(keptIds == Seq(1L, 2L, 3L, 11L, 13L, 14L, 22L),
       s"accepted table wrong: $keptIds")
     val signedIds = spark.read.parquet(sigTable).select("id")
       .as[Long].collect().toSeq.sorted
-    assert(signedIds == Seq(1L, 2L, 3L, 11L, 13L, 22L),
+    assert(signedIds == Seq(1L, 2L, 3L, 11L, 13L, 14L, 22L),
       "every accepted doc (and only those) must be signed")
 
     // replay idempotence: re-deliver batch 2 AFTER both its writes
@@ -211,7 +215,7 @@ class StreamingSpec extends SparkSpecBase {
     IncrementalDedup.processBatch(
       Seq(doc(21L, novel1), doc(22L, novel3)).toDF("doc_id", "text"),
       "doc_id", sigTable, accepted)
-    assert(spark.read.parquet(accepted).count() == 6,
+    assert(spark.read.parquet(accepted).count() == 7,
       "replayed committed batch must be a no-op")
 
     // the corpus is never re-shingled/re-read: every file scan in the
