@@ -1211,6 +1211,39 @@ object SparkEntry {
         .orderBy(col("heuristic"), col("application_id"), col("container_id"))
     }),
 
+    // ---- Multimodal blob plumbing in the ORACLE gate: deterministic
+    //      "media" bytes (props JSON repeated eid%7+1 times) → packBlobs
+    //      (inline ≤ 64 B, larger blobs appended to per-partition pack
+    //      files with (uri, offset, length) pointers) → resolveBlobs
+    //      (positioned reads) → per-(inline|external) md5/byte-length
+    //      aggregate. DuckDB recomputes every md5 and byte count from the
+    //      raw props strings, so the external round trip is byte-exact
+    //      by hash, not by assertion. ----
+    "q_multimodal_blobs" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      import Multimodal.{MediaMeta, MediaRow}
+      val work = BucketedTables.scratchDir("graft_mm_").toFile.getAbsolutePath
+      val media = t(s, dir, "events").where(col("event_id") < 2000)
+        .select(col("event_id"), col("props")).as[(Long, String)]
+        .map { case (eid, props) =>
+          val bytes = (props * ((eid % 7).toInt + 1)).getBytes("UTF-8")
+          MediaRow(eid, bytes,
+            MediaMeta("bin", (eid % 64).toInt + 1, (eid % 48).toInt + 1, 0L))
+        }
+      val resolved = Multimodal.resolveBlobs(
+        Multimodal.packBlobs(media, work, inlineMax = 64))
+      resolved.toDF()
+        .select(col("media_id"),
+          (length(col("content")) > 64).as("external"),
+          length(col("content")).cast(LongType).as("n_bytes"),
+          md5(col("content")).as("h"))
+        .groupBy(col("external"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("sum_bytes"),
+          countDistinct(col("h")).as("n_hashes"), min(col("h")).as("min_md5"))
+        .orderBy(col("external"))
+    }),
+
     // ---- S2 capstone: EVERY typed body codec wire-gated in one row.
     //      500 rows × the 13 event types no other gate query decodes
     //      (PATH, STATE, APPLICATION, CONTAINER, SPARK stage/executor-
@@ -1801,6 +1834,25 @@ object SparkEntry {
     "q_ivf_quant" ->
       """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
         |  TRUE AS pruned_scan, TRUE AS index_smaller""".stripMargin,
+
+    // every resolved blob's md5 recomputed from the raw props string (the
+    // pack/resolve round trip must reproduce the exact bytes); byte
+    // lengths via octet_length over the UTF-8 encoding
+    "q_multimodal_blobs" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    repeat(props, CAST(event_id % 7 + 1 AS INT)) AS s
+        |  FROM events WHERE event_id < 2000),
+        |h AS (
+        |  SELECT event_id,
+        |    octet_length(encode(s)) > 64 AS external,
+        |    CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+        |    md5(s) AS h
+        |  FROM m)
+        |SELECT external, count(*) AS n,
+        |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+        |  count(DISTINCT h) AS n_hashes, min(h) AS min_md5
+        |FROM h GROUP BY external ORDER BY external""".stripMargin,
 
     // every remaining typed body codec replayed from eid arithmetic; the
     // per-type checksums cover int64/int32/bool/double/string-list fields
