@@ -95,6 +95,48 @@ object ScaleBench {
         concat(regexp_replace(col("text"), " ", s"_c$i "), lit(s"_c$i")).as("text"))
     }.reduce(_ unionByName _)
 
+  /** Increment-dedup scale point — THE daily-ingest question: with a
+    * FIXED-size increment, does deduping against a growing corpus
+    * signature table get more expensive? Measures the asymmetric band
+    * join ([[Dedup.minHashCandidatePairsAgainst]]) of one 500-doc
+    * increment against 1× and 10× corpus signatures. Candidates per
+    * increment doc should stay ~flat: band-bucket keyspace grows with the
+    * corpus (MinHash buckets are full band hashes), and corpus-side
+    * bucket caps bound any hot bucket — if this grows super-linearly the
+    * daily-ingest story is N·corpus-bound, not increment-bound.
+    */
+  private def measureIncrement(spark: SparkSession, label: String,
+                               increment: DataFrame, corpus: DataFrame,
+                               threshold: Double, maxBucket: Int): (Long, Long) = {
+    val listener = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(listener)
+    val numHashes = 126
+    val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
+    val corpusSigs = Dedup.minHashSignatures(corpus, "doc_id", "text", 3, numHashes)
+      .persist()
+    val nCorpus = corpusSigs.count() // materialize BEFORE timing the increment
+    val t0 = System.nanoTime()
+    val newSigs = Dedup.minHashSignatures(increment, "doc_id", "text", 3, numHashes)
+      .persist()
+    val nInc = newSigs.count()
+    val candDf = Dedup.minHashCandidatePairsAgainst(
+      newSigs, corpusSigs, nBands, rowsPerBand, maxBucket).persist()
+    val candidates = candDf.count()
+    val verified = Dedup.estJaccardScores(candDf, newSigs, corpusSigs,
+        "new_id", "corpus_id", numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    candDf.unpersist(); newSigs.unpersist(); corpusSigs.unpersist()
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(listener)
+    val mb = listener.bytes.get() / 1024.0 / 1024.0
+    println(f"""{"scale_point":"$label","n_increment":$nInc,"n_corpus":$nCorpus,""" +
+      f""""candidate_pairs":$candidates,"verified_pairs":$verified,""" +
+      f""""shuffle_mb":$mb%.1f,"shuffle_records":${listener.records.get()},"sec":$secs%.1f}""")
+    (nInc, candidates)
+  }
+
   /** Embedding-LSH scale point: candidate volume for hyperplane banding at
     * the production operating point (threshold ~0.9). Unlike MinHash
     * banding (bucket = full band hash, cardinality grows with the corpus),
@@ -203,7 +245,7 @@ object ScaleBench {
     // section selector: no args = all; any of "minhash", "emb", "spans".
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
-    val known = Set("minhash", "emb", "spans")
+    val known = Set("minhash", "emb", "spans", "increment")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -241,6 +283,32 @@ object ScaleBench {
       println(f"""{"emb_linearity":{"cand_per_doc_1x":$embPerDoc1%.2f,"naive_10x":$embNaivePerDoc%.2f,""" +
         f""""tuned_10x":$embTunedPerDoc%.2f,"tuned_ratio":${embTunedPerDoc / embPerDoc1}%.2f,""" +
         f""""tuned_linear_ok":${embTunedPerDoc / embPerDoc1 <= 2.0}}}""")
+    }
+
+    if (sections("increment")) {
+      // ---- increment-dedup points: fixed 500-doc increment vs a 1× and
+      //      a 10× corpus signature table. The increment is the "_c0"-
+      //      renamed sf0.01 slice so its true-match structure against
+      //      copy 0 is IDENTICAL at both scales; copies 1-9 are
+      //      shingle-disjoint, so any candidate growth is pure corpus-
+      //      size background — the constant that decides whether daily
+      //      ingest is increment-bound or corpus-bound. ----
+      // 250 docs COPIED from the corpus (same _c0 rename as corpus copy 0
+      // ⇒ exact dups of corpus members at every scale) + the 500-doc
+      // sf0.01 slice (novel): verified pairs must stay ~constant while
+      // candidates absorb only background
+      val planted = scaled(base.orderBy("doc_id").limit(250), 1)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val inc = scaled(small, 1).unionByName(planted)
+      val (in1, ic1) = measureIncrement(spark, "inc vs sf0.1",
+        inc, scaled(base, 1), threshold, maxBucket)
+      val (in10, ic10) = measureIncrement(spark, "inc vs sf0.1 x10",
+        inc, scaled(base, 10), threshold, maxBucket)
+      val perDoc1 = ic1.toDouble / in1
+      val perDoc10 = ic10.toDouble / in10
+      println(f"""{"increment_linearity":{"cand_per_doc_1x":$perDoc1%.2f,""" +
+        f""""cand_per_doc_10x":$perDoc10%.2f,"ratio":${perDoc10 / perDoc1}%.2f,""" +
+        f""""flat_ok":${perDoc10 / perDoc1 <= 2.0}}}""")
     }
 
     if (sections("spans")) {

@@ -195,6 +195,14 @@ object Dedup {
     * Buckets are capped on the CORPUS side — its bucket population is what
     * grows with corpus size; the new batch is assumed increment-sized.
     * Both signature tables must share (shingleK, numHashes).
+    *
+    * Scale constants (ScaleBench `increment`, SCALE.md): candidate and
+    * verified pairs are FLAT across a 10× corpus (the outcome is a pure
+    * function of the increment's true matches); the linear-in-corpus term
+    * is the corpus-side banding this join recomputes per call — one
+    * sigs-table scan per batch. Deployments running many increments per
+    * day should materialize the banded (band, bucket, id) corpus table
+    * once and join the increment's bands against it instead.
     */
   def minHashCandidatePairsAgainst(newSigs: DataFrame, corpusSigs: DataFrame,
                                    nBands: Int, rowsPerBand: Int,
