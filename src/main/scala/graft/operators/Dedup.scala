@@ -201,22 +201,45 @@ object Dedup {
     * function of the increment's true matches); the linear-in-corpus term
     * is the corpus-side banding this join recomputes per call — one
     * sigs-table scan per batch. Deployments running many increments per
-    * day should materialize the banded (band, bucket, id) corpus table
-    * once and join the increment's bands against it instead.
+    * day materialize [[bandedTable]] once and call
+    * [[minHashCandidatePairsAgainstBanded]] instead.
     */
   def minHashCandidatePairsAgainst(newSigs: DataFrame, corpusSigs: DataFrame,
                                    nBands: Int, rowsPerBand: Int,
-                                   maxBucket: Int): DataFrame = {
-    def banded(sigs: DataFrame, idName: String) = sigs
-      .select(col("id").as(idName),
-        posexplode(VectorExpressions.sig_band_hashes(col("sig"), nBands, rowsPerBand))
-          .as(Seq("band", "bucket")))
-    banded(newSigs, "new_id")
-      .join(capBuckets(banded(corpusSigs, "corpus_id"), Seq("band", "bucket"), maxBucket),
+                                   maxBucket: Int): DataFrame =
+    minHashCandidatePairsAgainstBanded(newSigs,
+      bandedTable(corpusSigs, nBands, rowsPerBand),
+      nBands, rowsPerBand, maxBucket)
+
+  /** The banded (band, bucket, id) form of a signature table — the
+    * materialization that removes the per-batch corpus banding from
+    * [[minHashCandidatePairsAgainst]]: write it once beside the signature
+    * table (at best bucketed/partitioned by (band, bucket) so the
+    * increment join prunes), append the per-batch survivors' bands along
+    * with their signatures, and pass it to
+    * [[minHashCandidatePairsAgainstBanded]].
+    */
+  def bandedTable(sigs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"),
+      posexplode(VectorExpressions.sig_band_hashes(col("sig"), nBands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+
+  /** [[minHashCandidatePairsAgainst]] with a PRE-BANDED corpus
+    * ([[bandedTable]] layout): only the increment is banded here — the
+    * corpus side is read as-is, so per-batch work is the increment's own
+    * banding plus the join.
+    */
+  def minHashCandidatePairsAgainstBanded(newSigs: DataFrame, corpusBanded: DataFrame,
+                                         nBands: Int, rowsPerBand: Int,
+                                         maxBucket: Int): DataFrame =
+    bandedTable(newSigs, nBands, rowsPerBand)
+      .select(col("id").as("new_id"), col("band"), col("bucket"))
+      .join(capBuckets(
+          corpusBanded.select(col("id").as("corpus_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"), maxBucket),
         Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
-  }
 
   /** Estimate-scored near-dup pairs of a new batch against a corpus
     * signature table: shingle+sign the new batch only, id-only band join

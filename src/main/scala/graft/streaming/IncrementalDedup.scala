@@ -37,11 +37,19 @@ object IncrementalDedup {
     * own near-dups; the min-id member of each intra-batch pair survives),
     * then against the corpus. Novel docs append to `acceptedPath`, their
     * signatures to the signature table.
+    *
+    * `bandedTablePath`, when set, is a materialized [[Dedup.bandedTable]]
+    * of the corpus ((id, band, bucket) parquet, same layout this method
+    * then appends survivors' bands to): the per-batch corpus banding —
+    * the only corpus-linear term (SCALE.md increment points) — disappears,
+    * leaving the increment's own banding plus the join. Seed it once from
+    * the signature table; it must stay in lockstep with it.
     */
   def processBatch(batch: DataFrame, idCol: String, sigTablePath: String,
                    acceptedPath: String, textCol: String = "text",
                    shingleK: Int = 3, numHashes: Int = 126,
-                   threshold: Double = 0.5, maxBucket: Int = 1000): Unit = {
+                   threshold: Double = 0.5, maxBucket: Int = 1000,
+                   bandedTablePath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
     val corpusSigs = spark.read.parquet(sigTablePath)
@@ -56,8 +64,13 @@ object IncrementalDedup {
         Dedup.minHashCandidatePairs(newSigs, nBands, rowsPerBand, maxBucket),
         newSigs, newSigs, "id_a", "id_b", numHashes)
         .where(col("est_jaccard") >= threshold)
-      val pairs = Dedup.estJaccardScores(
-        Dedup.minHashCandidatePairsAgainst(newSigs, corpusSigs, nBands, rowsPerBand, maxBucket),
+      val candidates = bandedTablePath match {
+        case Some(bp) => Dedup.minHashCandidatePairsAgainstBanded(
+          newSigs, spark.read.parquet(bp), nBands, rowsPerBand, maxBucket)
+        case None => Dedup.minHashCandidatePairsAgainst(
+          newSigs, corpusSigs, nBands, rowsPerBand, maxBucket)
+      }
+      val pairs = Dedup.estJaccardScores(candidates,
         newSigs, corpusSigs, "new_id", "corpus_id", numHashes)
         .where(col("est_jaccard") >= threshold)
       val novel = Dedup.filterNovel(
@@ -66,9 +79,15 @@ object IncrementalDedup {
         .persist() // written twice (accepted + sig semi-join) — one compute
       try {
         novel.write.mode(SaveMode.Append).parquet(acceptedPath)
-        newSigs
+        val novelSigs = newSigs
           .join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi")
-          .write.mode(SaveMode.Append).parquet(sigTablePath)
+        novelSigs.write.mode(SaveMode.Append).parquet(sigTablePath)
+        // keep the banded table in lockstep: later batches must collide
+        // with this batch's survivors through it
+        bandedTablePath.foreach { bp =>
+          Dedup.bandedTable(novelSigs, nBands, rowsPerBand)
+            .write.mode(SaveMode.Append).parquet(bp)
+        }
       } finally { novel.unpersist(); () }
     } finally { newSigs.unpersist(); () }
   }
@@ -79,10 +98,11 @@ object IncrementalDedup {
   def dedupStream(increments: DataFrame, idCol: String, sigTablePath: String,
                   acceptedPath: String, textCol: String = "text",
                   shingleK: Int = 3, numHashes: Int = 126,
-                  threshold: Double = 0.5, maxBucket: Int = 1000): DataStreamWriter[Row] =
+                  threshold: Double = 0.5, maxBucket: Int = 1000,
+                  bandedTablePath: Option[String] = None): DataStreamWriter[Row] =
     increments.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, idCol, sigTablePath, acceptedPath, textCol,
-          shingleK, numHashes, threshold, maxBucket)
+          shingleK, numHashes, threshold, maxBucket, bandedTablePath)
       }
 }

@@ -231,4 +231,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(scans.nonEmpty && scans.forall(_.contains("/sigs")),
       s"batch plan must only scan the signature table, saw: $scans")
   }
+
+  test("incremental dedup via a materialized banded table: same outcome, corpus never re-banded") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.IncrementalDedup
+
+    val work = java.nio.file.Files.createTempDirectory("inc_banded_").toString
+    val sigTable = s"$work/sigs"; val banded = s"$work/bands"
+    val accepted = s"$work/accepted"
+
+    val corpusDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val (nBands, rowsPerBand) = Dedup.lshBandingFor(126, 0.5)
+    corpusDocs.write.parquet(accepted)
+    val sigs = Dedup.minHashSignatures(corpusDocs, "doc_id", "text", 3, 126)
+    sigs.write.parquet(sigTable)
+    // seed the banded table ONCE from the signature table
+    Dedup.bandedTable(spark.read.parquet(sigTable), nBands, rowsPerBand)
+      .write.parquet(banded)
+
+    // batch: one corpus dup + one novel; processed through the banded path
+    val batch = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (12L, "cat dog bird fish horse sheep goat cow duck hen pig llama"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(batch, "doc_id", sigTable, accepted,
+      bandedTablePath = Some(banded))
+    assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSeq.sorted
+      == Seq(1L, 2L, 12L))
+    // the banded table stayed in lockstep: a later dup of the survivor
+    // collides through it
+    IncrementalDedup.processBatch(
+      Seq((21L, "cat dog bird fish horse sheep goat cow duck hen pig llama"))
+        .toDF("doc_id", "text"),
+      "doc_id", sigTable, accepted, bandedTablePath = Some(banded))
+    assert(spark.read.parquet(accepted).count() == 3)
+
+    // plan witness: the banded candidate join bands ONLY the increment —
+    // exactly one band-hash Generate; the corpus side is a plain scan of
+    // the banded table. The probe MUST collide (a corpus copy): a
+    // zero-candidate probe lets AQE collapse the whole plan to
+    // EmptyRelation and there is no physical plan left to witness.
+    val newSigs = Dedup.minHashSignatures(
+      Seq((31L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3, 126)
+    val cand = Dedup.minHashCandidatePairsAgainstBanded(
+      newSigs, spark.read.parquet(banded), nBands, rowsPerBand, 1000)
+    cand.collect()
+    val bandGens = graft.sources.BucketedTables.PlanWitness.collectNodes(cand) {
+      case g: org.apache.spark.sql.execution.GenerateExec
+        if g.boundGenerator.toString.toLowerCase.contains("band") => g
+    }
+    assert(bandGens.size == 1,
+      s"expected ONE band-hash Generate (increment side only), got ${bandGens.size}")
+  }
 }
