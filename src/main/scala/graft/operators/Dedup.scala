@@ -217,29 +217,51 @@ object Dedup {
     * table (at best bucketed/partitioned by (band, bucket) so the
     * increment join prunes), append the per-batch survivors' bands along
     * with their signatures, and pass it to
-    * [[minHashCandidatePairsAgainstBanded]].
+    * [[minHashCandidatePairsAgainstBanded]]. [[bandedTableCapped]] is the
+    * serving flavor: the corpus-side bucket caps are applied AT WRITE, so
+    * the per-batch path needs no corpus-wide cap aggregate either.
     */
   def bandedTable(sigs: DataFrame, nBands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col("id"),
       posexplode(VectorExpressions.sig_band_hashes(col("sig"), nBands, rowsPerBand))
         .as(Seq("band", "bucket")))
 
+  /** [[bandedTable]] with the corpus-side bucket caps pre-applied — write
+    * THIS one for the many-increments-per-day serving path and pass
+    * `preCapped = true` downstream. Appending survivors keeps it
+    * approximately capped (a bucket can drift past the cap as survivors
+    * land in it; re-cap during corpus compaction).
+    */
+  def bandedTableCapped(sigs: DataFrame, nBands: Int, rowsPerBand: Int,
+                        maxBucket: Int): DataFrame =
+    capBuckets(bandedTable(sigs, nBands, rowsPerBand), Seq("band", "bucket"), maxBucket)
+
   /** [[minHashCandidatePairsAgainst]] with a PRE-BANDED corpus
-    * ([[bandedTable]] layout): only the increment is banded here — the
-    * corpus side is read as-is, so per-batch work is the increment's own
-    * banding plus the join.
+    * ([[bandedTable]] layout): only the increment is banded here.
+    * `preCapped` skips the per-batch corpus-wide cap aggregate (the table
+    * was written with [[bandedTableCapped]]); `broadcastIncrement` hints
+    * the increment's bands to the build side, turning the candidate join
+    * into a map-only pass over the corpus bands — with both on, the
+    * per-batch plan has ZERO corpus-keyed exchanges (the serving shape
+    * for small daily increments; leave the hint off for increments too
+    * large to broadcast).
     */
   def minHashCandidatePairsAgainstBanded(newSigs: DataFrame, corpusBanded: DataFrame,
                                          nBands: Int, rowsPerBand: Int,
-                                         maxBucket: Int): DataFrame =
-    bandedTable(newSigs, nBands, rowsPerBand)
+                                         maxBucket: Int,
+                                         preCapped: Boolean = false,
+                                         broadcastIncrement: Boolean = false): DataFrame = {
+    val corpus = corpusBanded.select(col("id").as("corpus_id"), col("band"), col("bucket"))
+    val capped =
+      if (preCapped) corpus
+      else capBuckets(corpus, Seq("band", "bucket"), maxBucket)
+    val incBands = bandedTable(newSigs, nBands, rowsPerBand)
       .select(col("id").as("new_id"), col("band"), col("bucket"))
-      .join(capBuckets(
-          corpusBanded.select(col("id").as("corpus_id"), col("band"), col("bucket")),
-          Seq("band", "bucket"), maxBucket),
-        Seq("band", "bucket"))
+    val inc = if (broadcastIncrement) broadcast(incBands) else incBands
+    inc.join(capped, Seq("band", "bucket"))
       .select(col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
+  }
 
   /** Estimate-scored near-dup pairs of a new batch against a corpus
     * signature table: shingle+sign the new batch only, id-only band join

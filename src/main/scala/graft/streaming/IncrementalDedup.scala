@@ -65,8 +65,12 @@ object IncrementalDedup {
         newSigs, newSigs, "id_a", "id_b", numHashes)
         .where(col("est_jaccard") >= threshold)
       val candidates = bandedTablePath match {
+        // micro-batch increments are small by construction — broadcast
+        // their bands so the candidate join is a map-only pass over the
+        // materialized corpus bands
         case Some(bp) => Dedup.minHashCandidatePairsAgainstBanded(
-          newSigs, spark.read.parquet(bp), nBands, rowsPerBand, maxBucket)
+          newSigs, spark.read.parquet(bp), nBands, rowsPerBand, maxBucket,
+          broadcastIncrement = true)
         case None => Dedup.minHashCandidatePairsAgainst(
           newSigs, corpusSigs, nBands, rowsPerBand, maxBucket)
       }
