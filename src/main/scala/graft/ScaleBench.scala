@@ -98,8 +98,9 @@ object ScaleBench {
   /** Increment-dedup scale point — THE daily-ingest question: with a
     * FIXED-size increment, does deduping against a growing corpus
     * signature table get more expensive? Measures the asymmetric band
-    * join ([[Dedup.minHashCandidatePairsAgainst]]) of one 500-doc
-    * increment against 1× and 10× corpus signatures. Candidates per
+    * join ([[Dedup.minHashCandidatePairsAgainst]]) of one FIXED increment
+    * (750 docs: the sf0.01 slice + 250 planted corpus dups) against 1×
+    * and 10× corpus signatures. Candidates per
     * increment doc should stay ~flat: band-bucket keyspace grows with the
     * corpus (MinHash buckets are full band hashes), and corpus-side
     * bucket caps bound any hot bucket — if this grows super-linearly the
@@ -262,7 +263,8 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // section selector: no args = all; any of "minhash", "emb", "spans".
+    // section selector: no args = all; any of "minhash", "emb", "spans",
+    // "increment".
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment")
@@ -306,7 +308,7 @@ object ScaleBench {
     }
 
     if (sections("increment")) {
-      // ---- increment-dedup points: fixed 500-doc increment vs a 1× and
+      // ---- increment-dedup points: fixed 750-doc increment vs a 1× and
       //      a 10× corpus signature table. The increment is the "_c0"-
       //      renamed sf0.01 slice so its true-match structure against
       //      copy 0 is IDENTICAL at both scales; copies 1-9 are

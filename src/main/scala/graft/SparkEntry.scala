@@ -1212,17 +1212,22 @@ object SparkEntry {
     }),
 
     // ---- Multimodal blob plumbing in the ORACLE gate: deterministic
-    //      "media" bytes (props JSON repeated eid%7+1 times) → packBlobs
-    //      (inline ≤ 64 B, larger blobs appended to per-partition pack
-    //      files with (uri, offset, length) pointers) → resolveBlobs
-    //      (positioned reads) → per-(inline|external) md5/byte-length
-    //      aggregate. DuckDB recomputes every md5 and byte count from the
-    //      raw props strings, so the external round trip is byte-exact
-    //      by hash, not by assertion. ----
+    //      "media" bytes (props JSON repeated eid%7+1 times, 8-63 B) →
+    //      packBlobs (inline ≤ 16 B, larger blobs appended to
+    //      per-partition pack files with (uri, offset, length) pointers —
+    //      the cut splits the fixture both ways) → pointer table WRITTEN
+    //      and read back (the materialization barrier resolveBlobs'
+    //      contract requires: pack writers close at task end, so resolving
+    //      over the lazy plan would race the open streams) → resolveBlobs
+    //      (positioned reads) → per-path md5/byte-length aggregate, with
+    //      the path taken from the ACTUAL ref presence in the pointer
+    //      table. DuckDB recomputes every md5/byte count and derives the
+    //      expected path from the size rule — a pack/resolve that corrupts
+    //      bytes OR mis-externalizes breaks the hash. ----
     "q_multimodal_blobs" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.Multimodal
-      import Multimodal.{MediaMeta, MediaRow}
+      import Multimodal.{MediaMeta, MediaRow, PackedMediaRow}
       val work = BucketedTables.scratchDir("graft_mm_").toFile.getAbsolutePath
       val media = t(s, dir, "events").where(col("event_id") < 2000)
         .select(col("event_id"), col("props")).as[(Long, String)]
@@ -1231,11 +1236,14 @@ object SparkEntry {
           MediaRow(eid, bytes,
             MediaMeta("bin", (eid % 64).toInt + 1, (eid % 48).toInt + 1, 0L))
         }
-      val resolved = Multimodal.resolveBlobs(
-        Multimodal.packBlobs(media, work, inlineMax = 64))
+      Multimodal.packBlobs(media, s"$work/packs", inlineMax = 16)
+        .write.parquet(s"$work/packed")
+      val packed = s.read.parquet(s"$work/packed")
+      val resolved = Multimodal.resolveBlobs(packed.as[PackedMediaRow])
       resolved.toDF()
-        .select(col("media_id"),
-          (length(col("content")) > 64).as("external"),
+        .join(packed.select(col("media_id"), col("ref").isNotNull.as("external")),
+          Seq("media_id"))
+        .select(col("external"),
           length(col("content")).cast(LongType).as("n_bytes"),
           md5(col("content")).as("h"))
         .groupBy(col("external"))
@@ -1837,7 +1845,9 @@ object SparkEntry {
 
     // every resolved blob's md5 recomputed from the raw props string (the
     // pack/resolve round trip must reproduce the exact bytes); byte
-    // lengths via octet_length over the UTF-8 encoding
+    // lengths via octet_length over the UTF-8 encoding; `external` is the
+    // packBlobs size rule (> inlineMax = 16) — the Spark side reports the
+    // ACTUAL ref presence, so mis-externalization hash-mismatches
     "q_multimodal_blobs" ->
       """WITH m AS (
         |  SELECT event_id,
@@ -1845,7 +1855,7 @@ object SparkEntry {
         |  FROM events WHERE event_id < 2000),
         |h AS (
         |  SELECT event_id,
-        |    octet_length(encode(s)) > 64 AS external,
+        |    octet_length(encode(s)) > 16 AS external,
         |    CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
         |    md5(s) AS h
         |  FROM m)

@@ -40,16 +40,29 @@ object IncrementalDedup {
     *
     * `bandedTablePath`, when set, is a materialized [[Dedup.bandedTable]]
     * of the corpus ((id, band, bucket) parquet, same layout this method
-    * then appends survivors' bands to): the per-batch corpus banding —
-    * the only corpus-linear term (SCALE.md increment points) — disappears,
-    * leaving the increment's own banding plus the join. Seed it once from
-    * the signature table; it must stay in lockstep with it.
+    * then appends survivors' bands to): the per-batch corpus BANDING
+    * disappears. With `bandedPreCapped` (seed the table with
+    * [[Dedup.bandedTableCapped]]) the per-batch corpus-wide cap aggregate
+    * disappears too, and with `broadcastIncrement` (default — micro-batch
+    * increments are small by construction; pass false for huge backfill
+    * batches) the candidate join is a map-only pass over the corpus
+    * bands: zero corpus-keyed exchanges per batch, the measured
+    * 2.1 M → ~1 k shuffle-records drop in SCALE.md's increment points.
+    *
+    * CONTRACT: the banded table must be produced with the SAME
+    * (shingleK, numHashes, threshold→banding) as every processBatch call
+    * that reads it — a drifted layout computes bucket values over
+    * different hash slices, collides with nothing, and silently admits
+    * every duplicate. Keep the parameters in one place (config), and
+    * re-cap the table when compacting the corpus.
     */
   def processBatch(batch: DataFrame, idCol: String, sigTablePath: String,
                    acceptedPath: String, textCol: String = "text",
                    shingleK: Int = 3, numHashes: Int = 126,
                    threshold: Double = 0.5, maxBucket: Int = 1000,
-                   bandedTablePath: Option[String] = None): Unit = {
+                   bandedTablePath: Option[String] = None,
+                   bandedPreCapped: Boolean = false,
+                   broadcastIncrement: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
     val corpusSigs = spark.read.parquet(sigTablePath)
@@ -65,12 +78,17 @@ object IncrementalDedup {
         newSigs, newSigs, "id_a", "id_b", numHashes)
         .where(col("est_jaccard") >= threshold)
       val candidates = bandedTablePath match {
-        // micro-batch increments are small by construction — broadcast
-        // their bands so the candidate join is a map-only pass over the
-        // materialized corpus bands
-        case Some(bp) => Dedup.minHashCandidatePairsAgainstBanded(
-          newSigs, spark.read.parquet(bp), nBands, rowsPerBand, maxBucket,
-          broadcastIncrement = true)
+        case Some(bp) =>
+          val banded = spark.read.parquet(bp)
+          // cheap structural guard for the layout contract above — a
+          // wrong-parameter table cannot be detected from data alone,
+          // but a wrong-SCHEMA one fails loudly here
+          require(Seq("id", "band", "bucket").forall(banded.columns.contains),
+            s"$bp is not a bandedTable layout (id, band, bucket): " +
+              banded.columns.mkString(", "))
+          Dedup.minHashCandidatePairsAgainstBanded(
+            newSigs, banded, nBands, rowsPerBand, maxBucket,
+            preCapped = bandedPreCapped, broadcastIncrement = broadcastIncrement)
         case None => Dedup.minHashCandidatePairsAgainst(
           newSigs, corpusSigs, nBands, rowsPerBand, maxBucket)
       }
@@ -85,13 +103,22 @@ object IncrementalDedup {
         novel.write.mode(SaveMode.Append).parquet(acceptedPath)
         val novelSigs = newSigs
           .join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi")
-        novelSigs.write.mode(SaveMode.Append).parquet(sigTablePath)
-        // keep the banded table in lockstep: later batches must collide
-        // with this batch's survivors through it
+        // write order: accepted → BANDS → sigs. The banded path computes
+        // candidates from the banded table, so a replay after a crash
+        // between the bands and sigs writes re-collides through the
+        // already-written bands and (because the estimate verify
+        // inner-joins the sig table, where those ids are absent) passes
+        // the docs as novel AGAIN — re-appending accepted (at-least-once,
+        // documented) and bands (harmless: candidates dedup), while the
+        // SIGNATURE table is only ever appended once per doc. Writing
+        // sigs before bands would instead leave duplicate (id, sig) rows
+        // on replay — breaking the one-signature-per-accepted-doc
+        // invariant every consumer relies on.
         bandedTablePath.foreach { bp =>
           Dedup.bandedTable(novelSigs, nBands, rowsPerBand)
             .write.mode(SaveMode.Append).parquet(bp)
         }
+        novelSigs.write.mode(SaveMode.Append).parquet(sigTablePath)
       } finally { novel.unpersist(); () }
     } finally { newSigs.unpersist(); () }
   }

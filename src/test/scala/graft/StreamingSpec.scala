@@ -249,8 +249,9 @@ class StreamingSpec extends SparkSpecBase {
     corpusDocs.write.parquet(accepted)
     val sigs = Dedup.minHashSignatures(corpusDocs, "doc_id", "text", 3, 126)
     sigs.write.parquet(sigTable)
-    // seed the banded table ONCE from the signature table
-    Dedup.bandedTable(spark.read.parquet(sigTable), nBands, rowsPerBand)
+    // seed the banded table ONCE, pre-CAPPED (the serving shape) from the
+    // signature table
+    Dedup.bandedTableCapped(spark.read.parquet(sigTable), nBands, rowsPerBand, 1000)
       .write.parquet(banded)
 
     // batch: one corpus dup + one novel; processed through the banded path
@@ -259,7 +260,7 @@ class StreamingSpec extends SparkSpecBase {
       (12L, "cat dog bird fish horse sheep goat cow duck hen pig llama"))
       .toDF("doc_id", "text")
     IncrementalDedup.processBatch(batch, "doc_id", sigTable, accepted,
-      bandedTablePath = Some(banded))
+      bandedTablePath = Some(banded), bandedPreCapped = true)
     assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSeq.sorted
       == Seq(1L, 2L, 12L))
     // the banded table stayed in lockstep: a later dup of the survivor
@@ -267,8 +268,14 @@ class StreamingSpec extends SparkSpecBase {
     IncrementalDedup.processBatch(
       Seq((21L, "cat dog bird fish horse sheep goat cow duck hen pig llama"))
         .toDF("doc_id", "text"),
-      "doc_id", sigTable, accepted, bandedTablePath = Some(banded))
+      "doc_id", sigTable, accepted, bandedTablePath = Some(banded),
+      bandedPreCapped = true)
     assert(spark.read.parquet(accepted).count() == 3)
+    // a non-banded-layout path fails loudly, not silently-empty
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.processBatch(batch, "doc_id", sigTable, accepted,
+        bandedTablePath = Some(sigTable))
+    }
 
     // plan witness: the banded candidate join bands ONLY the increment —
     // exactly one band-hash Generate; the corpus side is a plain scan of
@@ -278,8 +285,10 @@ class StreamingSpec extends SparkSpecBase {
     val newSigs = Dedup.minHashSignatures(
       Seq((31L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
         .toDF("doc_id", "text"), "doc_id", "text", 3, 126)
+    // same configuration processBatch runs: pre-capped + broadcast increment
     val cand = Dedup.minHashCandidatePairsAgainstBanded(
-      newSigs, spark.read.parquet(banded), nBands, rowsPerBand, 1000)
+      newSigs, spark.read.parquet(banded), nBands, rowsPerBand, 1000,
+      preCapped = true, broadcastIncrement = true)
     cand.collect()
     val bandGens = graft.sources.BucketedTables.PlanWitness.collectNodes(cand) {
       case g: org.apache.spark.sql.execution.GenerateExec
