@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -496,7 +496,10 @@ object Dedup {
     // unchanged" — one aggregate per round, no join against the previous
     // round (sum as DECIMAL(38,0): overflow-free for any id range)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast(DecimalType(38, 0)))).first().getDecimal(0)
+      // sum over an EMPTY pair graph is SQL null — fall back to zero so an
+      // empty input converges on the first round instead of NPE-ing
+      Option(df.agg(sum(col("component").cast(DecimalType(38, 0)))).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
