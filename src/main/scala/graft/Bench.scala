@@ -20,8 +20,10 @@ import org.apache.spark.sql.SparkSession
   *    diverge by more than 50 % AND 0.5 s the box was contended mid-run
   *    and the whole round is marked `"dirty": true` — per-query numbers
   *    are then unattributable;
-  *  - failures propagate — a broken query must fail the bench, not record
-  *    a fake fast time.
+  *  - failures are isolated per query: a broken query records an `"error"`
+  *    entry (and forces a nonzero exit at the end) instead of erasing the
+  *    other measurements — one analysis error must not null the whole
+  *    round's perf artifact, but it must still fail the run loudly.
   */
 object Bench {
 
@@ -68,11 +70,19 @@ object Bench {
     // the canary must measure host contention, not warm-in drift
     (1 to 3).foreach(_ => canaryOnce(spark, sfDir))
     val canaryFirst = Seq.fill(5)(canaryOnce(spark, sfDir)).min
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      runOnce(spark, fn, sfDir) // warmup (codegen, shuffle-file cache)
-      val times = Seq.fill(runs)(runOnce(spark, fn, sfDir)).sorted
-      name -> times
-    }
+    val attempts: Seq[(String, Either[String, Seq[Double]])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        try {
+          runOnce(spark, fn, sfDir) // warmup (codegen, shuffle-file cache)
+          name -> Right(Seq.fill(runs)(runOnce(spark, fn, sfDir)).sorted)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            name -> Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      }
+    val results = attempts.collect { case (n, Right(ts)) => n -> ts }
+    val failures = attempts.collect { case (n, Left(msg)) => n -> msg }
     val canaryLast = Seq.fill(5)(canaryOnce(spark, sfDir)).min
     val canarySpread =
       math.max(canaryFirst, canaryLast) / math.max(math.min(canaryFirst, canaryLast), 1e-9) - 1.0
@@ -89,7 +99,15 @@ object Bench {
         ",\"max\":" + f(ts.max) + ",\"spread\":" + f(spread) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(ts => medianOf(ts._2)).sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errs = failures.map { case (k, msg) => "\"" + k + "\":" + jstr(msg) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$stats,""" +
+      s""""errors":$errs,"n_errors":${failures.size},""" +
       s""""canary":{"first":${f(canaryFirst)},"last":${f(canaryLast)},"spread":${f(canarySpread)}},""" +
       s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}""")
     // Compact SECOND line after the full stats: the driver's artifact
@@ -101,8 +119,12 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, m) => "\"" + k + "\":" + f(m) }.mkString("{", ",", "}")
     println(s"""{"metric":"summary","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_errors":${failures.size},""" +
       s""""top5":$top5,"canary_first":${f(canaryFirst)},"canary_last":${f(canaryLast)},""" +
       s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
+    // Nonzero exit AFTER emitting partial numbers: the artifact stays
+    // parseable, the failure stays loud.
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

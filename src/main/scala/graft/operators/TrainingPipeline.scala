@@ -145,8 +145,11 @@ object TrainingPipeline {
         // factors come from the FINAL train mix (post-gates, post-split) —
         // counting an earlier stage would correct toward a mix that no
         // longer exists. The stage references `split` three times (factor
-        // count, train side, val side): materialize it once.
-        val mat = split.localCheckpoint()
+        // count, train side, val side): materialize it once. persist (not
+        // localCheckpoint) so a lost executor recomputes the partition from
+        // lineage instead of failing the job — checkpoint blocks are
+        // non-replicated and unrecoverable on a real cluster.
+        val mat = split.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val train = mat.where(col("split") === "train")
         val factors = TextAnalysis.upsampleFactors(train, sc,
           cfg.upsampleTemperature, cfg.upsampleMaxFactor)

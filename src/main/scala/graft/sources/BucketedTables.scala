@@ -36,14 +36,28 @@ object BucketedTables {
     * suffix so concurrent runs sharing a warehouse cannot race on a fixed
     * catalog name.
     */
-  def scratchDir(prefix: String): java.nio.file.Path = {
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  // ONE hook for all scratch dirs: a hook per call would accumulate an
+  // unbounded thread list over a long bench/serving run.
+  private lazy val cleanupHook: Unit = {
     import java.nio.file.{Files, Path}
-    val dir = Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach((p: Path) => { Files.deleteIfExists(p); () })
-      catch { case _: Exception => () } // best-effort: never block JVM exit
+      scratchDirs.forEach { dir =>
+        try {
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach((p: Path) => { Files.deleteIfExists(p); () })
+          finally walk.close()
+        } catch { case _: Exception => () } // best-effort: never block JVM exit
+      }
     }))
+  }
+
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    cleanupHook
+    scratchDirs.add(dir)
     dir
   }
 

@@ -20,10 +20,29 @@ object Tables {
     // which vanilla Spark 4 refuses; read nanos as long and restore a
     // microsecond TimestampType column (values are exact microseconds).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Normalize upstream timestamp-encoding drift at the table boundary.
+    *
+    * Large ingests see writers that disagree about timestamp flavor: pandas
+    * emits tz-naive TIMESTAMP_NTZ micros, legacy pipelines emit
+    * TIMESTAMP(NANOS) that Spark only reads as long, tz-aware writers emit
+    * plain TimestampType. The engine's operators uniformly expect
+    * TimestampType (session TZ is UTC in every entry point, so NTZ→TZ is
+    * value-identical). Normalizing here — once, at the scan boundary — is
+    * what keeps every downstream `unix_millis`/window/watermark site
+    * encoding-agnostic.
+    */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case TimestampNTZType => acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType if f.name == "ts" =>
+          acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => acc
+      }
     }
   }
 
