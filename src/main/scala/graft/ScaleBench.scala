@@ -267,7 +267,7 @@ object ScaleBench {
     // "increment".
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
-    val known = Set("minhash", "emb", "spans", "increment")
+    val known = Set("minhash", "emb", "spans", "increment", "recap")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -336,6 +336,45 @@ object ScaleBench {
       println(f"""{"increment_linearity":{"cand_per_doc_1x":$perDoc1%.2f,""" +
         f""""cand_per_doc_10x":$perDoc10%.2f,"ratio":${perDoc10 / perDoc1}%.2f,""" +
         f""""flat_ok":${perDoc10 / perDoc1 <= 2.0}}}""")
+    }
+
+    if (sections("recap")) {
+      // ---- banded-table maintenance point: the serving table's capped
+      //      invariant drifts as survivor appends (and crash-window
+      //      replays — duplicate rows) land in it; `recapBandedTable`
+      //      must return the max bucket to ≤ cap in one rewrite. The
+      //      drift fixture is the sf0.1 corpus seeded CAPPED, then its
+      //      own bands appended twice more: once verbatim (pure replay
+      //      duplicates, erased by the dedup) and once id-shifted
+      //      (distinct ids — genuine over-cap growth, dropped by the
+      //      re-cap). ----
+      val numHashes = 126
+      val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
+      val dir = java.nio.file.Files.createTempDirectory("scale_recap_").toString
+      val bandedPath = s"$dir/bands"
+      val corpusSigs = Dedup.minHashSignatures(scaled(base, 1), "doc_id", "text", 3, numHashes)
+        .persist()
+      corpusSigs.count()
+      Dedup.bandedTableCapped(corpusSigs, nBands, rowsPerBand, maxBucket)
+        .write.parquet(bandedPath)
+      val bands = Dedup.bandedTable(corpusSigs, nBands, rowsPerBand)
+      bands.write.mode("append").parquet(bandedPath) // replay duplicates
+      bands.select((col("id") + 10000000L).as("id"), col("band"), col("bucket"))
+        .write.mode("append").parquet(bandedPath) // distinct-id drift
+      corpusSigs.unpersist()
+      def maxBucketSize(): Long = spark.read.parquet(bandedPath)
+        .groupBy("band", "bucket").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      val driftedMax = maxBucketSize()
+      val rowsBefore = spark.read.parquet(bandedPath).count()
+      val t0 = System.nanoTime()
+      val done = Dedup.recapBandedTable(spark, bandedPath, maxBucket)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val cappedMax = maxBucketSize()
+      val rowsAfter = spark.read.parquet(bandedPath).count()
+      println(f"""{"scale_point":"recap sf0.1","rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
+        f""""max_bucket_before":$driftedMax,"max_bucket_after":$cappedMax,""" +
+        f""""cap":$maxBucket,"sec":$secs%.1f,"recap_ok":${done && cappedMax <= maxBucket}}""")
     }
 
     if (sections("spans")) {

@@ -465,6 +465,14 @@ object SparkEntry {
     //      layout witnesses (oracle hardcodes TRUE). ----
     "q_stream_route" -> ((s, dir) => streaming.StreamingGate.streamRoute(s, dir)),
 
+    // ---- ST5/Q12: sink maintenance lifecycle — fragmented day-
+    //      partitioned write → per-partition small-file compaction →
+    //      retention drop (10 days, relative to the data's max day) →
+    //      re-read. Oracle recomputes the aggregate from raw events in
+    //      the retained window; compaction_ok/retention_ok are measured
+    //      layout witnesses (oracle hardcodes TRUE). ----
+    "q_sink_maintenance" -> ((s, dir) => streaming.StreamingGate.sinkMaintenance(s, dir)),
+
     // ---- D11/Q10: global sort + limit (raw-row fetch) ----
     "q_sort_limit" -> ((s, dir) => {
       t(s, dir, "events")
@@ -2312,6 +2320,21 @@ object SparkEntry {
         |SELECT 'GC_EVENT' AS event_type, day, grp, n, n_apps, checksum,
         |       TRUE AS day_partitioned, TRUE AS markers_ok FROM gc
         |ORDER BY event_type, day, grp""".stripMargin,
+
+    // the maintained (compacted + retention-dropped) sink table aggregate
+    // recomputed from raw events in the retained window: 10 days ending
+    // at the data's own max day (maintenance must lose/duplicate nothing)
+    "q_sink_maintenance" ->
+      """WITH mx AS (SELECT date_trunc('day', max(ts)) AS max_day FROM events)
+        |SELECT event_type, date_trunc('day', ts) AS day,
+        |       count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(event_id) AS BIGINT) AS checksum,
+        |       TRUE AS compaction_ok, TRUE AS retention_ok
+        |FROM events, mx
+        |WHERE date_trunc('day', ts) >= max_day - INTERVAL 9 DAY
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events

@@ -230,7 +230,8 @@ object Dedup {
     * THIS one for the many-increments-per-day serving path and pass
     * `preCapped = true` downstream. Appending survivors keeps it
     * approximately capped (a bucket can drift past the cap as survivors
-    * land in it; re-cap during corpus compaction).
+    * land in it; [[recapBandedTable]] restores the invariant — run it
+    * with corpus compaction).
     */
   def bandedTableCapped(sigs: DataFrame, nBands: Int, rowsPerBand: Int,
                         maxBucket: Int): DataFrame =
@@ -347,6 +348,138 @@ object Dedup {
     ngramJaccard(candidates, docs, idCol, textCol, shingleK)
       .where(col("jaccard") >= threshold)
   }
+
+  // ------------------------------------------- serving-table maintenance
+
+  /** Rewrite-and-swap an APPEND-ONLY parquet table directory in place:
+    * snapshot the current file list, read exactly those files, apply
+    * `transform`, write the result beside the table, then swap — originals
+    * to a per-run trash first, new files in, trash dropped last — so no
+    * point in time has the only copy of a row in a half-written state.
+    * Same recovery discipline as [[graft.streaming.EventSink.compactPartition]]
+    * (reference analog: the HDFS writer's temp-file + rename protocol,
+    * readers/hdfs/.../ProtoParquetWriterWithOffset.java:99-180): a crash
+    * mid-swap leaves the run's trash dir + lock behind, and
+    * [[recoverTableMaintenance]] restores the originals at startup.
+    *
+    * Concurrency: a create-exclusive `.maint_lock` serializes maintainers
+    * (second caller returns false). Appenders may land NEW files while the
+    * rewrite runs — the swap only moves the snapshotted originals, so a
+    * concurrently appended file survives untouched (its rows simply miss
+    * this pass, same as rows appended after it).
+    *
+    * Returns true iff a rewrite happened.
+    */
+  def rewriteTableDir(spark: SparkSession, tablePath: String,
+                      transform: DataFrame => DataFrame,
+                      targetFiles: Int = 1): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return false
+    val lock = new org.apache.hadoop.fs.Path(s"$tablePath/.maint_lock")
+    val locked = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
+    if (!locked) return false
+    var swapStarted = false
+    var completed = false
+    try {
+      val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
+      if (files.isEmpty) return false
+      val stamp = System.currentTimeMillis() + "-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.maint_tmp/$stamp")
+      val rewritten = transform(
+        spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*))
+        .repartition(targetFiles)
+      rewritten.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val newFiles = fs.listStatus(tmp).filter(f => f.getPath.getName.endsWith(".parquet"))
+      val trash = new org.apache.hadoop.fs.Path(s"$tablePath/.maint_trash/$stamp")
+      fs.mkdirs(trash)
+      def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename failed: $src -> $dst")
+      swapStarted = true
+      files.foreach(f => renameOrThrow(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+      newFiles.zipWithIndex.foreach { case (f, i) =>
+        renameOrThrow(f.getPath, new org.apache.hadoop.fs.Path(dir, s"maint-$stamp-$i.parquet"))
+      }
+      // the lock serializes maintainers, so this run's stamp is the only
+      // one under the parents — drop them whole, leaving a clean dir
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.maint_trash"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.maint_tmp"), true)
+      completed = true
+      true
+    } finally {
+      // mid-swap failure keeps the lock (recovery clears it with the
+      // trash); releasing it would let a second maintainer consume the
+      // half-moved state
+      if (completed || !swapStarted) fs.delete(lock, false)
+    }
+  }
+
+  /** Repair interrupted [[rewriteTableDir]] runs: every stamp dir under
+    * `.maint_trash/` is a swap that did not complete — drop that run's
+    * half-moved `maint-<stamp>-*` files, restore the originals, clear tmp
+    * and the lock. Call at maintainer startup (no maintainer may be live,
+    * same caveat as [[graft.streaming.EventSink.recoverCompaction]]).
+    * Returns true iff anything was restored.
+    */
+  def recoverTableMaintenance(spark: SparkSession, tablePath: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def clearAux(): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.maint_tmp"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.maint_lock"), false)
+    }
+    val trashRoot = new org.apache.hadoop.fs.Path(s"$tablePath/.maint_trash")
+    if (!fs.exists(trashRoot)) { clearAux(); return false }
+    val restored = fs.listStatus(trashRoot).filter(_.isDirectory).map { runDir =>
+      val stamp = runDir.getPath.getName
+      fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith(s"maint-$stamp-"))
+        .foreach(f => fs.delete(f.getPath, false))
+      fs.listStatus(runDir.getPath).foreach(f =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
+      true
+    }.nonEmpty
+    fs.delete(trashRoot, true)
+    clearAux()
+    restored
+  }
+
+  /** Re-cap a [[bandedTableCapped]] serving table: per-batch survivor
+    * appends let buckets drift past the cap (and a crash-window replay can
+    * leave duplicate (id, band, bucket) rows — see the write-order note in
+    * [[graft.streaming.IncrementalDedup.processBatch]]); this rewrites the
+    * table to drop replay duplicates FIRST (so phantom rows never inflate
+    * a bucket count past the cap) and re-apply the bucket cap, restoring
+    * the capped invariant `preCapped = true` reads rely on. Run it with
+    * corpus compaction — the maintenance loop the serving contract
+    * promises. Updates the `_LAYOUT.json` stamp's maxBucket on success so
+    * later [[graft.streaming.IncrementalDedup.processBatch]] calls verify
+    * against the cap actually in force.
+    */
+  def recapBandedTable(spark: SparkSession, bandedPath: String, maxBucket: Int,
+                       targetFiles: Int = 1): Boolean = {
+    val done = rewriteTableDir(spark, bandedPath,
+      df => capBuckets(df.dropDuplicates("id", "band", "bucket"),
+        Seq("band", "bucket"), maxBucket),
+      targetFiles)
+    if (done) DedupLayout.read(spark, bandedPath).foreach(l =>
+      DedupLayout.write(spark, bandedPath, l.copy(maxBucket = maxBucket)))
+    done
+  }
+
+  /** Compact a [[minHashSignatures]] table: per-batch appends produce one
+    * small file set per micro-batch (the classic streaming small-file
+    * explosion; at corpus scale the listing alone starts to dominate the
+    * per-batch scan), and a crash-window replay can violate the
+    * one-signature-per-doc invariant. Rewrites to `targetFiles` files with
+    * at most one row per id. Signatures are a pure function of the doc
+    * text, so dropping duplicate ids is lossless.
+    */
+  def compactSignatures(spark: SparkSession, sigTablePath: String,
+                        targetFiles: Int = 1): Boolean =
+    rewriteTableDir(spark, sigTablePath, _.dropDuplicates("id"), targetFiles)
 
   // --------------------------------------------------------------- SimHash
 

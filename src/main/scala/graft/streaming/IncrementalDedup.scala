@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, DedupLayout}
 
 /** The 100 TB daily-ingest near-dup story EXECUTED in streaming: each
   * micro-batch of new documents is deduplicated against a materialized
@@ -53,8 +53,19 @@ object IncrementalDedup {
     * (shingleK, numHashes, threshold→banding) as every processBatch call
     * that reads it — a drifted layout computes bucket values over
     * different hash slices, collides with nothing, and silently admits
-    * every duplicate. Keep the parameters in one place (config), and
-    * re-cap the table when compacting the corpus.
+    * every duplicate. ENFORCED via [[DedupLayout]] manifests:
+    * the first write stamps `_LAYOUT.json` on the signature and banded
+    * tables, and every later call verifies its own parameters against the
+    * stamp (signature tables compare (shingleK, numHashes); banded tables
+    * compare the full layout) and throws on drift instead of silently
+    * admitting duplicates. Re-cap the banded table when compacting the
+    * corpus ([[Dedup.recapBandedTable]] / [[Dedup.compactSignatures]]).
+    *
+    * `broadcastIncrement` is auto-disabled when the batch's band rows
+    * exceed `maxBroadcastBandRows` (a backfill-sized "increment" would
+    * otherwise OOM the driver building the broadcast table); the count is
+    * read off the already-persisted `newSigs`, so the guard costs no extra
+    * pass over the text.
     */
   def processBatch(batch: DataFrame, idCol: String, sigTablePath: String,
                    acceptedPath: String, textCol: String = "text",
@@ -62,17 +73,25 @@ object IncrementalDedup {
                    threshold: Double = 0.5, maxBucket: Int = 1000,
                    bandedTablePath: Option[String] = None,
                    bandedPreCapped: Boolean = false,
-                   broadcastIncrement: Boolean = true): Unit = {
+                   broadcastIncrement: Boolean = true,
+                   maxBroadcastBandRows: Long = 4000000L): Unit = {
     val spark = batch.sparkSession
     val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
+    val layout = DedupLayout.Layout(shingleK, numHashes, nBands, rowsPerBand,
+      threshold, maxBucket)
+    DedupLayout.ensure(spark, sigTablePath, layout, full = false)
+    bandedTablePath.foreach(bp => DedupLayout.ensure(spark, bp, layout, full = true))
     val corpusSigs = spark.read.parquet(sigTablePath)
     val newSigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleK, numHashes)
       .persist() // consumed by both band joins, the verifies AND the sig append
     try {
       // intra-batch near-dups first: without this, two copies arriving in
       // the SAME batch would both pass the corpus check and both be signed
-      // permanently. Keep the min-id side of each pair (id_a < id_b is the
-      // self-join's emit order).
+      // permanently. One representative per CONNECTED COMPONENT survives
+      // (not "drop every id_b of a pair": on a chain a~b~c that greedy
+      // rule drops both b and c even though c's only match b is itself
+      // dropped — over-removal). The pair graph is increment-sized, so
+      // the component iteration is cheap per batch.
       val selfPairs = Dedup.estJaccardScores(
         Dedup.minHashCandidatePairs(newSigs, nBands, rowsPerBand, maxBucket),
         newSigs, newSigs, "id_a", "id_b", numHashes)
@@ -80,15 +99,19 @@ object IncrementalDedup {
       val candidates = bandedTablePath match {
         case Some(bp) =>
           val banded = spark.read.parquet(bp)
-          // cheap structural guard for the layout contract above — a
-          // wrong-parameter table cannot be detected from data alone,
-          // but a wrong-SCHEMA one fails loudly here
+          // structural guard on top of the manifest check above — a
+          // manifest can be stamped onto a dir whose data predates it,
+          // and a wrong-SCHEMA table fails loudly here
           require(Seq("id", "band", "bucket").forall(banded.columns.contains),
             s"$bp is not a bandedTable layout (id, band, bucket): " +
               banded.columns.mkString(", "))
+          // size guard: the broadcast side is nDocs × nBands rows; the
+          // count reads the persisted sigs (materialized here anyway)
+          val bcast = broadcastIncrement &&
+            newSigs.count() * nBands <= maxBroadcastBandRows
           Dedup.minHashCandidatePairsAgainstBanded(
             newSigs, banded, nBands, rowsPerBand, maxBucket,
-            preCapped = bandedPreCapped, broadcastIncrement = broadcastIncrement)
+            preCapped = bandedPreCapped, broadcastIncrement = bcast)
         case None => Dedup.minHashCandidatePairsAgainst(
           newSigs, corpusSigs, nBands, rowsPerBand, maxBucket)
       }
@@ -96,7 +119,7 @@ object IncrementalDedup {
         newSigs, corpusSigs, "new_id", "corpus_id", numHashes)
         .where(col("est_jaccard") >= threshold)
       val novel = Dedup.filterNovel(
-          Dedup.filterNovel(batch, idCol, selfPairs.select(col("id_b").as("new_id"))),
+          Dedup.dropNearDupGroups(batch, idCol, selfPairs.select("id_a", "id_b")),
           idCol, pairs)
         .persist() // written twice (accepted + sig semi-join) — one compute
       try {
@@ -124,16 +147,24 @@ object IncrementalDedup {
   }
 
   /** The streaming wrapper: increments → [[processBatch]] per micro-batch.
-    * Caller starts it with its own trigger/checkpoint.
+    * Caller starts it with its own trigger/checkpoint. The serving shape —
+    * pre-capped banded table + broadcast increment, the zero-corpus-
+    * exchange plan in SCALE.md — is reachable directly:
+    * `bandedPreCapped = true` over a [[Dedup.bandedTableCapped]] seed,
+    * with the same broadcast auto-disable guard as [[processBatch]].
     */
   def dedupStream(increments: DataFrame, idCol: String, sigTablePath: String,
                   acceptedPath: String, textCol: String = "text",
                   shingleK: Int = 3, numHashes: Int = 126,
                   threshold: Double = 0.5, maxBucket: Int = 1000,
-                  bandedTablePath: Option[String] = None): DataStreamWriter[Row] =
+                  bandedTablePath: Option[String] = None,
+                  bandedPreCapped: Boolean = false,
+                  broadcastIncrement: Boolean = true,
+                  maxBroadcastBandRows: Long = 4000000L): DataStreamWriter[Row] =
     increments.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, idCol, sigTablePath, acceptedPath, textCol,
-          shingleK, numHashes, threshold, maxBucket, bandedTablePath)
+          shingleK, numHashes, threshold, maxBucket, bandedTablePath,
+          bandedPreCapped, broadcastIncrement, maxBroadcastBandRows)
       }
 }

@@ -202,6 +202,86 @@ object StreamingGate {
       .orderBy(col("event_type"), col("day"), col("grp"))
   }
 
+  /** ST5 + Q12 through the SINK MAINTENANCE lifecycle: fragmented
+    * day-partitioned write → [[EventSink.compactPartition]] over every
+    * partition → [[EventSink.dropExpiredPartitions]] (retention, 10 days
+    * relative to the data's own max day) → re-read of the maintained
+    * table. The reference analog is the HDFS writer's row-group merge on
+    * close (readers/hdfs/.../ProtoParquetWriterWithOffset.java:99-180)
+    * plus the ES reader's ILM retention
+    * (readers/elasticsearch/.../ElasticSearchReader.java:205-228).
+    *
+    * The DuckDB oracle recomputes the per-(type, day) aggregate from raw
+    * events restricted to the retained window — so lost or duplicated
+    * rows in EITHER maintenance step break the hash. `compaction_ok`
+    * (every surviving partition holds exactly one data file and at least
+    * one compaction actually fired) and `retention_ok` (no expired day
+    * dir survives, at least one was dropped) are Spark-side measured
+    * layout witnesses the oracle hardcodes TRUE.
+    */
+  def sinkMaintenance(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = graft.sources.BucketedTables.scratchDir("graft_sink_maint_")
+      .toFile.getAbsolutePath
+    val table = s"$work/table"
+    val events = graft.sources.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").as("timestamp"))
+    // 8-way pre-shuffle ⇒ up to 8 files per (event_type, day) partition —
+    // the small-file state a streaming appender leaves behind
+    EventSink.writePartitioned(events.repartition(8), table)
+
+    val parts = spark.read.parquet(table)
+      .select(col("event_type"), col("day")).distinct()
+      .collect() // bounded: days × types, metadata-sized
+      .map(r => (r.getString(0), r.getDate(1).toString))
+    parts.foreach { case (tpe, day) =>
+      EventSink.compactPartition(spark, table,
+        Map("event_type" -> tpe, "day" -> day),
+        maxFiles = 1, targetFiles = 1, sortCol = Some("timestamp"))
+    }
+    val today = parts.map(_._2).max match {
+      case maxDay => java.time.LocalDate.parse(maxDay).plusDays(1L)
+    }
+    val retainDays = 10
+    val dropped = parts.map(_._1).distinct.flatMap(tpe =>
+      EventSink.dropExpiredPartitions(spark, table, tpe, today, retainDays))
+
+    // measured witnesses over the maintained layout
+    val hfs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = today.minusDays(retainDays.toLong)
+    var sawCompacted = false
+    var compactionOk = true
+    var retentionOk = dropped.nonEmpty
+    hfs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("event_type="))
+      .foreach { tdir =>
+        hfs.listStatus(tdir.getPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+          .foreach { ddir =>
+            val day = java.time.LocalDate.parse(ddir.getPath.getName.stripPrefix("day="))
+            if (day.isBefore(cutoff)) retentionOk = false
+            val dataFiles = hfs.listStatus(ddir.getPath)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+            if (dataFiles.length != 1) compactionOk = false
+            if (dataFiles.exists(_.getPath.getName.startsWith("compacted-")))
+              sawCompacted = true
+          }
+      }
+
+    spark.read.parquet(table)
+      .withColumn("day", col("day")
+        .cast(org.apache.spark.sql.types.DateType)
+        .cast(org.apache.spark.sql.types.TimestampType))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("checksum"))
+      .withColumn("compaction_ok", lit(compactionOk && sawCompacted))
+      .withColumn("retention_ok", lit(retentionOk))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** J1/J2 through the streaming engine: per-app first-wins attrs, the
     * container→component registry and AM resolution, all held in
     * `flatMapGroupsWithState` keyed state. The fixture derives fact
