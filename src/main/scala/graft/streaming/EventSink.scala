@@ -148,9 +148,14 @@ object EventSink {
       // read's own listing — a directory read would fold that file's rows
       // into the compacted output while the swap (driven by `files`) leaves
       // the file in place, duplicating its rows
-      val compacted = spark.read
+      // coalesce for the single-file case: same result as repartition(1)
+      // without the full shuffle exchange — at one Spark job per compacted
+      // partition the per-job exchange is the dominant cost of a
+      // many-partition compaction sweep
+      val snapshot = spark.read
         .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
-        .repartition(targetFiles)
+      val compacted =
+        if (targetFiles == 1) snapshot.coalesce(1) else snapshot.repartition(targetFiles)
       sortCol.filter(compacted.columns.contains)
         .map(c => compacted.sortWithinPartitions(col(c))).getOrElse(compacted)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)

@@ -223,28 +223,51 @@ object StreamingGate {
     val work = graft.sources.BucketedTables.scratchDir("graft_sink_maint_")
       .toFile.getAbsolutePath
     val table = s"$work/table"
-    val events = graft.sources.Tables.load(spark, sfDir, "events")
+    val raw = graft.sources.Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts").as("timestamp"))
-    // 8-way pre-shuffle ⇒ up to 8 files per (event_type, day) partition —
+    // fixture window: the last 14 days of data — enough beyond the 10-day
+    // retention that real day dirs get dropped, without paying the write
+    // cost of a month of partitions the retention deletes unread. The
+    // surviving aggregate (what the oracle recomputes) is identical.
+    val maxDayRow = raw.agg(max(date_trunc("day", col("timestamp")))).collect()(0)
+    val maxDay = maxDayRow.getTimestamp(0).toLocalDateTime.toLocalDate
+    val events = raw.where(col("timestamp") >=
+      lit(java.sql.Timestamp.valueOf(maxDay.minusDays(13L).atStartOfDay())))
+    // 4-way pre-shuffle ⇒ multiple files per (event_type, day) partition —
     // the small-file state a streaming appender leaves behind
-    EventSink.writePartitioned(events.repartition(8), table)
+    EventSink.writePartitioned(events.repartition(4), table)
 
     val parts = spark.read.parquet(table)
       .select(col("event_type"), col("day")).distinct()
       .collect() // bounded: days × types, metadata-sized
       .map(r => (r.getString(0), r.getDate(1).toString))
-    parts.foreach { case (tpe, day) =>
-      EventSink.compactPartition(spark, table,
-        Map("event_type" -> tpe, "day" -> day),
-        maxFiles = 1, targetFiles = 1, sortCol = Some("timestamp"))
-    }
-    val today = parts.map(_._2).max match {
-      case maxDay => java.time.LocalDate.parse(maxDay).plusDays(1L)
-    }
+    // retention FIRST: no point compacting partitions about to expire
+    val today = maxDay.plusDays(1L)
     val retainDays = 10
     val dropped = parts.map(_._1).distinct.flatMap(tpe =>
       EventSink.dropExpiredPartitions(spark, table, tpe, today, retainDays))
+    val droppedSet = dropped.map(p =>
+      new org.apache.hadoop.fs.Path(p).getName.stripPrefix("day=")).toSet
+    // compact the survivors CONCURRENTLY: different partitions of one
+    // table may be compacted in parallel (per-partition locks; scheduler
+    // is thread-safe) — one Spark job per partition run serially would
+    // make the sweep latency O(partitions)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = parts.collect { case (tpe, day) if !droppedSet.contains(day) =>
+        scala.concurrent.Future {
+          EventSink.compactPartition(spark, table,
+            Map("event_type" -> tpe, "day" -> day),
+            maxFiles = 1, targetFiles = 1, sortCol = Some("timestamp"))
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs.toSeq),
+        scala.concurrent.duration.Duration(600, "s"))
+    } finally pool.shutdown()
 
     // measured witnesses over the maintained layout
     val hfs = new org.apache.hadoop.fs.Path(table)
