@@ -70,8 +70,15 @@ object Bench {
     // the canary must measure host contention, not warm-in drift
     (1 to 3).foreach(_ => canaryOnce(spark, sfDir))
     val canaryFirst = Seq.fill(5)(canaryOnce(spark, sfDir)).min
+    // fault injection for the isolation path itself: name a query here and
+    // it throws instead of running — the artifact must still carry every
+    // other measurement plus one "error" entry, and exit nonzero
+    val inject = sys.env.get("SPARK_GRAFT_BENCH_INJECT_FAILURE")
+    val queryMap = inject.fold(SparkEntry.queries)(n =>
+      SparkEntry.queries + (n -> ((_: SparkSession, _: String) =>
+        throw new RuntimeException("injected failure (SPARK_GRAFT_BENCH_INJECT_FAILURE)"))))
     val attempts: Seq[(String, Either[String, Seq[Double]])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queryMap.toSeq.sortBy(_._1).map { case (name, fn) =>
         try {
           runOnce(spark, fn, sfDir) // warmup (codegen, shuffle-file cache)
           name -> Right(Seq.fill(runs)(runOnce(spark, fn, sfDir)).sorted)

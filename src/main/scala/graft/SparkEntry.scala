@@ -325,6 +325,90 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- S6: hourly index routing — the serving-index name rule itself
+    //      (prefix-yyyy-MM-dd-HH, UTC) oracle-checked per routed index ----
+    "q_hourly_route" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(F.hourlyIndexName(lit("graft"), col("ts")).as("es_index"),
+          col("event_id"), col("user_id"))
+        .groupBy(col("es_index"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("checksum"))
+        .orderBy(col("es_index"))
+    }),
+
+    // ---- A10: Extractor per-container event counts by type ----
+    "q_extractor_counts" -> ((s, dir) => {
+      val containerized = t(s, dir, "events")
+        .withColumn("container_id",
+          concat(lit("container_"), col("user_id") % 97))
+      HeuristicAggs.extractorCounts(containerized)
+        .withColumnRenamed("count", "n")
+        .orderBy(col("container_id"), col("event_type"))
+    }),
+
+    // ---- S8: heuristic results through the JDBC sink and BACK — the
+    //      result rows round-trip an embedded Derby (stand-in for the
+    //      reference's MySQL); the oracle recomputes the rows from raw
+    //      events, so a row lost/mangled by the DB hop breaks the hash ----
+    "q_jdbc_roundtrip" -> ((s, dir) => {
+      val heur = t(s, dir, "events")
+        .groupBy((col("user_id") % 20).as("app_num"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("max_value"))
+        .select(
+          concat(lit("application_"), col("app_num").cast(StringType)).as("application_id"),
+          lit("1").as("attempt_id"),
+          when(col("max_value") > 190, lit(4))
+            .when(col("max_value") > 150, lit(2))
+            .otherwise(lit(0)).as("severity"),
+          col("n").cast(IntegerType).as("score"))
+      val rows = serving.HeuristicsSink.resultRows(
+        heur, "io.graft.heuristics.AppActivity", scoreCol = Some("score"))
+      // fresh in-memory db per invocation: the sink appends (at-least-once
+      // contract), so reusing one table across bench repeats would
+      // accumulate rows and break determinism
+      val db = "gate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // explicit territory: Derby derives the new db's locale from the JVM
+      // default, and a harness that pins Locale.ROOT for locale-independent
+      // number formatting (Bench does) would otherwise fail the create
+      // with XBM0X
+      val url = s"jdbc:derby:memory:$db;create=true;territory=en_US"
+      val drv = Some("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      serving.HeuristicsSink.writeResults(rows, url, driver = drv)
+      val p = new java.util.Properties()
+      p.setProperty("driver", drv.get)
+      s.read.jdbc(url, serving.HeuristicsSink.ResultTable, p)
+        .orderBy(col("yarn_app_result_id"))
+    }),
+
+    // ---- S9: Hive-style catalog registration — day-partitioned dump →
+    //      CREATE TABLE + MSCK REPAIR → read back THROUGH the catalog ----
+    "q_hive_ddl" -> ((s, dir) => {
+      val work = BucketedTables.scratchDir("graft_hive_ddl_")
+        .toFile.getAbsolutePath
+      val table = s"$work/table"
+      val raw = t(s, dir, "events")
+      // 14-day window (like q_sink_maintenance): enough partitions to make
+      // MSCK discovery real without writing a month of dirs per bench run
+      val maxDay = raw.agg(max(date_trunc("day", col("ts")))).collect()(0)
+        .getTimestamp(0).toLocalDateTime.toLocalDate
+      streaming.EventSink.writePartitioned(
+        raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf(
+            maxDay.minusDays(13L).atStartOfDay())))
+          .select(col("event_id"), col("user_id"),
+            col("event_type"), col("value"), col("ts").as("timestamp")),
+        table)
+      val name = "graft_ddl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      streaming.EventSink.registerTable(s, name, table)
+      s.table(name)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("day")).as("n_days"),
+          sum(col("event_id")).as("checksum"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- D7/Q2: top-K groups ----
     "q_topk" -> ((s, dir) => {
       Aggregations.topK(t(s, dir, "events"), Seq(col("user_id")),
@@ -2156,6 +2240,40 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hourly_route" ->
+      """SELECT 'graft-' || strftime(ts, '%Y-%m-%d-%H') AS es_index,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS checksum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the JDBC-round-tripped heuristic result rows recomputed from raw
+    // events (resultRows shape: HeuristicsResultDB.java:27-30 analog)
+    "q_jdbc_roundtrip" ->
+      """SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS yarn_app_result_id,
+        |  'io.graft.heuristics.AppActivity' AS heuristic_class,
+        |  'AppActivity@1' AS heuristic_name,
+        |  CASE WHEN max(value) > 190 THEN 4
+        |       WHEN max(value) > 150 THEN 2 ELSE 0 END AS severity,
+        |  CAST(count(*) AS INT) AS score,
+        |  1 AS ready
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the catalog-served day-partitioned dump aggregate from raw events
+    // (same 14-day window the Spark side writes)
+    "q_hive_ddl" ->
+      """WITH mx AS (SELECT date_trunc('day', max(ts)) AS max_day FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(DISTINCT date_trunc('day', ts)) AS n_days,
+        |  CAST(sum(event_id) AS BIGINT) AS checksum
+        |FROM events, mx
+        |WHERE ts >= max_day - INTERVAL 13 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_extractor_counts" ->
+      """SELECT 'container_' || CAST(user_id % 97 AS VARCHAR) AS container_id,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_topk" ->
       """SELECT user_id,

@@ -49,6 +49,16 @@ object Functions {
   /** Fixed-interval time bucket (the dashboards' date_histogram). */
   def timeBucket(ts: Column, interval: String): Column = date_trunc(interval, ts)
 
+  /** S6: hourly index routing — the serving-index name an event routes to,
+    * `prefix-yyyy-MM-dd-HH` in UTC event time
+    * (reference: readers/elasticsearch/.../ElasticSearchReader.java:62,141-144).
+    * Pure codegen'd Column so the router never leaves the scan stage; the
+    * same expression doubles as a generated partition column for a
+    * partitioned sink.
+    */
+  def hourlyIndexName(prefix: Column, ts: Column): Column =
+    concat(prefix, lit("-"), date_format(ts, "yyyy-MM-dd-HH"))
+
   // ------------------------------------------------- P4 analog: JSON pivots
 
   /** Extract an int property from a JSON props column (the analog of the
