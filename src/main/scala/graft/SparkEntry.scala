@@ -391,11 +391,12 @@ object SparkEntry {
       val raw = t(s, dir, "events")
       // 14-day window (like q_sink_maintenance): enough partitions to make
       // MSCK discovery real without writing a month of dirs per bench run
+      // UTC explicitly — toLocalDateTime renders via the JVM default TZ
       val maxDay = raw.agg(max(date_trunc("day", col("ts")))).collect()(0)
-        .getTimestamp(0).toLocalDateTime.toLocalDate
+        .getTimestamp(0).toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
       streaming.EventSink.writePartitioned(
-        raw.where(col("ts") >= lit(java.sql.Timestamp.valueOf(
-            maxDay.minusDays(13L).atStartOfDay())))
+        raw.where(col("ts") >= lit(java.sql.Timestamp.from(
+            maxDay.minusDays(13L).atStartOfDay(java.time.ZoneOffset.UTC).toInstant)))
           .select(col("event_id"), col("user_id"),
             col("event_type"), col("value"), col("ts").as("timestamp")),
         table)

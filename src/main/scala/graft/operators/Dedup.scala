@@ -376,6 +376,11 @@ object Dedup {
     val dir = new org.apache.hadoop.fs.Path(tablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return false
+    // a FileStreamSink-tracked table resolves reads through _spark_metadata:
+    // renaming its files away and writing untracked replacements corrupts
+    // every read — refuse, like EventSink.compactPartition does for the
+    // same rename-based swap
+    if (graft.streaming.EventSink.isStreamLogTracked(fs, tablePath)) return false
     val lock = new org.apache.hadoop.fs.Path(s"$tablePath/.maint_lock")
     val locked = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
     if (!locked) return false
@@ -387,9 +392,13 @@ object Dedup {
       val stamp = System.currentTimeMillis() + "-" +
         java.util.UUID.randomUUID().toString.take(8)
       val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.maint_tmp/$stamp")
-      val rewritten = transform(
+      val transformed = transform(
         spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*))
-        .repartition(targetFiles)
+      // coalesce for the single-file case: no exchange (see the same
+      // trade in EventSink.compactPartition)
+      val rewritten =
+        if (targetFiles == 1) transformed.coalesce(1)
+        else transformed.repartition(targetFiles)
       rewritten.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val newFiles = fs.listStatus(tmp).filter(f => f.getPath.getName.endsWith(".parquet"))
       val trash = new org.apache.hadoop.fs.Path(s"$tablePath/.maint_trash/$stamp")
@@ -437,8 +446,16 @@ object Dedup {
       fs.listStatus(dir)
         .filter(_.getPath.getName.startsWith(s"maint-$stamp-"))
         .foreach(f => fs.delete(f.getPath, false))
-      fs.listStatus(runDir.getPath).foreach(f =>
-        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
+      // rename failures REPORT AS FALSE, not exceptions — proceeding to the
+      // trash delete below would destroy the only copy of the un-renamed
+      // rows. Throw instead: the trash stays intact and recovery is
+      // retryable (same discipline as rewriteTableDir's renameOrThrow).
+      fs.listStatus(runDir.getPath).foreach { f =>
+        val dst = new org.apache.hadoop.fs.Path(dir, f.getPath.getName)
+        if (!fs.rename(f.getPath, dst))
+          throw new java.io.IOException(
+            s"recovery rename failed: ${f.getPath} -> $dst (trash preserved, re-run recovery)")
+      }
       true
     }.nonEmpty
     fs.delete(trashRoot, true)
@@ -666,12 +683,21 @@ object Dedup {
     * through; grouped docs survive iff they are their component's min id.
     * The standard "dedup cluster → keep canonical" pipeline step.
     */
-  def dropNearDupGroups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs)
+  def dropNearDupGroups(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    dropNearDupGroupsWith(docs, idCol, connectedComponents(pairs))
+
+  /** [[dropNearDupGroups]] with a CALLER-OWNED component labeling (a
+    * [[connectedComponents]] output, which arrives persisted): the caller
+    * controls the labels' cache lifecycle. Use this flavor from repeated /
+    * streaming contexts and unpersist the labels once the result is
+    * materialized — the one-shot flavor above leaks one persisted frame
+    * per call, fine for a single batch query, unbounded in a per-batch
+    * loop.
+    */
+  def dropNearDupGroupsWith(docs: DataFrame, idCol: String, comps: DataFrame): DataFrame =
     docs.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .where(col("component").isNull || col("component") === col(idCol))
       .drop("component")
-  }
 
   /** Keep the BEST-scoring doc per near-dup component (docs in no pair pass
     * through) — the standard "keep canonical by quality" pipeline step

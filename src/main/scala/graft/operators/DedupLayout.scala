@@ -63,24 +63,33 @@ object DedupLayout {
     }
   }
 
-  /** Stamp (or re-stamp) the manifest. Write-to-temp + rename so a reader
-    * never sees a torn manifest.
+  /** Stamp (or re-stamp) the manifest. Write-to-temp + OVERWRITE-rename
+    * (FileContext — the one-arg FileSystem.rename can't replace, and a
+    * delete-then-rename window would let a crash lose the manifest
+    * entirely, after which the next caller re-stamps a possibly-drifted
+    * layout as truth: the exact silent failure this file exists to
+    * prevent). A reader never sees a torn or absent manifest.
     */
   def write(spark: SparkSession, tablePath: String, l: Layout): Unit = {
-    val p = manifestPath(tablePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = manifestPath(tablePath).getFileSystem(conf)
+    val p = fs.makeQualified(manifestPath(tablePath))
     fs.mkdirs(p.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.$ManifestName.tmp")
+    val tmp = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$tablePath/.$ManifestName.tmp"))
     val out = fs.create(tmp, true)
     try out.write(toJson(l).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"rename failed: $tmp -> $p")
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Verify the caller's layout against the table's stamp; stamp it if the
-    * table has none (first write, or a pre-manifest table being adopted).
+    * table has none (adoption of a pre-manifest table). Stamping only
+    * happens when the table already HAS data files: stamping an empty or
+    * not-yet-written dir would (a) leave a stray manifest behind a failed
+    * first batch that then blocks the seeding write's ErrorIfExists, and
+    * (b) freeze the failed call's possibly-wrong parameters as truth.
     *
     * `full = true` (banded tables) compares every field; `full = false`
     * (signature tables) compares only (shingleK, numHashes) — the fields
@@ -89,7 +98,12 @@ object DedupLayout {
     */
   def ensure(spark: SparkSession, tablePath: String, l: Layout, full: Boolean): Unit =
     read(spark, tablePath) match {
-      case None => write(spark, tablePath, l)
+      case None =>
+        val dir = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(dir) &&
+          fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
+        if (hasData) write(spark, tablePath, l)
       case Some(existing) =>
         val ok = if (full) existing == l else existing.sigKey == l.sigKey
         if (!ok) throw new IllegalStateException(

@@ -116,10 +116,16 @@ object TrainingPipeline {
     // the optional stages reference their input MULTIPLE times (the LM
     // scorer twice + its join-back, the gate's threshold agg + filter);
     // without a stage boundary each reference re-executes the whole
-    // dedup→keep-best→decontaminate lineage. Materialize it once —
-    // in-API via localCheckpoint; at corpus scale write the intermediate
-    // table instead (see the object doc)
-    val base = if (lmStage || gateStage) filtered.localCheckpoint() else filtered
+    // dedup→keep-best→decontaminate lineage. persist, not localCheckpoint:
+    // checkpoint blocks are non-replicated and unrecoverable on executor
+    // loss, while a persisted partition recomputes from lineage — this and
+    // the split materialization below must agree or the recoverability
+    // claim is only as strong as the weaker point. At corpus scale write
+    // the intermediate table instead (see the object doc)
+    val base =
+      if (lmStage || gateStage)
+        filtered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else filtered
     // CCNet-style LM floor: model table from the reference slice (small by
     // construction → broadcast), score the survivors, drop the unfamiliar
     val familiar =

@@ -97,7 +97,7 @@ object EventSink {
     * deployment recipe for compactable tables is the foreachBatch append
     * layout ([[EventRouter.routeTyped]] / [[writePartitioned]]).
     */
-  private def isStreamLogTracked(fs: org.apache.hadoop.fs.FileSystem, tablePath: String): Boolean = {
+  private[graft] def isStreamLogTracked(fs: org.apache.hadoop.fs.FileSystem, tablePath: String): Boolean = {
     // walk ANCESTORS too: callers may address a subdirectory of the sink's
     // root as the table (the per-type layout does exactly that), and the
     // log lives at the sink root — a same-level-only check would let the

@@ -118,8 +118,12 @@ object IncrementalDedup {
       val pairs = Dedup.estJaccardScores(candidates,
         newSigs, corpusSigs, "new_id", "corpus_id", numHashes)
         .where(col("est_jaccard") >= threshold)
+      // caller-owned component labels: unpersisted at the end of the batch
+      // (the one-shot dropNearDupGroups flavor would leak one cached frame
+      // per micro-batch — unbounded over a stream's lifetime)
+      val comps = Dedup.connectedComponents(selfPairs.select("id_a", "id_b"))
       val novel = Dedup.filterNovel(
-          Dedup.dropNearDupGroups(batch, idCol, selfPairs.select("id_a", "id_b")),
+          Dedup.dropNearDupGroupsWith(batch, idCol, comps),
           idCol, pairs)
         .persist() // written twice (accepted + sig semi-join) — one compute
       try {
@@ -142,7 +146,7 @@ object IncrementalDedup {
             .write.mode(SaveMode.Append).parquet(bp)
         }
         novelSigs.write.mode(SaveMode.Append).parquet(sigTablePath)
-      } finally { novel.unpersist(); () }
+      } finally { novel.unpersist(); comps.unpersist(); () }
     } finally { newSigs.unpersist(); () }
   }
 

@@ -230,10 +230,15 @@ object StreamingGate {
     // retention that real day dirs get dropped, without paying the write
     // cost of a month of partitions the retention deletes unread. The
     // surviving aggregate (what the oracle recomputes) is identical.
+    // UTC explicitly: toLocalDateTime would render via the JVM default TZ
+    // and shift the window by a day on non-UTC hosts (only the SESSION TZ
+    // is pinned to UTC)
     val maxDayRow = raw.agg(max(date_trunc("day", col("timestamp")))).collect()(0)
-    val maxDay = maxDayRow.getTimestamp(0).toLocalDateTime.toLocalDate
+    val maxDay = maxDayRow.getTimestamp(0).toInstant
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
     val events = raw.where(col("timestamp") >=
-      lit(java.sql.Timestamp.valueOf(maxDay.minusDays(13L).atStartOfDay())))
+      lit(java.sql.Timestamp.from(
+        maxDay.minusDays(13L).atStartOfDay(java.time.ZoneOffset.UTC).toInstant)))
     // 4-way pre-shuffle ⇒ multiple files per (event_type, day) partition —
     // the small-file state a streaming appender leaves behind
     EventSink.writePartitioned(events.repartition(4), table)

@@ -135,6 +135,44 @@ class DedupMaintenanceSpec extends SparkSpecBase {
     assert(!Dedup.recoverTableMaintenance(spark, table))
   }
 
+  test("rewriteTableDir refuses a FileStreamSink-tracked table") {
+    val dir = work("slog_")
+    val table = s"$dir/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(table)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // a stream-log marker anywhere up the ancestry marks the table as
+    // log-resolved: renaming its files would corrupt every read
+    val filesBefore = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSet
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$table/_spark_metadata"))
+    assert(!Dedup.compactSignatures(spark, table))
+    // untouched on disk (the dir now reads through the stream log, so
+    // assert at the file level)
+    val filesAfter = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSet
+    assert(filesAfter == filesBefore, "table files untouched")
+  }
+
+  test("ensure() does not stamp a manifest onto an empty/missing table dir") {
+    val dir = work("nostamp_")
+    val layout = DedupLayout.Layout(3, 126, 42, 3, 0.5, 1000)
+    // missing dir: no stamp, no dir created (a failed first batch must not
+    // leave residue that blocks the seeding write)
+    DedupLayout.ensure(spark, s"$dir/missing", layout, full = false)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/missing")))
+    // dir with data: adopted and stamped
+    val seeded = s"$dir/seeded"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(seeded)
+    DedupLayout.ensure(spark, seeded, layout, full = false)
+    assert(DedupLayout.read(spark, seeded).contains(layout))
+    // re-stamp overwrites atomically (recap path)
+    DedupLayout.write(spark, seeded, layout.copy(maxBucket = 77))
+    assert(DedupLayout.read(spark, seeded).map(_.maxBucket).contains(77))
+  }
+
   // -------------------------------------------------------- layout manifest
 
   test("layout manifest: drifted banding parameters fail loudly, not silently admit dups") {
