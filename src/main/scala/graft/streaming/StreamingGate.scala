@@ -243,10 +243,14 @@ object StreamingGate {
     // the small-file state a streaming appender leaves behind
     EventSink.writePartitioned(events.repartition(4), table)
 
+    // day formatted executor-side: decoding a DateType on the driver needs
+    // sun.util.calendar access that plain JDK17 launchers (no --add-opens)
+    // deny — strings decode everywhere
     val parts = spark.read.parquet(table)
-      .select(col("event_type"), col("day")).distinct()
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd"))
+      .distinct()
       .collect() // bounded: days × types, metadata-sized
-      .map(r => (r.getString(0), r.getDate(1).toString))
+      .map(r => (r.getString(0), r.getString(1)))
     // retention FIRST: no point compacting partitions about to expire
     val today = maxDay.plusDays(1L)
     val retainDays = 10
