@@ -267,7 +267,7 @@ object ScaleBench {
     // "increment".
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
-    val known = Set("minhash", "emb", "spans", "increment", "recap")
+    val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -375,6 +375,46 @@ object ScaleBench {
       println(f"""{"scale_point":"recap sf0.1","rows_before":$rowsBefore,"rows_after":$rowsAfter,""" +
         f""""max_bucket_before":$driftedMax,"max_bucket_after":$cappedMax,""" +
         f""""cap":$maxBucket,"sec":$secs%.1f,"recap_ok":${done && cappedMax <= maxBucket}}""")
+    }
+
+    if (sections("ivfappend")) {
+      // ---- IVF-store append point — the ANN daily-ingest question: with
+      //      a FIXED increment, does appending into a growing index get
+      //      more expensive? The append path reads NOTHING of the
+      //      existing index (centroid assignment is a literal-array
+      //      codegen map; the write is a partitioned append), so the
+      //      measured cost must be flat in index size and the shuffle
+      //      record count ~0 (map-only). ----
+      val embBase = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        .select("vec_id", "embedding")
+      val increment = embBase.where(col("vec_id") < 500)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        .persist()
+      val nInc = increment.count()
+      def point(label: String, corpus: DataFrame): (Long, Double) = {
+        val root = java.nio.file.Files.createTempDirectory("scale_ivfappend_").toString
+        val centroids = graft.operators.Similarity.trainCentroids(
+          corpus, "vec_id", "embedding", k = 16, iters = 2)
+        graft.operators.IvfIndexStore.writeGeneration(
+          spark, corpus, "vec_id", "embedding", centroids, root) // setup, untimed
+        val nCorpus = corpus.count()
+        val listener = new ShuffleBytesListener
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        graft.operators.IvfIndexStore.append(spark, increment, "vec_id", "embedding", root)
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"""{"scale_point":"$label","n_increment":$nInc,"n_corpus":$nCorpus,""" +
+          f""""shuffle_records":${listener.records.get()},"sec":$secs%.1f}""")
+        (listener.records.get(), secs)
+      }
+      val (rec1, sec1) = point("ivf append vs sf0.1", embBase)
+      val (rec10, sec10) = point("ivf append vs sf0.1 x10", scaledEmb(embBase, 10))
+      increment.unpersist()
+      println(f"""{"ivf_append_linearity":{"sec_1x":$sec1%.1f,"sec_10x":$sec10%.1f,""" +
+        f""""ratio":${sec10 / sec1}%.2f,"map_only_ok":${rec1 == 0 && rec10 == 0},""" +
+        f""""flat_ok":${sec10 / sec1 <= 2.0}}}""")
     }
 
     if (sections("spans")) {

@@ -1226,6 +1226,51 @@ object SparkEntry {
         .toDF("n_queries", "k", "same_as_inmem", "pruned_scan", "index_smaller")
     }),
 
+    // ---- ANN index MAINTENANCE loop (the serving-operations story): a
+    //      versioned IVF store — generation build + atomic _CURRENT flip,
+    //      map-only append of an increment, a replayed (duplicate) append
+    //      repaired by per-partition compaction, drift stats off the index
+    //      itself — then served top-k compared against the in-memory IVF
+    //      path over the merged corpus. Probing still prunes partitions
+    //      after append+compaction. ----
+    "q_ivf_append" -> ((s, dir) => {
+      import s.implicits._
+      val embs = t(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_store_").toString
+      val base = embs.where(col("vec_id") % 5 =!= 0)
+      val increment = embs.where(col("vec_id") % 5 === 0)
+      IvfIndexStore.writeGeneration(s, base, "vec_id", "embedding", centroids, root)
+      IvfIndexStore.append(s, increment, "vec_id", "embedding", root)
+      IvfIndexStore.append(s, increment, "vec_id", "embedding", root) // at-least-once replay
+      val gen = IvfIndexStore.currentGeneration(s, root).get
+      val idxPath = IvfIndexStore.indexPath(root, gen)
+      val dupsSeeded =
+        s.read.parquet(idxPath).count() > s.read.parquet(idxPath).select("vec_id").distinct().count()
+      IvfIndexStore.compactGeneration(s, root)
+      val compacted =
+        s.read.parquet(idxPath).count() == s.read.parquet(idxPath).select("vec_id").distinct().count()
+      val queries = embs.where(col("vec_id") < 3)
+      val served = IvfIndexStore.topK(s, queries, root, k = 5, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .persist()
+      val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+        k = 5, centroids, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .persist()
+      val nSrv = served.count(); val nMem = direct.count()
+      val same = nSrv == nMem && served.intersect(direct).count() == nSrv
+      served.unpersist(); direct.unpersist()
+      val statsTotal = IvfIndexStore.driftStats(s, root).agg(sum("n")).first().getLong(0)
+      val statsOk = statsTotal == embs.count()
+      val probed = queries.select(explode(graft.functions.VectorExpressions
+          .centroid_probes(col("embedding"), centroids, 2)).as("cid"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      Seq((3, 5, same, dupsSeeded, compacted, statsOk, prunedScanOk(s, idxPath, probed)))
+        .toDF("n_queries", "k", "same_as_inmem", "replay_dups_seeded",
+          "compaction_restores_unique", "stats_cover_corpus", "pruned_scan")
+    }),
+
     // ---- S2→P4: the ES-serving pivot path on WIRE input — typed decode →
     //      sections→`{section}_{prop}` map flatten (toPropsMap) →
     //      known-key pivot → numeric extraction (numericProps), aggregated
@@ -1935,6 +1980,11 @@ object SparkEntry {
     "q_ivf_quant" ->
       """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
         |  TRUE AS pruned_scan, TRUE AS index_smaller""".stripMargin,
+
+    "q_ivf_append" ->
+      """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
+        |  TRUE AS replay_dups_seeded, TRUE AS compaction_restores_unique,
+        |  TRUE AS stats_cover_corpus, TRUE AS pruned_scan""".stripMargin,
 
     // every resolved blob's md5 recomputed from the raw props string (the
     // pack/resolve round trip must reproduce the exact bytes); byte

@@ -49,40 +49,14 @@ object DedupLayout {
   private def manifestPath(tablePath: String) =
     new org.apache.hadoop.fs.Path(s"$tablePath/$ManifestName")
 
-  def read(spark: SparkSession, tablePath: String): Option[Layout] = {
-    val p = manifestPath(tablePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
-      } finally in.close()
-    }
-  }
+  def read(spark: SparkSession, tablePath: String): Option[Layout] =
+    Manifests.read(spark, manifestPath(tablePath).toString).map(parse)
 
-  /** Stamp (or re-stamp) the manifest. Write-to-temp + OVERWRITE-rename
-    * (FileContext — the one-arg FileSystem.rename can't replace, and a
-    * delete-then-rename window would let a crash lose the manifest
-    * entirely, after which the next caller re-stamps a possibly-drifted
-    * layout as truth: the exact silent failure this file exists to
-    * prevent). A reader never sees a torn or absent manifest.
+  /** Stamp (or re-stamp) the manifest — atomic overwrite-rename via
+    * [[Manifests.writeAtomic]] (see the crash-window rationale there).
     */
-  def write(spark: SparkSession, tablePath: String, l: Layout): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = manifestPath(tablePath).getFileSystem(conf)
-    val p = fs.makeQualified(manifestPath(tablePath))
-    fs.mkdirs(p.getParent)
-    val tmp = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(s"$tablePath/.$ManifestName.tmp"))
-    val out = fs.create(tmp, true)
-    try out.write(toJson(l).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  def write(spark: SparkSession, tablePath: String, l: Layout): Unit =
+    Manifests.writeAtomic(spark, manifestPath(tablePath).toString, toJson(l))
 
   /** Verify the caller's layout against the table's stamp; stamp it if the
     * table has none (adoption of a pre-manifest table). Stamping only

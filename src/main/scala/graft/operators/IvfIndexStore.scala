@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Functions => F, VectorExpressions}
+
+/** Versioned, maintainable serving store for the IVF ANN index.
+  *
+  * [[Similarity.writeIvfIndex]] materializes the classic inverted-file index
+  * as a `partitionBy(cid)` parquet layout; this object adds the operational
+  * loop a 100 TB corpus needs around that layout — the ANN analog of the
+  * dedup serving-table maintenance in [[Dedup.recapBandedTable]] /
+  * [[graft.streaming.IncrementalDedup]]:
+  *
+  *  - '''Generations + atomic flip.''' Each build lands in its own
+  *    `gen-<stamp>/` dir (index + centroids + `_LAYOUT.json`); a `_CURRENT`
+  *    pointer file is flipped atomically ([[Manifests.writeAtomic]]) only
+  *    after the generation is fully written. Readers resolve through
+  *    `_CURRENT`, so a retrain in progress — or a crash mid-build — never
+  *    exposes a torn index (the ES-reader analog is serving through index
+  *    aliases while new dailies build:
+  *    reference readers/elasticsearch/.../ElasticSearchReader.java:205-228).
+  *  - '''Map-only appends.''' New vectors are assigned to the CURRENT
+  *    generation's centroids (a literal array inside the codegen
+  *    [[VectorExpressions.centroid_probes]] — no shuffle, no corpus read)
+  *    and appended into the partitioned layout. Append cost is
+  *    O(increment), independent of index size.
+  *  - '''Drift measurement, not guesswork.''' [[driftStats]] reports per-
+  *    cluster population and mean cosine-to-own-centroid from the index
+  *    itself; [[retrainAdvised]] turns the population skew into a retrain
+  *    trigger. Appends degrade an IVF index gradually (new mass lands in
+  *    stale clusters); the stats make the degradation observable before it
+  *    becomes bad recall.
+  *  - '''Layout stamp with a centroid fingerprint.''' Serving an IVF layout
+  *    with ANY centroids other than the ones it was assigned with silently
+  *    probes the wrong partitions — bad recall, no error: the same
+  *    worst-case failure mode [[DedupLayout]] guards against. The
+  *    generation's `_LAYOUT.json` stamps (numCentroids, dim, quantized,
+  *    column names, a 64-bit centroid fingerprint); every serve re-hashes
+  *    the centroids it loaded and refuses on mismatch.
+  *  - '''Replay repair.''' At-least-once upstream delivery can replay an
+  *    append; duplicate id rows would surface a neighbor at two ranks.
+  *    [[compactGeneration]] rewrites each cid partition through
+  *    [[Dedup.rewriteTableDir]] (per-partition lock + trash + crash
+  *    recovery reused wholesale), restoring one-row-per-id and folding the
+  *    append small-files back to `targetFiles` per partition.
+  */
+object IvfIndexStore {
+
+  val CurrentName = "_CURRENT"
+  val LayoutName = "_LAYOUT.json"
+
+  case class IndexLayout(numCentroids: Int, dim: Int, quantized: Boolean,
+                         idCol: String, vecCol: String, centroidsHash: Long)
+
+  /** Order-sensitive FNV-1a over the raw double bits — centroid tables are
+    * written and read in cid order, so equal arrays hash equal and any
+    * value/order/count drift changes the fingerprint.
+    */
+  def centroidsHash(cs: Array[Array[Double]]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < cs.length) {
+      val row = cs(i)
+      var j = 0
+      while (j < row.length) {
+        var bits = java.lang.Double.doubleToLongBits(row(j))
+        var b = 0
+        while (b < 8) { h = (h ^ (bits & 0xff)) * 0x100000001b3L; bits >>>= 8; b += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    h
+  }
+
+  private def toJson(l: IndexLayout): String =
+    s"""{"numCentroids":${l.numCentroids},"dim":${l.dim},"quantized":${l.quantized},""" +
+      s""""idCol":"${l.idCol}","vecCol":"${l.vecCol}","centroidsHash":${l.centroidsHash}}"""
+
+  private def parseLayout(s: String): IndexLayout =
+    IndexLayout(
+      Manifests.numField(s, "numCentroids").toInt,
+      Manifests.numField(s, "dim").toInt,
+      Manifests.numField(s, "quantized").toBoolean,
+      Manifests.strField(s, "idCol"),
+      Manifests.strField(s, "vecCol"),
+      Manifests.numField(s, "centroidsHash").toLong)
+
+  def currentGeneration(spark: SparkSession, rootPath: String): Option[String] =
+    Manifests.read(spark, s"$rootPath/$CurrentName")
+      .map(Manifests.strField(_, "generation"))
+
+  private def genOrFail(spark: SparkSession, rootPath: String): String =
+    currentGeneration(spark, rootPath).getOrElse(throw new IllegalStateException(
+      s"no $CurrentName pointer at $rootPath — the store has no committed generation " +
+        "(build one with writeGeneration)"))
+
+  def readLayout(spark: SparkSession, rootPath: String, gen: String): IndexLayout =
+    parseLayout(Manifests.read(spark, s"$rootPath/$gen/$LayoutName")
+      .getOrElse(throw new IllegalStateException(
+        s"generation $gen at $rootPath has no $LayoutName — refusing to serve an unstamped index")))
+
+  def indexPath(rootPath: String, gen: String): String = s"$rootPath/$gen/index"
+
+  /** Load + verify the generation's centroids: the fingerprint check turns
+    * "swapped/corrupted centroid table" from silent bad recall into a loud
+    * error.
+    */
+  def loadCentroids(spark: SparkSession, rootPath: String, gen: String,
+                    layout: IndexLayout): Array[Array[Double]] = {
+    val cs = Similarity.readCentroids(spark, s"$rootPath/$gen/centroids")
+    val h = centroidsHash(cs)
+    if (cs.length != layout.numCentroids || h != layout.centroidsHash)
+      throw new IllegalStateException(
+        s"centroid fingerprint mismatch for $gen at $rootPath: layout stamps " +
+          s"${layout.numCentroids} centroids / hash ${layout.centroidsHash}, loaded " +
+          s"${cs.length} / hash $h — serving with drifted centroids probes the wrong " +
+          "partitions silently; rebuild the generation")
+    cs
+  }
+
+  /** Build a complete generation (index layout + centroids + stamp) and
+    * atomically flip `_CURRENT` to it. Everything is written BEFORE the
+    * flip; a crash at any earlier point leaves an orphan `gen-*` dir that
+    * [[dropStaleGenerations]] sweeps, with the previous generation still
+    * served. Returns the new generation name.
+    */
+  def writeGeneration(spark: SparkSession, corpus: DataFrame, idCol: String,
+                      vecCol: String, centroids: Array[Array[Double]],
+                      rootPath: String, quantized: Boolean = false): String = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val stamp = System.currentTimeMillis() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val gen = s"gen-$stamp"
+    if (quantized)
+      Similarity.writeIvfIndexQuantized(corpus, idCol, vecCol, centroids,
+        indexPath(rootPath, gen))
+    else
+      Similarity.writeIvfIndex(corpus, idCol, vecCol, centroids,
+        indexPath(rootPath, gen))
+    Similarity.writeCentroids(spark, centroids, s"$rootPath/$gen/centroids")
+    Manifests.writeAtomic(spark, s"$rootPath/$gen/$LayoutName",
+      toJson(IndexLayout(centroids.length, dim, quantized, idCol, vecCol,
+        centroidsHash(centroids))))
+    Manifests.writeAtomic(spark, s"$rootPath/$CurrentName",
+      s"""{"generation":"$gen"}""")
+    gen
+  }
+
+  /** Retrain from the primary corpus and flip to the new generation. The
+    * primary corpus is passed explicitly (an index is derived data; the
+    * quantized flavor doesn't even hold full-precision vectors), so retrain
+    * reads the store of record, never its own possibly-degraded layout.
+    */
+  def retrain(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+              rootPath: String, numCentroids: Int, iters: Int = 3,
+              quantized: Boolean = false): String =
+    writeGeneration(spark, corpus, idCol, vecCol,
+      Similarity.trainCentroids(corpus, idCol, vecCol, numCentroids, iters),
+      rootPath, quantized)
+
+  /** Map-only append of an increment into the CURRENT generation: assign
+    * each new vector to its nearest stamped centroid and append into the
+    * partitioned layout. No shuffle, no read of the existing index — cost
+    * is O(increment) regardless of index size. Column names and dimension
+    * are verified against the stamp first (a wrong-dim increment must fail
+    * loudly, not score garbage cosines forever after).
+    */
+  def append(spark: SparkSession, increment: DataFrame, idCol: String,
+             vecCol: String, rootPath: String): String = {
+    val gen = genOrFail(spark, rootPath)
+    val layout = readLayout(spark, rootPath, gen)
+    require(layout.idCol == idCol && layout.vecCol == vecCol,
+      s"append columns ($idCol, $vecCol) do not match the index stamp " +
+        s"(${layout.idCol}, ${layout.vecCol}) at $rootPath/$gen")
+    val head = increment.select(size(col(vecCol))).limit(1).collect()
+    if (head.isEmpty) return gen // empty increment: nothing to write
+    require(head(0).getInt(0) == layout.dim,
+      s"increment vector dimension ${head(0).getInt(0)} does not match the index " +
+        s"dimension ${layout.dim} at $rootPath/$gen")
+    val centroids = loadCentroids(spark, rootPath, gen, layout)
+    val path = indexPath(rootPath, gen)
+    val cid = element_at(
+      VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1).as("cid")
+    val rows =
+      if (layout.quantized) {
+        val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+        increment.select(col(idCol), cid, maxAbs.as("max_abs"), col(vecCol).as("_v"))
+          .select(col(idCol), col("cid"), col("max_abs"),
+            Similarity.int8Codes(col("_v"), col("max_abs")).as("codes"))
+      } else increment.select(col(idCol), col(vecCol), cid)
+    rows.write.mode("append").partitionBy("cid").parquet(path)
+    gen
+  }
+
+  /** Per-cluster health of the CURRENT generation, computed from the index
+    * itself: population and mean cosine to the own centroid (for the
+    * quantized layout the codes are used directly — cosine is
+    * scale-invariant, so cos(codes, centroid) IS cos(vector, centroid) up
+    * to quantization error). One scan, one small (numCentroids-row)
+    * aggregate. Emits (cid, n, mean_cos).
+    */
+  def driftStats(spark: SparkSession, rootPath: String): DataFrame = {
+    val gen = genOrFail(spark, rootPath)
+    val layout = readLayout(spark, rootPath, gen)
+    val cents = Similarity.readCentroids(spark, s"$rootPath/$gen/centroids")
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "_centroid")
+    val vecExpr = if (layout.quantized) col("codes") else col(layout.vecCol)
+    spark.read.parquet(indexPath(rootPath, gen))
+      .join(broadcast(centDf), "cid")
+      .select(col("cid"), F.cosine(vecExpr, col("_centroid")).as("_cos"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), avg("_cos").as("mean_cos"))
+  }
+
+  /** Retrain trigger from [[driftStats]] output: true when the most
+    * populated cluster exceeds `maxImbalance` times the mean population —
+    * the signature of append mass landing in stale clusters (probe cost for
+    * queries near that centroid grows with the cluster, which is exactly
+    * the degradation IVF partitioning exists to bound).
+    */
+  def retrainAdvised(stats: DataFrame, maxImbalance: Double = 4.0): Boolean = {
+    val r = stats.agg(max("n").as("mx"), avg("n").as("av")).first()
+    if (r.isNullAt(0)) false else r.getLong(0) > maxImbalance * r.getDouble(1)
+  }
+
+  /** Repair + compact the CURRENT generation's partitions: per-cid
+    * [[Dedup.rewriteTableDir]] (lock / trash / crash-recovery discipline
+    * reused) dropping replay-duplicate ids and folding append small files
+    * to `targetFiles` per partition. Returns the number of partitions
+    * rewritten.
+    */
+  def compactGeneration(spark: SparkSession, rootPath: String,
+                        targetFiles: Int = 1): Int = {
+    val gen = genOrFail(spark, rootPath)
+    val layout = readLayout(spark, rootPath, gen)
+    val dir = new org.apache.hadoop.fs.Path(indexPath(rootPath, gen))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .count(p => Dedup.rewriteTableDir(spark, p.getPath.toString,
+        _.dropDuplicates(layout.idCol), targetFiles))
+  }
+
+  /** Run [[Dedup.recoverTableMaintenance]] over every partition of the
+    * CURRENT generation — call at maintainer startup to repair
+    * [[compactGeneration]] runs that died mid-swap. Returns the number of
+    * partitions that had something to restore.
+    */
+  def recoverGenerationMaintenance(spark: SparkSession, rootPath: String): Int = {
+    val gen = genOrFail(spark, rootPath)
+    val dir = new org.apache.hadoop.fs.Path(indexPath(rootPath, gen))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .count(p => Dedup.recoverTableMaintenance(spark, p.getPath.toString))
+  }
+
+  /** Drop every `gen-*` dir that `_CURRENT` does not reference — crashed
+    * builds (written but never flipped) and superseded generations after a
+    * retrain. Same liveness caveat as every maintenance sweep here: no
+    * builder may be mid-[[writeGeneration]] and no reader mid-query on a
+    * superseded generation (give in-flight queries a grace period, as with
+    * any swap-based compaction). Returns the dropped generation names.
+    */
+  def dropStaleGenerations(spark: SparkSession, rootPath: String): Seq[String] = {
+    val current = currentGeneration(spark, rootPath)
+    val root = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
+        !current.contains(s.getPath.getName))
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+      .toIndexedSeq
+  }
+
+  /** Serve top-k from the CURRENT generation: resolve `_CURRENT`, load +
+    * fingerprint-check the centroids, then delegate to the probed-partition
+    * serving path ([[Similarity.ivfTopKFromIndex]], or the quantized
+    * re-rank flavor — which needs the primary `corpus` for the exact
+    * re-rank join, see [[Similarity.ivfTopKFromQuantizedIndex]]).
+    */
+  def topK(spark: SparkSession, queries: DataFrame, rootPath: String,
+           k: Int, nProbe: Int, corpusForRerank: Option[DataFrame] = None,
+           preselect: Int = 4, maxBucket: Int = 1000000): DataFrame = {
+    val gen = genOrFail(spark, rootPath)
+    val layout = readLayout(spark, rootPath, gen)
+    val centroids = loadCentroids(spark, rootPath, gen, layout)
+    val path = indexPath(rootPath, gen)
+    if (layout.quantized) {
+      val corpus = corpusForRerank.getOrElse(throw new IllegalArgumentException(
+        s"the index at $rootPath is quantized — serving needs the full-precision " +
+          "corpus for the exact re-rank join (corpusForRerank)"))
+      Similarity.ivfTopKFromQuantizedIndex(spark, queries, path, corpus,
+        layout.idCol, layout.vecCol, k, centroids, nProbe, preselect, maxBucket)
+    } else
+      Similarity.ivfTopKFromIndex(spark, queries, path, layout.idCol,
+        layout.vecCol, k, centroids, nProbe, maxBucket)
+  }
+}

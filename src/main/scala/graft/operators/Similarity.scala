@@ -159,8 +159,10 @@ object Similarity {
   }
 
   def readCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
-    spark.read.parquet(path).orderBy("cid")
-      .collect().map(_.getSeq[Double](1).toArray)
+    // driver-side sort: an orderBy would put a full exchange in front of a
+    // numCentroids-row read that every serve performs
+    spark.read.parquet(path)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
 
   /** Driver-materialized probe tables shared by both persisted-index
     * serving paths ([[ivfTopKFromIndex]], [[ivfTopKFromQuantizedIndex]]).
@@ -345,7 +347,7 @@ object Similarity {
   }
 
   /** codes = floor(x/maxAbs·127 + 0.5) per element, 0 for the zero vector. */
-  private def int8Codes(vCol: Column, maxAbsCol: Column): Column =
+  private[operators] def int8Codes(vCol: Column, maxAbsCol: Column): Column =
     transform(vCol, v =>
       when(maxAbsCol === 0d, lit(0).cast(ByteType))
         .otherwise(floor(v.cast(DoubleType) / maxAbsCol * 127d + 0.5d)

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IvfIndexStore, Manifests, Similarity}
+import graft.sources.Tables
+
+/** The versioned IVF serving store: generation flip, map-only append,
+  * centroid-fingerprint drift gate, replay compaction, crash recovery.
+  */
+class IvfIndexStoreSpec extends SparkSpecBase {
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def work(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def topKSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+    df.select(col("query_id").cast("long"), col("rank"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("writeGeneration + topK matches the in-memory IVF path") {
+    val root = work("ivfstore_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    val gen = IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    assert(IvfIndexStore.currentGeneration(spark, root).contains(gen))
+    val queries = embs.where(col("vec_id") < 3)
+    val served = IvfIndexStore.topK(spark, queries, root, k = 5, nProbe = 2)
+    val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 5, centroids, nProbe = 2)
+    assert(topKSet(served) == topKSet(direct))
+  }
+
+  test("append is picked up by serving; result matches in-memory IVF over the merged corpus") {
+    val root = work("ivfstore_append_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val base = embs.where(col("vec_id") % 5 =!= 0)
+    val increment = embs.where(col("vec_id") % 5 === 0)
+    // centroids trained on the full set so base/merged assignment agrees
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    IvfIndexStore.writeGeneration(spark, base, "vec_id", "embedding", centroids, root)
+    IvfIndexStore.append(spark, increment, "vec_id", "embedding", root)
+    val queries = embs.where(col("vec_id") < 3)
+    val served = IvfIndexStore.topK(spark, queries, root, k = 5, nProbe = 2)
+    val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 5, centroids, nProbe = 2)
+    assert(topKSet(served) == topKSet(direct))
+    // empty increment is a no-op, not an error
+    IvfIndexStore.append(spark, increment.where(lit(false)), "vec_id", "embedding", root)
+  }
+
+  test("append refuses wrong dimension and wrong column names") {
+    val root = work("ivfstore_dim_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 4, iters = 1)
+    IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    val wrongDim = embs.withColumn("embedding", slice(col("embedding"), 1, 3))
+    val e1 = intercept[IllegalArgumentException] {
+      IvfIndexStore.append(spark, wrongDim, "vec_id", "embedding", root)
+    }
+    assert(e1.getMessage.contains("dimension"))
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndexStore.append(spark,
+        embs.withColumnRenamed("embedding", "emb"), "vec_id", "emb", root)
+    }
+    assert(e2.getMessage.contains("do not match the index stamp"))
+  }
+
+  test("centroid drift is a loud serve-time error, not silent bad recall") {
+    val root = work("ivfstore_drift_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 4, iters = 1)
+    val gen = IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    // overwrite the centroid table with drifted values, stamp untouched
+    val drifted = centroids.map(_.map(_ * 1.5))
+    Similarity.writeCentroids(spark, drifted, s"$root/$gen/centroids")
+    val e = intercept[IllegalStateException] {
+      IvfIndexStore.topK(spark, embs.where(col("vec_id") < 2), root, k = 3, nProbe = 2)
+    }
+    assert(e.getMessage.contains("centroid fingerprint mismatch"))
+  }
+
+  test("retrain flips the generation atomically; stale + orphan gens swept; old gen served until flip") {
+    val root = work("ivfstore_retrain_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 4, iters = 1)
+    val g1 = IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    // crashed build: a gen dir that never got the _CURRENT flip
+    val orphan = s"$root/gen-000-orphan"
+    new java.io.File(s"$orphan/index").mkdirs()
+    assert(IvfIndexStore.currentGeneration(spark, root).contains(g1), "orphan must not serve")
+    val g2 = IvfIndexStore.retrain(spark, embs, "vec_id", "embedding", root,
+      numCentroids = 8, iters = 1)
+    assert(IvfIndexStore.currentGeneration(spark, root).contains(g2))
+    assert(IvfIndexStore.readLayout(spark, root, g2).numCentroids == 8)
+    val dropped = IvfIndexStore.dropStaleGenerations(spark, root)
+    assert(dropped.toSet == Set(g1, "gen-000-orphan"))
+    // serving still works from the surviving generation
+    val served = IvfIndexStore.topK(spark, embs.where(col("vec_id") < 2), root, k = 3, nProbe = 2)
+    assert(served.count() > 0)
+  }
+
+  test("replayed append duplicates surface a neighbor once after compactGeneration") {
+    val root = work("ivfstore_replay_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val base = embs.where(col("vec_id") % 5 =!= 0)
+    val increment = embs.where(col("vec_id") % 5 === 0)
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    IvfIndexStore.writeGeneration(spark, base, "vec_id", "embedding", centroids, root)
+    IvfIndexStore.append(spark, increment, "vec_id", "embedding", root)
+    IvfIndexStore.append(spark, increment, "vec_id", "embedding", root) // replay
+    val gen = IvfIndexStore.currentGeneration(spark, root).get
+    val idx = spark.read.parquet(IvfIndexStore.indexPath(root, gen))
+    assert(idx.count() > idx.select("vec_id").distinct().count(), "replay seeded dups")
+    val rewritten = IvfIndexStore.compactGeneration(spark, root)
+    assert(rewritten > 0)
+    val after = spark.read.parquet(IvfIndexStore.indexPath(root, gen))
+    assert(after.count() == after.select("vec_id").distinct().count())
+    // one row per (query, neighbor) in the served result
+    val served = IvfIndexStore.topK(spark, embs.where(col("vec_id") < 3), root, k = 5, nProbe = 2)
+    val pairs = served.select("query_id", "neighbor_id")
+    assert(pairs.count() == pairs.distinct().count())
+    assert(topKSet(served) == topKSet(
+      Similarity.ivfTopK(embs.where(col("vec_id") < 3), embs, "vec_id", "embedding",
+        k = 5, centroids, nProbe = 2)))
+  }
+
+  test("compactGeneration crash mid-swap is repaired by recoverGenerationMaintenance") {
+    val root = work("ivfstore_crash_")
+    val embs = Tables.load(spark, sf01, "embeddings").where(col("vec_id") < 200)
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 4, iters = 1)
+    IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    val gen = IvfIndexStore.currentGeneration(spark, root).get
+    val before = spark.read.parquet(IvfIndexStore.indexPath(root, gen))
+      .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    // fake a crash mid-swap in one partition: originals moved to trash, lock held
+    val cidDir = new java.io.File(IvfIndexStore.indexPath(root, gen)).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=")).head
+    val stamp = "t1"
+    val trash = new java.io.File(cidDir, s".maint_trash/$stamp"); trash.mkdirs()
+    new java.io.File(cidDir, ".maint_lock").createNewFile()
+    cidDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      assert(f.renameTo(new java.io.File(trash, f.getName)))
+    }
+    val repaired = IvfIndexStore.recoverGenerationMaintenance(spark, root)
+    assert(repaired == 1)
+    val after = spark.read.parquet(IvfIndexStore.indexPath(root, gen))
+      .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(after == before)
+    // lock released: a fresh compaction succeeds
+    assert(IvfIndexStore.compactGeneration(spark, root) > 0)
+  }
+
+  test("quantized generation: append + serve with exact re-rank matches quantized in-memory path") {
+    val root = work("ivfstore_quant_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val base = embs.where(col("vec_id") % 5 =!= 0)
+    val increment = embs.where(col("vec_id") % 5 === 0)
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    IvfIndexStore.writeGeneration(spark, base, "vec_id", "embedding", centroids, root,
+      quantized = true)
+    IvfIndexStore.append(spark, increment, "vec_id", "embedding", root)
+    val queries = embs.where(col("vec_id") < 3)
+    // quantized serving without the re-rank corpus is a loud contract error
+    val e = intercept[IllegalArgumentException] {
+      IvfIndexStore.topK(spark, queries, root, k = 5, nProbe = 2)
+    }
+    assert(e.getMessage.contains("quantized"))
+    val served = IvfIndexStore.topK(spark, queries, root, k = 5, nProbe = 2,
+      corpusForRerank = Some(embs))
+    val direct = {
+      val dir = work("ivfstore_quant_direct_")
+      Similarity.writeIvfIndexQuantized(embs, "vec_id", "embedding", centroids, s"$dir/index")
+      Similarity.ivfTopKFromQuantizedIndex(spark, queries, s"$dir/index", embs,
+        "vec_id", "embedding", k = 5, centroids, nProbe = 2)
+    }
+    assert(topKSet(served) == topKSet(direct))
+  }
+
+  test("driftStats population sums to the index size and flags a planted imbalance") {
+    val root = work("ivfstore_stats_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    val stats = IvfIndexStore.driftStats(spark, root).persist()
+    val total = stats.agg(sum("n")).first().getLong(0)
+    assert(total == embs.count())
+    // cosines to the own centroid are sane
+    assert(stats.where(col("mean_cos") < -1.0001 || col("mean_cos") > 1.0001).count() == 0)
+    val balanced = IvfIndexStore.retrainAdvised(stats, maxImbalance = 1000.0)
+    stats.unpersist()
+    assert(!balanced, "absurd threshold must not advise a retrain")
+    // plant heavy skew: replay one cluster's rows many times via append
+    val gen = IvfIndexStore.currentGeneration(spark, root).get
+    val heavy = embs.where(col("vec_id") % 7 === 0)
+    (1 to 3).foreach(_ => IvfIndexStore.append(spark, heavy, "vec_id", "embedding", root))
+    val skewed = IvfIndexStore.driftStats(spark, root)
+    assert(IvfIndexStore.retrainAdvised(skewed, maxImbalance = 2.0) ||
+      skewed.agg(max("n")).first().getLong(0) > total / 16,
+      "planted mass must be visible in the stats")
+    assert(gen == IvfIndexStore.currentGeneration(spark, root).get)
+  }
+
+  test("an unstamped generation refuses to serve; manifest parse errors are loud") {
+    val root = work("ivfstore_unstamped_")
+    val embs = Tables.load(spark, sf01, "embeddings").where(col("vec_id") < 50)
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 2, iters = 1)
+    val gen = IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    new java.io.File(s"$root/$gen/${IvfIndexStore.LayoutName}").delete()
+    val e = intercept[IllegalStateException] {
+      IvfIndexStore.topK(spark, embs.where(col("vec_id") < 2), root, k = 2, nProbe = 1)
+    }
+    assert(e.getMessage.contains("unstamped"))
+    Manifests.writeAtomic(spark, s"$root/$gen/${IvfIndexStore.LayoutName}", "{}")
+    val e2 = intercept[IllegalStateException] {
+      IvfIndexStore.topK(spark, embs.where(col("vec_id") < 2), root, k = 2, nProbe = 1)
+    }
+    assert(e2.getMessage.contains("missing field"))
+    // no _CURRENT at all
+    val e3 = intercept[IllegalStateException] {
+      IvfIndexStore.topK(spark, embs, work("ivfstore_empty_"), k = 2, nProbe = 1)
+    }
+    assert(e3.getMessage.contains("no committed generation"))
+  }
+}
