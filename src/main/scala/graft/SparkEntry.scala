@@ -214,6 +214,29 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- F9: composite-route dispatch — three OVERLAPPING routes with
+    //      composed predicates, every row delivered to EVERY matching
+    //      route in ONE scan (explode of the matched-route array; the
+    //      reference's per-listener accepts loop). The oracle replays the
+    //      fan-out as a UNION ALL of the three filters, so both the
+    //      composite predicates and the duplication semantics are
+    //      hash-gated. ----
+    "q_composite_route" -> ((s, dir) => {
+      val routes = Seq(
+        "errors" -> Filters.hasType("error"),
+        "big_values" -> Filters.and(
+          Filters.or(Filters.hasType("click"), Filters.hasType("signup")),
+          col("value") > 100.0),
+        "audit" -> Filters.and(
+          Filters.not(Filters.hasType("error")),
+          col("user_id") % 10 === 0))
+      t(s, dir, "events")
+        .withColumn("route", explode(Filters.matchedRoutes(routes)))
+        .groupBy(col("route"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("route"), col("event_type"))
+    }),
+
     // ---- D2/P4: scalar fns — JSON extraction + day bucket (the
     //      section/property pivot analog) ----
     "q_json_day" -> ((s, dir) => {
@@ -2220,6 +2243,20 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase' AND value > 150.0
         |ORDER BY event_id""".stripMargin,
+
+    "q_composite_route" ->
+      """WITH routed AS (
+        |  SELECT 'errors' AS route, event_type, value
+        |    FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT 'big_values', event_type, value
+        |    FROM events WHERE event_type IN ('click','signup') AND value > 100
+        |  UNION ALL
+        |  SELECT 'audit', event_type, value
+        |    FROM events WHERE event_type <> 'error' AND user_id % 10 = 0)
+        |SELECT route, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM routed GROUP BY route, event_type ORDER BY route, event_type""".stripMargin,
 
     "q_filter_algebra" ->
       """SELECT event_type, count(*) AS n,

@@ -48,4 +48,19 @@ object Filters {
   /** F10: path-prefix predicate (reference's path_hierarchy-analyzed match). */
   def pathStartsWith(pathCol: Column, prefix: String): Column =
     startswith(pathCol, lit(prefix))
+
+  /** F9: composite-route dispatch as ONE scan. The reference registers N
+    * listeners each with its own (composed) filter and delivers every
+    * message to EVERY matching listener
+    * (reference: readers/common/.../reader/GarmadonReader.java:141-174 —
+    * the per-listener `filter.accepts` loop). The relational form: an
+    * array of matched route names per row; `explode` of it IS the
+    * at-least-once fan-out (a row matching k routes becomes k rows, a row
+    * matching none disappears) — one pass over the data where a
+    * union-of-filters plan would scan the source once per route.
+    */
+  def matchedRoutes(routes: Seq[(String, Column)]): Column =
+    filter(
+      array(routes.map { case (name, p) => when(p, lit(name)) }: _*),
+      x => x.isNotNull)
 }

@@ -38,6 +38,29 @@ class FiltersSpec extends SparkSpecBase {
     assert(df.where(route).count() == 1)
   }
 
+  test("matchedRoutes: every row delivered to EVERY matching route, non-matching rows dropped, one scan") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val routes = Seq(
+      "gc" -> Filters.hasType("GC_EVENT"),
+      "spark_all" -> Filters.hasFramework("SPARK"),
+      "none_route" -> Filters.none)
+    val routed = df.withColumn("route", explode(Filters.matchedRoutes(routes)))
+    val byRoute = routed.groupBy("route").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRoute == Map(
+      "gc" -> df.where(Filters.hasType("GC_EVENT")).count(),
+      "spark_all" -> df.where(Filters.hasFramework("SPARK")).count()))
+    // a SPARK GC row rides both routes (the overlap duplication semantic)
+    val overlap = df.where(Filters.hasType("GC_EVENT") && Filters.hasFramework("SPARK")).count()
+    assert(routed.groupBy("container_id", "event_type").count()
+      .where(col("count") >= 2).count() == overlap)
+    // single scan: exactly one relation in the plan
+    val scans = routed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r
+    }
+    assert(scans.length == 1, s"route fan-out must not re-scan per route: $scans")
+  }
+
   test("De Morgan: !(a && b) === !a || !b over the sample") {
     val a = Filters.hasType("FS_EVENT"); val b = Filters.hasFramework("SPARK")
     val left = df.where(Filters.not(Filters.and(a, b))).select("container_id", "event_type")
