@@ -281,6 +281,23 @@ object IvfIndexStore {
       .toIndexedSeq
   }
 
+  /** The streaming ingest wrapper: embedding micro-batches → [[append]]
+    * per batch (map-only; see the ScaleBench `ivfappend` point). Caller
+    * starts it with its own trigger/checkpoint. Replay of a micro-batch
+    * after a crash re-appends its rows — at-least-once, repaired by
+    * [[compactGeneration]] at maintenance time (same contract as the
+    * dedup serving tables' recap loop). A retrain flipping `_CURRENT`
+    * between batches is safe: each batch re-resolves the pointer and
+    * assigns against the generation it lands in.
+    */
+  def appendStream(increments: DataFrame, idCol: String, vecCol: String,
+                   rootPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    increments.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch.sparkSession, batch, idCol, vecCol, rootPath); ()
+      }
+
   /** Serve top-k from the CURRENT generation: resolve `_CURRENT`, load +
     * fingerprint-check the centroids, then delegate to the probed-partition
     * serving path ([[Similarity.ivfTopKFromIndex]], or the quantized

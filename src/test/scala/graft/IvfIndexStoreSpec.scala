@@ -201,6 +201,38 @@ class IvfIndexStoreSpec extends SparkSpecBase {
     assert(gen == IvfIndexStore.currentGeneration(spark, root).get)
   }
 
+  test("appendStream: micro-batches land in the current generation; serving sees them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = work("ivfstore_stream_")
+    val ckpt = work("ivfstore_stream_ckpt_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val base = embs.where(col("vec_id") % 5 =!= 0)
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    IvfIndexStore.writeGeneration(spark, base, "vec_id", "embedding", centroids, root)
+    val incRows = embs.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IvfIndexStore.appendStream(
+        input.toDF().toDF("vec_id", "embedding")
+          .withColumn("embedding", col("embedding").cast("array<float>")),
+        "vec_id", "embedding", root)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      val (half1, half2) = incRows.splitAt(incRows.length / 2)
+      input.addData(half1: _*); q.processAllAvailable()
+      input.addData(half2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val queries = embs.where(col("vec_id") < 3)
+    val served = IvfIndexStore.topK(spark, queries, root, k = 5, nProbe = 2)
+    val direct = Similarity.ivfTopK(queries, embs, "vec_id", "embedding",
+      k = 5, centroids, nProbe = 2)
+    assert(topKSet(served) == topKSet(direct))
+  }
+
   test("an unstamped generation refuses to serve; manifest parse errors are loud") {
     val root = work("ivfstore_unstamped_")
     val embs = Tables.load(spark, sf01, "embeddings").where(col("vec_id") < 50)
