@@ -230,8 +230,7 @@ object SparkEntry {
         "audit" -> Filters.and(
           Filters.not(Filters.hasType("error")),
           col("user_id") % 10 === 0))
-      t(s, dir, "events")
-        .withColumn("route", explode(Filters.matchedRoutes(routes)))
+      Filters.routeFanout(t(s, dir, "events"), routes)
         .groupBy(col("route"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("route"), col("event_type"))

@@ -63,4 +63,18 @@ object Filters {
     filter(
       array(routes.map { case (name, p) => when(p, lit(name)) }: _*),
       x => x.isNotNull)
+
+  /** F9 dispatch over a frame: `where(OR of all routes)` THEN the matched-
+    * array explode. The explode alone already drops no-route rows, but
+    * only AFTER the scan — Catalyst cannot derive a scan predicate from a
+    * lambda inside `filter(array(...))`. Stating the disjunction
+    * explicitly makes it a pushable filter (parquet row-group pruning /
+    * partition pruning on the sink layout), so rows no route wants never
+    * leave the scan. Semantically redundant, physically load-bearing.
+    */
+  def routeFanout(df: org.apache.spark.sql.DataFrame,
+                  routes: Seq[(String, Column)],
+                  routeCol: String = "route"): org.apache.spark.sql.DataFrame =
+    df.where(or(routes.map(_._2): _*))
+      .withColumn(routeCol, explode(matchedRoutes(routes)))
 }

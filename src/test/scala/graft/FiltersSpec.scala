@@ -59,6 +59,18 @@ class FiltersSpec extends SparkSpecBase {
       case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r
     }
     assert(scans.length == 1, s"route fan-out must not re-scan per route: $scans")
+    // routeFanout: same rows, plus an explicit OR pre-filter that reaches
+    // a REAL scan as a pushed filter (the LocalRelation fixture would let
+    // the optimizer evaluate it away, so assert over parquet)
+    val fanned = Filters.routeFanout(df, routes)
+    assert(fanned.select("container_id", "route").collect().toSet
+      == routed.select("container_id", "route").collect().toSet)
+    val dir = java.nio.file.Files.createTempDirectory("route_fanout_").toString + "/t"
+    df.write.parquet(dir)
+    val plan = Filters.routeFanout(spark.read.parquet(dir), routes)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("Or("),
+      s"the route disjunction must reach the parquet scan as a pushed Or filter:\n$plan")
   }
 
   test("De Morgan: !(a && b) === !a || !b over the sample") {
