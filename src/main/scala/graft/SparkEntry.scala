@@ -1293,6 +1293,35 @@ object SparkEntry {
           "compaction_restores_unique", "stats_cover_corpus", "pruned_scan")
     }),
 
+    // ---- ANN index SEMANTIC DEDUP (the embedding IncrementalDedup): a
+    //      batch of new vectors dedups against the SERVED IVF store —
+    //      corpus near-dups (cosine ≥ 0.95 to an indexed row) rejected,
+    //      intra-batch components keep their min-id representative,
+    //      survivors appended. The oracle brute-forces every batch×corpus
+    //      and batch×batch cosine, so the probe recall, the self-match
+    //      (excludeSelf=false) semantics and the component rule are all
+    //      hash-gated on real ids. ----
+    "q_ivf_dedup" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val corpus = embs.where(col("vec_id") % 5 =!= 0)
+      val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", k = 16, iters = 2)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_dedup_").toString
+      IvfIndexStore.writeGeneration(s, corpus, "vec_id", "embedding", centroids, root)
+      val novel = embs.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val planted = corpus.where(col("vec_id") < 40)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      val negated = embs.where(col("vec_id") === 1)
+        .select(transform(col("embedding"), x => -x).as("embedding"))
+      val intraPair = negated.select(lit(300001L).as("vec_id"), col("embedding"))
+        .unionByName(negated.select(lit(300002L).as("vec_id"), col("embedding")))
+      val batch = novel.unionByName(planted).unionByName(intraPair)
+      IvfIndexStore.dedupAppendBatch(s, batch, "vec_id", "embedding", root,
+          threshold = 0.95)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- S2→P4: the ES-serving pivot path on WIRE input — typed decode →
     //      sections→`{section}_{prop}` map flatten (toPropsMap) →
     //      known-key pivot → numeric extraction (numericProps), aggregated
@@ -2007,6 +2036,42 @@ object SparkEntry {
       """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
         |  TRUE AS replay_dups_seeded, TRUE AS compaction_restores_unique,
         |  TRUE AS stats_cover_corpus, TRUE AS pruned_scan""".stripMargin,
+
+    // brute-force replay of the semantic-dedup decision: a batch doc is
+    // accepted iff no corpus row reaches cosine 0.95 AND no smaller-id
+    // batch doc does (single-pair fixture ⇒ pair rule ≡ component rule)
+    "q_ivf_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 5 <> 0),
+        |neg AS (
+        |  SELECT list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id = 1),
+        |batch AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |  FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id < 40
+        |  UNION ALL SELECT 300001, v FROM neg
+        |  UNION ALL SELECT 300002, v FROM neg),
+        |corp_hit AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM batch b JOIN corpus c ON
+        |    list_sum(list_transform(list_zip(b.v, c.v), p -> p[1] * p[2]))
+        |    / (sqrt(list_sum(list_transform(b.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(c.v, x -> x * x)))) >= 0.95),
+        |self_hit AS (
+        |  SELECT DISTINCT b2.vec_id
+        |  FROM batch b1 JOIN batch b2 ON b1.vec_id < b2.vec_id AND
+        |    list_sum(list_transform(list_zip(b1.v, b2.v), p -> p[1] * p[2]))
+        |    / (sqrt(list_sum(list_transform(b1.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(b2.v, x -> x * x)))) >= 0.95)
+        |SELECT vec_id FROM batch
+        |WHERE vec_id NOT IN (SELECT vec_id FROM corp_hit)
+        |  AND vec_id NOT IN (SELECT vec_id FROM self_hit)
+        |ORDER BY vec_id""".stripMargin,
 
     // every resolved blob's md5 recomputed from the raw props string (the
     // pack/resolve round trip must reproduce the exact bytes); byte

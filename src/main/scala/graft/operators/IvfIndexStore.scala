@@ -306,7 +306,8 @@ object IvfIndexStore {
     */
   def topK(spark: SparkSession, queries: DataFrame, rootPath: String,
            k: Int, nProbe: Int, corpusForRerank: Option[DataFrame] = None,
-           preselect: Int = 4, maxBucket: Int = 1000000): DataFrame = {
+           preselect: Int = 4, maxBucket: Int = 1000000,
+           excludeSelf: Boolean = true): DataFrame = {
     val gen = genOrFail(spark, rootPath)
     val layout = readLayout(spark, rootPath, gen)
     val centroids = loadCentroids(spark, rootPath, gen, layout)
@@ -319,6 +320,74 @@ object IvfIndexStore {
         layout.idCol, layout.vecCol, k, centroids, nProbe, preselect, maxBucket)
     } else
       Similarity.ivfTopKFromIndex(spark, queries, path, layout.idCol,
-        layout.vecCol, k, centroids, nProbe, maxBucket)
+        layout.vecCol, k, centroids, nProbe, maxBucket, excludeSelf)
   }
+
+  /** Incremental SEMANTIC dedup against the served index — the embedding
+    * analog of [[graft.streaming.IncrementalDedup.processBatch]]: a batch
+    * doc is a duplicate if its best match in the CURRENT generation has
+    * cosine ≥ `threshold`; intra-batch near-dup groups keep one
+    * representative per CONNECTED COMPONENT (same over-removal-safe rule
+    * as the text flavor); survivors are appended to the index and
+    * returned.
+    *
+    * Replay is IDEMPOTENT, stronger than the text flavor's at-least-once:
+    * the corpus probe runs with `excludeSelf = false`, so a replayed
+    * batch's docs match their own already-indexed rows at cosine 1.0 and
+    * are rejected — nothing is re-appended (the text flavor can't do
+    * this: a MinHash signature table probe excludes by id; embeddings
+    * self-describe).
+    *
+    * Batch size is bounded by the ANN probe contract
+    * ([[Similarity.MaxProbeRows]]) — micro-batch-sized increments, not
+    * corpus-sized backfills (those belong in
+    * [[Dedup.embeddingNearDups]] + a generation rebuild).
+    */
+  def dedupAppendBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+                       vecCol: String, rootPath: String, threshold: Double,
+                       nProbe: Int = 2, selfBands: Int = 16,
+                       selfBitsPerBand: Int = 8,
+                       maxBucket: Int = 1000000): DataFrame = {
+    val gen = genOrFail(spark, rootPath)
+    val layout = readLayout(spark, rootPath, gen)
+    require(!layout.quantized,
+      s"dedupAppendBatch needs the full-precision layout at $rootPath " +
+        "(the quantized store holds codes only; the dedup decision is an exact cosine)")
+    val b = batch.persist()
+    try {
+      val selfPairs = Dedup.embeddingNearDups(b, idCol, vecCol, threshold,
+        selfBands, selfBitsPerBand, maxBucket)
+      val comps = Dedup.connectedComponents(selfPairs.select("id_a", "id_b"))
+      try {
+        val reps = Dedup.dropNearDupGroupsWith(b, idCol, comps)
+        val dupIds = topK(spark, reps, rootPath, k = 1, nProbe = nProbe,
+            maxBucket = maxBucket, excludeSelf = false)
+          .where(col("cosine") >= threshold)
+          .select(col("query_id").as(idCol))
+        val novelPlan = reps.join(dupIds, Seq(idCol), "left_anti")
+        // materialize to LOCAL rows before the append mutates the probe
+        // target — a lazily returned plan re-executed after the append
+        // would self-match everything and come back empty. The batch is
+        // driver-sized by the probe contract, so its novel subset is too.
+        val rows = novelPlan.collect()
+        val novel = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), novelPlan.schema)
+        append(spark, novel, idCol, vecCol, rootPath)
+        novel
+      } finally { comps.unpersist(); () }
+    } finally { b.unpersist(); () }
+  }
+
+  /** Streaming wrapper for [[dedupAppendBatch]]: embedding micro-batches →
+    * semantic-dedup-then-append per batch. Idempotent under replay (see
+    * [[dedupAppendBatch]]).
+    */
+  def dedupAppendStream(increments: DataFrame, idCol: String, vecCol: String,
+                        rootPath: String, threshold: Double, nProbe: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    increments.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupAppendBatch(batch.sparkSession, batch, idCol, vecCol, rootPath,
+          threshold, nProbe); ()
+      }
 }

@@ -229,13 +229,17 @@ object Similarity {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, queries: DataFrame,
                        indexPath: String, idCol: String, vecCol: String,
                        k: Int, centroids: Array[Array[Double]], nProbe: Int,
-                       maxBucket: Int = 1000000): DataFrame = {
+                       maxBucket: Int = 1000000,
+                       excludeSelf: Boolean = true): DataFrame = {
     val (q, qProbes, probed) =
       materializedProbes(spark, queries, idCol, vecCol, centroids, nProbe)
     val idx = readProbedIndex(spark, indexPath, probed, maxBucket,
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // excludeSelf=false is the DEDUP-probe flavor: a replayed doc must be
+    // allowed to match its own already-indexed row (cosine 1.0) so the
+    // replay is rejected instead of re-accepted
     val candidates = qProbes.join(idx, "cid")
-      .where(col("query_id") =!= col("neighbor_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates

@@ -233,6 +233,93 @@ class IvfIndexStoreSpec extends SparkSpecBase {
     assert(topKSet(served) == topKSet(direct))
   }
 
+  test("dedupAppendBatch: corpus near-dups rejected, intra-batch keeps one representative, replay is idempotent") {
+    val root = work("ivfstore_dedup_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val corpus = embs.where(col("vec_id") % 5 =!= 0)
+    val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", k = 16, iters = 2)
+    IvfIndexStore.writeGeneration(spark, corpus, "vec_id", "embedding", centroids, root)
+    val novel = embs.where(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val planted = corpus.where(col("vec_id") < 40)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    // an intra-batch pair: two copies of a NEGATED corpus vector (novel —
+    // cosine −1 to its source, ≤ background to everything else)
+    val negated = embs.where(col("vec_id") === 1)
+      .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+    val intraPair = negated.select(lit(300001L).as("vec_id"), col("embedding"))
+      .unionByName(negated.select(lit(300002L).as("vec_id"), col("embedding")))
+    val batch = novel.unionByName(planted).unionByName(intraPair)
+    val accepted = IvfIndexStore.dedupAppendBatch(spark, batch, "vec_id", "embedding",
+      root, threshold = 0.95)
+    val acceptedIds = accepted.select("vec_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val expectedNovel = novel.select("vec_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet + 300001L
+    assert(acceptedIds == expectedNovel,
+      s"diff: +${acceptedIds -- expectedNovel} -${expectedNovel -- acceptedIds}")
+    // survivors are IN the index now
+    val gen = IvfIndexStore.currentGeneration(spark, root).get
+    val indexed = spark.read.parquet(IvfIndexStore.indexPath(root, gen))
+      .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(expectedNovel.subsetOf(indexed))
+    // REPLAY the whole batch: every doc now self-matches at cosine 1.0 →
+    // nothing accepted, nothing re-appended (idempotent, not at-least-once)
+    val replayed = IvfIndexStore.dedupAppendBatch(spark, batch, "vec_id", "embedding",
+      root, threshold = 0.95)
+    assert(replayed.count() == 0)
+    val after = spark.read.parquet(IvfIndexStore.indexPath(root, gen))
+    assert(after.count() == after.select("vec_id").distinct().count(),
+      "replay must not seed duplicate rows")
+    // quantized layout refuses the dedup probe loudly
+    val qroot = work("ivfstore_dedup_quant_")
+    IvfIndexStore.writeGeneration(spark, corpus, "vec_id", "embedding", centroids,
+      qroot, quantized = true)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndexStore.dedupAppendBatch(spark, batch, "vec_id", "embedding", qroot, 0.95)
+    }
+    assert(e.getMessage.contains("full-precision"))
+  }
+
+  test("dedupAppendStream: semantic dedup per micro-batch through the store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = work("ivfstore_dedupstream_")
+    val ckpt = work("ivfstore_dedupstream_ckpt_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val corpus = embs.where(col("vec_id") % 5 =!= 0)
+    val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", k = 16, iters = 2)
+    IvfIndexStore.writeGeneration(spark, corpus, "vec_id", "embedding", centroids, root)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val novelRows = rowsOf(embs.where(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    val plantedRows = rowsOf(corpus.where(col("vec_id") < 40)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = IvfIndexStore.dedupAppendStream(
+        input.toDF().toDF("vec_id", "embedding")
+          .withColumn("embedding", col("embedding").cast("array<float>")),
+        "vec_id", "embedding", root, threshold = 0.95)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(novelRows: _*); q.processAllAvailable()
+      // batch 2: dups of batch-1 SURVIVORS (proves survivors were indexed)
+      input.addData(plantedRows ++ novelRows.take(10)
+        .map { case (id, v) => (id + 500000L, v) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val gen = IvfIndexStore.currentGeneration(spark, root).get
+    val indexed = spark.read.parquet(IvfIndexStore.indexPath(root, gen))
+      .select("vec_id").as[Long].collect().toSet
+    assert(novelRows.map(_._1).toSet.subsetOf(indexed), "batch-1 novels indexed")
+    assert(plantedRows.map(_._1).toSet.intersect(indexed).isEmpty, "corpus dups rejected")
+    assert(!indexed.exists(_ >= 500000L), "dups of batch-1 survivors rejected")
+  }
+
   test("an unstamped generation refuses to serve; manifest parse errors are loud") {
     val root = work("ivfstore_unstamped_")
     val embs = Tables.load(spark, sf01, "embeddings").where(col("vec_id") < 50)
