@@ -1258,7 +1258,7 @@ object SparkEntry {
     "q_ivf_append" -> ((s, dir) => {
       import s.implicits._
       val embs = t(s, dir, "embeddings")
-      val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+      val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 1)
       val root = java.nio.file.Files.createTempDirectory("graft_ivf_store_").toString
       val base = embs.where(col("vec_id") % 5 =!= 0)
       val increment = embs.where(col("vec_id") % 5 === 0)
@@ -1304,7 +1304,7 @@ object SparkEntry {
     "q_ivf_dedup" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val corpus = embs.where(col("vec_id") % 5 =!= 0)
-      val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", k = 16, iters = 2)
+      val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", k = 16, iters = 1)
       val root = java.nio.file.Files.createTempDirectory("graft_ivf_dedup_").toString
       IvfIndexStore.writeGeneration(s, corpus, "vec_id", "embedding", centroids, root)
       val novel = embs.where(col("vec_id") % 5 === 0)

@@ -241,10 +241,26 @@ object IvfIndexStore {
     val dir = new org.apache.hadoop.fs.Path(indexPath(rootPath, gen))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0
-    fs.listStatus(dir)
+    val parts = fs.listStatus(dir)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
-      .count(p => Dedup.rewriteTableDir(spark, p.getPath.toString,
-        _.dropDuplicates(layout.idCol), targetFiles))
+    // partitions compact in parallel (per-partition locks; the scheduler
+    // is thread-safe) — serial per-cid Spark jobs would make the sweep
+    // O(numCentroids) in job-launch latency, the same trap the sink
+    // maintenance sweep hit (StreamingGate.sinkMaintenance)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = parts.toSeq.map { p =>
+        scala.concurrent.Future {
+          Dedup.rewriteTableDir(spark, p.getPath.toString,
+            _.dropDuplicates(layout.idCol), targetFiles)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(600, "s")).count(identity)
+    } finally pool.shutdown()
   }
 
   /** Run [[Dedup.recoverTableMaintenance]] over every partition of the
