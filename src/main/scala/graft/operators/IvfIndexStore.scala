@@ -130,7 +130,15 @@ object IvfIndexStore {
   def writeGeneration(spark: SparkSession, corpus: DataFrame, idCol: String,
                       vecCol: String, centroids: Array[Array[Double]],
                       rootPath: String, quantized: Boolean = false): String = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dims = corpus.agg(min(size(col(vecCol))), max(size(col(vecCol)))).first()
+    require(!dims.isNullAt(0),
+      s"writeGeneration on an EMPTY corpus at $rootPath — refusing to build and " +
+        "flip to a generation with no rows (a transiently empty store of record " +
+        "must not replace a served index)")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"corpus has mixed vector dimensions [${dims.getInt(0)}, ${dims.getInt(1)}] " +
+        s"at $rootPath — a truncated dot product would assign garbage cids silently")
+    val dim = dims.getInt(0)
     val stamp = System.currentTimeMillis() + "-" +
       java.util.UUID.randomUUID().toString.take(8)
     val gen = s"gen-$stamp"
@@ -172,27 +180,43 @@ object IvfIndexStore {
              vecCol: String, rootPath: String): String = {
     val gen = genOrFail(spark, rootPath)
     val layout = readLayout(spark, rootPath, gen)
+    appendResolved(spark, increment, idCol, vecCol, rootPath, gen, layout,
+      loadCentroids(spark, rootPath, gen, layout))
+    gen
+  }
+
+  /** [[append]] body against an ALREADY-RESOLVED generation — the internal
+    * entry [[dedupAppendBatch]] uses so its probe and its append cannot
+    * straddle a `_CURRENT` flip from a concurrent retrain.
+    */
+  private def appendResolved(spark: SparkSession, increment: DataFrame,
+                             idCol: String, vecCol: String, rootPath: String,
+                             gen: String, layout: IndexLayout,
+                             centroids: Array[Array[Double]]): Unit = {
     require(layout.idCol == idCol && layout.vecCol == vecCol,
       s"append columns ($idCol, $vecCol) do not match the index stamp " +
         s"(${layout.idCol}, ${layout.vecCol}) at $rootPath/$gen")
-    val head = increment.select(size(col(vecCol))).limit(1).collect()
-    if (head.isEmpty) return gen // empty increment: nothing to write
-    require(head(0).getInt(0) == layout.dim,
-      s"increment vector dimension ${head(0).getInt(0)} does not match the index " +
-        s"dimension ${layout.dim} at $rootPath/$gen")
-    val centroids = loadCentroids(spark, rootPath, gen, layout)
+    // per-row dim guard INSIDE the projection — a single-row peek would
+    // let a mixed-dimension increment through (CentroidProbes/VecDot
+    // truncate to min(length), poisoning the index with garbage-cid rows
+    // that never error afterwards), and a separate min/max aggregate
+    // would put a shuffle into the measured map-only append path. The
+    // guarded column fails the write loudly on the first bad row.
+    val vecG = when(size(col(vecCol)) === layout.dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit("increment vector dimension "), size(col(vecCol)).cast("string"),
+        lit(s" does not match the index dimension ${layout.dim} at $rootPath/$gen"))))
     val path = indexPath(rootPath, gen)
     val cid = element_at(
-      VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1).as("cid")
+      VectorExpressions.centroid_probes(vecG, centroids, 1), 1).as("cid")
     val rows =
       if (layout.quantized) {
-        val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
-        increment.select(col(idCol), cid, maxAbs.as("max_abs"), col(vecCol).as("_v"))
+        val maxAbs = array_max(transform(vecG, v => abs(v.cast("double"))))
+        increment.select(col(idCol), cid, maxAbs.as("max_abs"), vecG.as("_v"))
           .select(col(idCol), col("cid"), col("max_abs"),
             Similarity.int8Codes(col("_v"), col("max_abs")).as("codes"))
-      } else increment.select(col(idCol), col(vecCol), cid)
+      } else increment.select(col(idCol), vecG.as(vecCol), cid)
     rows.write.mode("append").partitionBy("cid").parquet(path)
-    gen
   }
 
   /** Per-cluster health of the CURRENT generation, computed from the index
@@ -205,7 +229,10 @@ object IvfIndexStore {
   def driftStats(spark: SparkSession, rootPath: String): DataFrame = {
     val gen = genOrFail(spark, rootPath)
     val layout = readLayout(spark, rootPath, gen)
-    val cents = Similarity.readCentroids(spark, s"$rootPath/$gen/centroids")
+    // fingerprint-gated load: silent bad HEALTH numbers from drifted
+    // centroids would be as damaging as silent bad recall — retrain
+    // decisions hang off these stats
+    val cents = loadCentroids(spark, rootPath, gen, layout)
     import spark.implicits._
     val centDf = cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cid", "_centroid")
@@ -235,7 +262,9 @@ object IvfIndexStore {
     * rewritten.
     */
   def compactGeneration(spark: SparkSession, rootPath: String,
-                        targetFiles: Int = 1): Int = {
+                        targetFiles: Int = 1,
+                        timeout: scala.concurrent.duration.Duration =
+                          scala.concurrent.duration.Duration(600, "s")): Int = {
     val gen = genOrFail(spark, rootPath)
     val layout = readLayout(spark, rootPath, gen)
     val dir = new org.apache.hadoop.fs.Path(indexPath(rootPath, gen))
@@ -250,6 +279,7 @@ object IvfIndexStore {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    var completed = false
     try {
       val futs = parts.toSeq.map { p =>
         scala.concurrent.Future {
@@ -257,10 +287,21 @@ object IvfIndexStore {
             _.dropDuplicates(layout.idCol), targetFiles)
         }
       }
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs),
-        scala.concurrent.duration.Duration(600, "s")).count(identity)
-    } finally pool.shutdown()
+      val n = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs), timeout).count(identity)
+      completed = true
+      n
+    } finally {
+      // a timed-out/failed sweep must not leave background rewrites
+      // mutating partitions while the caller, believing it failed, runs
+      // recoverGenerationMaintenance (whose contract is "no maintainer
+      // live") — interrupt and DRAIN before returning the failure
+      if (completed) pool.shutdown()
+      else {
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+    }
   }
 
   /** Run [[Dedup.recoverTableMaintenance]] over every partition of the
@@ -329,6 +370,12 @@ object IvfIndexStore {
     val centroids = loadCentroids(spark, rootPath, gen, layout)
     val path = indexPath(rootPath, gen)
     if (layout.quantized) {
+      // the quantized serving path hardcodes the self-exclusion; silently
+      // ignoring the flag would let a self-match-based caller (the dedup
+      // probe pattern) admit replays as novel
+      require(excludeSelf,
+        s"excludeSelf = false is not supported on the quantized layout at $rootPath " +
+          "(the re-rank path always excludes self matches); use a full-precision store")
       val corpus = corpusForRerank.getOrElse(throw new IllegalArgumentException(
         s"the index at $rootPath is quantized — serving needs the full-precision " +
           "corpus for the exact re-rank join (corpusForRerank)"))
@@ -364,11 +411,16 @@ object IvfIndexStore {
                        nProbe: Int = 2, selfBands: Int = 16,
                        selfBitsPerBand: Int = 8,
                        maxBucket: Int = 1000000): DataFrame = {
+    // resolve the generation ONCE: probing one generation and appending
+    // to another (a concurrent retrain flipping _CURRENT mid-call) would
+    // admit docs into the new generation without ever probing it, and the
+    // replay-idempotence guarantee would stop reproducing
     val gen = genOrFail(spark, rootPath)
     val layout = readLayout(spark, rootPath, gen)
     require(!layout.quantized,
       s"dedupAppendBatch needs the full-precision layout at $rootPath " +
         "(the quantized store holds codes only; the dedup decision is an exact cosine)")
+    val centroids = loadCentroids(spark, rootPath, gen, layout)
     val b = batch.persist()
     try {
       val selfPairs = Dedup.embeddingNearDups(b, idCol, vecCol, threshold,
@@ -376,8 +428,9 @@ object IvfIndexStore {
       val comps = Dedup.connectedComponents(selfPairs.select("id_a", "id_b"))
       try {
         val reps = Dedup.dropNearDupGroupsWith(b, idCol, comps)
-        val dupIds = topK(spark, reps, rootPath, k = 1, nProbe = nProbe,
-            maxBucket = maxBucket, excludeSelf = false)
+        val dupIds = Similarity.ivfTopKFromIndex(spark, reps,
+            indexPath(rootPath, gen), layout.idCol, layout.vecCol,
+            k = 1, centroids, nProbe, maxBucket, excludeSelf = false)
           .where(col("cosine") >= threshold)
           .select(col("query_id").as(idCol))
         val novelPlan = reps.join(dupIds, Seq(idCol), "left_anti")
@@ -388,7 +441,7 @@ object IvfIndexStore {
         val rows = novelPlan.collect()
         val novel = spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), novelPlan.schema)
-        append(spark, novel, idCol, vecCol, rootPath)
+        appendResolved(spark, novel, idCol, vecCol, rootPath, gen, layout, centroids)
         novel
       } finally { comps.unpersist(); () }
     } finally { b.unpersist(); () }

@@ -40,8 +40,12 @@ object Manifests {
     val fs = raw.getFileSystem(conf)
     val p = fs.makeQualified(raw)
     fs.mkdirs(p.getParent)
-    val tmp = fs.makeQualified(
-      new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.tmp"))
+    // UUID-suffixed temp: a FIXED temp name would let two concurrent
+    // writers truncate each other's in-flight file and rename a torn
+    // manifest into place — the exact outage the atomic protocol exists
+    // to prevent (same stamp discipline as rewriteTableDir)
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp"))
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -49,21 +49,39 @@ class IvfIndexStoreSpec extends SparkSpecBase {
     IvfIndexStore.append(spark, increment.where(lit(false)), "vec_id", "embedding", root)
   }
 
-  test("append refuses wrong dimension and wrong column names") {
+  test("append refuses wrong dimension (even one bad row mid-increment) and wrong column names") {
     val root = work("ivfstore_dim_")
     val embs = Tables.load(spark, sf01, "embeddings")
     val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 4, iters = 1)
     IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
-    val wrongDim = embs.withColumn("embedding", slice(col("embedding"), 1, 3))
-    val e1 = intercept[IllegalArgumentException] {
-      IvfIndexStore.append(spark, wrongDim, "vec_id", "embedding", root)
+    def causeChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // MIXED increment: most rows the right dim, ONE truncated — a
+    // first-row peek would admit it; the per-row guard must fail the write
+    val mixed = embs.withColumn("embedding",
+      when(col("vec_id") === 77L, slice(col("embedding"), 1, 3))
+        .otherwise(col("embedding")))
+    val e1 = intercept[Throwable] {
+      IvfIndexStore.append(spark, mixed, "vec_id", "embedding", root)
     }
-    assert(e1.getMessage.contains("dimension"))
+    assert(causeChain(e1).contains("does not match the index dimension"))
     val e2 = intercept[IllegalArgumentException] {
       IvfIndexStore.append(spark,
         embs.withColumnRenamed("embedding", "emb"), "vec_id", "emb", root)
     }
     assert(e2.getMessage.contains("do not match the index stamp"))
+    // generation builds refuse an empty or mixed-dim corpus outright
+    val e3 = intercept[IllegalArgumentException] {
+      IvfIndexStore.writeGeneration(spark, embs.where(lit(false)),
+        "vec_id", "embedding", centroids, work("ivfstore_empty_corpus_"))
+    }
+    assert(e3.getMessage.contains("EMPTY corpus"))
+    val e4 = intercept[IllegalArgumentException] {
+      IvfIndexStore.writeGeneration(spark, mixed, "vec_id", "embedding",
+        centroids, work("ivfstore_mixed_corpus_"))
+    }
+    assert(e4.getMessage.contains("mixed vector dimensions"))
   }
 
   test("centroid drift is a loud serve-time error, not silent bad recall") {
