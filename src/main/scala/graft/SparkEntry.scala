@@ -306,6 +306,21 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- D4: SALTED equi-join — the hot-key lever when neither broadcast
+    //      nor AQE covers it. The salt must be invisible in the result:
+    //      the oracle replays the PLAIN join, so any salt leakage (row
+    //      duplication/loss, unmatched-right multiplication) hash-fails.
+    //      The skewed side is events on its 5-value event_type key (each
+    //      key ~20% of the table — the one-task-per-hot-key shape). ----
+    "q_salted_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"), col("value"))
+      val dim = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+      Joins.saltedEquiJoin(e, dim, Seq("event_type"), salt = 8)
+        .groupBy(col("event_type"), col("n_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- D4: semi join (EXISTS) ----
     "q_semi_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -2364,6 +2379,14 @@ object SparkEntry {
         |  TRUE AS shuffle_free_join
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the PLAIN join — the salt must be invisible in the result
+    "q_salted_join" ->
+      """WITH dim AS (SELECT event_type, count(*) AS n_type FROM events GROUP BY event_type)
+        |SELECT e.event_type, d.n_type, count(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type, d.n_type ORDER BY e.event_type""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer
