@@ -1308,6 +1308,25 @@ object SparkEntry {
           "compaction_restores_unique", "stats_cover_corpus", "pruned_scan")
     }),
 
+    // ---- The IVF assignment expression itself, numerically: cid = argmax
+    //      of dot(v, unit-centroid), ties to the LOWEST cid, top-2 probes
+    //      in rank order. Centroids are the first 8 embedding rows (data-
+    //      derived, no training), so DuckDB replays the exact ranking —
+    //      the codegen CentroidProbes kernel is hash-gated on real ids
+    //      instead of witness booleans. ----
+    "q_cluster_assign" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents: Array[Array[Double]] = embs.where(col("vec_id") < 8)
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      embs.select(col("vec_id"),
+          posexplode(graft.functions.VectorExpressions
+            .centroid_probes(col("embedding"), cents, 2)))
+        .toDF("vec_id", "probe_rank", "cid")
+        .orderBy(col("vec_id"), col("probe_rank"))
+    }),
+
     // ---- ANN index SEMANTIC DEDUP (the embedding IncrementalDedup): a
     //      batch of new vectors dedups against the SERVED IVF store —
     //      corpus near-dups (cosine ≥ 0.95 to an indexed row) rejected,
@@ -2051,6 +2070,30 @@ object SparkEntry {
       """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_inmem,
         |  TRUE AS replay_dups_seeded, TRUE AS compaction_restores_unique,
         |  TRUE AS stats_cover_corpus, TRUE AS pruned_scan""".stripMargin,
+
+    // exact replay of the CentroidProbes ranking: dot against the
+    // unit-normalized centroid, DESC, ties to the lowest cid
+    "q_cluster_assign" ->
+      """WITH cents AS (
+        |  SELECT CAST(vec_id AS INT) AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |ncents AS (
+        |  SELECT cid,
+        |    list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y * y)))) AS cu
+        |  FROM cents),
+        |scored AS (
+        |  SELECT e.vec_id, n.cid,
+        |    list_sum(list_transform(
+        |      list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), n.cu),
+        |      p -> p[1] * p[2])) AS s
+        |  FROM embeddings e CROSS JOIN ncents n),
+        |ranked AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+        |  FROM scored)
+        |SELECT vec_id, CAST(rk - 1 AS INT) AS probe_rank, cid
+        |FROM ranked WHERE rk <= 2 ORDER BY vec_id, probe_rank""".stripMargin,
 
     // brute-force replay of the semantic-dedup decision: a batch doc is
     // accepted iff no corpus row reaches cosine 0.95 AND no smaller-id
