@@ -267,7 +267,7 @@ object ScaleBench {
     // "increment".
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
-    val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend")
+    val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend", "ivfdedup")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -415,6 +415,53 @@ object ScaleBench {
       println(f"""{"ivf_append_linearity":{"sec_1x":$sec1%.1f,"sec_10x":$sec10%.1f,""" +
         f""""ratio":${sec10 / sec1}%.2f,"map_only_ok":${rec1 == 0 && rec10 == 0},""" +
         f""""flat_ok":${sec10 / sec1 <= 2.0}}}""")
+    }
+
+    if (sections("ivfdedup")) {
+      // ---- Semantic-dedup batch cost vs index size — the HONEST scale
+      //      shape: unlike the pre-banded text flavor (increment-bound),
+      //      the IVF probe reads the PROBED PARTITIONS, which grow
+      //      linearly with the corpus (the standard IVF trade: ~nProbe/k
+      //      of the corpus per batch, hard-bounded by maxBucket per
+      //      cluster). Measured so the growth is a number, not a hope:
+      //      the per-batch cost ratio at 10x the index should track the
+      //      probed-slice growth, NOT the full corpus. ----
+      val embBase = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        .select("vec_id", "embedding")
+      val batch = embBase.where(col("vec_id") < 500)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        .persist()
+      val nBatch = batch.count()
+      def point(label: String, corpus: DataFrame): Double = {
+        val root = java.nio.file.Files.createTempDirectory("scale_ivfdedup_").toString
+        val centroids = graft.operators.Similarity.trainCentroids(
+          corpus, "vec_id", "embedding", k = 16, iters = 1)
+        graft.operators.IvfIndexStore.writeGeneration(
+          spark, corpus, "vec_id", "embedding", centroids, root) // setup, untimed
+        val nCorpus = corpus.count()
+        val listener = new ShuffleBytesListener
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val accepted = graft.operators.IvfIndexStore.dedupAppendBatch(
+          spark, batch, "vec_id", "embedding", root, threshold = 0.95)
+        val nAccepted = accepted.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(listener)
+        val mb = listener.bytes.get() / 1024.0 / 1024.0
+        println(f"""{"scale_point":"$label","n_batch":$nBatch,"n_corpus":$nCorpus,""" +
+          f""""n_accepted":$nAccepted,"shuffle_mb":$mb%.1f,""" +
+          f""""shuffle_records":${listener.records.get()},"sec":$secs%.1f}""")
+        secs
+      }
+      val s1 = point("ivf dedup-batch vs sf0.1", embBase)
+      val s10 = point("ivf dedup-batch vs sf0.1 x10", scaledEmb(embBase, 10))
+      batch.unpersist()
+      // the probed slice is ~nProbe/k of the corpus: 10x corpus -> 10x
+      // probed rows, but the batch-side work (signatures, components,
+      // window) is fixed — wall time should grow FAR slower than 10x
+      println(f"""{"ivf_dedup_linearity":{"sec_1x":$s1%.1f,"sec_10x":$s10%.1f,""" +
+        f""""ratio":${s10 / s1}%.2f,"sublinear_ok":${s10 / s1 <= 5.0}}}""")
     }
 
     if (sections("spans")) {
