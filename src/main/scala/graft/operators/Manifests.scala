@@ -20,9 +20,26 @@ object Manifests {
 
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  /** Manifest IO bypasses the ChecksumFileSystem wrapper (local FS): with
+    * two concurrent writers, the data-file rename and the `.crc` sidecar
+    * rename are SEPARATE operations, so the surviving `_CURRENT` can end
+    * up paired with the losing writer's checksum — readers then die with
+    * ChecksumException, a torn publish in effect (caught by the
+    * DedupMaintenanceSpec race test). Manifests are tiny JSON whose
+    * integrity the rename protocol already guarantees; raw IO removes the
+    * sidecar failure mode entirely. HDFS is unaffected (its checksums are
+    * internal, not sidecar files).
+    */
+  private def fsFor(p: org.apache.hadoop.fs.Path,
+                    conf: org.apache.hadoop.conf.Configuration): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+
   def read(spark: SparkSession, path: String): Option[String] = {
     val p = hPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(p, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -37,9 +54,12 @@ object Manifests {
   def writeAtomic(spark: SparkSession, path: String, content: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val raw = hPath(path)
-    val fs = raw.getFileSystem(conf)
+    val fs = fsFor(raw, conf)
     val p = fs.makeQualified(raw)
     fs.mkdirs(p.getParent)
+    // drop any pre-raw-era checksum sidecar: a stale .crc next to a
+    // raw-written manifest would fail checksum-wrapped readers
+    fs.delete(new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.crc"), false)
     // UUID-suffixed temp: a FIXED temp name would let two concurrent
     // writers truncate each other's in-flight file and rename a torn
     // manifest into place — the exact outage the atomic protocol exists
@@ -49,8 +69,13 @@ object Manifests {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // rename on the RAW fs (atomic file move, no sidecar second step)
+    if (!fs.rename(tmp, p)) {
+      // raw rename can refuse when the destination exists (HDFS
+      // semantics); fall back to the FileContext OVERWRITE flavor
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Minimal field extractor for the flat JSON objects WE write — no JSON

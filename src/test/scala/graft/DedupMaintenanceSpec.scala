@@ -300,4 +300,24 @@ class DedupMaintenanceSpec extends SparkSpecBase {
     assert(kept == Set(31L, 34L),
       s"one representative of the 31~32~33 component + the loner, got $kept")
   }
+
+  test("concurrent writeAtomic racers never publish a torn manifest") {
+    import graft.operators.Manifests
+    val dir = work("manifest_race_")
+    val path = s"$dir/_CURRENT"
+    // two complete payloads, distinguishable and parseable
+    val a = """{"generation":"gen-aaaaaaaa-racer-a-full-payload"}"""
+    val b = """{"generation":"gen-bbbbbbbb-racer-b-full-payload"}"""
+    (1 to 20).foreach { _ =>
+      val t1 = new Thread(() => Manifests.writeAtomic(spark, path, a))
+      val t2 = new Thread(() => Manifests.writeAtomic(spark, path, b))
+      t1.start(); t2.start(); t1.join(); t2.join()
+      val read = Manifests.read(spark, path).get
+      assert(read == a || read == b,
+        s"manifest must be one COMPLETE payload, got: $read")
+      // parseable through the real reader
+      val gen = Manifests.strField(read, "generation")
+      assert(gen.startsWith("gen-"))
+    }
+  }
 }
