@@ -1327,6 +1327,26 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("probe_rank"))
     }),
 
+    // ---- The index HEALTH numbers, numerically: per-cluster population
+    //      and mean own-centroid cosine from a store built on the same
+    //      data-derived literal centroids as q_cluster_assign. Retrain
+    //      decisions hang off these stats — the oracle recomputes the
+    //      assignment, the counts and the mean cosines from scratch.
+    //      (mean_cos rounded to 6dp on both sides: partial-aggregation
+    //      sum order differs between engines at ~1e-16.) ----
+    "q_drift_stats" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents: Array[Array[Double]] = embs.where(col("vec_id") < 8)
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_stats_").toString
+      IvfIndexStore.writeGeneration(s, embs, "vec_id", "embedding", cents, root)
+      IvfIndexStore.driftStats(s, root)
+        .select(col("cid"), col("n"), round(col("mean_cos"), 6).as("mean_cos"))
+        .orderBy(col("cid"))
+    }),
+
     // ---- ANN index SEMANTIC DEDUP (the embedding IncrementalDedup): a
     //      batch of new vectors dedups against the SERVED IVF store —
     //      corpus near-dups (cosine ≥ 0.95 to an indexed row) rejected,
@@ -2094,6 +2114,36 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, CAST(rk - 1 AS INT) AS probe_rank, cid
         |FROM ranked WHERE rk <= 2 ORDER BY vec_id, probe_rank""".stripMargin,
+
+    // recompute assignment + population + mean own-centroid cosine
+    "q_drift_stats" ->
+      """WITH cents AS (
+        |  SELECT CAST(vec_id AS INT) AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |ncents AS (
+        |  SELECT cid, c,
+        |    list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y * y)))) AS cu
+        |  FROM cents),
+        |scored AS (
+        |  SELECT e.vec_id, n.cid,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_sum(list_transform(
+        |      list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), n.cu),
+        |      p -> p[1] * p[2])) AS s
+        |  FROM embeddings e CROSS JOIN ncents n),
+        |assign AS (
+        |  SELECT vec_id, cid, v,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+        |  FROM scored),
+        |cosines AS (
+        |  SELECT a.cid,
+        |    list_sum(list_transform(list_zip(a.v, n.c), p -> p[1] * p[2]))
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(n.c, x -> x * x)))) AS cosv
+        |  FROM assign a JOIN ncents n USING (cid) WHERE a.rk = 1)
+        |SELECT cid, count(*) AS n, ROUND(avg(cosv), 6) AS mean_cos
+        |FROM cosines GROUP BY cid ORDER BY cid""".stripMargin,
 
     // brute-force replay of the semantic-dedup decision: a batch doc is
     // accepted iff no corpus row reaches cosine 0.95 AND no smaller-id
