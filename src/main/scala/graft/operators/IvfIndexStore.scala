@@ -130,24 +130,40 @@ object IvfIndexStore {
   def writeGeneration(spark: SparkSession, corpus: DataFrame, idCol: String,
                       vecCol: String, centroids: Array[Array[Double]],
                       rootPath: String, quantized: Boolean = false): String = {
-    val dims = corpus.agg(min(size(col(vecCol))), max(size(col(vecCol)))).first()
-    require(!dims.isNullAt(0),
-      s"writeGeneration on an EMPTY corpus at $rootPath — refusing to build and " +
-        "flip to a generation with no rows (a transiently empty store of record " +
-        "must not replace a served index)")
-    require(dims.getInt(0) == dims.getInt(1),
-      s"corpus has mixed vector dimensions [${dims.getInt(0)}, ${dims.getInt(1)}] " +
-        s"at $rootPath — a truncated dot product would assign garbage cids silently")
-    val dim = dims.getInt(0)
+    require(centroids.nonEmpty, s"writeGeneration at $rootPath needs >= 1 centroid")
+    // the centroids DEFINE the space: per-row raise_error guard inside the
+    // build projection (one pass — a separate min/max aggregate would
+    // double the build's read I/O) fails loudly on any corpus row whose
+    // dimension disagrees, covering both mixed-dim and wrong-dim-corpus
+    val dim = centroids(0).length
+    val guarded = corpus.withColumn(vecCol,
+      when(size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit("corpus vector dimension "), size(col(vecCol)).cast("string"),
+          lit(s" does not match the centroid dimension $dim at $rootPath")))))
     val stamp = System.currentTimeMillis() + "-" +
       java.util.UUID.randomUUID().toString.take(8)
     val gen = s"gen-$stamp"
     if (quantized)
-      Similarity.writeIvfIndexQuantized(corpus, idCol, vecCol, centroids,
+      Similarity.writeIvfIndexQuantized(guarded, idCol, vecCol, centroids,
         indexPath(rootPath, gen))
     else
-      Similarity.writeIvfIndex(corpus, idCol, vecCol, centroids,
+      Similarity.writeIvfIndex(guarded, idCol, vecCol, centroids,
         indexPath(rootPath, gen))
+    // emptiness check AFTER the write (free — a directory listing, not a
+    // corpus scan): never flip _CURRENT to a generation with no rows; a
+    // transiently empty store of record must not replace a served index
+    val idxDir = new org.apache.hadoop.fs.Path(indexPath(rootPath, gen))
+    val fs = idxDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasRows = fs.exists(idxDir) && fs.listStatus(idxDir)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+    if (!hasRows) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$rootPath/$gen"), true)
+      throw new IllegalArgumentException(
+        s"writeGeneration on an EMPTY corpus at $rootPath — refusing to build and " +
+          "flip to a generation with no rows (a transiently empty store of record " +
+          "must not replace a served index)")
+    }
     Similarity.writeCentroids(spark, centroids, s"$rootPath/$gen/centroids")
     Manifests.writeAtomic(spark, s"$rootPath/$gen/$LayoutName",
       toJson(IndexLayout(centroids.length, dim, quantized, idCol, vecCol,
@@ -196,6 +212,11 @@ object IvfIndexStore {
     require(layout.idCol == idCol && layout.vecCol == vecCol,
       s"append columns ($idCol, $vecCol) do not match the index stamp " +
         s"(${layout.idCol}, ${layout.vecCol}) at $rootPath/$gen")
+    // empty-increment short-circuit: a limit-1 probe is far cheaper than
+    // the parquet write job (+ _SUCCESS rewrite) an empty append would
+    // launch — the common case for idle stream triggers and all-duplicate
+    // dedup batches
+    if (increment.isEmpty) return
     // per-row dim guard INSIDE the projection — a single-row peek would
     // let a mixed-dimension increment through (CentroidProbes/VecDot
     // truncate to min(length), poisoning the index with garbage-cid rows
@@ -299,7 +320,15 @@ object IvfIndexStore {
       if (completed) pool.shutdown()
       else {
         pool.shutdownNow()
-        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS); ()
+        val drained = pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        // an un-drained pool means rewrite threads may STILL be mutating
+        // partitions — surfacing that loudly is the only safe option,
+        // because the caller's next move is recovery, whose contract is
+        // "no maintainer live"
+        if (!drained) throw new IllegalStateException(
+          s"compactGeneration sweep at $rootPath failed AND its rewrite threads did " +
+            "not drain within 60 s — partitions may still be mutating; do NOT run " +
+            "recoverGenerationMaintenance until they stop")
       }
     }
   }
@@ -421,7 +450,11 @@ object IvfIndexStore {
       s"dedupAppendBatch needs the full-precision layout at $rootPath " +
         "(the quantized store holds codes only; the dedup decision is an exact cosine)")
     val centroids = loadCentroids(spark, rootPath, gen, layout)
-    val b = batch.persist()
+    // persist only if the caller hasn't: unpersisting a frame the CALLER
+    // cached would silently evict their cache (a measurement harness
+    // reusing one batch across calls pays a recompute it never asked for)
+    val callerCached = batch.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val b = if (callerCached) batch else batch.persist()
     try {
       val selfPairs = Dedup.embeddingNearDups(b, idCol, vecCol, threshold,
         selfBands, selfBitsPerBand, maxBucket)
@@ -441,10 +474,11 @@ object IvfIndexStore {
         val rows = novelPlan.collect()
         val novel = spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), novelPlan.schema)
-        appendResolved(spark, novel, idCol, vecCol, rootPath, gen, layout, centroids)
+        if (rows.nonEmpty) // all-duplicate batch: skip the write job
+          appendResolved(spark, novel, idCol, vecCol, rootPath, gen, layout, centroids)
         novel
       } finally { comps.unpersist(); () }
-    } finally { b.unpersist(); () }
+    } finally { if (!callerCached) { b.unpersist(); () } }
   }
 
   /** Streaming wrapper for [[dedupAppendBatch]]: embedding micro-batches →

@@ -44,9 +44,16 @@ object Manifests {
     else {
       val in = fs.open(p)
       try {
-        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        // stream to EOF — sizing the buffer from a getFileStatus AFTER the
+        // open is a TOCTOU: a concurrent writeAtomic rename between the
+        // two calls would make a fixed-size readFully throw (new payload
+        // longer) or truncate (shorter). The open stream reads whichever
+        // COMPLETE inode it latched onto.
+        val buf = new java.io.ByteArrayOutputStream(256)
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
     }
   }
@@ -66,6 +73,16 @@ object Manifests {
     // to prevent (same stamp discipline as rewriteTableDir)
     val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(p.getParent,
       s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp"))
+    // sweep STALE orphan temps (a writer that died pre-rename leaves its
+    // uuid-temp behind forever; unlike gen-* orphans nothing else cleans
+    // them). Age-gated so a concurrent writer's in-flight temp — seconds
+    // old — is never deleted from under its rename.
+    try {
+      val cutoff = System.currentTimeMillis() - 3600 * 1000L
+      fs.globStatus(new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.*.tmp"))
+        .filter(st => st.getModificationTime < cutoff)
+        .foreach(st => fs.delete(st.getPath, false))
+    } catch { case _: java.io.IOException => () } // best-effort
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

