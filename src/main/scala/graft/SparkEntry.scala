@@ -1327,6 +1327,45 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("probe_rank"))
     }),
 
+    // ---- FILTERED vector search (metadata predicate + ANN): the store
+    //      carries payload columns, the predicate reaches the probed
+    //      parquet scan as a pushed filter, and the filtered serve equals
+    //      the same probed search over a pre-filtered in-memory corpus
+    //      (same centroids → same probed clusters → identical rows). ----
+    "q_ivf_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val embs = t(s, dir, "embeddings")
+      val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 1)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_filt_").toString
+      IvfIndexStore.writeGeneration(s, embs, "vec_id", "embedding", centroids, root,
+        payloadCols = Seq("label"))
+      val queries = embs.where(col("vec_id") < 3)
+      val served = IvfIndexStore.topK(s, queries, root, k = 5, nProbe = 2,
+          metadataFilter = Some(col("label") === 3))
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .persist()
+      // self-exclusion parity is free: a label≠3 query is absent from both
+      // sides (filter vs pre-filtered corpus), a label=3 query is excluded
+      // by id in both
+      val direct = Similarity.ivfTopK(queries, embs.where(col("label") === 3),
+          "vec_id", "embedding", k = 5, centroids, nProbe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .persist()
+      val nSrv = served.count(); val nMem = direct.count()
+      val same = nSrv == nMem && served.intersect(direct).count() == nSrv
+      val allMatch = served
+        .join(embs.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+        .where(col("label") =!= 3).count() == 0
+      served.unpersist(); direct.unpersist()
+      val plan = IvfIndexStore.topK(s, queries, root, k = 5, nProbe = 2,
+          metadataFilter = Some(col("label") === 3))
+        .queryExecution.executedPlan.toString
+      val pushed = plan.contains("PushedFilters: [") && plan.contains("label")
+      Seq((3, 5, same, allMatch, pushed))
+        .toDF("n_queries", "k", "same_as_prefiltered_inmem", "all_match_filter",
+          "filter_pushed_to_scan")
+    }),
+
     // ---- The index HEALTH numbers, numerically: per-cluster population
     //      and mean own-centroid cosine from a store built on the same
     //      data-derived literal centroids as q_cluster_assign. Retrain
@@ -2114,6 +2153,10 @@ object SparkEntry {
         |  FROM scored)
         |SELECT vec_id, CAST(rk - 1 AS INT) AS probe_rank, cid
         |FROM ranked WHERE rk <= 2 ORDER BY vec_id, probe_rank""".stripMargin,
+
+    "q_ivf_filtered" ->
+      """SELECT 3 AS n_queries, 5 AS k, TRUE AS same_as_prefiltered_inmem,
+        |  TRUE AS all_match_filter, TRUE AS filter_pushed_to_scan""".stripMargin,
 
     // recompute assignment + population + mean own-centroid cosine
     "q_drift_stats" ->

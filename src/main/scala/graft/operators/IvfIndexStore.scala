@@ -52,7 +52,8 @@ object IvfIndexStore {
   val LayoutName = "_LAYOUT.json"
 
   case class IndexLayout(numCentroids: Int, dim: Int, quantized: Boolean,
-                         idCol: String, vecCol: String, centroidsHash: Long)
+                         idCol: String, vecCol: String, centroidsHash: Long,
+                         payloadCols: Seq[String] = Nil)
 
   /** Order-sensitive FNV-1a over the raw double bits — centroid tables are
     * written and read in cid order, so equal arrays hash equal and any
@@ -77,7 +78,8 @@ object IvfIndexStore {
 
   private def toJson(l: IndexLayout): String =
     s"""{"numCentroids":${l.numCentroids},"dim":${l.dim},"quantized":${l.quantized},""" +
-      s""""idCol":"${l.idCol}","vecCol":"${l.vecCol}","centroidsHash":${l.centroidsHash}}"""
+      s""""idCol":"${l.idCol}","vecCol":"${l.vecCol}","centroidsHash":${l.centroidsHash},""" +
+      s""""payloadCols":"${l.payloadCols.mkString(",")}"}"""
 
   private def parseLayout(s: String): IndexLayout =
     IndexLayout(
@@ -86,7 +88,10 @@ object IvfIndexStore {
       Manifests.numField(s, "quantized").toBoolean,
       Manifests.strField(s, "idCol"),
       Manifests.strField(s, "vecCol"),
-      Manifests.numField(s, "centroidsHash").toLong)
+      Manifests.numField(s, "centroidsHash").toLong,
+      // absent in pre-payload stamps: treat as "no payload columns"
+      (try Manifests.strField(s, "payloadCols") catch { case _: IllegalStateException => "" })
+        .split(",").filter(_.nonEmpty).toSeq)
 
   def currentGeneration(spark: SparkSession, rootPath: String): Option[String] =
     Manifests.read(spark, s"$rootPath/$CurrentName")
@@ -129,8 +134,12 @@ object IvfIndexStore {
     */
   def writeGeneration(spark: SparkSession, corpus: DataFrame, idCol: String,
                       vecCol: String, centroids: Array[Array[Double]],
-                      rootPath: String, quantized: Boolean = false): String = {
+                      rootPath: String, quantized: Boolean = false,
+                      payloadCols: Seq[String] = Nil): String = {
     require(centroids.nonEmpty, s"writeGeneration at $rootPath needs >= 1 centroid")
+    require(payloadCols.isEmpty || !quantized,
+      s"payload columns are not supported on the quantized layout at $rootPath " +
+        "(codes-only rows; serve metadata filters from the full-precision store)")
     // the centroids DEFINE the space: per-row raise_error guard inside the
     // build projection (one pass — a separate min/max aggregate would
     // double the build's read I/O) fails loudly on any corpus row whose
@@ -149,7 +158,7 @@ object IvfIndexStore {
         indexPath(rootPath, gen))
     else
       Similarity.writeIvfIndex(guarded, idCol, vecCol, centroids,
-        indexPath(rootPath, gen))
+        indexPath(rootPath, gen), payloadCols)
     // emptiness check AFTER the write (free — a directory listing, not a
     // corpus scan): never flip _CURRENT to a generation with no rows; a
     // transiently empty store of record must not replace a served index
@@ -167,7 +176,7 @@ object IvfIndexStore {
     Similarity.writeCentroids(spark, centroids, s"$rootPath/$gen/centroids")
     Manifests.writeAtomic(spark, s"$rootPath/$gen/$LayoutName",
       toJson(IndexLayout(centroids.length, dim, quantized, idCol, vecCol,
-        centroidsHash(centroids))))
+        centroidsHash(centroids), payloadCols)))
     Manifests.writeAtomic(spark, s"$rootPath/$CurrentName",
       s"""{"generation":"$gen"}""")
     gen
@@ -236,7 +245,9 @@ object IvfIndexStore {
         increment.select(col(idCol), cid, maxAbs.as("max_abs"), vecG.as("_v"))
           .select(col(idCol), col("cid"), col("max_abs"),
             Similarity.int8Codes(col("_v"), col("max_abs")).as("codes"))
-      } else increment.select(col(idCol), vecG.as(vecCol), cid)
+      } else
+        increment.select(col(idCol) +: vecG.as(vecCol) +:
+          layout.payloadCols.map(col) :+ cid: _*)
     rows.write.mode("append").partitionBy("cid").parquet(path)
   }
 
@@ -393,12 +404,17 @@ object IvfIndexStore {
   def topK(spark: SparkSession, queries: DataFrame, rootPath: String,
            k: Int, nProbe: Int, corpusForRerank: Option[DataFrame] = None,
            preselect: Int = 4, maxBucket: Int = 1000000,
-           excludeSelf: Boolean = true): DataFrame = {
+           excludeSelf: Boolean = true,
+           metadataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val gen = genOrFail(spark, rootPath)
     val layout = readLayout(spark, rootPath, gen)
     val centroids = loadCentroids(spark, rootPath, gen, layout)
     val path = indexPath(rootPath, gen)
     if (layout.quantized) {
+      require(metadataFilter.isEmpty,
+        s"metadata filters are not supported on the quantized layout at $rootPath " +
+          "(codes-only rows carry no payload columns); use a full-precision store " +
+          s"built with payloadCols")
       // the quantized serving path hardcodes the self-exclusion; silently
       // ignoring the flag would let a self-match-based caller (the dedup
       // probe pattern) admit replays as novel
@@ -412,7 +428,8 @@ object IvfIndexStore {
         layout.idCol, layout.vecCol, k, centroids, nProbe, preselect, maxBucket)
     } else
       Similarity.ivfTopKFromIndex(spark, queries, path, layout.idCol,
-        layout.vecCol, k, centroids, nProbe, maxBucket, excludeSelf)
+        layout.vecCol, k, centroids, nProbe, maxBucket, excludeSelf,
+        metadataFilter)
   }
 
   /** Incremental SEMANTIC dedup against the served index — the embedding

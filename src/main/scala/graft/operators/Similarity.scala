@@ -143,9 +143,10 @@ object Similarity {
     * the exact array the index was built with.
     */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    centroids: Array[Array[Double]], path: String): Unit =
-    corpus.select(col(idCol), col(vecCol),
-      element_at(VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1).as("cid"))
+                    centroids: Array[Array[Double]], path: String,
+                    payloadCols: Seq[String] = Nil): Unit =
+    corpus.select(col(idCol) +: col(vecCol) +: payloadCols.map(col) :+
+        element_at(VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1).as("cid"): _*)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
   /** Centroids as a tiny parquet table (cid, centroid) — the index's
@@ -212,10 +213,14 @@ object Similarity {
     */
   private def readProbedIndex(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String, probed: Seq[Int], maxBucket: Int,
-                              payload: Column*): DataFrame =
+                              metadataFilter: Option[Column], payload: Column*): DataFrame =
     Dedup.capBuckets(
       spark.read.parquet(indexPath)
         .where(col("cid").isin(probed: _*))
+        // metadata predicate BEFORE the cap (a cap over pre-filter rows
+        // could evict every filter-matching row of a hot cluster) — and
+        // early enough that Catalyst pushes it into the pruned scan
+        .where(metadataFilter.getOrElse(lit(true)))
         .select(payload :+ col("cid"): _*),
       Seq("cid"), maxBucket)
 
@@ -230,10 +235,11 @@ object Similarity {
                        indexPath: String, idCol: String, vecCol: String,
                        k: Int, centroids: Array[Array[Double]], nProbe: Int,
                        maxBucket: Int = 1000000,
-                       excludeSelf: Boolean = true): DataFrame = {
+                       excludeSelf: Boolean = true,
+                       metadataFilter: Option[Column] = None): DataFrame = {
     val (q, qProbes, probed) =
       materializedProbes(spark, queries, idCol, vecCol, centroids, nProbe)
-    val idx = readProbedIndex(spark, indexPath, probed, maxBucket,
+    val idx = readProbedIndex(spark, indexPath, probed, maxBucket, metadataFilter,
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     // excludeSelf=false is the DEDUP-probe flavor: a replayed doc must be
     // allowed to match its own already-indexed row (cosine 1.0) so the
@@ -327,7 +333,7 @@ object Similarity {
                                 preselect: Int = 4, maxBucket: Int = 1000000): DataFrame = {
     val (q, qProbes, probed) =
       materializedProbes(spark, queries, idCol, vecCol, centroids, nProbe)
-    val idx = readProbedIndex(spark, indexPath, probed, maxBucket,
+    val idx = readProbedIndex(spark, indexPath, probed, maxBucket, None,
       col(idCol).as("neighbor_id"), col("codes"))
     val approx = qProbes.join(idx, "cid")
       .where(col("query_id") =!= col("neighbor_id"))

@@ -338,6 +338,55 @@ class IvfIndexStoreSpec extends SparkSpecBase {
     assert(!indexed.exists(_ >= 500000L), "dups of batch-1 survivors rejected")
   }
 
+  test("filtered vector search: metadata predicate reaches the pruned scan; results match a post-filtered full search") {
+    val root = work("ivfstore_filter_")
+    val embs = Tables.load(spark, sf01, "embeddings") // vec_id, embedding, label
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root,
+      payloadCols = Seq("label"))
+    val queries = embs.where(col("vec_id") < 3)
+    val filt = Some(col("label") === 3)
+    val served = IvfIndexStore.topK(spark, queries, root, k = 5, nProbe = 2,
+      metadataFilter = filt)
+    // reference: the same probed search over a PRE-filtered in-memory
+    // corpus (self-exclusion parity is free: a label≠3 query is absent
+    // from both sides, a label=3 query is excluded by id in both)
+    val direct = Similarity.ivfTopK(queries, embs.where(col("label") === 3),
+      "vec_id", "embedding", k = 5, centroids, nProbe = 2)
+    assert(topKSet(served) == topKSet(direct), "filtered serve ≠ pre-filtered probe")
+    // every served neighbor satisfies the predicate
+    val labels = embs.select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(served.join(labels, "neighbor_id").where(col("label") =!= 3).count() == 0)
+    // the predicate reaches the parquet scan as a pushed filter
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("label"),
+      s"label predicate must be pushed into the index scan:\n$plan")
+    // appended rows carry the payload and are filterable
+    val inc = embs.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 400000L).as("vec_id"), col("embedding"), col("label"))
+    IvfIndexStore.append(spark, inc, "vec_id", "embedding", root)
+    val served2 = IvfIndexStore.topK(spark, queries, root, k = 5, nProbe = 2,
+      metadataFilter = filt)
+    val incLabels = inc.select(col("vec_id").as("neighbor_id"), col("label"))
+      .unionByName(labels)
+    assert(served2.join(incLabels, "neighbor_id").where(col("label") =!= 3).count() == 0)
+    // quantized store refuses metadata filters and payload columns loudly
+    val qroot = work("ivfstore_filter_quant_")
+    val eq = intercept[IllegalArgumentException] {
+      IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids,
+        qroot, quantized = true, payloadCols = Seq("label"))
+    }
+    assert(eq.getMessage.contains("not supported on the quantized layout"))
+    IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids,
+      qroot, quantized = true)
+    val ef = intercept[IllegalArgumentException] {
+      IvfIndexStore.topK(spark, queries, qroot, k = 5, nProbe = 2,
+        corpusForRerank = Some(embs), metadataFilter = filt)
+    }
+    assert(ef.getMessage.contains("metadata filters are not supported"))
+    assert(topKSet(served).nonEmpty && topKSet(direct).nonEmpty)
+  }
+
   test("an unstamped generation refuses to serve; manifest parse errors are loud") {
     val root = work("ivfstore_unstamped_")
     val embs = Tables.load(spark, sf01, "embeddings").where(col("vec_id") < 50)
