@@ -344,6 +344,37 @@ object IvfIndexStore {
     }
   }
 
+  /** Delete ids from the CURRENT generation — the right-to-erasure path.
+    * One column-pruned scan of (id, cid) locates the affected partitions;
+    * each is then rewritten through [[Dedup.rewriteTableDir]] with an
+    * id drop (same lock/trash/crash-recovery discipline as compaction —
+    * a crash mid-delete restores the ORIGINAL rows, never a half-deleted
+    * partition, and [[recoverGenerationMaintenance]] repairs it).
+    * Untouched partitions are never read again or rewritten. Returns the
+    * number of partitions rewritten.
+    *
+    * `ids` is driver-sized (an erasure batch, not a corpus) — it rides
+    * into the rewrite predicates as a literal `isin`.
+    */
+  def deleteIds(spark: SparkSession, rootPath: String, ids: Seq[Long],
+                targetFiles: Int = 1): Int = {
+    if (ids.isEmpty) return 0
+    val gen = genOrFail(spark, rootPath)
+    val layout = readLayout(spark, rootPath, gen)
+    val path = indexPath(rootPath, gen)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val affected = spark.read.parquet(path)
+      .where(col(layout.idCol).isin(ids: _*))
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    val parts = fs.listStatus(dir).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("cid=") &&
+      affected.contains(s.getPath.getName.stripPrefix("cid=").toInt))
+    parts.count(p => Dedup.rewriteTableDir(spark, p.getPath.toString,
+      _.where(!col(layout.idCol).isin(ids: _*)), targetFiles))
+  }
+
   /** Run [[Dedup.recoverTableMaintenance]] over every partition of the
     * CURRENT generation — call at maintainer startup to repair
     * [[compactGeneration]] runs that died mid-swap. Returns the number of

@@ -387,6 +387,49 @@ class IvfIndexStoreSpec extends SparkSpecBase {
     assert(topKSet(served).nonEmpty && topKSet(direct).nonEmpty)
   }
 
+  test("deleteIds erases rows from storage and serving; untouched partitions keep their files") {
+    import spark.implicits._
+    val root = work("ivfstore_delete_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
+    IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    val gen = IvfIndexStore.currentGeneration(spark, root).get
+    val idxPath = IvfIndexStore.indexPath(root, gen)
+    // victims: the current top-1 neighbors of the queries (so serving
+    // change is observable), plus some arbitrary ids
+    val queries = embs.where(col("vec_id") < 3)
+    val top1 = IvfIndexStore.topK(spark, queries, root, k = 1, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    val victims = (top1 ++ Seq(100L, 101L, 987654L)).distinct // incl. a nonexistent id
+    val existingVictims = embs.where(col("vec_id").isin(victims: _*)).count()
+    // file mtimes of untouched partitions must not change
+    val affectedCids = spark.read.parquet(idxPath)
+      .where(col("vec_id").isin(victims: _*))
+      .select("cid").distinct().as[Int].collect().toSet
+    val untouched = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=") &&
+        !affectedCids.contains(f.getName.stripPrefix("cid=").toInt))
+    val mtimesBefore = untouched.map(d => d.getName ->
+      d.listFiles().map(f => f.getName -> f.lastModified()).toMap).toMap
+    val rewritten = IvfIndexStore.deleteIds(spark, root, victims)
+    assert(rewritten == affectedCids.size)
+    // gone from storage
+    assert(spark.read.parquet(idxPath)
+      .where(col("vec_id").isin(victims: _*)).count() == 0)
+    // gone from serving: no served neighbor is a victim
+    val served = IvfIndexStore.topK(spark, queries, root, k = 5, nProbe = 2)
+    assert(served.where(col("neighbor_id").isin(victims: _*)).count() == 0)
+    // non-victim rows intact
+    assert(spark.read.parquet(idxPath).count() == embs.count() - existingVictims)
+    untouched.foreach { d =>
+      val now = d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      assert(now == mtimesBefore(d.getName), s"untouched partition ${d.getName} was rewritten")
+    }
+    // idempotent + empty-list no-op
+    assert(IvfIndexStore.deleteIds(spark, root, victims) == 0)
+    assert(IvfIndexStore.deleteIds(spark, root, Nil) == 0)
+  }
+
   test("an unstamped generation refuses to serve; manifest parse errors are loud") {
     val root = work("ivfstore_unstamped_")
     val embs = Tables.load(spark, sf01, "embeddings").where(col("vec_id") < 50)
