@@ -267,7 +267,7 @@ object ScaleBench {
     // "increment".
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
-    val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend", "ivfdedup")
+    val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend", "ivfdedup", "knntopk")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -475,6 +475,51 @@ object ScaleBench {
       println(f"""{"spans_linearity":{"records_per_doc_1x":$spansPerDoc1%.1f,""" +
         f""""records_per_doc_10x":$spansPerDoc10%.1f,"ratio":${spansPerDoc10 / spansPerDoc1}%.2f,""" +
         f""""linear_ok":${spansPerDoc10 / spansPerDoc1 <= 2.0}}}""")
+    }
+    if (sections("knntopk")) {
+      // ---- brute-force ANN ranking: row_number window vs the bounded
+      //      TopKAggregate (identical output, spec-asserted). Spark 4's
+      //      InferWindowGroupLimit already bounds the window form's
+      //      shuffle records, so the measured difference is (a) records
+      //      through the ranking exchange (k rows vs ONE array row per
+      //      partition×query) and (b) wall time — WindowGroupLimit sorts
+      //      every scored row within each partition before limiting,
+      //      the aggregate's O(k) gate never sorts the scored stream.
+      //      The wall-time gap is the corpus-sized local sort. ----
+      val embs = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+        .select("vec_id", "embedding").repartition(cpus.toInt).persist()
+      val nCorpus = embs.count()
+      val queries = embs.where(col("vec_id") < 100)
+      val k = 5
+      def rankedWindow(): DataFrame = {
+        val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val c = embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+        c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+          .withColumn("cosine", graft.functions.Functions.cosine(col("qv"), col("cv")))
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+          .select("query_id", "rank", "neighbor_id", "cosine")
+      }
+      def runPoint(label: String, df: => DataFrame): Long = {
+        val listener = new ShuffleBytesListener
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(listener)
+        val mb = listener.bytes.get() / 1024.0 / 1024.0
+        println(f"""{"knn_topk":"$label","n_corpus":$nCorpus,"result_rows":$n,""" +
+          f""""shuffle_mb":$mb%.1f,"shuffle_records":${listener.records.get()},"sec":$secs%.1f}""")
+        listener.records.get()
+      }
+      val recWindow = runPoint("window", rankedWindow())
+      val recAgg = runPoint("topk_agg",
+        graft.operators.Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", k))
+      embs.unpersist()
+      println(f"""{"knn_topk_shuffle_cut":{"window_records":$recWindow,"agg_records":$recAgg,""" +
+        f""""cut_x":${recWindow.toDouble / math.max(recAgg, 1L)}%.1f}}""")
     }
     spark.stop()
   }

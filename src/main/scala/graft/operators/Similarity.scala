@@ -11,9 +11,10 @@ import graft.functions.{Functions => F, VectorExpressions}
   *
   * Two paths:
   *  - [[bruteForceTopK]]: exact cosine top-k. The query side is broadcast,
-  *    so the corpus is scanned once, map-side, with a per-partition top-k
-  *    (the `row_number` window partitioned by query) — correct baseline,
-  *    O(|Q|·|corpus|) work but zero corpus shuffle.
+  *    so the corpus is scanned once, and ranking is a bounded map-side
+  *    top-k aggregate ([[graft.functions.TopKAggregate]]) — correct
+  *    baseline, O(|Q|·|corpus|) scoring work but the shuffle carries only
+  *    k entries per (partition, query), never the corpus.
   *  - [[lshTopK]]: B independent random-hyperplane bands (the IVF/LSH scale
   *    path) — a query only scores corpus vectors sharing ≥1 band bucket.
   *    The band join carries ids only (vectors join back after candidate
@@ -50,16 +51,25 @@ object Similarity {
   /** Exact brute-force cosine top-k: for each query row, the k most similar
     * corpus rows (excluding itself). Returns (query_id, rank, neighbor_id,
     * cosine). Deterministic: ties broken by neighbor id.
+    *
+    * Ranking is the bounded [[graft.functions.TopKAggregate]] rather than a
+    * `row_number` window. Spark's InferWindowGroupLimit already keeps the
+    * window form's shuffle bounded, but only after SORTING every scored
+    * row within each partition; the aggregate replaces that corpus-sized
+    * sort with an O(k) buffer + constant-time worst-entry gate (measured
+    * in `ScaleBench knntopk`: 5× fewer shuffle records, ~1.5× faster).
+    * Output ordering and tie-breaks (score desc, id asc) are identical.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", F.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAggregate.topk_by(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), (col("i") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
   }
 
   /** IVF centroid training: Lloyd's iterations with deterministic
