@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DoubleType}
 
@@ -65,12 +64,20 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", F.cosine(col("qv"), col("cv")))
+    rankTopK(scored, k)
+  }
+
+  /** Shared ranking epilogue for every ANN path: top-k of scored
+    * (query_id, neighbor_id, cosine) rows per query, (cosine desc,
+    * neighbor_id asc), via the bounded [[graft.functions.TopKAggregate]] —
+    * see [[bruteForceTopK]]'s scaladoc for why not a `row_number` window.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.functions.TopKAggregate.topk_by(col("cosine"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
       .select(col("query_id"), (col("i") + 1).cast("int").as("rank"),
         col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
-  }
 
   /** IVF centroid training: Lloyd's iterations with deterministic
     * hash-ordered initialization (the k corpus vectors with smallest
@@ -138,10 +145,7 @@ object Similarity {
       .join(q, "query_id")
       .join(c, "neighbor_id")
       .withColumn("cosine", F.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Persist the IVF index as a LAYOUT: the corpus written
@@ -262,10 +266,7 @@ object Similarity {
       .join(q, "query_id")
       .join(idx.select(col("neighbor_id"), col("cv")), "neighbor_id")
       .withColumn("cosine", F.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Banded-LSH approximate top-k: queries score only corpus vectors that
@@ -289,10 +290,7 @@ object Similarity {
       .join(q, "query_id")
       .join(c, "neighbor_id")
       .withColumn("cosine", F.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Per-group vector statistics (count, min/max L2 norm) — the sanity
@@ -352,18 +350,15 @@ object Similarity {
       // VecDot/VecL2Norm consume the byte codes directly (codegen, no
       // per-candidate double-array materialization)
       .withColumn("approx_cos", F.cosine(col("qv"), col("codes")))
-    val wApprox = Window.partitionBy("query_id")
-      .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    val shortlist = approx.withColumn("arank", row_number().over(wApprox))
-      .where(col("arank") <= k * preselect)
-      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    // id-only shortlist crosses the agg; qv re-joins from the (small,
+    // driver-materialized) query side for the exact re-rank
+    val shortlist = rankTopK(approx.withColumn("cosine", col("approx_cos")), k * preselect)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(q, "query_id")
     val exact = shortlist
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
       .withColumn("cosine", F.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(exact, k)
   }
 
   /** codes = floor(x/maxAbs·127 + 0.5) per element, 0 for the zero vector. */
