@@ -42,10 +42,20 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         countDistinct(xxhash64(col(textCol))).as("n_distinct"))
 
-  /** Keep one representative (min id) per exact text; drops the rest. */
+  /** Keep one representative (min id) per exact text; drops the rest.
+    *
+    * `min_by` under a hash aggregate, not a `row_number() = 1` window: the
+    * window form (even with Spark's inferred WindowGroupLimit bounding its
+    * shuffle) must SORT every document row within each partition before
+    * taking the first — O(n log n) over wide rows — while the hash
+    * aggregate folds duplicates map-side in O(n) with no sort anywhere.
+    * Ids are unique, so the min-id pick is deterministic either way.
+    */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    val cols = docs.columns
+    docs.groupBy(xxhash64(col(textCol)).as("_h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_best"))
+      .select(cols.map(c => col("_best").getField(c).as(c)): _*)
   }
 
   /** Streaming exact dedup: drop re-arrivals of the same content hash while

@@ -21,13 +21,17 @@ object Enrichment {
 
   /** Build a first-wins dimension: one row per `key`, the earliest by
     * `order` (deterministic — include a unique tiebreaker in `order`).
+    *
+    * `min_by` over the lexicographic order struct, not a `row_number() = 1`
+    * window: the hash aggregate folds first-wins map-side with no
+    * per-partition sort of the event stream (struct comparison is
+    * field-by-field ascending — exactly `orderBy(order)`).
     */
   def firstWinsDim(df: DataFrame, key: String, order: Seq[String], attrs: Seq[String]): DataFrame =
     df.select((key +: order ++: attrs).distinct.map(col): _*)
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col(key)).orderBy(order.map(col): _*)))
-      .where(col("_rn") === 1)
-      .select((key +: attrs).map(col): _*)
+      .groupBy(col(key))
+      .agg(min_by(struct(attrs.map(col): _*), struct(order.map(col): _*)).as("_best"))
+      .select(col(key) +: attrs.map(a => col("_best").getField(a).as(a)): _*)
 
   /** LEFT-enrich `facts` with a (small) dimension on `factKey == dimKey`.
     * Broadcasts the dimension: no shuffle of the fact side.
