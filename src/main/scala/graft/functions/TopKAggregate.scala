@@ -52,9 +52,26 @@ object TopKAggregate {
     case _ => String.valueOf(a) < String.valueOf(b)
   }
 
-  /** (score desc, id asc) — identical to the window form's ordering. */
-  private def better(sa: Double, ia: Any, sb: Double, ib: Any): Boolean =
-    sa > sb || (sa == sb && idLt(ia, ib))
+  /** Score comparison with a TOTAL order: equal doubles (incl. -0.0 vs
+    * 0.0) compare 0, otherwise `java.lang.Double.compare` — so NaN ranks
+    * above every finite score, exactly like Spark's SQL double ordering
+    * (`SQLOrderingUtil.compareDoubles`) and therefore like the
+    * `row_number().over(score desc)` window this aggregate replaced. The
+    * naive `sa > sb || sa == sb` form was intransitive under NaN (both
+    * comparisons false both ways): a NaN entry could become the
+    * worst-entry gate and silently reject every later candidate, and
+    * `sortWith` could throw TimSort's contract violation.
+    */
+  private def cmpScore(sa: Double, sb: Double): Int =
+    if (sa == sb) 0 else java.lang.Double.compare(sa, sb)
+
+  /** (score desc, id asc) — identical to the window form's ordering,
+    * NaN included (NaN sorts first under a descending double order).
+    */
+  private def better(sa: Double, ia: Any, sb: Double, ib: Any): Boolean = {
+    val c = cmpScore(sa, sb)
+    if (c != 0) c > 0 else idLt(ia, ib)
+  }
 
   private def compact(buf: TopKBuf): Unit = {
     val sorted = buf.entries.sortWith((a, b) => better(a._1, a._2, b._1, b._2))

@@ -344,6 +344,70 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Single-pass cosine similarity of two numeric arrays, with the
+    * zero-norm guard the composed `dot/(norm·norm)` form lacked: a
+    * zero-norm side yields 0.0, never 0/0 = NaN (a 100 TB embedding corpus
+    * WILL contain zero vectors — all-padding docs, dead encoder outputs —
+    * and NaN scores poison every downstream ranking comparator).
+    *
+    * Arithmetic is kept BIT-IDENTICAL to the composed form (and to the
+    * DuckDB oracle's `dot / (sqrt(ssq_a) * sqrt(ssq_b))`): each
+    * accumulator folds in ascending index order, the dot runs over
+    * min(len), each norm over its FULL array, and the denominator is
+    * `sqrt(na)·sqrt(nb)` — not `sqrt(na·nb)`, which rounds differently.
+    * One traversal instead of the composed form's three.
+    */
+  case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    private lazy val leftGet = elemAccessors(left.dataType)
+    private lazy val rightGet = elemAccessors(right.dataType)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      val n = math.min(na, nb)
+      var i = 0; var dot = 0.0; var sa = 0.0; var sb = 0.0
+      while (i < n) {
+        val x = leftGet(a, i); val y = rightGet(b, i)
+        dot += x * y; sa += x * x; sb += y * y; i += 1
+      }
+      while (i < na) { val x = leftGet(a, i); sa += x * x; i += 1 }
+      i = n
+      while (i < nb) { val y = rightGet(b, i); sb += y * y; i += 1 }
+      if (sa == 0.0 || sb == 0.0) 0.0
+      else dot / (math.sqrt(sa) * math.sqrt(sb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+        val dot = ctx.freshName("dot"); val sa = ctx.freshName("sa"); val sb = ctx.freshName("sb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val gx = elemGenGet(left.dataType, a, i)
+        val gy = elemGenGet(right.dataType, b, i)
+        s"""
+           |int $la = $a.numElements();
+           |int $lb = $b.numElements();
+           |int $n = java.lang.Math.min($la, $lb);
+           |double $dot = 0.0; double $sa = 0.0; double $sb = 0.0;
+           |int $i = 0;
+           |for (; $i < $n; $i++) {
+           |  double $x = $gx; double $y = $gy;
+           |  $dot += $x * $y; $sa += $x * $x; $sb += $y * $y;
+           |}
+           |for (; $i < $la; $i++) { double $x = $gx; $sa += $x * $x; }
+           |for ($i = $n; $i < $lb; $i++) { double $y = $gy; $sb += $y * $y; }
+           |${ev.value} = ($sa == 0.0 || $sb == 0.0)
+           |  ? 0.0 : $dot / (java.lang.Math.sqrt($sa) * java.lang.Math.sqrt($sb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Scala mirror of the generated graftMix64. */
   private[graft] def mix64(z0: Long): Long = {
     var z = (z0 ^ (z0 >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -367,7 +431,7 @@ object VectorExpressions {
   def array_agree_count(a: Column, b: Column): Column = column(ArrayAgreeCount(expression(a), expression(b)))
   def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
   def vec_norm(a: Column): Column = column(VecL2Norm(expression(a)))
-  def vec_cosine(a: Column, b: Column): Column = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+  def vec_cosine(a: Column, b: Column): Column = column(VecCosine(expression(a), expression(b)))
   def centroid_probes(v: Column, centroids: Array[Array[Double]], probes: Int): Column =
     column(CentroidProbes(expression(v), centroids, probes))
   def hyperplane_sig(v: Column, sigBits: Int, seed: Int): Column =

@@ -296,7 +296,8 @@ object IvfIndexStore {
   def compactGeneration(spark: SparkSession, rootPath: String,
                         targetFiles: Int = 1,
                         timeout: scala.concurrent.duration.Duration =
-                          scala.concurrent.duration.Duration(600, "s")): Int = {
+                          scala.concurrent.duration.Duration(600, "s"),
+                        parallelism: Int = Maintenance.DefaultSweepParallelism): Int = {
     val gen = genOrFail(spark, rootPath)
     val layout = readLayout(spark, rootPath, gen)
     val dir = new org.apache.hadoop.fs.Path(indexPath(rootPath, gen))
@@ -306,42 +307,13 @@ object IvfIndexStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
     // partitions compact in parallel (per-partition locks; the scheduler
     // is thread-safe) — serial per-cid Spark jobs would make the sweep
-    // O(numCentroids) in job-launch latency, the same trap the sink
-    // maintenance sweep hit (StreamingGate.sinkMaintenance)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    var completed = false
-    try {
-      val futs = parts.toSeq.map { p =>
-        scala.concurrent.Future {
-          Dedup.rewriteTableDir(spark, p.getPath.toString,
-            _.dropDuplicates(layout.idCol), targetFiles)
-        }
-      }
-      val n = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs), timeout).count(identity)
-      completed = true
-      n
-    } finally {
-      // a timed-out/failed sweep must not leave background rewrites
-      // mutating partitions while the caller, believing it failed, runs
-      // recoverGenerationMaintenance (whose contract is "no maintainer
-      // live") — interrupt and DRAIN before returning the failure
-      if (completed) pool.shutdown()
-      else {
-        pool.shutdownNow()
-        val drained = pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
-        // an un-drained pool means rewrite threads may STILL be mutating
-        // partitions — surfacing that loudly is the only safe option,
-        // because the caller's next move is recovery, whose contract is
-        // "no maintainer live"
-        if (!drained) throw new IllegalStateException(
-          s"compactGeneration sweep at $rootPath failed AND its rewrite threads did " +
-            "not drain within 60 s — partitions may still be mutating; do NOT run " +
-            "recoverGenerationMaintenance until they stop")
-      }
-    }
+    // O(numCentroids) in job-launch latency. Pool lifecycle + the
+    // failed-sweep interrupt/drain discipline live in the shared helper.
+    Maintenance.parallelSweep(parts.toSeq, s"compactGeneration at $rootPath",
+      parallelism, timeout) { p =>
+      Dedup.rewriteTableDir(spark, p.getPath.toString,
+        _.dropDuplicates(layout.idCol), targetFiles)
+    }.count(identity)
   }
 
   /** Delete ids from the CURRENT generation — the right-to-erasure path.
@@ -390,21 +362,36 @@ object IvfIndexStore {
       .count(p => Dedup.recoverTableMaintenance(spark, p.getPath.toString))
   }
 
+  /** Default [[dropStaleGenerations]] grace: an hour comfortably outlasts
+    * any interactive ANN query that resolved `_CURRENT` just before a
+    * retrain flipped it.
+    */
+  val DefaultSweepGraceMs: Long = 60L * 60L * 1000L
+
   /** Drop every `gen-*` dir that `_CURRENT` does not reference — crashed
     * builds (written but never flipped) and superseded generations after a
-    * retrain. Same liveness caveat as every maintenance sweep here: no
-    * builder may be mid-[[writeGeneration]] and no reader mid-query on a
-    * superseded generation (give in-flight queries a grace period, as with
-    * any swap-based compaction). Returns the dropped generation names.
+    * retrain — PROVIDED the dir has been quiet for at least `minAgeMs`
+    * (mtime-based): a reader that resolved `_CURRENT` just before a
+    * retrain+sweep is still scanning the superseded generation, and an
+    * immediate delete would rip its files out mid-query. The grace also
+    * covers a builder mid-[[writeGeneration]] (its gen dir is not yet in
+    * `_CURRENT` but its mtime is fresh). Readers slower than the grace
+    * period (pass `minAgeMs = 0` only when no reader/builder can be live —
+    * tests, cold stores) are the caller's responsibility, same liveness
+    * caveat as every swap-based compaction here. Returns the dropped
+    * generation names.
     */
-  def dropStaleGenerations(spark: SparkSession, rootPath: String): Seq[String] = {
+  def dropStaleGenerations(spark: SparkSession, rootPath: String,
+                           minAgeMs: Long = DefaultSweepGraceMs): Seq[String] = {
     val current = currentGeneration(spark, rootPath)
     val root = new org.apache.hadoop.fs.Path(rootPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMs
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
-        !current.contains(s.getPath.getName))
+        !current.contains(s.getPath.getName) &&
+        s.getModificationTime <= cutoff)
       .map { s => fs.delete(s.getPath, true); s.getPath.getName }
       .toIndexedSeq
   }
@@ -482,6 +469,13 @@ object IvfIndexStore {
     * ([[Similarity.MaxProbeRows]]) — micro-batch-sized increments, not
     * corpus-sized backfills (those belong in
     * [[Dedup.embeddingNearDups]] + a generation rebuild).
+    *
+    * ZERO-NORM vectors are dropped from the batch up front: their cosine
+    * is defined as 0.0 ([[graft.functions.VectorExpressions.VecCosine]]),
+    * so they can never match anything — including their own indexed copy
+    * on replay, which would break the idempotence guarantee by
+    * re-appending them every replay. A zero embedding is a degenerate
+    * artifact (dead encoder output), not a document to index.
     */
   def dedupAppendBatch(spark: SparkSession, batch: DataFrame, idCol: String,
                        vecCol: String, rootPath: String, threshold: Double,
@@ -498,11 +492,15 @@ object IvfIndexStore {
       s"dedupAppendBatch needs the full-precision layout at $rootPath " +
         "(the quantized store holds codes only; the dedup decision is an exact cosine)")
     val centroids = loadCentroids(spark, rootPath, gen, layout)
+    // zero-norm rows out FIRST (see scaladoc: they can never self-match,
+    // so replay would re-append them forever) — a cheap filter inside the
+    // batch's own scan, no extra pass
+    val nonZero = batch.where(F.vecNorm(col(vecCol)) > 0.0)
     // persist only if the caller hasn't: unpersisting a frame the CALLER
     // cached would silently evict their cache (a measurement harness
     // reusing one batch across calls pays a recompute it never asked for)
     val callerCached = batch.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val b = if (callerCached) batch else batch.persist()
+    val b = if (callerCached) nonZero else nonZero.persist()
     try {
       val selfPairs = Dedup.embeddingNearDups(b, idCol, vecCol, threshold,
         selfBands, selfBitsPerBand, maxBucket)

@@ -71,6 +71,14 @@ object Similarity {
     * (query_id, neighbor_id, cosine) rows per query, (cosine desc,
     * neighbor_id asc), via the bounded [[graft.functions.TopKAggregate]] —
     * see [[bruteForceTopK]]'s scaladoc for why not a `row_number` window.
+    *
+    * Null scores are EXCLUDED from ranking (a null cosine means a null
+    * vector reached the scorer — garbage, not a legitimate trailing
+    * neighbor); a query whose candidates all score null emits no rows.
+    * This differs from the replaced window form, which kept null-scored
+    * rows in trailing ranks — the aggregate's behavior is the intended
+    * one. NaN no longer occurs: [[graft.functions.VectorExpressions.VecCosine]]
+    * defines zero-norm cosine as 0.0.
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")

@@ -261,22 +261,16 @@ object StreamingGate {
     // compact the survivors CONCURRENTLY: different partitions of one
     // table may be compacted in parallel (per-partition locks; scheduler
     // is thread-safe) — one Spark job per partition run serially would
-    // make the sweep latency O(partitions)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val futs = parts.collect { case (tpe, day) if !droppedSet.contains(day) =>
-        scala.concurrent.Future {
-          EventSink.compactPartition(spark, table,
-            Map("event_type" -> tpe, "day" -> day),
-            maxFiles = 1, targetFiles = 1, sortCol = Some("timestamp"))
-        }
-      }
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs.toSeq),
-        scala.concurrent.duration.Duration(600, "s"))
-    } finally pool.shutdown()
+    // make the sweep latency O(partitions). Shared pool harness:
+    // graft.operators.Maintenance (same interrupt/drain-on-failure
+    // discipline as IvfIndexStore.compactGeneration).
+    graft.operators.Maintenance.parallelSweep(
+      parts.toSeq.filter { case (_, day) => !droppedSet.contains(day) },
+      s"sinkMaintenance at $table") { case (tpe, day) =>
+      EventSink.compactPartition(spark, table,
+        Map("event_type" -> tpe, "day" -> day),
+        maxFiles = 1, targetFiles = 1, sortCol = Some("timestamp"))
+    }
 
     // measured witnesses over the maintained layout
     val hfs = new org.apache.hadoop.fs.Path(table)

@@ -111,11 +111,60 @@ class IvfIndexStoreSpec extends SparkSpecBase {
       numCentroids = 8, iters = 1)
     assert(IvfIndexStore.currentGeneration(spark, root).contains(g2))
     assert(IvfIndexStore.readLayout(spark, root, g2).numCentroids == 8)
-    val dropped = IvfIndexStore.dropStaleGenerations(spark, root)
+    // default sweep has a grace period: the just-superseded generation and
+    // the fresh orphan both SURVIVE (an in-flight reader could still be on
+    // them); only an explicit zero grace drops them
+    assert(IvfIndexStore.dropStaleGenerations(spark, root).isEmpty,
+      "graced sweep must not drop fresh generations")
+    val dropped = IvfIndexStore.dropStaleGenerations(spark, root, minAgeMs = 0L)
     assert(dropped.toSet == Set(g1, "gen-000-orphan"))
     // serving still works from the surviving generation
     val served = IvfIndexStore.topK(spark, embs.where(col("vec_id") < 2), root, k = 3, nProbe = 2)
     assert(served.count() > 0)
+  }
+
+  test("retrain under serve: continuous reads survive the flip and the graced sweep; zero torn reads") {
+    val root = work("ivfstore_serve_retrain_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 8, iters = 1)
+    val g1 = IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    val queries = embs.where(col("vec_id") < 3)
+    // an in-flight plan resolved against g1 BEFORE the retrain: its scan is
+    // pinned to g1's files, the exact reader the sweep grace protects
+    val inflight = IvfIndexStore.topK(spark, queries, root, k = 3, nProbe = 2)
+    // a reader loop hammering the store across the flip — every serve must
+    // succeed, against whichever generation its _CURRENT resolution saw
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    @volatile var serves = 0
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          if (IvfIndexStore.topK(spark, queries, root, k = 3, nProbe = 2).count() == 0)
+            failure = Some(new AssertionError("empty serve"))
+          serves += 1
+        } catch { case t: Throwable => failure = Some(t) }
+      }
+    })
+    reader.start()
+    val g2 =
+      try {
+        val g = IvfIndexStore.retrain(spark, embs, "vec_id", "embedding", root,
+          numCentroids = 16, iters = 1)
+        // sweep immediately after the flip, WITH the default grace: g1 must
+        // survive because readers (the loop + the pinned plan) are live
+        assert(IvfIndexStore.dropStaleGenerations(spark, root).isEmpty,
+          "graced sweep deleted a generation readers are still on")
+        // the pre-flip plan still reads g1's files without error
+        assert(inflight.count() > 0, "in-flight read on the superseded generation tore")
+        g
+      } finally { stop = true; reader.join(60000) }
+    assert(failure.isEmpty, s"a serve failed across the retrain flip: $failure")
+    assert(serves > 0, "reader loop never completed a serve")
+    assert(IvfIndexStore.currentGeneration(spark, root).contains(g2))
+    // grace elapsed (no reader live now) → the superseded generation goes
+    assert(IvfIndexStore.dropStaleGenerations(spark, root, minAgeMs = 0L) == Seq(g1))
+    assert(IvfIndexStore.topK(spark, queries, root, k = 3, nProbe = 2).count() > 0)
   }
 
   test("replayed append duplicates surface a neighbor once after compactGeneration") {

@@ -182,6 +182,65 @@ class SimilaritySpec extends SparkSpecBase {
     assert(cappedMh.count() == 0)
   }
 
+  test("zero-norm vectors: cosine is 0.0 (never NaN) through every ANN path") {
+    import graft.operators.IvfIndexStore
+    val embs = Tables.load(spark, sf01, "embeddings")
+      .select("vec_id", "embedding").where(col("vec_id") < 300)
+    val dim = embs.select(size(col("embedding"))).first().getInt(0)
+    val zeros = Seq(900001L, 900002L).map(id => (id, Seq.fill(dim)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val mixed = embs.unionByName(zeros)
+
+    // the expression itself: zero × nonzero and zero × zero both 0.0
+    val cosRows = zeros.as("a").crossJoin(mixed.limit(3).as("b"))
+      .select(graft.functions.Functions.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[Double].collect()
+    assert(cosRows.nonEmpty && cosRows.forall(_ == 0.0),
+      s"zero-norm cosine must be exactly 0.0, got ${cosRows.toList}")
+
+    // near-dup pairs: no NaN escapes, zero vectors pair with nothing
+    val pairs = Dedup.embeddingNearDups(mixed, "vec_id", "embedding",
+      threshold = 0.4, bands = 48, bitsPerBand = 4).persist()
+    assert(pairs.where(isnan(col("cosine"))).count() == 0)
+    assert(pairs.where(col("id_a") >= 900000L || col("id_b") >= 900000L).count() == 0,
+      "a zero vector similar to nothing must not pair")
+    pairs.unpersist()
+
+    // persisted-index serving with zero vectors BOTH in the index and in
+    // the query batch: every score finite, the zero query ranks real
+    // neighbors at cosine 0.0 instead of NaN-poisoning the top-k gate
+    val root = java.nio.file.Files.createTempDirectory("simzero_").toString
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 4, iters = 1)
+    IvfIndexStore.writeGeneration(spark, mixed, "vec_id", "embedding", centroids, root)
+    val queries = embs.where(col("vec_id") < 2).unionByName(zeros.limit(1))
+    val served = IvfIndexStore.topK(spark, queries, root, k = 3, nProbe = 2).persist()
+    assert(served.where(isnan(col("cosine"))).count() == 0)
+    assert(served.where(col("query_id") === 900001L).count() > 0,
+      "the zero query must still rank (finite-scored) neighbors")
+    assert(served.where(col("query_id") === 900001L && col("cosine") =!= 0.0).count() == 0)
+    served.unpersist()
+
+    // semantic dedup: zero-norm batch rows are dropped up front (they can
+    // never self-match on replay — see dedupAppendBatch's scaladoc), real
+    // rows still dedup; replay stays idempotent with zeros aboard
+    val droot = java.nio.file.Files.createTempDirectory("simzero_dedup_").toString
+    IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, droot)
+    val batch = embs.where(col("vec_id") < 10) // all dups of indexed rows
+      .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+      .unionByName(zeros)
+    val accepted = IvfIndexStore.dedupAppendBatch(spark, batch, "vec_id", "embedding",
+      droot, threshold = 0.95)
+    assert(accepted.where(col("vec_id").isin(900001L, 900002L)).count() == 0,
+      "zero-norm rows must be dropped, not admitted")
+    val replayed = IvfIndexStore.dedupAppendBatch(spark, batch, "vec_id", "embedding",
+      droot, threshold = 0.95)
+    assert(replayed.count() == 0, "replay with zero vectors aboard must stay idempotent")
+    val gen = IvfIndexStore.currentGeneration(spark, droot).get
+    assert(spark.read.parquet(IvfIndexStore.indexPath(droot, gen))
+      .where(col("vec_id").isin(900001L, 900002L)).count() == 0,
+      "zero-norm rows must never reach the index")
+  }
+
   test("minHashNearDupsExact matches exact n-gram Jaccard ground truth on sf0.01 docs") {
     val docs = Tables.load(spark, sf01, "documents")
     val found = Dedup.minHashNearDupsExact(docs, "doc_id", threshold = 0.5, margin = 0.2)

@@ -58,6 +58,28 @@ class TopKAggregateSpec extends SparkSpecBase {
     assert(out == List(("doc299", 2.99), ("doc298", 2.98)))
   }
 
+  test("NaN scores rank first (window parity) and never poison the worst-entry gate") {
+    import spark.implicits._
+    // NaN rows arrive FIRST so a broken comparator would install NaN as the
+    // worst-entry gate and reject every later candidate; 400 rows per
+    // partition exceed the compact trigger, exercising sortWith under NaN
+    // (the old `>`/`==` comparator was intransitive there — TimSort could
+    // throw "Comparison method violates its general contract")
+    val rows = Seq.tabulate(3)(i => ("g", Double.NaN, 9000L + i)) ++
+      Seq.tabulate(400)(i => ("g", i / 100.0, i.toLong))
+    val df = rows.toDF("g", "score", "id").repartition(4)
+    val got = df.groupBy("g")
+      .agg(TopKAggregate.topk_by(col("score"), col("id"), 5).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("e.id"), col("e.score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    // Spark's double ordering sorts NaN above every value: the window form
+    // ranked the NaN rows first (id asc within the NaN tie), then the best
+    // finite scores — the aggregate must match exactly
+    assert(got.map(_._1) == List(9000L, 9001L, 9002L, 399L, 398L))
+    assert(got.take(3).forall(_._2.isNaN) && !got(3)._2.isNaN)
+  }
+
   test("groups smaller than k return all rows, ranked") {
     import spark.implicits._
     val df = Seq((1, 0.5, 10L), (1, 0.9, 11L)).toDF("g", "score", "id")
