@@ -33,11 +33,16 @@ object ScaleBench {
   private final class ShuffleBytesListener extends SparkListener {
     val bytes = new AtomicLong(0L)
     val records = new AtomicLong(0L)
+    /** Bytes read from input sources (parquet scans) — the number that
+      * exposes whether a per-batch plan scans corpus-sized tables.
+      */
+    val inputBytes = new AtomicLong(0L)
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
         bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
       }
     }
   }
@@ -109,12 +114,22 @@ object ScaleBench {
   private def measureIncrement(spark: SparkSession, label: String,
                                increment: DataFrame, corpus: DataFrame,
                                threshold: Double, maxBucket: Int,
-                               preBanded: Boolean = false): (Long, Long) = {
+                               preBanded: Boolean = false,
+                               sigPartitions: Int = 0,
+                               pruneSigs: Boolean = true): (Long, Long, Double) = {
     val numHashes = 126
     val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
     val corpusSigs = Dedup.minHashSignatures(corpus, "doc_id", "text", 3, numHashes)
       .persist()
     val nCorpus = corpusSigs.count() // materialize BEFORE timing the increment
+    // the partitioned flavor reads the sig table from DISK (pruning is a
+    // file-level property) — written once ahead of the batch, like the
+    // production serving table it models
+    val sigPathOpt = if (sigPartitions > 0) {
+      val p = java.nio.file.Files.createTempDirectory("scale_sigpt_").toString + "/sigs"
+      Dedup.writeSignatures(corpusSigs, p, sigPartitions)
+      Some(p)
+    } else None
     // the banded flavor: the (band, bucket, id) table exists AHEAD of the
     // batch (that is its point) — also outside the timed window
     val bandedOpt = if (preBanded) {
@@ -142,7 +157,26 @@ object ScaleBench {
         newSigs, corpusSigs, nBands, rowsPerBand, maxBucket)
     }).persist()
     val candidates = candDf.count()
-    val verified = Dedup.estJaccardScores(candDf, newSigs, corpusSigs,
+    // the verify-stage signature fetch — the term under test: the flat
+    // flavor joins the whole corpus sig table, the partitioned flavor
+    // prunes to the candidates' hash partitions (bytes read should track
+    // the CANDIDATE count, not n_corpus)
+    val verifySigs = sigPathOpt match {
+      case Some(p) if pruneSigs => Dedup.prunedCorpusSigs(spark, p,
+        candDf.select("corpus_id"), sigPartitions)
+      // full-scan-from-disk control point: same table, same layout, no
+      // pruning — what the pruned flavor's input_mb is compared against
+      case Some(p) => spark.read.parquet(p).select(col("id"), col("sig"))
+      case None => corpusSigs
+    }
+    // verify-stage-only window: candDf/newSigs are already cached, so the
+    // bytes in THIS window are dominated by the signature fetch — the
+    // term the pruned layout exists to bound (the outer window's input
+    // also counts the cached banded-table scan of the candidate join,
+    // which grows with the corpus by design and would mask the fetch)
+    val verifyListener = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(verifyListener)
+    val verified = Dedup.estJaccardScores(candDf, newSigs, verifySigs,
         "new_id", "corpus_id", numHashes)
       .where(col("est_jaccard") >= threshold)
       .count()
@@ -151,11 +185,15 @@ object ScaleBench {
     bandedOpt.foreach(_.unpersist())
     Thread.sleep(2000)
     spark.sparkContext.removeSparkListener(listener)
+    spark.sparkContext.removeSparkListener(verifyListener)
     val mb = listener.bytes.get() / 1024.0 / 1024.0
+    val inMb = listener.inputBytes.get() / 1024.0 / 1024.0
+    val verifyInMb = verifyListener.inputBytes.get() / 1024.0 / 1024.0
     println(f"""{"scale_point":"$label","n_increment":$nInc,"n_corpus":$nCorpus,""" +
       f""""candidate_pairs":$candidates,"verified_pairs":$verified,""" +
-      f""""shuffle_mb":$mb%.1f,"shuffle_records":${listener.records.get()},"sec":$secs%.1f}""")
-    (nInc, candidates)
+      f""""shuffle_mb":$mb%.1f,"shuffle_records":${listener.records.get()},""" +
+      f""""input_mb":$inMb%.2f,"verify_input_mb":$verifyInMb%.2f,"sec":$secs%.1f}""")
+    (nInc, candidates, verifyInMb)
   }
 
   /** Embedding-LSH scale point: candidate volume for hyperplane banding at
@@ -322,9 +360,9 @@ object ScaleBench {
       val planted = scaled(base.orderBy("doc_id").limit(250), 1)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       val inc = scaled(small, 1).unionByName(planted)
-      val (in1, ic1) = measureIncrement(spark, "inc vs sf0.1",
+      val (in1, ic1, _) = measureIncrement(spark, "inc vs sf0.1",
         inc, scaled(base, 1), threshold, maxBucket)
-      val (in10, ic10) = measureIncrement(spark, "inc vs sf0.1 x10",
+      val (in10, ic10, _) = measureIncrement(spark, "inc vs sf0.1 x10",
         inc, scaled(base, 10), threshold, maxBucket)
       // the materialized-banded-table flavor at 10×: identical pairs, and
       // the per-batch shuffle drops to increment scale (the corpus-side
@@ -336,6 +374,38 @@ object ScaleBench {
       println(f"""{"increment_linearity":{"cand_per_doc_1x":$perDoc1%.2f,""" +
         f""""cand_per_doc_10x":$perDoc10%.2f,"ratio":${perDoc10 / perDoc1}%.2f,""" +
         f""""flat_ok":${perDoc10 / perDoc1 <= 2.0}}}""")
+
+      // ---- sig-fetch pruning points: the verify stage's signature fetch
+      //      was the LAST per-batch term linear in the corpus (the
+      //      candidate join above is increment-bound once pre-banded, but
+      //      estJaccardScores still scanned the whole (id, sig) table
+      //      each batch). With the hash-partitioned layout the fetch
+      //      prunes to the candidates' sig_pt partitions, so per-batch
+      //      bytes READ must stay ~flat across a 10× corpus while the
+      //      full-scan control grows ~10×. Candidate/verified pairs are
+      //      identical by construction (pruning only removes rows the
+      //      inner join would drop). P follows the production sizing rule
+      //      (writeSignatures scaladoc): large vs the per-batch distinct
+      //      candidate count (~300 here) and GROWN with the corpus so the
+      //      per-partition byte size stays constant — P=512 at 1×,
+      //      P=5120 at 10×. ----
+      val (_, _, full1) = measureIncrement(spark, "inc vs sf0.1 pre-banded disk-sigs full",
+        inc, scaled(base, 1), threshold, maxBucket, preBanded = true,
+        sigPartitions = 512, pruneSigs = false)
+      val (_, _, full10) = measureIncrement(spark, "inc vs sf0.1 x10 pre-banded disk-sigs full",
+        inc, scaled(base, 10), threshold, maxBucket, preBanded = true,
+        sigPartitions = 5120, pruneSigs = false)
+      val (_, _, pr1) = measureIncrement(spark, "inc vs sf0.1 pre-banded pruned-sigs",
+        inc, scaled(base, 1), threshold, maxBucket, preBanded = true,
+        sigPartitions = 512)
+      val (_, _, pr10) = measureIncrement(spark, "inc vs sf0.1 x10 pre-banded pruned-sigs",
+        inc, scaled(base, 10), threshold, maxBucket, preBanded = true,
+        sigPartitions = 5120)
+      println(f"""{"sig_fetch_pruning":{"verify_mb_full_1x":$full1%.2f,""" +
+        f""""verify_mb_full_10x":$full10%.2f,"verify_mb_pruned_1x":$pr1%.2f,""" +
+        f""""verify_mb_pruned_10x":$pr10%.2f,""" +
+        f""""pruned_vs_full_10x":${pr10 / math.max(full10, 0.01)}%.3f,""" +
+        f""""pruned_flat_ok":${pr10 <= math.max(2.0 * pr1, 1.0)}}}""")
     }
 
     if (sections("recap")) {
@@ -514,6 +584,11 @@ object ScaleBench {
           f""""shuffle_mb":$mb%.1f,"shuffle_records":${listener.records.get()},"sec":$secs%.1f}""")
         listener.records.get()
       }
+      // warm BOTH forms before timing (JIT + page cache): the previous
+      // window-first ordering handed the aggregate a warmed JVM and
+      // biased the reported wall-time gap toward it
+      rankedWindow().count()
+      graft.operators.Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", k).count()
       val recWindow = runPoint("window", rankedWindow())
       val recAgg = runPoint("topk_agg",
         graft.operators.Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", k))

@@ -50,6 +50,13 @@ object Dedup {
     * taking the first — O(n log n) over wide rows — while the hash
     * aggregate folds duplicates map-side in O(n) with no sort anywhere.
     * Ids are unique, so the min-id pick is deterministic either way.
+    *
+    * `idCol` must be NON-NULL: `min_by` skips null ordering values, so a
+    * hash group whose ids are all null would yield an all-null row (and a
+    * null-id row can never be the representative). Every id column in the
+    * engine is non-null by construction; pre-filter or synthesize ids
+    * (e.g. `monotonically_increasing_id`) before calling this on data
+    * that may carry null ids.
     */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
     val cols = docs.columns
@@ -503,10 +510,93 @@ object Dedup {
     * one-signature-per-doc invariant. Rewrites to `targetFiles` files with
     * at most one row per id. Signatures are a pure function of the doc
     * text, so dropping duplicate ids is lossless.
+    *
+    * Handles both layouts: a FLAT table is one [[rewriteTableDir]]; a
+    * hash-partitioned table ([[writeSignatures]] with sigPartitions > 0)
+    * is rewritten per `sig_pt=` partition — correct because an id always
+    * hashes to the same partition, so the one-row-per-id invariant is
+    * partition-local — swept in parallel via [[Maintenance.parallelSweep]].
     */
   def compactSignatures(spark: SparkSession, sigTablePath: String,
-                        targetFiles: Int = 1): Boolean =
-    rewriteTableDir(spark, sigTablePath, _.dropDuplicates("id"), targetFiles)
+                        targetFiles: Int = 1): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(sigTablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return false
+    val partDirs = fs.listStatus(dir).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$SigPartitionCol="))
+    if (partDirs.isEmpty)
+      rewriteTableDir(spark, sigTablePath, _.dropDuplicates("id"), targetFiles)
+    else
+      Maintenance.parallelSweep(partDirs.toSeq, s"compactSignatures at $sigTablePath") {
+        p => rewriteTableDir(spark, p.getPath.toString, _.dropDuplicates("id"), targetFiles)
+      }.exists(identity)
+  }
+
+  // ------------------------------------ signature-table hash partitioning
+
+  /** Partition column of a hash-partitioned signature table. */
+  val SigPartitionCol = "sig_pt"
+
+  /** The hash bucket a signature row lives in: `pmod(xxhash64(id), P)`.
+    * Pure function of the id, so writers and readers agree with zero
+    * coordination — PROVIDED they agree on P, which [[DedupLayout]]
+    * therefore stamps and enforces.
+    */
+  def sigPartition(id: Column, sigPartitions: Int): Column =
+    pmod(xxhash64(id), lit(sigPartitions.toLong)).cast(IntegerType)
+
+  /** Write a [[minHashSignatures]] output as the serving signature table.
+    * With `sigPartitions > 0` the table is `partitionBy(sig_pt)` on
+    * `hash(id) % P` — the layout that removes the LAST corpus-linear
+    * per-batch term from incremental dedup: the verify stage's signature
+    * fetch ([[prunedCorpusSigs]]) prunes to the partitions its candidate
+    * ids can live in, so per-batch bytes read scale with the CANDIDATE
+    * count (≤ P partitions), not the corpus.
+    *
+    * Sizing P: it must be LARGE relative to the per-batch distinct
+    * candidate count (a few thousand), or every batch touches every
+    * partition and pruning is vacuous — and the partition byte size
+    * (corpus/P) is what each candidate partition costs to read, so hold
+    * it at a healthy parquet file size and GROW P with the corpus (e.g.
+    * 65536 partitions for a 10^9-doc corpus ⇒ ~15k sigs ≈ 15 MB per
+    * partition; a batch with 2k candidate ids then reads ≤ 2k partitions
+    * ≈ 30 GB instead of the full 1 TB sig table). Growing P is a
+    * re-layout (rewrite with the new P + re-stamp), done with corpus
+    * compaction.
+    *
+    * The write repartitions ON the partition value first — without that,
+    * every input task writes a file into every partition dir it touches
+    * (tasks × P small files, the write-side small-file explosion); with
+    * it the table lands as one file per partition.
+    */
+  def writeSignatures(sigs: DataFrame, path: String, sigPartitions: Int,
+                      mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    if (sigPartitions <= 0) sigs.write.mode(mode).parquet(path)
+    else sigs
+      .withColumn(SigPartitionCol, sigPartition(col("id"), sigPartitions))
+      .repartition(col(SigPartitionCol))
+      .write.mode(mode).partitionBy(SigPartitionCol).parquet(path)
+
+  /** Partition-pruned read of the signature rows a candidate id set can
+    * touch: the distinct `hash(id) % P` values of `ids` (≤ P rows —
+    * driver-bounded by construction) become a static `sig_pt IN (...)`
+    * predicate, so the parquet scan prunes to those partitions at
+    * planning time. `ids` is consumed once here and again by the caller's
+    * join — persist it at the call site. Emits the [[minHashSignatures]]
+    * schema (id, sig).
+    */
+  def prunedCorpusSigs(spark: SparkSession, sigTablePath: String,
+                       ids: DataFrame, sigPartitions: Int): DataFrame = {
+    require(sigPartitions > 0,
+      s"prunedCorpusSigs needs a hash-partitioned table (sigPartitions > 0); " +
+        s"flat tables at $sigTablePath can only be scanned whole")
+    val idCol = ids.columns.head
+    val pts = ids.select(sigPartition(col(idCol), sigPartitions).as("pt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(sigTablePath)
+      .where(col(SigPartitionCol).isin(pts: _*))
+      .select(col("id"), col("sig"))
+  }
 
   // --------------------------------------------------------------- SimHash
 

@@ -19,19 +19,32 @@ import org.apache.spark.sql.SparkSession
   */
 object DedupLayout {
 
+  /** `sigPartitions = 0` is the flat legacy layout; > 0 means the
+    * signature table is hash-partitioned on
+    * `pmod(xxhash64(id), sigPartitions)` ([[Dedup.SigPartitionCol]]) so
+    * per-batch candidate verification prunes to the partitions candidate
+    * ids can live in instead of scanning the whole table. A
+    * writer/reader drifting on this value would prune to the WRONG
+    * partitions — candidates silently score against nothing and every
+    * duplicate is admitted — hence it is part of the guarded layout.
+    */
   case class Layout(shingleK: Int, numHashes: Int, nBands: Int,
-                    rowsPerBand: Int, threshold: Double, maxBucket: Int) {
+                    rowsPerBand: Int, threshold: Double, maxBucket: Int,
+                    sigPartitions: Int = 0) {
     /** The fields a SIGNATURE table depends on — banding/threshold only
-      * shape the banded table and the candidate join, not the sigs.
+      * shape the banded table and the candidate join, not the sigs
+      * (partitioning shapes where sig ROWS live, so it is part of this
+      * key).
       */
-    def sigKey: (Int, Int) = (shingleK, numHashes)
+    def sigKey: (Int, Int, Int) = (shingleK, numHashes, sigPartitions)
   }
 
   val ManifestName = "_LAYOUT.json"
 
   def toJson(l: Layout): String =
     s"""{"shingleK":${l.shingleK},"numHashes":${l.numHashes},"nBands":${l.nBands},""" +
-      s""""rowsPerBand":${l.rowsPerBand},"threshold":${l.threshold},"maxBucket":${l.maxBucket}}"""
+      s""""rowsPerBand":${l.rowsPerBand},"threshold":${l.threshold},"maxBucket":${l.maxBucket},""" +
+      s""""sigPartitions":${l.sigPartitions}}"""
 
   /** Minimal parser for the manifest WE write (flat object, numeric
     * fields) — no JSON library in the dependency budget.
@@ -42,8 +55,13 @@ object DedupLayout {
       m.map(_.group(1)).getOrElse(
         throw new IllegalStateException(s"$ManifestName missing field '$field' in: $s"))
     }
+    def optNum(field: String, default: String): String =
+      ("\"" + field + "\"\\s*:\\s*([-0-9.eE]+)").r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse(default)
     Layout(num("shingleK").toInt, num("numHashes").toInt, num("nBands").toInt,
-      num("rowsPerBand").toInt, num("threshold").toDouble, num("maxBucket").toInt)
+      num("rowsPerBand").toInt, num("threshold").toDouble, num("maxBucket").toInt,
+      // absent in pre-partitioning stamps: those tables are flat
+      optNum("sigPartitions", "0").toInt)
   }
 
   private def manifestPath(tablePath: String) =
@@ -75,15 +93,19 @@ object DedupLayout {
       case None =>
         val dir = new org.apache.hadoop.fs.Path(tablePath)
         val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // data may sit flat OR one level down in sig_pt=N partition dirs
         val hasData = fs.exists(dir) &&
-          fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
+          fs.listStatus(dir).exists(s =>
+            s.getPath.getName.endsWith(".parquet") ||
+              (s.isDirectory && s.getPath.getName.contains("=") &&
+                fs.listStatus(s.getPath).exists(_.getPath.getName.endsWith(".parquet"))))
         if (hasData) write(spark, tablePath, l)
       case Some(existing) =>
         val ok = if (full) existing == l else existing.sigKey == l.sigKey
         if (!ok) throw new IllegalStateException(
           s"dedup layout mismatch at $tablePath: table was written with " +
             s"${toJson(existing)} but this call uses ${toJson(l)}" +
-            (if (full) "" else " (compared: shingleK, numHashes)") +
+            (if (full) "" else " (compared: shingleK, numHashes, sigPartitions)") +
             " — running with drifted parameters would silently admit duplicates; " +
             "re-sign the table or fix the caller's configuration")
     }

@@ -66,6 +66,17 @@ object IncrementalDedup {
     * otherwise OOM the driver building the broadcast table); the count is
     * read off the already-persisted `newSigs`, so the guard costs no extra
     * pass over the text.
+    *
+    * `sigPartitions > 0` (the signature table was seeded with
+    * [[Dedup.writeSignatures]]) removes the LAST corpus-linear per-batch
+    * term: the verify stage's signature fetch becomes a partition-pruned
+    * read of only the `hash(candidate_id) % P` partitions
+    * ([[Dedup.prunedCorpusSigs]]) instead of a full corpus-sigs scan, so
+    * per-batch bytes read scale with the candidate count, not the corpus.
+    * Combined with a pre-capped banded table + broadcast increment, the
+    * per-batch plan touches NO corpus-sized input at all. The value is
+    * stamped/enforced via [[DedupLayout]] — a drifted P would prune to
+    * the wrong partitions and silently admit every duplicate.
     */
   def processBatch(batch: DataFrame, idCol: String, sigTablePath: String,
                    acceptedPath: String, textCol: String = "text",
@@ -74,14 +85,15 @@ object IncrementalDedup {
                    bandedTablePath: Option[String] = None,
                    bandedPreCapped: Boolean = false,
                    broadcastIncrement: Boolean = true,
-                   maxBroadcastBandRows: Long = 4000000L): Unit = {
+                   maxBroadcastBandRows: Long = 4000000L,
+                   sigPartitions: Int = 0): Unit = {
     val spark = batch.sparkSession
     val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
     val layout = DedupLayout.Layout(shingleK, numHashes, nBands, rowsPerBand,
-      threshold, maxBucket)
+      threshold, maxBucket, sigPartitions)
     DedupLayout.ensure(spark, sigTablePath, layout, full = false)
     bandedTablePath.foreach(bp => DedupLayout.ensure(spark, bp, layout, full = true))
-    val corpusSigs = spark.read.parquet(sigTablePath)
+    lazy val corpusSigs = spark.read.parquet(sigTablePath)
     val newSigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleK, numHashes)
       .persist() // consumed by both band joins, the verifies AND the sig append
     try {
@@ -96,7 +108,7 @@ object IncrementalDedup {
         Dedup.minHashCandidatePairs(newSigs, nBands, rowsPerBand, maxBucket),
         newSigs, newSigs, "id_a", "id_b", numHashes)
         .where(col("est_jaccard") >= threshold)
-      val candidates = bandedTablePath match {
+      val candidatePlan = bandedTablePath match {
         case Some(bp) =>
           val banded = spark.read.parquet(bp)
           // structural guard on top of the manifest check above — a
@@ -115,8 +127,17 @@ object IncrementalDedup {
         case None => Dedup.minHashCandidatePairsAgainst(
           newSigs, corpusSigs, nBands, rowsPerBand, maxBucket)
       }
+      // pruned verify consumes the candidates twice (partition values +
+      // the score join) — persist so the band join runs once
+      val candidates =
+        if (sigPartitions > 0) candidatePlan.persist() else candidatePlan
+      val verifySigs =
+        if (sigPartitions > 0)
+          Dedup.prunedCorpusSigs(spark, sigTablePath,
+            candidates.select("corpus_id"), sigPartitions)
+        else corpusSigs
       val pairs = Dedup.estJaccardScores(candidates,
-        newSigs, corpusSigs, "new_id", "corpus_id", numHashes)
+        newSigs, verifySigs, "new_id", "corpus_id", numHashes)
         .where(col("est_jaccard") >= threshold)
       // caller-owned component labels: unpersisted at the end of the batch
       // (the one-shot dropNearDupGroups flavor would leak one cached frame
@@ -145,8 +166,14 @@ object IncrementalDedup {
           Dedup.bandedTable(novelSigs, nBands, rowsPerBand)
             .write.mode(SaveMode.Append).parquet(bp)
         }
-        novelSigs.write.mode(SaveMode.Append).parquet(sigTablePath)
-      } finally { novel.unpersist(); comps.unpersist(); () }
+        // partition-aware append: survivors land in their hash partitions
+        // so later batches' pruned verifies see them
+        Dedup.writeSignatures(novelSigs, sigTablePath, sigPartitions,
+          SaveMode.Append)
+      } finally {
+        novel.unpersist(); comps.unpersist()
+        if (sigPartitions > 0) { candidates.unpersist(); () }
+      }
     } finally { newSigs.unpersist(); () }
   }
 
@@ -164,11 +191,13 @@ object IncrementalDedup {
                   bandedTablePath: Option[String] = None,
                   bandedPreCapped: Boolean = false,
                   broadcastIncrement: Boolean = true,
-                  maxBroadcastBandRows: Long = 4000000L): DataStreamWriter[Row] =
+                  maxBroadcastBandRows: Long = 4000000L,
+                  sigPartitions: Int = 0): DataStreamWriter[Row] =
     increments.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, idCol, sigTablePath, acceptedPath, textCol,
           shingleK, numHashes, threshold, maxBucket, bandedTablePath,
-          bandedPreCapped, broadcastIncrement, maxBroadcastBandRows)
+          bandedPreCapped, broadcastIncrement, maxBroadcastBandRows,
+          sigPartitions)
       }
 }
