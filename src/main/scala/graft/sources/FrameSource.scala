@@ -121,14 +121,68 @@ object FrameSource {
                   types: Seq[String] = EventModel.typeMarkers.values.toSeq): Map[String, DataFrame] =
     types.map(t => t -> typedTable(frames, t)).toMap
 
-  /** Kafka streaming source for the event topic (S1). Not exercised in the
-    * offline test environment (no broker) but the production entry point.
+  /** The schema the `kafka` streaming source produces — pinned here so the
+    * decode seam can be CONTRACT-TESTED without a broker: a stream with
+    * exactly this shape must flow through [[decodeFramesFast]] →
+    * [[typedTable]] unchanged when the real source replaces it
+    * (`FrameSourceSpec` drives it through the streaming engine).
+    */
+  val kafkaSourceSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+  }
+
+  /** The option map [[kafkaStream]] passes to the `kafka` source —
+    * exposed so the consumer semantics can be asserted against the
+    * reference without a broker in the environment:
+    *
+    *  - `startingOffsets = earliest`: the reference consumer runs with
+    *    `auto.offset.reset = earliest` (no committed offset → read from
+    *    the beginning; reference readers/common/src/main/java/com/criteo/
+    *    hadoop/garmadon/reader/GarmadonReader.java:301-307);
+    *  - `failOnDataLoss = false`: on out-of-range offsets (retention
+    *    expired past the committed position) the reference's reset policy
+    *    re-anchors and KEEPS CONSUMING rather than dying — skipped ranges
+    *    surface in the lag metrics ([[graft.streaming.IngestLagListener]]),
+    *    not as a dead pipeline. Pass `failOnDataLoss = true` for
+    *    pipelines that prefer a loud stop;
+    *  - offset tracking lives in the streaming checkpoint (ST1), never in
+    *    Kafka group commits — Spark's source always disables auto-commit,
+    *    matching the reference's own committed-offset store
+    *    (GarmadonReader.java:162-239);
+    *  - `maxOffsetsPerTrigger` bounds a catch-up batch (ST6 backpressure).
+    */
+  def kafkaSourceOptions(bootstrap: String, topic: String,
+                         startingOffsets: String = "earliest",
+                         failOnDataLoss: Boolean = false,
+                         maxOffsetsPerTrigger: Option[Long] = None): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString)
+
+  /** Kafka streaming source for the event topic (S1). Never executed in
+    * the offline build environment (no broker AND no kafka connector jars
+    * — see COVERAGE.md §S1 for the waiver); the seam it feeds is contract-
+    * tested instead: [[kafkaSourceOptions]] pins the consumer semantics,
+    * [[kafkaSourceSchema]] pins the row shape the decode chain is proven
+    * against in `FrameSourceSpec`.
     */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
-                  startingOffsets: String = "earliest"): DataFrame =
+                  startingOffsets: String = "earliest",
+                  failOnDataLoss: Boolean = false,
+                  maxOffsetsPerTrigger: Option[Long] = None): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaSourceOptions(bootstrap, topic, startingOffsets,
+        failOnDataLoss, maxOffsetsPerTrigger))
       .load()
 }

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** ST11 — ingest-lag observability for the streaming sinks.
+  *
+  * The reference pipeline stamps `latest_timestamp` into every parquet
+  * footer so operators can monitor how far the HDFS tables trail the live
+  * stream (reference: readers/hdfs/.../ProtoParquetWriterWithOffset.java:33,116-122
+  * and ExtraMetadataWriteSupport.java:23-41 — the footer metadata is read
+  * back by the lag dashboards). The Spark-native seat of that information
+  * is the StreamingQueryListener bus: every micro-batch's
+  * [[org.apache.spark.sql.streaming.StreamingQueryProgress]] already
+  * carries the batch's max event time and the current watermark — no
+  * bespoke footer protocol, no extra read of the sink — so the engine's
+  * analog is a listener, not a footer stamp.
+  *
+  * Per query this tracks, updated on every progress event:
+  *  - `maxEventTimeMs` — the newest event time the sink has absorbed: the
+  *    exact meaning of the reference's footer `latest_timestamp`;
+  *  - `eventTimeLagMs` — now − maxEventTime: how far the table trails the
+  *    world (the number the reference dashboards alert on);
+  *  - `watermarkLagMs` — now − watermark: the delay bound on day-close
+  *    markers ([[EventSink.writeDayCloseMarkers]] closes a day once the
+  *    watermark leaves it, so day-close lag ≤ watermarkLag + the grace);
+  *  - `closedThroughDay` — the newest UTC day the current watermark has
+  *    fully closed ([[EventSink.closedDayFromWatermark]] − 1).
+  *
+  * Wire it once per session:
+  * {{{
+  *   val lag = new IngestLagListener()
+  *   spark.streams.addListener(lag)
+  *   // ... queries run; poll lag.snapshot / lag.maxEventTimeLagMs ...
+  * }}}
+  * Stateless queries (no watermark/event-time column) still get a row with
+  * batch progress but no lag numbers — visible, not invented.
+  */
+class IngestLagListener(clock: () => Long = () => System.currentTimeMillis())
+  extends StreamingQueryListener {
+
+  /** One query's latest observed ingest position. `None` lag fields mean
+    * the query reports no event-time metrics (no watermark in the plan).
+    */
+  final case class SinkLag(
+      queryId: java.util.UUID,
+      queryName: String,
+      sink: String,
+      batchId: Long,
+      numInputRows: Long,
+      maxEventTimeMs: Option[Long],
+      watermarkMs: Option[Long],
+      eventTimeLagMs: Option[Long],
+      watermarkLagMs: Option[Long],
+      closedThroughDay: Option[java.time.LocalDate],
+      observedAtMs: Long)
+
+  private val byQuery = new ConcurrentHashMap[java.util.UUID, SinkLag]()
+
+  private def parseIso(s: String): Option[Long] =
+    try Some(java.time.Instant.parse(s).toEpochMilli) catch { case _: Exception => None }
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    val now = clock()
+    val et = p.eventTime.asScala
+    // "max" is absent on batches with zero input rows — keep the previous
+    // position rather than regressing to None (the table's content did
+    // not get older because a trigger was empty)
+    val prev = Option(byQuery.get(p.id))
+    val maxEt = et.get("max").flatMap(parseIso)
+      .orElse(prev.flatMap(_.maxEventTimeMs))
+    val wm = et.get("watermark").flatMap(parseIso).filter(_ > 0)
+      .orElse(prev.flatMap(_.watermarkMs))
+    byQuery.put(p.id, SinkLag(
+      queryId = p.id,
+      queryName = Option(p.name).getOrElse(""),
+      sink = p.sink.description,
+      batchId = p.batchId,
+      numInputRows = p.numInputRows,
+      maxEventTimeMs = maxEt,
+      watermarkMs = wm,
+      eventTimeLagMs = maxEt.map(now - _),
+      watermarkLagMs = wm.map(now - _),
+      closedThroughDay = wm.map(m =>
+        EventSink.closedDayFromWatermark(m).minusDays(1L)),
+      observedAtMs = now))
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  /** Latest position per live-or-finished query. */
+  def snapshot: Map[java.util.UUID, SinkLag] = byQuery.asScala.toMap
+
+  /** The worst event-time lag across all tracked sinks — the single
+    * number an alert hangs off (None until any query reports event time).
+    */
+  def maxEventTimeLagMs: Option[Long] = {
+    val lags = byQuery.values.asScala.flatMap(_.eventTimeLagMs)
+    if (lags.isEmpty) None else Some(lags.max)
+  }
+
+  /** One log-friendly JSON line per tracked query (stable field order). */
+  def report: Seq[String] =
+    byQuery.values.asScala.toSeq.sortBy(_.queryId.toString).map { l =>
+      s"""{"query":"${l.queryName}","sink":"${l.sink.replace("\"", "'")}"""" +
+        s""","batch":${l.batchId},"max_event_time_ms":${l.maxEventTimeMs.getOrElse(-1L)}""" +
+        s""","event_time_lag_ms":${l.eventTimeLagMs.getOrElse(-1L)}""" +
+        s""","watermark_lag_ms":${l.watermarkLagMs.getOrElse(-1L)}""" +
+        s""","closed_through_day":"${l.closedThroughDay.map(_.toString).getOrElse("")}"}"""
+    }
+}

@@ -297,4 +297,153 @@ class StreamingSpec extends SparkSpecBase {
     assert(bandGens.size == 1,
       s"expected ONE band-hash Generate (increment side only), got ${bandGens.size}")
   }
+
+  test("ST11 ingest-lag listener: max event time, watermark lag and closed-through day off the progress bus") {
+    import org.apache.spark.sql.functions.{col, window}
+    import graft.streaming.IngestLagListener
+    implicit val sqlCtx = spark.sqlContext
+
+    val lag = new IngestLagListener()
+    spark.streams.addListener(lag)
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("lag_ckpt_").toString
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val q = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "26 hours")
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("lag_probe")
+      .start()
+    // a second, watermark-less query: must surface WITHOUT lag numbers
+    val input2 = MemoryStream[Long]
+    val q2 = input2.toDF().writeStream
+      .format("memory").queryName("lag_plain").start()
+    try {
+      input.addData((ts("2024-03-10T00:00:00Z"), 1L), (ts("2024-03-12T08:30:00Z"), 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-03-12T09:00:00Z"), 3L)) // advances past batch-1 watermark
+      q.processAllAvailable()
+      input2.addData(1L, 2L); q2.processAllAvailable()
+      // the listener bus is async — poll briefly for the final batch
+      // settled state: watermark = newest max event time − 26 h (the
+      // engine folds the last batch's max in via a trailing no-data batch)
+      val settledWm = ts("2024-03-12T09:00:00Z").getTime - 26L * 3600 * 1000
+      val deadline = System.currentTimeMillis() + 30000
+      def entry = lag.snapshot.values.find(_.queryName == "lag_probe")
+      while (System.currentTimeMillis() < deadline &&
+        !entry.exists(e => e.watermarkMs.contains(settledWm) &&
+          e.maxEventTimeMs.contains(ts("2024-03-12T09:00:00Z").getTime))) Thread.sleep(100)
+      val e = entry.get
+      // footer-latest_timestamp analog: the newest absorbed event time
+      assert(e.maxEventTimeMs.contains(ts("2024-03-12T09:00:00Z").getTime))
+      assert(e.watermarkMs.contains(settledWm))
+      assert(e.eventTimeLagMs.exists(_ > 0) &&
+        e.eventTimeLagMs.contains(e.observedAtMs - e.maxEventTimeMs.get))
+      assert(e.watermarkLagMs.contains(e.observedAtMs - e.watermarkMs.get))
+      // watermark 2024-03-11T06:30 ⇒ day 2024-03-10 is the newest fully
+      // closed UTC day (everything before day(watermark) is final)
+      assert(e.closedThroughDay.contains(java.time.LocalDate.parse("2024-03-10")))
+      assert(lag.maxEventTimeLagMs == e.eventTimeLagMs)
+      // the stateless query is visible but reports no invented lag
+      def plain = lag.snapshot.values.find(_.queryName == "lag_plain")
+      while (System.currentTimeMillis() < deadline && plain.isEmpty) Thread.sleep(100)
+      val pl = plain.get
+      assert(pl.maxEventTimeMs.isEmpty && pl.eventTimeLagMs.isEmpty &&
+        pl.closedThroughDay.isEmpty && pl.numInputRows >= 0)
+      // report lines parse as the documented shape
+      assert(lag.report.exists(_.contains("\"query\":\"lag_probe\"")))
+      assert(lag.report.forall(_.startsWith("{")))
+    } finally {
+      q.stop(); q2.stop()
+      spark.streams.removeListener(lag)
+    }
+  }
+
+  test("hash-partitioned signature table: verify prunes to candidate partitions, outcome identical, drifted P refused") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.IncrementalDedup
+
+    val work = java.nio.file.Files.createTempDirectory("inc_sigpt_").toString
+    val sigTable = s"$work/sigs"; val banded = s"$work/bands"
+    val accepted = s"$work/accepted"
+    val P = 16
+
+    // 64 pairwise-dissimilar corpus docs so ids spread over the P hash
+    // partitions and pruning has something to prune
+    def text(i: Int) = (0 until 12).map(t => s"w${i}x$t").mkString(" ")
+    val corpusDocs = (0 until 64).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val (nBands, rowsPerBand) = Dedup.lshBandingFor(126, 0.5)
+    corpusDocs.write.parquet(accepted)
+    val sigs = Dedup.minHashSignatures(corpusDocs, "doc_id", "text", 3, 126)
+    Dedup.writeSignatures(sigs, sigTable, P)
+    Dedup.bandedTableCapped(spark.read.parquet(sigTable), nBands, rowsPerBand, 1000)
+      .write.parquet(banded)
+    // the layout landed partitioned on disk
+    val ptDirs = new java.io.File(sigTable).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sig_pt=")).map(_.getName)
+    assert(ptDirs.length > 1, s"expected sig_pt partitions, saw ${ptDirs.toList}")
+
+    // batch 1: a corpus dup + a novel — the serving shape (pre-banded,
+    // pre-capped, partition-pruned verify)
+    val batch = Seq((101L, text(5)), (102L, text(999))).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(batch, "doc_id", sigTable, accepted,
+      bandedTablePath = Some(banded), bandedPreCapped = true, sigPartitions = P)
+    assert(spark.read.parquet(accepted).count() == 65, "only the novel doc admitted")
+    // the survivor was signed into its hash partition: a later dup of it
+    // collides through the pruned verify
+    IncrementalDedup.processBatch(
+      Seq((201L, text(999))).toDF("doc_id", "text"),
+      "doc_id", sigTable, accepted,
+      bandedTablePath = Some(banded), bandedPreCapped = true, sigPartitions = P)
+    assert(spark.read.parquet(accepted).count() == 65, "dup of a survivor admitted")
+    // survivor's signature row landed in the partition its hash says
+    val survivorPt = spark.read.parquet(sigTable).where(col("id") === 102L)
+      .select("sig_pt").as[Int].head()
+    val expectedPt = corpusDocs.sparkSession.range(1)
+      .select(Dedup.sigPartition(org.apache.spark.sql.functions.lit(102L), P)).as[Int].head()
+    assert(survivorPt == expectedPt)
+
+    // drifted P is a loud layout error, not silent duplicate admission
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(batch, "doc_id", sigTable, accepted,
+        bandedTablePath = Some(banded), bandedPreCapped = true, sigPartitions = 8)
+    }
+    assert(e.getMessage.contains("layout mismatch"))
+
+    // plan witness: the pruned verify read carries a sig_pt partition
+    // filter and selects strictly fewer partitions than the table has
+    val candIds = Seq(5L, 17L).toDF("corpus_id")
+    val pruned = Dedup.prunedCorpusSigs(spark, sigTable, candIds, P)
+    val scans = graft.sources.BucketedTables.PlanWitness.collectNodes(pruned) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("sig_pt"))),
+      "pruned read must push a sig_pt partition filter")
+    val selected = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(selected <= 2 && selected < ptDirs.length,
+      s"pruned scan selected $selected of ${ptDirs.length} partitions")
+    // and returns exactly the full-scan rows for those ids
+    val fullRows = spark.read.parquet(sigTable)
+      .where(col("id").isin(5L, 17L)).select("id").as[Long].collect().toSet
+    assert(pruned.where(col("id").isin(5L, 17L))
+      .select("id").as[Long].collect().toSet == fullRows && fullRows == Set(5L, 17L))
+
+    // maintenance: replay-duplicate sig rows are erased per partition
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(Seq((102L, text(999))).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 126),
+      sigTable, P, org.apache.spark.sql.SaveMode.Append) // fake a crash-window replay
+    assert(spark.read.parquet(sigTable).where(col("id") === 102L).count() == 2)
+    assert(Dedup.compactSignatures(spark, sigTable))
+    val after = spark.read.parquet(sigTable)
+    assert(after.where(col("id") === 102L).count() == 1)
+    assert(after.select("id").distinct().count() == after.count())
+    assert(after.count() == 65)
+    // partitioned layout survived the compaction (sig_pt still prunable)
+    assert(Dedup.prunedCorpusSigs(spark, sigTable, Seq(102L).toDF("corpus_id"), P)
+      .where(col("id") === 102L).count() == 1)
+  }
 }
