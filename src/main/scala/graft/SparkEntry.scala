@@ -912,6 +912,51 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // ---- Dedup: INCREMENTAL through the PARTITIONED serving layout —
+    //      same verified-pair contract as q_incremental_dedup, but the
+    //      whole on-disk serving path executes for real: signature table
+    //      written hash-partitioned (sig_pt = pmod(xxhash64(id), 32)) +
+    //      _LAYOUT.json stamp, banded table seeded pre-capped, candidates
+    //      from the broadcast-increment band join, and the verify stage's
+    //      signature fetch PRUNED to the candidates' partitions
+    //      (Dedup.prunedCorpusSigs). If pruning dropped a partition a
+    //      candidate's sig lives in, its pair would vanish and the hash
+    //      gate would fail — losslessness is what this row proves. Oracle
+    //      = the same brute-forced exact-Jaccard cross pairs. ----
+    "q_sigpt_dedup" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents")
+      val work = java.nio.file.Files.createTempDirectory("graft_sigpt_q_").toString
+      val sigT = s"$work/sigs"; val bandT = s"$work/bands"
+      val P = 32
+      val (nBands, rowsPerBand) = Dedup.lshBandingFor(126, 0.3)
+      Dedup.writeSignatures(
+        Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 126), sigT, P)
+      graft.operators.DedupLayout.write(s, sigT,
+        graft.operators.DedupLayout.Layout(3, 126, nBands, rowsPerBand, 0.3, 1000, P))
+      Dedup.bandedTableCapped(s.read.parquet(sigT), nBands, rowsPerBand, 1000)
+        .write.parquet(bandT)
+      val newBatch = corpus.where(col("doc_id") < 100)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val newSigs = Dedup.minHashSignatures(newBatch, "doc_id", "text", 3, 126)
+      // candidates consumed twice (partition values + the score join):
+      // localCheckpoint materializes once with no cache-manager entry to
+      // leak past the query's lifetime
+      val cands = Dedup.minHashCandidatePairsAgainstBanded(
+          newSigs, s.read.parquet(bandT), nBands, rowsPerBand, 1000,
+          preCapped = true, broadcastIncrement = true)
+        .localCheckpoint()
+      val est = Dedup.estJaccardScores(cands, newSigs,
+          Dedup.prunedCorpusSigs(s, sigT, cands.select("corpus_id"), P),
+          "new_id", "corpus_id", 126)
+        .where(col("est_jaccard") >= 0.3)
+      val all = corpus.select(col("doc_id"), col("text")).unionByName(newBatch)
+      Dedup.ngramJaccard(
+          est.select(col("new_id").as("id_a"), col("corpus_id").as("id_b")), all, "doc_id")
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // ---- Dedup: SimHash near-dup pairs. Signatures use the portable
     //      polynomial token hash, so the oracle recomputes the exact
     //      signatures and Hamming distances; maxHamming=3 is the
@@ -1876,6 +1921,25 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |n AS (SELECT doc_id + 100000 AS new_id, s FROM sh WHERE doc_id < 100),
+        |p AS (
+        |  SELECT n.new_id, c.doc_id AS corpus_id,
+        |    CASE WHEN len(list_distinct(list_concat(n.s, c.s))) = 0 THEN 0.0
+        |         ELSE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(n.s, c.s))) END AS jaccard
+        |  FROM n JOIN sh c ON TRUE)
+        |SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // identical contract to q_incremental_dedup — the Spark side differs
+    // only in HOW it fetches (partitioned layout + pruned verify), which
+    // must be output-lossless
+    "q_sigpt_dedup" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),

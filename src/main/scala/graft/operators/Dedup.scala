@@ -723,11 +723,14 @@ object Dedup {
     * corpus scale the component table is a real artifact you want stored
     * anyway.
     *
-    * Throws if the fixpoint is not reached within `maxIters` (a component
-    * with diameter > maxIters would otherwise return silently-wrong labels
-    * and downstream [[dropNearDupGroups]] would keep several docs from one
-    * cluster); raise `maxIters` — rounds are cheap — or pre-split the
-    * graph if that ever fires.
+    * If the fixpoint is not reached within `maxIters` (a component with
+    * diameter > maxIters — adversarial long chains), the call FALLS BACK
+    * to [[connectedComponentsStar]], the published alternating
+    * large-star/small-star algorithm whose round count is logarithmic in
+    * the component size rather than linear in its diameter — same labels,
+    * never silently wrong ones. Propagation stays the default because
+    * near-dup graphs are dense tiny-diameter clusters where a handful of
+    * its cheaper rounds beats the star rounds' extra joins.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // the edge set participates in EVERY round's join — persist it for the
@@ -772,10 +775,100 @@ object Dedup {
     sym.unpersist()
     if (!converged) {
       labels.unpersist()
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds — " +
-          "a component's diameter exceeds maxIters; labels would be wrong")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: min-label propagation did not converge in $maxIters " +
+          "rounds (a component's diameter exceeds maxIters) — falling back to the " +
+          "alternating large-star/small-star algorithm (rounds ~ log(component size))")
+      return connectedComponentsStar(pairs)
     }
+    labels
+  }
+
+  /** Connected components by ALTERNATING large-star/small-star contraction
+    * (the published MapReduce CC algorithm — Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round re-points
+    * edges at per-node minima (large-star attaches every larger neighbor
+    * to the node's minimum, small-star re-points the remaining smaller
+    * neighbors), contracting any component to a star rooted at its min id
+    * in O(log |component|) rounds — the contingency for adversarial
+    * long-chain graphs where [[connectedComponents]]'s per-round label
+    * propagation would need O(diameter) rounds.
+    *
+    * Relational shape: each star step is one groupBy(min) + one join —
+    * no per-node neighbor lists are ever materialized (a `collect_list`
+    * formulation would OOM on high-degree nodes; this one shuffles only
+    * (node, min) pairs). Each round `localCheckpoint`s its edge set: one
+    * round's plan references the previous edges ~5× (sym union + two
+    * join sides per star step), so carrying lineage would grow the
+    * LOGICAL PLAN exponentially in the round count — persist alone does
+    * not truncate it (same trade as TrainingPipeline's checkpoint; an
+    * executor loss mid-computation costs a rerun, which iterative CC at
+    * this cost profile happily pays). Convergence is detected by exact
+    * edge-set equality (count + one-sided exceptAll), and the returned
+    * labeling is additionally verified to be a star (no label chains) —
+    * wrong labels cannot escape silently even if `maxIters` is exhausted.
+    *
+    * Same contract as [[connectedComponents]]: returns (id, component =
+    * min id), PERSISTED — consume and unpersist.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // canonical (u > v) edges, self-loops dropped (they do not affect
+    // components; lone self-paired nodes re-enter via the allNodes union)
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // eager: materializes AND truncates lineage
+
+    // large-star: for every node n, attach each STRICTLY LARGER neighbor
+    // to m(n) = min(N(n) ∪ {n}); emitted (bigger, m) is already canonical
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: node n's remaining smaller neighbors (and n itself)
+    // re-point at m(n) = min of them — input/output both canonical
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = e.join(mins, "u")
+      joined.where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var iter = 0
+    var stable = false
+    while (iter < maxIters && !stable) {
+      // checkpointed blocks of superseded rounds are released by the
+      // ContextCleaner once unreferenced — no manual unpersist needed
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      stable = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).collect().isEmpty
+      edges = next
+      iter += 1
+    }
+    // the star property IS the correctness witness: a dst that is also a
+    // src means a label chain survived — refuse rather than mislabel
+    val chained = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .limit(1).collect()
+    if (chained.nonEmpty)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not contract to stars in $maxIters rounds — " +
+          "labels would be wrong; raise maxIters")
+    val allNodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val labels = allNodes
+      .join(edges.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .persist()
+    labels.count()
     labels
   }
 

@@ -60,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_vec_norm", "graft_vec_norm(a) - L2 norm of a numeric array") {
       args => VectorExpressions.VecL2Norm(args(0))
     }
+    register("graft_vec_cosine",
+      "graft_vec_cosine(a, b) - cosine similarity of numeric arrays (0.0 when either norm is 0)") {
+      args => VectorExpressions.VecCosine(args(0), args(1))
+    }
+    register("graft_topk_by",
+      "graft_topk_by(score, id, k) - aggregate: the k best (score desc, id asc) rows as array<struct<id, score>>") {
+      args => graft.functions.TopKAggregate.TopKByScoreAgg(
+        args(0), args(1), intArg(args(2), "k")).toAggregateExpression()
+    }
     register("graft_array_agree_count",
       "graft_array_agree_count(a, b) - positions where two arrays agree") {
       args => VectorExpressions.ArrayAgreeCount(args(0), args(1))

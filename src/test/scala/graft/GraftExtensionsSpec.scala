@@ -61,6 +61,26 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(row.getString(3) == "SUCCESS")
   }
 
+  test("vec_cosine and topk_by work from SQL (zero-norm guard included)") {
+    import spark.implicits._
+    val cos = spark.sql(
+      "SELECT graft_vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect().head.getDouble(0)
+    assert(cos == 1.0)
+    // the zero-norm guard: 0.0, never NaN
+    val zero = spark.sql(
+      "SELECT graft_vec_cosine(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS c").collect().head.getDouble(0)
+    assert(zero == 0.0 && !zero.isNaN)
+    Seq(("g", 0.5, 1L), ("g", 0.9, 2L), ("g", 0.9, 3L), ("g", 0.1, 4L))
+      .toDF("grp", "score", "id").createOrReplaceTempView("scored")
+    val top = spark.sql(
+      """SELECT e.id, e.score
+        |FROM (SELECT graft_topk_by(score, id, 2) AS top FROM scored GROUP BY grp)
+        |LATERAL VIEW explode(top) t AS e""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    // (score desc, id asc): the 0.9 tie breaks to id 2 then 3
+    assert(top == List((2L, 0.9), (3L, 0.9)))
+  }
+
   test("signature aggregates work from SQL") {
     import spark.implicits._
     Seq(("d1", "x"), ("d1", "y"), ("d2", "x")).toDF("id", "tok")

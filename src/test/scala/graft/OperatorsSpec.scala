@@ -130,12 +130,35 @@ class OperatorsSpec extends SparkSpecBase {
     assert(kept == Seq(1L, 10L, 99L))
   }
 
-  test("connectedComponents throws instead of returning non-converged labels") {
-    // chain of diameter 4 cannot close in 1 round
+  test("connectedComponents falls back to the star algorithm instead of returning non-converged labels") {
+    // chain of diameter 4 cannot close in 1 propagation round — the
+    // large-star/small-star fallback must still produce exact labels
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, maxIters = 1)
-    }
+    val labels = Dedup.connectedComponents(pairs, maxIters = 1)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponentsStar: exact labels on an adversarial long chain + mixed graph") {
+    // a 300-node path graph: diameter 299 — propagation at default
+    // maxIters=20 would never close it; the star algorithm contracts it
+    // in ~log rounds. Mixed with a clique, a pair, and a self-loop.
+    val chain = (0L until 299L).map(i => (1000L + i, 1000L + i + 1))
+    val clique = for { a <- 0 to 3; b <- (a + 1) to 3 } yield (50L + a, 50L + b)
+    val pairs = (chain ++ clique ++ Seq((7L, 7L), (2L, 9L))).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    assert((1000L to 1299L).forall(got(_) == 1000L), "chain must collapse to its min id")
+    assert((50L to 53L).forall(got(_) == 50L))
+    assert(got(7L) == 7L && got(2L) == 2L && got(9L) == 2L)
+    assert(got.size == 300 + 4 + 3)
+    // and the propagation entry point reaches the same labels via fallback
+    val viaFallback = Dedup.connectedComponents(pairs, maxIters = 3)
+    val got2 = viaFallback.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaFallback.unpersist()
+    assert(got2 == got)
   }
 
   test("lshBandingFor sizes bands to the threshold's miss bound") {
