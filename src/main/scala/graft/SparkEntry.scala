@@ -1201,6 +1201,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Dedup: the STAR-CONTRACTION component path (the adversarial-
+    //      diameter contingency connectedComponents falls back to) over
+    //      the same near-dup graph — identical labeling contract, so the
+    //      oracle is the same recursive-CTE closure. Gates the algorithm
+    //      cross-engine, not just against the propagation flavor. ----
+    "q_cc_star" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDupsExact(docs, "doc_id", threshold = 0.5, margin = 0.2)
+        .select(col("id_a"), col("id_b"))
+      val comps = Dedup.connectedComponentsStar(pairs)
+      docs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Dedup: quality-aware representative per near-dup cluster (keep
     //      the longest doc, ties → min id) — the "keep canonical by
     //      quality" pipeline step. Oracle replays the recursive-CTE
@@ -2122,6 +2138,34 @@ object SparkEntry {
         |ORDER BY h.application_id, h.attempt_id, h.container_id""".stripMargin,
 
     "q_dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+        |             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |                / len(list_distinct(list_concat(a.s, b.s))) END >= 0.5),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        |comp AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same closure contract as q_dedup_groups — the Spark side differs only
+    // in the CC algorithm (star contraction), which must label identically
+    "q_cc_star" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
