@@ -2852,10 +2852,12 @@ object SparkEntry {
         |         CAST(sum(event_id % 50) AS BIGINT) AS checksum
         |  FROM events WHERE event_id % 7 = 0 GROUP BY 1, 2)
         |SELECT 'FS_EVENT' AS event_type, day, grp, n, n_apps, checksum,
-        |       TRUE AS day_partitioned, TRUE AS markers_ok FROM fs
+        |       TRUE AS day_partitioned, TRUE AS markers_ok,
+        |       TRUE AS lag_listener_ok FROM fs
         |UNION ALL
         |SELECT 'GC_EVENT' AS event_type, day, grp, n, n_apps, checksum,
-        |       TRUE AS day_partitioned, TRUE AS markers_ok FROM gc
+        |       TRUE AS day_partitioned, TRUE AS markers_ok,
+        |       TRUE AS lag_listener_ok FROM gc
         |ORDER BY event_type, day, grp""".stripMargin,
 
     // the maintained (compacted + retention-dropped) sink table aggregate

@@ -69,14 +69,18 @@ class IngestLagListener(clock: () => Long = () => System.currentTimeMillis())
     val p = e.progress
     val now = clock()
     val et = p.eventTime.asScala
-    // "max" is absent on batches with zero input rows — keep the previous
-    // position rather than regressing to None (the table's content did
-    // not get older because a trigger was empty)
+    // RUNNING max over batches: a batch's reported "max" is that batch's
+    // own newest event time, and later batches can carry older data — the
+    // "newest absorbed" position (the footer-latest_timestamp semantic)
+    // must never regress, including on empty triggers where "max" is
+    // absent entirely
     val prev = Option(byQuery.get(p.id))
-    val maxEt = et.get("max").flatMap(parseIso)
-      .orElse(prev.flatMap(_.maxEventTimeMs))
-    val wm = et.get("watermark").flatMap(parseIso).filter(_ > 0)
-      .orElse(prev.flatMap(_.watermarkMs))
+    val maxEt = (et.get("max").flatMap(parseIso).toSeq ++
+      prev.flatMap(_.maxEventTimeMs).toSeq).maxOption
+    // the engine's watermark is monotone per query; max is a cheap belt
+    // against progress events delivered after a restart reset
+    val wm = (et.get("watermark").flatMap(parseIso).filter(_ > 0).toSeq ++
+      prev.flatMap(_.watermarkMs).toSeq).maxOption
     byQuery.put(p.id, SinkLag(
       queryId = p.id,
       queryName = Option(p.name).getOrElse(""),

@@ -97,8 +97,11 @@ object StreamingGate {
     * encode → stream → route → day-partition → read-back breaks the hash.
     * `day_partitioned` / `markers_ok` are Spark-side MEASURED layout
     * witnesses (day= dirs exist; every watermark-closed day carries
-    * `_DONE`); the oracle contributes the data values and hardcodes the
-    * witnesses TRUE.
+    * `_DONE`); `lag_listener_ok` additionally runs [[IngestLagListener]]
+    * (ST11) on the route query and pins its bookkeeping to ground truth —
+    * max absorbed event time == the events table's true max ts, watermark
+    * == the engine's own lastProgress, lag arithmetic coherent. The
+    * oracle contributes the data values and hardcodes the witnesses TRUE.
     */
   def streamRoute(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -152,6 +155,13 @@ object StreamingGate {
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
     val types = Seq("FS_EVENT", "GC_EVENT")
+    // ST11 under the gate: the lag listener rides the real route query;
+    // its bookkeeping is cross-checked below against ground truth the
+    // oracle can also see (max event time) and against the engine's own
+    // lastProgress (watermark) — deterministic, so it can sit in an
+    // oracle-gated column
+    val lag = new IngestLagListener()
+    spark.streams.addListener(lag)
     val query = EventRouter.routeTyped(raw, base, ckpt, types,
         trigger = Trigger.AvailableNow())
       .start()
@@ -162,6 +172,27 @@ object StreamingGate {
       .flatMap(p => Option(p.eventTime.get("watermark")))
       .map(w => java.time.Instant.parse(w).toEpochMilli)
     val closed = wmMillis.toSeq.flatMap(EventRouter.closeDays(spark, base, types, _))
+
+    // the listener bus is async — wait for it to have absorbed the final
+    // progress before reading its snapshot
+    val lagEntry = {
+      val deadline = System.currentTimeMillis() + 30000
+      def e = lag.snapshot.get(query.id)
+      while (System.currentTimeMillis() < deadline &&
+        !e.exists(_.maxEventTimeMs.nonEmpty)) Thread.sleep(50)
+      spark.streams.removeListener(lag)
+      e
+    }
+    val trueMaxTs = graft.sources.Tables.load(spark, sfDir, "events")
+      .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+    val lagListenerOk = lagEntry.exists { e =>
+      // footer-latest_timestamp analog == the true newest routed event time;
+      // watermark bookkeeping == the engine's own lastProgress; lag is
+      // coherent (observed - max event time)
+      e.maxEventTimeMs.contains(trueMaxTs) &&
+        e.watermarkMs == wmMillis &&
+        e.eventTimeLagMs.contains(e.observedAtMs - trueMaxTs)
+    }
 
     val hfs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -199,6 +230,7 @@ object StreamingGate {
       .unionByName(routedAgg("GC_EVENT", col("collector_name"), col("pause_time")))
       .withColumn("day_partitioned", lit(dayPartitioned))
       .withColumn("markers_ok", lit(markersOk))
+      .withColumn("lag_listener_ok", lit(lagListenerOk))
       .orderBy(col("event_type"), col("day"), col("grp"))
   }
 
