@@ -1595,6 +1595,28 @@ object SparkEntry {
         .orderBy(col("external"))
     }),
 
+    // ---- Multimodal: the REAL image codec chain, numerically gated.
+    //      Spark ENCODES a solid-color PNG per doc (dims/color by modular
+    //      arithmetic on doc_id, javax.imageio — the JDK's own codec, no
+    //      external libs), DECODES it back partition-parallel and emits
+    //      the recovered dims + channel means; PNG is lossless and the
+    //      fills are solid, so the means are exactly the fill color and
+    //      DuckDB recomputes everything from the arithmetic alone. A
+    //      codec regression (channel order, dim swap, premature
+    //      truncation) breaks the hash. ----
+    "q_image_decode" -> ((s, dir) => {
+      import graft.multimodal.JdkMedia
+      JdkMedia.decodeImages(JdkMedia.pngMediaFromDocs(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("ok"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          round(col("mean_r")).cast(LongType).as("r"),
+          round(col("mean_g")).cast(LongType).as("g"),
+          round(col("mean_b")).cast(LongType).as("b"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- S2 capstone: EVERY typed body codec wire-gated in one row.
     //      500 rows × the 13 event types no other gate query decodes
     //      (PATH, STATE, APPLICATION, CONTAINER, SPARK stage/executor-
@@ -2352,6 +2374,17 @@ object SparkEntry {
         |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
         |  count(DISTINCT h) AS n_hashes, min(h) AS min_md5
         |FROM h GROUP BY external ORDER BY external""".stripMargin,
+
+    // the real-codec chain's expected output from the generating
+    // arithmetic alone (PNG lossless + solid fill ⇒ means == fill color)
+    "q_image_decode" ->
+      """SELECT doc_id AS media_id, TRUE AS ok,
+        |  (doc_id % 13) + 1 AS width,
+        |  (doc_id % 7) + 1 AS height,
+        |  doc_id % 251 AS r,
+        |  (doc_id * 7) % 251 AS g,
+        |  (doc_id * 31) % 251 AS b
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // every remaining typed body codec replayed from eid arithmetic; the
     // per-type checksums cover int64/int32/bool/double/string-list fields

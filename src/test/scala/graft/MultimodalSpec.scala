@@ -73,6 +73,66 @@ class MultimodalSpec extends SparkSpecBase {
     packed.unpersist()
   }
 
+  test("REAL image codec: JDK ImageIO decode recovers exact dims/means from PNG; lossy JPEG approximately; corrupt bytes fail soft") {
+    import graft.multimodal.JdkMedia
+    // solid PNG: lossless → channel means are EXACTLY the fill color
+    val png = JdkMedia.solidPng(20, 10, 30, 200, 90)
+    val rows = Seq(
+      MediaRow(1L, png, MediaMeta("png", 20, 10, 0L)),
+      MediaRow(2L, Array.fill[Byte](64)(13), MediaMeta("png", 1, 1, 0L)), // garbage
+      MediaRow(3L, null, MediaMeta("png", 1, 1, 0L))).toDS()
+    val out = JdkMedia.decodeImages(rows).collect().map(f => f.media_id -> f).toMap
+    val f1 = out(1L)
+    assert(f1.ok && f1.width == 20 && f1.height == 10)
+    assert(f1.mean_r == 30.0 && f1.mean_g == 200.0 && f1.mean_b == 90.0)
+    // solid color ⇒ every luma grid cell is the same BT.601 luma
+    val expectedLuma = ((77 * 30 + 150 * 200 + 29 * 90) >> 8).toFloat
+    assert(f1.luma_grid.length == JdkMedia.GridDim * JdkMedia.GridDim)
+    assert(f1.luma_grid.forall(_ == expectedLuma))
+    assert(!out(2L).ok && !out(3L).ok, "corrupt/null must fail soft, not kill the task")
+
+    // JPEG through the same chain: lossy, so means land NEAR the fill
+    val jimg = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach(x => jimg.setRGB(x, y, (100 << 16) | (150 << 8) | 50)))
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val jf = JdkMedia.decodeImage(9L, jbos.toByteArray)
+    assert(jf.ok && jf.width == 16 && jf.height == 16)
+    assert(math.abs(jf.mean_r - 100) < 12 && math.abs(jf.mean_g - 150) < 12 &&
+      math.abs(jf.mean_b - 50) < 12, s"jpeg means drifted: $jf")
+  }
+
+  test("REAL image resize: bilinear downscale to maxDim, verified by re-decoding the emitted PNG") {
+    import graft.multimodal.JdkMedia
+    val rows = Seq(
+      MediaRow(1L, JdkMedia.solidPng(100, 40, 10, 20, 30), MediaMeta("png", 100, 40, 0L)),
+      MediaRow(2L, JdkMedia.solidPng(8, 6, 1, 2, 3), MediaMeta("png", 8, 6, 0L)), // within bounds
+      MediaRow(3L, Array.fill[Byte](32)(5), MediaMeta("png", 9, 9, 0L))).toDS() // undecodable
+    val out = JdkMedia.resizeImages(rows, maxDim = 25).collect().map(r => r.media_id -> r).toMap
+    val resized = JdkMedia.decodeImage(1L, out(1L).content)
+    assert(resized.ok && resized.width == 25 && resized.height == 10)
+    assert(out(1L).meta.width == 25 && out(1L).meta.height == 10)
+    // solid color survives bilinear resampling exactly
+    assert(resized.mean_r == 10.0 && resized.mean_g == 20.0 && resized.mean_b == 30.0)
+    // small image passes through byte-identical; undecodable passes through
+    assert(out(2L).content.toSeq == JdkMedia.solidPng(8, 6, 1, 2, 3).toSeq)
+    assert(out(3L).content.length == 32 && out(3L).meta.width == 9)
+  }
+
+  test("REAL audio codec: JDK WAV decode recovers rate/frames/duration and exact RMS; corrupt fails soft") {
+    import graft.multimodal.JdkMedia
+    val wav = JdkMedia.constWav(sampleRate = 8000, nFrames = 4000, amplitude = 16384)
+    val rows = Seq(
+      MediaRow(1L, wav, MediaMeta("wav", 0, 0, 500L)),
+      MediaRow(2L, Array.fill[Byte](100)(42), MediaMeta("wav", 0, 0, 0L))).toDS()
+    val out = JdkMedia.decodeAudios(rows).collect().map(f => f.media_id -> f).toMap
+    val a = out(1L)
+    assert(a.ok && a.sample_rate == 8000 && a.channels == 1 && a.n_frames == 4000)
+    assert(a.duration_ms == 500L)
+    assert(a.rms == 16384.0 / 32768.0, s"constant-amplitude RMS must be exact: ${a.rms}")
+    assert(!out(2L).ok)
+  }
+
   test("sweepOrphanPacks deletes losing-attempt files, preserves referenced packs byte-exact") {
     val dir = java.nio.file.Files.createTempDirectory("packs_sweep").toString
     val ptrTable = s"$dir/pointers"
