@@ -593,7 +593,15 @@ object Dedup {
     val idCol = ids.columns.head
     val pts = ids.select(sigPartition(col(idCol), sigPartitions).as("pt"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(sigTablePath)
+    val table = spark.read.parquet(sigTablePath)
+    // a FLAT table reached with sigPartitions > 0 means the caller's
+    // config and the table's layout disagree — name the repair instead of
+    // surfacing an unresolved-column error from the filter below
+    require(table.columns.contains(SigPartitionCol),
+      s"$sigTablePath has no $SigPartitionCol partition column (it was written " +
+        "flat) but the caller expects a hash-partitioned layout — re-write it " +
+        "with writeSignatures(sigPartitions = P) or run with sigPartitions = 0")
+    table
       .where(col(SigPartitionCol).isin(pts: _*))
       .select(col("id"), col("sig"))
   }

@@ -173,18 +173,21 @@ object StreamingGate {
       .map(w => java.time.Instant.parse(w).toEpochMilli)
     val closed = wmMillis.toSeq.flatMap(EventRouter.closeDays(spark, base, types, _))
 
-    // the listener bus is async — wait for it to have absorbed the final
-    // progress before reading its snapshot
+    val trueMaxTs = graft.sources.Tables.load(spark, sfDir, "events")
+      .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
+    // the listener bus is async AND delivers per-batch: wait until the
+    // FINAL batch's progress (the one lastProgress describes — its
+    // watermark) has been absorbed, not merely any progress with a max
+    // event time, or the witness below races the bus
     val lagEntry = {
       val deadline = System.currentTimeMillis() + 30000
       def e = lag.snapshot.get(query.id)
       while (System.currentTimeMillis() < deadline &&
-        !e.exists(_.maxEventTimeMs.nonEmpty)) Thread.sleep(50)
+        !e.exists(s => s.maxEventTimeMs.contains(trueMaxTs) &&
+          s.watermarkMs == wmMillis)) Thread.sleep(50)
       spark.streams.removeListener(lag)
       e
     }
-    val trueMaxTs = graft.sources.Tables.load(spark, sfDir, "events")
-      .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
     val lagListenerOk = lagEntry.exists { e =>
       // footer-latest_timestamp analog == the true newest routed event time;
       // watermark bookkeeping == the engine's own lastProgress; lag is
