@@ -1617,6 +1617,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- Multimodal: the REAL audio codec chain (javax.sound.sampled),
+    //      same gating idea as q_image_decode — constant-amplitude PCM
+    //      WAVs from doc_id arithmetic, decoded back partition-parallel;
+    //      round(rms·32768) recovers the amplitude EXACTLY (constant
+    //      signal), frames/duration follow the arithmetic. ----
+    "q_audio_decode" -> ((s, dir) => {
+      import graft.multimodal.JdkMedia
+      JdkMedia.decodeAudios(JdkMedia.wavMediaFromDocs(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("ok"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          col("channels").cast(LongType).as("channels"),
+          col("n_frames"), col("duration_ms"),
+          round(col("rms") * 32768d).cast(LongType).as("amp_rec"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- S2 capstone: EVERY typed body codec wire-gated in one row.
     //      500 rows × the 13 event types no other gate query decodes
     //      (PATH, STATE, APPLICATION, CONTAINER, SPARK stage/executor-
@@ -2384,6 +2401,17 @@ object SparkEntry {
         |  doc_id % 251 AS r,
         |  (doc_id * 7) % 251 AS g,
         |  (doc_id * 31) % 251 AS b
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // constant-amplitude PCM: duration = frames/8 ms at 8 kHz (integer —
+    // frames*0.125 is exact in binary, so the engines agree), amplitude
+    // recovered exactly from the RMS of a constant signal
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id, TRUE AS ok,
+        |  8000 AS sample_rate, 1 AS channels,
+        |  (doc_id % 400) + 100 AS n_frames,
+        |  ((doc_id % 400) + 100) // 8 AS duration_ms,
+        |  (doc_id * 37) % 32768 AS amp_rec
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // every remaining typed body codec replayed from eid arithmetic; the

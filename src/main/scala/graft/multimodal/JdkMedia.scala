@@ -248,4 +248,20 @@ object JdkMedia {
         Multimodal.MediaMeta("png", w, h, 0L))
     }
   }
+
+  /** Deterministic REAL-WAV media table from the documents table, the
+    * audio analog of [[pngMediaFromDocs]]: constant-amplitude PCM ⇒ the
+    * decoded RMS is exactly amplitude/32768 and frames/duration follow
+    * the id arithmetic — all recomputable by the oracle.
+    */
+  def wavMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val frames = (id % 400).toInt + 100
+      val amp = ((id * 37) % 32768).toInt.toShort
+      Multimodal.MediaRow(id, constWav(8000, frames, amp),
+        Multimodal.MediaMeta("wav", 0, 0, frames * 1000L / 8000L))
+    }
+  }
 }

@@ -102,6 +102,29 @@ class MultimodalSpec extends SparkSpecBase {
       math.abs(jf.mean_b - 50) < 12, s"jpeg means drifted: $jf")
   }
 
+  test("REAL image codec: BMP and GIF containers decode through the same chain (JDK-native formats)") {
+    import graft.multimodal.JdkMedia
+    def encodeAs(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK must ship a $fmt writer")
+      bos.toByteArray
+    }
+    // BMP is raw RGB (lossless); GIF palettizes, but a single-color image
+    // fits any palette exactly — both must round-trip the fill precisely
+    val rows = Seq(
+      MediaRow(1L, encodeAs("bmp", 12, 5, (60 << 16) | (70 << 8) | 80), MediaMeta("bmp", 12, 5, 0L)),
+      MediaRow(2L, encodeAs("gif", 6, 9, (200 << 16) | (10 << 8) | 120), MediaMeta("gif", 6, 9, 0L))).toDS()
+    val out = JdkMedia.decodeImages(rows).collect().map(f => f.media_id -> f).toMap
+    val bmp = out(1L)
+    assert(bmp.ok && bmp.width == 12 && bmp.height == 5)
+    assert(bmp.mean_r == 60.0 && bmp.mean_g == 70.0 && bmp.mean_b == 80.0)
+    val gif = out(2L)
+    assert(gif.ok && gif.width == 6 && gif.height == 9)
+    assert(gif.mean_r == 200.0 && gif.mean_g == 10.0 && gif.mean_b == 120.0)
+  }
+
   test("REAL image resize: bilinear downscale to maxDim, verified by re-decoding the emitted PNG") {
     import graft.multimodal.JdkMedia
     val rows = Seq(
