@@ -102,6 +102,43 @@ class DedupMaintenanceSpec extends SparkSpecBase {
     fs.delete(new org.apache.hadoop.fs.Path(s"$sigTable/.maint_lock"), false)
   }
 
+  test("Maintenance.parallelSweep: ordered results, first failure surfaces AFTER the pool drains, empty input no-ops") {
+    import graft.operators.Maintenance
+    assert(Maintenance.parallelSweep(Seq.empty[Int], "noop")(identity) == Seq.empty)
+    assert(Maintenance.parallelSweep(Seq(3, 1, 2), "order", parallelism = 2)(_ * 10)
+      == Seq(30, 10, 20), "results must come back in input order")
+    // a failing item propagates its exception, and the helper INTERRUPTS
+    // and DRAINS the pool before rethrowing (the caller's next move is
+    // recovery, whose contract is "no maintainer live") — the sibling
+    // task must have EXITED, one way or the other, by the time the
+    // exception reaches us
+    val exited = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[java.io.IOException] {
+      Maintenance.parallelSweep(Seq("boom", "slow"), "fail", parallelism = 2) {
+        case "boom" => throw new java.io.IOException("disk gone")
+        case s =>
+          try Thread.sleep(5000)
+          catch { case _: InterruptedException => () }
+          finally exited.incrementAndGet()
+          s
+      }
+    }
+    assert(e.getMessage == "disk gone")
+    assert(exited.get() == 1,
+      "the sibling task must have exited (drained) before the failure surfaced")
+    // timeout path: the sweep gives up, interrupts, and still drains
+    val interrupted = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[java.util.concurrent.TimeoutException] {
+      Maintenance.parallelSweep(Seq(1), "timeout", parallelism = 1,
+        timeout = scala.concurrent.duration.Duration(200, "ms")) { _ =>
+        try Thread.sleep(30000)
+        catch { case _: InterruptedException => interrupted.incrementAndGet() }
+        0
+      }
+    }
+    assert(interrupted.get() == 1, "timed-out work must be interrupted, not abandoned")
+  }
+
   test("recoverTableMaintenance restores originals of an interrupted swap") {
     val dir = work("recover_")
     val table = s"$dir/t"
