@@ -74,16 +74,22 @@ object JdkMedia {
     var sr = 0.0; var sg = 0.0; var sb = 0.0
     val grid = Array.fill(GridDim * GridDim)(0.0)
     val cnt = Array.fill(GridDim * GridDim)(0L)
+    // bulk row grabs: per-pixel getRGB pays a color-model dispatch per
+    // call — a row buffer amortizes it (~an order of magnitude on real
+    // photos) while bounding memory at one row regardless of image size
+    val row = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val rowCell = (y * GridDim / h) * GridDim
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
         sr += r; sg += g; sb += b
         // ITU-R BT.601 integer luma, the classic (77r + 150g + 29b) >> 8
         val luma = (77 * r + 150 * g + 29 * b) >> 8
-        val cell = (y * GridDim / h) * GridDim + (x * GridDim / w)
+        val cell = rowCell + (x * GridDim / w)
         grid(cell) += luma
         cnt(cell) += 1
         x += 1

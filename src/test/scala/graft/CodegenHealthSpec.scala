@@ -111,7 +111,7 @@ class CodegenHealthSpec extends SparkSpecBase {
   test("custom-expression query families run with zero codegen fallbacks") {
     // one gate query per custom-expression family (WordShingles/MinHashAgg/
     // SigBandHashes, SimHashAgg/PortableTokenHash64, HyperplaneSig,
-    // VecDot/VecL2Norm, CentroidProbes) at sf0.001 — any compile failure in
+    // VecDot/VecL2Norm/VecCosine, CentroidProbes) at sf0.001 — any compile failure in
     // any plan shape these reach surfaces here instead of as silent
     // interpreted-path throughput loss
     val families = Seq("q_minhash_pairs", "q_simhash_pairs", "q_embed_neardup",
