@@ -142,6 +142,28 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(3L).content.length == 32 && out(3L).meta.width == 9)
   }
 
+  test("codec fuzz: random bytes, truncated containers and header-only prefixes never throw — only ok=false") {
+    import graft.multimodal.JdkMedia
+    val rnd = new scala.util.Random(42)
+    val png = JdkMedia.solidPng(30, 20, 1, 2, 3)
+    val wav = JdkMedia.constWav(8000, 500, 1000)
+    val blobs: Seq[Array[Byte]] =
+      (0 until 150).map(_ => Array.fill(rnd.nextInt(400))(rnd.nextInt().toByte)) ++
+        // truncations of REAL containers (magic bytes intact, payload cut):
+        // the adversarial case ImageIO/AudioSystem throw on internally
+        (1 until 20).map(i => png.take(png.length * i / 20)) ++
+        (1 until 20).map(i => wav.take(wav.length * i / 20)) :+
+        Array.emptyByteArray :+ null
+    blobs.zipWithIndex.foreach { case (b, i) =>
+      val img = JdkMedia.decodeImage(i.toLong, b) // must not throw
+      assert(img.ok || img.width == 0, s"blob $i: failed decode must zero out")
+      JdkMedia.decodeAudio(i.toLong, b) // must not throw
+      JdkMedia.resizeImage(b, 16) // must not throw
+    }
+    // the full-container inputs at 100% truncation (i.e. intact) decode fine
+    assert(JdkMedia.decodeImage(0L, png).ok && JdkMedia.decodeAudio(0L, wav).ok)
+  }
+
   test("REAL audio codec: JDK WAV decode recovers rate/frames/duration and exact RMS; corrupt fails soft") {
     import graft.multimodal.JdkMedia
     val wav = JdkMedia.constWav(sampleRate = 8000, nFrames = 4000, amplitude = 16384)
