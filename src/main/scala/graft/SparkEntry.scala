@@ -1617,6 +1617,24 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- Multimodal: cross-format image near-dup over DECODED content
+    //      (aHash bucket + mean/centered-cosine verify). The solid-PNG
+    //      fixture collapses the decision to pure arithmetic: every image
+    //      is uniform, so all share aHash bucket 0 and a pair is emitted
+    //      iff the BT.601 luma gap ≤ 4 — which DuckDB recomputes from
+    //      doc_id alone. A decode drift, a wrong luma formula, a broken
+    //      bucket join or a lost mean test all break the hash. Bounded to
+    //      300 docs: the fixture is deliberately one big bucket (45k
+    //      candidate pairs), the adversarial shape for the verify. ----
+    "q_image_neardup" -> ((s, dir) => {
+      import graft.multimodal.JdkMedia
+      JdkMedia.imageNearDups(
+          JdkMedia.pngMediaFromDocs(t(s, dir, "documents").where(col("doc_id") < 300)))
+        .select(col("id_a"), col("id_b"),
+          round(col("mean_gap")).cast(LongType).as("mean_gap"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- Multimodal: the REAL audio codec chain (javax.sound.sampled),
     //      same gating idea as q_image_decode — constant-amplitude PCM
     //      WAVs from doc_id arithmetic, decoded back partition-parallel;
@@ -2402,6 +2420,20 @@ object SparkEntry {
         |  (doc_id * 7) % 251 AS g,
         |  (doc_id * 31) % 251 AS b
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // uniform images pair iff |Δ BT.601 luma| ≤ 4; luma = (77r+150g+29b)>>8
+    // over the doc_id color arithmetic (non-negative, so >>8 is // 256)
+    "q_image_neardup" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    (77 * (doc_id % 251) + 150 * ((doc_id * 7) % 251)
+        |     + 29 * ((doc_id * 31) % 251)) // 256 AS luma
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  abs(a.luma - b.luma) AS mean_gap
+        |FROM l a JOIN l b ON a.doc_id < b.doc_id
+        |WHERE abs(a.luma - b.luma) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // constant-amplitude PCM: duration = frames/8 ms at 8 kHz (integer —
     // frames*0.125 is exact in binary, so the engines agree), amplitude

@@ -71,7 +71,7 @@ object JdkMedia {
     if (img == null) return failedImage(id) // unsupported format reads as null
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0) return failedImage(id)
-    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
     val grid = Array.fill(GridDim * GridDim)(0.0)
     val cnt = Array.fill(GridDim * GridDim)(0L)
     // bulk row grabs: per-pixel getRGB pays a color-model dispatch per
@@ -89,6 +89,7 @@ object JdkMedia {
         sr += r; sg += g; sb += b
         // ITU-R BT.601 integer luma, the classic (77r + 150g + 29b) >> 8
         val luma = (77 * r + 150 * g + 29 * b) >> 8
+        sl += luma
         val cell = rowCell + (x * GridDim / w)
         grid(cell) += luma
         cnt(cell) += 1
@@ -97,9 +98,15 @@ object JdkMedia {
       y += 1
     }
     val n = w.toLong * h
+    // an image smaller than the grid leaves cells with no pixels: backfill
+    // them with the image's OVERALL mean luma, not 0 — a 0 would make the
+    // feature depend on the image's SHAPE (which cells happen to be empty)
+    // and break the uniform-image invariant (uniform ⇒ uniform grid) that
+    // the near-dup verify and the oracle gate rely on
+    val meanLuma = sl / n
     ImageFeatures(id, ok = true, w, h, sr / n, sg / n, sb / n,
       Array.tabulate(GridDim * GridDim)(i =>
-        if (cnt(i) == 0) 0.0f else (grid(i) / cnt(i)).toFloat))
+        if (cnt(i) == 0) meanLuma.toFloat else (grid(i) / cnt(i)).toFloat))
   }
 
   /** Real image resize: bilinear `Graphics2D` scale to fit `maxDim`,
@@ -198,6 +205,69 @@ object JdkMedia {
   def decodeAudios(media: Dataset[Multimodal.MediaRow]): Dataset[AudioFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r => decodeAudio(r.media_id, r.content)))
+  }
+
+  /** Cross-format image near-duplicates — what byte-hash dedup cannot
+    * see: a PNG and a BMP (or a bilinear-resized copy) of the same
+    * picture decode to near-identical luma grids regardless of container
+    * bytes. The classic average-hash scheme over the decoded grid:
+    *
+    *  - '''candidates''': bucket on the aHash (bit i = cell i's luma >
+    *    the image's mean luma — robust to re-encode brightness wobble
+    *    because the threshold moves with the image), pairs only within a
+    *    bucket, buckets capped ([[graft.operators.Dedup.capBuckets]])
+    *    like every bucketed self-join in the engine;
+    *  - '''verify''': mean-luma gap ≤ `meanTol` AND cosine of the
+    *    MEAN-CENTERED grids ≥ `threshold`. Cosine on raw grids would be
+    *    scale-invariant garbage here (any two uniform images — any
+    *    brightness — score 1.0); centering kills that, and the uniform×
+    *    uniform case (centered norm 0 on both sides, cosine undefined)
+    *    is accepted on the mean test alone, which is exactly the right
+    *    semantic for blank-ish frames.
+    *
+    * Failed decodes are excluded (no content to compare). The 16-cell
+    * grid is a coarse signature: right for exact/near-exact duplicate
+    * sweeps (re-encodes, resizes), not semantic similarity. Scale shape:
+    * one decode pass, hash-bucketed id-only candidates, capped buckets,
+    * 17-double verify rows — no all-pairs stage anywhere. Returns
+    * (id_a, id_b, mean_gap, centered_cosine).
+    */
+  def imageNearDups(media: Dataset[Multimodal.MediaRow],
+                    threshold: Double = 0.98,
+                    meanTol: Double = 4.0,
+                    maxBucket: Int = 100000): DataFrame = {
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val feats = decodeImages(media)
+      .filter(_.ok)
+      .map { f =>
+        val mean = f.luma_grid.map(_.toDouble).sum / f.luma_grid.length
+        val centered = f.luma_grid.map(_ - mean)
+        var ah = 0L
+        var i = 0
+        while (i < f.luma_grid.length) {
+          if (f.luma_grid(i) > mean) ah |= 1L << i
+          i += 1
+        }
+        val norm0 = centered.forall(_ == 0.0f)
+        (f.media_id, ah, mean, centered.toSeq, norm0)
+      }
+      .toDF("id", "ahash", "mean", "centered", "norm0")
+    val bounded = graft.operators.Dedup.capBuckets(feats, Seq("ahash"), maxBucket)
+    val a = bounded.select(col("ahash"), col("id").as("id_a"), col("mean").as("mean_a"),
+      col("centered").as("c_a"), col("norm0").as("z_a"))
+    val b = bounded.select(col("ahash"), col("id").as("id_b"), col("mean").as("mean_b"),
+      col("centered").as("c_b"), col("norm0").as("z_b"))
+    a.join(b, Seq("ahash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        abs(col("mean_a") - col("mean_b")).as("mean_gap"),
+        graft.functions.Functions.cosine(col("c_a"), col("c_b")).as("centered_cosine"),
+        (col("z_a") && col("z_b")).as("_both_uniform"))
+      .where(col("mean_gap") <= meanTol &&
+        (col("centered_cosine") >= threshold || col("_both_uniform")))
+      .drop("_both_uniform")
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ------------------------------------------------- fixture generators

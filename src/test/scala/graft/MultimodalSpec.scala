@@ -142,6 +142,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(3L).content.length == 32 && out(3L).meta.width == 9)
   }
 
+  test("imageNearDups: cross-format and resized copies pair; different content and brightness-shifted uniforms don't") {
+    import graft.multimodal.JdkMedia
+    def pattern(w: Int, h: Int, leftWhite: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val white = if (leftWhite) x < w / 2 else x >= w / 2
+        img.setRGB(x, y, if (white) 0xFFFFFF else 0x000000)
+      })
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val halfL = pattern(64, 64, leftWhite = true)
+    val rows = Seq(
+      MediaRow(1L, enc(halfL, "png"), MediaMeta("png", 64, 64, 0L)),
+      MediaRow(2L, enc(halfL, "bmp"), MediaMeta("bmp", 64, 64, 0L)), // same pixels, other container
+      MediaRow(3L, JdkMedia.resizeImage(enc(halfL, "png"), 32).get._1, MediaMeta("png", 32, 32, 0L)),
+      MediaRow(4L, enc(pattern(64, 64, leftWhite = false), "png"), MediaMeta("png", 64, 64, 0L)), // mirrored content
+      MediaRow(5L, JdkMedia.solidPng(10, 10, 100, 100, 100), MediaMeta("png", 10, 10, 0L)), // uniform gray
+      MediaRow(6L, JdkMedia.solidPng(12, 8, 100, 100, 100), MediaMeta("png", 12, 8, 0L)),   // same gray, other dims
+      MediaRow(7L, JdkMedia.solidPng(10, 10, 180, 180, 180), MediaMeta("png", 10, 10, 0L)), // brighter uniform
+      MediaRow(8L, Array.fill[Byte](40)(9), MediaMeta("png", 1, 1, 0L))).toDS() // undecodable
+    val pairs = JdkMedia.imageNearDups(rows)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the three encodings/sizes of the same picture form one clique
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"cross-format/resize dups not found: $pairs")
+    // same-color uniforms pair (the both-uniform acceptance path)
+    assert(pairs.contains((5L, 6L)))
+    // mirrored content: same mean, opposite aHash — must NOT pair
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // brightness-shifted uniform shares the aHash-0 bucket but fails the
+    // mean test — cosine alone would have called it a duplicate
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L))
+    assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L), "undecodable rows must not pair")
+  }
+
   test("codec fuzz: random bytes, truncated containers and header-only prefixes never throw — only ok=false") {
     import graft.multimodal.JdkMedia
     val rnd = new scala.util.Random(42)
