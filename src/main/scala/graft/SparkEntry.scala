@@ -1617,6 +1617,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- Multimodal: MULTI-FRAME decode (animated GIF — the JDK's one
+    //      multi-frame codec). Spark encodes a 1-3-frame solid-color GIF
+    //      per doc (frame count, dims and per-frame colors by modular
+    //      arithmetic), then walks every frame back out through the
+    //      ImageReader sequence path; solid frames survive the GIF
+    //      palette exactly, so DuckDB recomputes each frame's means from
+    //      the arithmetic. A frame-enumeration bug (frame-0-only, frame
+    //      order, off-by-one count) breaks the hash. ----
+    "q_gif_frames" -> ((s, dir) => {
+      import graft.multimodal.JdkMedia
+      JdkMedia.decodeFrames(JdkMedia.gifMediaFromDocs(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("frame").cast(LongType).as("frame"), col("ok"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          round(col("mean_r")).cast(LongType).as("r"),
+          round(col("mean_g")).cast(LongType).as("g"),
+          round(col("mean_b")).cast(LongType).as("b"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
+
     // ---- Multimodal: cross-format image near-dup over DECODED content
     //      (aHash bucket + mean/centered-cosine verify). The solid-PNG
     //      fixture collapses the decision to pure arithmetic: every image
@@ -2420,6 +2441,23 @@ object SparkEntry {
         |  (doc_id * 7) % 251 AS g,
         |  (doc_id * 31) % 251 AS b
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // every animation frame's expected features from the generating
+    // arithmetic: frame count = (id % 3) + 1, per-frame solid colors
+    // follow the (id, frame) congruences — GIF palettes hold solid
+    // colors exactly, so the decode is lossless
+    "q_gif_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range((doc_id % 3) + 1)) AS frame
+        |  FROM documents)
+        |SELECT media_id, CAST(frame AS BIGINT) AS frame, TRUE AS ok,
+        |  (media_id % 11) + 2 AS width,
+        |  (media_id % 5) + 2 AS height,
+        |  (media_id + 17 * frame) % 251 AS r,
+        |  (media_id * 7 + 29 * frame) % 251 AS g,
+        |  (media_id * 31 + 41 * frame) % 251 AS b
+        |FROM f ORDER BY media_id, frame""".stripMargin,
 
     // uniform images pair iff |Δ BT.601 luma| ≤ 4; luma = (77r+150g+29b)>>8
     // over the doc_id color arithmetic (non-negative, so >>8 is // 256)

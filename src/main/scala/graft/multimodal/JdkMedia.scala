@@ -3,7 +3,7 @@ package graft.multimodal
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 
 /** REAL media codecs over the JDK's own decoders — no external libraries:
   * `javax.imageio` ships PNG/JPEG/BMP/GIF/WBMP codecs and
@@ -43,6 +43,21 @@ object JdkMedia {
       mean_b: Double,
       luma_grid: Array[Float])
 
+  /** One decoded FRAME of a multi-frame container (animated GIF — the one
+    * multi-frame format the JDK ships a decoder for): [[ImageFeatures]]
+    * plus the frame index. Single-frame formats yield exactly one row.
+    */
+  final case class FrameFeatures(
+      media_id: Long,
+      frame: Int,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      luma_grid: Array[Float])
+
   /** Decoded audio row (PCM containers the JDK parses — WAV/AIFF/AU):
     * format facts + RMS amplitude, the audio analog of the image means.
     */
@@ -69,6 +84,14 @@ object JdkMedia {
       try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null } // truncated/poisoned container
     if (img == null) return failedImage(id) // unsupported format reads as null
+    featuresOf(id, img)
+  }
+
+  /** The pixel loop over an already-decoded frame — shared by the whole-
+    * image path and the per-frame GIF path so a frame's features and an
+    * image's features are bit-identical for identical pixels.
+    */
+  private def featuresOf(id: Long, img: BufferedImage): ImageFeatures = {
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0) return failedImage(id)
     var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
@@ -137,6 +160,49 @@ object JdkMedia {
     Some((bos.toByteArray, nw, nh))
   }
 
+  /** Decode EVERY frame of an image container — the real multi-frame path
+    * `ImageIO.read`'s frame-0-only convenience hides: an `ImageReader`
+    * enumerates frames via `getNumImages(true)` / `read(i)`, which for an
+    * animated GIF yields one [[FrameFeatures]] row per animation frame
+    * (the JDK's only multi-frame decoder; PNG/JPEG/BMP come back as one
+    * frame through the same code path). Frames are the STORED rasters:
+    * a delta-encoded GIF frame reflects its own pixels, not the composed
+    * screen — full-frame animations (the normal training-data case) are
+    * exact. Total like every decoder here: corrupt bytes → one
+    * `ok = false` row, a frame that fails mid-sequence → that frame
+    * flagged, the rest decoded.
+    */
+  def decodeImageFrames(id: Long, bytes: Array[Byte]): Seq[FrameFeatures] = {
+    def failedFrame(i: Int) = FrameFeatures(id, i, ok = false, 0, 0, 0.0, 0.0, 0.0,
+      Array.fill(GridDim * GridDim)(0.0f))
+    if (bytes == null || bytes.isEmpty) return Seq(failedFrame(0))
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (iis == null) return Seq(failedFrame(0))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq(failedFrame(0))
+      val reader = readers.next()
+      try {
+        // seekForwardOnly = false: getNumImages(true) walks the whole
+        // container to count frames, which needs backward seeks
+        reader.setInput(iis, false, true)
+        val n = try reader.getNumImages(true) catch { case _: Exception => -1 }
+        if (n <= 0) return Seq(failedFrame(0))
+        (0 until n).map { i =>
+          val img = try reader.read(i) catch { case _: Exception => null }
+          if (img == null) failedFrame(i)
+          else {
+            val f = featuresOf(id, img)
+            FrameFeatures(id, i, f.ok, f.width, f.height,
+              f.mean_r, f.mean_g, f.mean_b, f.luma_grid)
+          }
+        }
+      } finally reader.dispose()
+    } finally { try iis.close() catch { case _: Exception => () } }
+  }
+
   /** Decode one PCM audio container (WAV/AIFF/AU). RMS over all channels
     * in frame order, 16/8-bit PCM both handled; compressed payloads the
     * JDK cannot parse come back ok = false.
@@ -185,17 +251,24 @@ object JdkMedia {
   }
 
   /** Partition-parallel REAL resize: decodable images are resampled (and
-    * their meta corrected to the REAL decoded dimensions); undecodable
-    * blobs pass through untouched with their claimed meta — resize is a
-    * best-effort normalization stage, not a validator (pair it with
-    * [[decodeImages]]' ok flag to quarantine corrupt rows).
+    * their meta corrected to the REAL decoded dimensions AND the re-encoded
+    * container format — the resampled bytes are always PNG, whatever came
+    * in, and a meta column claiming "jpg" over PNG bytes would lie to any
+    * consumer that trusts it); undecodable blobs pass through untouched
+    * with their claimed meta — resize is a best-effort normalization
+    * stage, not a validator (pair it with [[decodeImages]]' ok flag to
+    * quarantine corrupt rows).
     */
   def resizeImages(media: Dataset[Multimodal.MediaRow], maxDim: Int): Dataset[Multimodal.MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
       resizeImage(r.content, maxDim) match {
         case Some((nb, nw, nh)) =>
-          Multimodal.MediaRow(r.media_id, nb, r.meta.copy(width = nw, height = nh))
+          // reference identity distinguishes the pass-through (original
+          // bytes, original format kept) from the re-encode (always PNG)
+          val fmt = if (nb eq r.content) r.meta.format else "png"
+          Multimodal.MediaRow(r.media_id, nb,
+            r.meta.copy(format = fmt, width = nw, height = nh))
         case None => r
       }
     }
@@ -207,16 +280,41 @@ object JdkMedia {
     media.mapPartitions(_.map(r => decodeAudio(r.media_id, r.content)))
   }
 
+  /** Partition-parallel multi-frame decode with stride sampling: frames
+    * with index ≡ 0 (mod `frameStride`) survive — the REAL seat of the
+    * [[Multimodal.sampleFrames]] plumbing for the one multi-frame format
+    * the JDK decodes (animated GIF). Sampling drops ROWS, not decode work:
+    * GIF frames are delta-chained, so the reader walks every frame
+    * regardless — the win is downstream (feature rows shipped, shuffled,
+    * stored), which is where frame sampling pays at scale anyway.
+    */
+  def decodeFrames(media: Dataset[Multimodal.MediaRow],
+                   frameStride: Int = 1): Dataset[FrameFeatures] = {
+    require(frameStride >= 1, s"frameStride must be >= 1 (got $frameStride)")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      decodeImageFrames(r.media_id, r.content)
+        .filter(f => f.frame % frameStride == 0)))
+  }
+
   /** Cross-format image near-duplicates — what byte-hash dedup cannot
     * see: a PNG and a BMP (or a bilinear-resized copy) of the same
     * picture decode to near-identical luma grids regardless of container
     * bytes. The classic average-hash scheme over the decoded grid:
     *
-    *  - '''candidates''': bucket on the aHash (bit i = cell i's luma >
-    *    the image's mean luma — robust to re-encode brightness wobble
-    *    because the threshold moves with the image), pairs only within a
-    *    bucket, buckets capped ([[graft.operators.Dedup.capBuckets]])
-    *    like every bucketed self-join in the engine;
+    *  - '''candidates''': the 16-bit aHash (bit i = cell i's luma > the
+    *    image's mean luma — robust to re-encode brightness wobble because
+    *    the threshold moves with the image), banded Manku-style into 4
+    *    4-bit bands: two hashes within Hamming distance ≤ `maxHamming`
+    *    differ in at most `maxHamming` bands, so they agree on some
+    *    (4 − maxHamming)-band subset — pigeonhole-exact recall, the same
+    *    block trick as [[graft.operators.Dedup.simHashPairsWide]]. Exact
+    *    bucket equality (the pre-banding scheme) missed any re-encode
+    *    whose luma wobble flipped even ONE grid bit — a cell near the
+    *    image mean, common in JPEG round-trips of real photos. Pairs form
+    *    only within a (subset, key) bucket, buckets capped
+    *    ([[graft.operators.Dedup.capBuckets]]) like every bucketed
+    *    self-join in the engine;
     *  - '''verify''': mean-luma gap ≤ `meanTol` AND cosine of the
     *    MEAN-CENTERED grids ≥ `threshold`. Cosine on raw grids would be
     *    scale-invariant garbage here (any two uniform images — any
@@ -235,9 +333,13 @@ object JdkMedia {
   def imageNearDups(media: Dataset[Multimodal.MediaRow],
                     threshold: Double = 0.98,
                     meanTol: Double = 4.0,
-                    maxBucket: Int = 100000): DataFrame = {
+                    maxBucket: Int = 100000,
+                    maxHamming: Int = 1): DataFrame = {
     import media.sparkSession.implicits._
     import org.apache.spark.sql.functions._
+    val bands = 4 // 4-bit bands over the 16-bit aHash
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"aHash banding tolerates 0 <= maxHamming < $bands bit flips (got $maxHamming)")
     val feats = decodeImages(media)
       .filter(_.ok)
       .map { f =>
@@ -253,12 +355,28 @@ object JdkMedia {
         (f.media_id, ah, mean, centered.toSeq, norm0)
       }
       .toDF("id", "ahash", "mean", "centered", "norm0")
-    val bounded = graft.operators.Dedup.capBuckets(feats, Seq("ahash"), maxBucket)
-    val a = bounded.select(col("ahash"), col("id").as("id_a"), col("mean").as("mean_a"),
+    // band-subset keys: a Hamming <= maxHamming pair agrees on >= (bands -
+    // maxHamming) bands, hence on at least one enumerated subset — packed
+    // subset values keep the key as wide as the tolerance allows (12 bits
+    // at the default maxHamming = 1 vs 4 bits for single-band keys)
+    def bandVal(ah: Column, b: Int): Column =
+      call_function("shiftright", ah, lit(4 * b)).bitwiseAND(lit(0xFL))
+    val subsets = (0 until bands).combinations(bands - maxHamming).toSeq.zipWithIndex
+    val blocked = feats.select(col("id"), col("mean"), col("centered"), col("norm0"),
+      explode(array(subsets.map { case (ss, si) =>
+        struct(lit(si).as("t"),
+          ss.zipWithIndex.map { case (b, pos) =>
+            call_function("shiftleft", bandVal(col("ahash"), b), lit(4 * pos))
+          }.reduce(_.bitwiseOR(_)).as("bk"))
+      }: _*)).as("s"))
+      .select(col("id"), col("mean"), col("centered"), col("norm0"),
+        col("s.t").as("t"), col("s.bk").as("bk"))
+    val bounded = graft.operators.Dedup.capBuckets(blocked, Seq("t", "bk"), maxBucket)
+    val a = bounded.select(col("t"), col("bk"), col("id").as("id_a"), col("mean").as("mean_a"),
       col("centered").as("c_a"), col("norm0").as("z_a"))
-    val b = bounded.select(col("ahash"), col("id").as("id_b"), col("mean").as("mean_b"),
+    val b = bounded.select(col("t"), col("bk"), col("id").as("id_b"), col("mean").as("mean_b"),
       col("centered").as("c_b"), col("norm0").as("z_b"))
-    a.join(b, Seq("ahash"))
+    a.join(b, Seq("t", "bk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         abs(col("mean_a") - col("mean_b")).as("mean_gap"),
@@ -285,6 +403,37 @@ object JdkMedia {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** An animated GIF from full frames via the JDK's own sequence writer
+    * (`ImageWriter.writeToSequence` — the GIF writer is the one JDK codec
+    * that supports it). Solid-color frames survive GIF's palette exactly
+    * (a one-color image fits any palette), so multi-frame fixtures stay
+    * oracle-recomputable.
+    */
+  def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "animatedGif needs >= 1 frame")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** [[animatedGif]] over solid-color frames — (w, h, per-frame rgb). */
+  def solidGif(w: Int, h: Int, colors: Seq[(Int, Int, Int)]): Array[Byte] =
+    animatedGif(colors.map { case (r, g, b) =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      img
+    })
 
   /** A mono 16-bit little-endian PCM WAV holding a constant amplitude —
     * RMS is exactly |amplitude|/32768, deterministic for the spec.
@@ -322,6 +471,28 @@ object JdkMedia {
       val b = (id * 31 % 251).toInt
       Multimodal.MediaRow(id, solidPng(w, h, r, g, b),
         Multimodal.MediaMeta("png", w, h, 0L))
+    }
+  }
+
+  /** Deterministic REAL animated-GIF media table from the documents table:
+    * id → frame count (1-3), dimensions and per-frame solid colors by
+    * modular arithmetic, so the oracle recomputes every decoded frame's
+    * (width, height, means) from the same arithmetic — gating the
+    * multi-frame encode → [[decodeFrames]] chain numerically end-to-end.
+    */
+  def gifMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 11).toInt + 2
+      val h = (id % 5).toInt + 2
+      val n = (id % 3).toInt + 1
+      val colors = (0 until n).map(f => (
+        ((id + 17L * f) % 251).toInt,
+        ((id * 7 + 29L * f) % 251).toInt,
+        ((id * 31 + 41L * f) % 251).toInt))
+      Multimodal.MediaRow(id, solidGif(w, h, colors),
+        Multimodal.MediaMeta("gif", w, h, n * 100L))
     }
   }
 

@@ -142,6 +142,77 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(3L).content.length == 32 && out(3L).meta.width == 9)
   }
 
+  test("resizeImages corrects meta.format to the re-encoded container (PNG), keeps it on pass-through") {
+    import graft.multimodal.JdkMedia
+    // a JPEG over maxDim gets re-encoded as PNG — the meta must say so
+    val jimg = new java.awt.image.BufferedImage(80, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 40).foreach(y => (0 until 80).foreach(x => jimg.setRGB(x, y, 0x406080)))
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbos)
+    val rows = Seq(
+      MediaRow(1L, jbos.toByteArray, MediaMeta("jpg", 80, 40, 0L)),
+      MediaRow(2L, jbos.toByteArray, MediaMeta("jpg", 80, 40, 0L))).toDS()
+    val out = JdkMedia.resizeImages(rows, maxDim = 25).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).meta.format == "png" && out(1L).meta.width == 25)
+    // bytes-sniff agrees with the stamped format: PNG magic
+    assert(out(1L).content.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    // within-bounds pass-through keeps the original bytes AND format
+    val small = JdkMedia.resizeImages(rows, maxDim = 100).collect().head
+    assert(small.meta.format == "jpg" && small.content.toSeq == jbos.toByteArray.toSeq)
+  }
+
+  test("imageNearDups banding: a one-bit aHash flip still pairs (Hamming-tolerant candidates); exact-equality would miss it") {
+    import graft.multimodal.JdkMedia
+    // 4x4 grayscale images, one pixel per luma-grid cell (gray v has BT.601
+    // luma exactly v). 8 cells at 200, 7 at 50, one tuned cell m: the cell
+    // bit is m > mean ⟺ m > 130, so m=126 vs m=134 flips EXACTLY one aHash
+    // bit while the contents stay near-identical (mean gap 0.5, centered
+    // cosine ~0.9997) — the JPEG-wobble scenario the banding exists for
+    def img(m: Int): Array[Byte] = {
+      val vals = Seq.fill(8)(200) ++ Seq.fill(7)(50) :+ m
+      val bi = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        bi.setRGB(i % 4, i / 4, (v << 16) | (v << 8) | v) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos); bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, img(126), MediaMeta("png", 4, 4, 0L)),
+      MediaRow(2L, img(134), MediaMeta("png", 4, 4, 0L))).toDS()
+    val banded = JdkMedia.imageNearDups(rows)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == Set((1L, 2L)), s"one-bit flip must survive banding: $banded")
+    // the pre-banding behavior (maxHamming = 0 ⇒ exact bucket equality)
+    // cannot see the pair — the recall gap this round closed
+    val exact = JdkMedia.imageNearDups(rows, maxHamming = 0)
+      .select("id_a", "id_b").collect()
+    assert(exact.isEmpty, "exact-hash bucketing should miss the flipped pair")
+  }
+
+  test("animated GIF: decodeImageFrames yields one exact feature row per frame; stride sampling; corrupt fails soft") {
+    import graft.multimodal.JdkMedia
+    val gif = JdkMedia.solidGif(5, 4, Seq((10, 20, 30), (200, 100, 50), (0, 255, 0)))
+    val frames = JdkMedia.decodeImageFrames(7L, gif)
+    assert(frames.length == 3, s"3-frame GIF must decode to 3 rows: ${frames.length}")
+    assert(frames.map(_.frame) == Seq(0, 1, 2))
+    assert(frames.forall(f => f.ok && f.width == 5 && f.height == 4))
+    // solid frames survive the GIF palette exactly
+    assert(frames(0).mean_r == 10.0 && frames(0).mean_g == 20.0 && frames(0).mean_b == 30.0)
+    assert(frames(1).mean_r == 200.0 && frames(1).mean_g == 100.0 && frames(1).mean_b == 50.0)
+    assert(frames(2).mean_r == 0.0 && frames(2).mean_g == 255.0 && frames(2).mean_b == 0.0)
+    // single-frame formats flow through the same path as one row
+    val png = JdkMedia.solidPng(6, 6, 1, 2, 3)
+    val one = JdkMedia.decodeImageFrames(8L, png)
+    assert(one.length == 1 && one.head.ok && one.head.mean_r == 1.0)
+    // corrupt → one ok=false row, never a throw
+    assert(JdkMedia.decodeImageFrames(9L, Array.fill[Byte](50)(3)).map(_.ok) == Seq(false))
+    assert(JdkMedia.decodeImageFrames(10L, null).map(_.ok) == Seq(false))
+    // the Spark stage: stride 2 keeps frames 0 and 2
+    val ds = Seq(MediaRow(1L, gif, MediaMeta("gif", 5, 4, 300L))).toDS()
+    val sampled = JdkMedia.decodeFrames(ds, frameStride = 2).collect()
+    assert(sampled.map(_.frame).sorted.toSeq == Seq(0, 2))
+  }
+
   test("imageNearDups: cross-format and resized copies pair; different content and brightness-shifted uniforms don't") {
     import graft.multimodal.JdkMedia
     def pattern(w: Int, h: Int, leftWhite: Boolean): java.awt.image.BufferedImage = {
