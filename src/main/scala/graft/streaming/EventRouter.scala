@@ -44,12 +44,18 @@ object EventRouter {
     *
     * @param types the event types to materialize (default: all known)
     * @param lateness watermark grace for the day-close markers
+    * @param monitorLag register the session's shared [[IngestLagListener]]
+    *   (ST11 — the reference's footer `latest_timestamp` analog is
+    *   always-on, so lag observability defaults ON; pass false only when
+    *   the caller runs its own listener wiring)
     */
   def routeTyped(raw: DataFrame, basePath: String, checkpoint: String,
                  types: Seq[String] = EventModel.typeMarkers.values.toSeq.sorted,
                  lateness: String = "26 hours",
-                 trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+                 trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                 monitorLag: Boolean = true)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
+    if (monitorLag) IngestLagListener.forSession(raw.sparkSession)
     FrameSource.decodeFramesFast(raw, acceptedTypes = types)
       .withWatermark("timestamp", lateness)
       .writeStream

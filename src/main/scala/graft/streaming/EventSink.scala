@@ -33,8 +33,12 @@ object EventSink {
     */
   def partitionedStreamWriter(events: DataFrame, path: String, checkpoint: String,
                               lateness: String = "26 hours",
-                              trigger: Trigger = Trigger.ProcessingTime("10 seconds"))
+                              trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                              monitorLag: Boolean = true)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // ST11 default-on: the session's shared lag listener rides every
+    // production sink (the reference's footer stamps are not opt-in either)
+    if (monitorLag) IngestLagListener.forSession(events.sparkSession)
     events
       .withWatermark("timestamp", lateness)
       .withColumn("day", to_date(date_trunc("day", col("timestamp"))))

@@ -109,13 +109,76 @@ class IngestLagListener(clock: () => Long = () => System.currentTimeMillis())
     if (lags.isEmpty) None else Some(lags.max)
   }
 
+  /** The worst WATERMARK lag across all tracked sinks — the alert twin of
+    * [[maxEventTimeLagMs]] for the day-close path: day markers trail the
+    * watermark, so this bounds how stale the `_DONE` stamps can be.
+    */
+  def maxWatermarkLagMs: Option[Long] = {
+    val lags = byQuery.values.asScala.flatMap(_.watermarkLagMs)
+    if (lags.isEmpty) None else Some(lags.max)
+  }
+
+  // full JSON string escape — query names and sink descriptions are
+  // caller-authored free text; a quote, backslash or control char in
+  // either must not produce a broken log line
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** One log-friendly JSON line per tracked query (stable field order). */
   def report: Seq[String] =
     byQuery.values.asScala.toSeq.sortBy(_.queryId.toString).map { l =>
-      s"""{"query":"${l.queryName}","sink":"${l.sink.replace("\"", "'")}"""" +
+      s"""{"query":${jstr(l.queryName)},"sink":${jstr(l.sink)}""" +
         s""","batch":${l.batchId},"max_event_time_ms":${l.maxEventTimeMs.getOrElse(-1L)}""" +
         s""","event_time_lag_ms":${l.eventTimeLagMs.getOrElse(-1L)}""" +
         s""","watermark_lag_ms":${l.watermarkLagMs.getOrElse(-1L)}""" +
         s""","closed_through_day":"${l.closedThroughDay.map(_.toString).getOrElse("")}"}"""
     }
+
+  /** Emit [[report]] lines through `out` every `intervalMs` on a daemon
+    * timer — the "expose lag on a timer" operational loop. Returns a
+    * handle; `close()` stops the timer (idempotent).
+    */
+  def startReporting(intervalMs: Long,
+                     out: String => Unit = line =>
+                       org.slf4j.LoggerFactory.getLogger(classOf[IngestLagListener])
+                         .info(line)): AutoCloseable = {
+    require(intervalMs > 0, s"report interval must be positive (got $intervalMs)")
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "ingest-lag-report"); t.setDaemon(true); t
+    })
+    exec.scheduleAtFixedRate(
+      () => try report.foreach(out) catch { case _: Exception => () },
+      intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => exec.shutdownNow()
+  }
+}
+
+/** Session-default listener wiring: the production entry points
+  * ([[EventRouter.routeTyped]], [[EventSink.typedStreamWriter]]) register
+  * ONE shared listener per SparkSession by default, so ST11 lag numbers
+  * exist without any caller opt-in — the reference's footer stamps are
+  * likewise always-on, not a debug flag.
+  */
+object IngestLagListener {
+  private val bySession =
+    new ConcurrentHashMap[org.apache.spark.sql.SparkSession, IngestLagListener]()
+
+  /** The session's shared listener, registered on first use (thread-safe,
+    * once per session). Sessions are weakly few and long-lived; entries die
+    * with the JVM like the listeners themselves.
+    */
+  def forSession(spark: org.apache.spark.sql.SparkSession): IngestLagListener =
+    bySession.computeIfAbsent(spark, s => {
+      val l = new IngestLagListener()
+      s.streams.addListener(l)
+      l
+    })
 }

@@ -175,19 +175,29 @@ object StreamingGate {
 
     val trueMaxTs = graft.sources.Tables.load(spark, sfDir, "events")
       .agg(max(unix_millis(col("ts")))).collect()(0).getLong(0)
-    // the listener bus is async AND delivers per-batch: wait until the
-    // FINAL batch's progress (the one lastProgress describes — its
-    // watermark) has been absorbed, not merely any progress with a max
-    // event time, or the witness below races the bus
+    // the listener bus is async AND delivers per-batch: wait for DELIVERY
+    // of the final batch's progress event (batchId == lastProgress's — the
+    // same event that carries the final watermark), then judge correctness
+    // separately. Folding a delivery timeout into lagListenerOk=false
+    // would make a loaded-host bus flake indistinguishable from a real
+    // bookkeeping bug inside an oracle-gated column — so a timeout THROWS
+    // a distinct error (the gate reruns), and only a delivered-but-wrong
+    // entry fails the witness.
+    val lastBatchId = Option(query.lastProgress).map(_.batchId)
     val lagEntry = {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 60000
       def e = lag.snapshot.get(query.id)
       while (System.currentTimeMillis() < deadline &&
-        !e.exists(s => s.maxEventTimeMs.contains(trueMaxTs) &&
-          s.watermarkMs == wmMillis)) Thread.sleep(50)
+        !e.exists(s => lastBatchId.contains(s.batchId))) Thread.sleep(50)
       spark.streams.removeListener(lag)
       e
     }
+    if (!lagEntry.exists(s => lastBatchId.contains(s.batchId)))
+      throw new IllegalStateException(
+        s"ST11 witness: the listener bus did not deliver batch $lastBatchId's " +
+          s"progress within 60 s (last delivered: ${lagEntry.map(_.batchId)}) — " +
+          "a bus-delivery flake on a loaded host, NOT a lag bookkeeping failure; " +
+          "re-run the gate")
     val lagListenerOk = lagEntry.exists { e =>
       // footer-latest_timestamp analog == the true newest routed event time;
       // watermark bookkeeping == the engine's own lastProgress; lag is

@@ -360,6 +360,60 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("ST11 report: hostile query names emit valid JSON; watermark-lag alert; session-default wiring; timer reporter") {
+    import org.apache.spark.sql.functions.{col, window}
+    import graft.streaming.IngestLagListener
+    implicit val sqlCtx = spark.sqlContext
+
+    // the session-default registry hands back ONE shared listener
+    val shared = IngestLagListener.forSession(spark)
+    assert(IngestLagListener.forSession(spark) eq shared)
+
+    val lag = new IngestLagListener()
+    spark.streams.addListener(lag)
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("lag_esc_ckpt_").toString
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // a query name with quotes, backslash and a tab — must not break the
+    // JSON report lines
+    val hostile = "lag \"att\\ack\"\tprobe"
+    val q = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .format("noop").queryName(hostile)
+      .start()
+    try {
+      input.addData((ts("2024-03-10T00:00:00Z"), 1L), (ts("2024-03-10T05:00:00Z"), 2L))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      def entry = lag.snapshot.values.find(_.queryName == hostile)
+      while (System.currentTimeMillis() < deadline &&
+        !entry.exists(_.watermarkMs.nonEmpty)) Thread.sleep(100)
+      val e = entry.get
+      // the watermark-lag alert twin mirrors the per-query number
+      assert(lag.maxWatermarkLagMs == e.watermarkLagMs && e.watermarkLagMs.nonEmpty)
+      // every report line must PARSE as JSON and round-trip the name
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val parsed = lag.report.map(mapper.readTree)
+      assert(parsed.exists(_.get("query").asText() == hostile),
+        s"hostile name must survive the JSON round-trip: ${lag.report}")
+      assert(parsed.forall(_.get("watermark_lag_ms") != null))
+      // the timer reporter emits through the callback and stops on close
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val handle = lag.startReporting(50, seen.add(_))
+      val repDeadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < repDeadline && seen.isEmpty) Thread.sleep(20)
+      handle.close()
+      assert(!seen.isEmpty, "timer reporter emitted nothing in 10 s")
+      seen.forEach(l => mapper.readTree(l)) // every emitted line parses
+    } finally {
+      q.stop()
+      spark.streams.removeListener(lag)
+    }
+  }
+
   test("hash-partitioned signature table: verify prunes to candidate partitions, outcome identical, drifted P refused") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Dedup
