@@ -126,7 +126,7 @@ object ScaleBench {
     // file-level property) — written once ahead of the batch, like the
     // production serving table it models
     val sigPathOpt = if (sigPartitions > 0) {
-      val p = java.nio.file.Files.createTempDirectory("scale_sigpt_").toString + "/sigs"
+      val p = graft.sources.BucketedTables.scratchDir("scale_sigpt_").toString + "/sigs"
       Dedup.writeSignatures(corpusSigs, p, sigPartitions)
       Some(p)
     } else None
@@ -420,7 +420,7 @@ object ScaleBench {
       //      re-cap). ----
       val numHashes = 126
       val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
-      val dir = java.nio.file.Files.createTempDirectory("scale_recap_").toString
+      val dir = graft.sources.BucketedTables.scratchDir("scale_recap_").toString
       val bandedPath = s"$dir/bands"
       val corpusSigs = Dedup.minHashSignatures(scaled(base, 1), "doc_id", "text", 3, numHashes)
         .persist()
@@ -462,7 +462,7 @@ object ScaleBench {
         .persist()
       val nInc = increment.count()
       def point(label: String, corpus: DataFrame): (Long, Double) = {
-        val root = java.nio.file.Files.createTempDirectory("scale_ivfappend_").toString
+        val root = graft.sources.BucketedTables.scratchDir("scale_ivfappend_").toString
         val centroids = graft.operators.Similarity.trainCentroids(
           corpus, "vec_id", "embedding", k = 16, iters = 2)
         graft.operators.IvfIndexStore.writeGeneration(
@@ -503,7 +503,7 @@ object ScaleBench {
         .persist()
       val nBatch = batch.count()
       def point(label: String, corpus: DataFrame): Double = {
-        val root = java.nio.file.Files.createTempDirectory("scale_ivfdedup_").toString
+        val root = graft.sources.BucketedTables.scratchDir("scale_ivfdedup_").toString
         val centroids = graft.operators.Similarity.trainCentroids(
           corpus, "vec_id", "embedding", k = 16, iters = 1)
         graft.operators.IvfIndexStore.writeGeneration(

@@ -921,11 +921,17 @@ object SparkEntry {
     //      signature fetch PRUNED to the candidates' partitions
     //      (Dedup.prunedCorpusSigs). If pruning dropped a partition a
     //      candidate's sig lives in, its pair would vanish and the hash
-    //      gate would fail — losslessness is what this row proves. Oracle
-    //      = the same brute-forced exact-Jaccard cross pairs. ----
+    //      gate would fail — losslessness is what this row proves. The
+    //      table is additionally GROWN 32 → 128 partitions mid-query via
+    //      Dedup.relayoutSignatures (the automated grow-P maintenance
+    //      step), so the banded build reads the P=32 layout and the
+    //      pruned verify reads the re-layouted P=128 table — BOTH layouts
+    //      are exercised and the hash gate proves the re-layout lossless
+    //      too. Oracle = the same brute-forced exact-Jaccard cross
+    //      pairs. ----
     "q_sigpt_dedup" -> ((s, dir) => {
       val corpus = t(s, dir, "documents")
-      val work = java.nio.file.Files.createTempDirectory("graft_sigpt_q_").toString
+      val work = graft.sources.BucketedTables.scratchDir("graft_sigpt_q_").toString
       val sigT = s"$work/sigs"; val bandT = s"$work/bands"
       val P = 32
       val (nBands, rowsPerBand) = Dedup.lshBandingFor(126, 0.3)
@@ -935,6 +941,11 @@ object SparkEntry {
         graft.operators.DedupLayout.Layout(3, 126, nBands, rowsPerBand, 0.3, 1000, P))
       Dedup.bandedTableCapped(s.read.parquet(sigT), nBands, rowsPerBand, 1000)
         .write.parquet(bandT)
+      // corpus grew → grow the hash-partition layout through the automated
+      // re-layout (write-aside + recoverable swap + re-stamp)
+      val P2 = 128
+      require(Dedup.relayoutSignatures(s, sigT, P2),
+        s"sig-table re-layout $P -> $P2 did not run")
       val newBatch = corpus.where(col("doc_id") < 100)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       val newSigs = Dedup.minHashSignatures(newBatch, "doc_id", "text", 3, 126)
@@ -946,7 +957,7 @@ object SparkEntry {
           preCapped = true, broadcastIncrement = true)
         .localCheckpoint()
       val est = Dedup.estJaccardScores(cands, newSigs,
-          Dedup.prunedCorpusSigs(s, sigT, cands.select("corpus_id"), P),
+          Dedup.prunedCorpusSigs(s, sigT, cands.select("corpus_id"), P2),
           "new_id", "corpus_id", 126)
         .where(col("est_jaccard") >= 0.3)
       val all = corpus.select(col("doc_id"), col("text")).unionByName(newBatch)
@@ -1262,7 +1273,7 @@ object SparkEntry {
       import s.implicits._
       val embs = t(s, dir, "embeddings")
       val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
-      val work = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+      val work = graft.sources.BucketedTables.scratchDir("graft_ivf_idx_").toString
       Similarity.writeIvfIndex(embs, "vec_id", "embedding", centroids, s"$work/index")
       Similarity.writeCentroids(s, centroids, s"$work/centroids")
       val loaded = Similarity.readCentroids(s, s"$work/centroids")
@@ -1301,7 +1312,7 @@ object SparkEntry {
       import s.implicits._
       val embs = t(s, dir, "embeddings")
       val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
-      val work = java.nio.file.Files.createTempDirectory("graft_ivf_q_").toString
+      val work = graft.sources.BucketedTables.scratchDir("graft_ivf_q_").toString
       Similarity.writeIvfIndex(embs, "vec_id", "embedding", centroids, s"$work/full")
       Similarity.writeIvfIndexQuantized(embs, "vec_id", "embedding", centroids, s"$work/quant")
       val queries = embs.where(col("vec_id") < 3)
@@ -1335,7 +1346,7 @@ object SparkEntry {
       import s.implicits._
       val embs = t(s, dir, "embeddings")
       val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 1)
-      val root = java.nio.file.Files.createTempDirectory("graft_ivf_store_").toString
+      val root = graft.sources.BucketedTables.scratchDir("graft_ivf_store_").toString
       val base = embs.where(col("vec_id") % 5 =!= 0)
       val increment = embs.where(col("vec_id") % 5 === 0)
       IvfIndexStore.writeGeneration(s, base, "vec_id", "embedding", centroids, root)
@@ -1397,7 +1408,7 @@ object SparkEntry {
       import s.implicits._
       val embs = t(s, dir, "embeddings")
       val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 1)
-      val root = java.nio.file.Files.createTempDirectory("graft_ivf_filt_").toString
+      val root = graft.sources.BucketedTables.scratchDir("graft_ivf_filt_").toString
       IvfIndexStore.writeGeneration(s, embs, "vec_id", "embedding", centroids, root,
         payloadCols = Seq("label"))
       val queries = embs.where(col("vec_id") < 3)
@@ -1440,7 +1451,7 @@ object SparkEntry {
         .orderBy(col("vec_id"))
         .select(col("embedding").cast("array<double>"))
         .collect().map(_.getSeq[Double](0).toArray)
-      val root = java.nio.file.Files.createTempDirectory("graft_ivf_stats_").toString
+      val root = graft.sources.BucketedTables.scratchDir("graft_ivf_stats_").toString
       IvfIndexStore.writeGeneration(s, embs, "vec_id", "embedding", cents, root)
       IvfIndexStore.driftStats(s, root)
         .select(col("cid"), col("n"), round(col("mean_cos"), 6).as("mean_cos"))
@@ -1459,7 +1470,7 @@ object SparkEntry {
       val embs = t(s, dir, "embeddings")
       val corpus = embs.where(col("vec_id") % 5 =!= 0)
       val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", k = 16, iters = 1)
-      val root = java.nio.file.Files.createTempDirectory("graft_ivf_dedup_").toString
+      val root = graft.sources.BucketedTables.scratchDir("graft_ivf_dedup_").toString
       IvfIndexStore.writeGeneration(s, corpus, "vec_id", "embedding", centroids, root)
       val novel = embs.where(col("vec_id") % 5 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))

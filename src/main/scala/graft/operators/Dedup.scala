@@ -561,7 +561,8 @@ object Dedup {
     * 65536 partitions for a 10^9-doc corpus ⇒ ~15k sigs ≈ 15 MB per
     * partition; a batch with 2k candidate ids then reads ≤ 2k partitions
     * ≈ 30 GB instead of the full 1 TB sig table). Growing P is a
-    * re-layout (rewrite with the new P + re-stamp), done with corpus
+    * re-layout — automated by [[relayoutSignatures]] (write-aside +
+    * crash-recoverable swap + `_LAYOUT.json` re-stamp), run with corpus
     * compaction.
     *
     * The write repartitions ON the partition value first — without that,
@@ -604,6 +605,121 @@ object Dedup {
     table
       .where(col(SigPartitionCol).isin(pts: _*))
       .select(col("id"), col("sig"))
+  }
+
+  /** Re-layout a signature table to a NEW hash-partition count — the "grow
+    * P with the corpus" maintenance step the partitioned layout's sizing
+    * note promises (see [[writeSignatures]]): partitions are a pure
+    * function of `pmod(xxhash64(id), P)`, so changing P moves every row —
+    * a whole-table rewrite, done as write-aside + directory swap:
+    *
+    *  1. read the old table (flat or partitioned — both re-layout), one
+    *     row per id ([[minHashSignatures]] is deterministic, so dropping
+    *     replay duplicates is lossless, same argument as
+    *     [[compactSignatures]]);
+    *  2. write the new layout AND its updated `_LAYOUT.json` stamp
+    *     (sigPartitions = newP) into a sibling `.relayout_tmp/<stamp>`
+    *     dir — the new table is COMPLETE, stamp included, before the live
+    *     path changes at all;
+    *  3. swap: old dir → `.relayout_trash/<stamp>`, tmp → live path;
+    *  4. drop trash + release the lock.
+    *
+    * A crash at any point is repaired by [[recoverSignatureRelayout]]:
+    * before the swap the original is untouched; between the two renames
+    * the original is restored from trash; after them the roll-forward just
+    * clears trash — the live path never holds a half-written table.
+    * A sibling `.relayout_lock` serializes re-layouts (second caller
+    * returns false).
+    *
+    * Concurrency contract: run from the maintenance loop with NO live
+    * writer on the table — unlike [[rewriteTableDir]]'s file-snapshot
+    * rewrite, a directory swap cannot preserve rows appended mid-rewrite.
+    * Readers/writers configured with the OLD P are refused afterwards by
+    * the [[DedupLayout]] stamp check (sigPartitions is part of the guarded
+    * layout) — drift cannot silently admit duplicates. Returns true iff
+    * the re-layout happened.
+    */
+  def relayoutSignatures(spark: SparkSession, sigTablePath: String,
+                         newP: Int): Boolean = {
+    require(newP > 0, s"relayoutSignatures needs a positive partition count (got $newP)")
+    val dir = new org.apache.hadoop.fs.Path(sigTablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // interrupted-swap check BEFORE the existence check: in the crash
+    // window the live path is the thing that's missing — silently
+    // no-opping there would leave the table unrestored forever
+    val trashRoot = new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_trash")
+    require(!fs.exists(trashRoot),
+      s"$trashRoot holds an interrupted re-layout — run recoverSignatureRelayout first")
+    if (!fs.exists(dir)) return false
+    val layout = DedupLayout.read(spark, sigTablePath).getOrElse(
+      throw new IllegalStateException(
+        s"$sigTablePath has no ${DedupLayout.ManifestName} — re-layout re-stamps the " +
+          "manifest, so it refuses tables whose layout parameters it cannot know"))
+    if (layout.sigPartitions == newP) return false
+    val lock = new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_lock")
+    val locked = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
+    if (!locked) return false
+    var swapStarted = false
+    var completed = false
+    try {
+      val stamp = System.currentTimeMillis() + "-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_tmp/$stamp")
+      writeSignatures(
+        spark.read.parquet(sigTablePath).select(col("id"), col("sig"))
+          .dropDuplicates("id"),
+        tmp.toString, newP)
+      DedupLayout.write(spark, tmp.toString, layout.copy(sigPartitions = newP))
+      fs.mkdirs(trashRoot)
+      def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename failed: $src -> $dst")
+      swapStarted = true
+      renameOrThrow(dir, new org.apache.hadoop.fs.Path(trashRoot, stamp))
+      renameOrThrow(tmp, dir)
+      fs.delete(trashRoot, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_tmp"), true)
+      completed = true
+      true
+    } finally {
+      // mid-swap failure keeps the lock for recovery, same discipline as
+      // rewriteTableDir: a second maintainer must not consume half a swap
+      if (completed || !swapStarted) fs.delete(lock, false)
+    }
+  }
+
+  /** Repair an interrupted [[relayoutSignatures]]: a populated
+    * `.relayout_trash` means the swap did not complete — if the live path
+    * is missing the ORIGINAL table is restored from trash (the new layout
+    * is discarded; re-run the re-layout), and if the live path exists the
+    * swap had already rolled forward (the stamped new table is in place)
+    * so trash is just dropped. Clears tmp and the lock either way. Call at
+    * maintainer startup; no re-layout may be live. Returns true iff there
+    * was anything to repair.
+    */
+  def recoverSignatureRelayout(spark: SparkSession, sigTablePath: String): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(sigTablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trashRoot = new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_trash")
+    val tmpRoot = new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_tmp")
+    val lock = new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_lock")
+    val hadTrash = fs.exists(trashRoot)
+    if (hadTrash) {
+      val stamps = fs.listStatus(trashRoot).filter(_.isDirectory)
+      if (!fs.exists(dir) && stamps.nonEmpty) {
+        // crash between the two renames: restore the original table
+        if (!fs.rename(stamps.head.getPath, dir))
+          throw new java.io.IOException(
+            s"recovery rename failed: ${stamps.head.getPath} -> $dir " +
+              "(trash preserved, re-run recovery)")
+      }
+      fs.delete(trashRoot, true)
+    }
+    val hadTmp = fs.exists(tmpRoot)
+    fs.delete(tmpRoot, true)
+    val hadLock = fs.exists(lock)
+    fs.delete(lock, false)
+    hadTrash || hadTmp || hadLock
   }
 
   // --------------------------------------------------------------- SimHash
@@ -811,10 +927,19 @@ object Dedup {
     * LOGICAL PLAN exponentially in the round count — persist alone does
     * not truncate it (same trade as TrainingPipeline's checkpoint; an
     * executor loss mid-computation costs a rerun, which iterative CC at
-    * this cost profile happily pays). Convergence is detected by exact
-    * edge-set equality (count + one-sided exceptAll), and the returned
-    * labeling is additionally verified to be a star (no label chains) —
-    * wrong labels cannot escape silently even if `maxIters` is exhausted.
+    * this cost profile happily pays). Convergence is detected by a
+    * (count, hash-sum) fingerprint — ONE aggregate job per round instead
+    * of the count + exceptAll pair, order-insensitive because the per-edge
+    * hashes sum. The fingerprint is probabilistic (a 64-bit hash-sum
+    * collision could stop a round early), which is safe because
+    * correctness never rests on it: every large-star/small-star step
+    * PRESERVES components, so ANY stopping state that is verified
+    * star-shaped labels correctly — and the result is structurally
+    * verified to be a star before returning (no label chains AND one
+    * parent per node; the second check catches the chain-free
+    * multi-parent state, e.g. {(u,v1),(u,v2)}, that a chain check alone
+    * would let through on maxIters exhaustion). Wrong labels cannot
+    * escape silently — the call throws instead.
     *
     * Same contract as [[connectedComponents]]: returns (id, component =
     * min id), PERSISTED — consume and unpersist.
@@ -850,19 +975,29 @@ object Dedup {
         .distinct()
     }
 
+    // (count, hash-sum) edge-set fingerprint: one aggregate job per round
+    // (sum as DECIMAL(38,0) — overflow-free over any edge count)
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))).as("h")).first()
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
     var iter = 0
     var stable = false
+    var fp = fingerprint(edges)
     while (iter < maxIters && !stable) {
       // checkpointed blocks of superseded rounds are released by the
       // ContextCleaner once unreferenced — no manual unpersist needed
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      stable = next.count() == edges.count() &&
-        next.exceptAll(edges).limit(1).collect().isEmpty
+      val nfp = fingerprint(next)
+      stable = nfp._1 == fp._1 && nfp._2.compareTo(fp._2) == 0
+      fp = nfp
       edges = next
       iter += 1
     }
-    // the star property IS the correctness witness: a dst that is also a
-    // src means a label chain survived — refuse rather than mislabel
+    // the star property IS the correctness witness (convergence detection
+    // above is only a stopping heuristic): a dst that is also a src means
+    // a label chain survived — refuse rather than mislabel
     val chained = edges.as("e1")
       .join(edges.as("e2"), col("e1.v") === col("e2.u"))
       .limit(1).collect()
@@ -870,6 +1005,16 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponentsStar did not contract to stars in $maxIters rounds — " +
           "labels would be wrong; raise maxIters")
+    // ...and each node must have exactly ONE parent: a chain-free
+    // multi-parent state ({(u,v1),(u,v2)} on maxIters exhaustion) would
+    // otherwise fan the left join below into conflicting (id, component)
+    // rows
+    val multiParent = edges.groupBy("u").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).limit(1).collect()
+    if (multiParent.nonEmpty)
+      throw new IllegalStateException(
+        s"connectedComponentsStar exhausted $maxIters rounds with multi-parent " +
+          "nodes remaining — labels would be ambiguous; raise maxIters")
     val allNodes = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val labels = allNodes

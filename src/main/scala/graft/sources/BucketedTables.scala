@@ -28,13 +28,15 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   */
 object BucketedTables {
 
-  /** Scratch directory for throwaway bucketed layouts, deleted recursively
-    * on JVM exit. Gate/bench queries write bucketed fixtures INSIDE the
-    * query closure, where eager deletion is impossible (the returned lazy
-    * plan still reads the files) — without the hook every invocation leaks
-    * a directory. The unique stamp in the name doubles as a table-name
-    * suffix so concurrent runs sharing a warehouse cannot race on a fixed
-    * catalog name.
+  /** Scratch directory for throwaway on-disk fixtures, deleted recursively
+    * on JVM exit — the ONE temp-dir discipline for every gate/bench
+    * fixture in the engine (bucketed layouts here; signature/banded tables
+    * and IVF stores in `SparkEntry`/`ScaleBench`). Gate/bench queries
+    * write fixtures INSIDE the query closure, where eager deletion is
+    * impossible (the returned lazy plan still reads the files) — without
+    * the hook every invocation leaks a directory. The unique stamp in the
+    * name doubles as a table-name suffix so concurrent runs sharing a
+    * warehouse cannot race on a fixed catalog name.
     */
   private val scratchDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()

@@ -102,6 +102,72 @@ class DedupMaintenanceSpec extends SparkSpecBase {
     fs.delete(new org.apache.hadoop.fs.Path(s"$sigTable/.maint_lock"), false)
   }
 
+  test("relayoutSignatures grows P 32->128: content identical, pruned verify intact, crash-mid-swap recovered") {
+    val dir = work("relayout_")
+    val sigTable = s"$dir/sigs"
+    val docs = (0L until 200L)
+      .map(i => (i, s"doc $i " + corpusText + s" tail${i % 7}"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 126)
+    Dedup.writeSignatures(sigs, sigTable, 32)
+    DedupLayout.write(spark, sigTable, DedupLayout.Layout(3, 126, 42, 3, 0.5, 1000, 32))
+    def content = spark.read.parquet(sigTable).select("id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1).toSeq).toMap
+    val before = content
+    val ids = Seq(3L, 77L, 150L)
+    def prunedFor(p: Int) = Dedup.prunedCorpusSigs(spark, sigTable, ids.toDF("id"), p)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toSeq).toMap
+      .view.filterKeys(ids.contains).toMap
+    val prunedBefore = prunedFor(32)
+    assert(prunedBefore.keySet == ids.toSet)
+
+    // same-P call is a no-op; the grow runs and re-stamps
+    assert(!Dedup.relayoutSignatures(spark, sigTable, 32))
+    assert(Dedup.relayoutSignatures(spark, sigTable, 128))
+    assert(DedupLayout.read(spark, sigTable).map(_.sigPartitions).contains(128))
+    assert(content == before, "re-layout must move rows, not change them")
+    assert(prunedFor(128) == prunedBefore,
+      "pruned verify must serve identical sigs from the grown layout")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // the new layout really is partitioned at 128 (spot: >32 distinct dirs)
+    val ptDirs = fs.listStatus(new org.apache.hadoop.fs.Path(sigTable))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("sig_pt="))
+    assert(ptDirs.length > 32, s"expected >32 partition dirs, got ${ptDirs.length}")
+    // no residue from the completed swap
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$sigTable.relayout_trash")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$sigTable.relayout_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$sigTable.relayout_lock")))
+
+    // a concurrent re-layout is refused by the lock
+    val lock = new org.apache.hadoop.fs.Path(s"$sigTable.relayout_lock")
+    fs.createNewFile(lock)
+    assert(!Dedup.relayoutSignatures(spark, sigTable, 64))
+    fs.delete(lock, false)
+
+    // crash in the WORST window: old table moved to trash, new not yet in
+    val trashRoot = new org.apache.hadoop.fs.Path(s"$sigTable.relayout_trash")
+    fs.mkdirs(trashRoot)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(sigTable),
+      new org.apache.hadoop.fs.Path(trashRoot, "crash-stamp")))
+    fs.createNewFile(lock)
+    // a fresh re-layout must refuse the un-recovered state, not eat it
+    intercept[IllegalArgumentException] {
+      Dedup.relayoutSignatures(spark, sigTable, 256)
+    }
+    assert(Dedup.recoverSignatureRelayout(spark, sigTable))
+    assert(content == before, "recovery must restore the original table")
+    assert(DedupLayout.read(spark, sigTable).map(_.sigPartitions).contains(128))
+    assert(!fs.exists(trashRoot) && !fs.exists(lock))
+
+    // roll-forward window: swap completed (live path present), trash left
+    fs.mkdirs(new org.apache.hadoop.fs.Path(trashRoot, "old-gen"))
+    assert(Dedup.recoverSignatureRelayout(spark, sigTable))
+    assert(content == before && !fs.exists(trashRoot))
+    // idempotent when clean
+    assert(!Dedup.recoverSignatureRelayout(spark, sigTable))
+  }
+
   test("Maintenance.parallelSweep: ordered results, first failure surfaces AFTER the pool drains, empty input no-ops") {
     import graft.operators.Maintenance
     assert(Maintenance.parallelSweep(Seq.empty[Int], "noop")(identity) == Seq.empty)

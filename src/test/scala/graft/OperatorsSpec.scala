@@ -161,6 +161,18 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got2 == got)
   }
 
+  test("connectedComponentsStar refuses chain-free multi-parent exhaustion instead of emitting conflicting labels") {
+    // maxIters = 0 exits the loop with the raw canonical edges
+    // {(3,1),(3,2)}: no v is a u (chain-free), but node 3 has TWO parents
+    // — the left join would emit (3,1) AND (3,2); the structural witness
+    // must throw instead
+    val pairs = Seq((3L, 1L), (3L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStar(pairs, maxIters = 0)
+    }
+    assert(e.getMessage.contains("multi-parent"))
+  }
+
   test("lshBandingFor sizes bands to the threshold's miss bound") {
     // J=0.5: 16x4 would miss ~35%; sized banding must pick r with
     // (1 - 0.5^r)^(64/r) <= 2% — that's r=2 (miss ~1e-4), not r=4
