@@ -177,8 +177,20 @@ object IvfIndexStore {
     Manifests.writeAtomic(spark, s"$rootPath/$gen/$LayoutName",
       toJson(IndexLayout(centroids.length, dim, quantized, idCol, vecCol,
         centroidsHash(centroids), payloadCols)))
+    // a sweep racing this build may have observation-stamped the dir as
+    // stale ([[dropStaleGenerations]]) — clear that before making it
+    // current, or the NEXT sweep would measure the serving generation's
+    // "staleness" from mid-build
+    fs.delete(new org.apache.hadoop.fs.Path(s"$rootPath/$gen/$StaleSinceName"), false)
+    val previous = currentGeneration(spark, rootPath)
     Manifests.writeAtomic(spark, s"$rootPath/$CurrentName",
       s"""{"generation":"$gen"}""")
+    // the flip IS the staleness instant of the superseded generation —
+    // stamp it so the sweep grace runs from NOW, not from its build mtime
+    previous.filter(_ != gen).foreach { old =>
+      val oldDir = new org.apache.hadoop.fs.Path(s"$rootPath/$old")
+      if (fs.exists(oldDir)) markStaleSince(fs, oldDir)
+    }
     gen
   }
 
@@ -368,17 +380,39 @@ object IvfIndexStore {
     */
   val DefaultSweepGraceMs: Long = 60L * 60L * 1000L
 
+  /** Tombstone marking WHEN a generation became stale. Written into the
+    * superseded gen dir by [[writeGeneration]] at the `_CURRENT` flip (the
+    * precise staleness instant), or by [[dropStaleGenerations]] on first
+    * observing a never-flipped dir (crashed builds have no flip moment —
+    * first observation is the earliest provable staleness bound). The
+    * file's mtime is the clock the sweep grace measures from.
+    */
+  val StaleSinceName = "_STALE_SINCE"
+
+  private[operators] def markStaleSince(fs: org.apache.hadoop.fs.FileSystem,
+                                        genDir: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(genDir, StaleSinceName), true)
+    try out.writeBytes(System.currentTimeMillis().toString) finally out.close()
+  }
+
   /** Drop every `gen-*` dir that `_CURRENT` does not reference — crashed
     * builds (written but never flipped) and superseded generations after a
-    * retrain — PROVIDED the dir has been quiet for at least `minAgeMs`
-    * (mtime-based): a reader that resolved `_CURRENT` just before a
-    * retrain+sweep is still scanning the superseded generation, and an
-    * immediate delete would rip its files out mid-query. The grace also
-    * covers a builder mid-[[writeGeneration]] (its gen dir is not yet in
-    * `_CURRENT` but its mtime is fresh). Readers slower than the grace
-    * period (pass `minAgeMs = 0` only when no reader/builder can be live —
-    * tests, cold stores) are the caller's responsibility, same liveness
-    * caveat as every swap-based compaction here. Returns the dropped
+    * retrain — PROVIDED the generation has been STALE for at least
+    * `minAgeMs`. Staleness is measured from the `_STALE_SINCE` tombstone,
+    * NOT from the gen dir's own mtime: a superseded generation's dir mtime
+    * is its (old) build time, so an mtime-based grace would expire the
+    * instant `_CURRENT` flips — deleting files a reader that resolved
+    * `_CURRENT` pre-flip is still scanning, exactly the torn read the
+    * grace exists to prevent. The tombstone is stamped at the flip
+    * ([[writeGeneration]]) for superseded generations; a dir with no
+    * tombstone (crashed or in-flight build) gets one stamped NOW and is
+    * skipped — it becomes deletable only once a full grace passes after
+    * that first observation, which also shields a live builder (its
+    * not-yet-flipped dir survives at least one grace period from the
+    * sweep that first saw it; the flip clears the stamp). Builds longer
+    * than the grace with sweeps racing them need a bigger grace — same
+    * liveness contract as readers. Pass `minAgeMs = 0` only when no
+    * reader/builder can be live (tests, cold stores). Returns the dropped
     * generation names.
     */
   def dropStaleGenerations(spark: SparkSession, rootPath: String,
@@ -387,12 +421,23 @@ object IvfIndexStore {
     val root = new org.apache.hadoop.fs.Path(rootPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
-    val cutoff = System.currentTimeMillis() - minAgeMs
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
-        !current.contains(s.getPath.getName) &&
-        s.getModificationTime <= cutoff)
-      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+        !current.contains(s.getPath.getName))
+      .flatMap { s =>
+        val stamp = new org.apache.hadoop.fs.Path(s.getPath, StaleSinceName)
+        if (!fs.exists(stamp)) {
+          // first observation of an unflipped dir: start its staleness
+          // clock, never delete in the same sweep that discovered it
+          // (except at zero grace, where the caller asserts no liveness)
+          markStaleSince(fs, s.getPath)
+          if (minAgeMs <= 0) { fs.delete(s.getPath, true); Some(s.getPath.getName) }
+          else None
+        } else if (fs.getFileStatus(stamp).getModificationTime <=
+            System.currentTimeMillis() - minAgeMs) {
+          fs.delete(s.getPath, true); Some(s.getPath.getName)
+        } else None
+      }
       .toIndexedSeq
   }
 

@@ -123,6 +123,46 @@ class IvfIndexStoreSpec extends SparkSpecBase {
     assert(served.count() > 0)
   }
 
+  test("sweep grace runs from the FLIP tombstone, not the gen dir's build mtime; observation-stamped orphans get a full grace") {
+    val root = work("ivfstore_grace_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 4, iters = 1)
+    val g1 = IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    // age the BUILD mtime of g1 into the distant past: under the old
+    // mtime-based grace, the moment a retrain flips _CURRENT this dir
+    // already looks expired and gets deleted under live readers
+    val g1Dir = java.nio.file.Path.of(root, g1)
+    java.nio.file.Files.setLastModifiedTime(g1Dir,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
+    val g2 = IvfIndexStore.retrain(spark, embs, "vec_id", "embedding", root,
+      numCentroids = 4, iters = 1)
+    // tombstone written at the flip — the grace measures from NOW, so the
+    // ancient build mtime must not make g1 sweepable
+    assert(java.nio.file.Files.exists(g1Dir.resolve(IvfIndexStore.StaleSinceName)))
+    assert(IvfIndexStore.dropStaleGenerations(spark, root).isEmpty,
+      "superseded gen with fresh flip tombstone must survive the graced sweep")
+    // a never-flipped orphan: first graced sweep only STARTS its clock
+    val orphan = s"$root/gen-000-grace-orphan"
+    new java.io.File(s"$orphan/index").mkdirs()
+    assert(IvfIndexStore.dropStaleGenerations(spark, root).isEmpty,
+      "first observation must stamp, not delete")
+    val orphanStamp = java.nio.file.Path.of(orphan, IvfIndexStore.StaleSinceName)
+    assert(java.nio.file.Files.exists(orphanStamp))
+    // still inside its grace on the second sweep
+    assert(IvfIndexStore.dropStaleGenerations(spark, root).isEmpty)
+    // age the orphan's TOMBSTONE past the grace → deletable
+    java.nio.file.Files.setLastModifiedTime(orphanStamp,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(IvfIndexStore.dropStaleGenerations(spark, root) == Seq("gen-000-grace-orphan"))
+    // g1's flip tombstone aged too → goes on the next sweep; serving intact
+    java.nio.file.Files.setLastModifiedTime(g1Dir.resolve(IvfIndexStore.StaleSinceName),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(IvfIndexStore.dropStaleGenerations(spark, root) == Seq(g1))
+    assert(IvfIndexStore.currentGeneration(spark, root).contains(g2))
+    assert(IvfIndexStore.topK(spark, embs.where(col("vec_id") < 2), root,
+      k = 3, nProbe = 2).count() > 0)
+  }
+
   test("retrain under serve: continuous reads survive the flip and the graced sweep; zero torn reads") {
     val root = work("ivfstore_serve_retrain_")
     val embs = Tables.load(spark, sf01, "embeddings")
