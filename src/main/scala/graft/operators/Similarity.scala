@@ -36,6 +36,13 @@ object Similarity {
     */
   val MaxProbeRows: Int = 1 << 20
 
+  /** Centroid-init sample size factor: the hash-threshold prefilter in
+    * [[trainCentroids]] targets `InitSampleFactor · k` ids, making a
+    * k-smallest-hash undershoot (P ≈ Poisson(10⁴·k) < k) astronomically
+    * improbable while the scan still prunes ~everything at corpus scale.
+    */
+  val InitSampleFactor: Long = 10000L
+
   /** Banded hyperplane signatures of a vector column: one row per (id,
     * band, sig), seed = band index.
     */
@@ -90,22 +97,55 @@ object Similarity {
   /** IVF centroid training: Lloyd's iterations with deterministic
     * hash-ordered initialization (the k corpus vectors with smallest
     * xxhash64(id) seed the clusters — no random state, identical on every
-    * run). Assignment is the codegen
-    * [[VectorExpressions.CentroidProbes]] scoring loop; the mean update is
-    * relational (posexplode → per-(cluster, dim) avg → k×dim rows to the
-    * driver — tiny). At corpus scale train on a hash-sample
-    * (`where(xxhash64(id) % m === 0)`): IVF centroids need a sample, not
-    * the corpus.
+    * run). The init does NOT scan vector bytes corpus-wide: a hash-
+    * threshold prefilter (`xxhash64(id) <= t`, t sized so ~[[InitSampleFactor]]·k
+    * ids pass) runs ahead of the top-k — because the filter and the
+    * ordering use the SAME hash, the k smallest hashes are inside the
+    * sample whenever ≥ k rows pass, so the seeds are IDENTICAL to an
+    * unsampled init (drift-free by construction; the vanishingly unlikely
+    * undershoot falls back to the full scan). At 100 TB the
+    * TakeOrderedAndProject then reads ~10⁴·k vector payloads instead of
+    * the corpus — the id-hash predicate prunes at the scan. Assignment is
+    * the codegen [[VectorExpressions.CentroidProbes]] scoring loop; the
+    * mean update is relational (posexplode → per-(cluster, dim) avg →
+    * k×dim rows to the driver — tiny). At corpus scale also train on a
+    * hash-sample of rows for the Lloyd's passes themselves: IVF centroids
+    * need a sample, not the corpus.
     */
+  /** The hash-threshold-sampled init source for [[trainCentroids]]:
+    * `xxhash64(id) <= t` with t placed so ~[[InitSampleFactor]]·k of the
+    * `n` ids pass (xxhash64 is uniform over the signed 64-bit range, so
+    * t = MinValue + 2⁶⁴·target/n). Package-visible so the spec can
+    * witness the pruning predicate in the plan.
+    */
+  private[graft] def initSampled(corpus: DataFrame, idCol: String,
+                                 k: Int, n: Long): DataFrame = {
+    val target = InitSampleFactor * k.toLong
+    val t = (BigInt(Long.MinValue) + (BigInt(2).pow(64) * target / BigInt(n))).toLong
+    corpus.where(xxhash64(col(idCol).cast("string")) <= lit(t))
+  }
+
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 3): Array[Array[Double]] = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    var centroids: Array[Array[Double]] = corpus
-      .orderBy(xxhash64(col(idCol).cast("string")))
+    val hash = xxhash64(col(idCol).cast("string"))
+    def seedsFrom(df: DataFrame): Array[Array[Double]] = df
+      .orderBy(hash)
       .limit(k)
       .select(col(vecCol).cast("array<double>"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    val n = corpus.count() // column-less parquet count — metadata, not a scan
+    var centroids: Array[Array[Double]] =
+      if (n <= InitSampleFactor * k.toLong) seedsFrom(corpus)
+      else {
+        val sampled = seedsFrom(initSampled(corpus, idCol, k, n))
+        // undershoot guard: < k survivors means the threshold was unluckier
+        // than 10⁴× — re-seed from the full corpus, same seeds as ever
+        // (n > 10⁴·k here, so k full seeds always exist)
+        if (sampled.length >= k) sampled
+        else seedsFrom(corpus)
+      }
     var it = 0
     while (it < iters) {
       val assigned = corpus.select(

@@ -69,6 +69,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(perQueryCandidates < embs.count(), "IVF must prune the corpus per query")
   }
 
+  test("trainCentroids init: hash-threshold sample prunes the seed scan, seeds identical to the unsampled init") {
+    import spark.implicits._
+    // 200k synthetic vectors >> InitSampleFactor·k (k=2 → 20k): sampling is
+    // ACTIVE, unlike the sf0.01 fixtures where n is far below the target
+    val n = 200000L
+    val corpus = spark.range(n)
+      .select(col("id").as("vid"),
+        array(col("id").cast("double"), (col("id") % 7).cast("double"),
+          (col("id") % 13).cast("double")).as("vec"))
+      .localCheckpoint() // freeze: both inits must read the exact same rows
+    val k = 2
+    // the sampled frame carries the pruning predicate (the plan witness:
+    // at 100 TB this filter is what keeps the init from reading the
+    // corpus' vector payloads) and passes ~target rows, never everything
+    val sampled = Similarity.initSampled(corpus, "vid", k, n)
+    assert(sampled.queryExecution.optimizedPlan.toString.contains("xxhash64"),
+      "sampled init must filter on the id hash")
+    val passed = sampled.count()
+    assert(passed < n / 5, s"sample must prune most of the corpus (passed $passed of $n)")
+    assert(passed >= k, "sample must retain at least k seed candidates")
+    // identical-seeds guarantee: filter and order share the hash, so the
+    // k smallest hashes survive the filter ⇒ same seeds as a full scan
+    val viaTrain = Similarity.trainCentroids(corpus, "vid", "vec", k, iters = 0)
+    val full = corpus.orderBy(xxhash64(col("vid").cast("string"))).limit(k)
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    assert(viaTrain.map(_.toSeq).toSeq == full,
+      "sampled init must produce byte-identical seeds to the unsampled init")
+  }
+
   test("ivfTopKFromIndex: persisted partitionBy(cid) layout prunes to probed clusters") {
     val embs = Tables.load(spark, sf01, "embeddings")
     val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 16, iters = 2)
