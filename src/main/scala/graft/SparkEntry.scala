@@ -1684,6 +1684,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- Multimodal: cross-container AUDIO near-dup over decoded PCM
+    //      (the audio seat of q_image_neardup, same banded-grid core).
+    //      Constant-amplitude WAVs from doc_id arithmetic: every
+    //      windowed-RMS grid is uniform, so a pair is emitted iff the
+    //      amplitude gap ≤ 100 — pure arithmetic DuckDB recomputes. A
+    //      PCM decode drift, an RMS formula error or a broken bucket
+    //      join all break the hash. Bounded to 300 docs (deliberately
+    //      one big hash bucket, the adversarial verify shape). ----
+    "q_audio_neardup" -> ((s, dir) => {
+      import graft.multimodal.JdkMedia
+      JdkMedia.audioNearDups(
+          JdkMedia.wavMediaFromDocs(t(s, dir, "documents").where(col("doc_id") < 300)))
+        .select(col("id_a"), col("id_b"),
+          round(col("mean_gap") * 32768d).cast(LongType).as("amp_gap"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- S2 capstone: EVERY typed body codec wire-gated in one row.
     //      500 rows × the 13 event types no other gate query decodes
     //      (PATH, STATE, APPLICATION, CONTAINER, SPARK stage/executor-
@@ -2494,6 +2511,18 @@ object SparkEntry {
         |  ((doc_id % 400) + 100) // 8 AS duration_ms,
         |  (doc_id * 37) % 32768 AS amp_rec
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // constant signals ⇒ uniform RMS grids ⇒ pairs decided by the
+    // amplitude gap alone, which the doc_id arithmetic reproduces
+    "q_audio_neardup" ->
+      """WITH a AS (
+        |  SELECT doc_id, (doc_id * 37) % 32768 AS amp
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  abs(x.amp - y.amp) AS amp_gap
+        |FROM a x JOIN a y ON x.doc_id < y.doc_id
+        |WHERE abs(x.amp - y.amp) <= 100
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // every remaining typed body codec replayed from eid arithmetic; the
     // per-type checksums cover int64/int32/bool/double/string-list fields

@@ -203,6 +203,82 @@ object JdkMedia {
     } finally { try iis.close() catch { case _: Exception => () } }
   }
 
+  val AudioGridDim = 16 // audioNearDups: windowed-RMS grid width
+
+  /** Windowed-RMS signature of one PCM container — the audio analog of the
+    * image luma grid: the sample stream split into [[AudioGridDim]] equal
+    * spans, RMS per span (channels mixed in frame order, like
+    * [[decodeAudio]]'s overall RMS). Container-independent: the same PCM
+    * in a WAV and an AIFF (endianness and headers differ, samples don't)
+    * produces the identical grid. None for bytes the JDK cannot parse;
+    * spans an ultra-short clip leaves empty are backfilled with the
+    * overall RMS (same shape-independence trick as the image grid).
+    */
+  def audioRmsGrid(id: Long, bytes: Array[Byte],
+                   windows: Int = AudioGridDim): Option[Array[Double]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (in == null) return None
+    try {
+      val fmt = in.getFormat
+      val bits = fmt.getSampleSizeInBits
+      if (bits != 16 && bits != 8) return None
+      val data = in.readAllBytes()
+      val step = bits / 8
+      val nSamples = data.length / step
+      if (nSamples == 0) return None
+      val bigEndian = fmt.isBigEndian
+      val sq = new Array[Double](windows)
+      val cnt = new Array[Long](windows)
+      var s = 0
+      var acc = 0.0
+      while (s < nSamples) {
+        val i = s * step
+        val sample =
+          if (bits == 16) {
+            val (lo, hi) = if (bigEndian) (data(i + 1), data(i)) else (data(i), data(i + 1))
+            (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
+          } else (data(i).toDouble) / 128.0
+        val w = (s.toLong * windows / nSamples).toInt
+        sq(w) += sample * sample
+        cnt(w) += 1
+        acc += sample * sample
+        s += 1
+      }
+      val overall = math.sqrt(acc / nSamples)
+      Some(Array.tabulate(windows)(w =>
+        if (cnt(w) == 0) overall else math.sqrt(sq(w) / cnt(w))))
+    } catch { case _: Exception => None } finally in.close()
+  }
+
+  /** Cross-container AUDIO near-duplicates — the audio seat of
+    * [[imageNearDups]], sharing its banded-grid core: the same PCM in a
+    * WAV and an AIFF (or a replayed capture at a slightly different
+    * level) has byte-disjoint containers but near-identical windowed-RMS
+    * envelopes. Candidates from the banded grid aHash (Hamming ≤
+    * `maxHamming`), verify = overall-RMS gap ≤ `rmsTol` (normalized
+    * 0..1 scale — 100/32768 ≈ a 100-amplitude step of a 16-bit sample)
+    * AND centered-envelope cosine ≥ `threshold`, with constant signals
+    * (uniform grids — silence, test tones) accepted on the RMS test
+    * alone. Failed decodes are excluded. Same scale shape as the image
+    * flavor: one decode pass, capped hash buckets, no all-pairs stage.
+    */
+  def audioNearDups(media: Dataset[Multimodal.MediaRow],
+                    threshold: Double = 0.98,
+                    rmsTol: Double = 100.0 / 32768.0,
+                    maxBucket: Int = 100000,
+                    maxHamming: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    val feats = media
+      .mapPartitions(_.flatMap(r =>
+        audioRmsGrid(r.media_id, r.content).map(g => gridFeatureRow(r.media_id, g))))
+      .toDF("id", "ahash", "mean", "centered", "norm0")
+    bandedCenteredPairs(feats, AudioGridDim, maxHamming, maxBucket,
+      threshold, rmsTol)
+  }
+
   /** Decode one PCM audio container (WAV/AIFF/AU). RMS over all channels
     * in frame order, 16/8-bit PCM both handled; compressed payloads the
     * JDK cannot parse come back ok = false.
@@ -336,37 +412,66 @@ object JdkMedia {
                     maxBucket: Int = 100000,
                     maxHamming: Int = 1): DataFrame = {
     import media.sparkSession.implicits._
-    import org.apache.spark.sql.functions._
-    val bands = 4 // 4-bit bands over the 16-bit aHash
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"aHash banding tolerates 0 <= maxHamming < $bands bit flips (got $maxHamming)")
     val feats = decodeImages(media)
       .filter(_.ok)
-      .map { f =>
-        val mean = f.luma_grid.map(_.toDouble).sum / f.luma_grid.length
-        val centered = f.luma_grid.map(_ - mean)
-        var ah = 0L
-        var i = 0
-        while (i < f.luma_grid.length) {
-          if (f.luma_grid(i) > mean) ah |= 1L << i
-          i += 1
-        }
-        val norm0 = centered.forall(_ == 0.0f)
-        (f.media_id, ah, mean, centered.toSeq, norm0)
-      }
+      .map(f => gridFeatureRow(f.media_id, f.luma_grid.map(_.toDouble)))
       .toDF("id", "ahash", "mean", "centered", "norm0")
+    bandedCenteredPairs(feats, GridDim * GridDim, maxHamming, maxBucket,
+      threshold, meanTol)
+  }
+
+  /** The (ahash, mean, centered, norm0) signature row of one content grid
+    * — shared by the image (luma grid) and audio (windowed-RMS grid)
+    * near-dup front-ends: bit i of the aHash = cell i above the grid's
+    * own mean (threshold moves with the content, so re-encode level
+    * wobble doesn't flip everything), `centered` is the mean-subtracted
+    * grid the verify cosine runs on, `norm0` flags a uniform grid (the
+    * centered-cosine-undefined case the verify accepts on the mean test
+    * alone).
+    */
+  private def gridFeatureRow(id: Long, grid: Array[Double])
+      : (Long, Long, Double, Seq[Double], Boolean) = {
+    val mean = grid.sum / grid.length
+    val centered = grid.map(_ - mean)
+    var ah = 0L
+    var i = 0
+    while (i < grid.length) {
+      if (grid(i) > mean) ah |= 1L << i
+      i += 1
+    }
+    (id, ah, mean, centered.toSeq, centered.forall(_ == 0.0))
+  }
+
+  /** The modality-independent banded-grid near-dup core: candidates from
+    * Manku-style band subsets of a `bits`-bit aHash (4 bands of bits/4 —
+    * pigeonhole-exact for Hamming ≤ `maxHamming`), verified by mean gap ≤
+    * `meanTol` AND centered cosine ≥ `threshold` (both-uniform pairs pass
+    * on the mean test alone). Input schema (id, ahash, mean, centered,
+    * norm0); emits (id_a, id_b, mean_gap, centered_cosine). Buckets
+    * capped per (subset, key) like every bucketed self-join.
+    */
+  private def bandedCenteredPairs(feats: DataFrame, bits: Int, maxHamming: Int,
+                                  maxBucket: Int, threshold: Double,
+                                  meanTol: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bands = 4
+    require(bits % bands == 0, s"grid hash width $bits must split into $bands bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"aHash banding tolerates 0 <= maxHamming < $bands bit flips (got $maxHamming)")
+    val width = bits / bands
+    val mask = (1L << width) - 1L
     // band-subset keys: a Hamming <= maxHamming pair agrees on >= (bands -
     // maxHamming) bands, hence on at least one enumerated subset — packed
     // subset values keep the key as wide as the tolerance allows (12 bits
     // at the default maxHamming = 1 vs 4 bits for single-band keys)
     def bandVal(ah: Column, b: Int): Column =
-      call_function("shiftright", ah, lit(4 * b)).bitwiseAND(lit(0xFL))
+      call_function("shiftright", ah, lit(width * b)).bitwiseAND(lit(mask))
     val subsets = (0 until bands).combinations(bands - maxHamming).toSeq.zipWithIndex
     val blocked = feats.select(col("id"), col("mean"), col("centered"), col("norm0"),
       explode(array(subsets.map { case (ss, si) =>
         struct(lit(si).as("t"),
           ss.zipWithIndex.map { case (b, pos) =>
-            call_function("shiftleft", bandVal(col("ahash"), b), lit(4 * pos))
+            call_function("shiftleft", bandVal(col("ahash"), b), lit(width * pos))
           }.reduce(_.bitwiseOR(_)).as("bk"))
       }: _*)).as("s"))
       .select(col("id"), col("mean"), col("centered"), col("norm0"),

@@ -288,6 +288,50 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!out(2L).ok)
   }
 
+  test("audioNearDups: same PCM in WAV vs AIFF pairs; mirrored envelope and level-shifted tones don't; corrupt excluded") {
+    import graft.multimodal.JdkMedia
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def container(samples: Array[Short], tpe: AudioFileFormat.Type, big: Boolean): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        val (lo, hi) = ((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+        if (big) { data(2 * i) = hi; data(2 * i + 1) = lo }
+        else { data(2 * i) = lo; data(2 * i + 1) = hi }
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, big)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    // stepped envelope: quiet first half, loud second — a non-uniform grid
+    val env = Array.tabulate(3200)(i => (if (i < 1600) 2000 else 12000).toShort)
+    val rows = Seq(
+      MediaRow(1L, container(env, AudioFileFormat.Type.WAVE, big = false), MediaMeta("wav", 0, 0, 400L)),
+      MediaRow(2L, container(env, AudioFileFormat.Type.AIFF, big = true), MediaMeta("aiff", 0, 0, 400L)),
+      MediaRow(3L, container(env.reverse, AudioFileFormat.Type.WAVE, big = false), MediaMeta("wav", 0, 0, 400L)),
+      MediaRow(4L, JdkMedia.constWav(8000, 1000, 1000), MediaMeta("wav", 0, 0, 125L)),
+      MediaRow(5L, JdkMedia.constWav(8000, 800, 1050), MediaMeta("wav", 0, 0, 100L)), // gap 50 <= 100
+      MediaRow(6L, JdkMedia.constWav(8000, 1000, 5000), MediaMeta("wav", 0, 0, 125L)), // gap 4000
+      MediaRow(7L, Array.fill[Byte](64)(1), MediaMeta("wav", 0, 0, 0L))).toDS()
+    val pairs = JdkMedia.audioNearDups(rows)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // container-independence: WAV and AIFF of the SAME samples pair
+    assert(pairs.contains((1L, 2L)), s"cross-container dup not found: $pairs")
+    // close constant tones pair on the RMS test (uniform grids)
+    assert(pairs.contains((4L, 5L)))
+    // mirrored envelope: same RMS, opposite grid — must NOT pair
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"mirrored envelope paired: $pairs")
+    // level-shifted constant fails the RMS gap
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L), "undecodable rows must not pair")
+    assert(pairs == Set((1L, 2L), (4L, 5L)), s"unexpected extra pairs: $pairs")
+    // the grid itself is container-independent, byte-for-byte
+    val gw = JdkMedia.audioRmsGrid(1L, container(env, AudioFileFormat.Type.WAVE, big = false)).get
+    val ga = JdkMedia.audioRmsGrid(2L, container(env, AudioFileFormat.Type.AIFF, big = true)).get
+    assert(gw.toSeq == ga.toSeq)
+  }
+
   test("sweepOrphanPacks deletes losing-attempt files, preserves referenced packs byte-exact") {
     val dir = java.nio.file.Files.createTempDirectory("packs_sweep").toString
     val ptrTable = s"$dir/pointers"
