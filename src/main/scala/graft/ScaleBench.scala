@@ -37,8 +37,12 @@ object ScaleBench {
       * exposes whether a per-batch plan scans corpus-sized tables.
       */
     val inputBytes = new AtomicLong(0L)
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
+    // per-TASK accumulation: stage-level `stageInfo.taskMetrics` proved
+    // unreliable for input bytes (a 148 MB parquet scan reported 0.08 MB —
+    // caught by the initsample section's full-scan control); task-end
+    // metrics are the complete, documented channel
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
       if (m != null) {
         bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
@@ -305,7 +309,8 @@ object ScaleBench {
     // "increment".
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
-    val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend", "ivfdedup", "knntopk")
+    val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
+      "ivfdedup", "knntopk", "relayout", "initsample")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -532,6 +537,134 @@ object ScaleBench {
       // window) is fixed — wall time should grow FAR slower than 10x
       println(f"""{"ivf_dedup_linearity":{"sec_1x":$s1%.1f,"sec_10x":$s10%.1f,""" +
         f""""ratio":${s10 / s1}%.2f,"sublinear_ok":${s10 / s1 <= 5.0}}}""")
+    }
+
+    if (sections("relayout")) {
+      // ---- grow-P re-layout point: WHY the maintenance step exists, as a
+      //      number. A 10× corpus signature table laid out at P=512 (right
+      //      for 1×, undersized at 10×: per-partition bytes grew ~10×, so
+      //      each pruned candidate partition costs ~10× to read) is grown
+      //      to P=5120 by Dedup.relayoutSignatures; the SAME batch's
+      //      pruned verify fetch is measured before and after. Expected:
+      //      verify bytes drop toward the 1×-corpus constant, verified
+      //      pairs identical (the re-layout is lossless and the candidate
+      //      set never touched the sig table). ----
+      val numHashes = 126
+      val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
+      val corpusSigs = Dedup.minHashSignatures(scaled(base, 10), "doc_id", "text", 3, numHashes)
+        .persist()
+      val nCorpus = corpusSigs.count()
+      val sigPath = graft.sources.BucketedTables.scratchDir("scale_relayout_").toString + "/sigs"
+      Dedup.writeSignatures(corpusSigs, sigPath, 512)
+      graft.operators.DedupLayout.write(spark, sigPath,
+        graft.operators.DedupLayout.Layout(3, numHashes, nBands, rowsPerBand,
+          threshold, maxBucket, 512))
+      val bandedDf = Dedup.bandedTableCapped(corpusSigs, nBands, rowsPerBand, maxBucket)
+        .persist()
+      bandedDf.count()
+      corpusSigs.unpersist()
+      val planted = scaled(base.orderBy("doc_id").limit(250), 1)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val inc = scaled(small, 1).unionByName(planted)
+      val newSigs = Dedup.minHashSignatures(inc, "doc_id", "text", 3, numHashes).persist()
+      newSigs.count()
+      val cands = Dedup.minHashCandidatePairsAgainstBanded(
+          newSigs, bandedDf, nBands, rowsPerBand, maxBucket,
+          preCapped = true, broadcastIncrement = true)
+        .persist()
+      val nCands = cands.count()
+      // the measured quantity is the ON-DISK BYTES of the partitions the
+      // candidate set prunes to — the exact I/O a cluster reader issues
+      // (file-level partition pruning reads those files and nothing else;
+      // FS-statistics counters are footer-dominated locally and blind to
+      // this, see the initsample note)
+      def verifyPoint(label: String, p: Int): (Long, Double) = {
+        val verified = Dedup.estJaccardScores(cands, newSigs,
+            Dedup.prunedCorpusSigs(spark, sigPath, cands.select("corpus_id"), p),
+            "new_id", "corpus_id", numHashes)
+          .where(col("est_jaccard") >= threshold).count()
+        val pts = cands.select(Dedup.sigPartition(col("corpus_id"), p).as("pt"))
+          .distinct().collect().map(_.getInt(0))
+        val fs = new org.apache.hadoop.fs.Path(sigPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prunedBytes = pts.map { pt =>
+          val d = new org.apache.hadoop.fs.Path(s"$sigPath/${Dedup.SigPartitionCol}=$pt")
+          if (fs.exists(d)) fs.getContentSummary(d).getLength else 0L
+        }.sum
+        val mb = prunedBytes / 1024.0 / 1024.0
+        println(f"""{"scale_point":"$label","n_corpus":$nCorpus,"candidate_pairs":$nCands,""" +
+          f""""verified_pairs":$verified,"pruned_partitions":${pts.length},""" +
+          f""""pruned_table_mb":$mb%.2f}""")
+        (verified, mb)
+      }
+      val (vBefore, mbBefore) = verifyPoint("relayout verify P=512 (undersized at 10x)", 512)
+      val t0 = System.nanoTime()
+      require(Dedup.relayoutSignatures(spark, sigPath, 5120), "re-layout must run")
+      val relayoutSecs = (System.nanoTime() - t0) / 1e9
+      val (vAfter, mbAfter) = verifyPoint("relayout verify P=5120 (grown)", 5120)
+      cands.unpersist(); newSigs.unpersist(); bandedDf.unpersist()
+      println(f"""{"relayout_grow_p":{"pruned_mb_before":$mbBefore%.2f,""" +
+        f""""pruned_mb_after":$mbAfter%.2f,"cut_x":${mbBefore / math.max(mbAfter, 0.01)}%.1f,""" +
+        f""""relayout_sec":$relayoutSecs%.1f,"lossless_ok":${vBefore == vAfter}}}""")
+    }
+
+    if (sections("initsample")) {
+      // ---- centroid-init seed-scan point: the old init materialized the
+      //      corpus' VECTOR payloads through a TakeOrderedAndProject to
+      //      keep k; the new one orders on an id-only projection (+ hash
+      //      prefilter) and fetches k vectors via pushable isin. On a
+      //      parquet corpus whose bytes are ~all embedding (148 MB of
+      //      incompressible doubles), the wall-clock cost of the seed
+      //      choice must drop hard (the id column is ~2% of the bytes)
+      //      and the seeds must be IDENTICAL. Wall time is the metric —
+      //      FS-statistics byte counters proved footer-dominated for
+      //      local parquet scans (the full-scan control below reads
+      //      148 MB and reports 0.08), so bytes would measure metadata,
+      //      not data. ----
+      // ~2 GB: big enough that scan bytes dominate the fixed ~0.5 s of
+      // extra job launches the two-pass init pays (at 300 MB the overhead
+      // wins and the point measures job latency, not the scan)
+      val dim = 256
+      val n = 1000000L
+      val vecPath = graft.sources.BucketedTables.scratchDir("scale_initsample_").toString + "/vecs"
+      // INCOMPRESSIBLE payloads (hash-valued doubles): a patterned fixture
+      // compresses so hard the vector column stops dominating the table's
+      // bytes and the measurement measures parquet compression instead
+      spark.range(n)
+        .select(col("id").as("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(lit(0), lit(dim - 1)),
+            i => xxhash64(col("id") * lit(dim) + i).cast("double")).as("embedding"))
+        .write.parquet(vecPath)
+      val corpus = spark.read.parquet(vecPath)
+      val tableMb = {
+        val p = new org.apache.hadoop.fs.Path(vecPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength / 1024.0 / 1024.0
+      }
+      println(f"""{"scale_point":"initsample corpus","n":$n,"dim":$dim,"table_mb":$tableMb%.1f}""")
+      val k = 8
+      val hash = xxhash64(col("vec_id").cast("string"))
+      def measureInit(label: String)(run: => Array[Array[Double]]): (Seq[Seq[Double]], Double) = {
+        val t0 = System.nanoTime()
+        val seeds = run
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"""{"scale_point":"$label","n_corpus":$n,"k":$k,"sec":$secs%.2f}""")
+        (seeds.map(_.toSeq).toSeq, secs)
+      }
+      def legacyInit() = corpus.orderBy(hash, col("vec_id")).limit(k)
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      def newInit() =
+        graft.operators.Similarity.trainCentroids(corpus, "vec_id", "embedding", k, iters = 0)
+      // warm both paths (JIT + page cache) so the timed gap is plan shape,
+      // not first-touch costs — same discipline as the knntopk section
+      legacyInit(); newInit()
+      val (legacySeeds, legacySec) = measureInit("init legacy full-vector TakeOrdered")(legacyInit())
+      val (newSeeds, newSec) = measureInit("init id-only + hash prefilter")(newInit())
+      println(f"""{"init_seed_scan":{"legacy_sec":$legacySec%.2f,"new_sec":$newSec%.2f,""" +
+        f""""cut_x":${legacySec / math.max(newSec, 0.001)}%.1f,""" +
+        f""""seeds_identical":${legacySeeds == newSeeds}}}""")
     }
 
     if (sections("spans")) {
