@@ -97,15 +97,17 @@ object Similarity {
   /** IVF centroid training: Lloyd's iterations with deterministic
     * hash-ordered initialization (the k corpus vectors with smallest
     * xxhash64(id) seed the clusters — no random state, identical on every
-    * run). The init does NOT scan vector bytes corpus-wide: a hash-
-    * threshold prefilter (`xxhash64(id) <= t`, t sized so ~[[InitSampleFactor]]·k
-    * ids pass) runs ahead of the top-k — because the filter and the
-    * ordering use the SAME hash, the k smallest hashes are inside the
-    * sample whenever ≥ k rows pass, so the seeds are IDENTICAL to an
-    * unsampled init (drift-free by construction; the vanishingly unlikely
-    * undershoot falls back to the full scan). At 100 TB the
-    * TakeOrderedAndProject then reads ~10⁴·k vector payloads instead of
-    * the corpus — the id-hash predicate prunes at the scan. Assignment is
+    * run). The init does NOT scan vector bytes corpus-wide: the ordering
+    * pass projects the id column only (column pruning — on a wide-
+    * embedding corpus the vectors ARE the bytes) and the k winners'
+    * vectors return through a parquet-pushable `isin` lookup; ahead of
+    * both, a hash-threshold prefilter (`xxhash64(id) <= t`, t sized so
+    * ~[[InitSampleFactor]]·k ids pass) bounds the rows entering the
+    * top-k — because the filter and the ordering use the SAME hash, the
+    * k smallest hashes are inside the sample whenever ≥ k rows pass, so
+    * the seeds are IDENTICAL to an unsampled init (drift-free by
+    * construction; the vanishingly unlikely undershoot falls back to the
+    * full scan). Assignment is
     * the codegen [[VectorExpressions.CentroidProbes]] scoring loop; the
     * mean update is relational (posexplode → per-(cluster, dim) avg →
     * k×dim rows to the driver — tiny). At corpus scale also train on a
@@ -129,12 +131,25 @@ object Similarity {
                      k: Int, iters: Int = 3): Array[Array[Double]] = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val hash = xxhash64(col(idCol).cast("string"))
-    def seedsFrom(df: DataFrame): Array[Array[Double]] = df
-      .orderBy(hash)
-      .limit(k)
-      .select(col(vecCol).cast("array<double>"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    // two-pass seed fetch: the ordering pass projects the ID COLUMN ONLY
+    // (the vector payload is the table's bytes — a wide-embedding corpus
+    // scan that materializes vectors just to discard all but k of them
+    // reads ~everything for nothing), then the k winners' vectors come
+    // back through an `isin` lookup, which parquet pushes down. Both
+    // passes order by (hash, id) — the id tiebreak pins the winners when
+    // two ids hash equal, so the two passes (and any rerun) agree.
+    def seedsFrom(df: DataFrame): Array[Array[Double]] = {
+      val ids = df.select(col(idCol))
+        .orderBy(hash, col(idCol))
+        .limit(k)
+        .collect().map(_.get(0))
+      if (ids.isEmpty) Array.empty
+      else df.where(col(idCol).isin(ids: _*))
+        .orderBy(hash, col(idCol))
+        .select(col(vecCol).cast("array<double>"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+    }
     val n = corpus.count() // column-less parquet count — metadata, not a scan
     var centroids: Array[Array[Double]] =
       if (n <= InitSampleFactor * k.toLong) seedsFrom(corpus)
