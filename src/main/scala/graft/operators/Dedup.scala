@@ -651,6 +651,10 @@ object Dedup {
     require(!fs.exists(trashRoot),
       s"$trashRoot holds an interrupted re-layout — run recoverSignatureRelayout first")
     if (!fs.exists(dir)) return false
+    // same refusal as rewriteTableDir: a FileStreamSink-tracked table
+    // resolves reads through _spark_metadata — swapping its directory out
+    // from under the log corrupts every read
+    if (graft.streaming.EventSink.isStreamLogTracked(fs, sigTablePath)) return false
     val layout = DedupLayout.read(spark, sigTablePath).getOrElse(
       throw new IllegalStateException(
         s"$sigTablePath has no ${DedupLayout.ManifestName} — re-layout re-stamps the " +
@@ -720,6 +724,82 @@ object Dedup {
     val hadLock = fs.exists(lock)
     fs.delete(lock, false)
     hadTrash || hadTmp || hadLock
+  }
+
+  /** What one [[maintainServingTables]] pass did. */
+  final case class ServingMaintenanceReport(
+      recoveredRelayout: Boolean,
+      recoveredTables: Int,
+      sigCompacted: Boolean,
+      bandedRecapped: Boolean,
+      acceptedCompacted: Boolean,
+      sigRelayouted: Boolean)
+
+  /** Crash recovery for a signature table, whatever its layout: repairs an
+    * interrupted [[relayoutSignatures]] first (the live dir may be missing
+    * in that crash window), then interrupted [[rewriteTableDir]] swaps —
+    * on the root for a flat table, per `sig_pt=` partition for the
+    * hash-partitioned layout (the same split [[compactSignatures]]
+    * sweeps). Returns (relayout repaired, rewrite-swaps repaired).
+    */
+  def recoverSignatureTable(spark: SparkSession, sigTablePath: String): (Boolean, Int) = {
+    val relayout = recoverSignatureRelayout(spark, sigTablePath)
+    val dir = new org.apache.hadoop.fs.Path(sigTablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return (relayout, 0)
+    val partDirs = fs.listStatus(dir).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(s"$SigPartitionCol="))
+    val repaired =
+      if (partDirs.isEmpty) { if (recoverTableMaintenance(spark, sigTablePath)) 1 else 0 }
+      else partDirs.count(p => recoverTableMaintenance(spark, p.getPath.toString))
+    (relayout, repaired)
+  }
+
+  /** ONE maintenance pass over the incremental-dedup serving shape — the
+    * batch loop [[graft.streaming.IncrementalDedup.processBatch]]'s
+    * scaladoc promises, composed from the individual tools so a
+    * maintainer calls one thing at startup/periodically (the IVF-store
+    * analog is [[IvfIndexStore.recoverGenerationMaintenance]] +
+    * [[IvfIndexStore.compactGeneration]]):
+    *
+    *  1. crash RECOVERY everywhere first ([[recoverSignatureTable]] on the
+    *     sig table, [[recoverTableMaintenance]] on banded + accepted) —
+    *     half-swapped state must be repaired before any new rewrite;
+    *  2. [[compactSignatures]] — per-batch append file sets folded, one
+    *     sig per id restored;
+    *  3. [[recapBandedTable]] — replay-duplicate band rows dropped, bucket
+    *     cap re-applied, manifest re-stamped;
+    *  4. accepted-table compaction (replay dedup on `idCol` + small-file
+    *     fold) when `acceptedPath`/`idCol` are given;
+    *  5. optionally GROW the sig-table hash layout
+    *     ([[relayoutSignatures]]) when `growSigPartitionsTo` is set —
+    *     last, over the just-compacted table.
+    *
+    * Liveness contract: same as every swap here — run with no concurrent
+    * maintainer (per-table locks make a second caller a no-op, never a
+    * corruption) and, for the re-layout leg, no live writer.
+    */
+  def maintainServingTables(spark: SparkSession, sigTablePath: String,
+                            bandedTablePath: Option[String] = None,
+                            acceptedPath: Option[String] = None,
+                            idCol: String = "doc_id",
+                            maxBucket: Int = 1000,
+                            targetFiles: Int = 1,
+                            growSigPartitionsTo: Option[Int] = None)
+      : ServingMaintenanceReport = {
+    val (relayoutFixed, sigSwapsFixed) = recoverSignatureTable(spark, sigTablePath)
+    val otherFixed =
+      bandedTablePath.count(p => recoverTableMaintenance(spark, p)) +
+        acceptedPath.count(p => recoverTableMaintenance(spark, p))
+    val compacted = compactSignatures(spark, sigTablePath, targetFiles)
+    val recapped = bandedTablePath.exists(p =>
+      recapBandedTable(spark, p, maxBucket, targetFiles))
+    val acceptedDone = acceptedPath.exists(p =>
+      rewriteTableDir(spark, p, _.dropDuplicates(idCol), targetFiles))
+    val relayouted = growSigPartitionsTo.exists(p =>
+      relayoutSignatures(spark, sigTablePath, p))
+    ServingMaintenanceReport(relayoutFixed, sigSwapsFixed + otherFixed,
+      compacted, recapped, acceptedDone, relayouted)
   }
 
   // --------------------------------------------------------------- SimHash

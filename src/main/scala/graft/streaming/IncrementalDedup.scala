@@ -58,8 +58,10 @@ object IncrementalDedup {
     * tables, and every later call verifies its own parameters against the
     * stamp (signature tables compare (shingleK, numHashes); banded tables
     * compare the full layout) and throws on drift instead of silently
-    * admitting duplicates. Re-cap the banded table when compacting the
-    * corpus ([[Dedup.recapBandedTable]] / [[Dedup.compactSignatures]]).
+    * admitting duplicates. Maintenance is ONE call:
+    * [[Dedup.maintainServingTables]] (crash recovery on every table, sig
+    * compaction, banded re-cap, accepted replay-dedup, optional grow-P
+    * re-layout) at maintainer startup and on the compaction cadence.
     *
     * `broadcastIncrement` is auto-disabled when the batch's band rows
     * exceed `maxBroadcastBandRows` (a backfill-sized "increment" would

@@ -168,6 +168,53 @@ class DedupMaintenanceSpec extends SparkSpecBase {
     assert(!Dedup.recoverSignatureRelayout(spark, sigTable))
   }
 
+  test("maintainServingTables: one pass recovers, compacts, recaps, dedups accepted and grows P") {
+    val dir = work("maintain_")
+    val sigTable = s"$dir/sigs"; val banded = s"$dir/bands"; val accepted = s"$dir/accepted"
+    val docs = (0L until 50L).map(i => (i, s"doc $i " + corpusText)).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 3, 126)
+    Dedup.writeSignatures(sigs, sigTable, 8)
+    DedupLayout.write(spark, sigTable, DedupLayout.Layout(3, 126, 42, 3, 0.5, 1000, 8))
+    Dedup.bandedTableCapped(sigs, 42, 3, 1000).write.parquet(banded)
+    DedupLayout.write(spark, banded, DedupLayout.Layout(3, 126, 42, 3, 0.5, 1000, 8))
+    docs.write.parquet(accepted)
+    // damage: replayed sig append, duplicated band rows, replayed accepted
+    Dedup.writeSignatures(sigs.where(col("id") < 5), sigTable, 8,
+      org.apache.spark.sql.SaveMode.Append)
+    Dedup.bandedTable(sigs.where(col("id") < 5), 42, 3)
+      .write.mode("append").parquet(banded)
+    docs.where(col("doc_id") < 5).write.mode("append").parquet(accepted)
+    // crashed re-layout in the roll-forward window: live path intact,
+    // trash + lock left behind
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$sigTable.relayout_trash/old"))
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$sigTable.relayout_lock"))
+
+    val report = Dedup.maintainServingTables(spark, sigTable, Some(banded),
+      Some(accepted), idCol = "doc_id", maxBucket = 1000,
+      growSigPartitionsTo = Some(32))
+    assert(report.recoveredRelayout && report.sigCompacted && report.bandedRecapped &&
+      report.acceptedCompacted && report.sigRelayouted, s"report: $report")
+    // one sig per id, grown layout, content intact
+    val after = spark.read.parquet(sigTable)
+    assert(after.count() == 50 && after.select("id").distinct().count() == 50)
+    assert(DedupLayout.read(spark, sigTable).map(_.sigPartitions).contains(32))
+    // accepted deduped; banded rows deduped back to the capped seed
+    assert(spark.read.parquet(accepted).count() == 50)
+    assert(spark.read.parquet(banded).dropDuplicates("id", "band", "bucket").count() ==
+      spark.read.parquet(banded).count())
+    // no maintenance residue anywhere
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$sigTable.relayout_trash")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$sigTable.relayout_lock")))
+    // second pass over a healthy store: nothing to recover, grow is a no-op
+    val again = Dedup.maintainServingTables(spark, sigTable, Some(banded),
+      Some(accepted), idCol = "doc_id", maxBucket = 1000,
+      growSigPartitionsTo = Some(32))
+    assert(!again.recoveredRelayout && again.recoveredTables == 0 && !again.sigRelayouted)
+    assert(spark.read.parquet(sigTable).count() == 50)
+  }
+
   test("Maintenance.parallelSweep: ordered results, first failure surfaces AFTER the pool drains, empty input no-ops") {
     import graft.operators.Maintenance
     assert(Maintenance.parallelSweep(Seq.empty[Int], "noop")(identity) == Seq.empty)
