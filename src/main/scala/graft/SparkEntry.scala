@@ -1565,6 +1565,22 @@ object SparkEntry {
         .orderBy(col("heuristic"), col("application_id"), col("container_id"))
     }),
 
+    // ---- F3/F4 on the WIRE: hasContainerId + hasFramework over the
+    //      decoded typed table — container routing on the decoded header
+    //      (reference GarmadonMessageFilters.java:31-37), the one filter
+    //      predicate previously unit-only. Container ids derive from
+    //      user_id % 5 in the fixture, so DuckDB reproduces the filtered
+    //      per-application aggregate from raw events columns. ----
+    "q_container_filter" -> ((s, dir) => {
+      import graft.sources.FrameSource
+      val gc = FrameSource.typedTable(
+        FrameSource.decodeFramesFast(gcFsWireFrames(s, dir)), "GC_EVENT")
+      gc.where(Filters.hasContainerId("container_2") && Filters.hasFramework("YARN"))
+        .groupBy(col("application_id"))
+        .agg(count(lit(1)).as("n"), sum(col("pause_time")).as("sum_pause"))
+        .orderBy(col("application_id"))
+    }),
+
     // ---- Multimodal blob plumbing in the ORACLE gate: deterministic
     //      "media" bytes (props JSON repeated eid%7+1 times, 8-63 B) →
     //      packBlobs (inline ≤ 16 B, larger blobs appended to
@@ -2511,6 +2527,16 @@ object SparkEntry {
         |  ((doc_id % 400) + 100) // 8 AS duration_ms,
         |  (doc_id * 37) % 32768 AS amp_rec
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // container_id = 'container_' || user_id % 5 in the wire fixture;
+    // every event emits exactly one GC frame with pause = event_id % 500
+    "q_container_filter" ->
+      """SELECT 'application_' || CAST(user_id % 20 AS VARCHAR) AS application_id,
+        |  count(*) AS n,
+        |  CAST(sum(event_id % 500) AS BIGINT) AS sum_pause
+        |FROM events
+        |WHERE user_id % 5 = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // constant signals ⇒ uniform RMS grids ⇒ pairs decided by the
     // amplitude gap alone, which the doc_id arithmetic reproduces

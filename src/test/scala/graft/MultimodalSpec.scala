@@ -269,9 +269,13 @@ class MultimodalSpec extends SparkSpecBase {
       assert(img.ok || img.width == 0, s"blob $i: failed decode must zero out")
       JdkMedia.decodeAudio(i.toLong, b) // must not throw
       JdkMedia.resizeImage(b, 16) // must not throw
+      JdkMedia.decodeImageFrames(i.toLong, b) // must not throw (frame walker)
+      JdkMedia.audioRmsGrid(i.toLong, b) // must not throw (envelope grid)
     }
     // the full-container inputs at 100% truncation (i.e. intact) decode fine
     assert(JdkMedia.decodeImage(0L, png).ok && JdkMedia.decodeAudio(0L, wav).ok)
+    assert(JdkMedia.decodeImageFrames(0L, png).head.ok &&
+      JdkMedia.audioRmsGrid(0L, wav).nonEmpty)
   }
 
   test("REAL audio codec: JDK WAV decode recovers rate/frames/duration and exact RMS; corrupt fails soft") {
