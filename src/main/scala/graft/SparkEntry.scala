@@ -1565,6 +1565,24 @@ object SparkEntry {
         .orderBy(col("heuristic"), col("application_id"), col("container_id"))
     }),
 
+    // ---- Multimodal: VIDEO container metadata probing (ISO-BMFF box
+    //      walk, pure byte arithmetic — the JDK ships no video decoder,
+    //      so frames stay behind the documented stub, but the metadata
+    //      layer a video corpus filters/routes on is REAL). Same
+    //      writer-reader roundtrip discipline as the proto wire gates:
+    //      Spark emits the published box layout from doc_id arithmetic,
+    //      probes it back, and DuckDB recomputes every number. ----
+    "q_video_probe" -> ((s, dir) => {
+      import graft.multimodal.Mp4Probe
+      Mp4Probe.probeVideos(Mp4Probe.mp4MediaFromDocs(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("ok"), col("duration_ms"),
+          col("n_tracks").cast(LongType).as("n_tracks"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- F3/F4 on the WIRE: hasContainerId + hasFramework over the
     //      decoded typed table — container routing on the decoded header
     //      (reference GarmadonMessageFilters.java:31-37), the one filter
@@ -2526,6 +2544,16 @@ object SparkEntry {
         |  (doc_id % 400) + 100 AS n_frames,
         |  ((doc_id % 400) + 100) // 8 AS duration_ms,
         |  (doc_id * 37) % 32768 AS amp_rec
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the probed container facts from the generating arithmetic alone
+    // (mvhd timescale fixed at 1000 ⇒ duration_ms == the stamped value)
+    "q_video_probe" ->
+      """SELECT doc_id AS media_id, TRUE AS ok,
+        |  (doc_id % 9000) + 1000 AS duration_ms,
+        |  (doc_id % 3) + 1 AS n_tracks,
+        |  ((doc_id % 16) + 1) * 80 AS width,
+        |  ((doc_id % 9) + 1) * 80 AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // container_id = 'container_' || user_id % 5 in the wire fixture;

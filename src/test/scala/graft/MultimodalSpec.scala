@@ -336,6 +336,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(gw.toSeq == ga.toSeq)
   }
 
+  test("MP4 probe: box-tree metadata recovered exactly; 64-bit sizes, truncations and garbage fail soft") {
+    import graft.multimodal.Mp4Probe
+    val mp4 = Mp4Probe.minimalMp4(durationMs = 12345L, width = 640, height = 360, nTracks = 2)
+    assert(Mp4Probe.probe(mp4).contains((12345L, 2, 640, 360)))
+    // a size==0 trailing box (extends to EOF) and a 64-bit-size free box
+    // ahead of moov must both be walked over correctly
+    def u32(v: Long) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val free64 = u32(1L) ++ "free".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 24) ++ Array.fill[Byte](8)(7)
+    assert(Mp4Probe.probe(free64 ++ mp4).contains((12345L, 2, 640, 360)))
+    val trailing = mp4 ++ (u32(0L) ++ "mdat".getBytes("ISO-8859-1") ++ Array.fill[Byte](5)(1))
+    assert(Mp4Probe.probe(trailing).contains((12345L, 2, 640, 360)))
+    // audio-only container: tracks but no dimensions
+    assert(Mp4Probe.probe(Mp4Probe.minimalMp4(500L, 0, 0, 1)).contains((500L, 1, 0, 0)))
+    // fail-soft: truncations at every cut, random bytes, empty, null
+    (1 until mp4.length by 7).foreach { cut =>
+      Mp4Probe.probe(mp4.take(cut)) // must not throw
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 100).foreach(_ => Mp4Probe.probe(Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte)))
+    assert(Mp4Probe.probe(Array.emptyByteArray).isEmpty && Mp4Probe.probe(null).isEmpty)
+    // a container whose moov is cut mid-mvhd must NOT half-parse
+    val cutMoov = mp4.take(mp4.length - 40)
+    assert(Mp4Probe.probe(cutMoov).isEmpty)
+    // the Spark stage: ok rows + fail-soft rows through one pass
+    val rows = Seq(
+      MediaRow(1L, mp4, MediaMeta("mp4", 640, 360, 12345L)),
+      MediaRow(2L, Array.fill[Byte](40)(9), MediaMeta("mp4", 0, 0, 0L))).toDS()
+    val out = Mp4Probe.probeVideos(rows).collect().map(v => v.media_id -> v).toMap
+    assert(out(1L).ok && out(1L).duration_ms == 12345L && out(1L).width == 640)
+    assert(!out(2L).ok)
+  }
+
   test("sweepOrphanPacks deletes losing-attempt files, preserves referenced packs byte-exact") {
     val dir = java.nio.file.Files.createTempDirectory("packs_sweep").toString
     val ptrTable = s"$dir/pointers"
