@@ -1583,6 +1583,21 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- Multimodal: the CROSS-MODAL gate — docs filtered by their
+    //      media blob's REAL decode/probe (byte-sniffed modality: PNG
+    //      decode + min-dim floor, WAV parse + duration floor, MP4 probe
+    //      + duration floor), the stage-0 companion to
+    //      TrainingPipeline.prepare. Every pass/fail reduces to doc_id
+    //      arithmetic DuckDB replays. ----
+    "q_media_gate" -> ((s, dir) => {
+      import graft.multimodal.JdkMedia
+      val docs = t(s, dir, "documents")
+      JdkMedia.mediaQualityGate(docs, "doc_id", JdkMedia.mixedMediaFromDocs(docs),
+          minImageDim = 3, minAudioMs = 30L, minVideoMs = 3000L)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- F3/F4 on the WIRE: hasContainerId + hasFramework over the
     //      decoded typed table — container routing on the decoded header
     //      (reference GarmadonMessageFilters.java:31-37), the one filter
@@ -2545,6 +2560,15 @@ object SparkEntry {
         |  ((doc_id % 400) + 100) // 8 AS duration_ms,
         |  (doc_id * 37) % 32768 AS amp_rec
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // modality = doc_id % 3; each modality's floor replayed from the
+    // fixture arithmetic (audio duration_ms = frames // 8 at 8 kHz)
+    "q_media_gate" ->
+      """SELECT doc_id FROM documents
+        |WHERE (doc_id % 3 = 0 AND (doc_id % 13) + 1 >= 3 AND (doc_id % 7) + 1 >= 3)
+        |   OR (doc_id % 3 = 1 AND ((doc_id % 400) + 100) // 8 >= 30)
+        |   OR (doc_id % 3 = 2 AND (doc_id % 9000) + 1000 >= 3000)
+        |ORDER BY doc_id""".stripMargin,
 
     // the probed container facts from the generating arithmetic alone
     // (mvhd timescale fixed at 1000 ⇒ duration_ms == the stamped value)

@@ -493,6 +493,70 @@ object JdkMedia {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ------------------------------------------------ cross-modal gating
+
+  /** Byte-sniffed modality of a blob — decoders trust content, never the
+    * meta column (a stale/wrong format stamp must not route a blob to the
+    * wrong parser).
+    */
+  private def sniff(b: Array[Byte]): String = {
+    if (b == null || b.length < 12) "unknown"
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "image"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "image" // JPEG
+    else if (b(0) == 'B' && b(1) == 'M') "image"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "image"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "audio"
+    else if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F') "audio"
+    else if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') "audio"
+    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "video"
+    else "unknown"
+  }
+
+  /** Does one blob pass the media-quality floor? Modality comes from the
+    * BYTES (see [[sniff]]); each modality applies its own floor over the
+    * REAL decode/probe: images must decode with min(width, height) ≥
+    * `minImageDim`, audio must parse with duration ≥ `minAudioMs`, video
+    * containers must probe with duration ≥ `minVideoMs`. Unknown or
+    * undecodable blobs fail — a quality gate admits only what it could
+    * verify.
+    */
+  def mediaPasses(bytes: Array[Byte], minImageDim: Int,
+                  minAudioMs: Long, minVideoMs: Long): Boolean =
+    sniff(bytes) match {
+      case "image" =>
+        val f = decodeImage(0L, bytes)
+        f.ok && math.min(f.width, f.height) >= minImageDim
+      case "audio" =>
+        val a = decodeAudio(0L, bytes)
+        a.ok && a.duration_ms >= minAudioMs
+      case "video" => Mp4Probe.probe(bytes).exists(_._1 >= minVideoMs)
+      case _ => false
+    }
+
+  /** The CROSS-MODAL gate stage of a multimodal training pipeline: keep
+    * only the docs whose media blob passes [[mediaPasses]] — the stage-0
+    * companion to [[graft.operators.TrainingPipeline.prepare]] (run the
+    * text pipeline over `mediaQualityGate(docs, …)` output). One
+    * partition-parallel decode pass over the media table emits passing
+    * ids only; docs filter by left-semi join (no media bytes ever ride
+    * the join). A doc with NO media row fails the gate — same
+    * verify-or-drop stance as undecodable bytes.
+    */
+  def mediaQualityGate(docs: DataFrame, idCol: String,
+                       media: Dataset[Multimodal.MediaRow],
+                       minImageDim: Int = 1, minAudioMs: Long = 0L,
+                       minVideoMs: Long = 0L): DataFrame = {
+    import media.sparkSession.implicits._
+    val passing = media
+      .mapPartitions(_.collect {
+        case r if mediaPasses(r.content, minImageDim, minAudioMs, minVideoMs) => r.media_id
+      })
+      .toDF(idCol)
+    docs.join(passing, Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------------- fixture generators
 
   /** A solid-color PNG — the deterministic fixture: decode must return
@@ -598,6 +662,34 @@ object JdkMedia {
         ((id * 31 + 41L * f) % 251).toInt))
       Multimodal.MediaRow(id, solidGif(w, h, colors),
         Multimodal.MediaMeta("gif", w, h, n * 100L))
+    }
+  }
+
+  /** Mixed-modality media table from the documents table — doc_id % 3
+    * picks the modality (0 → solid PNG, 1 → constant WAV, 2 → minimal
+    * MP4), every parameter by the same arithmetic as the single-modality
+    * fixtures, so the cross-modal gate's pass set is oracle-recomputable.
+    */
+  def mixedMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 =>
+          val w = (id % 13).toInt + 1
+          val h = (id % 7).toInt + 1
+          Multimodal.MediaRow(id, solidPng(w, h, (id % 251).toInt,
+            (id * 7 % 251).toInt, (id * 31 % 251).toInt),
+            Multimodal.MediaMeta("png", w, h, 0L))
+        case 1 =>
+          val frames = (id % 400).toInt + 100
+          Multimodal.MediaRow(id, constWav(8000, frames, ((id * 37) % 32768).toInt.toShort),
+            Multimodal.MediaMeta("wav", 0, 0, frames * 1000L / 8000L))
+        case _ =>
+          val dur = (id % 9000L) + 1000L
+          Multimodal.MediaRow(id, Mp4Probe.minimalMp4(dur, 320, 240, 1),
+            Multimodal.MediaMeta("mp4", 320, 240, dur))
+      }
     }
   }
 

@@ -10,6 +10,10 @@ import graft.functions.{Functions => F}
   * corpus out. Each stage is one of the individually-gated operators; this
   * is the composition a pretraining-data user actually runs, end to end:
   *
+  *  0. (multimodal corpora) media-quality gate — run [[prepare]] over
+  *     [[graft.multimodal.JdkMedia.mediaQualityGate]]'s output to keep
+  *     only docs whose media blob REAL-decodes past the per-modality
+  *     floors (image min-dim, audio/video min-duration);
   *  1. exact dedup (content-hash, min-id representative);
   *  2. near-dup clustering (MinHash-LSH pairs → connected components) with
   *     the QUALITY-argmax representative per cluster, not min-id — dup

@@ -370,6 +370,33 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!out(2L).ok)
   }
 
+  test("mediaQualityGate: byte-sniffed modality floors; stale meta ignored; missing/undecodable media fails") {
+    import graft.multimodal.{JdkMedia, Mp4Probe}
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+      .toDF("doc_id", "text")
+    val mediaRows = Seq(
+      // passes: 10x8 PNG over the min-dim 3 floor
+      MediaRow(1L, JdkMedia.solidPng(10, 8, 1, 2, 3), MediaMeta("png", 10, 8, 0L)),
+      // fails: 2-pixel-tall image under the floor
+      MediaRow(2L, JdkMedia.solidPng(10, 2, 1, 2, 3), MediaMeta("png", 10, 2, 0L)),
+      // passes: 500 ms WAV — and its meta LIES ("png"); the sniffer must
+      // route it to the audio decoder anyway
+      MediaRow(3L, JdkMedia.constWav(8000, 4000, 1000), MediaMeta("png", 0, 0, 500L)),
+      // fails: 5 ms WAV under the 30 ms floor
+      MediaRow(4L, JdkMedia.constWav(8000, 40, 1000), MediaMeta("wav", 0, 0, 5L)),
+      // passes: 4 s MP4 over the 3 s floor
+      MediaRow(5L, Mp4Probe.minimalMp4(4000L, 320, 240, 1), MediaMeta("mp4", 320, 240, 4000L))
+      // doc 6: NO media row at all — must fail the gate
+    ).toDS()
+    val kept = JdkMedia.mediaQualityGate(docs, "doc_id", mediaRows,
+      minImageDim = 3, minAudioMs = 30L, minVideoMs = 3000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L), s"gate kept: $kept")
+    // garbage bytes never pass, never throw
+    assert(!JdkMedia.mediaPasses(Array.fill[Byte](64)(9), 1, 0L, 0L))
+    assert(!JdkMedia.mediaPasses(null, 1, 0L, 0L))
+  }
+
   test("sweepOrphanPacks deletes losing-attempt files, preserves referenced packs byte-exact") {
     val dir = java.nio.file.Files.createTempDirectory("packs_sweep").toString
     val ptrTable = s"$dir/pointers"
