@@ -225,6 +225,16 @@ object JdkMedia {
       val fmt = in.getFormat
       val bits = fmt.getSampleSizeInBits
       if (bits != 16 && bits != 8) return None
+      // integer-PCM only, with the sign convention the container actually
+      // uses: 8-bit WAV is PCM_UNSIGNED (silence = 0x80), 8-bit AIFF is
+      // signed — decoding both as signed would make the SAME waveform
+      // produce different grids per container, breaking the cross-container
+      // pairing this grid exists for; ULAW/ALAW/float are not PCM ints
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!signed && !unsigned) return None
+      if (bits == 16 && !signed) return None // nonstandard; refuse, don't guess
       val data = in.readAllBytes()
       val step = bits / 8
       val nSamples = data.length / step
@@ -240,7 +250,8 @@ object JdkMedia {
           if (bits == 16) {
             val (lo, hi) = if (bigEndian) (data(i + 1), data(i)) else (data(i), data(i + 1))
             (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
-          } else (data(i).toDouble) / 128.0
+          } else if (signed) (data(i).toDouble) / 128.0
+          else ((data(i) & 0xff) - 128).toDouble / 128.0
         val w = (s.toLong * windows / nSamples).toInt
         sq(w) += sample * sample
         cnt(w) += 1
@@ -295,6 +306,14 @@ object JdkMedia {
       val frames = in.getFrameLength
       val bits = fmt.getSampleSizeInBits
       if (bits != 16 && bits != 8) return failed
+      // same PCM-encoding discipline as [[audioRmsGrid]]: 8-bit WAV is
+      // UNSIGNED (silence = 0x80) — decoding it as signed reads silence
+      // as full-scale; non-PCM (ULAW/ALAW/float) fails soft
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!signed && !unsigned) return failed
+      if (bits == 16 && !signed) return failed
       val data = in.readAllBytes()
       val bigEndian = fmt.isBigEndian
       var i = 0; var acc = 0.0; var nSamples = 0L
@@ -303,7 +322,8 @@ object JdkMedia {
           if (bits == 16) {
             val (lo, hi) = if (bigEndian) (data(i + 1), data(i)) else (data(i), data(i + 1))
             (((hi & 0xff) << 8) | (lo & 0xff)).toShort.toDouble / 32768.0
-          } else (data(i).toDouble) / 128.0
+          } else if (signed) (data(i).toDouble) / 128.0
+          else ((data(i) & 0xff) - 128).toDouble / 128.0
         acc += sample * sample
         nSamples += 1
         i += bits / 8

@@ -75,6 +75,12 @@ object Mp4Probe {
     */
   def probe(bytes: Array[Byte]): Option[(Long, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 8) return None
+    // belt over the bounds-checked walker: the fail-soft contract is
+    // absolute, so even a walker bug must degrade to None, never a throw
+    try probeChecked(bytes) catch { case _: Exception => None }
+  }
+
+  private def probeChecked(bytes: Array[Byte]): Option[(Long, Int, Int, Int)] = {
     var timescale = 0L
     var duration = -1L
     var tracks = 0
@@ -108,7 +114,12 @@ object Mp4Probe {
               case "trak" =>
                 tracks += 1
                 walk(bytes, f, t) { (leaf, lf, lt) =>
-                  if (leaf == "tkhd") {
+                  // payload emptiness BEFORE the version read: a size-8
+                  // tkhd ending at EOF would otherwise index past the
+                  // array (the fail-soft contract forbids any throw)
+                  if (leaf != "tkhd") true
+                  else if (lt - lf < 1) false
+                  else {
                     val version = bytes(lf) & 0xff
                     // tkhd payload: ver/flags(4) times(8|16) id(4) rsvd(4)
                     // dur(4|8) rsvd(8) layer(2) alt(2) vol(2) rsvd(2)
@@ -122,7 +133,7 @@ object Mp4Probe {
                       if (width == 0 && w > 0) { width = w; height = h }
                       true
                     }
-                  } else true
+                  }
                 }
               case _ => true
             }

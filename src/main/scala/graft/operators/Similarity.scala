@@ -138,6 +138,11 @@ object Similarity {
     // back through an `isin` lookup, which parquet pushes down. Both
     // passes order by (hash, id) — the id tiebreak pins the winners when
     // two ids hash equal, so the two passes (and any rerun) agree.
+    // ids are assumed DISTINCT and non-null — the contract every serving
+    // layer here already enforces (the IVF store compacts to one row per
+    // id; a null id is unservable). The re-applied limit(k) makes a
+    // violating corpus degrade to "k seeds, deterministically chosen"
+    // instead of silently training a different k than configured.
     def seedsFrom(df: DataFrame): Array[Array[Double]] = {
       val ids = df.select(col(idCol))
         .orderBy(hash, col(idCol))
@@ -146,6 +151,7 @@ object Similarity {
       if (ids.isEmpty) Array.empty
       else df.where(col(idCol).isin(ids: _*))
         .orderBy(hash, col(idCol))
+        .limit(k)
         .select(col(vecCol).cast("array<double>"))
         .collect()
         .map(_.getSeq[Double](0).toArray)

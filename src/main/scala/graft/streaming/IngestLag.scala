@@ -168,17 +168,28 @@ class IngestLagListener(clock: () => Long = () => System.currentTimeMillis())
   * likewise always-on, not a debug flag.
   */
 object IngestLagListener {
+  // WEAK keys: a default-on registry must not pin sessions — a multi-tenant
+  // driver creating one session per job (the Thrift-server pattern) would
+  // otherwise accumulate every dead session's state forever. The listener
+  // holds no reference back to its session, so an unreachable session (and
+  // with it its query manager and this listener) stays collectable.
+  // Explicit synchronization: WeakHashMap is not thread-safe, and a racy
+  // get/put would double-register listeners on the same bus.
   private val bySession =
-    new ConcurrentHashMap[org.apache.spark.sql.SparkSession, IngestLagListener]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, IngestLagListener]()
 
   /** The session's shared listener, registered on first use (thread-safe,
-    * once per session). Sessions are weakly few and long-lived; entries die
-    * with the JVM like the listeners themselves.
+    * once per session).
     */
   def forSession(spark: org.apache.spark.sql.SparkSession): IngestLagListener =
-    bySession.computeIfAbsent(spark, s => {
-      val l = new IngestLagListener()
-      s.streams.addListener(l)
-      l
-    })
+    bySession.synchronized {
+      val existing = bySession.get(spark)
+      if (existing != null) existing
+      else {
+        val l = new IngestLagListener()
+        spark.streams.addListener(l)
+        bySession.put(spark, l)
+        l
+      }
+    }
 }

@@ -370,6 +370,56 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!out(2L).ok)
   }
 
+  test("8-bit PCM sign conventions: unsigned WAV and signed AIFF of the same waveform decode identically; non-PCM rejected") {
+    import graft.multimodal.JdkMedia
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def write(data: Array[Byte], fmt: AudioFormat, tpe: AudioFileFormat.Type): Array[Byte] = {
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    // the same ramp waveform, stored per each container's convention:
+    // WAV 8-bit is UNSIGNED (sample + 128), AIFF 8-bit is signed
+    val signedRamp = Array.tabulate(2000)(i => ((i % 201) - 100).toByte)
+    val unsignedRamp = signedRamp.map(b => (b + 128).toByte)
+    val wav = write(unsignedRamp, new AudioFormat(8000f, 8, 1, false, false),
+      AudioFileFormat.Type.WAVE)
+    val aiff = write(signedRamp, new AudioFormat(8000f, 8, 1, true, true),
+      AudioFileFormat.Type.AIFF)
+    val gw = JdkMedia.audioRmsGrid(1L, wav).get
+    val ga = JdkMedia.audioRmsGrid(2L, aiff).get
+    assert(gw.toSeq == ga.toSeq, "same waveform must grid identically across containers")
+    val dw = JdkMedia.decodeAudio(1L, wav); val da = JdkMedia.decodeAudio(2L, aiff)
+    assert(dw.ok && da.ok && dw.rms == da.rms)
+    // silence in 8-bit WAV is 0x80 — must decode as ~0 RMS, not full scale
+    val silence = write(Array.fill[Byte](800)(0x80.toByte),
+      new AudioFormat(8000f, 8, 1, false, false), AudioFileFormat.Type.WAVE)
+    assert(JdkMedia.decodeAudio(3L, silence).rms == 0.0)
+    // non-PCM (ULAW) containers fail soft instead of decoding garbage
+    val ulaw =
+      try Some(write(Array.fill[Byte](400)(0x40),
+        new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false),
+        AudioFileFormat.Type.WAVE))
+      catch { case _: Exception => None } // JDK build without ULAW-WAV write
+    ulaw.foreach { u =>
+      assert(!JdkMedia.decodeAudio(4L, u).ok)
+      assert(JdkMedia.audioRmsGrid(4L, u).isEmpty)
+    }
+  }
+
+  test("MP4 probe: zero-payload tkhd at end-of-buffer fails soft, never throws") {
+    import graft.multimodal.Mp4Probe
+    def u32(v: Long) = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(t: String, p: Array[Byte]) = u32(p.length + 8L) ++ t.getBytes("ISO-8859-1") ++ p
+    // moov(mvhd-valid, trak(tkhd with EMPTY payload)) ending exactly at EOF:
+    // the version-byte read must be bounds-checked, not trusted
+    val mvhd = bx("mvhd", u32(0L) ++ u32(0L) ++ u32(0L) ++ u32(1000L) ++ u32(777L))
+    val evil = bx("moov", mvhd ++ bx("trak", bx("tkhd", Array.emptyByteArray)))
+    assert(Mp4Probe.probe(evil).isEmpty, "malformed tkhd must fail the probe soft")
+  }
+
   test("mediaQualityGate: byte-sniffed modality floors; stale meta ignored; missing/undecodable media fails") {
     import graft.multimodal.{JdkMedia, Mp4Probe}
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
