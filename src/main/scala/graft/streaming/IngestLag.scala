@@ -42,21 +42,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 class IngestLagListener(clock: () => Long = () => System.currentTimeMillis())
   extends StreamingQueryListener {
 
-  /** One query's latest observed ingest position. `None` lag fields mean
-    * the query reports no event-time metrics (no watermark in the plan).
-    */
-  final case class SinkLag(
-      queryId: java.util.UUID,
-      queryName: String,
-      sink: String,
-      batchId: Long,
-      numInputRows: Long,
-      maxEventTimeMs: Option[Long],
-      watermarkMs: Option[Long],
-      eventTimeLagMs: Option[Long],
-      watermarkLagMs: Option[Long],
-      closedThroughDay: Option[java.time.LocalDate],
-      observedAtMs: Long)
+  import IngestLagListener.SinkLag
 
   private val byQuery = new ConcurrentHashMap[java.util.UUID, SinkLag]()
 
@@ -168,6 +154,23 @@ class IngestLagListener(clock: () => Long = () => System.currentTimeMillis())
   * likewise always-on, not a debug flag.
   */
 object IngestLagListener {
+
+  /** One query's latest observed ingest position. `None` lag fields mean
+    * the query reports no event-time metrics (no watermark in the plan).
+    */
+  final case class SinkLag(
+      queryId: java.util.UUID,
+      queryName: String,
+      sink: String,
+      batchId: Long,
+      numInputRows: Long,
+      maxEventTimeMs: Option[Long],
+      watermarkMs: Option[Long],
+      eventTimeLagMs: Option[Long],
+      watermarkLagMs: Option[Long],
+      closedThroughDay: Option[java.time.LocalDate],
+      observedAtMs: Long)
+
   // WEAK keys: a default-on registry must not pin sessions — a multi-tenant
   // driver creating one session per job (the Thrift-server pattern) would
   // otherwise accumulate every dead session's state forever. The listener
