@@ -148,10 +148,10 @@ class IngestLagListener(clock: () => Long = () => System.currentTimeMillis())
 }
 
 /** Session-default listener wiring: the production entry points
-  * ([[EventRouter.routeTyped]], [[EventSink.typedStreamWriter]]) register
-  * ONE shared listener per SparkSession by default, so ST11 lag numbers
-  * exist without any caller opt-in — the reference's footer stamps are
-  * likewise always-on, not a debug flag.
+  * ([[EventRouter.routeTyped]], [[EventSink.partitionedStreamWriter]])
+  * register ONE shared listener per SparkSession by default, so ST11 lag
+  * numbers exist without any caller opt-in — the reference's footer stamps
+  * are likewise always-on, not a debug flag.
   */
 object IngestLagListener {
 

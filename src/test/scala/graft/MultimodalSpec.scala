@@ -189,6 +189,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(exact.isEmpty, "exact-hash bucketing should miss the flipped pair")
   }
 
+  test("banding monotonicity: growing maxHamming only ADDS pairs (candidates widen, verify unchanged)") {
+    import graft.multimodal.JdkMedia
+    // 30 random small images: noise, near-copies (one perturbed pixel) and
+    // uniform tones — a mixed population exercising all verify branches
+    val rnd = new scala.util.Random(11)
+    def noisy(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      val bi = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x => bi.setRGB(x, y, r.nextInt(0xFFFFFF))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", bos); bos.toByteArray
+    }
+    val rows = (0 until 30).map { i =>
+      val bytes =
+        if (i % 3 == 0) JdkMedia.solidPng(6, 6, i * 8 % 251, i * 8 % 251, i * 8 % 251)
+        else noisy(i / 2) // pairs of near-identical seeds
+      MediaRow(i.toLong, bytes, MediaMeta("png", 8, 8, 0L))
+    }.toDS()
+    def pairsAt(mh: Int) = JdkMedia.imageNearDups(rows, maxHamming = mh)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p0 = pairsAt(0); val p1 = pairsAt(1); val p2 = pairsAt(2)
+    // banding is candidate-only: the verify filter is identical, so a
+    // wider Hamming tolerance can only ever ADD pairs, never lose one
+    assert(p0.subsetOf(p1), s"mh=0 pairs lost at mh=1: ${p0 -- p1}")
+    assert(p1.subsetOf(p2), s"mh=1 pairs lost at mh=2: ${p1 -- p2}")
+    assert(p1.nonEmpty, "fixture must pair at the default tolerance")
+  }
+
   test("animated GIF: decodeImageFrames yields one exact feature row per frame; stride sampling; corrupt fails soft") {
     import graft.multimodal.JdkMedia
     val gif = JdkMedia.solidGif(5, 4, Seq((10, 20, 30), (200, 100, 50), (0, 255, 0)))
