@@ -441,6 +441,42 @@ object IvfIndexStore {
       .toIndexedSeq
   }
 
+  /** What one [[maintain]] pass did. `retrainAdvised` surfaces the drift
+    * verdict so the maintainer's loop can trigger [[retrain]] — advise,
+    * don't auto-retrain: rebuilding the index is a corpus-scale job the
+    * operator schedules, not a side effect of a sweep.
+    */
+  final case class StoreMaintenanceReport(
+      recoveredPartitions: Int,
+      compactedPartitions: Int,
+      droppedGenerations: Seq[String],
+      retrainAdvised: Boolean)
+
+  /** ONE maintenance pass over the serving store — the ANN analog of
+    * [[Dedup.maintainServingTables]], composing the tools in the safe
+    * order: crash recovery first ([[recoverGenerationMaintenance]] —
+    * half-swapped partitions must be repaired before any new rewrite),
+    * then replay-dedup compaction ([[compactGeneration]]), then the
+    * graced stale-generation sweep ([[dropStaleGenerations]]), and
+    * finally the drift verdict ([[driftStats]] → [[retrainAdvised]]).
+    * Same liveness contract as the parts: no concurrent maintainer
+    * (per-partition locks make a second caller a no-op, never a
+    * corruption).
+    */
+  def maintain(spark: SparkSession, rootPath: String, targetFiles: Int = 1,
+               sweepGraceMs: Long = DefaultSweepGraceMs,
+               maxImbalance: Double = 4.0,
+               timeout: scala.concurrent.duration.Duration =
+                 scala.concurrent.duration.Duration(600, "s"),
+               parallelism: Int = Maintenance.DefaultSweepParallelism)
+      : StoreMaintenanceReport = {
+    val recovered = recoverGenerationMaintenance(spark, rootPath)
+    val compacted = compactGeneration(spark, rootPath, targetFiles, timeout, parallelism)
+    val dropped = dropStaleGenerations(spark, rootPath, sweepGraceMs)
+    val advise = retrainAdvised(driftStats(spark, rootPath), maxImbalance)
+    StoreMaintenanceReport(recovered, compacted, dropped, advise)
+  }
+
   /** The streaming ingest wrapper: embedding micro-batches → [[append]]
     * per batch (map-only; see the ScaleBench `ivfappend` point). Caller
     * starts it with its own trigger/checkpoint. Replay of a micro-batch

@@ -207,6 +207,48 @@ class IvfIndexStoreSpec extends SparkSpecBase {
     assert(IvfIndexStore.topK(spark, queries, root, k = 3, nProbe = 2).count() > 0)
   }
 
+  test("maintain: one pass recovers crashed swaps, compacts replays, sweeps aged stale gens, reports drift") {
+    val root = work("ivfstore_maintain_")
+    val embs = Tables.load(spark, sf01, "embeddings")
+    val centroids = Similarity.trainCentroids(embs, "vec_id", "embedding", k = 4, iters = 1)
+    val gen = IvfIndexStore.writeGeneration(spark, embs, "vec_id", "embedding", centroids, root)
+    // replay: re-append a slice that is already in the index
+    val replay = embs.where(col("vec_id") < 50)
+    IvfIndexStore.append(spark, replay, "vec_id", "embedding", root)
+    // crash a compaction mid-swap in one partition: trash holds the
+    // original file, a half-moved maint file sits in the dir
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val idx = new org.apache.hadoop.fs.Path(IvfIndexStore.indexPath(root, gen))
+    val cid0 = fs.listStatus(idx).filter(_.getPath.getName.startsWith("cid=")).head.getPath
+    val victim = fs.listStatus(cid0).filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val trash = new org.apache.hadoop.fs.Path(cid0, ".maint_trash/stamp1")
+    fs.mkdirs(trash)
+    assert(fs.rename(victim, new org.apache.hadoop.fs.Path(trash, victim.getName)))
+    fs.createNewFile(new org.apache.hadoop.fs.Path(cid0, ".maint_lock"))
+    // an aged orphan generation (tombstone past the grace)
+    val orphan = s"$root/gen-000-maintain-orphan"
+    new java.io.File(s"$orphan/index").mkdirs()
+    val stamp = java.nio.file.Path.of(orphan, IvfIndexStore.StaleSinceName)
+    java.nio.file.Files.writeString(stamp, "0")
+    java.nio.file.Files.setLastModifiedTime(stamp,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
+
+    val report = IvfIndexStore.maintain(spark, root)
+    assert(report.recoveredPartitions >= 1, s"crashed swap not repaired: $report")
+    assert(report.compactedPartitions >= 1, s"nothing compacted: $report")
+    assert(report.droppedGenerations == Seq("gen-000-maintain-orphan"), s"sweep: $report")
+    // replayed ids surface exactly once after the pass
+    val served = IvfIndexStore.topK(spark, embs.where(col("vec_id") < 3), root,
+      k = 5, nProbe = 4)
+    val dupRanks = served.groupBy("query_id", "neighbor_id").count()
+      .where(col("count") > 1).count()
+    assert(dupRanks == 0, "replay duplicates survived maintenance")
+    // healthy second pass: nothing to recover or drop
+    val again = IvfIndexStore.maintain(spark, root)
+    assert(again.recoveredPartitions == 0 && again.droppedGenerations.isEmpty)
+  }
+
   test("replayed append duplicates surface a neighbor once after compactGeneration") {
     val root = work("ivfstore_replay_")
     val embs = Tables.load(spark, sf01, "embeddings")
