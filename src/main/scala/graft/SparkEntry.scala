@@ -1750,6 +1750,77 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Multimodal: REAL VIDEO frame decode — MJPEG-in-AVI, demuxed by
+    //      the RIFF byte walk and decoded frame-by-frame with the JDK's
+    //      own JPEG codec (AviMjpeg). Same writer-reader roundtrip
+    //      discipline as q_gif_frames, with the JPEG-lossiness quantizer:
+    //      fills sit at 16-bucket centers and the gate compares
+    //      floor(mean/16) (decoded means wobble ≤ ±3, measured — 5 levels
+    //      of margin), so DuckDB recomputes every frame's row from doc_id
+    //      arithmetic alone. A demux bug (frame count/order), a dim drift
+    //      or a channel swap breaks the hash. ----
+    "q_video_frames" -> ((s, dir) => {
+      import graft.multimodal.AviMjpeg
+      AviMjpeg.decodeVideoFrames(AviMjpeg.aviMediaFromDocs(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("frame").cast(LongType).as("frame"), col("ok"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          floor(col("mean_r") / 16).cast(LongType).as("r16"),
+          floor(col("mean_g") / 16).cast(LongType).as("g16"),
+          floor(col("mean_b") / 16).cast(LongType).as("b16"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
+
+    // ---- Multimodal: VIDEO near-dup over DECODED frames (the video seat
+    //      of q_image_neardup/q_audio_neardup, same banded-grid core; the
+    //      per-video signature is the frame-mean luma grid). Gray-tone
+    //      fixture: every frame of video id is the solid gray
+    //      (id%8)·28+8 — equal channels ⇒ luma == the tone exactly —
+    //      so videos pair iff they share id % 8: tone groups sit 28
+    //      apart while JPEG wobble moves a measured mean ≤ 3, making
+    //      meanTol 8 decisive with margin on both sides. The pair SET is
+    //      pure id arithmetic (gap values are lossy, so only ids are
+    //      emitted). Bounded to 300 docs — all uniform grids share one
+    //      aHash bucket, the adversarial verify shape. ----
+    "q_video_neardup" -> ((s, dir) => {
+      import graft.multimodal.AviMjpeg
+      AviMjpeg.videoNearDups(
+          AviMjpeg.aviToneMediaFromDocs(t(s, dir, "documents").where(col("doc_id") < 300)),
+          meanTol = 8.0)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Compressed-archive ingest (the WET/WARC shape): docs packed
+    //      into 20 concatenated-gzip archives (member order = doc_id
+    //      order within archive_id = doc_id % 20), then EXPLODED back by
+    //      the RFC 1952 member walk with per-member CRC32/ISIZE
+    //      verification (GzipArchives — the JDK's own reader fuses
+    //      members and loses the record boundaries this recovers). The
+    //      gate hashes every recovered member's bytes and its position:
+    //      a boundary drift, a member reorder, a lost/fused record or a
+    //      content corruption all break the hash; DuckDB recomputes
+    //      md5/length/row_number from the raw text alone. ----
+    "q_gzip_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.GzipArchives
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val archives = docs.groupByKey(_._1 % 20)
+        .mapGroups { (aid, it) =>
+          val recs = it.toSeq.sortBy(_._1).map(_._2.getBytes("UTF-8"))
+          (aid, GzipArchives.buildArchive(recs))
+        }
+      GzipArchives.explodeArchives(archives)
+        .toDF()
+        .select(col("archive_id"),
+          col("member_idx").cast(LongType).as("member_idx"), col("ok"),
+          md5(col("content")).as("h"),
+          length(col("content")).cast(LongType).as("n_bytes"))
+        .orderBy(col("archive_id"), col("member_idx"))
+    }),
+
     // ---- S2 capstone: EVERY typed body codec wire-gated in one row.
     //      500 rows × the 13 event types no other gate query decodes
     //      (PATH, STATE, APPLICATION, CONTAINER, SPARK stage/executor-
@@ -2601,6 +2672,44 @@ object SparkEntry {
         |FROM a x JOIN a y ON x.doc_id < y.doc_id
         |WHERE abs(x.amp - y.amp) <= 100
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // every MJPEG frame's expected row from the generating arithmetic:
+    // frame count = (id % 3) + 1, bucket-center colors recovered as
+    // floor(mean/16) == the bucket index (JPEG wobble ≤ ±3 vs the
+    // 8-offset center — see AviMjpeg.solidJpeg)
+    "q_video_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range((doc_id % 3) + 1)) AS frame
+        |  FROM documents)
+        |SELECT media_id, CAST(frame AS BIGINT) AS frame, TRUE AS ok,
+        |  ((media_id % 3) + 2) * 16 AS width,
+        |  ((media_id % 2) + 2) * 16 AS height,
+        |  (media_id + 17 * frame) % 14 AS r16,
+        |  (media_id * 7 + 29 * frame) % 14 AS g16,
+        |  (media_id * 31 + 41 * frame) % 14 AS b16
+        |FROM f ORDER BY media_id, frame""".stripMargin,
+
+    // gray-tone videos pair iff they share id % 8 (tone spacing 28 vs
+    // JPEG wobble <= 3 vs meanTol 8 — decisive on both sides)
+    "q_video_neardup" ->
+      """WITH v AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM v a JOIN v b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id % 8 = b.doc_id % 8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // every archive member's identity, order and exact bytes replayed
+    // from the raw text: member_idx = rank of doc_id within its archive
+    "q_gzip_ingest" ->
+      """SELECT doc_id % 20 AS archive_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1
+        |       AS BIGINT) AS member_idx,
+        |  TRUE AS ok,
+        |  md5(text) AS h,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents
+        |ORDER BY archive_id, member_idx""".stripMargin,
 
     // every remaining typed body codec replayed from eid arithmetic; the
     // per-type checksums cover int64/int32/bool/double/string-list fields

@@ -1,0 +1,385 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** REAL video frame decoding — for the one video format the JDK can fully
+  * open with zero external libraries: '''Motion-JPEG in an AVI container'''.
+  * An AVI is a RIFF chunk tree (plain little-endian length-prefixed walk,
+  * the RIFF sibling of [[Mp4Probe]]'s ISO-BMFF walk) and an MJPEG stream's
+  * `00dc` chunks are ordinary JPEG images — which `javax.imageio` decodes
+  * natively. Demux by byte arithmetic, decode every frame with the JDK's
+  * own JPEG codec: real pixels out of a real video container, no stub.
+  *
+  * This moves the declared stub boundary: [[Multimodal.FakeCodec]] now
+  * covers only INTER-FRAME compressed codecs (H.264/VP9/AV1 — the JDK
+  * ships no decoder for those and never will in this environment), while
+  * container metadata ([[Mp4Probe]], [[AviMjpeg.probe]]) and MJPEG pixels
+  * are handled for real.
+  *
+  * Scale note — frame-stride sampling here SKIPS decode work, unlike the
+  * GIF path ([[JdkMedia.decodeFrames]]): MJPEG frames are independent
+  * (no delta chain), so a stride-N pass demuxes cheap byte ranges and
+  * decodes only every Nth frame — the 100 TB video-sampling shape where
+  * the JPEG decode, not the demux, is the cost.
+  *
+  * Total like every decoder in the package: corrupt/truncated/hostile
+  * bytes → `ok = false` rows or `None`, never a task failure; the chunk
+  * walker is bounds-checked at every step.
+  */
+object AviMjpeg {
+
+  /** Parsed container facts + the frame byte ranges (offsets into the
+    * original array — demux copies nothing; decode reads the slices).
+    */
+  private final case class Parsed(
+      usPerFrame: Long,
+      nStreams: Int,
+      width: Int,
+      height: Int,
+      frames: IndexedSeq[(Int, Int)])
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+
+  /** Walk the sibling RIFF chunks in [from, to): `visit(fourcc,
+    * payloadFrom, payloadTo)` per chunk, payloads padded to even offsets
+    * per the RIFF rule. False on any malformed length — a half-parsed
+    * container must not masquerade as parsed (same stance as the ISO-BMFF
+    * walker).
+    */
+  private def walkChunks(b: Array[Byte], from: Int, to: Int)
+                        (visit: (String, Int, Int) => Boolean): Boolean = {
+    var o = from
+    while (o < to) {
+      if (o + 8 > to) return false
+      val size = le32(b, o + 4)
+      if (size < 0 || size > Int.MaxValue - 8 || o + 8 + size > to) return false
+      if (!visit(fourcc(b, o), o + 8, o + 8 + size.toInt)) return false
+      o += 8 + size.toInt + (size.toInt & 1)
+    }
+    true
+  }
+
+  /** Is this chunk id a video-frame chunk (`##dc` compressed / `##db`
+    * uncompressed DIB)? The two digits are the stream number.
+    */
+  private def isFrameChunk(id: String): Boolean =
+    id.length == 4 && id(0).isDigit && id(1).isDigit &&
+      id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+
+  private def parse(bytes: Array[Byte]): Option[Parsed] = {
+    if (bytes == null || bytes.length < 12) return None
+    // belt over the bounds-checked walker, like Mp4Probe: fail-soft is
+    // absolute, even a walker bug must degrade to None
+    try parseChecked(bytes) catch { case _: Exception => None }
+  }
+
+  private def parseChecked(bytes: Array[Byte]): Option[Parsed] = {
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return None
+    val riffSize = le32(bytes, 4)
+    // tolerate a truncated-at-EOF riff size stamp but never overread
+    val end = math.min(bytes.length.toLong, 8 + riffSize).toInt
+    if (end < 12) return None
+    var usPerFrame = -1L
+    var nStreams = 0
+    var width = 0
+    var height = 0
+    val frames = IndexedSeq.newBuilder[(Int, Int)]
+    // frames may sit directly in 'movi' or nested inside 'rec ' LISTs
+    def collectFrames(from: Int, to: Int): Boolean =
+      walkChunks(bytes, from, to) { (id, f, t) =>
+        if (isFrameChunk(id)) { frames += ((f, t)); true }
+        else if (id == "LIST" && t - f >= 4 && fourcc(bytes, f) == "rec ")
+          collectFrames(f + 4, t)
+        else true // idx1, JUNK, audio chunks — skip
+      }
+    val ok = walkChunks(bytes, 12, end) { (id, f, t) =>
+      if (id != "LIST" || t - f < 4) true // top-level non-LIST (JUNK, idx1)
+      else fourcc(bytes, f) match {
+        case "hdrl" =>
+          walkChunks(bytes, f + 4, t) { (hid, hf, ht) =>
+            if (hid == "avih") {
+              // dwMicroSecPerFrame @0, dwStreams @24, dwWidth @32,
+              // dwHeight @36 — 56-byte main header
+              if (ht - hf < 40) false
+              else {
+                usPerFrame = le32(bytes, hf)
+                nStreams = le32(bytes, hf + 24).toInt
+                width = le32(bytes, hf + 32).toInt
+                height = le32(bytes, hf + 36).toInt
+                true
+              }
+            } else true // LIST strl (strh/strf) — stream details not needed
+          }
+        case "movi" => collectFrames(f + 4, t)
+        case _      => true
+      }
+    }
+    if (!ok || usPerFrame < 0) None
+    else Some(Parsed(usPerFrame, nStreams, width, height, frames.result()))
+  }
+
+  /** Probe one container's metadata — the AVI seat of [[Mp4Probe.probe]]:
+    * `Some(duration_ms, n_frames, width, height)` iff the RIFF tree parses
+    * and holds an `avih`. Duration = frame count × frame interval (the
+    * MJPEG case: one `##dc` chunk per frame).
+    */
+  def probe(bytes: Array[Byte]): Option[(Long, Long, Int, Int)] =
+    parse(bytes).map(p =>
+      (p.frames.length.toLong * p.usPerFrame / 1000L, p.frames.length.toLong,
+        p.width, p.height))
+
+  /** Decode the frames of one MJPEG AVI: demux the `##dc` byte ranges,
+    * then run every `frameStride`-th one through the JDK JPEG codec.
+    * Unparseable container → one `ok = false` row for frame 0; a frame
+    * whose JPEG bytes fail mid-stream → that frame flagged, the rest
+    * decoded. Frame indices are the CONTAINER indices (stride keeps
+    * 0, N, 2N, … so sampled output is self-describing).
+    */
+  def decodeAviFrames(id: Long, bytes: Array[Byte],
+                      frameStride: Int = 1): Seq[JdkMedia.FrameFeatures] = {
+    require(frameStride >= 1, s"frameStride must be >= 1 (got $frameStride)")
+    def failedFrame(i: Int) = JdkMedia.FrameFeatures(id, i, ok = false, 0, 0,
+      0.0, 0.0, 0.0, Array.fill(JdkMedia.GridDim * JdkMedia.GridDim)(0.0f))
+    parse(bytes) match {
+      case None => Seq(failedFrame(0))
+      case Some(p) if p.frames.isEmpty => Seq(failedFrame(0))
+      case Some(p) =>
+        p.frames.indices.collect {
+          case i if i % frameStride == 0 =>
+            val (f, t) = p.frames(i)
+            val img =
+              try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes, f, t - f))
+              catch { case _: Exception => null }
+            if (img == null) failedFrame(i)
+            else {
+              val feat = JdkMedia.featuresOf(id, img)
+              JdkMedia.FrameFeatures(id, i, feat.ok, feat.width, feat.height,
+                feat.mean_r, feat.mean_g, feat.mean_b, feat.luma_grid)
+            }
+        }
+    }
+  }
+
+  // ------------------------------------------------------- Spark stages
+
+  /** Partition-parallel MJPEG AVI frame decode — the REAL video seat of
+    * [[JdkMedia.decodeFrames]]. `frameStride` skips JPEG decode work,
+    * not just rows (see object scaladoc).
+    */
+  def decodeVideoFrames(media: Dataset[Multimodal.MediaRow],
+                        frameStride: Int = 1): Dataset[JdkMedia.FrameFeatures] = {
+    require(frameStride >= 1, s"frameStride must be >= 1 (got $frameStride)")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      decodeAviFrames(r.media_id, r.content, frameStride)))
+  }
+
+  /** Partition-parallel container probe, [[Mp4Probe.probeVideos]]-shaped
+    * (`n_tracks` = the avih stream count) so AVI and MP4 corpora route
+    * through one metadata schema.
+    */
+  def probeVideos(media: Dataset[Multimodal.MediaRow]): Dataset[Mp4Probe.VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      parse(r.content) match {
+        case Some(p) => Mp4Probe.VideoMeta(r.media_id, ok = true,
+          p.frames.length.toLong * p.usPerFrame / 1000L, p.nStreams, p.width, p.height)
+        case None => Mp4Probe.VideoMeta(r.media_id, ok = false, 0L, 0, 0, 0)
+      }
+    })
+  }
+
+  /** Cross-container VIDEO near-duplicates over DECODED frames — the video
+    * seat of [[JdkMedia.imageNearDups]]/[[JdkMedia.audioNearDups]], through
+    * the same banded-grid core: a video's signature is the per-cell MEAN of
+    * its frames' luma grids (frame-order invariant, robust to a re-encode
+    * that drops or duplicates a frame), candidates from the banded grid
+    * aHash, verify by mean gap + centered cosine. `frameStride` bounds the
+    * decode cost per video exactly as in [[decodeVideoFrames]]. Videos
+    * with zero decodable frames are excluded. Same scale shape as the
+    * other modalities: one decode pass, id-only candidate shuffle, capped
+    * buckets, no all-pairs stage.
+    */
+  def videoNearDups(media: Dataset[Multimodal.MediaRow],
+                    threshold: Double = 0.98,
+                    meanTol: Double = 4.0,
+                    maxBucket: Int = 100000,
+                    maxHamming: Int = 1,
+                    frameStride: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    val cells = JdkMedia.GridDim * JdkMedia.GridDim
+    val feats = media
+      .mapPartitions(_.flatMap { r =>
+        val frames = decodeAviFrames(r.media_id, r.content, frameStride)
+          .filter(_.ok)
+        if (frames.isEmpty) None
+        else {
+          val acc = new Array[Double](cells)
+          frames.foreach { fr =>
+            var i = 0
+            while (i < cells) { acc(i) += fr.luma_grid(i); i += 1 }
+          }
+          Some(JdkMedia.gridFeatureRow(r.media_id, acc.map(_ / frames.length)))
+        }
+      })
+      .toDF("id", "ahash", "mean", "centered", "norm0")
+    JdkMedia.bandedCenteredPairs(feats, cells, maxHamming, maxBucket,
+      threshold, meanTol)
+  }
+
+  // ------------------------------------------------- fixture generators
+
+  /** A solid-color JPEG via the JDK's own encoder. JPEG is LOSSY — a solid
+    * fill's decoded channel means wobble by up to ±3 around the fill (DC
+    * quantization + YCbCr rounding, measured across the full color range
+    * on this codec) — so oracle gates over JPEG fixtures must quantize:
+    * fills sit at 16-bucket CENTERS (value ≡ 8 mod 16) and the gate
+    * compares `floor(mean / 16)`, leaving 5 levels of margin.
+    */
+  def solidJpeg(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def u16le(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+  }
+
+  private def u32le(out: ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+    out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+  }
+
+  private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(id.getBytes("ISO-8859-1"))
+    u32le(out, payload.length.toLong)
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0) // RIFF even-pad
+    out.toByteArray
+  }
+
+  private def list(listType: String, payload: Array[Byte]): Array[Byte] =
+    chunk("LIST", listType.getBytes("ISO-8859-1") ++ payload)
+
+  /** A minimal valid MJPEG AVI: RIFF(AVI ){ LIST hdrl{ avih, LIST strl{
+    * strh 'vids'/'MJPG', strf BITMAPINFOHEADER } }, LIST movi{ 00dc×n } }
+    * — the same writer-reader roundtrip discipline as
+    * [[Mp4Probe.minimalMp4]] and the proto wire fixtures: the writer emits
+    * the published byte layout, demux + decode must recover the exact
+    * numbers.
+    */
+  def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Long): Array[Byte] = {
+    require(frames.nonEmpty, "mjpegAvi needs >= 1 frame")
+    val avih = {
+      val o = new ByteArrayOutputStream()
+      u32le(o, usPerFrame)           // dwMicroSecPerFrame
+      u32le(o, 0L); u32le(o, 0L)     // dwMaxBytesPerSec, dwPaddingGranularity
+      u32le(o, 0L)                   // dwFlags
+      u32le(o, frames.length.toLong) // dwTotalFrames
+      u32le(o, 0L)                   // dwInitialFrames
+      u32le(o, 1L)                   // dwStreams
+      u32le(o, 0L)                   // dwSuggestedBufferSize
+      u32le(o, w.toLong); u32le(o, h.toLong)
+      (0 until 4).foreach(_ => u32le(o, 0L)) // dwReserved
+      chunk("avih", o.toByteArray)
+    }
+    val strh = {
+      val o = new ByteArrayOutputStream()
+      o.write("vids".getBytes("ISO-8859-1")) // fccType
+      o.write("MJPG".getBytes("ISO-8859-1")) // fccHandler
+      u32le(o, 0L); u16le(o, 0); u16le(o, 0) // dwFlags, wPriority, wLanguage
+      u32le(o, 0L)                           // dwInitialFrames
+      u32le(o, usPerFrame)                   // dwScale
+      u32le(o, 1000000L)                     // dwRate (fps = rate/scale)
+      u32le(o, 0L)                           // dwStart
+      u32le(o, frames.length.toLong)         // dwLength
+      u32le(o, 0L)                           // dwSuggestedBufferSize
+      u32le(o, 10000L)                       // dwQuality
+      u32le(o, 0L)                           // dwSampleSize
+      u16le(o, 0); u16le(o, 0); u16le(o, w); u16le(o, h) // rcFrame
+      chunk("strh", o.toByteArray)
+    }
+    val strf = {
+      val o = new ByteArrayOutputStream()
+      u32le(o, 40L)                          // biSize
+      u32le(o, w.toLong); u32le(o, h.toLong)
+      u16le(o, 1); u16le(o, 24)              // biPlanes, biBitCount
+      o.write("MJPG".getBytes("ISO-8859-1")) // biCompression
+      u32le(o, w.toLong * h * 3)             // biSizeImage
+      u32le(o, 0L); u32le(o, 0L)             // pels-per-meter
+      u32le(o, 0L); u32le(o, 0L)             // clr used / important
+      chunk("strf", o.toByteArray)
+    }
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.flatMap(fb => chunk("00dc", fb)).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    u32le(out, body.length.toLong)
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Deterministic REAL MJPEG-AVI media table from the documents table —
+    * the video analog of [[JdkMedia.gifMediaFromDocs]], with the JPEG
+    * lossiness discipline from [[solidJpeg]]: frame count 1-3, dims,
+    * frame interval and per-frame bucket-center colors all by modular
+    * arithmetic on doc_id, so the oracle recomputes every decoded frame's
+    * (width, height, floor(mean/16)) and the header-derived duration.
+    */
+  def aviMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = ((id % 3).toInt + 2) * 16
+      val h = ((id % 2).toInt + 2) * 16
+      val n = (id % 3).toInt + 1
+      val usPerFrame = ((id % 4) + 1L) * 20000L
+      val frames = (0 until n).map { f =>
+        solidJpeg(w, h,
+          (((id + 17L * f) % 14L) * 16L + 8L).toInt,
+          (((id * 7L + 29L * f) % 14L) * 16L + 8L).toInt,
+          (((id * 31L + 41L * f) % 14L) * 16L + 8L).toInt)
+      }
+      Multimodal.MediaRow(id, mjpegAvi(frames, w, h, usPerFrame),
+        Multimodal.MediaMeta("avi", w, h, n * usPerFrame / 1000L))
+    }
+  }
+
+  /** Deterministic GRAY-TONE MJPEG-AVI table for the near-dup gate: every
+    * frame of video id is the solid gray v = (id % 8) · 28 + 8 (equal
+    * channels ⇒ BT.601 luma == v exactly), so two videos are near-dups
+    * iff they share id % 8. Tone groups sit 28 apart while JPEG wobble
+    * moves a video's decoded mean by ≤ 3 — same-group measured gaps stay
+    * ≤ 6, cross-group ≥ 22, so a mean tolerance of 8 separates them with
+    * margin on BOTH sides and the pair set is pure id arithmetic.
+    */
+  def aviToneMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = ((id % 3).toInt + 2) * 16
+      val h = ((id % 2).toInt + 2) * 16
+      val n = (id % 3).toInt + 1
+      val v = ((id % 8L) * 28L + 8L).toInt
+      val frames = (0 until n).map(_ => solidJpeg(w, h, v, v, v))
+      Multimodal.MediaRow(id, mjpegAvi(frames, w, h, 40000L),
+        Multimodal.MediaMeta("avi", w, h, n * 40L))
+    }
+  }
+}

@@ -91,7 +91,7 @@ object JdkMedia {
     * image path and the per-frame GIF path so a frame's features and an
     * image's features are bit-identical for identical pixels.
     */
-  private def featuresOf(id: Long, img: BufferedImage): ImageFeatures = {
+  private[multimodal] def featuresOf(id: Long, img: BufferedImage): ImageFeatures = {
     val w = img.getWidth; val h = img.getHeight
     if (w <= 0 || h <= 0) return failedImage(id)
     var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
@@ -449,7 +449,7 @@ object JdkMedia {
     * centered-cosine-undefined case the verify accepts on the mean test
     * alone).
     */
-  private def gridFeatureRow(id: Long, grid: Array[Double])
+  private[multimodal] def gridFeatureRow(id: Long, grid: Array[Double])
       : (Long, Long, Double, Seq[Double], Boolean) = {
     val mean = grid.sum / grid.length
     val centered = grid.map(_ - mean)
@@ -470,7 +470,7 @@ object JdkMedia {
     * norm0); emits (id_a, id_b, mean_gap, centered_cosine). Buckets
     * capped per (subset, key) like every bucketed self-join.
     */
-  private def bandedCenteredPairs(feats: DataFrame, bits: Int, maxHamming: Int,
+  private[multimodal] def bandedCenteredPairs(feats: DataFrame, bits: Int, maxHamming: Int,
                                   maxBucket: Int, threshold: Double,
                                   meanTol: Double): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -531,6 +531,8 @@ object JdkMedia {
       b(8) == 'A' && b(9) == 'I' && b(10) == 'F') "audio"
     else if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd') "audio"
     else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "video"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') "video"
     else "unknown"
   }
 
@@ -551,7 +553,11 @@ object JdkMedia {
       case "audio" =>
         val a = decodeAudio(0L, bytes)
         a.ok && a.duration_ms >= minAudioMs
-      case "video" => Mp4Probe.probe(bytes).exists(_._1 >= minVideoMs)
+      case "video" =>
+        // container dispatch on the sniffed leader: ISO-BMFF (ftyp) vs
+        // RIFF-AVI — both probe to a duration the floor applies to
+        if (bytes(0) == 'R') AviMjpeg.probe(bytes).exists(_._1 >= minVideoMs)
+        else Mp4Probe.probe(bytes).exists(_._1 >= minVideoMs)
       case _ => false
     }
 

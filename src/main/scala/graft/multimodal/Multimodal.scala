@@ -17,8 +17,14 @@ import org.apache.spark.sql.types._
   * typed Dataset (the Scala analog of Python's mapInPandas: batch-shaped,
   * schema-stable, executor-local).
   *
-  * The actual codec call is STUBBED (`FakeCodec`) — the container ships no
-  * image/audio libs — but deterministic, so tests pin the plumbing: schema,
+  * Codec status: image (PNG/JPEG/BMP/GIF incl. animated frames) and PCM
+  * audio (WAV/AIFF/AU) decode for REAL via the JDK's own codecs
+  * ([[JdkMedia]]); video container metadata probes for real
+  * ([[Mp4Probe]], [[AviMjpeg.probe]]) and MJPEG-in-AVI frames decode for
+  * real ([[AviMjpeg.decodeVideoFrames]] — MJPEG frames are plain JPEGs).
+  * Only INTER-FRAME compressed video codecs (H.264/VP9/AV1) remain behind
+  * the deterministic `FakeCodec` stub — the JDK ships no decoder for
+  * those — which still pins the Spark-side plumbing: schema,
   * partitioning, batch shape and null/corrupt handling.
   */
 object Multimodal {
@@ -48,10 +54,11 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** Deterministic stand-in for the real image/audio decoder. A real
-    * deployment swaps `decodeOne` for the codec call (??? boundary); the
-    * Spark-side contract — per-partition batching, nullable-corrupt rows,
-    * fixed feature dim — is what the engine guarantees.
+  /** Deterministic stand-in for decoders the JDK does not ship (inter-frame
+    * video codecs — see the object scaladoc for what decodes for real). A
+    * real deployment swaps `decodeOne` for the codec call (??? boundary);
+    * the Spark-side contract — per-partition batching, nullable-corrupt
+    * rows, fixed feature dim — is what the engine guarantees.
     */
   object FakeCodec {
     def decodeOne(id: Long, bytes: Array[Byte]): MediaFeatures = {

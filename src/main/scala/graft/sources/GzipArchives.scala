@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Compressed-archive ingest: the "one blob → N documents" shape of a web
+  * crawl corpus (Common-Crawl-style WET/WARC files are CONCATENATED gzip
+  * members, one member per record). `java.util.zip.GZIPInputStream` can
+  * decompress such a stream but silently FUSES the members — the record
+  * boundaries, which ARE the document boundaries, are lost. This splitter
+  * walks members for real: RFC 1952 header parse (FEXTRA/FNAME/FCOMMENT/
+  * FHCRC), raw-deflate inflate, then the CRC32 + ISIZE trailer VERIFIED
+  * per member — a corrupt member is flagged, never passed through as
+  * plausible garbage.
+  *
+  * Scale shape: a 100 TB crawl is millions of ~1 GB archives; each task
+  * ingests whole archives partition-parallel (flatMap — no shuffle until
+  * the documents exist), member decompression is streaming with memory
+  * bounded by one member. Corruption policy: members decode until the
+  * first bad one; past a corrupt member the boundary is unknowable (the
+  * next header offset depends on the broken member's length), so the
+  * remainder is flagged as one `ok = false` row rather than resynced by
+  * guesswork — at-least-the-prefix with an explicit loss marker.
+  */
+object GzipArchives {
+
+  /** One decompressed archive member: archive id, position in the archive,
+    * verification flag and the record bytes (null iff `ok` is false).
+    */
+  final case class MemberRow(
+      archive_id: Long, member_idx: Int, ok: Boolean, content: Array[Byte])
+
+  /** Compress one record as one gzip member (RFC 1952, minimal header).
+    * Deterministic for a given input and JDK deflater.
+    */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 32)
+    // minimal header: magic, CM=deflate, no flags, zero mtime, XFL=0, OS=255
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      def_.setInput(bytes)
+      def_.finish()
+      val buf = new Array[Byte](8192)
+      while (!def_.finished()) out.write(buf, 0, def_.deflate(buf))
+    } finally def_.end()
+    val crc = new CRC32(); crc.update(bytes)
+    def u32le(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    u32le(crc.getValue)
+    u32le(bytes.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Concatenate records into one multi-member archive. */
+  def buildArchive(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach(r => out.write(gzipMember(r)))
+    out.toByteArray
+  }
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** Skip an RFC 1952 member header starting at `o`; returns the offset of
+    * the deflate payload, or -1 if the header is malformed/truncated.
+    */
+  private def skipHeader(b: Array[Byte], o: Int): Int = {
+    if (o + 10 > b.length) return -1
+    if ((b(o) & 0xff) != 0x1f || (b(o + 1) & 0xff) != 0x8b || b(o + 2) != 8) return -1
+    val flg = b(o + 3) & 0xff
+    var p = o + 10
+    if ((flg & 0x04) != 0) { // FEXTRA: u16le length + payload
+      if (p + 2 > b.length) return -1
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+      if (p > b.length) return -1
+    }
+    if ((flg & 0x08) != 0) { // FNAME: nul-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 0x10) != 0) { // FCOMMENT: nul-terminated
+      while (p < b.length && b(p) != 0) p += 1
+      if (p >= b.length) return -1
+      p += 1
+    }
+    if ((flg & 0x02) != 0) { // FHCRC: u16
+      p += 2
+      if (p > b.length) return -1
+    }
+    p
+  }
+
+  /** Split a concatenated-gzip archive into its verified members. Returns
+    * (decoded member payloads, cleanEnd) — cleanEnd is true iff the walk
+    * consumed the whole archive with every CRC32/ISIZE trailer matching;
+    * false means the members returned are the trustworthy PREFIX and the
+    * rest of the archive was undecodable.
+    */
+  def splitMembers(bytes: Array[Byte]): (Seq[Array[Byte]], Boolean) = {
+    if (bytes == null || bytes.isEmpty) return (Seq.empty, false)
+    val members = Seq.newBuilder[Array[Byte]]
+    var o = 0
+    try {
+      while (o < bytes.length) {
+        val payloadAt = skipHeader(bytes, o)
+        if (payloadAt < 0) return (members.result(), false)
+        val inf = new Inflater(true) // nowrap: raw deflate between header and trailer
+        val out = new ByteArrayOutputStream()
+        try {
+          inf.setInput(bytes, payloadAt, bytes.length - payloadAt)
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput()) return (members.result(), false) // truncated
+            out.write(buf, 0, n)
+          }
+          val trailerAt = payloadAt + inf.getBytesRead.toInt
+          if (trailerAt + 8 > bytes.length) return (members.result(), false)
+          val data = out.toByteArray
+          val crc = new CRC32(); crc.update(data)
+          if (crc.getValue != le32(bytes, trailerAt) ||
+            (data.length.toLong & 0xffffffffL) != le32(bytes, trailerAt + 4))
+            return (members.result(), false)
+          members += data
+          o = trailerAt + 8
+        } finally inf.end()
+      }
+      (members.result(), true)
+    } catch { case _: Exception => (members.result(), false) }
+  }
+
+  /** Partition-parallel archive explosion: each (archive_id, bytes) row
+    * flatMaps to its verified members in archive order. A corrupt archive
+    * yields its clean prefix plus ONE `ok = false` marker row carrying
+    * the index where decoding stopped — downstream can quarantine the
+    * archive or count the loss, and a silent-truncation read is
+    * impossible. No shuffle: documents are born in the archive's
+    * partition.
+    */
+  def explodeArchives(archives: Dataset[(Long, Array[Byte])]): Dataset[MemberRow] = {
+    import archives.sparkSession.implicits._
+    archives.mapPartitions(_.flatMap { case (id, bytes) =>
+      val (members, clean) = splitMembers(bytes)
+      val rows = members.iterator.zipWithIndex.map { case (m, i) =>
+        MemberRow(id, i, ok = true, m)
+      }
+      if (clean) rows else rows ++ Iterator(MemberRow(id, members.length, ok = false, null))
+    })
+  }
+}

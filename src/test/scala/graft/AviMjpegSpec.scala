@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{AviMjpeg, JdkMedia, Multimodal}
+import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+import graft.sources.Tables
+
+/** MJPEG-in-AVI: RIFF demux + real JDK JPEG frame decode. The fixture
+  * writer emits the published byte layout; the demux/decode chain must
+  * recover the exact frame count, dims, timing and (bucket-quantized —
+  * JPEG is lossy, see [[AviMjpeg.solidJpeg]]) colors.
+  */
+class AviMjpegSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def bucket(mean: Double): Long = math.floor(mean / 16.0).toLong
+
+  test("writer→demux roundtrip recovers frame count, dims, duration and bucketed colors") {
+    (0L until 120L).foreach { id =>
+      val w = ((id % 3).toInt + 2) * 16
+      val h = ((id % 2).toInt + 2) * 16
+      val n = (id % 3).toInt + 1
+      val usPerFrame = ((id % 4) + 1L) * 20000L
+      val frames = (0 until n).map { f =>
+        AviMjpeg.solidJpeg(w, h,
+          (((id + 17L * f) % 14L) * 16L + 8L).toInt,
+          (((id * 7L + 29L * f) % 14L) * 16L + 8L).toInt,
+          (((id * 31L + 41L * f) % 14L) * 16L + 8L).toInt)
+      }
+      val avi = AviMjpeg.mjpegAvi(frames, w, h, usPerFrame)
+      assert(AviMjpeg.probe(avi).contains((n * usPerFrame / 1000L, n.toLong, w, h)),
+        s"probe mismatch for id=$id")
+      val out = AviMjpeg.decodeAviFrames(id, avi)
+      assert(out.length == n && out.forall(_.ok), s"decode failed for id=$id")
+      out.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.frame == f && fr.width == w && fr.height == h)
+        assert(bucket(fr.mean_r) == (id + 17L * f) % 14L, s"r drift id=$id f=$f mean=${fr.mean_r}")
+        assert(bucket(fr.mean_g) == (id * 7L + 29L * f) % 14L, s"g drift id=$id f=$f")
+        assert(bucket(fr.mean_b) == (id * 31L + 41L * f) % 14L, s"b drift id=$id f=$f")
+      }
+    }
+  }
+
+  test("frameStride skips frames but keeps container indices") {
+    val frames = (0 until 5).map(f => AviMjpeg.solidJpeg(32, 32, f * 40 + 8, 8, 8))
+    val avi = AviMjpeg.mjpegAvi(frames, 32, 32, 40000L)
+    val sampled = AviMjpeg.decodeAviFrames(7L, avi, frameStride = 2)
+    assert(sampled.map(_.frame) == Seq(0, 2, 4))
+    assert(sampled.forall(_.ok))
+    // stride 1 is the identity
+    assert(AviMjpeg.decodeAviFrames(7L, avi).length == 5)
+  }
+
+  test("corrupt, truncated and hostile containers fail soft — never throw") {
+    assert(AviMjpeg.probe(null).isEmpty && AviMjpeg.probe(Array.emptyByteArray).isEmpty)
+    val nullOut = AviMjpeg.decodeAviFrames(1L, null)
+    assert(nullOut.length == 1 && !nullOut.head.ok && nullOut.head.frame == 0)
+    val avi = AviMjpeg.mjpegAvi(Seq(AviMjpeg.solidJpeg(32, 32, 100, 100, 100)), 32, 32, 40000L)
+    // every truncation point parses soft
+    (0 until avi.length by 7).foreach { cut =>
+      AviMjpeg.probe(avi.take(cut))
+      AviMjpeg.decodeAviFrames(1L, avi.take(cut))
+    }
+    // random fuzz: bit flips anywhere in the container must not throw
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val mutated = avi.clone()
+      (0 until 5).foreach(_ => mutated(rnd.nextInt(mutated.length)) = rnd.nextInt().toByte)
+      AviMjpeg.probe(mutated)
+      AviMjpeg.decodeAviFrames(1L, mutated)
+    }
+    // a frame chunk holding garbage JPEG bytes flags THAT frame only
+    val twoFrames = AviMjpeg.mjpegAvi(
+      Seq(AviMjpeg.solidJpeg(32, 32, 100, 100, 100), Array.fill[Byte](64)(0x5a)),
+      32, 32, 40000L)
+    val out = AviMjpeg.decodeAviFrames(2L, twoFrames)
+    assert(out.map(_.ok) == Seq(true, false))
+    // a hostile chunk size claiming past EOF fails the parse, not the task
+    val evil = avi.clone()
+    evil(4) = 0xff.toByte; evil(5) = 0xff.toByte // riff size absurdly large is tolerated (clamped)
+    AviMjpeg.probe(evil)
+  }
+
+  test("frames nested in 'rec ' LISTs are found (interleaved-capture layout)") {
+    // hand-wrap the movi payload of a normal file inside a rec LIST by
+    // rebuilding: RIFF(AVI ){hdrl, movi{LIST(rec ){00dc}}}
+    val jpeg = AviMjpeg.solidJpeg(32, 32, 100, 150, 200)
+    val normal = AviMjpeg.mjpegAvi(Seq(jpeg), 32, 32, 40000L)
+    // locate the movi LIST and splice its children into a rec LIST
+    val s = new String(normal, "ISO-8859-1")
+    val moviAt = s.indexOf("movi")
+    assert(moviAt > 0)
+    val moviChildren = java.util.Arrays.copyOfRange(normal, moviAt + 4, normal.length)
+    def le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val rec = "LIST".getBytes("ISO-8859-1") ++ le(4 + moviChildren.length) ++
+      "rec ".getBytes("ISO-8859-1") ++ moviChildren
+    val movi = "LIST".getBytes("ISO-8859-1") ++ le(4 + rec.length) ++
+      "movi".getBytes("ISO-8859-1") ++ rec
+    val headerPart = java.util.Arrays.copyOfRange(normal, 12, moviAt - 8)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ headerPart ++ movi
+    val wrapped = "RIFF".getBytes("ISO-8859-1") ++ le(body.length) ++ body
+    val out = AviMjpeg.decodeAviFrames(3L, wrapped)
+    assert(out.length == 1 && out.head.ok && out.head.width == 32)
+  }
+
+  test("decodeVideoFrames is partition-parallel and partitioning-invariant") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 60)
+    val media = AviMjpeg.aviMediaFromDocs(docs)
+    val a = AviMjpeg.decodeVideoFrames(media).orderBy("media_id", "frame").collect()
+    val b = AviMjpeg.decodeVideoFrames(media.repartition(7), frameStride = 1)
+      .orderBy("media_id", "frame").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    assert(a.zip(b).forall { case (x, y) =>
+      x.media_id == y.media_id && x.frame == y.frame && x.mean_r == y.mean_r })
+    // row count = sum of (id % 3) + 1 over the ids
+    assert(a.length == (0L until 60L).map(id => (id % 3) + 1).sum)
+  }
+
+  test("probeVideos routes AVI metadata through the shared VideoMeta schema") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 40)
+    val metas = AviMjpeg.probeVideos(AviMjpeg.aviMediaFromDocs(docs))
+      .collect().map(m => m.media_id -> m).toMap
+    (0L until 40L).foreach { id =>
+      val m = metas(id)
+      val n = (id % 3) + 1
+      val usPerFrame = ((id % 4) + 1L) * 20000L
+      assert(m.ok && m.duration_ms == n * usPerFrame / 1000L && m.n_tracks == 1)
+      assert(m.width == ((id % 3) + 2) * 16 && m.height == ((id % 2) + 2) * 16)
+    }
+    // garbage rows come back ok = false through the same schema
+    val bad = Seq(MediaRow(99L, Array.fill[Byte](40)(7), MediaMeta("avi", 0, 0, 0L))).toDS()
+    assert(!AviMjpeg.probeVideos(bad).collect().head.ok)
+  }
+
+  test("videoNearDups pairs exactly the same-tone-group videos") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 48)
+    val pairs = AviMjpeg.videoNearDups(
+        AviMjpeg.aviToneMediaFromDocs(docs), meanTol = 8.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 0L until 48L; b <- (a + 1) until 48L; if a % 8 == b % 8
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
+
+  test("media gate admits AVI by real probe: duration floor applies") {
+    val rows = Seq(
+      // 3 frames × 40 ms = 120 ms — passes a 100 ms floor
+      MediaRow(1L, AviMjpeg.mjpegAvi(
+        (0 until 3).map(_ => AviMjpeg.solidJpeg(32, 32, 50, 50, 50)), 32, 32, 40000L),
+        MediaMeta("avi", 32, 32, 120L)),
+      // 1 frame × 40 ms = 40 ms — fails the floor
+      MediaRow(2L, AviMjpeg.mjpegAvi(
+        Seq(AviMjpeg.solidJpeg(32, 32, 50, 50, 50)), 32, 32, 40000L),
+        MediaMeta("avi", 32, 32, 40L)),
+      // garbage claiming to be avi — fails (verify-or-drop)
+      MediaRow(3L, Array.fill[Byte](64)(3), MediaMeta("avi", 32, 32, 999L))).toDS()
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val passed = JdkMedia.mediaQualityGate(docs, "doc_id", rows, minVideoMs = 100L)
+      .as[Long].collect().toSet
+    assert(passed == Set(1L))
+  }
+}
