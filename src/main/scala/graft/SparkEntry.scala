@@ -1821,6 +1821,29 @@ object SparkEntry {
         .orderBy(col("archive_id"), col("member_idx"))
     }),
 
+    // ---- Z-order layout (Morton-curve clustering for two-dimensional
+    //      file pruning — the write/compaction-time layout step that lets
+    //      parquet min/max skipping serve predicates on EITHER key).
+    //      The gate runs the WRITE path for real — docs range-partitioned
+    //      + sorted on the interleaved code, written, read back — then
+    //      emits each doc's Morton code, which DuckDB recomputes with the
+    //      identical signed-64-safe shift/mask chain (a spread-step
+    //      drift, a swapped operand or a lost row all break the hash).
+    //      The locality/selectivity claims are measured in
+    //      ZOrderLayoutSpec (per-file spans, candidate-file counts). ----
+    "q_zorder" -> ((s, dir) => {
+      import graft.operators.ZOrderLayout
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 1000).cast(LongType).as("a"),
+        (col("doc_id") * 7 % 1000).cast(LongType).as("b"))
+      val path = BucketedTables.scratchDir("graft_zq_").resolve("tbl").toString
+      ZOrderLayout.writeZOrdered(docs, path, col("a"), col("b"), numFiles = 8)
+      s.read.parquet(path)
+        .select(col("doc_id"),
+          ZOrderLayout.zValue(col("a"), col("b")).as("z"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- S2 capstone: EVERY typed body codec wire-gated in one row.
     //      500 rows × the 13 event types no other gate query decodes
     //      (PATH, STATE, APPLICATION, CONTAINER, SPARK stage/executor-
@@ -2710,6 +2733,26 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents
         |ORDER BY archive_id, member_idx""".stripMargin,
+
+    // the Morton code replayed with the same signed-64-safe spread chain
+    // (each mask keeps set bits below 62, so no BIGINT shift overflows)
+    "q_zorder" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 1000 AS BIGINT) & 2147483647 AS a,
+        |    CAST((doc_id * 7) % 1000 AS BIGINT) & 2147483647 AS b
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, (a | (a << 16)) & 281470681808895 AS a,
+        |         (b | (b << 16)) & 281470681808895 AS b FROM base),
+        |s2 AS (SELECT doc_id, (a | (a << 8)) & 71777214294589695 AS a,
+        |         (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+        |s3 AS (SELECT doc_id, (a | (a << 4)) & 1085102592571150095 AS a,
+        |         (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+        |s4 AS (SELECT doc_id, (a | (a << 2)) & 3689348814741910323 AS a,
+        |         (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+        |s5 AS (SELECT doc_id, (a | (a << 1)) & 6148914691236517205 AS a,
+        |         (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+        |SELECT doc_id, a | (b << 1) AS z FROM s5 ORDER BY doc_id""".stripMargin,
 
     // every remaining typed body codec replayed from eid arithmetic; the
     // per-type checksums cover int64/int32/bool/double/string-list fields

@@ -119,7 +119,10 @@ object GzipArchives {
           val buf = new Array[Byte](8192)
           while (!inf.finished()) {
             val n = inf.inflate(buf)
-            if (n == 0 && inf.needsInput()) return (members.result(), false) // truncated
+            // zero progress while unfinished = truncated payload (needsInput)
+            // or a stuck stream (can't occur for raw deflate, but a hostile
+            // blob must bail, not spin)
+            if (n == 0 && !inf.finished()) return (members.result(), false)
             out.write(buf, 0, n)
           }
           val trailerAt = payloadAt + inf.getBytesRead.toInt
@@ -154,5 +157,40 @@ object GzipArchives {
       }
       if (clean) rows else rows ++ Iterator(MemberRow(id, members.length, ok = false, null))
     })
+  }
+
+  /** One decompressed member of an on-disk archive: source path + position
+    * + verification flag + bytes — [[MemberRow]] keyed by file instead of
+    * a synthetic id.
+    */
+  final case class FileMemberRow(
+      path: String, member_idx: Int, ok: Boolean, content: Array[Byte])
+
+  /** End-to-end file ingest: read every archive under `dir` (matching
+    * `glob`, e.g. `*.warc.gz`) through Spark's `binaryFile` source and
+    * explode it into verified members. The file listing, task assignment
+    * and blob reads are Spark's own distributed machinery — one task per
+    * archive (binaryFile never splits a file, which is exactly right:
+    * gzip members aren't seekable), decompression partition-parallel,
+    * no shuffle. This is the production entry point for a crawl dump on
+    * HDFS/S3; [[explodeArchives]] is the same stage over an
+    * already-loaded blob column.
+    */
+  def readArchiveDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     glob: String = "*.gz"): Dataset[FileMemberRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val (members, clean) = splitMembers(bytes)
+        val rows = members.iterator.zipWithIndex.map { case (m, i) =>
+          FileMemberRow(path, i, ok = true, m)
+        }
+        if (clean) rows
+        else rows ++ Iterator(FileMemberRow(path, members.length, ok = false, null))
+      })
   }
 }

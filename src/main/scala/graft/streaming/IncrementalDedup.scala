@@ -95,6 +95,19 @@ object IncrementalDedup {
       threshold, maxBucket, sigPartitions)
     DedupLayout.ensure(spark, sigTablePath, layout, full = false)
     bandedTablePath.foreach(bp => DedupLayout.ensure(spark, bp, layout, full = true))
+    // enforce (best-effort) relayoutSignatures' no-live-writer contract: the
+    // re-layout holds `.relayout_lock` for its whole run, and a batch
+    // appending mid-swap lands rows in a directory about to be trashed.
+    // The check is TOCTOU-narrow — it cannot replace the operational
+    // contract — but it turns the common misconfiguration (ingest loop and
+    // maintenance loop pointed at one table simultaneously) into a loud
+    // error instead of silent row loss.
+    val relayoutLock = new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_lock")
+    require(!relayoutLock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(relayoutLock),
+      s"$sigTablePath is being re-laid-out ($relayoutLock exists) — increment " +
+        "batches must pause until relayoutSignatures completes (or run " +
+        "recoverSignatureRelayout if it crashed)")
     lazy val corpusSigs = spark.read.parquet(sigTablePath)
     val newSigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleK, numHashes)
       .persist() // consumed by both band joins, the verifies AND the sig append

@@ -168,6 +168,31 @@ class DedupMaintenanceSpec extends SparkSpecBase {
     assert(!Dedup.recoverSignatureRelayout(spark, sigTable))
   }
 
+  test("increment batches refuse a sig table mid-re-layout (loud, not lost rows)") {
+    val dir = work("relayout_guard_")
+    val sigTable = s"$dir/sigs"; val accepted = s"$dir/accepted"
+    val docs = (0L until 10L).map(i => (i, s"doc $i " + corpusText)).toDF("doc_id", "text")
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(docs, "doc_id", "text", 3, 126), sigTable, 8)
+    DedupLayout.write(spark, sigTable, DedupLayout.Layout(3, 126, 42, 3, 0.5, 1000, 8))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$sigTable.relayout_lock")
+    fs.createNewFile(lock)
+    val batch = Seq((100L, "a brand new unrelated doc")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalDedup.processBatch(
+        batch, "doc_id", sigTable, accepted, sigPartitions = 8)
+    }
+    assert(e.getMessage.contains("re-laid-out"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(accepted)),
+      "a refused batch must write nothing")
+    fs.delete(lock, false)
+    graft.streaming.IncrementalDedup.processBatch(
+      batch, "doc_id", sigTable, accepted, sigPartitions = 8)
+    assert(spark.read.parquet(accepted).count() == 1)
+  }
+
   test("maintainServingTables: one pass recovers, compacts, recaps, dedups accepted and grows P") {
     val dir = work("maintain_")
     val sigTable = s"$dir/sigs"; val banded = s"$dir/bands"; val accepted = s"$dir/accepted"

@@ -98,4 +98,20 @@ class GzipArchivesSpec extends SparkSpecBase {
     val a3 = out.filter(_.archive_id == 3L)
     assert(a3.length == 1 && !a3.head.ok)
   }
+
+  test("readArchiveDir ingests on-disk archives through the binaryFile source") {
+    val dir = graft.sources.BucketedTables.scratchDir("graft_gz_")
+    java.nio.file.Files.write(dir.resolve("a.gz"),
+      GzipArchives.buildArchive(records))
+    java.nio.file.Files.write(dir.resolve("b.gz"),
+      GzipArchives.buildArchive(records.take(2)))
+    java.nio.file.Files.write(dir.resolve("ignore.txt"), "not an archive".getBytes)
+    val out = GzipArchives.readArchiveDir(spark, dir.toString).collect()
+    assert(out.forall(_.ok))
+    val byFile = out.groupBy(r => new java.io.File(new java.net.URI(r.path).getPath).getName)
+    assert(byFile.keySet == Set("a.gz", "b.gz"))
+    assert(byFile("a.gz").length == records.length && byFile("b.gz").length == 2)
+    assert(byFile("a.gz").sortBy(_.member_idx).map(_.content.toSeq).toSeq ==
+      records.map(_.toSeq))
+  }
 }
