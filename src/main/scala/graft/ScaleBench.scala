@@ -310,7 +310,7 @@ object ScaleBench {
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
-      "ivfdedup", "knntopk", "relayout", "initsample")
+      "ivfdedup", "knntopk", "relayout", "initsample", "gzip")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -728,6 +728,75 @@ object ScaleBench {
       embs.unpersist()
       println(f"""{"knn_topk_shuffle_cut":{"window_records":$recWindow,"agg_records":$recAgg,""" +
         f""""cut_x":${recWindow.toDouble / math.max(recAgg, 1L)}%.1f}}""")
+    }
+
+    if (sections("gzip")) {
+      // ---- archive-ingest throughput: the boundary-recovering member
+      //      split (header walk + raw inflate + per-member CRC32/ISIZE
+      //      verify) vs the JDK's fused GZIPInputStream over the SAME
+      //      blobs — the control does the identical inflate work but
+      //      recovers no record boundaries, so the gap IS the price of
+      //      boundaries + verification. Fixture: sf0.1 docs expanded to
+      //      ~0.4 MB members (rep-indexed so deflate sees realistic
+      //      partial redundancy, not one giant match), 64 archives,
+      //      measured as multi-GB of uncompressed output. Split runs
+      //      FIRST (JIT warmup bias favors the control — conservative
+      //      for the overhead claim). ----
+      import spark.implicits._
+      import graft.sources.GzipArchives
+      val reps = sys.env.getOrElse("SPARK_GRAFT_GZIP_REPS", "1200").toInt
+      val nArch = 64
+      val archives = base.as[(Long, String)]
+        .groupByKey(_._1 % nArch)
+        .mapGroups { (aid, it) =>
+          val members = it.toSeq.sortBy(_._1).map { case (_, text) =>
+            val sb = new StringBuilder(text.length * reps + 8 * reps)
+            var r = 0
+            while (r < reps) { sb.append(text).append(" #").append(r).append(' '); r += 1 }
+            sb.toString.getBytes("UTF-8")
+          }
+          (aid, GzipArchives.buildArchive(members))
+        }
+        .repartition(16)
+        .persist()
+      val compMb = archives.map(_._2.length.toLong).reduce(_ + _) / 1e6 // materializes
+      val t0 = System.nanoTime()
+      val (nMembers, uncBytes) = GzipArchives.explodeArchives(archives)
+        .toDF().agg(count(lit(1)), sum(length(col("content"))))
+        .as[(Long, Long)].head()
+      val splitS = (System.nanoTime() - t0) / 1e9
+      // closure-level split: identical boundary walk + inflate + CRC
+      // verify + per-member array materialization, but no Spark rows —
+      // isolates the splitter's arithmetic from the encoder cost of
+      // actually SHIPPING 1.8 GB of member rows (which the end-to-end
+      // operator pays because having the records is its whole point)
+      val t1 = System.nanoTime()
+      val closureBytes = archives.map { case (_, b) =>
+        val (ms, clean) = GzipArchives.splitMembers(b)
+        require(clean, "bench fixture must split clean")
+        var n = 0L; ms.foreach(m => n += m.length)
+        n
+      }.reduce(_ + _)
+      val closureS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val fusedBytes = archives.map { case (_, b) =>
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+        try {
+          var n = 0L; val buf = new Array[Byte](65536)
+          var r = in.read(buf)
+          while (r > 0) { n += r; r = in.read(buf) }
+          n
+        } finally in.close()
+      }.reduce(_ + _)
+      val fusedS = (System.nanoTime() - t2) / 1e9
+      archives.unpersist()
+      val mb = uncBytes / 1e6
+      println(f"""{"gzip":{"archives":$nArch,"members":$nMembers,"comp_mb":$compMb%.1f,""" +
+        f""""unc_mb":$mb%.1f,"op_s":$splitS%.2f,"op_mb_s":${mb / splitS}%.0f,""" +
+        f""""split_s":$closureS%.2f,"split_mb_s":${mb / closureS}%.0f,""" +
+        f""""fused_s":$fusedS%.2f,"fused_mb_s":${mb / fusedS}%.0f,""" +
+        f""""verify_overhead_x":${closureS / fusedS}%.2f,""" +
+        f""""bytes_match":${uncBytes == fusedBytes && closureBytes == fusedBytes}}}""")
     }
     spark.stop()
   }
