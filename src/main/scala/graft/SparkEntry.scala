@@ -1759,9 +1759,13 @@ object SparkEntry {
     //      of margin), so DuckDB recomputes every frame's row from doc_id
     //      arithmetic alone. A demux bug (frame count/order), a dim drift
     //      or a channel swap breaks the hash. ----
+    //      Bounded to 2000 docs: codec correctness doesn't scale with doc
+    //      count (4× the sf0.01 coverage already) and the JPEG ENCODE side
+    //      of the fixture dominates the gate's cost at sf0.1.
     "q_video_frames" -> ((s, dir) => {
       import graft.multimodal.AviMjpeg
-      AviMjpeg.decodeVideoFrames(AviMjpeg.aviMediaFromDocs(t(s, dir, "documents")))
+      AviMjpeg.decodeVideoFrames(AviMjpeg.aviMediaFromDocs(
+          t(s, dir, "documents").where(col("doc_id") < 2000)))
         .toDF()
         .select(col("media_id"), col("frame").cast(LongType).as("frame"), col("ok"),
           col("width").cast(LongType).as("width"),
@@ -2704,7 +2708,7 @@ object SparkEntry {
       """WITH f AS (
         |  SELECT doc_id AS media_id,
         |    unnest(range((doc_id % 3) + 1)) AS frame
-        |  FROM documents)
+        |  FROM documents WHERE doc_id < 2000)
         |SELECT media_id, CAST(frame AS BIGINT) AS frame, TRUE AS ok,
         |  ((media_id % 3) + 2) * 16 AS width,
         |  ((media_id % 2) + 2) * 16 AS height,

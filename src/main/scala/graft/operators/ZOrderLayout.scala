@@ -60,6 +60,9 @@ object ZOrderLayout {
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
                     numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be positive (got $numFiles)")
+    require(!df.columns.contains("_z"),
+      "input already has a _z column — rename it; the layout writer uses _z " +
+        "as its helper and would silently drop yours")
     df.withColumn("_z", zValue(a, b))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
