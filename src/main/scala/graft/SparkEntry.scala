@@ -1848,6 +1848,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- REAL BPE tokenizer, TRAINING cross-engine gated: the merge
+    //      loop's determinism contract (frequency-weighted pair counts
+    //      over the compressed vocab, ties to the lexicographically
+    //      smallest pair, non-overlapping left-to-right replace) lets
+    //      DuckDB replay all 8 ranks — each level recounts pairs over
+    //      the previous level's vocabulary and takes the same argmax.
+    //      A counting bug, a tiebreak drift or a replace-semantics
+    //      mismatch at ANY rank cascades into every later rank and
+    //      breaks the hash. ----
+    "q_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Bpe
+      Bpe.trainBpe(t(s, dir, "documents"), "text", numMerges = 8)
+        .map(m => (m.rank.toLong, m.lhs, m.rhs))
+        .toDF("rank", "lhs", "rhs")
+        .orderBy(col("rank"))
+    }),
+
+    // ---- BPE ENCODE gated over the corpus: a fixed 6-rule merge table
+    //      (rank 4 consumes rank 1's output — sequencing is in the gate)
+    //      applied by the distributed map-only encoder; DuckDB replays
+    //      the identical padded-replace chain on the whole text with a
+    //      '|' word-boundary symbol (absent from the corpus charset) and
+    //      recomputes every doc's token count and joined-token md5. ----
+    "q_bpe_apply" -> ((s, dir) => {
+      import graft.operators.Bpe
+      import graft.operators.Bpe.Merge
+      val merges = Seq(Merge(0, "e", "r"), Merge(1, "a", "t"),
+        Merge(2, "t", "h"), Merge(3, "s", "t"), Merge(4, "at", "a"),
+        Merge(5, "l", "e"))
+      Bpe.applyBpe(t(s, dir, "documents"), "doc_id", merges)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          md5(col("tokens")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- S2 capstone: EVERY typed body codec wire-gated in one row.
     //      500 rows × the 13 event types no other gate query decodes
     //      (PATH, STATE, APPLICATION, CONTAINER, SPARK stage/executor-
@@ -2104,6 +2140,44 @@ object SparkEntry {
     * (isInCollection is set-membership; a duplicated profile word must not
     * double-count a token match in the join).
     */
+  /** The BPE training replay: k chained levels, each recounting adjacent
+    * symbol pairs over the previous level's vocabulary, taking the same
+    * (count DESC, pair ASC) argmax, and applying it with the same padded
+    * non-overlapping replace. Mirrors [[graft.operators.Bpe.trainBpe]]'s
+    * determinism contract exactly.
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    // every CTE MATERIALIZED: each level references its predecessor twice
+    // (pair count + replace), so inlining would expand the base scan 2^k
+    // times — materialization keeps the chain linear
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS s, n FROM (
+        |    SELECT w, count(*) AS n FROM (
+        |      SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |    WHERE length(w) > 0 GROUP BY w) v)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT l[i] AS a, l[i+1] AS b, sum(n) AS cnt
+        |  FROM (SELECT string_split(trim(s), ' ') AS l, n FROM v${i - 1}) q,
+        |       unnest(range(1, len(q.l))) AS t(i)
+        |  GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+        |v$i AS MATERIALIZED (SELECT replace(s,
+        |    ' ' || (SELECT a FROM m$i) || ' ' || (SELECT b FROM m$i) || ' ',
+        |    ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s, n
+        |  FROM v${i - 1})""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to k).map(i =>
+      s"SELECT CAST(${i - 1} AS BIGINT) AS rank, (SELECT a FROM m$i) AS lhs, " +
+        s"(SELECT b FROM m$i) AS rhs")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
+    sb.toString
+  }
+
   private def languageIdOracle: String = {
     val prof = graft.operators.LanguageProfiles.profiles
     val rows = prof.toSeq.sortBy(_._1).flatMap { case (lang, ws) =>
@@ -2757,6 +2831,32 @@ object SparkEntry {
         |s5 AS (SELECT doc_id, (a | (a << 1)) & 6148914691236517205 AS a,
         |         (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
         |SELECT doc_id, a | (b << 1) AS z FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // 8 BPE training ranks replayed level-by-level (see bpeTrainOracle)
+    "q_bpe_train" -> bpeTrainOracle(8),
+
+    // the fixed 6-rule encode replayed on the whole text with a '|'
+    // boundary symbol (not in the corpus charset, so merges cannot cross
+    // words); stripping ' | ' afterwards yields exactly the encoder's
+    // space-joined token stream
+    "q_bpe_apply" ->
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |    ' ' || rtrim(regexp_replace(replace(text, ' ', '|'), '(.)', '\1 ', 'g'))
+        |      || ' ' AS s
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, replace(s, ' e r ', ' er ') AS s FROM s0),
+        |s2 AS (SELECT doc_id, replace(s, ' a t ', ' at ') AS s FROM s1),
+        |s3 AS (SELECT doc_id, replace(s, ' t h ', ' th ') AS s FROM s2),
+        |s4 AS (SELECT doc_id, replace(s, ' s t ', ' st ') AS s FROM s3),
+        |s5 AS (SELECT doc_id, replace(s, ' at a ', ' ata ') AS s FROM s4),
+        |s6 AS (SELECT doc_id, replace(s, ' l e ', ' le ') AS s FROM s5),
+        |fin AS (SELECT doc_id, trim(replace(s, ' | ', ' ')) AS toks FROM s6)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN toks = '' THEN 0
+        |       ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_tokens,
+        |  md5(toks) AS h
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     // every remaining typed body codec replayed from eid arithmetic; the
     // per-type checksums cover int64/int32/bool/double/string-list fields

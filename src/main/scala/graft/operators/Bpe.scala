@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** A REAL byte-pair-encoding tokenizer (Sennrich et al., ACL 2016 — the
+  * subword scheme production LLM tokenizers descend from), replacing the
+  * "BPE-ish regex" approximation in token counting with the actual
+  * algorithm: train merge rules from corpus pair statistics, then encode
+  * text by applying the rules in rank order.
+  *
+  * Scale shape, the part that matters at 100 TB:
+  *
+  *  - '''training''' touches the corpus exactly ONCE — a distributed
+  *    word-count aggregate (map-side combined, output vocabulary-sized).
+  *    The merge loop then runs driver-side over the COMPRESSED
+  *    `(word, count)` vocabulary — bounded by `maxVocab` (frequency-
+  *    ordered, deterministic tiebreak), which is how production
+  *    tokenizers train too (on a vocab/sample, never the raw corpus);
+  *  - '''encoding''' is map-only: the learned rules (a few thousand
+  *    strings) ride to executors as a closure constant, each partition
+  *    encodes independently, no shuffle.
+  *
+  * Determinism contract (what makes the oracle possible): pair counts
+  * are weighted by word frequency; the winning pair maximizes
+  * `(count, -lexicographic)` — i.e. ties break to the SMALLEST (left,
+  * right) pair; merges apply as non-overlapping left-to-right replacement
+  * of `" a b "` with `" ab "` on the space-padded symbol string, which is
+  * the exact semantics of both `java.lang.String.replace` and SQL
+  * `replace` — so DuckDB replays training AND encoding byte-for-byte
+  * (`q_bpe_train`, `q_bpe_apply`).
+  *
+  * No end-of-word marker: merges never cross word boundaries (each word
+  * is padded separately), which keeps the rules replayable by any engine
+  * with plain string replace. Token streams concatenate per-word tokens
+  * in word order.
+  */
+object Bpe {
+
+  /** One learned merge rule: at `rank`, symbol pair (lhs, rhs) → lhs+rhs. */
+  final case class Merge(rank: Int, lhs: String, rhs: String)
+
+  /** The space-padded symbol form of a word: `"key"` → `" k e y "`. */
+  private[graft] def padSymbols(word: String): String =
+    " " + word.map(_.toString).mkString(" ") + " "
+
+  /** Apply one merge rule to a padded symbol string — non-overlapping
+    * left-to-right, the shared Java/SQL `replace` semantics.
+    */
+  private def applyMerge(padded: String, lhs: String, rhs: String): String =
+    padded.replace(s" $lhs $rhs ", s" $lhs$rhs ")
+
+  /** Train `numMerges` BPE rules from the corpus. One distributed
+    * word-count pass; merge loop over the capped vocabulary (see object
+    * scaladoc). Stops early if no adjacent pair remains. Deterministic:
+    * same corpus → same rules, any partitioning.
+    */
+  def trainBpe(docs: DataFrame, textCol: String = "text", numMerges: Int = 1000,
+               maxVocab: Int = 100000): Seq[Merge] = {
+    require(numMerges > 0, s"numMerges must be positive (got $numMerges)")
+    val vocab = docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words = vocab.map { case (w, n) => (padSymbols(w), n) }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, n) =>
+        val syms = s.trim.split(" ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // max count, ties to the lexicographically smallest pair — the
+        // ordering the oracle replays with ORDER BY cnt DESC, a, b
+        val ((a, b), _) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        merges += Merge(rank, a, b)
+        words = words.map { case (s, n) => (applyMerge(s, a, b), n) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode one word into its BPE tokens under `merges` (already
+    * rank-ordered).
+    */
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
+    var s = padSymbols(word)
+    merges.foreach(m => s = applyMerge(s, m.lhs, m.rhs))
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      s.trim.split(" ")).filter(_.nonEmpty)
+  }
+
+  /** Distributed BPE encode: map-only over the corpus, rules shipped as a
+    * closure constant (vocabulary-sized). Emits one row per doc:
+    * `(id, n_tokens, tokens)` with tokens space-joined in word order —
+    * the schema both the oracle gate and downstream token budgeting
+    * (chunk/pack) consume.
+    */
+  def applyBpe(docs: DataFrame, idCol: String, merges: Seq[Merge],
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
+    docs.select(col(idCol).cast(LongType), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val tokens = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+          var s = padSymbols(w)
+          ms.foreach { case (a, b) => s = applyMerge(s, a, b) }
+          s.trim.split(" ").iterator.filter(_.nonEmpty)
+        }.mkString(" ")
+        val n = if (tokens.isEmpty) 0L else (tokens.count(_ == ' ') + 1).toLong
+        (id, n, tokens)
+      })
+      .toDF("id", "n_tokens", "tokens")
+  }
+}
