@@ -1866,6 +1866,21 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- BM25 lexical retrieval, scores gated BIT-FOR-BIT: the log-free
+    //      idf variant keeps the kernel inside IEEE basic ops (correctly
+    //      rounded in every engine, unlike ln) and the per-doc fold sums
+    //      term contributions in sorted term order — so DuckDB's doubles
+    //      are bit-identical and the hash gate compares SCORES, not just
+    //      ids. Query-term filter sits BEFORE the tf group (the shuffle
+    //      carries hits only); dl is map-only; df/scalars broadcast. ----
+    "q_bm25" -> ((s, dir) => {
+      import graft.operators.Bm25
+      Bm25.search(t(s, dir, "documents"), "doc_id",
+          Seq("spark", "table", "join"), k = 20, logIdf = false)
+        .select(col("doc_id"), col("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
+
     // ---- BPE ENCODE gated over the corpus: a fixed 6-rule merge table
     //      (rank 4 consumes rank 1's output — sequencing is in the gate)
     //      applied by the distributed map-only encoder; DuckDB replays
@@ -2831,6 +2846,37 @@ object SparkEntry {
         |s5 AS (SELECT doc_id, (a | (a << 1)) & 6148914691236517205 AS a,
         |         (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
         |SELECT doc_id, a | (b << 1) AS z FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the identical operation order: idf, norm, term score and
+    // the sorted-term fold are each basic IEEE ops evaluated in the same
+    // sequence as the Spark kernel, so the doubles match bit-for-bit
+    "q_bm25" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents),
+        |dl AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN ('spark', 'table', 'join') GROUP BY 1, 2),
+        |df AS MATERIALIZED (
+        |  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY 1),
+        |sc AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+        |         (SELECT sum(dl) FROM dl)::DOUBLE AS total),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    ((sc.n - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+        |      * ((tf::DOUBLE * 2.2)
+        |         / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sc.total / sc.n))))) AS s,
+        |    t.term
+        |  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), sc),
+        |folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, x) -> a + x) AS score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, score FROM folded
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // 8 BPE training ranks replayed level-by-level (see bpeTrainOracle)
     "q_bpe_train" -> bpeTrainOracle(8),
