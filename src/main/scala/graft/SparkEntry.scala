@@ -1866,6 +1866,48 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- C4-style blocklist gate: map-only arrays_overlap against a
+    //      literal token array (no explode, no shuffle, no join) — the
+    //      survivor id set is trivially DuckDB-replayable. ----
+    "q_blocklist" -> ((s, dir) => {
+      TextAnalysis.blocklistFilter(t(s, dir, "documents"),
+          Seq("spark", "vector", "window"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- URL canonicalization + dedup stats: raw URLs are BUILT from
+    //      doc_id arithmetic exercising every rule (case, www, default
+    //      ports incl. :443, tracking-param runs, trailing slashes,
+    //      fragments), canonicalized by the codegen regexp chain, and
+    //      grouped. The oracle does NOT replay the regexes — it derives
+    //      the canonical form DIRECTLY from the arithmetic (ground
+    //      truth), so any rule misfiring on any spelling breaks the
+    //      group counts/hash. ----
+    "q_url_canon" -> ((s, dir) => {
+      import graft.functions.UrlCanon
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (id % 5).cast("string"), lit(".COM"),
+        when(id % 4 === 0, lit(":80"))
+          .when(id % 4 === 3, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (id % 7).cast("string"),
+        when(id % 6 === 0, lit("/")).otherwise(lit("")),
+        when(id % 3 === 1,
+          concat(lit("?utm_source=a&x="), (id % 2).cast("string")))
+          .when(id % 3 === 2,
+            concat(lit("?x="), (id % 2).cast("string"),
+              lit("&utm_campaign=c&fbclid=f")))
+          .otherwise(lit("")),
+        when(id % 2 === 1, lit("#s")).otherwise(lit("")))
+      UrlCanon.urlDedupStats(
+          t(s, dir, "documents").select(col("doc_id")).withColumn("url", url),
+          "doc_id", "url")
+        .orderBy(col("canonical_url"))
+    }),
+
     // ---- BM25 lexical retrieval, scores gated BIT-FOR-BIT: the log-free
     //      idf variant keeps the kernel inside IEEE basic ops (correctly
     //      rounded in every engine, unlike ln) and the per-doc fold sums
@@ -2846,6 +2888,41 @@ object SparkEntry {
         |s5 AS (SELECT doc_id, (a | (a << 1)) & 6148914691236517205 AS a,
         |         (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
         |SELECT doc_id, a | (b << 1) AS z FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // survivors = docs whose token list misses every blocklisted word
+    "q_blocklist" ->
+      """SELECT doc_id FROM documents
+        |WHERE len(list_intersect(string_split(text, ' '),
+        |      ['spark', 'vector', 'window'])) = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // the canonical form derived from the ARITHMETIC (not a regex
+    // replay): http(s)://site{id%5}.com/p/{id%7}[?x={id%2}]; raw
+    // spellings rebuilt with the same concat for n_raw_forms
+    "q_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://'
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |    || 'Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+        |             WHEN doc_id % 4 = 3 THEN ':443' ELSE '' END)
+        |    || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=a&x=' || CAST(doc_id % 2 AS VARCHAR)
+        |             WHEN doc_id % 3 = 2 THEN '?x=' || CAST(doc_id % 2 AS VARCHAR) || '&utm_campaign=c&fbclid=f'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 1 THEN '#s' ELSE '' END) AS url,
+        |    'http' || (CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END)
+        |    || '://site' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+        |    || CAST(doc_id % 7 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ''
+        |             ELSE '?x=' || CAST(doc_id % 2 AS VARCHAR) END) AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, count(*) AS n_docs,
+        |  count(DISTINCT url) AS n_raw_forms,
+        |  min(doc_id) AS keep_doc
+        |FROM u GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     // BM25 with the identical operation order: idf, norm, term score and
     // the sorted-term fold are each basic IEEE ops evaluated in the same

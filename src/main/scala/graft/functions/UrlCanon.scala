@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the dedup key a crawl pipeline groups on BEFORE
+  * any content comparison: the same page arrives as `HTTP://WWW.Site.com/p`,
+  * `http://site.com:80/p/` and `http://site.com/p?utm_source=feed`, and
+  * byte-hash dedup sees three distinct documents. Canonicalizing the URL
+  * collapses them for free (a map-only column, no content read).
+  *
+  * The whole transform is a chain of built-in `regexp_replace`/`lower`
+  * columns — codegen'd, no UDF — and every pattern stays inside the
+  * regex subset Java and RE2 agree on (character classes, alternation,
+  * anchors, optional groups; NO lookarounds or backrefs), so the DuckDB
+  * oracle replays it verbatim (`q_url_canon`).
+  *
+  * Contract (deliberately a dedup NORMALIZATION, not a semantics-
+  * preserving rewrite):
+  *  1. fragment dropped;
+  *  2. scheme + authority lowercased (path/query case preserved);
+  *  3. leading `www.` dropped;
+  *  4. default ports dropped (`:80` for http, `:443` for https);
+  *  5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`) — two
+  *     fixed passes for runs of adjacent tracking params plus a trailing
+  *     pass, identical on both engines (a FIXED pass count, so parity is
+  *     by construction; ≥3 adjacent tracking params may leave residue —
+  *     add passes if a corpus needs them);
+  *  6. trailing path slashes dropped (also directly before `?`), and a
+  *     bare trailing `?` dropped.
+  */
+object UrlCanon {
+
+  private val TRACK = "(utm_[^&=]*|fbclid|gclid)"
+
+  /** The canonical form of a URL column (see object scaladoc contract). */
+  def canonicalizeUrl(url: Column): Column = {
+    // 1. fragment
+    val noFrag = regexp_replace(url, "#.*", "")
+    // 2. lowercase scheme://authority, keep the rest as-is
+    val schemeAuth = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val lowered = concat(
+      lower(regexp_extract(noFrag, s"($schemeAuth)", 1)),
+      regexp_replace(noFrag, schemeAuth, ""))
+    // 3. www.
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    // 4. default ports (optional tail group instead of lookahead — RE2
+    // has no lookarounds; an unmatched optional group substitutes empty
+    // on both engines)
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/:?#]*):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/:?#]*):443([/?#].*)?$", "$1$2")
+    // 5. tracking params: two passes for adjacent runs, then the trailing
+    // param (global replace restarts AFTER the consumed separator, so one
+    // pass leaves every second param of a run — the second pass and the
+    // $-anchored pass finish the job for runs of <= 2 + trailing)
+    val innerPat = s"([?&])$TRACK=[^&]*&"
+    val pass1 = regexp_replace(noPort, innerPat, "$1")
+    val pass2 = regexp_replace(pass1, innerPat, "$1")
+    val noTrack = regexp_replace(pass2, s"[?&]$TRACK=[^&]*$$", "")
+    // 6. trailing slashes and bare '?'
+    val slashQ = regexp_replace(noTrack, "/+\\?", "?")
+    val noTrailSlash = regexp_replace(slashQ, "(://[^/?#]+/[^?#]*?)/+$", "$1")
+    regexp_replace(noTrailSlash, "\\?$", "")
+  }
+
+  /** Canonical-URL dedup statistics: one row per canonical form with the
+    * colliding raw-URL count, distinct raw spellings and the minimum doc
+    * id (the deterministic representative a keep-first dedup would
+    * retain). One map pass + one hash aggregate on the canonical key.
+    */
+  def urlDedupStats(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(urlCol).as("url"))
+      .withColumn("canonical_url", canonicalizeUrl(col("url")))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        min(col("doc_id")).as("keep_doc"))
+}

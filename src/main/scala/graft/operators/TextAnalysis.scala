@@ -104,6 +104,23 @@ object TextAnalysis {
         .otherwise("val"))
   }
 
+  /** C4-style blocklist gate: drop every doc containing ANY blocklisted
+    * token. A MAP-ONLY predicate — `arrays_overlap` over the split token
+    * array against a literal array, codegen'd, no explode, no shuffle,
+    * no join — which is the right shape for the typical few-hundred-word
+    * list; a 10⁵+-entry list should flip to an explode + broadcast
+    * anti-join instead (same result, lookup cost amortized per token).
+    * Exact whole-token matching, deliberately: substring blocking is a
+    * different (and false-positive-prone) contract.
+    */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
+                      textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistFilter needs at least one term")
+    docs.where(!arrays_overlap(
+      split(col(textCol), "\\s+"),
+      lit(blocklist.distinct.toArray)))
+  }
+
   /** Per-doc token-repetition signals — the Gopher-style repetition
     * filters (a doc dominated by one token, or with a collapsed
     * vocabulary, is boilerplate/spam): `top_token_share` = most frequent

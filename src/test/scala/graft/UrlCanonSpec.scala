@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlCanon
+import graft.operators.TextAnalysis
+
+/** URL canonicalization edges beyond the oracle fixture, and the
+  * blocklist gate's exact-token contract.
+  */
+class UrlCanonSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlCanon.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("each rule on targeted spellings") {
+    assert(canon("HTTP://WWW.Example.COM:80/Path/To?x=1#frag")
+      == Seq("http://example.com/Path/To?x=1"))
+    // path/query case is preserved; only scheme+authority lowercases
+    assert(canon("https://Site.com/CaseKept?Q=Mixed") == Seq("https://site.com/CaseKept?Q=Mixed"))
+    // :443 only strips for https, :80 only for http
+    assert(canon("https://a.com:443/x", "http://a.com:443/x", "https://a.com:80/x")
+      == Seq("https://a.com/x", "http://a.com:443/x", "https://a.com:80/x"))
+    // tracking runs of two adjacent params clear completely
+    assert(canon("http://a.com/p?utm_a=1&utm_b=2&x=3") == Seq("http://a.com/p?x=3"))
+    assert(canon("http://a.com/p?x=3&utm_a=1&fbclid=2") == Seq("http://a.com/p?x=3"))
+    // only-tracking query drops entirely, including the '?'
+    assert(canon("http://a.com/p?utm_a=1") == Seq("http://a.com/p"))
+    // trailing slashes: multiple collapse, before-? collapses
+    assert(canon("http://a.com/p///", "http://a.com/p/?x=1")
+      == Seq("http://a.com/p", "http://a.com/p?x=1"))
+    // a lookalike param is NOT stripped (utmost != utm_*; xfbclid != fbclid)
+    assert(canon("http://a.com/p?utmost=1&xfbclid=2")
+      == Seq("http://a.com/p?utmost=1&xfbclid=2"))
+    // bare authority and bare '/' are stable fixed points
+    assert(canon("http://a.com", "http://a.com/") == Seq("http://a.com", "http://a.com/"))
+  }
+
+  test("canonicalization is idempotent") {
+    val urls = Seq("HTTP://WWW.Site.COM:80/p/?utm_a=1&x=2#f",
+      "https://b.org:443/q?fbclid=z", "http://c.net/r///")
+    val once = canon(urls: _*)
+    assert(canon(once: _*) == once)
+  }
+
+  test("urlDedupStats groups colliding spellings to one canonical row") {
+    val docs = Seq(
+      (1L, "HTTP://WWW.A.com/p"), (2L, "http://a.com:80/p/"),
+      (3L, "http://a.com/p?utm_source=x"), (4L, "http://b.com/q")
+    ).toDF("doc_id", "url")
+    val out = UrlCanon.urlDedupStats(docs, "doc_id", "url")
+      .orderBy("canonical_url").collect()
+    assert(out.length == 2)
+    val a = out(0)
+    assert(a.getString(0) == "http://a.com/p" && a.getLong(1) == 3 &&
+      a.getLong(2) == 3 && a.getLong(3) == 1L)
+    assert(out(1).getString(0) == "http://b.com/q" && out(1).getLong(1) == 1)
+  }
+
+  test("blocklistFilter drops exact tokens only, never substrings") {
+    val docs = Seq(
+      (1L, "clean words here"), (2L, "contains badword here"),
+      (3L, "badwordish is a different token"), (4L, "")).toDF("doc_id", "text")
+    val kept = TextAnalysis.blocklistFilter(docs, Seq("badword", "other"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistFilter(docs, Seq.empty)
+    }
+  }
+}
