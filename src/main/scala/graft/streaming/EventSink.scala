@@ -114,9 +114,19 @@ object EventSink {
     false
   }
 
+  /** `sortCol` re-sorts the rewritten file so its row-group min/max stats
+    * serve range predicates on that one column; `zorderCols` instead lays
+    * the rows on the Morton curve of TWO columns
+    * ([[graft.operators.ZOrderLayout.zValue]]) so stats stay tight on
+    * BOTH — the "run z-order where you run compaction" step. When both
+    * are set and the zorder columns exist, zorder wins; either silently
+    * degrades to the other/nothing when its columns are absent (the
+    * compactor must not fail a sweep over a heterogeneous table).
+    */
   def compactPartition(spark: SparkSession, tablePath: String, partitionSpec: Map[String, String],
                        maxFiles: Int = 8, targetFiles: Int = 1,
-                       sortCol: Option[String] = Some("timestamp")): Boolean = {
+                       sortCol: Option[String] = Some("timestamp"),
+                       zorderCols: Option[(String, String)] = None): Boolean = {
     val partPath = partitionSpec.map { case (k, v) => s"$k=$v" }.mkString("/")
     val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$partPath")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -160,9 +170,16 @@ object EventSink {
         .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
       val compacted =
         if (targetFiles == 1) snapshot.coalesce(1) else snapshot.repartition(targetFiles)
-      sortCol.filter(compacted.columns.contains)
-        .map(c => compacted.sortWithinPartitions(col(c))).getOrElse(compacted)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val laid = zorderCols
+        .filter { case (a, b) =>
+          compacted.columns.contains(a) && compacted.columns.contains(b) }
+        .map { case (a, b) =>
+          compacted.sortWithinPartitions(
+            graft.operators.ZOrderLayout.zValue(col(a), col(b))) }
+        .orElse(sortCol.filter(compacted.columns.contains)
+          .map(c => compacted.sortWithinPartitions(col(c))))
+        .getOrElse(compacted)
+      laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val newFiles = fs.listStatus(tmp).filter(f => f.getPath.getName.endsWith(".parquet"))
       // swap, never destroying the only copy: all originals → this run's
       // trash, new files in, then drop the run's trash

@@ -61,6 +61,39 @@ class EventSinkSpec extends SparkSpecBase {
     assert(ts == ts.sorted, "rows within the compacted file must be time-ordered")
   }
 
+  test("zorder compaction lays rows on the Morton curve of two columns") {
+    val dir = Files.createTempDirectory("zorder_compact").toString
+    // rows with two independent keys, appended in hostile order
+    (0 until 10).foreach { i =>
+      val base = java.sql.Timestamp.valueOf("2024-03-01 08:00:00")
+      val rows = Seq(9, 3, 7, 1).map { j =>
+        ("FS_EVENT", new java.sql.Timestamp(base.getTime + ((i * 37 + j * 11) % 100) * 1000L),
+          s"c${(i * 53 + j * 29) % 100}", ((i * 37 + j * 11) % 100).toLong,
+          ((i * 53 + j * 29) % 100).toLong)
+      }
+      EventSink.writePartitioned(
+        rows.toDF("event_type", "timestamp", "container_id", "ka", "kb"), dir)
+    }
+    assert(EventSink.compactPartition(spark, dir,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 2,
+      zorderCols = Some(("ka", "kb"))))
+    val part = s"$dir/event_type=FS_EVENT/day=2024-03-01"
+    val zs = spark.read.parquet(part)
+      .select(graft.operators.ZOrderLayout.zValue(col("ka"), col("kb")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == zs.sorted, "rows must be Morton-ordered in the compacted file")
+    assert(spark.read.parquet(part).count() == 40)
+    // absent zorder columns degrade to the plain sortCol path, not a failure
+    val dir2 = Files.createTempDirectory("zorder_degrade").toString
+    (0 until 10).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir2))
+    assert(EventSink.compactPartition(spark, dir2,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 2,
+      zorderCols = Some(("no_such", "cols"))))
+    val ts2 = spark.read.parquet(s"$dir2/event_type=FS_EVENT/day=2024-03-01")
+      .select("timestamp").collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts2 == ts2.sorted)
+  }
+
   test("recoverCompaction restores originals after an interrupted swap") {
     val dir = Files.createTempDirectory("recover").toString
     (0 until 4).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
