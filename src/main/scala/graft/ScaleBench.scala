@@ -310,7 +310,7 @@ object ScaleBench {
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
-      "ivfdedup", "knntopk", "relayout", "initsample", "gzip")
+      "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -797,6 +797,39 @@ object ScaleBench {
         f""""fused_s":$fusedS%.2f,"fused_mb_s":${mb / fusedS}%.0f,""" +
         f""""verify_overhead_x":${closureS / fusedS}%.2f,""" +
         f""""bytes_match":${uncBytes == fusedBytes && closureBytes == fusedBytes}}}""")
+    }
+    if (sections("bpe")) {
+      // ---- BPE encode throughput: the per-partition word memo's value
+      //      on Zipf text (the replace chain runs once per DISTINCT word
+      //      per task, not per occurrence). Control = wordCacheSize 0
+      //      (every entry evicted — all misses), same code path, output
+      //      asserted identical. Corpus: sf0.1 docs expanded ×400
+      //      (within-doc ×40 repeat, 10 id-shifted copies) ≈ 600 MB of
+      //      text through 150 trained merges. ----
+      import graft.operators.Bpe
+      val expanded = (0 until 10).map(i =>
+          base.select((col("doc_id") * 10 + i).as("doc_id"),
+            concat_ws(" ", array_repeat(col("text"), 40)).as("text")))
+        .reduce(_ unionByName _)
+        .repartition(16).persist()
+      val totalChars = expanded.agg(sum(length(col("text")))).head.getLong(0)
+      val merges = Bpe.trainBpe(base, "text", numMerges = 150)
+      def run(cache: Int): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = Bpe.applyBpe(expanded, "doc_id", merges, wordCacheSize = cache)
+          .agg(sum("n_tokens")).head.getLong(0)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      run(1 << 16) // warmup (JIT + page cache)
+      val (tCached, nTok) = run(1 << 16)
+      val (tCold, nTokCold) = run(0)
+      expanded.unpersist()
+      val mb = totalChars / 1e6
+      println(f"""{"bpe":{"mb":$mb%.1f,"merges":${merges.length},"tokens":$nTok,""" +
+        f""""cached_s":$tCached%.2f,"cached_mb_s":${mb / tCached}%.0f,""" +
+        f""""cached_mtok_s":${nTok / 1e6 / tCached}%.1f,""" +
+        f""""uncached_s":$tCold%.2f,"speedup_x":${tCold / tCached}%.1f,""" +
+        f""""match":${nTok == nTokCold}}}""")
     }
     spark.stop()
   }

@@ -110,21 +110,45 @@ object Bpe {
     * (chunk/pack) consume.
     */
   def applyBpe(docs: DataFrame, idCol: String, merges: Seq[Merge],
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text",
+               wordCacheSize: Int = 1 << 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ms = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
     docs.select(col(idCol).cast(LongType), col(textCol))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
-        val tokens = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
-          var s = padSymbols(w)
-          ms.foreach { case (a, b) => s = applyMerge(s, a, b) }
-          s.trim.split(" ").iterator.filter(_.nonEmpty)
-        }.mkString(" ")
-        val n = if (tokens.isEmpty) 0L else (tokens.count(_ == ' ') + 1).toLong
-        (id, n, tokens)
-      })
+      .mapPartitions { it =>
+        // per-partition word → encoded-string memo: natural text is Zipf-
+        // distributed, so hot words dominate and the replace chain runs
+        // once per DISTINCT word per task, not once per occurrence.
+        // Size-capped (eldest-entry eviction) so a high-cardinality
+        // partition (ids, hashes) cannot grow the task heap unboundedly.
+        val memo = new java.util.LinkedHashMap[String, String](1024, 0.75f, false) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, String]): Boolean =
+            size() > wordCacheSize
+        }
+        def encode(w: String): String = {
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            var s = padSymbols(w)
+            ms.foreach { case (a, b) => s = applyMerge(s, a, b) }
+            val out = s.trim
+            memo.put(w, out)
+            out
+          }
+        }
+        it.map { case (id, text) =>
+          // encoded words are internally single-space-joined symbol runs,
+          // so joining them with single spaces yields the flat token
+          // stream and the separator count gives the token count
+          val tokens = text.split("\\s+").iterator.filter(_.nonEmpty)
+            .map(encode).mkString(" ")
+          val n = if (tokens.isEmpty) 0L else (tokens.count(_ == ' ') + 1).toLong
+          (id, n, tokens)
+        }
+      }
       .toDF("id", "n_tokens", "tokens")
   }
 }

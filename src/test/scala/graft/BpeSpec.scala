@@ -64,6 +64,13 @@ class BpeSpec extends SparkSpecBase {
     val repartitioned = Bpe.applyBpe(docs.repartition(5), "doc_id", merges)
       .orderBy("id").as[(Long, Long, String)].collect()
     assert(repartitioned.toSeq == out.toSeq)
+    // the word memo is a pure cache: size 0 (every entry evicted, all
+    // misses) and size 1 (thrashing) produce identical output
+    Seq(0, 1).foreach { cap =>
+      val un = Bpe.applyBpe(docs, "doc_id", merges, wordCacheSize = cap)
+        .orderBy("id").as[(Long, Long, String)].collect()
+      assert(un.toSeq == out.toSeq, s"cache size $cap")
+    }
   }
 
   test("vocabulary cap keeps the most frequent words (deterministic tiebreak)") {
