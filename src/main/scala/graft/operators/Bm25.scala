@@ -61,10 +61,14 @@ object Bm25 {
       size(terms(col(textCol))).cast("long").as("dl"))
     val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     // corpus scalars: two tiny driver values, folded in as literals so the
-    // scoring expression is pure column arithmetic
-    val Array(nDocs, totalLen) = docs.select(
+    // scoring expression is pure column arithmetic (sum() is null on an
+    // empty corpus — surface that as a named error, not an NPE)
+    val head = docs.select(
         count(lit(1)), sum(size(terms(col(textCol)))).cast("long"))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      .collect().head
+    require(!head.isNullAt(1) && head.getLong(0) > 0,
+      "BM25 needs a non-empty corpus (document frequencies are undefined on zero docs)")
+    val (nDocs, totalLen) = (head.getLong(0), head.getLong(1))
     val avgdl = totalLen.toDouble / nDocs.toDouble
     // the kernel, in the EXACT operation order the oracle mirrors
     val dfD = col("df").cast(DoubleType)

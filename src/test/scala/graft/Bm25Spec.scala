@@ -54,6 +54,10 @@ class Bm25Spec extends SparkSpecBase {
       .as[Long].collect().toSet
     assert(ids == Set(1L, 2L))
     intercept[IllegalArgumentException] { Bm25.scores(docs, "doc_id", Seq.empty) }
+    // an empty corpus is a named error (df is undefined), not an NPE
+    intercept[IllegalArgumentException] {
+      Bm25.scores(docs.where(lit(false)), "doc_id", Seq("a"))
+    }
   }
 
   test("the tf shuffle carries only query-term rows (filter below the aggregate)") {
