@@ -310,7 +310,7 @@ object ScaleBench {
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
-      "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe")
+      "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -798,6 +798,37 @@ object ScaleBench {
         f""""verify_overhead_x":${closureS / fusedS}%.2f,""" +
         f""""bytes_match":${uncBytes == fusedBytes && closureBytes == fusedBytes}}}""")
     }
+    if (sections("avi")) {
+      // ---- video frame-stride economics: MJPEG frames are independent,
+      //      so stride-N demuxes cheap byte ranges and DECODES only every
+      //      Nth frame — the claim in AviMjpeg's scaladoc, measured.
+      //      500 × 30-frame 256² videos; stride 4 should cut wall time
+      //      close to the decode fraction it skips. ----
+      import spark.implicits._
+      import graft.multimodal.{AviMjpeg, Multimodal}
+      val nFrames = 30
+      val media = spark.range(500).as[Long].map { id =>
+        val frames = (0 until nFrames).map(f =>
+          AviMjpeg.solidJpeg(256, 256,
+            ((id % 13) * 16 + 8).toInt, ((f % 13) * 16 + 8).toInt, 60))
+        Multimodal.MediaRow(id, AviMjpeg.mjpegAvi(frames, 256, 256, 40000L),
+          Multimodal.MediaMeta("avi", 256, 256, nFrames * 40L))
+      }.repartition(16).persist()
+      media.count() // materialize the encode fixture outside the timing
+      def run(stride: Int): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = AviMjpeg.decodeVideoFrames(media, stride).filter(_.ok).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      run(1) // warmup
+      val (t1, n1) = run(1)
+      val (t4, n4) = run(4)
+      media.unpersist()
+      println(f"""{"avi":{"videos":500,"frames":$n1,"stride1_s":$t1%.2f,""" +
+        f""""fps":${n1 / t1}%.0f,"stride4_s":$t4%.2f,"stride4_frames":$n4,""" +
+        f""""cut_x":${t1 / t4}%.1f}}""")
+    }
+
     if (sections("bpe")) {
       // ---- BPE encode throughput: the per-partition word memo's value
       //      on Zipf text (the replace chain runs once per DISTINCT word

@@ -721,6 +721,17 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Text: exact-k-per-group sampling (the "7 docs per source"
+    //      cut): rank by the salted content selector within source, ties
+    //      by doc_id — DuckDB replays the selector arithmetic and the
+    //      window rank exactly. ----
+    "q_sample_k" -> ((s, dir) => {
+      TextAnalysis.sampleKPerGroup(t(s, dir, "documents"),
+          "source", "doc_id", k = 7, seed = 3L)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // ---- Text: corpus-LM familiarity (CCNet-style LM filter with corpus
     //      bigram counts as the model): reference = en docs, scored slice
     //      = doc_id < 100. Integer hit counts + one IEEE division; a mean
@@ -3807,6 +3818,21 @@ object SparkEntry {
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, $fpSql AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // rank by the full salted selector (mod p, not the 10^4 cut) with
+    // doc_id ties — the same arithmetic sampleKPerGroup orders on
+    "q_sample_k" ->
+      s"""WITH f AS (
+         |  SELECT source, doc_id,
+         |    (($fpSql + ${((3L % 1000000007L) + 1000000007L) % 1000000007L})
+         |      * 2654435761 % 1000000007) AS sel
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY sel, doc_id) AS rk
+         |  FROM f)
+         |SELECT source, doc_id FROM r WHERE rk <= 7
+         |ORDER BY source, doc_id""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT label, count(*) AS n,

@@ -175,6 +175,33 @@ object TextAnalysis {
     docs.where(pmod(salted, lit(10000L)) < floor(frac * 10000))
   }
 
+  /** Exact-k-per-group sampling — the "take k docs per source/language"
+    * companion to [[stratifiedSample]]'s fractional cut: rank the group's
+    * docs by the same salted Knuth-mixed content selector (ties broken by
+    * `idCol`) and keep ranks ≤ k. Deterministic and replay-stable like
+    * the fractional flavor (a re-run, a repartition or corpus reordering
+    * select the same docs; different seeds select decorrelated subsets),
+    * and exact-count where fractions can only promise expectation.
+    *
+    * Shape: one hash exchange on the group key + a per-group sort. For
+    * groups of 10⁸+ docs prefer a bounded top-k aggregate (the
+    * [[graft.functions.TopKAggregate]] pattern) over the window — same
+    * result, no full per-group sort.
+    */
+  def sampleKPerGroup(docs: DataFrame, groupCol: String, idCol: String, k: Int,
+                      seed: Long = 1L, textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val seedReduced = ((seed % 1000000007L) + 1000000007L) % 1000000007L
+    val salted = pmod(
+      (portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
+      lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(salted, col(idCol))
+    docs.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Stronger (xxhash64-based) rolling fingerprint — Spark-native flavor,
     * used internally where oracle parity is not required.
     */

@@ -253,6 +253,28 @@ class OperatorsSpec extends SparkSpecBase {
     assert(sides == Set("train", "val"))
   }
 
+  test("sampleKPerGroup: exact counts, replay-stable, seed-decorrelated, small groups kept whole") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val s1 = TextAnalysis.sampleKPerGroup(docs, "source", "doc_id", k = 7, seed = 3L)
+    // exactly 7 per source (every source has 25 docs at this sf)
+    val counts = s1.groupBy("source").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 7L))
+    // replay/partitioning-stable
+    val s2 = TextAnalysis.sampleKPerGroup(
+      docs.orderBy(org.apache.spark.sql.functions.rand(9)).repartition(7),
+      "source", "doc_id", k = 7, seed = 3L)
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).isEmpty)
+    // a different seed picks a substantially different subset
+    val other = TextAnalysis.sampleKPerGroup(docs, "source", "doc_id", k = 7, seed = 4L)
+      .select("doc_id").as[Long].collect().toSet
+    val base = s1.select("doc_id").as[Long].collect().toSet
+    assert((base intersect other).size < base.size / 2,
+      s"seeds 3 and 4 overlap ${(base intersect other).size}/${base.size}")
+    // k beyond the group size keeps the whole group
+    val all = TextAnalysis.sampleKPerGroup(docs, "source", "doc_id", k = 1000)
+    assert(all.count() == docs.count())
+  }
+
   test("stratifiedSample is deterministic, honors per-stratum fractions and default-keeps") {
     val docs = Tables.load(spark, sfDir, "documents")
     val fr = Map("en" -> 0.5, "zh" -> 0.0)
