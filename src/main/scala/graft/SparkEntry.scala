@@ -721,6 +721,33 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- Text: Unicode NFC normalization, oracle-gated through real
+    //      combining sequences: the fixture builds decomposed text from
+    //      doc_id arithmetic (e+acute runs, A+ring, multi-combining
+    //      o+diaeresis+macron, a precomposed survivor), the operator
+    //      normalizes, DuckDB rebuilds the same codepoints with chr()
+    //      and replays via its own nfc_normalize — two independent NFC
+    //      implementations must agree on lengths and bytes. ----
+    "q_nfc_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val fix = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val sb = new StringBuilder("w")
+        (0 until ((id % 3).toInt + 1)).foreach(_ =>
+          sb.append('e').append('́')) // e + combining acute
+        if (id % 2 == 0) sb.append('A').append('̊') // A + combining ring
+        if (id % 5 == 0) sb.append('é') // precomposed é (NFC-stable)
+        if (id % 7 == 0) // o + combining diaeresis + combining macron
+          sb.append('o').append('̈').append('̄')
+        (id, sb.toString)
+      }.toDF("doc_id", "text")
+      TextAnalysis.normalizeText(
+          fix.withColumn("pre_len", length(col("text")).cast(LongType)), "text")
+        .select(col("doc_id"), col("pre_len"),
+          length(col("text")).cast(LongType).as("post_len"),
+          md5(col("text")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: exact-k-per-group sampling (the "7 docs per source"
     //      cut): rank by the salted content selector within source, ties
     //      by doc_id — DuckDB replays the selector arithmetic and the
@@ -3818,6 +3845,23 @@ object SparkEntry {
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, $fpSql AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the same codepoint fixture rebuilt with chr(), normalized by
+    // DuckDB's own (independent) NFC — lengths are codepoint counts on
+    // both engines, md5 runs over the normalized UTF-8 bytes
+    "q_nfc_normalize" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'w' || repeat(chr(101) || chr(769), CAST((doc_id % 3) + 1 AS INT))
+        |    || (CASE WHEN doc_id % 2 = 0 THEN chr(65) || chr(778) ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN chr(233) ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(111) || chr(776) || chr(772)
+        |        ELSE '' END) AS text
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS pre_len,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS post_len,
+        |  md5(nfc_normalize(text)) AS h
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // rank by the full salted selector (mod p, not the 10^4 cut) with
     // doc_id ties — the same arithmetic sampleKPerGroup orders on

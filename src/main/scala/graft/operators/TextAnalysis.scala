@@ -175,6 +175,38 @@ object TextAnalysis {
     docs.where(pmod(salted, lit(10000L)) < floor(frac * 10000))
   }
 
+  /** Unicode normalization (NFC by default) — the canonical-equivalence
+    * cleaning step hash-based dedup REQUIRES: 'é' as one codepoint and as
+    * `e` + combining acute are byte-different but canonically identical
+    * text, so every content hash upstream (exact dedup, fingerprints,
+    * shingles, URL keys) treats un-normalized variants as different
+    * documents. Map-only over the rows (`java.text.Normalizer` per
+    * partition) with the quick-check fast path: an already-normalized
+    * string (the overwhelming case on real corpora) is detected by a
+    * scan and returned as-is, no rebuild. `form` is any
+    * `java.text.Normalizer.Form` name — NFC is the web-standard storage
+    * form; NFKC additionally folds compatibility characters (fullwidth,
+    * ligatures) and belongs in MATCHING keys, not stored text. Null text
+    * passes through.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+                    form: String = "NFC"): DataFrame = {
+    val f = java.text.Normalizer.Form.valueOf(form) // unknown form → loud
+    val idx = docs.schema.fieldIndex(textCol)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(docs.schema)
+    docs.map { r =>
+      val t = r.getAs[String](idx)
+      if (t == null || java.text.Normalizer.isNormalized(t, f)) r
+      else {
+        val vals = r.toSeq.toArray
+        vals(idx) = java.text.Normalizer.normalize(t, f)
+        org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(vals))
+      }
+    }
+  }
+
   /** Exact-k-per-group sampling — the "take k docs per source/language"
     * companion to [[stratifiedSample]]'s fractional cut: rank the group's
     * docs by the same salted Knuth-mixed content selector (ties broken by

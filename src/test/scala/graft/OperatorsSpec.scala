@@ -253,6 +253,29 @@ class OperatorsSpec extends SparkSpecBase {
     assert(sides == Set("train", "val"))
   }
 
+  test("normalizeText: NFC composes, NFKC folds compatibility, nulls/normalized pass through") {
+    val docs = Seq(
+      (1L, "wé"),             // decomposed e+acute → é
+      (2L, "Ｈｉ"),          // fullwidth Hi — NFC keeps, NFKC folds
+      (3L, null.asInstanceOf[String]),
+      (4L, "plain ascii")).toDF("doc_id", "text")
+    val nfc = TextAnalysis.normalizeText(docs, "text").orderBy("doc_id")
+      .select("text").as[String].collect()
+    assert(nfc(0) == "wé" && nfc(1) == "Ｈｉ" &&
+      nfc(2) == null && nfc(3) == "plain ascii")
+    val nfkc = TextAnalysis.normalizeText(docs, "text", form = "NFKC")
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(nfkc(1) == "Hi", s"NFKC must fold fullwidth, got ${nfkc(1)}")
+    // idempotent, and other columns ride along untouched
+    val twice = TextAnalysis.normalizeText(
+      TextAnalysis.normalizeText(docs, "text"), "text").orderBy("doc_id")
+    assert(twice.select("text").as[String].collect().toSeq == nfc.toSeq)
+    assert(twice.select("doc_id").as[Long].collect().toSeq == Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.normalizeText(docs, "text", form = "NOT_A_FORM")
+    }
+  }
+
   test("sampleKPerGroup: exact counts, replay-stable, seed-decorrelated, small groups kept whole") {
     val docs = Tables.load(spark, sfDir, "documents")
     val s1 = TextAnalysis.sampleKPerGroup(docs, "source", "doc_id", k = 7, seed = 3L)
