@@ -748,6 +748,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Text: mojibake repair (UTF-8 mis-decoded as Latin-1, the
+    //      classic crawl corruption). Fixture: clean strings from doc_id
+    //      codepoint arithmetic (2-byte Latin letters + 3-byte CJK) are
+    //      GARBLED by the actual mis-decode in Spark, repaired by the
+    //      operator, and every fifth doc stays healthy ASCII that the
+    //      repair must not touch. The oracle derives the expected CLEAN
+    //      text from the arithmetic alone (garbled length == the clean
+    //      text's UTF-8 byte count — the mis-decode's defining
+    //      property). ----
+    "q_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      val fix = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+        val clean =
+          if (id % 5 == 0) s"plain${id % 9}"
+          else {
+            val sb = new StringBuilder("w")
+            (0 until ((id % 3).toInt + 1)).foreach(_ =>
+              sb.append((0xE0 + (id % 16).toInt).toChar))
+            if (id % 4 == 0) sb.append((0x4E00 + (id % 7).toInt).toChar)
+            sb.toString
+          }
+        val garbled =
+          if (id % 5 == 0) clean
+          else new String(clean.getBytes("UTF-8"),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+        (id, garbled)
+      }.toDF("doc_id", "text")
+      TextAnalysis.fixMojibake(
+          fix.withColumn("garbled_len", length(col("text")).cast(LongType)), "text")
+        .select(col("doc_id"), col("garbled_len"),
+          length(col("text")).cast(LongType).as("fixed_len"),
+          md5(col("text")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: exact-k-per-group sampling (the "7 docs per source"
     //      cut): rank by the salted content selector within source, ties
     //      by doc_id — DuckDB replays the selector arithmetic and the
@@ -3845,6 +3880,25 @@ object SparkEntry {
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, $fpSql AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the expected CLEAN text from the arithmetic; the garbled length is
+    // the clean text's UTF-8 byte count by the mis-decode's definition
+    "q_mojibake" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'plain' || CAST(doc_id % 9 AS VARCHAR)
+        |    ELSE 'w'
+        |      || repeat(chr(CAST(224 + doc_id % 16 AS INT)),
+        |           CAST(doc_id % 3 + 1 AS INT))
+        |      || (CASE WHEN doc_id % 4 = 0
+        |          THEN chr(CAST(19968 + doc_id % 7 AS INT)) ELSE '' END)
+        |    END AS clean
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(octet_length(encode(clean)) AS BIGINT) AS garbled_len,
+        |  CAST(length(clean) AS BIGINT) AS fixed_len,
+        |  md5(clean) AS h
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // the same codepoint fixture rebuilt with chr(), normalized by
     // DuckDB's own (independent) NFC — lengths are codepoint counts on

@@ -207,6 +207,57 @@ object TextAnalysis {
     }
   }
 
+  /** Repair one string's mojibake (UTF-8 bytes mis-decoded as Latin-1 —
+    * the classic crawl corruption: 'é' arrives as 'Ã©'). The test is
+    * exact, not fuzzy: if every char is ≤ U+00FF (i.e. COULD have come
+    * from a Latin-1 mis-decode) and the Latin-1 re-encoding parses as
+    * STRICT UTF-8 with at least one multi-byte sequence, the re-decoded
+    * string is returned; otherwise the input is returned untouched.
+    * Plain ASCII and legitimate Latin-1 text ('Ã ' followed by a space —
+    * 0xC3 0x20 is invalid UTF-8) never match, so the repair cannot fire
+    * on healthy text. One pass by contract: doubly-mojibake'd text
+    * repairs one layer per application (compose with itself if a corpus
+    * needs more — each layer is the same exact test).
+    */
+  def fixMojibakeString(s: String): String = {
+    if (s == null || s.isEmpty) return s
+    var i = 0
+    var multi = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c > 0xff) return s // cannot be a Latin-1 mis-decode
+      if (c >= 0x80) multi = true
+      i += 1
+    }
+    if (!multi) return s // pure ASCII — nothing to repair
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+
+  /** [[fixMojibakeString]] over the corpus — map-only, other columns ride
+    * along (same whole-row shape as [[normalizeText]]).
+    */
+  def fixMojibake(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val idx = docs.schema.fieldIndex(textCol)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(docs.schema)
+    docs.map { r =>
+      val t = r.getAs[String](idx)
+      val fixed = fixMojibakeString(t)
+      if (fixed eq t) r
+      else {
+        val vals = r.toSeq.toArray
+        vals(idx) = fixed
+        org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(vals))
+      }
+    }
+  }
+
   /** Exact-k-per-group sampling — the "take k docs per source/language"
     * companion to [[stratifiedSample]]'s fractional cut: rank the group's
     * docs by the same salted Knuth-mixed content selector (ties broken by

@@ -253,6 +253,32 @@ class OperatorsSpec extends SparkSpecBase {
     assert(sides == Set("train", "val"))
   }
 
+  test("fixMojibake repairs exactly the mis-decodes and never healthy text") {
+    import graft.operators.TextAnalysis.fixMojibakeString
+    def garble(s: String) =
+      new String(s.getBytes("UTF-8"), java.nio.charset.StandardCharsets.ISO_8859_1)
+    // the classic: é → Ã© → é ; CJK survives the 3-byte path
+    Seq("wé", "naïve café", "中文 text", "ação").foreach { clean =>
+      assert(fixMojibakeString(garble(clean)) == clean, clean)
+    }
+    // legitimate Latin-1 text is NOT valid UTF-8 when re-encoded — untouched
+    Seq("à la carte", "voilà!", "50° här").foreach { legit =>
+      assert(fixMojibakeString(legit) eq legit, legit)
+    }
+    // ASCII fast path, null/empty, and chars beyond U+00FF pass through
+    assert(fixMojibakeString("plain") eq "plain")
+    assert(fixMojibakeString("") == "" && fixMojibakeString(null) == null)
+    assert(fixMojibakeString("已经 clean") eq "已经 clean")
+    // double mojibake: one layer per application, composable to clean
+    val dbl = garble(garble("wé"))
+    assert(fixMojibakeString(fixMojibakeString(dbl)) == "wé")
+    // the DataFrame wrapper carries other columns and fixes only the text
+    val docs = Seq((1L, garble("résumé")), (2L, "ok")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.fixMojibake(docs, "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "résumé"), (2L, "ok")))
+  }
+
   test("normalizeText: NFC composes, NFKC folds compatibility, nulls/normalized pass through") {
     val docs = Seq(
       (1L, "wé"),             // decomposed e+acute → é
