@@ -78,7 +78,11 @@ object TrainingPipeline {
     upsampleStrataCol: Option[String] = None,
     upsampleTemperature: Double = 0.5,
     upsampleMaxFactor: Double = 8.0,
-    upsampleSeed: Long = 3L)
+    upsampleSeed: Long = 3L,
+    // text repair BEFORE any hashing: mojibake repair + Unicode NFC, so
+    // canonically-identical spellings dedup/fingerprint together (both
+    // map-only with already-clean fast paths — ~free on healthy corpora)
+    preClean: Boolean = false)
 
   /** Run the full preparation over `docs(idCol, textCol, …)`. Output keeps
     * the input columns and adds `quality` and `split` — plus `familiarity`
@@ -93,11 +97,19 @@ object TrainingPipeline {
       s"gateKeepFrac must be in (0, 1], got ${cfg.gateKeepFrac}")
     require(cfg.minFamiliarity == 0.0 || lmRefDocs.isDefined,
       "minFamiliarity > 0 requires lmRefDocs (the LM reference slice)")
+    // text repair FIRST when enabled: every downstream stage hashes the
+    // text (exact dedup, shingles, fingerprints, splits), so mojibake and
+    // decomposed Unicode must be gone before the first hash or equivalent
+    // docs land in different buckets
+    val cleaned =
+      if (cfg.preClean)
+        TextAnalysis.normalizeText(TextAnalysis.fixMojibake(docs, textCol), textCol)
+      else docs
     // quality is computed ONCE, before clustering: the same column orders
     // the keep-best window AND survives as the output score (recomputing
     // the three full-text scans inside the window ordering would double
     // the corpus-scan work and could drift from the emitted value)
-    val exact = Dedup.dropExactDups(docs, idCol, textCol)
+    val exact = Dedup.dropExactDups(cleaned, idCol, textCol)
       .withColumn("quality", F.qualityScore(col(textCol), cfg.stopwords))
     val pairs = Dedup.minHashNearDupsExact(exact, idCol, textCol,
       cfg.shingleK, cfg.nearDupThreshold, cfg.margin)

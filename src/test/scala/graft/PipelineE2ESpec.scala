@@ -18,6 +18,28 @@ import graft.streaming.EventSink
 class PipelineE2ESpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("preClean stage: mojibake'd and decomposed spellings dedup with their clean twins") {
+    import graft.operators.TrainingPipeline
+    def garble(s: String) =
+      new String(s.getBytes("UTF-8"), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val body = "the café menu lists thé and crème for the naïve visitor today"
+    val docs = Seq(
+      (1L, body),
+      (2L, garble(body)),                                      // mojibake twin
+      (3L, java.text.Normalizer.normalize(body,
+        java.text.Normalizer.Form.NFD)),                       // decomposed twin
+      (4L, "a completely different document about spark plans today")
+    ).toDF("doc_id", "text")
+    val cleaned = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = TrainingPipeline.Config(preClean = true))
+    // the three spellings collapse to ONE survivor; the unrelated doc stays
+    assert(cleaned.count() == 2, cleaned.collect().mkString("\n"))
+    assert(cleaned.where(col("doc_id") === 4L).count() == 1)
+    // without preClean the byte-different spellings all survive exact dedup
+    val dirty = TrainingPipeline.prepare(docs, "doc_id")
+    assert(dirty.count() == 4)
+  }
+
   test("training pipeline: dedup -> keep-best -> quality floor -> split, idempotent") {
     import graft.operators.{Dedup, TrainingPipeline}
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
