@@ -1939,6 +1939,20 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- 3-D Morton code (the (day, app, hour) layout seat): same
+    //      write-path-in-the-loop discipline as q_zorder, three 21-bit
+    //      keys interleaved, DuckDB replaying the identical mask/shift
+    //      chain. ----
+    "q_zorder3" -> ((s, dir) => {
+      import graft.operators.ZOrderLayout
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          ZOrderLayout.zValue3(
+            col("doc_id") % 365, col("doc_id") * 7 % 1000,
+            col("doc_id") % 24).as("z"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- C4-style blocklist gate: map-only arrays_overlap against a
     //      literal token array (no explode, no shuffle, no join) — the
     //      survivor id set is trivially DuckDB-replayable. ----
@@ -2961,6 +2975,32 @@ object SparkEntry {
         |s5 AS (SELECT doc_id, (a | (a << 1)) & 6148914691236517205 AS a,
         |         (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
         |SELECT doc_id, a | (b << 1) AS z FROM s5 ORDER BY doc_id""".stripMargin,
+
+    // the 3-way interleave with the same signed-64-safe mask chain
+    "q_zorder3" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 365 AS BIGINT) & 2097151 AS a,
+        |    CAST((doc_id * 7) % 1000 AS BIGINT) & 2097151 AS b,
+        |    CAST(doc_id % 24 AS BIGINT) & 2097151 AS c
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, (a | (a << 32)) & 8725724278095871 AS a,
+        |  (b | (b << 32)) & 8725724278095871 AS b,
+        |  (c | (c << 32)) & 8725724278095871 AS c FROM base),
+        |s2 AS (SELECT doc_id, (a | (a << 16)) & 8725728556220671 AS a,
+        |  (b | (b << 16)) & 8725728556220671 AS b,
+        |  (c | (c << 16)) & 8725728556220671 AS c FROM s1),
+        |s3 AS (SELECT doc_id, (a | (a << 8)) & 1157144660301377551 AS a,
+        |  (b | (b << 8)) & 1157144660301377551 AS b,
+        |  (c | (c << 8)) & 1157144660301377551 AS c FROM s2),
+        |s4 AS (SELECT doc_id, (a | (a << 4)) & 1207822528635744451 AS a,
+        |  (b | (b << 4)) & 1207822528635744451 AS b,
+        |  (c | (c << 4)) & 1207822528635744451 AS c FROM s3),
+        |s5 AS (SELECT doc_id, (a | (a << 2)) & 1317624576693539401 AS a,
+        |  (b | (b << 2)) & 1317624576693539401 AS b,
+        |  (c | (c << 2)) & 1317624576693539401 AS c FROM s4)
+        |SELECT doc_id, a | (b << 1) | (c << 2) AS z
+        |FROM s5 ORDER BY doc_id""".stripMargin,
 
     // survivors = docs whose token list misses every blocklisted word
     "q_blocklist" ->

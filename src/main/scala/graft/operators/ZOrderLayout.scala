@@ -51,6 +51,30 @@ object ZOrderLayout {
   def zValue(a: Column, b: Column): Column =
     spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
 
+  // 3-way spread: bit i of a 21-bit key lands at position 3i. Same
+  // signed-64 discipline: every mask keeps set bits low enough that the
+  // next shift (and the final << 2) stays below bit 63.
+  private val Spread3Steps = Seq(
+    (32, 0x001F00000000FFFFL), (16, 0x001F0000FF0000FFL),
+    (8, 0x100F00F00F00F00FL), (4, 0x10C30C30C30C30C3L),
+    (2, 0x1249249249249249L))
+
+  /** Spread the low 21 bits of `c` so bit i lands at position 3i. */
+  def spreadBits3(c: Column): Column =
+    Spread3Steps.foldLeft(c.cast(LongType).bitwiseAND(lit(0x1FFFFFL))) {
+      case (x, (sh, m)) => x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(m))
+    }
+
+  /** The 63-bit Morton code of THREE 21-bit keys — the (day, app, hour)-
+    * shaped layout: predicates on any one of three columns prune to
+    * ~F^(2/3) of F files. 21 bits per key; bucket wider domains first
+    * (same guidance as [[spreadBits]]).
+    */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    spreadBits3(a)
+      .bitwiseOR(shiftleft(spreadBits3(b), 1))
+      .bitwiseOR(shiftleft(spreadBits3(c), 2))
+
   /** Write `df` z-ordered on `(a, b)` into `numFiles` files: range-
     * partition on the Morton code (bounds via Spark's sampling), sort
     * within partitions, drop the helper column, write. Files then hold

@@ -38,6 +38,33 @@ class ZOrderLayoutSpec extends SparkSpecBase {
     assert(mono.sameElements(mono.sorted))
   }
 
+  test("zValue3 matches the reference 3-way interleave and clusters all three dimensions") {
+    def refSpread3(x0: Long): Long = {
+      var x = x0 & 0x1FFFFFL
+      x = (x | (x << 32)) & 0x001F00000000FFFFL
+      x = (x | (x << 16)) & 0x001F0000FF0000FFL
+      x = (x | (x << 8)) & 0x100F00F00F00F00FL
+      x = (x | (x << 4)) & 0x10C30C30C30C30C3L
+      x = (x | (x << 2)) & 0x1249249249249249L
+      x
+    }
+    val cases = Seq((0L, 0L, 0L), (1L, 2L, 4L), (0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL),
+      (12345L, 67890L, 54321L), (Long.MaxValue, 7L, 0xFFFFFFFFL))
+    val out = cases.toDF("a", "b", "c")
+      .select(ZOrderLayout.zValue3(col("a"), col("b"), col("c")).as("z"))
+      .as[Long].collect()
+    out.zip(cases).foreach { case (z, (a, b, c)) =>
+      val expect = refSpread3(a) | (refSpread3(b) << 1) | (refSpread3(c) << 2)
+      assert(z == expect && z >= 0, s"($a,$b,$c)")
+    }
+    // interleaving round-trips: de-interleave the bits and recover each key
+    val (a, b, c) = (0x155555L, 0x0ABCDL, 0x1F0F0L)
+    val z = refSpread3(a) | (refSpread3(b) << 1) | (refSpread3(c) << 2)
+    def unspread(v: Long, off: Int): Long =
+      (0 until 21).map(i => (((v >> (3 * i + off)) & 1L) << i)).reduce(_ | _)
+    assert(unspread(z, 0) == a && unspread(z, 1) == b && unspread(z, 2) == c)
+  }
+
   test("z-ordered layout clusters BOTH dimensions; single-sort clusters one") {
     val n = 20000
     val rows = (0 until n).map { i =>
