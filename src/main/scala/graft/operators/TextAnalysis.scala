@@ -213,11 +213,16 @@ object TextAnalysis {
     * from a Latin-1 mis-decode) and the Latin-1 re-encoding parses as
     * STRICT UTF-8 with at least one multi-byte sequence, the re-decoded
     * string is returned; otherwise the input is returned untouched.
-    * Plain ASCII and legitimate Latin-1 text ('Ã ' followed by a space —
-    * 0xC3 0x20 is invalid UTF-8) never match, so the repair cannot fire
-    * on healthy text. One pass by contract: doubly-mojibake'd text
-    * repairs one layer per application (compose with itself if a corpus
-    * needs more — each layer is the same exact test).
+    * Plain ASCII and almost all legitimate Latin-1 text ('Ã ' followed
+    * by a space — 0xC3 0x20 is invalid UTF-8) never match. The one
+    * inherent false positive: text whose Latin-1 bytes HAPPEN to form
+    * valid UTF-8 — e.g. a document literally discussing 'Ã©' — is
+    * "repaired"; no byte-level test can distinguish that from real
+    * mojibake (it IS the same byte string), which is why this is a
+    * curation stage, not a lossless transform. One pass by contract:
+    * doubly-mojibake'd text repairs one layer per application (compose
+    * with itself if a corpus needs more — each layer is the same exact
+    * test).
     */
   def fixMojibakeString(s: String): String = {
     if (s == null || s.isEmpty) return s

@@ -172,9 +172,12 @@ object GzipArchives {
     * and blob reads are Spark's own distributed machinery — one task per
     * archive (binaryFile never splits a file, which is exactly right:
     * gzip members aren't seekable), decompression partition-parallel,
-    * no shuffle. This is the production entry point for a crawl dump on
-    * HDFS/S3; [[explodeArchives]] is the same stage over an
-    * already-loaded blob column.
+    * no shuffle. Memory: the binaryFile source materializes EACH WHOLE
+    * ARCHIVE as one row (decompression itself is then member-bounded) —
+    * size executor memory for the largest archive, and keep crawl dumps
+    * in the conventional ~1 GB shards. This is the production entry
+    * point for a crawl dump on HDFS/S3; [[explodeArchives]] is the same
+    * stage over an already-loaded blob column.
     */
   def readArchiveDir(spark: org.apache.spark.sql.SparkSession, dir: String,
                      glob: String = "*.gz"): Dataset[FileMemberRow] = {
