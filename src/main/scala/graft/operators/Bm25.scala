@@ -98,4 +98,65 @@ object Bm25 {
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
   }
+
+  /** Batched retrieval — N queries amortized over ONE corpus pass, the
+    * production shape (per-query [[search]] calls re-scan the corpus N
+    * times). `queries(query_id, term)` is broadcast everywhere it
+    * appears (it is query-sized by construction): the corpus token
+    * stream semi-joins against the UNION of all query terms before the
+    * tf group (one filtered shuffle for all queries), df is counted per
+    * (query, term), and each (query, doc) folds its term contributions
+    * in the same sorted order as [[scores]] — so a single-query batch is
+    * BIT-IDENTICAL to [[scores]] (spec-asserted). Emits one row per
+    * (query_id, doc) with `rank ≤ k` per query via the standard window
+    * (queries × k rows total — never a global sort of scored docs).
+    */
+  def searchMany(docs: DataFrame, idCol: String, queries: DataFrame, k: Int,
+                 textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+                 logIdf: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(Seq("query_id", "term").forall(queries.columns.contains),
+      s"queries needs (query_id, term) columns, got ${queries.columns.mkString(", ")}")
+    val q = broadcast(queries.select(col("query_id"), col("term")).distinct())
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(terms(col(textCol))).as("term"))
+    // one filtered tf shuffle for ALL queries: the semi-join keeps only
+    // tokens ANY query mentions
+    val tf = toks.join(q.select("term").distinct(), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(terms(col(textCol))).cast("long").as("dl"))
+    val head = docs.select(
+        count(lit(1)), sum(size(terms(col(textCol)))).cast("long"))
+      .collect().head
+    require(!head.isNullAt(1) && head.getLong(0) > 0,
+      "BM25 needs a non-empty corpus (document frequencies are undefined on zero docs)")
+    val (nDocs, totalLen) = (head.getLong(0), head.getLong(1))
+    val avgdl = totalLen.toDouble / nDocs.toDouble
+    // df is per (query, term) — identical to the per-query value since
+    // df depends on the term alone; carrying query_id keeps the fold
+    // grouping one join away
+    val perQuery = tf.join(q, Seq("term"))
+    val df = perQuery.groupBy("query_id", "term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val dfD = col("df").cast(DoubleType)
+    val tfD = col("tf").cast(DoubleType)
+    val dlD = col("dl").cast(DoubleType)
+    val rawIdf = (lit(nDocs.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5))
+    val idf = if (logIdf) log(rawIdf + lit(1.0)) else rawIdf
+    val norm = lit(1.0 - b) + lit(b) * (dlD / lit(avgdl))
+    val termScore = idf * ((tfD * lit(k1 + 1.0)) / (tfD + lit(k1) * norm))
+    val scored = perQuery.join(broadcast(df), Seq("query_id", "term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("term"), termScore.as("s"))
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("s")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("score"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

@@ -60,6 +60,31 @@ class Bm25Spec extends SparkSpecBase {
     }
   }
 
+  test("searchMany: each query's results are bit-identical to the per-query path") {
+    val queries = Seq(("q1", "a"), ("q1", "b"), ("q2", "c"), ("q3", "b"))
+      .toDF("query_id", "term")
+    val batched = Bm25.searchMany(docs, "doc_id", queries, k = 3, logIdf = false)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      }
+    val single = Map(
+      "q1" -> Seq("a", "b"), "q2" -> Seq("c"), "q3" -> Seq("b"))
+      .map { case (q, ts) =>
+        q -> Bm25.search(docs, "doc_id", ts, k = 3, logIdf = false)
+          .as[(Long, Double)].collect().toSeq
+      }
+    assert(batched.keySet == single.keySet)
+    single.foreach { case (q, expect) =>
+      assert(batched(q) == expect, s"query $q: ${batched(q)} vs $expect")
+    }
+    // malformed query table refused loudly
+    intercept[IllegalArgumentException] {
+      Bm25.searchMany(docs, "doc_id", Seq(("x", "y")).toDF("qid", "word"), k = 1)
+    }
+  }
+
   test("the tf shuffle carries only query-term rows (filter below the aggregate)") {
     val plan = Bm25.scores(docs, "doc_id", Seq("a", "b"))
       .queryExecution.optimizedPlan.toString
