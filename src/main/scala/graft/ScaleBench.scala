@@ -760,6 +760,13 @@ object ScaleBench {
         .repartition(16)
         .persist()
       val compMb = archives.map(_._2.length.toLong).reduce(_ + _) / 1e6 // materializes
+      // one untimed pass per path (JIT + page cache + plan warm) — without
+      // it the first-measured path absorbs all warmup cost and the three
+      // numbers are not comparable (observed: op "faster" than its own
+      // split subset in a busy-JVM full-section sweep)
+      GzipArchives.explodeArchives(archives)
+        .toDF().agg(count(lit(1))).head()
+      archives.map { case (_, b) => GzipArchives.splitMembers(b)._1.length }.reduce(_ + _)
       val t0 = System.nanoTime()
       val (nMembers, uncBytes) = GzipArchives.explodeArchives(archives)
         .toDF().agg(count(lit(1)), sum(length(col("content"))))

@@ -92,7 +92,51 @@ object TrainingPipeline {
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String = "text",
               cfg: Config = Config(), evalDocs: Option[DataFrame] = None,
-              lmRefDocs: Option[DataFrame] = None): DataFrame = {
+              lmRefDocs: Option[DataFrame] = None): DataFrame =
+    prepareImpl(docs, idCol, textCol, cfg, evalDocs, lmRefDocs, (_, df) => df)
+
+  /** [[prepare]] in AUDIT mode: additionally returns the drop ledger —
+    * (stage, surviving rows) at every stage boundary, in pipeline order —
+    * the number a curation run is actually judged by ("decontamination
+    * dropped 4 %, the gate dropped 31 %"). Each audited stage is
+    * `localCheckpoint`-ed and counted: the checkpoint both materializes
+    * the stage (one cheap cached count) and TRUNCATES its lineage —
+    * without truncation the pipeline's self-join stages grow the logical
+    * plan multiplicatively and mere plan stringification can exhaust the
+    * driver heap. The trade (vs [[prepare]], which keeps pure lineage):
+    * checkpoint blocks are unrecoverable on executor loss, so a mid-audit
+    * failure means rerunning the audit — acceptable for a diagnostic
+    * pass, which is what this is. (`observe`-style free metrics are not
+    * used because several stages are legitimately referenced twice in
+    * the final plan and would double-count.) The returned frame is
+    * checkpointed and already materialized; intermediate stage blocks
+    * are released before returning.
+    */
+  def prepareAudited(docs: DataFrame, idCol: String, textCol: String = "text",
+                     cfg: Config = Config(), evalDocs: Option[DataFrame] = None,
+                     lmRefDocs: Option[DataFrame] = None)
+      : (DataFrame, Seq[(String, Long)]) = {
+    val ledger = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val staged = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val tap = (name: String, df: DataFrame) => {
+      val p = df.localCheckpoint(true)
+      ledger += name -> p.count()
+      staged += p
+      p
+    }
+    val out = prepareImpl(docs, idCol, textCol, cfg, evalDocs, lmRefDocs, tap)
+      .localCheckpoint(true)
+    ledger += "final" -> out.count()
+    // the final frame's lineage is truncated to its own blocks, so the
+    // intermediate rungs are safe to release
+    staged.foreach(_.unpersist())
+    (out, ledger.toSeq)
+  }
+
+  private def prepareImpl(docs: DataFrame, idCol: String, textCol: String,
+                          cfg: Config, evalDocs: Option[DataFrame],
+                          lmRefDocs: Option[DataFrame],
+                          tap: (String, DataFrame) => DataFrame): DataFrame = {
     require(cfg.gateKeepFrac > 0.0 && cfg.gateKeepFrac <= 1.0,
       s"gateKeepFrac must be in (0, 1], got ${cfg.gateKeepFrac}")
     require(cfg.minFamiliarity == 0.0 || lmRefDocs.isDefined,
@@ -109,23 +153,25 @@ object TrainingPipeline {
     // the keep-best window AND survives as the output score (recomputing
     // the three full-text scans inside the window ordering would double
     // the corpus-scan work and could drift from the emitted value)
-    val exact = Dedup.dropExactDups(cleaned, idCol, textCol)
-      .withColumn("quality", F.qualityScore(col(textCol), cfg.stopwords))
+    val exact = tap("exact_dedup", Dedup.dropExactDups(cleaned, idCol, textCol)
+      .withColumn("quality", F.qualityScore(col(textCol), cfg.stopwords)))
     val pairs = Dedup.minHashNearDupsExact(exact, idCol, textCol,
       cfg.shingleK, cfg.nearDupThreshold, cfg.margin)
       .select(col("id_a"), col("id_b"))
-    val canonical = Dedup.keepBestPerGroup(exact, idCol, pairs, col("quality"))
+    val canonical = tap("near_dup_keep_best",
+      Dedup.keepBestPerGroup(exact, idCol, pairs, col("quality")))
     // decontaminate after dedup: the contaminated-id scan then runs over
     // the already-shrunk canonical set, and a dup cluster whose survivor
     // overlaps the eval set is dropped wholesale (its members were dups of
     // a contaminated doc)
     val decontaminated = evalDocs match {
-      case Some(ev) =>
-        TextAnalysis.decontaminate(canonical, ev, idCol, cfg.decontaminateK, textCol)
+      case Some(ev) => tap("decontaminated",
+        TextAnalysis.decontaminate(canonical, ev, idCol, cfg.decontaminateK, textCol))
       case None => canonical
     }
     val filtered =
-      if (cfg.minQuality > 0.0) decontaminated.where(col("quality") >= cfg.minQuality)
+      if (cfg.minQuality > 0.0)
+        tap("quality_floor", decontaminated.where(col("quality") >= cfg.minQuality))
       else decontaminated
     val lmStage = lmRefDocs.isDefined && cfg.minFamiliarity > 0.0
     val gateStage = cfg.gateGroupCol.isDefined && cfg.gateKeepFrac < 1.0
@@ -150,15 +196,16 @@ object TrainingPipeline {
         val fam = TextAnalysis.lmFamiliarity(
           base.select(col(idCol), col(textCol)), lm, idCol, textCol)
           .select(col(idCol), col("familiarity"))
-        base.join(fam, Seq(idCol))
-          .where(col("familiarity") >= cfg.minFamiliarity)
+        tap("lm_floor", base.join(fam, Seq(idCol))
+          .where(col("familiarity") >= cfg.minFamiliarity))
       } else base
     // per-group relative gate reusing the pipeline's own quality column
     // (no re-score) — one shared implementation with qualityGateApprox,
     // null-safe on the group key
     val gated = cfg.gateGroupCol match {
       case Some(g) if gateStage =>
-        TextAnalysis.gateScoredByGroup(familiar, g, cfg.gateKeepFrac, cfg.gateAccuracy)
+        tap("group_gate",
+          TextAnalysis.gateScoredByGroup(familiar, g, cfg.gateKeepFrac, cfg.gateAccuracy))
       case _ => familiar
     }
     val split = TextAnalysis.hashSplit(gated, cfg.trainPct, textCol)

@@ -18,6 +18,31 @@ import graft.streaming.EventSink
 class PipelineE2ESpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("prepareAudited: the drop ledger is stage-ordered, monotone, and matches the plain run") {
+    import graft.operators.TrainingPipeline
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    val cfg = TrainingPipeline.Config(minQuality = 0.1,
+      gateGroupCol = Some("source"), gateKeepFrac = 0.8)
+    val (out, ledger) = TrainingPipeline.prepareAudited(docs, "doc_id",
+      cfg = cfg, evalDocs = Some(docs.where(col("doc_id") < 3)))
+    val names = ledger.map(_._1)
+    assert(names == Seq("exact_dedup", "near_dup_keep_best", "decontaminated",
+      "quality_floor", "group_gate", "final"), names.mkString(", "))
+    // drop-only stages: survivor counts never increase
+    ledger.map(_._2).sliding(2).foreach { case Seq(a, b) => assert(b <= a, ledger) }
+    assert(ledger.last._2 == out.count())
+    // audit mode changes nothing about the result (id-set compare — an
+    // exceptAll would plan the JOIN of two full pipeline lineages, which
+    // the small test JVM cannot hold)
+    val plain = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = cfg, evalDocs = Some(docs.where(col("doc_id") < 3)))
+    val outIds = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val plainIds = plain.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(outIds == plainIds)
+    out.unpersist()
+  }
+
   test("preClean stage: mojibake'd and decomposed spellings dedup with their clean twins") {
     import graft.operators.TrainingPipeline
     def garble(s: String) =
