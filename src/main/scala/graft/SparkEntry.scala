@@ -806,6 +806,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Text: CCNet head/middle/tail familiarity banding per source:
+    //      the LM-familiarity chain (already hash-gated in
+    //      q_lm_familiarity) feeds an ntile(3) per source ordered by
+    //      (familiarity DESC, doc_id) — DuckDB replays counts, division
+    //      and window identically. ----
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.bigramCounts(docs.where(col("lang") === "en"))
+      TextAnalysis.familiarityBuckets(docs, lm, "doc_id", "source")
+        .select(col("doc_id"), col("source"),
+          col("bucket").cast(LongType).as("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: per-source quality gate (Gopher-style): keep the top half
     //      of each source by composite quality, rank-gated (integer-exact
     //      boundary, doc_id tiebreak) — the oracle replays the same
@@ -3824,6 +3838,31 @@ object SparkEntry {
         |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
         |       ELSE CAST(hit_bigrams AS DOUBLE) / n_bigrams END AS familiarity
         |FROM d LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the familiarity chain + the identical per-source ntile banding
+    "q_ccnet_buckets" ->
+      """WITH ref AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents WHERE lang = 'en'),
+        |refbg AS (
+        |  SELECT ts[pos] || ' ' || ts[pos+1] AS bigram
+        |  FROM ref, UNNEST(range(1, len(ts))) AS u(pos)),
+        |lm AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM refbg GROUP BY bigram),
+        |d AS (SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+        |dbg AS (
+        |  SELECT doc_id, ts[pos] || ' ' || ts[pos+1] AS bigram
+        |  FROM d, UNNEST(range(1, len(ts))) AS u(pos)),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, count(c) AS hit_bigrams
+        |  FROM dbg LEFT JOIN lm USING (bigram) GROUP BY doc_id),
+        |f AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |         ELSE CAST(hit_bigrams AS DOUBLE) / n_bigrams END AS familiarity
+        |  FROM d LEFT JOIN st USING (doc_id))
+        |SELECT doc_id, source,
+        |  CAST(ntile(3) OVER (PARTITION BY source
+        |    ORDER BY familiarity DESC, doc_id) AS BIGINT) AS bucket
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_quality_gate" ->
       """WITH s AS (

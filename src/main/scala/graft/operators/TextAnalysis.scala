@@ -487,6 +487,35 @@ object TextAnalysis {
           .as("familiarity"))
   }
 
+  /** CCNet-style familiarity BUCKETS — the published pipeline's
+    * head/middle/tail split: within each `groupCol` (CCNet buckets per
+    * language), rank docs by [[lmFamiliarity]] against the reference
+    * model and `ntile` them into `nBuckets` equal-count bands (bucket 1 =
+    * most familiar = "head"). Downstream curation keeps/mixes bands
+    * rather than hard-thresholding. Ordering is (familiarity DESC, id) —
+    * the familiarity column is one IEEE division over integer counts, so
+    * the banding is engine-recomputable like the rest of the LM chain.
+    *
+    * Scale: the exact ntile is one shuffle + per-group sort — the
+    * oracle-parity flavor, fine at source/language-shard group sizes. At
+    * full corpus scale compute per-group `percentile_approx` thresholds
+    * over `familiarity` and band with a map-only CASE (the
+    * [[qualityGateApprox]] pattern); this exact flavor is that
+    * approximation's correctness reference.
+    */
+  def familiarityBuckets(docs: DataFrame, lm: DataFrame, idCol: String,
+                         groupCol: String, nBuckets: Int = 3,
+                         textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    val scored = lmFamiliarity(docs.select(col(idCol), col(textCol)), lm, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(desc("familiarity"), col(idCol))
+    docs.select(col(idCol), col(groupCol))
+      .join(scored, Seq(idCol))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
   // ------------------------------------------------- quality gating
 
   /** Per-group quality gate (the Gopher-style per-source filter): keep the

@@ -253,6 +253,32 @@ class OperatorsSpec extends SparkSpecBase {
     assert(sides == Set("train", "val"))
   }
 
+  test("familiarityBuckets: equal-count per-group bands, head >= tail familiarity, deterministic") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val lm = TextAnalysis.bigramCounts(docs.where(col("lang") === "en"))
+    val out = TextAnalysis.familiarityBuckets(docs, lm, "doc_id", "source").persist()
+    // ntile: per source the three bands differ by at most one doc
+    val spread = out.groupBy("source", "bucket").count()
+      .groupBy("source").agg((max("count") - min("count")).as("d"))
+      .select("d").as[Long].collect()
+    assert(spread.nonEmpty && spread.forall(_ <= 1))
+    // band ordering is real: min familiarity of bucket 1 >= max of bucket 3
+    val perSource = out.groupBy("source").agg(
+        min(when(col("bucket") === 1, col("familiarity"))).as("head_min"),
+        max(when(col("bucket") === 3, col("familiarity"))).as("tail_max"))
+      .as[(String, Double, Double)].collect()
+    perSource.foreach { case (src, h, t) => assert(h >= t, s"$src: $h < $t") }
+    // replay-stable
+    val again = TextAnalysis.familiarityBuckets(
+      docs.repartition(7), lm, "doc_id", "source")
+    assert(out.select("doc_id", "bucket")
+      .exceptAll(again.select("doc_id", "bucket")).isEmpty)
+    out.unpersist()
+    intercept[IllegalArgumentException] {
+      TextAnalysis.familiarityBuckets(docs, lm, "doc_id", "source", nBuckets = 1)
+    }
+  }
+
   test("fixMojibake repairs exactly the mis-decodes and never healthy text") {
     import graft.operators.TextAnalysis.fixMojibakeString
     def garble(s: String) =
