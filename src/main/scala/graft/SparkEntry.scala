@@ -1473,6 +1473,24 @@ object SparkEntry {
     //      derived, no training), so DuckDB replays the exact ranking —
     //      the codegen CentroidProbes kernel is hash-gated on real ids
     //      instead of witness booleans. ----
+    // ---- SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup —
+    //      assignment via the oracle-replayed CentroidProbes kernel
+    //      (data-derived literal centroids, as q_cluster_assign), exact
+    //      within-cluster cosine at the q_embed_neardup threshold, dup
+    //      graph closed by recursive CTE in DuckDB, min-id survivor.
+    //      Any drift in assignment, pairing, closure or the survivor
+    //      rule changes the id set. ----
+    "q_semdedup" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents: Array[Array[Double]] = embs.where(col("vec_id") < 8)
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.semDeDup(embs, "vec_id", "embedding", cents, threshold = 0.45)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_cluster_assign" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val cents: Array[Array[Double]] = embs.where(col("vec_id") < 8)
@@ -2725,6 +2743,53 @@ object SparkEntry {
 
     // exact replay of the CentroidProbes ranking: dot against the
     // unit-normalized centroid, DESC, ties to the lowest cid
+    // assignment + within-cluster exact cosine + recursive closure +
+    // min-id survivors, all recomputed from the embeddings table
+    "q_semdedup" ->
+      """WITH RECURSIVE cents AS (
+        |  SELECT CAST(vec_id AS INT) AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |ncents AS (
+        |  SELECT cid,
+        |    list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y * y)))) AS cu
+        |  FROM cents),
+        |scored AS (
+        |  SELECT e.vec_id, n.cid,
+        |    list_sum(list_transform(
+        |      list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), n.cu),
+        |      pr -> pr[1] * pr[2])) AS s
+        |  FROM embeddings e CROSS JOIN ncents n),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+        |    FROM scored) rnk
+        |  WHERE rk = 1),
+        |p AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  JOIN embeddings a ON a.vec_id = x.vec_id
+        |  JOIN embeddings b ON b.vec_id = y.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p2 -> CAST(p2[1] AS DOUBLE) * CAST(p2[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE))))) >= 0.45),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM p
+        |        UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+        |comp AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT e.vec_id FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+        |WHERE c.component IS NULL OR c.component = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+
     "q_cluster_assign" ->
       """WITH cents AS (
         |  SELECT CAST(vec_id AS INT) AS cid,

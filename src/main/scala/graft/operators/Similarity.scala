@@ -474,4 +474,46 @@ object Similarity {
             x.cast(DoubleType) - c.cast(DoubleType) * col("max_abs") / 127d),
           lit(0d), (a, e) => a + e * e).as("err2"))
   }
+
+  /** SemDeDup (Abbas et al., 2023) — CLUSTER-bounded semantic dedup, the
+    * DataComp-style curation pass: assign every embedding to its nearest
+    * centroid, compare pairs only WITHIN a cluster (exact cosine ≥
+    * `threshold` — SemDeDup's insight is that semantic dups co-cluster,
+    * so the candidate space is Σ|cluster|², not N²), connect the dup
+    * graph and keep the min-id representative per component. Returns the
+    * SURVIVING rows of `embs` (all columns).
+    *
+    * Relationship to the other near-dup flavors: `embeddingNearDups`
+    * recalls pairs via hyperplane bands (probabilistic, threshold-tuned);
+    * this one bounds candidates by the learned cluster structure —
+    * recall is exact WITHIN clusters and zero across them, which is the
+    * published trade (k tunes the blast radius; dups split across a
+    * cluster boundary survive). Scale shape: assignment is map-only
+    * (codegen `CentroidProbes`), clusters capped like every bucketed
+    * self-join ([[Dedup.capBuckets]] — a degenerate centroid cannot go
+    * quadratic), candidate shuffle is id-only (vectors join back for the
+    * verify), components via the engine's CC.
+    */
+  def semDeDup(embs: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]], threshold: Double = 0.95,
+               maxBucket: Int = 100000): DataFrame = {
+    require(centroids.nonEmpty, "semDeDup needs at least one centroid")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val assigned = embs.select(col(idCol).as("id"),
+      element_at(VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1)
+        .as("cid"))
+    val capped = Dedup.capBuckets(assigned, Seq("cid"), maxBucket)
+    val idPairs = capped.select(col("cid"), col("id").as("id_a"))
+      .join(capped.select(col("cid"), col("id").as("id_b")), Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dupPairs = idPairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .where(F.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    Dedup.dropNearDupGroupsWith(embs, idCol, Dedup.connectedComponents(dupPairs))
+  }
 }

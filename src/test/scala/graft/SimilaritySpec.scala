@@ -277,4 +277,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(found.count() == 25)
     assert(found.where(col("jaccard") < 0.9).count() == 0)
   }
+
+  test("semDeDup drops co-clustered duplicates, keeps cross-cluster twins (the published trade)") {
+    // two far-apart cluster anchors; dups are exact copies of corpus rows
+    val c0 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c1 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    def mix(a: Double, b: Double, c: Double, d: Double) =
+      Array(a.toFloat, b.toFloat, c.toFloat, d.toFloat)
+    val rows = Seq(
+      (0L, c0), (1L, c1),                       // the centroid-defining rows
+      (10L, mix(0.9, 0.1, 0.0, 0.0)),           // near c0
+      (11L, mix(0.9, 0.1, 0.0, 0.0)),           // exact dup of 10 -> dropped
+      (12L, mix(0.1, 0.9, 0.0, 0.0)),           // near c1
+      (13L, mix(0.0, 0.8, 0.1, 0.0)),           // near c1, not a dup of 12
+      // near-identical PAIR that lands on OPPOSITE sides of the boundary:
+      // both survive - SemDeDup's documented cross-cluster blind spot
+      (20L, mix(0.71, 0.70, 0.0, 0.0)),
+      (21L, mix(0.70, 0.71, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val kept = Similarity.semDeDup(rows, "vec_id", "embedding", cents,
+      threshold = 0.995).select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(11L), "co-clustered exact dup must drop")
+    assert(kept.contains(10L), "min-id representative survives")
+    assert(Set(12L, 13L).subsetOf(kept), "non-dups survive")
+    assert(Set(20L, 21L).subsetOf(kept),
+      "boundary-split near-dups both survive (documented trade)")
+    // deterministic under repartitioning
+    val again = Similarity.semDeDup(rows.repartition(5), "vec_id", "embedding",
+      cents, threshold = 0.995).select("vec_id").as[Long].collect().toSet
+    assert(again == kept)
+    intercept[IllegalArgumentException] {
+      Similarity.semDeDup(rows, "vec_id", "embedding", Array.empty, 0.9)
+    }
+  }
 }
