@@ -127,8 +127,12 @@ object TrainingPipeline {
     val out = prepareImpl(docs, idCol, textCol, cfg, evalDocs, lmRefDocs, tap)
       .localCheckpoint(true)
     ledger += "final" -> out.count()
-    // the final frame's lineage is truncated to its own blocks, so the
-    // intermediate rungs are safe to release
+    // release the intermediate rungs: the final frame's lineage is
+    // truncated to its own blocks, so nothing references them any more.
+    // unpersist() here is best-effort (checkpoint blocks live at the RDD
+    // layer, not the SQL cache manager); the guarantee is that once this
+    // method returns, the rung RDDs are unreachable and the
+    // ContextCleaner reclaims their blocks
     staged.foreach(_.unpersist())
     (out, ledger.toSeq)
   }
