@@ -1689,9 +1689,10 @@ object SparkEntry {
     }),
 
     // ---- Multimodal: the CROSS-MODAL gate — docs filtered by their
-    //      media blob's REAL decode/probe (byte-sniffed modality: PNG
-    //      decode + min-dim floor, WAV parse + duration floor, MP4 probe
-    //      + duration floor), the stage-0 companion to
+    //      media blob's REAL decode/probe across all FOUR container
+    //      paths (byte-sniffed modality: PNG decode + min-dim floor,
+    //      WAV parse + duration floor, MP4 probe + duration floor,
+    //      MJPEG-AVI demux + duration floor), the stage-0 companion to
     //      TrainingPipeline.prepare. Every pass/fail reduces to doc_id
     //      arithmetic DuckDB replays. ----
     "q_media_gate" -> ((s, dir) => {
@@ -2956,13 +2957,15 @@ object SparkEntry {
         |  (doc_id * 37) % 32768 AS amp_rec
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    // modality = doc_id % 3; each modality's floor replayed from the
-    // fixture arithmetic (audio duration_ms = frames // 8 at 8 kHz)
+    // modality = doc_id % 4; each modality's floor replayed from the
+    // fixture arithmetic (audio duration_ms = frames // 8 at 8 kHz;
+    // AVI duration = (id%3+1) frames x (id%9+1)*500 ms)
     "q_media_gate" ->
       """SELECT doc_id FROM documents
-        |WHERE (doc_id % 3 = 0 AND (doc_id % 13) + 1 >= 3 AND (doc_id % 7) + 1 >= 3)
-        |   OR (doc_id % 3 = 1 AND ((doc_id % 400) + 100) // 8 >= 30)
-        |   OR (doc_id % 3 = 2 AND (doc_id % 9000) + 1000 >= 3000)
+        |WHERE (doc_id % 4 = 0 AND (doc_id % 13) + 1 >= 3 AND (doc_id % 7) + 1 >= 3)
+        |   OR (doc_id % 4 = 1 AND ((doc_id % 400) + 100) // 8 >= 30)
+        |   OR (doc_id % 4 = 2 AND (doc_id % 9000) + 1000 >= 3000)
+        |   OR (doc_id % 4 = 3 AND ((doc_id % 3) + 1) * ((doc_id % 9) + 1) * 500 >= 3000)
         |ORDER BY doc_id""".stripMargin,
 
     // the probed container facts from the generating arithmetic alone

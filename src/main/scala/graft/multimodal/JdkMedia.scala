@@ -691,16 +691,19 @@ object JdkMedia {
     }
   }
 
-  /** Mixed-modality media table from the documents table — doc_id % 3
+  /** Mixed-modality media table from the documents table — doc_id % 4
     * picks the modality (0 → solid PNG, 1 → constant WAV, 2 → minimal
-    * MP4), every parameter by the same arithmetic as the single-modality
-    * fixtures, so the cross-modal gate's pass set is oracle-recomputable.
+    * MP4, 3 → MJPEG AVI — all four REAL container paths), every
+    * parameter by the same arithmetic as the single-modality fixtures,
+    * so the cross-modal gate's pass set is oracle-recomputable. The AVI
+    * branch stretches its frame interval so container durations span the
+    * gate's video floor: (id%3+1) frames × (id%9+1)·500 ms.
     */
   def mixedMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
     docs.select(col("doc_id")).as[Long].map { id =>
-      (id % 3) match {
+      (id % 4) match {
         case 0 =>
           val w = (id % 13).toInt + 1
           val h = (id % 7).toInt + 1
@@ -711,10 +714,16 @@ object JdkMedia {
           val frames = (id % 400).toInt + 100
           Multimodal.MediaRow(id, constWav(8000, frames, ((id * 37) % 32768).toInt.toShort),
             Multimodal.MediaMeta("wav", 0, 0, frames * 1000L / 8000L))
-        case _ =>
+        case 2 =>
           val dur = (id % 9000L) + 1000L
           Multimodal.MediaRow(id, Mp4Probe.minimalMp4(dur, 320, 240, 1),
             Multimodal.MediaMeta("mp4", 320, 240, dur))
+        case _ =>
+          val n = (id % 3).toInt + 1
+          val usPerFrame = ((id % 9) + 1L) * 500000L
+          val frames = (0 until n).map(_ => AviMjpeg.solidJpeg(32, 32, 120, 120, 120))
+          Multimodal.MediaRow(id, AviMjpeg.mjpegAvi(frames, 32, 32, usPerFrame),
+            Multimodal.MediaMeta("avi", 32, 32, n * usPerFrame / 1000L))
       }
     }
   }
