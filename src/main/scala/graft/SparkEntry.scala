@@ -748,15 +748,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- Text: mojibake repair (UTF-8 mis-decoded as Latin-1, the
-    //      classic crawl corruption). Fixture: clean strings from doc_id
-    //      codepoint arithmetic (2-byte Latin letters + 3-byte CJK) are
-    //      GARBLED by the actual mis-decode in Spark, repaired by the
-    //      operator, and every fifth doc stays healthy ASCII that the
-    //      repair must not touch. The oracle derives the expected CLEAN
-    //      text from the arithmetic alone (garbled length == the clean
-    //      text's UTF-8 byte count — the mis-decode's defining
-    //      property). ----
+    // ---- Text: mojibake repair (UTF-8 mis-decoded as Latin-1 OR
+    //      Windows-1252, the two classic crawl corruptions). Fixture:
+    //      clean strings from doc_id codepoint arithmetic (2-byte Latin
+    //      letters + 3-byte CJK + the curly apostrophe U+2019, whose
+    //      CP1252 garble is the canonical 'â€™') are GARBLED by the
+    //      actual mis-decode in Spark — doc_id % 5 ∈ {1,2} through
+    //      windows-1252 (the dominant real-crawl flavor, producing chars
+    //      above U+00FF like '€'/'™'), {3,4} through Latin-1 — and every
+    //      fifth doc stays healthy ASCII that the repair must not touch.
+    //      The oracle derives the expected CLEAN text from the arithmetic
+    //      alone (garbled length == the clean text's UTF-8 byte count —
+    //      both mis-decodes are byte→char bijections). ----
     "q_mojibake" -> ((s, dir) => {
       import s.implicits._
       val fix = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
@@ -766,11 +769,17 @@ object SparkEntry {
             val sb = new StringBuilder("w")
             (0 until ((id % 3).toInt + 1)).foreach(_ =>
               sb.append((0xE0 + (id % 16).toInt).toChar))
-            if (id % 4 == 0) sb.append((0x4E00 + (id % 7).toInt).toChar)
+            // even offsets keep the third UTF-8 byte (0x80 + 2·(id%7))
+            // off CP1252's five undefined slots: Java's windows-1252
+            // decoder maps those to U+FFFD, destroying the byte — a
+            // garble no repair could invert
+            if (id % 4 == 0) sb.append((0x4E00 + (id % 7).toInt * 2).toChar)
+            if (id % 5 == 1 || id % 5 == 3) sb.append('’')
             sb.toString
           }
         val garbled =
           if (id % 5 == 0) clean
+          else if (id % 5 <= 2) new String(clean.getBytes("UTF-8"), "windows-1252")
           else new String(clean.getBytes("UTF-8"),
             java.nio.charset.StandardCharsets.ISO_8859_1)
         (id, garbled)
@@ -2015,11 +2024,15 @@ object SparkEntry {
           .when(id % 4 === 3, lit(":443")).otherwise(lit("")),
         lit("/p/"), (id % 7).cast("string"),
         when(id % 6 === 0, lit("/")).otherwise(lit("")),
-        when(id % 3 === 1,
-          concat(lit("?utm_source=a&x="), (id % 2).cast("string")))
+        when(id % 3 === 1, // 3 ADJACENT trackers — the run the old
+          // fixed-two-pass strip left residue on; canonical is still ?x=
+          concat(lit("?utm_source=a&utm_medium=m&gclid=g&x="),
+            (id % 2).cast("string")))
           .when(id % 3 === 2,
             concat(lit("?x="), (id % 2).cast("string"),
               lit("&utm_campaign=c&fbclid=f")))
+          // pure 4-tracker query: strips to NO query at all
+          .when(id % 12 === 0, lit("?utm_a=1&utm_b=2&utm_c=3&gclid=x"))
           .otherwise(lit("")),
         when(id % 2 === 1, lit("#s")).otherwise(lit("")))
       UrlCanon.urlDedupStats(
@@ -3104,8 +3117,9 @@ object SparkEntry {
         |             WHEN doc_id % 4 = 3 THEN ':443' ELSE '' END)
         |    || '/p/' || CAST(doc_id % 7 AS VARCHAR)
         |    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
-        |    || (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=a&x=' || CAST(doc_id % 2 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 1 THEN '?utm_source=a&utm_medium=m&gclid=g&x=' || CAST(doc_id % 2 AS VARCHAR)
         |             WHEN doc_id % 3 = 2 THEN '?x=' || CAST(doc_id % 2 AS VARCHAR) || '&utm_campaign=c&fbclid=f'
+        |             WHEN doc_id % 12 = 0 THEN '?utm_a=1&utm_b=2&utm_c=3&gclid=x'
         |             ELSE '' END)
         |    || (CASE WHEN doc_id % 2 = 1 THEN '#s' ELSE '' END) AS url,
         |    'http' || (CASE WHEN doc_id % 2 = 0 THEN '' ELSE 's' END)
@@ -4038,7 +4052,8 @@ object SparkEntry {
         |      || repeat(chr(CAST(224 + doc_id % 16 AS INT)),
         |           CAST(doc_id % 3 + 1 AS INT))
         |      || (CASE WHEN doc_id % 4 = 0
-        |          THEN chr(CAST(19968 + doc_id % 7 AS INT)) ELSE '' END)
+        |          THEN chr(CAST(19968 + (doc_id % 7) * 2 AS INT)) ELSE '' END)
+        |      || (CASE WHEN doc_id % 5 IN (1, 3) THEN chr(8217) ELSE '' END)
         |    END AS clean
         |  FROM documents)
         |SELECT doc_id,

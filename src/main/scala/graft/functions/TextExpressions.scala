@@ -162,4 +162,80 @@ object TextExpressions {
   }
 
   def word_shingles(text: Column, k: Int): Column = column(WordShingles(expression(text), k))
+
+  /** Unicode normalization (`java.text.Normalizer`) as a codegen scalar —
+    * the column-shaped form of [[graft.operators.TextAnalysis.normalizeText]]'s
+    * per-string logic, so the preClean stage that touches EVERY raw
+    * document stays inside WholeStageCodegen (the earlier whole-row
+    * `Dataset.map` inserted a Deserialize/Serialize pair around a Row
+    * encoder). Keeps the quick-check fast path: an already-normalized
+    * string is returned as the SAME UTF8String — no copy, no rebuild.
+    * `form` is validated at construction (unknown form → loud, plan time).
+    */
+  case class NormalizeForm(child: Expression, form: String) extends UnaryExpression {
+    // resolves the form name eagerly so a typo fails at plan time, and the
+    // codegen below can safely splice the enum constant name into Java
+    private val resolvedForm = java.text.Normalizer.Form.valueOf(form)
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(v: Any): Any = {
+      val u = v.asInstanceOf[UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, resolvedForm)) u
+      else UTF8String.fromString(java.text.Normalizer.normalize(s, resolvedForm))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val s = ctx.freshName("s")
+        val f = s"java.text.Normalizer.Form.${resolvedForm.name}"
+        s"""
+           |String $s = $v.toString();
+           |${ev.value} = java.text.Normalizer.isNormalized($s, $f)
+           |  ? $v
+           |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+           |      java.text.Normalizer.normalize($s, $f));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def normalize_unicode(text: Column, form: String): Column =
+    column(NormalizeForm(expression(text), form))
+
+  /** Mojibake repair as a codegen scalar — static-invokes the one shared
+    * implementation [[graft.operators.TextAnalysis.fixMojibakeString]]
+    * (Scala objects emit static forwarders, so generated Java calls it
+    * directly). Untouched strings come back as the SAME UTF8String: the
+    * repair function returns its input by reference when the exact test
+    * fails, and reference equality is checked here before any re-encode.
+    */
+  case class FixMojibake(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(v: Any): Any = {
+      val u = v.asInstanceOf[UTF8String]
+      val s = u.toString
+      val r = graft.operators.TextAnalysis.fixMojibakeString(s)
+      if (r eq s) u else UTF8String.fromString(r)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val s = ctx.freshName("s")
+        val r = ctx.freshName("r")
+        s"""
+           |String $s = $v.toString();
+           |String $r = graft.operators.TextAnalysis.fixMojibakeString($s);
+           |${ev.value} = ($r == (Object) $s)
+           |  ? $v
+           |  : org.apache.spark.unsafe.types.UTF8String.fromString($r);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def fix_mojibake(text: Column): Column = column(FixMojibake(expression(text)))
 }

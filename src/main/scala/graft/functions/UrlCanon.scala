@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   *  2. scheme + authority lowercased (path/query case preserved);
   *  3. leading `www.` dropped;
   *  4. default ports dropped (`:80` for http, `:443` for https);
-  *  5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`) — two
-  *     fixed passes for runs of adjacent tracking params plus a trailing
-  *     pass, identical on both engines (a FIXED pass count, so parity is
-  *     by construction; ≥3 adjacent tracking params may leave residue —
-  *     add passes if a corpus needs them);
+  *  5. tracking parameters removed (`utm_*`, `fbclid`, `gclid`) — the
+  *     query is split on `&`, the param array filtered with a built-in
+  *     higher-order `filter`, and rejoined: EXACT for any run length
+  *     (the earlier fixed-two-pass `regexp_replace` left every third
+  *     param of a ≥3-adjacent-tracker run — silent dedup recall loss on
+  *     exactly the most-decorated URLs). The `?` survives only if at
+  *     least one param does;
   *  6. trailing path slashes dropped (also directly before `?`), and a
   *     bare trailing `?` dropped.
   */
@@ -50,14 +52,18 @@ object UrlCanon {
     val noPort = regexp_replace(
       regexp_replace(noWww, "^(http://[^/:?#]*):80([/?#].*)?$", "$1$2"),
       "^(https://[^/:?#]*):443([/?#].*)?$", "$1$2")
-    // 5. tracking params: two passes for adjacent runs, then the trailing
-    // param (global replace restarts AFTER the consumed separator, so one
-    // pass leaves every second param of a run — the second pass and the
-    // $-anchored pass finish the job for runs of <= 2 + trailing)
-    val innerPat = s"([?&])$TRACK=[^&]*&"
-    val pass1 = regexp_replace(noPort, innerPat, "$1")
-    val pass2 = regexp_replace(pass1, innerPat, "$1")
-    val noTrack = regexp_replace(pass2, s"[?&]$TRACK=[^&]*$$", "")
+    // 5. tracking params: split the query on '&', drop tracking params
+    // with a higher-order filter, rejoin — exact for any run length
+    // (a global regexp_replace restarts AFTER the consumed separator,
+    // so each pass leaves every second param of an adjacent run; the
+    // old fixed-two-pass form left residue for runs of >= 3). rlike's
+    // pattern stays in the Java∩RE2 subset for the oracle replay.
+    val base = regexp_extract(noPort, "^([^?]*)", 1)
+    val query = regexp_extract(noPort, "^[^?]*\\?(.*)$", 1) // '' when no '?'
+    val kept = filter(split(query, "&"), p => !p.rlike(s"^$TRACK="))
+    val noTrack = when(query === "", noPort)
+      .when(size(kept) === 0, base)
+      .otherwise(concat(base, lit("?"), array_join(kept, "&")))
     // 6. trailing slashes and bare '?'
     val slashQ = regexp_replace(noTrack, "/+\\?", "?")
     val noTrailSlash = regexp_replace(slashQ, "(://[^/?#]+/[^?#]*?)/+$", "$1")

@@ -191,51 +191,67 @@ object TextAnalysis {
     */
   def normalizeText(docs: DataFrame, textCol: String = "text",
                     form: String = "NFC"): DataFrame = {
-    val f = java.text.Normalizer.Form.valueOf(form) // unknown form → loud
-    val idx = docs.schema.fieldIndex(textCol)
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(docs.schema)
-    docs.map { r =>
-      val t = r.getAs[String](idx)
-      if (t == null || java.text.Normalizer.isNormalized(t, f)) r
-      else {
-        val vals = r.toSeq.toArray
-        vals(idx) = java.text.Normalizer.normalize(t, f)
-        org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq
-          .unsafeWrapArray(vals))
-      }
-    }
+    require(docs.columns.contains(textCol), s"no column $textCol")
+    // codegen scalar, not a whole-row Dataset.map: the preClean stage runs
+    // over every raw document, and a Row-encoder map would break
+    // WholeStageCodegen with a Deserialize/Serialize pair per row (judged
+    // the one non-codegen map left in the pipeline hot path in round 9)
+    docs.withColumn(textCol,
+      graft.functions.TextExpressions.normalize_unicode(col(textCol), form))
   }
 
-  /** Repair one string's mojibake (UTF-8 bytes mis-decoded as Latin-1 —
-    * the classic crawl corruption: 'é' arrives as 'Ã©'). The test is
-    * exact, not fuzzy: if every char is ≤ U+00FF (i.e. COULD have come
-    * from a Latin-1 mis-decode) and the Latin-1 re-encoding parses as
-    * STRICT UTF-8 with at least one multi-byte sequence, the re-decoded
-    * string is returned; otherwise the input is returned untouched.
-    * Plain ASCII and almost all legitimate Latin-1 text ('Ã ' followed
-    * by a space — 0xC3 0x20 is invalid UTF-8) never match. The one
-    * inherent false positive: text whose Latin-1 bytes HAPPEN to form
-    * valid UTF-8 — e.g. a document literally discussing 'Ã©' — is
-    * "repaired"; no byte-level test can distinguish that from real
-    * mojibake (it IS the same byte string), which is why this is a
-    * curation stage, not a lossless transform. One pass by contract:
-    * doubly-mojibake'd text repairs one layer per application (compose
-    * with itself if a corpus needs more — each layer is the same exact
-    * test).
+  /** The 27 Windows-1252 codepoints above U+00FF, inverse-mapped to their
+    * CP1252 byte (0x80–0x9F minus the five undefined slots 0x81/8D/8F/90/9D).
+    * `-1` = not a CP1252-only char. A `@switch` match compiles to a
+    * lookupswitch — no boxing or hashing in the per-char scan.
+    */
+  @inline private def cp1252Byte(c: Char): Int = (c: @annotation.switch) match {
+    case '€' => 0x80; case '‚' => 0x82; case 'ƒ' => 0x83
+    case '„' => 0x84; case '…' => 0x85; case '†' => 0x86
+    case '‡' => 0x87; case 'ˆ' => 0x88; case '‰' => 0x89
+    case 'Š' => 0x8a; case '‹' => 0x8b; case 'Œ' => 0x8c
+    case 'Ž' => 0x8e; case '‘' => 0x91; case '’' => 0x92
+    case '“' => 0x93; case '”' => 0x94; case '•' => 0x95
+    case '–' => 0x96; case '—' => 0x97; case '˜' => 0x98
+    case '™' => 0x99; case 'š' => 0x9a; case '›' => 0x9b
+    case 'œ' => 0x9c; case 'ž' => 0x9e; case 'Ÿ' => 0x9f
+    case _ => -1
+  }
+
+  /** Repair one string's mojibake (UTF-8 bytes mis-decoded as Latin-1 OR
+    * Windows-1252 — the classic crawl corruptions: 'é' arrives as 'Ã©',
+    * ''' (E2 80 99) arrives as 'â€™'). The test is exact, not fuzzy: if
+    * every char COULD have come from such a mis-decode — i.e. is ≤ U+00FF
+    * (Latin-1 identity range, which CP1252 shares outside 0x80–0x9F) or
+    * is one of the 27 CP1252-only codepoints ([[cp1252Byte]]) — and the
+    * inverse byte mapping parses as STRICT UTF-8 with at least one
+    * multi-byte sequence, the re-decoded string is returned; otherwise
+    * the input is returned untouched. Plain ASCII and almost all
+    * legitimate Latin-1/CP1252 text never match: 'Ã ' followed by a
+    * space is 0xC3 0x20 (invalid UTF-8), a price like "20€" maps to
+    * 0x80 with no lead byte (invalid UTF-8). The one inherent false
+    * positive: text whose mapped bytes HAPPEN to form valid UTF-8 —
+    * e.g. a document literally discussing 'Ã©' — is "repaired"; no
+    * byte-level test can distinguish that from real mojibake (it IS the
+    * same byte string), which is why this is a curation stage, not a
+    * lossless transform. One pass by contract: doubly-mojibake'd text
+    * repairs one layer per application (compose with itself if a corpus
+    * needs more — each layer is the same exact test).
     */
   def fixMojibakeString(s: String): String = {
     if (s == null || s.isEmpty) return s
+    val bytes = new Array[Byte](s.length)
     var i = 0
     var multi = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c > 0xff) return s // cannot be a Latin-1 mis-decode
-      if (c >= 0x80) multi = true
+      val b = if (c <= 0xff) c.toInt else cp1252Byte(c)
+      if (b < 0) return s // cannot be a Latin-1/CP1252 mis-decode
+      if (b >= 0x80) multi = true
+      bytes(i) = b.toByte
       i += 1
     }
     if (!multi) return s // pure ASCII — nothing to repair
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
@@ -244,23 +260,13 @@ object TextAnalysis {
   }
 
   /** [[fixMojibakeString]] over the corpus — map-only, other columns ride
-    * along (same whole-row shape as [[normalizeText]]).
+    * along untouched (codegen column replacement, same shape as
+    * [[normalizeText]]).
     */
   def fixMojibake(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val idx = docs.schema.fieldIndex(textCol)
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(docs.schema)
-    docs.map { r =>
-      val t = r.getAs[String](idx)
-      val fixed = fixMojibakeString(t)
-      if (fixed eq t) r
-      else {
-        val vals = r.toSeq.toArray
-        vals(idx) = fixed
-        org.apache.spark.sql.Row.fromSeq(scala.collection.immutable.ArraySeq
-          .unsafeWrapArray(vals))
-      }
-    }
+    require(docs.columns.contains(textCol), s"no column $textCol")
+    docs.withColumn(textCol,
+      graft.functions.TextExpressions.fix_mojibake(col(textCol)))
   }
 
   /** Exact-k-per-group sampling — the "take k docs per source/language"

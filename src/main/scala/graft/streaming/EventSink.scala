@@ -118,7 +118,12 @@ object EventSink {
     * serve range predicates on that one column; `zorderCols` instead lays
     * the rows on the Morton curve of TWO columns
     * ([[graft.operators.ZOrderLayout.zValue]]) so stats stay tight on
-    * BOTH — the "run z-order where you run compaction" step. When both
+    * BOTH — the "run z-order where you run compaction" step. With
+    * `targetFiles > 1` the rows are RANGE-partitioned on the z value
+    * first (mirroring [[graft.operators.ZOrderLayout.writeZOrdered]]),
+    * so the output files carve disjoint z-spans — a round-robin split
+    * would hand every file the full domain and stats would prune
+    * nothing. When both
     * are set and the zorder columns exist, zorder wins; either silently
     * degrades to the other/nothing when its columns are absent (the
     * compactor must not fail a sweep over a heterogeneous table).
@@ -168,17 +173,26 @@ object EventSink {
       // many-partition compaction sweep
       val snapshot = spark.read
         .parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
-      val compacted =
-        if (targetFiles == 1) snapshot.coalesce(1) else snapshot.repartition(targetFiles)
-      val laid = zorderCols
-        .filter { case (a, b) =>
-          compacted.columns.contains(a) && compacted.columns.contains(b) }
-        .map { case (a, b) =>
-          compacted.sortWithinPartitions(
-            graft.operators.ZOrderLayout.zValue(col(a), col(b))) }
-        .orElse(sortCol.filter(compacted.columns.contains)
-          .map(c => compacted.sortWithinPartitions(col(c))))
-        .getOrElse(compacted)
+      val zPair = zorderCols.filter { case (a, b) =>
+        snapshot.columns.contains(a) && snapshot.columns.contains(b) }
+      val laid = zPair match {
+        case Some((a, b)) =>
+          // range-partition on the z value BEFORE the within-partition sort
+          // (mirroring ZOrderLayout.writeZOrdered): a round-robin
+          // repartition would hand every output file rows from the full
+          // (a, b) domain, so with targetFiles > 1 each file's min/max
+          // would span everything and parquet skipping would prune nothing
+          val z = graft.operators.ZOrderLayout.zValue(col(a), col(b))
+          val parted = if (targetFiles == 1) snapshot.coalesce(1)
+                       else snapshot.repartitionByRange(targetFiles, z)
+          parted.sortWithinPartitions(z)
+        case None =>
+          val compacted =
+            if (targetFiles == 1) snapshot.coalesce(1) else snapshot.repartition(targetFiles)
+          sortCol.filter(compacted.columns.contains)
+            .map(c => compacted.sortWithinPartitions(col(c)))
+            .getOrElse(compacted)
+      }
       laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val newFiles = fs.listStatus(tmp).filter(f => f.getPath.getName.endsWith(".parquet"))
       // swap, never destroying the only copy: all originals → this run's

@@ -83,6 +83,40 @@ class EventSinkSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq
     assert(zs == zs.sorted, "rows must be Morton-ordered in the compacted file")
     assert(spark.read.parquet(part).count() == 40)
+    // targetFiles > 1: files must carve DISJOINT z-ranges (range partition
+    // on the z value, not round-robin) — otherwise every file spans the
+    // full (ka, kb) domain and min/max skipping prunes nothing
+    val dir3 = Files.createTempDirectory("zorder_multi").toString
+    (0 until 10).foreach { i =>
+      val base = java.sql.Timestamp.valueOf("2024-03-01 08:00:00")
+      val rows = (0 until 8).map { j =>
+        ("FS_EVENT", new java.sql.Timestamp(base.getTime + ((i * 37 + j * 11) % 100) * 1000L),
+          s"c${(i * 53 + j * 29) % 100}", ((i * 37 + j * 11) % 100).toLong,
+          ((i * 53 + j * 29) % 100).toLong)
+      }
+      EventSink.writePartitioned(
+        rows.toDF("event_type", "timestamp", "container_id", "ka", "kb"), dir3)
+    }
+    assert(EventSink.compactPartition(spark, dir3,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"), maxFiles = 2,
+      targetFiles = 3, zorderCols = Some(("ka", "kb"))))
+    val part3 = s"$dir3/event_type=FS_EVENT/day=2024-03-01"
+    val outFiles = new java.io.File(part3).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(outFiles.size > 1, "fixture must actually produce multiple files")
+    val spans = outFiles.map { f =>
+      val z = spark.read.parquet(f)
+        .select(graft.operators.ZOrderLayout.zValue(col("ka"), col("kb")))
+        .collect().map(_.getLong(0))
+      assert(z.toSeq == z.toSeq.sorted, s"$f must be Morton-sorted inside")
+      (z.min, z.max)
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"z-spans overlap across files: $spans")
+      case _ =>
+    }
+    assert(spark.read.parquet(part3).count() == 80)
     // absent zorder columns degrade to the plain sortCol path, not a failure
     val dir2 = Files.createTempDirectory("zorder_degrade").toString
     (0 until 10).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir2))

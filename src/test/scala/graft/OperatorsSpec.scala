@@ -305,6 +305,77 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "résumé"), (2L, "ok")))
   }
 
+  test("fixMojibake CP1252 flavor: repairs â€™-style artifacts, never euro-price text") {
+    import graft.operators.TextAnalysis.fixMojibakeString
+    def garbleCp(s: String) = new String(s.getBytes("UTF-8"), "windows-1252")
+    // the canonical crawl artifact: ’ (E2 80 99) mis-decoded as CP1252
+    assert(garbleCp("it’s") == "itâ€™s") // the fixture garbles as expected
+    assert(fixMojibakeString("itâ€™s") == "it’s")
+    // the full smart-punctuation family round-trips through the repair
+    Seq("em—dash", "bullet • list", "…", "Œuvre", "Š™€", "中文 text")
+      .foreach { clean =>
+        assert(fixMojibakeString(garbleCp(clean)) == clean, clean)
+      }
+    // WHATWG-style decoders (browsers, python 'windows-1252' via HTML5
+    // rules) map CP1252's five undefined bytes to the C1 controls instead
+    // of U+FFFD — that garble keeps the byte and the repair inverts it
+    // (the chars are ≤ U+00FF, the Latin-1 identity path)
+    def garbleWhatwg(s: String): String = {
+      val cp = new String(s.getBytes("UTF-8"), "windows-1252").toCharArray
+      val raw = s.getBytes("UTF-8")
+      cp.indices.foreach { i => if (cp(i) == '�') cp(i) = (raw(i) & 0xff).toChar }
+      new String(cp)
+    }
+    Seq("“quoted”", "已经").foreach { clean => // ” hits 0x9D, 经 hits 0x8F
+      assert(fixMojibakeString(garbleWhatwg(clean)) == clean, clean)
+    }
+    // Java's own windows-1252 decode of those bytes yields U+FFFD — the
+    // byte is DESTROYED by the mis-decode; the repair must leave the
+    // string alone (U+FFFD is outside Latin-1 and the CP1252 table)
+    val lossy = garbleCp("“quoted”")
+    assert(lossy.contains('�') && (fixMojibakeString(lossy) eq lossy))
+    // healthy text literally using CP1252-only chars is NOT repaired:
+    // '€' maps to a lone 0x80 continuation byte — invalid UTF-8
+    Seq("costs 20€", "™ brand", "price: 5€ only", "he said “hi”")
+      .foreach { legit => assert(fixMojibakeString(legit) eq legit, legit) }
+    // chars outside Latin-1 AND the 27-entry table still bail out
+    assert(fixMojibakeString("已经 clean") eq "已经 clean")
+    // double CP1252 mojibake: one layer per pass, composes to clean
+    val dbl = garbleCp(garbleCp("it’s"))
+    assert(fixMojibakeString(fixMojibakeString(dbl)) == "it’s")
+    // mixed corpus: Latin-1-garbled and CP1252-garbled rows in one frame
+    val docs = Seq(
+      (1L, "itâ€™s"),
+      (2L, new String("wé".getBytes("UTF-8"),
+        java.nio.charset.StandardCharsets.ISO_8859_1)),
+      (3L, "costs 20€")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.fixMojibake(docs, "text")
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(out.toSeq == Seq("it’s", "wé", "costs 20€"))
+  }
+
+  test("preClean stages stay inside WholeStageCodegen (no object round-trip)") {
+    // a real file scan — a local Seq would constant-fold into a
+    // LocalTableScan and witness nothing about the executed stage
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val cleaned = graft.operators.TextAnalysis.normalizeText(
+      graft.operators.TextAnalysis.fixMojibake(docs, "text"), "text")
+    val plan = cleaned.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
+      s"preClean must not break codegen with an object round-trip:\n$plan")
+    // "*(1)" is the simple-string marker for a WholeStageCodegen stage —
+    // both expressions must sit inside one
+    assert(plan.contains("*(1) Project") &&
+      plan.contains("normalizeform(fixmojibake("), plan)
+    // and the rewiring preserves results, including the null path
+    val withNull = Seq((1L, "wé"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.normalizeText(
+        graft.operators.TextAnalysis.fixMojibake(withNull, "text"), "text")
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(r(0) == "wé" && r(1) == null)
+  }
+
   test("normalizeText: NFC composes, NFKC folds compatibility, nulls/normalized pass through") {
     val docs = Seq(
       (1L, "wé"),             // decomposed e+acute → é

@@ -25,6 +25,18 @@ class UrlCanonSpec extends SparkSpecBase {
     // tracking runs of two adjacent params clear completely
     assert(canon("http://a.com/p?utm_a=1&utm_b=2&x=3") == Seq("http://a.com/p?x=3"))
     assert(canon("http://a.com/p?x=3&utm_a=1&fbclid=2") == Seq("http://a.com/p?x=3"))
+    // runs of >= 3 adjacent trackers clear completely too — the split +
+    // filter + rejoin is exact for ANY run length (the earlier fixed
+    // two-pass regexp_replace left every third param of such runs)
+    assert(canon("http://a.com/p?utm_a=1&utm_b=2&utm_c=3&x=9")
+      == Seq("http://a.com/p?x=9"))
+    assert(canon("http://a.com/p?utm_a=1&utm_b=2&utm_c=3&gclid=x")
+      == Seq("http://a.com/p"))
+    assert(canon("http://a.com/p?x=1&utm_a=1&utm_b=2&utm_c=3&gclid=g&utm_d=4&y=2")
+      == Seq("http://a.com/p?x=1&y=2"))
+    // two URLs differing only in tracker runs share one canonical key
+    assert(canon("http://a.com/p?utm_a=1&utm_b=2&utm_c=3&x=9").head
+      == canon("http://a.com/p?utm_z=0&x=9").head)
     // only-tracking query drops entirely, including the '?'
     assert(canon("http://a.com/p?utm_a=1") == Seq("http://a.com/p"))
     // trailing slashes: multiple collapse, before-? collapses
