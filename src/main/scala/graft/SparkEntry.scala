@@ -1975,10 +1975,24 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.Bpe
-      Bpe.trainBpe(t(s, dir, "documents"), "text", numMerges = 8)
+      Bpe.trainBpe(t(s, dir, "documents"), "text", numMerges = 24)
         .map(m => (m.rank.toLong, m.lhs, m.rhs))
         .toDF("rank", "lhs", "rhs")
         .orderBy(col("rank"))
+    }),
+
+    // ---- BPE train→apply COMPOSITION: encode the corpus with the
+    //      24 rules just trained on it (not a fixed chain) — the oracle
+    //      re-derives the merges level-by-level AND replays the encode
+    //      with them, so a drift in either half breaks the hash. ----
+    "q_bpe_compose" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val docs = t(s, dir, "documents")
+      val rules = Bpe.trainBpe(docs, "text", numMerges = 24)
+      Bpe.applyBpe(docs, "doc_id", rules)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          md5(col("tokens")).as("h"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- 3-D Morton code (the (day, app, hour) layout seat): same
@@ -2054,6 +2068,26 @@ object SparkEntry {
           Seq("spark", "table", "join"), k = 20, logIdf = false)
         .select(col("doc_id"), col("score"))
         .orderBy(desc("score"), col("doc_id"))
+    }),
+
+    // ---- BM25, PRODUCTION log-idf flavor, gated by IDS + RANKS: ln is
+    //      not bit-exact across libm implementations, so the gate
+    //      compares the retrieved id set and order under the
+    //      deterministic (score DESC, doc_id) tie-break instead of raw
+    //      doubles. Safe because the fixture's adjacent top-20 score
+    //      gaps are >= 7.7e-5 relative (measured, vs ~1e-16 ulp
+    //      divergence), and the one exact tie has identical integer
+    //      (tf, df, dl) inputs — both engines compute the identical ln
+    //      and break it by doc_id the same way. ----
+    "q_bm25_log" -> ((s, dir) => {
+      import graft.operators.Bm25
+      val top = Bm25.search(t(s, dir, "documents"), "doc_id",
+        Seq("spark", "table", "join"), k = 20) // logIdf = true
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("score"), col("doc_id")) // 20 rows — trivial window
+      top.withColumn("rank", row_number().over(w).cast(LongType))
+        .select(col("rank"), col("doc_id"))
+        .orderBy(col("rank"))
     }),
 
     // ---- BPE ENCODE gated over the corpus: a fixed 6-rule merge table
@@ -2336,10 +2370,15 @@ object SparkEntry {
     * non-overlapping replace. Mirrors [[graft.operators.Bpe.trainBpe]]'s
     * determinism contract exactly.
     */
-  private def bpeTrainOracle(k: Int): String = {
-    // every CTE MATERIALIZED: each level references its predecessor twice
-    // (pair count + replace), so inlining would expand the base scan 2^k
-    // times — materialization keeps the chain linear
+  /** The BPE training replay as a CTE chain prefix: `v0` (padded word
+    * vocab with counts) then `(p_i, m_i, v_i)` per rank — shared by the
+    * rank gate ([[bpeTrainOracle]]) and the train→apply composition gate
+    * ([[bpeComposeOracle]]). Every CTE MATERIALIZED: each level
+    * references its predecessor twice (pair count + replace), so
+    * inlining would expand the base scan 2^k times — materialization
+    * keeps the chain (and the gate's cost) linear in ranks.
+    */
+  private def bpeTrainChain(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH v0 AS MATERIALIZED (
@@ -2360,11 +2399,44 @@ object SparkEntry {
         |    ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s, n
         |  FROM v${i - 1})""".stripMargin)
     }
-    sb.append("\n")
-    sb.append((1 to k).map(i =>
+    sb.toString
+  }
+
+  private def bpeTrainOracle(k: Int): String =
+    bpeTrainChain(k) + "\n" + (1 to k).map(i =>
       s"SELECT CAST(${i - 1} AS BIGINT) AS rank, (SELECT a FROM m$i) AS lhs, " +
         s"(SELECT b FROM m$i) AS rhs")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** Train→apply COMPOSITION: encode every document with the merges the
+    * training chain just learned (scalar subqueries on `m_i`), not a
+    * fixed rule list — the `q_bpe_apply` replace chain with the '|' word
+    * boundary (not in the corpus charset, so merges cannot cross words).
+    */
+  private def bpeComposeOracle(k: Int): String = {
+    val sb = new StringBuilder(bpeTrainChain(k))
+    sb.append(
+      s""",
+        |s0 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ' ' || rtrim(regexp_replace(replace(text, ' ', '|'), '(.)', '\\1 ', 'g'))
+        |      || ' ' AS s
+        |  FROM documents)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |s$i AS MATERIALIZED (SELECT doc_id, replace(s,
+        |    ' ' || (SELECT a FROM m$i) || ' ' || (SELECT b FROM m$i) || ' ',
+        |    ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s
+        |  FROM s${i - 1})""".stripMargin)
+    }
+    sb.append(
+      s"""
+        |, fin AS (SELECT doc_id, trim(replace(s, ' | ', ' ')) AS toks FROM s$k)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN toks = '' THEN 0
+        |       ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_tokens,
+        |  md5(toks) AS h
+        |FROM fin ORDER BY doc_id""".stripMargin)
     sb.toString
   }
 
@@ -3164,8 +3236,44 @@ object SparkEntry {
         |SELECT doc_id, score FROM folded
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
-    // 8 BPE training ranks replayed level-by-level (see bpeTrainOracle)
-    "q_bpe_train" -> bpeTrainOracle(8),
+    // the log-idf flavor, ids + ranks only: DuckDB's ln replays the
+    // kernel, the projection drops the (libm-dependent) doubles, and the
+    // measured >= 7.7e-5 adjacent gaps make the order libm-independent
+    "q_bm25_log" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents),
+        |dl AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN ('spark', 'table', 'join') GROUP BY 1, 2),
+        |df AS MATERIALIZED (
+        |  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY 1),
+        |sc AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+        |         (SELECT sum(dl) FROM dl)::DOUBLE AS total),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    ln(1.0 + (sc.n - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+        |      * ((tf::DOUBLE * 2.2)
+        |         / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sc.total / sc.n))))) AS s,
+        |    t.term
+        |  FROM tf t JOIN df USING (term) JOIN dl USING (doc_id), sc),
+        |folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a, x) -> a + x) AS score
+        |  FROM scored GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id
+        |FROM folded ORDER BY rank LIMIT 20""".stripMargin,
+
+    // 24 BPE training ranks replayed level-by-level (see bpeTrainOracle;
+    // cost is linear in ranks thanks to the MATERIALIZED chain)
+    "q_bpe_train" -> bpeTrainOracle(24),
+
+    // the full train→apply composition at the same depth
+    "q_bpe_compose" -> bpeComposeOracle(24),
 
     // the fixed 6-rule encode replayed on the whole text with a '|'
     // boundary symbol (not in the corpus charset, so merges cannot cross

@@ -33,7 +33,11 @@ import org.apache.spark.sql.types.DoubleType
   * — rank-equivalent per term, and built ONLY from IEEE basic ops
   * (+,−,×,÷ are correctly rounded everywhere; `ln` is not), which is what
   * lets the oracle gate (`q_bm25`) compare scores bit-for-bit instead of
-  * ids-only.
+  * ids-only. The log flavor has its own gate, `q_bm25_log`: DuckDB's `ln`
+  * replays the kernel and the comparison is the retrieved ID SET + RANKS
+  * under the deterministic (score DESC, doc_id) order — valid because the
+  * fixture's adjacent score gaps (measured ≥ 7.7e-5 relative) dwarf any
+  * libm ulp divergence, so the order cannot flip between engines.
   */
 object Bm25 {
 

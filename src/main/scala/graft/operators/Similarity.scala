@@ -487,27 +487,36 @@ object Similarity {
     * recalls pairs via hyperplane bands (probabilistic, threshold-tuned);
     * this one bounds candidates by the learned cluster structure —
     * recall is exact WITHIN clusters and zero across them, which is the
-    * published trade (k tunes the blast radius; dups split across a
-    * cluster boundary survive). Scale shape: assignment is map-only
+    * published trade (k tunes the blast radius). Dups split across a
+    * cluster boundary survive at `nProbe = 1`; `nProbe = 2` assigns each
+    * doc to its TWO nearest clusters (same codegen `CentroidProbes`
+    * scoring pass, top-2 instead of top-1), so boundary twins meet in at
+    * least one shared candidate set at ~nProbe× candidate cost — the
+    * standard IVF-style recall knob. Scale shape: assignment is map-only
     * (codegen `CentroidProbes`), clusters capped like every bucketed
     * self-join ([[Dedup.capBuckets]] — a degenerate centroid cannot go
     * quadratic), candidate shuffle is id-only (vectors join back for the
-    * verify), components via the engine's CC.
+    * verify; with `nProbe > 1` a pair sharing several probed clusters is
+    * distinct-ed to one verify), components via the engine's CC.
     */
   def semDeDup(embs: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Double]], threshold: Double = 0.95,
-               maxBucket: Int = 100000): DataFrame = {
+               maxBucket: Int = 100000, nProbe: Int = 1): DataFrame = {
     require(centroids.nonEmpty, "semDeDup needs at least one centroid")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe must be in [1, ${centroids.length}], got $nProbe")
     val assigned = embs.select(col(idCol).as("id"),
-      element_at(VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1)
+      explode(VectorExpressions.centroid_probes(col(vecCol), centroids, nProbe))
         .as("cid"))
     val capped = Dedup.capBuckets(assigned, Seq("cid"), maxBucket)
-    val idPairs = capped.select(col("cid"), col("id").as("id_a"))
+    val rawPairs = capped.select(col("cid"), col("id").as("id_a"))
       .join(capped.select(col("cid"), col("id").as("id_b")), Seq("cid"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+    // a pair co-probed into BOTH shared clusters would verify twice
+    val idPairs = if (nProbe > 1) rawPairs.distinct() else rawPairs
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val dupPairs = idPairs
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")

@@ -95,19 +95,29 @@ object IncrementalDedup {
       threshold, maxBucket, sigPartitions)
     DedupLayout.ensure(spark, sigTablePath, layout, full = false)
     bandedTablePath.foreach(bp => DedupLayout.ensure(spark, bp, layout, full = true))
-    // enforce (best-effort) relayoutSignatures' no-live-writer contract: the
-    // re-layout holds `.relayout_lock` for its whole run, and a batch
-    // appending mid-swap lands rows in a directory about to be trashed.
-    // The check is TOCTOU-narrow — it cannot replace the operational
-    // contract — but it turns the common misconfiguration (ingest loop and
-    // maintenance loop pointed at one table simultaneously) into a loud
-    // error instead of silent row loss.
+    // enforce relayoutSignatures' no-live-writer contract as a THREE-point
+    // protocol: the re-layout holds `.relayout_lock` for its whole run,
+    // and a batch appending mid-swap lands rows in a directory about to
+    // be trashed. (1) batch start — refuse cheaply before any compute;
+    // (2) immediately before the append — a re-layout that acquired the
+    // lock mid-compute aborts the batch while nothing has been written
+    // (clean retry); (3) after the append — a lock that appeared during
+    // the writes means the just-appended rows may or may not be in the
+    // re-layout's snapshot, so fail LOUDLY and have the caller replay the
+    // batch once the re-layout completes (replay is safe: rows that did
+    // survive re-collide against themselves and are filtered as dups;
+    // trashed rows are re-admitted as novel). Point checks cannot close
+    // the window entirely — the operational contract still stands — but
+    // every interleaving now ends in a loud retry, never silent row loss.
     val relayoutLock = new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_lock")
-    require(!relayoutLock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(relayoutLock),
-      s"$sigTablePath is being re-laid-out ($relayoutLock exists) — increment " +
-        "batches must pause until relayoutSignatures completes (or run " +
-        "recoverSignatureRelayout if it crashed)")
+    def assertNoRelayout(stage: String, hint: String): Unit =
+      require(!relayoutLock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(relayoutLock),
+        s"$sigTablePath is being re-laid-out ($relayoutLock exists, detected " +
+          s"$stage) — $hint")
+    assertNoRelayout("at batch start",
+      "increment batches must pause until relayoutSignatures completes " +
+        "(or run recoverSignatureRelayout if it crashed)")
     lazy val corpusSigs = spark.read.parquet(sigTablePath)
     val newSigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleK, numHashes)
       .persist() // consumed by both band joins, the verifies AND the sig append
@@ -163,6 +173,9 @@ object IncrementalDedup {
           idCol, pairs)
         .persist() // written twice (accepted + sig semi-join) — one compute
       try {
+        assertNoRelayout("immediately before the append",
+          "the batch aborted cleanly (nothing written) — retry it after " +
+            "the re-layout completes")
         novel.write.mode(SaveMode.Append).parquet(acceptedPath)
         val novelSigs = newSigs
           .join(novel.select(col(idCol).as("id")), Seq("id"), "left_semi")
@@ -185,6 +198,11 @@ object IncrementalDedup {
         // so later batches' pruned verifies see them
         Dedup.writeSignatures(novelSigs, sigTablePath, sigPartitions,
           SaveMode.Append)
+        assertNoRelayout("after the append",
+          "a re-layout started during this batch's writes and may trash " +
+            "them mid-swap — REPLAY this batch once it completes (replay " +
+            "is dedup-safe: surviving rows re-collide with themselves, " +
+            "trashed rows are re-admitted)")
       } finally {
         novel.unpersist(); comps.unpersist()
         if (sigPartitions > 0) { candidates.unpersist(); () }

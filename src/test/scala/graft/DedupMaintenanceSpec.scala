@@ -193,6 +193,42 @@ class DedupMaintenanceSpec extends SparkSpecBase {
     assert(spark.read.parquet(accepted).count() == 1)
   }
 
+  test("a re-layout acquiring the lock MID-batch aborts before the append") {
+    val dir = work("relayout_midbatch_")
+    val sigTable = s"$dir/sigs"; val accepted = s"$dir/accepted"
+    val docs = (0L until 10L).map(i => (i, s"doc $i " + corpusText)).toDF("doc_id", "text")
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(docs, "doc_id", "text", 3, 126), sigTable, 8)
+    DedupLayout.write(spark, sigTable, DedupLayout.Layout(3, 126, 42, 3, 0.5, 1000, 8))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lockPath = s"$sigTable.relayout_lock"
+    assert(!new java.io.File(lockPath).exists())
+    // the batch's own first materialization acquires the lock — i.e. a
+    // re-layout starts AFTER the batch-start check passed but before the
+    // append; the pre-append re-check must abort with nothing written
+    import spark.implicits._
+    val batch = Seq((100L, "a brand new unrelated doc"))
+      .toDF("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        new java.io.File(lockPath).createNewFile(); it
+      }.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalDedup.processBatch(
+        batch, "doc_id", sigTable, accepted, sigPartitions = 8)
+    }
+    assert(e.getMessage.contains("re-laid-out") &&
+      e.getMessage.contains("before the append"), e.getMessage)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(accepted)),
+      "the mid-batch abort must write nothing")
+    // lock released → the same batch goes through cleanly on retry
+    new java.io.File(lockPath).delete()
+    graft.streaming.IncrementalDedup.processBatch(
+      Seq((100L, "a brand new unrelated doc")).toDF("doc_id", "text"),
+      "doc_id", sigTable, accepted, sigPartitions = 8)
+    assert(spark.read.parquet(accepted).count() == 1)
+  }
+
   test("maintainServingTables: one pass recovers, compacts, recaps, dedups accepted and grows P") {
     val dir = work("maintain_")
     val sigTable = s"$dir/sigs"; val banded = s"$dir/bands"; val accepted = s"$dir/accepted"

@@ -307,8 +307,25 @@ class SimilaritySpec extends SparkSpecBase {
     val again = Similarity.semDeDup(rows.repartition(5), "vec_id", "embedding",
       cents, threshold = 0.995).select("vec_id").as[Long].collect().toSet
     assert(again == kept)
+    // nProbe = 2: each doc joins its TWO nearest clusters' candidate
+    // sets, so the boundary twins now meet and the max-id one drops —
+    // the blind spot above is the tunable, not a law
+    val kept2 = Similarity.semDeDup(rows, "vec_id", "embedding", cents,
+      threshold = 0.995, nProbe = 2).select("vec_id").as[Long].collect().toSet
+    assert(kept2.contains(20L) && !kept2.contains(21L),
+      s"nProbe=2 must catch the boundary-split pair, kept: $kept2")
+    // everything the nProbe=1 pass decided stays decided
+    assert(!kept2.contains(11L) && Set(10L, 12L, 13L).subsetOf(kept2))
+    // and it is replay-stable like the single-probe flavor
+    val again2 = Similarity.semDeDup(rows.repartition(3), "vec_id", "embedding",
+      cents, threshold = 0.995, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again2 == kept2)
     intercept[IllegalArgumentException] {
       Similarity.semDeDup(rows, "vec_id", "embedding", Array.empty, 0.9)
+    }
+    intercept[IllegalArgumentException] { // nProbe beyond k is a config bug
+      Similarity.semDeDup(rows, "vec_id", "embedding", cents, 0.9, nProbe = 3)
     }
   }
 }
