@@ -1891,6 +1891,26 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame"))
     }),
 
+    // ---- Multimodal: uncompressed-DIB AVI frames (`00db`,
+    //      biCompression = 0) — LOSSLESS video pixels, so unlike the
+    //      MJPEG gate above the oracle compares decoded channel means
+    //      EXACTLY (no JPEG wobble, no /16 bucketing). Widths 3–8 cycle
+    //      through every 4-byte DIB row-padding residue; decode is pure
+    //      byte arithmetic, no codec. ----
+    "q_video_dib" -> ((s, dir) => {
+      import graft.multimodal.AviMjpeg
+      AviMjpeg.decodeVideoFrames(AviMjpeg.aviDibMediaFromDocs(
+          t(s, dir, "documents").where(col("doc_id") < 2000)))
+        .toDF()
+        .select(col("media_id"), col("frame").cast(LongType).as("frame"), col("ok"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("mean_r").cast(LongType).as("r"),
+          col("mean_g").cast(LongType).as("g"),
+          col("mean_b").cast(LongType).as("b"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
+
     // ---- Multimodal: VIDEO near-dup over DECODED frames (the video seat
     //      of q_image_neardup/q_audio_neardup, same banded-grid core; the
     //      per-video signature is the frame-mean luma grid). Gray-tone
@@ -3100,6 +3120,21 @@ object SparkEntry {
         |  (media_id + 17 * frame) % 14 AS r16,
         |  (media_id * 7 + 29 * frame) % 14 AS g16,
         |  (media_id * 31 + 41 * frame) % 14 AS b16
+        |FROM f ORDER BY media_id, frame""".stripMargin,
+
+    // the DIB flavor is lossless — decoded means equal the written fill
+    // EXACTLY, so the oracle replays the raw color arithmetic unbucketed
+    "q_video_dib" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range((doc_id % 3) + 1)) AS frame
+        |  FROM documents WHERE doc_id < 2000)
+        |SELECT media_id, CAST(frame AS BIGINT) AS frame, TRUE AS ok,
+        |  (media_id % 6) + 3 AS width,
+        |  (media_id % 4) + 2 AS height,
+        |  (media_id + 17 * frame) % 256 AS r,
+        |  (media_id * 7 + 29 * frame) % 256 AS g,
+        |  (media_id * 31 + 41 * frame) % 256 AS b
         |FROM f ORDER BY media_id, frame""".stripMargin,
 
     // gray-tone videos pair iff they share id % 8 (tone spacing 28 vs

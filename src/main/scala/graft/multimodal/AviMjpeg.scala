@@ -4,13 +4,16 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-/** REAL video frame decoding — for the one video format the JDK can fully
-  * open with zero external libraries: '''Motion-JPEG in an AVI container'''.
+/** REAL video frame decoding — for the two video flavors this environment
+  * can fully open with zero external libraries: '''Motion-JPEG in an AVI
+  * container''' and '''uncompressed 24-bit DIB frames in an AVI'''.
   * An AVI is a RIFF chunk tree (plain little-endian length-prefixed walk,
-  * the RIFF sibling of [[Mp4Probe]]'s ISO-BMFF walk) and an MJPEG stream's
+  * the RIFF sibling of [[Mp4Probe]]'s ISO-BMFF walk); an MJPEG stream's
   * `00dc` chunks are ordinary JPEG images — which `javax.imageio` decodes
-  * natively. Demux by byte arithmetic, decode every frame with the JDK's
-  * own JPEG codec: real pixels out of a real video container, no stub.
+  * natively — and a raw-DIB stream's `00db` chunks (`biCompression = 0`)
+  * are plain bottom-up BGR byte rows needing no codec at all
+  * ([[decodeDib]]). Demux by byte arithmetic, decode each frame with its
+  * flavor's decoder: real pixels out of a real video container, no stub.
   *
   * This moves the declared stub boundary: [[Multimodal.FakeCodec]] now
   * covers only INTER-FRAME compressed codecs (H.264/VP9/AV1 — the JDK
@@ -32,13 +35,22 @@ object AviMjpeg {
 
   /** Parsed container facts + the frame byte ranges (offsets into the
     * original array — demux copies nothing; decode reads the slices).
+    * `isDib` per frame: `##db` (uncompressed DIB) vs `##dc` (compressed,
+    * MJPEG here). `dibWidth`/`dibHeight`/`dibBitCount`/`dibCompression`
+    * are the video stream's `strf` BITMAPINFOHEADER facts the raw-DIB
+    * decode needs (biHeight keeps its SIGN: positive = bottom-up rows,
+    * negative = top-down).
     */
   private final case class Parsed(
       usPerFrame: Long,
       nStreams: Int,
       width: Int,
       height: Int,
-      frames: IndexedSeq[(Int, Int)])
+      frames: IndexedSeq[(Int, Int, Boolean)],
+      dibWidth: Int = 0,
+      dibHeight: Int = 0,
+      dibBitCount: Int = 0,
+      dibCompression: Long = -1L)
 
   private def le32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
@@ -90,11 +102,12 @@ object AviMjpeg {
     var nStreams = 0
     var width = 0
     var height = 0
-    val frames = IndexedSeq.newBuilder[(Int, Int)]
+    var dibW = 0; var dibH = 0; var dibBits = 0; var dibComp = -1L
+    val frames = IndexedSeq.newBuilder[(Int, Int, Boolean)]
     // frames may sit directly in 'movi' or nested inside 'rec ' LISTs
     def collectFrames(from: Int, to: Int): Boolean =
       walkChunks(bytes, from, to) { (id, f, t) =>
-        if (isFrameChunk(id)) { frames += ((f, t)); true }
+        if (isFrameChunk(id)) { frames += ((f, t, id(3) == 'b')); true }
         else if (id == "LIST" && t - f >= 4 && fourcc(bytes, f) == "rec ")
           collectFrames(f + 4, t)
         else true // idx1, JUNK, audio chunks — skip
@@ -115,14 +128,35 @@ object AviMjpeg {
                 height = le32(bytes, hf + 36).toInt
                 true
               }
-            } else true // LIST strl (strh/strf) — stream details not needed
+            } else if (hid == "LIST" && ht - hf >= 4 &&
+                fourcc(bytes, hf) == "strl") {
+              // the VIDEO stream's strf (BITMAPINFOHEADER) carries the
+              // facts a raw `##db` decode needs; keep the FIRST vids
+              // stream's header (multi-stream files put audio in its own
+              // strl with a WAVEFORMATEX strf — skipped by the flag)
+              var isVids = false
+              walkChunks(bytes, hf + 4, ht) { (sid, sf, st) =>
+                if (sid == "strh" && st - sf >= 4)
+                  isVids = fourcc(bytes, sf) == "vids"
+                else if (sid == "strf" && isVids && st - sf >= 20 && dibComp < 0) {
+                  // biWidth @4, biHeight @8 (SIGNED), biBitCount @14,
+                  // biCompression @16
+                  dibW = le32(bytes, sf + 4).toInt
+                  dibH = le32(bytes, sf + 8).toInt // sign-preserving by cast
+                  dibBits = (bytes(sf + 14) & 0xff) | ((bytes(sf + 15) & 0xff) << 8)
+                  dibComp = le32(bytes, sf + 16)
+                }
+                true
+              }
+            } else true
           }
         case "movi" => collectFrames(f + 4, t)
         case _      => true
       }
     }
     if (!ok || usPerFrame < 0) None
-    else Some(Parsed(usPerFrame, nStreams, width, height, frames.result()))
+    else Some(Parsed(usPerFrame, nStreams, width, height, frames.result(),
+      dibW, dibH, dibBits, dibComp))
   }
 
   /** Probe one container's metadata — the AVI seat of [[Mp4Probe.probe]]:
@@ -135,10 +169,46 @@ object AviMjpeg {
       (p.frames.length.toLong * p.usPerFrame / 1000L, p.frames.length.toLong,
         p.width, p.height))
 
-  /** Decode the frames of one MJPEG AVI: demux the `##dc` byte ranges,
-    * then run every `frameStride`-th one through the JDK JPEG codec.
+  /** Decode one raw uncompressed DIB frame (`##db`, `biCompression = 0`,
+    * 24-bit BGR) into a BufferedImage — plain byte arithmetic, no codec:
+    * rows are 4-byte aligned, stored bottom-up when `biHeight > 0` (the
+    * standard) and top-down when negative. LOSSLESS, unlike the JPEG
+    * path — decoded channel means equal the written fill exactly, which
+    * is what lets `q_video_dib` gate EXACT values with no bucket
+    * quantization. None on any size/format mismatch.
+    */
+  private[multimodal] def decodeDib(b: Array[Byte], from: Int, to: Int,
+                                    w: Int, hSigned: Int): Option[java.awt.image.BufferedImage] = {
+    if (w <= 0 || hSigned == 0 || w > (1 << 15)) return None
+    val h = math.abs(hSigned)
+    if (h > (1 << 15)) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if ((to - from).toLong < stride.toLong * h) return None
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var yOut = 0
+    while (yOut < h) {
+      val srcRow = if (hSigned > 0) h - 1 - yOut else yOut
+      var o = from + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val bb = b(o) & 0xff; val g = b(o + 1) & 0xff; val r = b(o + 2) & 0xff
+        img.setRGB(x, yOut, (r << 16) | (g << 8) | bb)
+        x += 1; o += 3
+      }
+      yOut += 1
+    }
+    Some(img)
+  }
+
+  /** Decode the frames of one AVI: demux the frame byte ranges, then run
+    * every `frameStride`-th one through its decoder — `##dc` chunks
+    * through the JDK JPEG codec (MJPEG), `##db` chunks through the raw
+    * uncompressed-DIB byte walk ([[decodeDib]], honoring the `strf`
+    * header's dims/bit count/compression — only `biCompression = 0` at
+    * 24 bpp is raw bytes; anything else is flagged, not guessed at).
     * Unparseable container → one `ok = false` row for frame 0; a frame
-    * whose JPEG bytes fail mid-stream → that frame flagged, the rest
+    * whose bytes fail mid-stream → that frame flagged, the rest
     * decoded. Frame indices are the CONTAINER indices (stride keeps
     * 0, N, 2N, … so sampled output is self-describing).
     */
@@ -153,10 +223,16 @@ object AviMjpeg {
       case Some(p) =>
         p.frames.indices.collect {
           case i if i % frameStride == 0 =>
-            val (f, t) = p.frames(i)
+            val (f, t, isDib) = p.frames(i)
             val img =
-              try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes, f, t - f))
-              catch { case _: Exception => null }
+              if (isDib) {
+                if (p.dibCompression == 0L && p.dibBitCount == 24)
+                  decodeDib(bytes, f, t, p.dibWidth, p.dibHeight).orNull
+                else null // RLE/other DIB flavors: flag, don't guess
+              } else {
+                try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes, f, t - f))
+                catch { case _: Exception => null }
+              }
             if (img == null) failedFrame(i)
             else {
               val feat = JdkMedia.featuresOf(id, img)
@@ -282,8 +358,43 @@ object AviMjpeg {
     * the published byte layout, demux + decode must recover the exact
     * numbers.
     */
-  def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Long): Array[Byte] = {
-    require(frames.nonEmpty, "mjpegAvi needs >= 1 frame")
+  def mjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Long): Array[Byte] =
+    aviContainer(frames, "00dc", w, h, usPerFrame, handler = "MJPG",
+      biCompressionFourcc = Some("MJPG"), biBitCount = 24)
+
+  /** One solid-color 24-bit uncompressed DIB frame payload: bottom-up BGR
+    * rows, 4-byte aligned — the raw bytes a `00db` chunk carries.
+    */
+  def dibFrame(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var o = y * stride
+      var x = 0
+      while (x < w) {
+        out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+        x += 1; o += 3
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** A minimal valid uncompressed-DIB AVI (`00db` frames,
+    * `biCompression = 0`, 24 bpp) — the LOSSLESS sibling of [[mjpegAvi]]:
+    * no codec anywhere, so decoded channel means equal the written fill
+    * exactly and the oracle gate needs no bucket quantization.
+    */
+  def dibAvi(frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Long): Array[Byte] =
+    aviContainer(frames, "00db", w, h, usPerFrame, handler = "DIB ",
+      biCompressionFourcc = None, biBitCount = 24)
+
+  private def aviContainer(frames: Seq[Array[Byte]], frameChunkId: String,
+                           w: Int, h: Int, usPerFrame: Long, handler: String,
+                           biCompressionFourcc: Option[String],
+                           biBitCount: Int): Array[Byte] = {
+    require(frames.nonEmpty, "aviContainer needs >= 1 frame")
     val avih = {
       val o = new ByteArrayOutputStream()
       u32le(o, usPerFrame)           // dwMicroSecPerFrame
@@ -300,7 +411,7 @@ object AviMjpeg {
     val strh = {
       val o = new ByteArrayOutputStream()
       o.write("vids".getBytes("ISO-8859-1")) // fccType
-      o.write("MJPG".getBytes("ISO-8859-1")) // fccHandler
+      o.write(handler.getBytes("ISO-8859-1")) // fccHandler
       u32le(o, 0L); u16le(o, 0); u16le(o, 0) // dwFlags, wPriority, wLanguage
       u32le(o, 0L)                           // dwInitialFrames
       u32le(o, usPerFrame)                   // dwScale
@@ -317,8 +428,11 @@ object AviMjpeg {
       val o = new ByteArrayOutputStream()
       u32le(o, 40L)                          // biSize
       u32le(o, w.toLong); u32le(o, h.toLong)
-      u16le(o, 1); u16le(o, 24)              // biPlanes, biBitCount
-      o.write("MJPG".getBytes("ISO-8859-1")) // biCompression
+      u16le(o, 1); u16le(o, biBitCount)      // biPlanes, biBitCount
+      biCompressionFourcc match {            // biCompression: fourcc or BI_RGB
+        case Some(cc) => o.write(cc.getBytes("ISO-8859-1"))
+        case None     => u32le(o, 0L)
+      }
       u32le(o, w.toLong * h * 3)             // biSizeImage
       u32le(o, 0L); u32le(o, 0L)             // pels-per-meter
       u32le(o, 0L); u32le(o, 0L)             // clr used / important
@@ -326,7 +440,7 @@ object AviMjpeg {
     }
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
     val movi = list("movi",
-      frames.flatMap(fb => chunk("00dc", fb)).toArray)
+      frames.flatMap(fb => chunk(frameChunkId, fb)).toArray)
     val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
     val out = new ByteArrayOutputStream()
     out.write("RIFF".getBytes("ISO-8859-1"))
@@ -357,6 +471,33 @@ object AviMjpeg {
           (((id * 31L + 41L * f) % 14L) * 16L + 8L).toInt)
       }
       Multimodal.MediaRow(id, mjpegAvi(frames, w, h, usPerFrame),
+        Multimodal.MediaMeta("avi", w, h, n * usPerFrame / 1000L))
+    }
+  }
+
+  /** Deterministic uncompressed-DIB AVI table — the LOSSLESS video
+    * fixture: solid 24-bit `00db` frames with EXACT per-frame colors by
+    * modular arithmetic on doc_id (`r = (id + 17f) % 256` etc.), widths
+    * 3–8 so the 4-byte DIB row padding is exercised in every residue.
+    * Because no codec touches the pixels, the oracle gate
+    * (`q_video_dib`) compares decoded channel means EXACTLY — no JPEG
+    * wobble, no bucket quantization.
+    */
+  def aviDibMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 6).toInt + 3
+      val h = (id % 4).toInt + 2
+      val n = (id % 3).toInt + 1
+      val usPerFrame = ((id % 4) + 1L) * 20000L
+      val frames = (0 until n).map { f =>
+        dibFrame(w, h,
+          ((id + 17L * f) % 256L).toInt,
+          ((id * 7L + 29L * f) % 256L).toInt,
+          ((id * 31L + 41L * f) % 256L).toInt)
+      }
+      Multimodal.MediaRow(id, dibAvi(frames, w, h, usPerFrame),
         Multimodal.MediaMeta("avi", w, h, n * usPerFrame / 1000L))
     }
   }

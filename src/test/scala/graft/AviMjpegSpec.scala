@@ -145,6 +145,44 @@ class AviMjpegSpec extends SparkSpecBase {
     assert(pairs == expected)
   }
 
+  test("DIB frames: bottom-up/top-down orientation, compression gate, short payload") {
+    // two-tone 4x2 frame: TOP image row red, BOTTOM blue. Bottom-up DIB
+    // stores the bottom row FIRST, so payload row 0 is blue.
+    val w = 4; val h = 2; val stride = 12
+    val payload = new Array[Byte](stride * h)
+    (0 until w).foreach { x => payload(x * 3) = 0xFF.toByte }              // stored row 0: blue
+    (0 until w).foreach { x => payload(stride + x * 3 + 2) = 0xFF.toByte } // stored row 1: red
+    val avi = AviMjpeg.dibAvi(Seq(payload), w, h, 40000L)
+    val fr = AviMjpeg.decodeAviFrames(1L, avi)
+    assert(fr.length == 1 && fr.head.ok && fr.head.width == w && fr.head.height == h)
+    // BT.601 integer luma: red = (77*255)>>8 = 76, blue = (29*255)>>8 = 28
+    assert(fr.head.luma_grid(0) == 76.0f, "top-left grid cell must be the RED row")
+    assert(fr.head.mean_r == 127.5 && fr.head.mean_b == 127.5 && fr.head.mean_g == 0.0)
+
+    // negative biHeight = TOP-DOWN rows: patch strf's biHeight to -2 —
+    // now stored row 0 IS the top row, so the top-left cell is blue
+    def indexOfStrf(b: Array[Byte]): Int =
+      b.indices.find(i => i + 4 <= b.length &&
+        new String(b, i, 4, "ISO-8859-1") == "strf").get
+    val topDown = avi.clone()
+    val hOff = indexOfStrf(topDown) + 8 + 8 // strf payload + biHeight offset
+    topDown(hOff) = 0xFE.toByte; topDown(hOff + 1) = 0xFF.toByte
+    topDown(hOff + 2) = 0xFF.toByte; topDown(hOff + 3) = 0xFF.toByte
+    val fd = AviMjpeg.decodeAviFrames(1L, topDown)
+    assert(fd.head.ok && fd.head.luma_grid(0) == 28.0f,
+      "negative biHeight flips row order: top-left cell must be the BLUE row")
+
+    // non-zero biCompression on a ##db stream: flagged, never guessed at
+    val rle = avi.clone()
+    val cOff = indexOfStrf(rle) + 8 + 16 // biCompression offset
+    rle(cOff) = 1 // BI_RLE8
+    assert(AviMjpeg.decodeAviFrames(1L, rle).forall(!_.ok))
+
+    // a frame payload shorter than stride x height: flagged, not crashed
+    val shortAvi = AviMjpeg.dibAvi(Seq(payload.dropRight(1)), w, h, 40000L)
+    assert(AviMjpeg.decodeAviFrames(1L, shortAvi).forall(!_.ok))
+  }
+
   test("media gate admits AVI by real probe: duration floor applies") {
     val rows = Seq(
       // 3 frames × 40 ms = 120 ms — passes a 100 ms floor

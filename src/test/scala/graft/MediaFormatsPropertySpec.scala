@@ -110,4 +110,50 @@ class MediaFormatsPropertySpec extends AnyFunSuite {
       AviMjpeg.decodeAviFrames(1L, z)
     }
   }
+
+  // DIB is lossless: odd widths exercise every 4-byte row-pad residue
+  private val genDibVideo: Gen[(Int, Int, List[(Int, Int, Int)])] =
+    for {
+      w <- Gen.choose(1, 37)
+      h <- Gen.choose(1, 19)
+      n <- Gen.choose(1, 5)
+      colors <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 255), Gen.choose(0, 255), Gen.choose(0, 255)))
+    } yield (w, h, colors)
+
+  test("DIB AVI: arbitrary frame sets roundtrip dims and EXACT colors (lossless)") {
+    forSamples(genDibVideo, 40) { case (w, h, colors) =>
+      val frames = colors.map { case (r, g, b) => AviMjpeg.dibFrame(w, h, r, g, b) }
+      val avi = AviMjpeg.dibAvi(frames, w, h, 40000L)
+      assert(AviMjpeg.probe(avi).contains(
+        (colors.length * 40L, colors.length.toLong, w, h)))
+      val out = AviMjpeg.decodeAviFrames(7L, avi)
+      assert(out.length == colors.length && out.forall(_.ok))
+      out.zip(colors).foreach { case (f, (r, g, b)) =>
+        assert(f.width == w && f.height == h)
+        // no codec between write and read — the means are EXACT
+        assert(f.mean_r == r.toDouble && f.mean_g == g.toDouble &&
+          f.mean_b == b.toDouble, s"$w x $h rgb($r,$g,$b)")
+      }
+      val s2 = AviMjpeg.decodeAviFrames(7L, avi, frameStride = 2)
+      assert(s2.map(_.frame) == out.map(_.frame).filter(_ % 2 == 0))
+    }
+  }
+
+  test("DIB AVI: mutations/truncations never throw; short frames flag, not crash") {
+    val avi = AviMjpeg.dibAvi(
+      (0 until 3).map(i => AviMjpeg.dibFrame(13, 7, 10 * i, 20, 30)), 13, 7, 40000L)
+    val genMut = Gen.listOfN(6,
+      Gen.zip(Gen.choose(0, avi.length - 1), Gen.choose(-128, 127)))
+    forSamples(genMut, 150) { flips =>
+      val z = avi.clone()
+      flips.foreach { case (at, v) => z(at) = v.toByte }
+      AviMjpeg.probe(z)
+      AviMjpeg.decodeAviFrames(1L, z)
+    }
+    (0 until avi.length by 7).foreach { cut =>
+      AviMjpeg.probe(avi.take(cut))
+      AviMjpeg.decodeAviFrames(1L, avi.take(cut))
+    }
+  }
 }
