@@ -310,7 +310,8 @@ object ScaleBench {
     // Unknown names fail fast — a typo'd section must not produce a
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
-      "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi")
+      "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi",
+      "preclean")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -834,6 +835,100 @@ object ScaleBench {
       println(f"""{"avi":{"videos":500,"frames":$n1,"stride1_s":$t1%.2f,""" +
         f""""fps":${n1 / t1}%.0f,"stride4_s":$t4%.2f,"stride4_frames":$n4,""" +
         f""""cut_x":${t1 / t4}%.1f}}""")
+    }
+
+    if (sections("preclean")) {
+      // ---- preClean codegen vs the round-9 Row-encoder map: the stage
+      //      that touches EVERY raw document before the first hash
+      //      (fixMojibake → normalizeText). The codegen path is one
+      //      WholeStageCodegen Project; the control replays the old
+      //      whole-row Dataset.map shape (Deserialize/SerializeFromObject
+      //      around a Row encoder) over the SAME per-string functions —
+      //      so the delta is purely the encoder round-trip. Output
+      //      asserted identical. Fixture: sf0.1 docs ×160 copies,
+      //      one third Latin-1-garbled / one third CP1252-garbled / one
+      //      third clean with decomposed accents (so both repair and
+      //      NFC actually fire), PLUS eight ride-along metadata columns
+      //      — a real curation row carries url/source/lang/timestamps,
+      //      and the whole-row shape pays to rebuild ALL of them while
+      //      the column shape touches only text. ----
+      import spark.implicits._
+      import graft.operators.TextAnalysis
+      val garbled = (0 until 160).map(i =>
+          base.select((col("doc_id") * 160 + i).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val t = (id % 3) match {
+            case 0 => new String(("wé " + text).getBytes("UTF-8"),
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+            case 1 => new String(("it’s " + text).getBytes("UTF-8"),
+              "windows-1252")
+            case _ => "wé " + text // decomposed accent — NFC recomposes
+          }
+          (id, t)
+        }.toDF("doc_id", "text")
+      val fixture = (1 to 4).foldLeft(garbled) { (df, i) =>
+          df.withColumn(s"meta_s$i",
+              concat(lit("src-"), (col("doc_id") % 97).cast("string")))
+            .withColumn(s"meta_l$i", col("doc_id") * i)
+        }
+        .repartition(16).persist()
+      val totalChars = fixture.agg(sum(length(col("text")))).head.getLong(0)
+      val nfc = java.text.Normalizer.Form.NFC
+      def encoderStage(df: DataFrame)(f: String => String): DataFrame = {
+        val idx = df.schema.fieldIndex("text")
+        implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+          org.apache.spark.sql.Encoders.row(df.schema)
+        df.map { r =>
+          val t = r.getAs[String](idx)
+          val out = f(t)
+          if (out eq t) r
+          else {
+            val vals = r.toSeq.toArray
+            vals(idx) = out
+            org.apache.spark.sql.Row.fromSeq(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+        }
+      }
+      def normalizeStr(t: String): String =
+        if (t == null || java.text.Normalizer.isNormalized(t, nfc)) t
+        else java.text.Normalizer.normalize(t, nfc)
+      // the ACTUAL round-9 pipeline shape: two separate whole-row maps
+      // (fixMojibake, then normalizeText), each its own encoder round-trip
+      def encoderTwoStage(df: DataFrame): DataFrame =
+        encoderStage(encoderStage(df)(TextAnalysis.fixMojibakeString))(normalizeStr)
+      // the best the whole-row style could do: both functions in ONE map
+      def encoderControl(df: DataFrame): DataFrame =
+        encoderStage(df)(t => normalizeStr(TextAnalysis.fixMojibakeString(t)))
+      def runPoint(df: => DataFrame): (Double, (Long, Long)) = {
+        val t0 = System.nanoTime()
+        // crc32 sum: order-insensitive content witness, bounded far below
+        // long overflow (2^32 per row × row count)
+        val r = df.agg(sum(length(col("text"))), sum(crc32(col("text")))).head
+        ((System.nanoTime() - t0) / 1e9, (r.getLong(0), r.getLong(1)))
+      }
+      def codegenPath = TextAnalysis.normalizeText(
+        TextAnalysis.fixMojibake(fixture, "text"), "text")
+      runPoint(codegenPath); runPoint(encoderControl(fixture)) // warmups
+      runPoint(encoderTwoStage(fixture))
+      // 0.7 s runs on a busy JVM: median of 3 interleaved rounds
+      def median3(run: => (Double, (Long, Long))): (Double, (Long, Long)) = {
+        val rs = (0 until 3).map(_ => run)
+        (rs.map(_._1).sorted.apply(1), rs.head._2)
+      }
+      val (tNew, sNew) = median3(runPoint(codegenPath))
+      val (tOld1, sOld1) = median3(runPoint(encoderControl(fixture)))
+      val (tOld2, sOld2) = median3(runPoint(encoderTwoStage(fixture)))
+      fixture.unpersist()
+      val mb = totalChars / 1e6
+      println(f"""{"preclean":{"mb":$mb%.1f,"codegen_s":$tNew%.2f,""" +
+        f""""codegen_mb_s":${mb / tNew}%.0f,"encoder_fused_s":$tOld1%.2f,""" +
+        f""""encoder_two_stage_s":$tOld2%.2f,""" +
+        f""""speedup_vs_fused_x":${tOld1 / tNew}%.2f,""" +
+        f""""speedup_vs_pipeline_x":${tOld2 / tNew}%.2f,""" +
+        f""""match":${sNew == sOld1 && sNew == sOld2}}}""")
     }
 
     if (sections("bpe")) {
