@@ -2075,6 +2075,25 @@ object SparkEntry {
         .orderBy(col("canonical_url"))
     }),
 
+    // ---- Multimodal: 8-bit PALETTIZED AVI frames, BOTH flavors in one
+    //      gate — even doc_ids RLE8-compressed (biCompression = 1, runs +
+    //      EOL/EOB escapes), odd ids uncompressed index rows. Decoded
+    //      colors come out of the strf RGBQUAD palette, every value
+    //      palette arithmetic the oracle replays exactly (lossless). ----
+    "q_video_rle8" -> ((s, dir) => {
+      import graft.multimodal.AviMjpeg
+      AviMjpeg.decodeVideoFrames(AviMjpeg.aviPal8MediaFromDocs(
+          t(s, dir, "documents").where(col("doc_id") < 2000)))
+        .toDF()
+        .select(col("media_id"), col("frame").cast(LongType).as("frame"), col("ok"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("mean_r").cast(LongType).as("r"),
+          col("mean_g").cast(LongType).as("g"),
+          col("mean_b").cast(LongType).as("b"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
+
     // ---- BM25 lexical retrieval, scores gated BIT-FOR-BIT: the log-free
     //      idf variant keeps the kernel inside IEEE basic ops (correctly
     //      rounded in every engine, unlike ln) and the per-doc fold sums
@@ -3121,6 +3140,23 @@ object SparkEntry {
         |  (media_id * 7 + 29 * frame) % 14 AS g16,
         |  (media_id * 31 + 41 * frame) % 14 AS b16
         |FROM f ORDER BY media_id, frame""".stripMargin,
+
+    // both 8-bit palettized flavors (RLE8 + uncompressed) resolve through
+    // the per-doc palette: frame f is solid at index (id+f)%16, whose
+    // RGBQUAD the same arithmetic rebuilds — lossless, exact values
+    "q_video_rle8" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range((doc_id % 3) + 1)) AS frame
+        |  FROM documents WHERE doc_id < 2000),
+        |p AS (SELECT media_id, frame, (media_id + frame) % 16 AS pi FROM f)
+        |SELECT media_id, CAST(frame AS BIGINT) AS frame, TRUE AS ok,
+        |  (media_id % 6) + 3 AS width,
+        |  (media_id % 4) + 2 AS height,
+        |  (media_id + 11 * pi) % 256 AS r,
+        |  (media_id * 3 + 17 * pi) % 256 AS g,
+        |  (media_id * 7 + 23 * pi) % 256 AS b
+        |FROM p ORDER BY media_id, frame""".stripMargin,
 
     // the DIB flavor is lossless — decoded means equal the written fill
     // EXACTLY, so the oracle replays the raw color arithmetic unbucketed

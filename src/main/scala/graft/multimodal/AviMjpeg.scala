@@ -4,16 +4,18 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-/** REAL video frame decoding — for the two video flavors this environment
+/** REAL video frame decoding — for the video flavors this environment
   * can fully open with zero external libraries: '''Motion-JPEG in an AVI
-  * container''' and '''uncompressed 24-bit DIB frames in an AVI'''.
+  * container''' and '''DIB frames in an AVI''' (uncompressed 24-bit BGR,
+  * uncompressed 8-bit palettized, and RLE8-compressed 8-bit).
   * An AVI is a RIFF chunk tree (plain little-endian length-prefixed walk,
   * the RIFF sibling of [[Mp4Probe]]'s ISO-BMFF walk); an MJPEG stream's
   * `00dc` chunks are ordinary JPEG images — which `javax.imageio` decodes
-  * natively — and a raw-DIB stream's `00db` chunks (`biCompression = 0`)
-  * are plain bottom-up BGR byte rows needing no codec at all
-  * ([[decodeDib]]). Demux by byte arithmetic, decode each frame with its
-  * flavor's decoder: real pixels out of a real video container, no stub.
+  * natively — and a DIB stream's `00db` chunks are byte rows (or RLE runs)
+  * needing no codec at all ([[decodeDib]], [[decodeDib8]], [[decodeRle8]],
+  * driven by the strf header's format + RGBQUAD palette). Demux by byte
+  * arithmetic, decode each frame with its flavor's decoder: real pixels
+  * out of a real video container, no stub.
   *
   * This moves the declared stub boundary: [[Multimodal.FakeCodec]] now
   * covers only INTER-FRAME compressed codecs (H.264/VP9/AV1 — the JDK
@@ -50,7 +52,8 @@ object AviMjpeg {
       dibWidth: Int = 0,
       dibHeight: Int = 0,
       dibBitCount: Int = 0,
-      dibCompression: Long = -1L)
+      dibCompression: Long = -1L,
+      palette: Array[Int] = Array.emptyIntArray)
 
   private def le32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
@@ -103,6 +106,7 @@ object AviMjpeg {
     var width = 0
     var height = 0
     var dibW = 0; var dibH = 0; var dibBits = 0; var dibComp = -1L
+    var palette: Array[Int] = Array.emptyIntArray
     val frames = IndexedSeq.newBuilder[(Int, Int, Boolean)]
     // frames may sit directly in 'movi' or nested inside 'rec ' LISTs
     def collectFrames(from: Int, to: Int): Boolean =
@@ -145,6 +149,19 @@ object AviMjpeg {
                   dibH = le32(bytes, sf + 8).toInt // sign-preserving by cast
                   dibBits = (bytes(sf + 14) & 0xff) | ((bytes(sf + 15) & 0xff) << 8)
                   dibComp = le32(bytes, sf + 16)
+                  if (dibBits == 8 && st - sf >= 40) {
+                    // 8-bit DIBs carry an RGBQUAD palette (B,G,R,reserved)
+                    // right after the 40-byte header: biClrUsed @32
+                    // entries, 0 meaning the full 256
+                    val clrUsed = le32(bytes, sf + 32).toInt
+                    val n = math.min(if (clrUsed <= 0) 256 else clrUsed,
+                      (st - sf - 40) / 4)
+                    palette = Array.tabulate(math.max(n, 0)) { i =>
+                      val o = sf + 40 + i * 4
+                      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) |
+                        (bytes(o) & 0xff)
+                    }
+                  }
                 }
                 true
               }
@@ -156,7 +173,7 @@ object AviMjpeg {
     }
     if (!ok || usPerFrame < 0) None
     else Some(Parsed(usPerFrame, nStreams, width, height, frames.result(),
-      dibW, dibH, dibBits, dibComp))
+      dibW, dibH, dibBits, dibComp, palette))
   }
 
   /** Probe one container's metadata — the AVI seat of [[Mp4Probe.probe]]:
@@ -201,6 +218,92 @@ object AviMjpeg {
     Some(img)
   }
 
+  /** Decode one uncompressed 8-bit PALETTIZED DIB frame: each byte is an
+    * index into the strf's RGBQUAD palette, rows 4-byte aligned,
+    * bottom-up/top-down by the biHeight sign exactly like the 24-bit
+    * flavor. Lossless. None on size/palette mismatch.
+    */
+  private[multimodal] def decodeDib8(b: Array[Byte], from: Int, to: Int,
+                                     w: Int, hSigned: Int,
+                                     pal: Array[Int]): Option[java.awt.image.BufferedImage] = {
+    if (w <= 0 || hSigned == 0 || w > (1 << 15) || pal.isEmpty) return None
+    val h = math.abs(hSigned)
+    if (h > (1 << 15)) return None
+    val stride = ((w + 3) / 4) * 4
+    if ((to - from).toLong < stride.toLong * h) return None
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var yOut = 0
+    while (yOut < h) {
+      val srcRow = if (hSigned > 0) h - 1 - yOut else yOut
+      var o = from + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val idx = b(o) & 0xff
+        if (idx >= pal.length) return None // index past the stated palette
+        img.setRGB(x, yOut, pal(idx))
+        x += 1; o += 1
+      }
+      yOut += 1
+    }
+    Some(img)
+  }
+
+  /** Decode one RLE8-compressed DIB frame (`biCompression = 1`) — the
+    * published run-length encoding: `(count, index)` pairs, with
+    * count = 0 escaping to end-of-line (0), end-of-bitmap (1), delta
+    * (2: dx, dy follow) or absolute mode (3-255: that many raw indices,
+    * word-aligned). Rows are bottom-up (the spec forbids top-down RLE —
+    * negative biHeight returns None). Pixels a delta/early-EOL skips stay
+    * black — deterministic, matching the common renderer behavior. Still
+    * plain byte arithmetic: no entropy coding, no codec. None on any
+    * malformed run (the frame flags, the task never fails).
+    */
+  private[multimodal] def decodeRle8(b: Array[Byte], from: Int, to: Int,
+                                     w: Int, hSigned: Int,
+                                     pal: Array[Int]): Option[java.awt.image.BufferedImage] = {
+    if (w <= 0 || hSigned <= 0 || w > (1 << 15) || hSigned > (1 << 15) ||
+      pal.isEmpty) return None
+    val h = hSigned
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB) // zero-filled = black
+    var x = 0
+    var row = 0 // row 0 = BOTTOM image row (bottom-up like every DIB)
+    var o = from
+    var done = false
+    while (!done) {
+      if (o + 2 > to) return None // ran off the chunk without an EOB
+      val n = b(o) & 0xff; val v = b(o + 1) & 0xff
+      o += 2
+      if (n > 0) { // encoded run: n copies of palette[v]
+        if (v >= pal.length || row >= h || x + n > w) return None
+        val rgb = pal(v); val y = h - 1 - row
+        var i = 0
+        while (i < n) { img.setRGB(x + i, y, rgb); i += 1 }
+        x += n
+      } else v match {
+        case 0 => x = 0; row += 1; if (row > h) return None // end of line
+        case 1 => done = true // end of bitmap
+        case 2 => // delta: skip (dx, dy) — skipped pixels stay black
+          if (o + 2 > to) return None
+          x += b(o) & 0xff; row += b(o + 1) & 0xff; o += 2
+          if (x > w || row > h) return None
+        case cnt => // absolute mode: cnt raw indices, word-aligned
+          if (o + cnt > to || row >= h || x + cnt > w) return None
+          val y = h - 1 - row
+          var i = 0
+          while (i < cnt) {
+            val idx = b(o + i) & 0xff
+            if (idx >= pal.length) return None
+            img.setRGB(x + i, y, pal(idx)); i += 1
+          }
+          x += cnt
+          o += cnt + (cnt & 1)
+      }
+    }
+    Some(img)
+  }
+
   /** Decode the frames of one AVI: demux the frame byte ranges, then run
     * every `frameStride`-th one through its decoder — `##dc` chunks
     * through the JDK JPEG codec (MJPEG), `##db` chunks through the raw
@@ -226,9 +329,15 @@ object AviMjpeg {
             val (f, t, isDib) = p.frames(i)
             val img =
               if (isDib) {
-                if (p.dibCompression == 0L && p.dibBitCount == 24)
-                  decodeDib(bytes, f, t, p.dibWidth, p.dibHeight).orNull
-                else null // RLE/other DIB flavors: flag, don't guess
+                (p.dibCompression, p.dibBitCount) match {
+                  case (0L, 24) =>
+                    decodeDib(bytes, f, t, p.dibWidth, p.dibHeight).orNull
+                  case (0L, 8) =>
+                    decodeDib8(bytes, f, t, p.dibWidth, p.dibHeight, p.palette).orNull
+                  case (1L, 8) =>
+                    decodeRle8(bytes, f, t, p.dibWidth, p.dibHeight, p.palette).orNull
+                  case _ => null // other DIB flavors: flag, don't guess
+                }
               } else {
                 try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes, f, t - f))
                 catch { case _: Exception => null }
@@ -390,10 +499,60 @@ object AviMjpeg {
     aviContainer(frames, "00db", w, h, usPerFrame, handler = "DIB ",
       biCompressionFourcc = None, biBitCount = 24)
 
+  /** One solid uncompressed 8-bit palettized DIB frame payload: every
+    * byte is `idx`, rows 4-byte aligned.
+    */
+  def dib8Frame(w: Int, h: Int, idx: Int): Array[Byte] = {
+    val stride = ((w + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(y * stride + x) = idx.toByte; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** One solid RLE8 frame payload: per row, runs of up to 255 copies of
+    * `idx`, an end-of-line escape after every row but the last, and the
+    * end-of-bitmap escape closing the frame.
+    */
+  def rle8SolidFrame(w: Int, h: Int, idx: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var row = 0
+    while (row < h) {
+      var rem = w
+      while (rem > 0) {
+        val n = math.min(rem, 255)
+        out.write(n); out.write(idx)
+        rem -= n
+      }
+      row += 1
+      if (row < h) { out.write(0); out.write(0) } // EOL
+    }
+    out.write(0); out.write(1) // EOB
+    out.toByteArray
+  }
+
+  /** A minimal valid 8-bit palettized AVI — `rle = false` writes
+    * uncompressed index rows (`biCompression = 0`), `rle = true` RLE8
+    * payloads (`biCompression = 1`); the RGBQUAD palette rides in strf.
+    * Both lossless like [[dibAvi]].
+    */
+  def dib8Avi(frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Long,
+              paletteArgb: Array[Int], rle: Boolean): Array[Byte] =
+    aviContainer(frames, "00db", w, h, usPerFrame,
+      handler = if (rle) "RLE8" else "DIB ", biCompressionFourcc = None,
+      biBitCount = 8, biCompressionNum = if (rle) 1L else 0L,
+      paletteArgb = paletteArgb)
+
   private def aviContainer(frames: Seq[Array[Byte]], frameChunkId: String,
                            w: Int, h: Int, usPerFrame: Long, handler: String,
                            biCompressionFourcc: Option[String],
-                           biBitCount: Int): Array[Byte] = {
+                           biBitCount: Int,
+                           biCompressionNum: Long = 0L,
+                           paletteArgb: Array[Int] = Array.emptyIntArray): Array[Byte] = {
     require(frames.nonEmpty, "aviContainer needs >= 1 frame")
     val avih = {
       val o = new ByteArrayOutputStream()
@@ -429,13 +588,18 @@ object AviMjpeg {
       u32le(o, 40L)                          // biSize
       u32le(o, w.toLong); u32le(o, h.toLong)
       u16le(o, 1); u16le(o, biBitCount)      // biPlanes, biBitCount
-      biCompressionFourcc match {            // biCompression: fourcc or BI_RGB
+      biCompressionFourcc match {            // biCompression: fourcc or numeric
         case Some(cc) => o.write(cc.getBytes("ISO-8859-1"))
-        case None     => u32le(o, 0L)
+        case None     => u32le(o, biCompressionNum)
       }
       u32le(o, w.toLong * h * 3)             // biSizeImage
       u32le(o, 0L); u32le(o, 0L)             // pels-per-meter
-      u32le(o, 0L); u32le(o, 0L)             // clr used / important
+      u32le(o, paletteArgb.length.toLong)    // biClrUsed
+      u32le(o, 0L)                           // biClrImportant
+      paletteArgb.foreach { c =>             // RGBQUAD: B, G, R, reserved
+        o.write(c & 0xff); o.write((c >>> 8) & 0xff)
+        o.write((c >>> 16) & 0xff); o.write(0)
+      }
       chunk("strf", o.toByteArray)
     }
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
@@ -498,6 +662,37 @@ object AviMjpeg {
           ((id * 31L + 41L * f) % 256L).toInt)
       }
       Multimodal.MediaRow(id, dibAvi(frames, w, h, usPerFrame),
+        Multimodal.MediaMeta("avi", w, h, n * usPerFrame / 1000L))
+    }
+  }
+
+  /** Deterministic 8-bit PALETTIZED AVI table — covers BOTH 8-bit DIB
+    * flavors in one fixture: even doc_ids write RLE8 (`biCompression=1`),
+    * odd ids uncompressed index rows (`biCompression=0`). Per doc a
+    * 16-entry palette from id arithmetic (`palette[i] = ((id+11i)%256,
+    * (3id+17i)%256, (7id+23i)%256)`), frame f solid at index
+    * `(id+f)%16` — every decoded mean is palette arithmetic the oracle
+    * replays exactly (lossless, like the 24-bit flavor).
+    */
+  def aviPal8MediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 6).toInt + 3
+      val h = (id % 4).toInt + 2
+      val n = (id % 3).toInt + 1
+      val usPerFrame = ((id % 4) + 1L) * 20000L
+      val pal = Array.tabulate(16) { i =>
+        ((((id + 11L * i) % 256L).toInt) << 16) |
+          ((((id * 3L + 17L * i) % 256L).toInt) << 8) |
+          (((id * 7L + 23L * i) % 256L).toInt)
+      }
+      val rle = id % 2 == 0
+      val frames = (0 until n).map { f =>
+        val idx = ((id + f) % 16L).toInt
+        if (rle) rle8SolidFrame(w, h, idx) else dib8Frame(w, h, idx)
+      }
+      Multimodal.MediaRow(id, dib8Avi(frames, w, h, usPerFrame, pal, rle),
         Multimodal.MediaMeta("avi", w, h, n * usPerFrame / 1000L))
     }
   }

@@ -20,9 +20,9 @@ import org.apache.spark.sql.types._
   * Codec status: image (PNG/JPEG/BMP/GIF incl. animated frames) and PCM
   * audio (WAV/AIFF/AU) decode for REAL via the JDK's own codecs
   * ([[JdkMedia]]); video container metadata probes for real
-  * ([[Mp4Probe]], [[AviMjpeg.probe]]) and both MJPEG-in-AVI frames
-  * (plain JPEGs) and uncompressed 24-bit DIB-in-AVI frames (raw BGR byte
-  * rows, no codec at all) decode for real
+  * ([[Mp4Probe]], [[AviMjpeg.probe]]) and MJPEG-in-AVI frames (plain
+  * JPEGs) plus all three DIB-in-AVI flavors (raw 24-bit BGR, 8-bit
+  * palettized, RLE8 — byte arithmetic, no codec at all) decode for real
   * ([[AviMjpeg.decodeVideoFrames]]).
   * Only INTER-FRAME compressed video codecs (H.264/VP9/AV1) remain behind
   * the deterministic `FakeCodec` stub — the JDK ships no decoder for

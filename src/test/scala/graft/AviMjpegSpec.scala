@@ -183,6 +183,53 @@ class AviMjpegSpec extends SparkSpecBase {
     assert(AviMjpeg.decodeAviFrames(1L, shortAvi).forall(!_.ok))
   }
 
+  test("RLE8 frames: runs, absolute mode, delta skips, alignment, malformed flags") {
+    val pal = Array(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF) // red green blue white
+    // 4x2, bottom-up: bottom row = run(2, red) + run(1, green) +
+    // run(1, blue); EOL; top row = delta(2,0) → 2 BLACK, run(2, white);
+    // EOB. (Absolute mode needs >= 3 pixels — 0-2 are escapes — so the
+    // 3-pixel absolute case lives in payload2 below.)
+    val payload = Array[Byte](
+      2, 0,
+      1, 1, 1, 2,
+      0, 0,
+      0, 2, 2, 0,
+      2, 3,
+      0, 1)
+    val avi = AviMjpeg.dib8Avi(Seq(payload), 4, 2, 40000L, pal, rle = true)
+    val fr = AviMjpeg.decodeAviFrames(1L, avi)
+    assert(fr.length == 1 && fr.head.ok && fr.head.width == 4 && fr.head.height == 2)
+    assert(fr.head.mean_r == 127.5 && fr.head.mean_g == 95.625 &&
+      fr.head.mean_b == 95.625)
+    // orientation: TOP row is the delta-skipped black + white half
+    assert(fr.head.luma_grid(0) == 0.0f && fr.head.luma_grid(3) == 255.0f)
+
+    // absolute mode with ODD count pays a pad byte (word alignment)
+    val payload2 = Array[Byte](0, 3, 0, 1, 2, 0 /* pad */, 2, 3, 0, 1)
+    val avi2 = AviMjpeg.dib8Avi(Seq(payload2), 5, 1, 40000L, pal, rle = true)
+    val f2 = AviMjpeg.decodeAviFrames(1L, avi2).head
+    assert(f2.ok && f2.mean_r == 153.0 && f2.mean_g == 153.0 && f2.mean_b == 153.0)
+
+    // malformed: run past the row width / palette-index overflow / RLE
+    // with top-down biHeight — each flags, never throws
+    Seq(
+      Array[Byte](9, 0, 0, 1),    // 9 pixels into a 4-wide row
+      Array[Byte](2, 9, 0, 1),    // index 9 past the 4-entry palette
+      Array[Byte](2, 0)           // runs off without an EOB
+    ).foreach { bad =>
+      val b = AviMjpeg.dib8Avi(Seq(bad), 4, 2, 40000L, pal, rle = true)
+      assert(AviMjpeg.decodeAviFrames(1L, b).forall(!_.ok), bad.mkString(","))
+    }
+
+    // uncompressed 8-bit flavor: solid index rows round-trip exactly
+    val solid = AviMjpeg.dib8Avi(
+      (0 until 2).map(f => AviMjpeg.dib8Frame(5, 3, f)), 5, 3, 40000L, pal, rle = false)
+    val sf = AviMjpeg.decodeAviFrames(1L, solid)
+    assert(sf.map(_.ok) == Seq(true, true))
+    assert(sf(0).mean_r == 255.0 && sf(0).mean_g == 0.0) // palette[0] red
+    assert(sf(1).mean_g == 255.0 && sf(1).mean_r == 0.0) // palette[1] green
+  }
+
   test("media gate admits AVI by real probe: duration floor applies") {
     val rows = Seq(
       // 3 frames × 40 ms = 120 ms — passes a 100 ms floor
