@@ -803,6 +803,17 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // ---- The same exact-k cut through the bounded top-k AGGREGATE (the
+    //      10^8-docs-per-group shape: map-side-combinable O(k) buffers +
+    //      a broadcast semi-join, no per-group sort) — selection must be
+    //      IDENTICAL to the window flavor, same oracle. ----
+    "q_sample_k_agg" -> ((s, dir) => {
+      TextAnalysis.sampleKPerGroupAgg(t(s, dir, "documents"),
+          "source", "doc_id", k = 7, seed = 3L)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // ---- Text: corpus-LM familiarity (CCNet-style LM filter with corpus
     //      bigram counts as the model): reference = en docs, scored slice
     //      = doc_id < 100. Integer hit counts + one IEEE division; a mean
@@ -1496,6 +1507,24 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>"))
         .collect().map(_.getSeq[Double](0).toArray)
       Similarity.semDeDup(embs, "vec_id", "embedding", cents, threshold = 0.45)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- SemDeDup at nProbe = 2 (the boundary-recall knob): each doc
+    //      joins its TWO nearest clusters' candidate sets, so dups split
+    //      across a cluster boundary dedup too. Gateable for the same
+    //      reason the nProbe = 1 assignment is: both engines compute the
+    //      centroid scores with the identical operation order, so the
+    //      top-2 cut (and its ties) lands identically. ----
+    "q_semdedup2" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cents: Array[Array[Double]] = embs.where(col("vec_id") < 8)
+        .orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.semDeDup(embs, "vec_id", "embedding", cents, threshold = 0.45,
+          nProbe = 2)
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
     }),
@@ -2417,6 +2446,68 @@ object SparkEntry {
     * inlining would expand the base scan 2^k times — materialization
     * keeps the chain (and the gate's cost) linear in ranks.
     */
+  /** The SemDeDup replay, parametric in the assignment depth: nProbe = 1
+    * is the classic nearest-centroid cut, nProbe = 2 the boundary-recall
+    * flavor. One generator so both gates share every other line.
+    */
+  private lazy val sampleKOracle: String =
+    s"""WITH f AS (
+       |  SELECT source, doc_id,
+       |    (($fpSql + ${((3L % 1000000007L) + 1000000007L) % 1000000007L})
+       |      * 2654435761 % 1000000007) AS sel
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY sel, doc_id) AS rk
+       |  FROM f)
+       |SELECT source, doc_id FROM r WHERE rk <= 7
+       |ORDER BY source, doc_id""".stripMargin
+
+  private def semDeDupOracle(nProbe: Int): String =
+    s"""WITH RECURSIVE cents AS (
+        |  SELECT CAST(vec_id AS INT) AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |ncents AS (
+        |  SELECT cid,
+        |    list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y * y)))) AS cu
+        |  FROM cents),
+        |scored AS (
+        |  SELECT e.vec_id, n.cid,
+        |    list_sum(list_transform(
+        |      list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), n.cu),
+        |      pr -> pr[1] * pr[2])) AS s
+        |  FROM embeddings e CROSS JOIN ncents n),
+        |asg AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
+        |    FROM scored) rnk
+        |  WHERE rk <= $nProbe),
+        |p AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |  JOIN embeddings a ON a.vec_id = x.vec_id
+        |  JOIN embeddings b ON b.vec_id = y.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p2 -> CAST(p2[1] AS DOUBLE) * CAST(p2[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE))))) >= 0.45),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM p
+        |        UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
+        |comp AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT e.vec_id FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+        |WHERE c.component IS NULL OR c.component = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin
+
   private def bpeTrainChain(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
@@ -2870,50 +2961,11 @@ object SparkEntry {
     // unit-normalized centroid, DESC, ties to the lowest cid
     // assignment + within-cluster exact cosine + recursive closure +
     // min-id survivors, all recomputed from the embeddings table
-    "q_semdedup" ->
-      """WITH RECURSIVE cents AS (
-        |  SELECT CAST(vec_id AS INT) AS cid,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-        |  FROM embeddings WHERE vec_id < 8),
-        |ncents AS (
-        |  SELECT cid,
-        |    list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y * y)))) AS cu
-        |  FROM cents),
-        |scored AS (
-        |  SELECT e.vec_id, n.cid,
-        |    list_sum(list_transform(
-        |      list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), n.cu),
-        |      pr -> pr[1] * pr[2])) AS s
-        |  FROM embeddings e CROSS JOIN ncents n),
-        |asg AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rk
-        |    FROM scored) rnk
-        |  WHERE rk = 1),
-        |p AS (
-        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
-        |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
-        |  JOIN embeddings a ON a.vec_id = x.vec_id
-        |  JOIN embeddings b ON b.vec_id = y.vec_id
-        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      p2 -> CAST(p2[1] AS DOUBLE) * CAST(p2[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding,
-        |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(b.embedding,
-        |         x2 -> CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE))))) >= 0.45),
-        |sym AS (SELECT id_a AS src, id_b AS dst FROM p
-        |        UNION SELECT id_b, id_a FROM p),
-        |reach AS (
-        |  SELECT src, dst FROM sym
-        |  UNION
-        |  SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src),
-        |comp AS (
-        |  SELECT src AS vec_id, least(src, min(dst)) AS component
-        |  FROM reach GROUP BY src)
-        |SELECT e.vec_id FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
-        |WHERE c.component IS NULL OR c.component = e.vec_id
-        |ORDER BY e.vec_id""".stripMargin,
+    "q_semdedup" -> semDeDupOracle(1),
+
+    // the nProbe = 2 flavor: identical replay with the top-2 assignment
+    // cut (pairs sharing both probed clusters collapse in the UNION)
+    "q_semdedup2" -> semDeDupOracle(2),
 
     "q_cluster_assign" ->
       """WITH cents AS (
@@ -4260,18 +4312,11 @@ object SparkEntry {
 
     // rank by the full salted selector (mod p, not the 10^4 cut) with
     // doc_id ties — the same arithmetic sampleKPerGroup orders on
-    "q_sample_k" ->
-      s"""WITH f AS (
-         |  SELECT source, doc_id,
-         |    (($fpSql + ${((3L % 1000000007L) + 1000000007L) % 1000000007L})
-         |      * 2654435761 % 1000000007) AS sel
-         |  FROM documents),
-         |r AS (
-         |  SELECT source, doc_id,
-         |    row_number() OVER (PARTITION BY source ORDER BY sel, doc_id) AS rk
-         |  FROM f)
-         |SELECT source, doc_id FROM r WHERE rk <= 7
-         |ORDER BY source, doc_id""".stripMargin,
+    "q_sample_k" -> sampleKOracle,
+
+    // the bounded-aggregate flavor must select the IDENTICAL rows — one
+    // oracle serves both gates
+    "q_sample_k_agg" -> sampleKOracle,
 
     "q_embed_norms" ->
       """SELECT label, count(*) AS n,

@@ -282,18 +282,46 @@ object TextAnalysis {
     * [[graft.functions.TopKAggregate]] pattern) over the window — same
     * result, no full per-group sort.
     */
+  private def sampleSelector(textCol: String, seed: Long): Column = {
+    val seedReduced = ((seed % 1000000007L) + 1000000007L) % 1000000007L
+    pmod(
+      (portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
+      lit(1000000007L))
+  }
+
   def sampleKPerGroup(docs: DataFrame, groupCol: String, idCol: String, k: Int,
                       seed: Long = 1L, textCol: String = "text"): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
-    val seedReduced = ((seed % 1000000007L) + 1000000007L) % 1000000007L
-    val salted = pmod(
-      (portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
-      lit(1000000007L))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(salted, col(idCol))
+      .partitionBy(col(groupCol))
+      .orderBy(sampleSelector(textCol, seed), col(idCol))
     docs.withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= k)
       .drop("_rk")
+  }
+
+  /** [[sampleKPerGroup]] through the bounded top-k aggregate instead of
+    * the window — IDENTICAL selection (same salted selector ascending,
+    * ties by id; the aggregate's (score desc, id asc) order receives the
+    * NEGATED selector, exact since the selector is < 2^31 ≪ 2^53), but
+    * the scale shape the window cannot give: one map-side-combinable
+    * aggregate per group (O(k) buffers, no per-group sort of the whole
+    * group) plus a semi-join of the picked (group, id) pairs back onto
+    * the corpus — the right flavor when groups run to 10⁸+ docs. The
+    * picked set is groups × k rows, so the join side broadcasts.
+    */
+  def sampleKPerGroupAgg(docs: DataFrame, groupCol: String, idCol: String,
+                         k: Int, seed: Long = 1L,
+                         textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val picked = docs
+      .select(col(groupCol), col(idCol),
+        sampleSelector(textCol, seed).cast(DoubleType).as("_sel"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKAggregate.topk_by(-col("_sel"), col(idCol), k)
+        .as("_top"))
+      .select(col(groupCol), explode(col("_top.id")).as(idCol))
+    docs.join(broadcast(picked), Seq(groupCol, idCol), "left_semi")
   }
 
   /** Stronger (xxhash64-based) rolling fingerprint — Spark-native flavor,

@@ -50,6 +50,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_token_hash(s) - engine-portable 62-bit polynomial token hash") {
       args => TextExpressions.PortableTokenHash64(args(0))
     }
+    register("graft_normalize",
+      "graft_normalize(text, 'NFC'|'NFKC'|'NFD'|'NFKD') - Unicode normalization with the quick-check fast path") {
+      args => TextExpressions.NormalizeForm(args(0), stringArg(args(1), "form"))
+    }
+    register("graft_fix_mojibake",
+      "graft_fix_mojibake(text) - exact-test repair of UTF-8 mis-decoded as Latin-1/Windows-1252") {
+      args => TextExpressions.FixMojibake(args(0))
+    }
     register("graft_hyperplane_sig",
       "graft_hyperplane_sig(vec, bits, seed) - random-hyperplane LSH signature") {
       args => VectorExpressions.HyperplaneSig(args(0), intArg(args(1), "bits"), intArg(args(2), "seed"))

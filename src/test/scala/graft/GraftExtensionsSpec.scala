@@ -38,6 +38,17 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
 
     assert(spark.sql("SELECT graft_array_agree_count(array(1L,2L,3L), array(1L,9L,3L)) AS c")
       .collect().head.getInt(0) == 2)
+
+    // the preClean pair: normalization + mojibake repair from pure SQL
+    assert(spark.sql("SELECT graft_normalize('wé', 'NFC') AS t")
+      .collect().head.getString(0) == "wé")
+    assert(spark.sql("SELECT graft_fix_mojibake('itâ€™s') AS t")
+      .collect().head.getString(0) == "it’s")
+    assert(spark.sql("SELECT graft_fix_mojibake('costs 20€') AS t")
+      .collect().head.getString(0) == "costs 20€")
+    intercept[Exception] { // bad form name fails at plan time, loudly
+      spark.sql("SELECT graft_normalize('x', 'NOT_A_FORM')").collect()
+    }
   }
 
   test("wire + proto decode compose in pure SQL") {

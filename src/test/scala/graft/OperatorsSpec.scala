@@ -421,6 +421,28 @@ class OperatorsSpec extends SparkSpecBase {
     assert(all.count() == docs.count())
   }
 
+  test("sampleKPerGroupAgg selects IDENTICAL rows to the window flavor, windowless plan") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val win = TextAnalysis.sampleKPerGroup(docs, "source", "doc_id", k = 7, seed = 3L)
+      .select("source", "doc_id")
+    val agg = TextAnalysis.sampleKPerGroupAgg(docs, "source", "doc_id", k = 7, seed = 3L)
+      .select("source", "doc_id")
+    assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty,
+      "the two flavors must pick the same rows")
+    // the point of the aggregate flavor: no Window, no per-group sort of
+    // the whole group — the plan carries the bounded aggregate instead
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("topkbyscoreagg") || plan.contains("TopKByScore") ||
+      plan.toLowerCase.contains("objecthashaggregate"), plan)
+    // k beyond the group size keeps everything, like the window flavor
+    assert(TextAnalysis.sampleKPerGroupAgg(docs, "source", "doc_id", k = 1000)
+      .count() == docs.count())
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sampleKPerGroupAgg(docs, "source", "doc_id", k = 0)
+    }
+  }
+
   test("stratifiedSample is deterministic, honors per-stratum fractions and default-keeps") {
     val docs = Tables.load(spark, sfDir, "documents")
     val fr = Map("en" -> 0.5, "zh" -> 0.0)
