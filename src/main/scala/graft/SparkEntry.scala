@@ -803,6 +803,24 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // ---- Text: CCNet-style corpus-level PARAGRAPH dedup. Fixture: each
+    //      doc is three arithmetic paragraphs — "common (id%17)" and
+    //      "shared (id%5)" collide across docs, "unique id" never does —
+    //      plus an EMPTY line every 4th doc that must not participate.
+    //      Winner per distinct paragraph = smallest (doc, position); the
+    //      oracle replays split, window and in-order reassembly. ----
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val fix = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("common "), (col("doc_id") % 17).cast("string"), lit("\n"),
+        when(col("doc_id") % 4 === 0, lit("\n")).otherwise(lit("")),
+        lit("shared "), (col("doc_id") % 5).cast("string"), lit("\n"),
+        lit("unique "), col("doc_id").cast("string")).as("text"))
+      TextAnalysis.dedupParagraphs(fix, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          col("n_kept"), col("n_total"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- The same exact-k cut through the bounded top-k AGGREGATE (the
     //      10^8-docs-per-group shape: map-side-combinable O(k) buffers +
     //      a broadcast semi-join, no per-group sort) — selection must be
@@ -4312,6 +4330,35 @@ object SparkEntry {
 
     // rank by the full salted selector (mod p, not the 10^4 cut) with
     // doc_id ties — the same arithmetic sampleKPerGroup orders on
+    // paragraphs rebuilt from the same arithmetic, winner window and
+    // in-order reassembly replayed; 1-based list index -> 0-based pos is
+    // irrelevant to the ORDER BY (same monotone order both engines)
+    "q_paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'common ' || CAST(doc_id % 17 AS VARCHAR) || chr(10)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) ELSE '' END)
+        |    || 'shared ' || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+        |    || 'unique ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, q.l[i] AS para, i AS pos
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM d) q,
+        |       unnest(range(1, len(q.l) + 1)) AS t(i)
+        |  WHERE length(trim(q.l[i])) > 0),
+        |k AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+        |  FROM p),
+        |re AS (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+        |    count(*) AS n_kept
+        |  FROM k WHERE rk = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM p GROUP BY doc_id)
+        |SELECT r.doc_id, md5(r.text) AS h, CAST(r.n_kept AS BIGINT) AS n_kept,
+        |  CAST(t.n_total AS BIGINT) AS n_total
+        |FROM re r JOIN tot t USING (doc_id) ORDER BY r.doc_id""".stripMargin,
+
     "q_sample_k" -> sampleKOracle,
 
     // the bounded-aggregate flavor must select the IDENTICAL rows — one

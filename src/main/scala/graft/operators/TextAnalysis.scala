@@ -324,6 +324,46 @@ object TextAnalysis {
     docs.join(broadcast(picked), Seq(groupCol, idCol), "left_semi")
   }
 
+  /** CCNet-style corpus-level PARAGRAPH dedup — the stage that removes
+    * boilerplate (headers, cookie banners, navigation) from a web crawl:
+    * split every document on newlines, keep each distinct non-empty
+    * paragraph ONCE across the whole corpus (winner = smallest
+    * (doc, position) — deterministic, replay-stable), reassemble each
+    * document from its surviving paragraphs in original order. Documents
+    * whose paragraphs all lose disappear (CCNet's behavior — they were
+    * pure boilerplate). Emits `(idCol, textCol, n_kept, n_total)`.
+    *
+    * Scale shape: one posexplode (map-only), ONE shuffle on the
+    * paragraph text for the winner window (same exchange a groupBy
+    * would pay; the window's per-key sort is over occurrence lists,
+    * which boilerplate skew caps at corpus-doc count — heavy keys are
+    * exactly the paragraphs being deleted), one shuffle back on the doc
+    * id to reassemble. No corpus-sized driver state, no all-pairs
+    * anything. Exact by construction (full paragraph text is the key, no
+    * hash-collision question).
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String,
+                      textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_para")))
+      .where(length(trim(col("_para"))) > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_para")).orderBy(col("_id"), col("_pos"))
+    val totals = paras.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_total"))
+    paras.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1)
+      .groupBy(col("_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_para")))),
+            x => x.getField("_para")),
+          "\n").as(textCol),
+        count(lit(1)).as("n_kept"))
+      .join(totals, Seq("_id"))
+      .select(col("_id").as(idCol), col(textCol), col("n_kept"), col("n_total"))
+  }
+
   /** Stronger (xxhash64-based) rolling fingerprint — Spark-native flavor,
     * used internally where oracle parity is not required.
     */

@@ -443,6 +443,29 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedupParagraphs keeps each paragraph once (first occurrence), reassembles in order") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nfooter"),
+      (2L, "COOKIE BANNER\nreal content two\nfooter"),
+      (3L, "COOKIE BANNER\nfooter"), // pure boilerplate — disappears
+      (4L, "  \n\nreal content one\nfresh line") // blanks don't participate
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.dedupParagraphs(docs, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L), "doc 3 lost every paragraph")
+    assert(out(0).getString(1) == "COOKIE BANNER\nreal content one\nfooter")
+    assert(out(0).getLong(2) == 3 && out(0).getLong(3) == 3)
+    assert(out(1).getString(1) == "real content two") // banner+footer lost to doc 1
+    assert(out(1).getLong(2) == 1 && out(1).getLong(3) == 3)
+    assert(out(2).getString(1) == "fresh line") // 'real content one' lost to doc 1
+    assert(out(2).getLong(2) == 1 && out(2).getLong(3) == 2)
+    // replay/partitioning-stable: winners are (doc, pos)-deterministic
+    val again = graft.operators.TextAnalysis.dedupParagraphs(
+      docs.repartition(5), "doc_id").orderBy("doc_id").collect()
+    assert(again.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      out.map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
   test("stratifiedSample is deterministic, honors per-stratum fractions and default-keeps") {
     val docs = Tables.load(spark, sfDir, "documents")
     val fr = Map("en" -> 0.5, "zh" -> 0.0)
