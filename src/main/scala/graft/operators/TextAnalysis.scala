@@ -351,7 +351,7 @@ object TextAnalysis {
       .partitionBy(col("_para")).orderBy(col("_id"), col("_pos"))
     val totals = paras.groupBy(col("_id"))
       .agg(count(lit(1)).as("n_total"))
-    paras.withColumn("_rk", row_number().over(w))
+    val reassembled = paras.withColumn("_rk", row_number().over(w))
       .where(col("_rk") === 1)
       .groupBy(col("_id"))
       .agg(
@@ -361,7 +361,10 @@ object TextAnalysis {
           "\n").as(textCol),
         count(lit(1)).as("n_kept"))
       .join(totals, Seq("_id"))
-      .select(col("_id").as(idCol), col(textCol), col("n_kept"), col("n_total"))
+      .withColumnRenamed("_id", idCol)
+    // ride-along columns survive (the pipeline depends on it); the inner
+    // join is what drops all-boilerplate docs
+    docs.drop(textCol).join(reassembled, Seq(idCol))
   }
 
   /** Stronger (xxhash64-based) rolling fingerprint — Spark-native flavor,

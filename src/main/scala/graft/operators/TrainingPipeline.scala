@@ -14,6 +14,8 @@ import graft.functions.{Functions => F}
   *     [[graft.multimodal.JdkMedia.mediaQualityGate]]'s output to keep
   *     only docs whose media blob REAL-decodes past the per-modality
   *     floors (image min-dim, audio/video min-duration);
+  *  0.5. (optional) corpus-level paragraph dedup — CCNet's boilerplate
+  *     removal, each distinct paragraph kept once corpus-wide;
   *  1. exact dedup (content-hash, min-id representative);
   *  2. near-dup clustering (MinHash-LSH pairs → connected components) with
   *     the QUALITY-argmax representative per cluster, not min-id — dup
@@ -82,7 +84,13 @@ object TrainingPipeline {
     // text repair BEFORE any hashing: mojibake repair + Unicode NFC, so
     // canonically-identical spellings dedup/fingerprint together (both
     // map-only with already-clean fast paths — ~free on healthy corpora)
-    preClean: Boolean = false)
+    preClean: Boolean = false,
+    // CCNet-style corpus-level paragraph dedup BEFORE document-level
+    // dedup: boilerplate (banners, navigation, footers) is removed from
+    // every doc but its first carrier, and docs that were pure
+    // boilerplate disappear — which also makes the document-level stages
+    // see content, not chrome ([[TextAnalysis.dedupParagraphs]])
+    paragraphDedup: Boolean = false)
 
   /** Run the full preparation over `docs(idCol, textCol, …)`. Output keeps
     * the input columns and adds `quality` and `split` — plus `familiarity`
@@ -149,10 +157,19 @@ object TrainingPipeline {
     // text (exact dedup, shingles, fingerprints, splits), so mojibake and
     // decomposed Unicode must be gone before the first hash or equivalent
     // docs land in different buckets
-    val cleaned =
+    val cleaned0 =
       if (cfg.preClean)
         TextAnalysis.normalizeText(TextAnalysis.fixMojibake(docs, textCol), textCol)
       else docs
+    // paragraph dedup AFTER text repair (paragraphs must hash canonically)
+    // and BEFORE doc-level dedup (two docs differing only in boilerplate
+    // become exact dups once the boilerplate is stripped)
+    val cleaned =
+      if (cfg.paragraphDedup)
+        tap("paragraph_dedup",
+          TextAnalysis.dedupParagraphs(cleaned0, idCol, textCol)
+            .drop("n_kept", "n_total"))
+      else cleaned0
     // quality is computed ONCE, before clustering: the same column orders
     // the keep-best window AND survives as the output score (recomputing
     // the three full-text scans inside the window ordering would double

@@ -65,6 +65,42 @@ class PipelineE2ESpec extends SparkSpecBase {
     assert(dirty.count() == 4)
   }
 
+  test("paragraphDedup stage: boilerplate-differing docs collapse at the doc level") {
+    import graft.operators.TrainingPipeline
+    val content = "the actual article body with enough words to score on quality"
+    val docs = Seq(
+      (1L, s"COOKIE BANNER\n$content\nsite footer text"),
+      (2L, s"COOKIE BANNER\n$content\nsite footer text"), // exact dup anyway
+      (3L, s"DIFFERENT BANNER\n$content"),                // boilerplate-differing dup
+      (4L, "COOKIE BANNER\nsite footer text"),            // pure boilerplate — vanishes
+      (5L, "another article entirely, about spark physical plans")
+    ).toDF("doc_id", "text")
+    val out = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = TrainingPipeline.Config(paragraphDedup = true)).persist()
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(4L), "pure-boilerplate doc must vanish")
+    assert(ids.contains(5L))
+    // docs 1 and 2 were exact dups → one survivor carrying the article
+    // (plus its banner/footer, which it owns as first carrier)
+    assert(ids.count(Set(1L, 2L)) == 1, s"exact dups must collapse: $ids")
+    // doc 3 lost its article body to the first carrier: all that remains
+    // is its unique banner — exactly the husk a downstream quality floor
+    // exists to drop
+    assert(out.where(col("doc_id") === 3L).select("text").as[String]
+      .collect().toSeq == Seq("DIFFERENT BANNER"))
+    val floored = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = TrainingPipeline.Config(paragraphDedup = true, minQuality = 0.45))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!floored.contains(3L), s"the husk must fail the quality floor: $floored")
+    // ledger carries the stage; note the exact dup (doc 2) ALSO vanishes
+    // here — every one of its paragraphs loses to doc 1 — so paragraph
+    // dedup subsumes exact dedup for same-text docs
+    val (_, ledger) = TrainingPipeline.prepareAudited(docs, "doc_id",
+      cfg = TrainingPipeline.Config(paragraphDedup = true))
+    assert(ledger.head._1 == "paragraph_dedup" && ledger.head._2 == 3L, ledger)
+    out.unpersist()
+  }
+
   test("training pipeline: dedup -> keep-best -> quality floor -> split, idempotent") {
     import graft.operators.{Dedup, TrainingPipeline}
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
