@@ -230,6 +230,27 @@ class AviMjpegSpec extends SparkSpecBase {
     assert(sf(1).mean_g == 255.0 && sf(1).mean_r == 0.0) // palette[1] green
   }
 
+  test("videoNearDups pairs the SAME content across container flavors (MJPEG vs DIB)") {
+    // one gray tone carried by a lossy MJPEG container and a lossless DIB
+    // container: decoded means differ by <= 3 (JPEG wobble), the shared
+    // banded-grid core must pair them; a far tone must not pair
+    val v = 120 // equal channels => BT.601 luma == v
+    val rows = Seq(
+      MediaRow(1L, AviMjpeg.mjpegAvi(
+        (0 until 2).map(_ => AviMjpeg.solidJpeg(32, 32, v, v, v)), 32, 32, 40000L),
+        MediaMeta("avi", 32, 32, 80L)),
+      MediaRow(2L, AviMjpeg.dibAvi(
+        (0 until 3).map(_ => AviMjpeg.dibFrame(16, 8, v, v, v)), 16, 8, 40000L),
+        MediaMeta("avi", 16, 8, 120L)),
+      MediaRow(3L, AviMjpeg.dibAvi(
+        Seq(AviMjpeg.dibFrame(16, 8, v + 60, v + 60, v + 60)), 16, 8, 40000L),
+        MediaMeta("avi", 16, 8, 40L))).toDS()
+    val pairs = AviMjpeg.videoNearDups(rows, meanTol = 8.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"cross-flavor same-tone must pair, far tone must not: $pairs")
+  }
+
   test("media gate admits AVI by real probe: duration floor applies") {
     val rows = Seq(
       // 3 frames × 40 ms = 120 ms — passes a 100 ms floor
