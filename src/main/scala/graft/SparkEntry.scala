@@ -832,6 +832,19 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // ---- Text: deterministic corpus shuffle (reproducible epoch order).
+    //      The global permutation is computed WITHOUT a global sort:
+    //      contiguous key-range buckets + per-bucket rank + bucket
+    //      offsets; the oracle replays the selector arithmetic and a
+    //      plain global row_number — both must agree position-for-
+    //      position over the whole corpus. ----
+    "q_corpus_shuffle" -> ((s, dir) => {
+      TextAnalysis.corpusShuffle(t(s, dir, "documents"), "doc_id",
+          seed = 5L, numBuckets = 64)
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: corpus-LM familiarity (CCNet-style LM filter with corpus
     //      bigram counts as the model): reference = en docs, scored slice
     //      = doc_id < 100. Integer hit counts + one IEEE division; a mean
@@ -4364,6 +4377,17 @@ object SparkEntry {
     // the bounded-aggregate flavor must select the IDENTICAL rows — one
     // oracle serves both gates
     "q_sample_k_agg" -> sampleKOracle,
+
+    // bucketed-rank global position vs a plain global row_number over the
+    // same replayed selector (seed 5 reduced mod p = 5)
+    "q_corpus_shuffle" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    (($fpSql + 5) * 2654435761 % 1000000007) AS sel
+         |  FROM documents)
+         |SELECT doc_id,
+         |  row_number() OVER (ORDER BY sel, doc_id) - 1 AS shuffle_pos
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT label, count(*) AS n,

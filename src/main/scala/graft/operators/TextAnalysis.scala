@@ -906,4 +906,55 @@ object TextAnalysis {
       .withColumn("pack_id", expr(s"_cum_before DIV $budgetTokens"))
       .drop("_cum_before", "fp")
   }
+
+  // ------------------------------------------------ deterministic shuffle
+
+  /** Deterministic global shuffle position for every document — the
+    * reproducible corpus ordering a training run needs (epoch order must
+    * be replayable for debugging/ablation, and `orderBy(rand())` is
+    * neither replayable across engines nor stable across partitionings).
+    * The order key is the salted Knuth-mixed selector of
+    * [[stratifiedSample]] — a pure function of (content, seed), so the
+    * permutation is engine-recomputable and different seeds give
+    * decorrelated orders — with ties (identical text) broken by `idCol`.
+    *
+    * Emits the input columns plus `shuffle_pos` (0-based, dense, one per
+    * row). A sharded-output writer follows with
+    * `repartitionByRange(shards, col("shuffle_pos")).sortWithinPartitions("shuffle_pos")`
+    * — contiguous position ranges per shard, no further shuffle.
+    *
+    * Scale shape: NO global sort and no single-partition window. The key
+    * space [0, p) is cut into `numBuckets` contiguous RANGES (bucket =
+    * key / ceil(p/B), so bucket order IS key order); per-bucket counts
+    * (≤ B rows, metadata-sized — the one bounded collect, B ≤ 2^20) give
+    * each bucket its starting offset, and a per-bucket `row_number`
+    * window (one hash exchange on the bucket id; the Knuth mix keeps
+    * buckets balanced for any content skew — identical docs tie on the
+    * key but still spread by id within one bucket's sort) yields
+    * `shuffle_pos = offset(bucket) + rank − 1`.
+    */
+  def corpusShuffle(docs: DataFrame, idCol: String, seed: Long = 1L,
+                    numBuckets: Int = 1024,
+                    textCol: String = "text"): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20] (driver holds one count per bucket), got $numBuckets")
+    val p = 1000000007L
+    val bucketWidth = (p + numBuckets - 1) / numBuckets // ceil(p/B)
+    val keyed = docs.withColumn("_key", sampleSelector(textCol, seed))
+      .withColumn("_bucket", (col("_key") / bucketWidth).cast(LongType))
+    // bounded collect: ≤ numBuckets rows of (bucket, count) — metadata,
+    // not data (same contract as the stratum-count collects above)
+    val counts = keyed.groupBy("_bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Long, Long] = {
+      var acc = 0L
+      counts.map { case (b, n) => val o = b -> acc; acc += n; o }.toMap
+    }
+    val w = Window.partitionBy(col("_bucket")).orderBy(col("_key"), col(idCol))
+    keyed
+      .withColumn("shuffle_pos",
+        element_at(typedlit(offsets), col("_bucket")) +
+          row_number().over(w).cast(LongType) - 1L)
+      .drop("_key", "_bucket")
+  }
 }

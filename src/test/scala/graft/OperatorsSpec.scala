@@ -443,6 +443,42 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("corpusShuffle: dense permutation = global (selector, id) order; bucket-count/partitioning invariant; seeds decorrelate") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    val sh = TextAnalysis.corpusShuffle(docs, "doc_id", seed = 5L, numBuckets = 16)
+    // positions are exactly 0..n-1
+    assert(sh.select("shuffle_pos").as[Long].collect().sorted.toSeq ==
+      (0L until n).toSeq)
+    // the bucketed rank reproduces a plain global sort on (selector, id)
+    val sel = pmod((TextAnalysis.portableFingerprint(col("text")) + 5L) *
+      2654435761L, lit(1000000007L))
+    val exp = docs.orderBy(sel, col("doc_id")).select("doc_id").as[Long].collect()
+    val got = sh.orderBy("shuffle_pos").select("doc_id").as[Long].collect()
+    assert(got.toSeq == exp.toSeq)
+    // the permutation is a function of (content, seed) only: bucket count
+    // and input partitioning must not change any position
+    val ref = sh.select("doc_id", "shuffle_pos")
+    val other = TextAnalysis.corpusShuffle(docs.repartition(7), "doc_id",
+      seed = 5L, numBuckets = 3).select("doc_id", "shuffle_pos")
+    assert(ref.exceptAll(other).isEmpty && other.exceptAll(ref).isEmpty)
+    // a different seed produces a substantially different order
+    val pos5 = sh.select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val pos6 = TextAnalysis.corpusShuffle(docs, "doc_id", seed = 6L, numBuckets = 16)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val moved = pos5.count { case (id, p) => pos6(id) != p }
+    assert(moved > n / 2, s"seeds 5 and 6 moved only $moved/$n docs")
+    // identical text ties break by id
+    val dup = Seq((10L, "same text"), (2L, "same text"), (5L, "same text"))
+      .toDF("doc_id", "text")
+    val tieOrder = TextAnalysis.corpusShuffle(dup, "doc_id", seed = 1L, numBuckets = 4)
+      .orderBy("shuffle_pos").select("doc_id").as[Long].collect().toSeq
+    assert(tieOrder == Seq(2L, 5L, 10L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.corpusShuffle(docs, "doc_id", numBuckets = 0)
+    }
+  }
+
   test("dedupParagraphs keeps each paragraph once (first occurrence), reassembles in order") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nreal content one\nfooter"),
