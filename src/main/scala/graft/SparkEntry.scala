@@ -1050,6 +1050,22 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // ---- Dedup: sharded Bloom seen-set probe (the history-size-
+    //      independent incremental-dedup tier). mBits is deliberately
+    //      small (1024/shard) so FALSE POSITIVES occur at this sf — the
+    //      oracle replays the double-hashing position arithmetic and the
+    //      set-bit membership test exactly, so the gate proves
+    //      bit-identical Bloom behavior, not just "no false
+    //      negatives". ----
+    "q_bloom_seen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val filter = SeenFilter.buildFilter(docs.where(col("doc_id") % 3 =!= 0),
+        seed = 7L, kHashes = 3, mBits = 1024, numShards = 4)
+      SeenFilter.markSeen(docs, filter)
+        .select(col("doc_id"), col("maybe_seen"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Dedup: INCREMENTAL through the PARTITIONED serving layout —
     //      same verified-pair contract as q_incremental_dedup, but the
     //      whole on-disk serving path executes for real: signature table
@@ -2701,6 +2717,29 @@ object SparkEntry {
         |  FROM n JOIN sh c ON TRUE)
         |SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.5
         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // replay the Bloom filter as arithmetic: double-hashing positions
+    // (h1 + j·h2 mod p mod m) per doc, history bit-set per shard, probe =
+    // all 3 positions present — false positives and all. Seed 7 reduced
+    // mod p = 7; second salt = (7 + 1315423911) % p = 1315423918.
+    "q_bloom_seen" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, $fpSql AS fp FROM documents),
+         |g AS (
+         |  SELECT doc_id, fp % 4 AS shard,
+         |    ((fp + 7) * 2654435761 % 1000000007) AS h1,
+         |    ((((fp + 1315423918) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+         |  FROM f),
+         |hp AS (
+         |  SELECT DISTINCT shard, ((h1 + u.j * h2) % 1000000007) % 1024 AS pos
+         |  FROM g CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u
+         |  WHERE doc_id % 3 <> 0),
+         |bp AS (
+         |  SELECT doc_id, shard, ((h1 + u.j * h2) % 1000000007) % 1024 AS pos
+         |  FROM g CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u)
+         |SELECT bp.doc_id, bool_and(hp.pos IS NOT NULL) AS maybe_seen
+         |FROM bp LEFT JOIN hp ON hp.shard = bp.shard AND hp.pos = bp.pos
+         |GROUP BY bp.doc_id ORDER BY bp.doc_id""".stripMargin,
 
     // identical contract to q_incremental_dedup — the Spark side differs
     // only in HOW it fetches (partitioned layout + pruned verify), which

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.BloomFilter
+
+/** Sharded Bloom "seen set" — the incremental exact-dedup PROBE for
+  * corpora where joining each new batch against the full history is the
+  * bottleneck: the history is folded once into a fixed-size bit filter,
+  * and every later batch is marked `maybe_seen` by a broadcast join +
+  * arithmetic bit test — a map-only probe whose cost is independent of
+  * history size. `maybe_seen = false` is EXACT (never seen — safe to
+  * admit with no further work); `maybe_seen = true` is a candidate set
+  * to confirm against the (partition-pruned) store, sized by the false-
+  * positive rate ≈ (1 − e^{−k·n/m})^k. This is the standard two-tier
+  * shape: the filter eliminates the no-hit majority, the exact check
+  * only pays for hits.
+  *
+  * The filter is a DataFrame of `(shard, words, seed, k_hashes, m_bits,
+  * num_shards)` — self-describing, parquet-round-trippable, OR-mergeable
+  * ([[mergeFilters]]) so daily increments compose without replaying
+  * history. Sharding (shard = fp mod numShards) keeps each aggregation
+  * buffer at mBits/8 bytes while the TOTAL capacity scales with
+  * numShards × mBits; the probe side broadcasts numShards × mBits/8
+  * bytes (size it to a few hundred MB at most — 2^30 total bits = 128 MB
+  * covers ~10^8 history keys per 1% FP at k=7).
+  *
+  * Keys are the portable content fingerprint, and bit positions are the
+  * exact double-hashing arithmetic of [[graft.functions.BloomFilter]] —
+  * so the filter's behavior, false positives included, is replayable by
+  * any engine (the oracle gates accept/reject bit-for-bit, not just "no
+  * false negatives").
+  */
+object SeenFilter {
+
+  private def checkParams(kHashes: Int, mBits: Int, numShards: Int): Unit = {
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes must be in [1,16], got $kHashes")
+    require(mBits >= 64 && mBits <= (1 << 24),
+      s"mBits must be in [64, 2^24] (per-shard aggregate buffer = mBits/8 bytes; " +
+        s"grow numShards for more capacity), got $mBits")
+    require(numShards >= 1 && numShards <= (1 << 16),
+      s"numShards must be in [1, 2^16], got $numShards")
+  }
+
+  /** Fold `history` into the sharded filter. One map-side-combinable
+    * aggregate pass; null/absent text contributes nothing.
+    */
+  def buildFilter(history: DataFrame, textCol: String = "text",
+                  seed: Long = 1L, kHashes: Int = 5,
+                  mBits: Int = 1 << 20, numShards: Int = 16): DataFrame = {
+    checkParams(kHashes, mBits, numShards)
+    history
+      .select(TextAnalysis.portableFingerprint(col(textCol)).as("_fp"))
+      .where(col("_fp").isNotNull)
+      .select(pmod(col("_fp"), lit(numShards.toLong)).as("shard"),
+        BloomFilter.positions(col("_fp"), seed, kHashes, mBits).as("_pos"))
+      .groupBy("shard")
+      .agg(BloomFilter.bitset_or_agg(col("_pos"), mBits).as("words"))
+      .select(col("shard"), col("words"), lit(seed).as("seed"),
+        lit(kHashes).as("k_hashes"), lit(mBits).as("m_bits"),
+        lit(numShards).as("num_shards"))
+  }
+
+  /** Mark each batch row with `maybe_seen` against `filter`. The filter
+    * config rides in the filter DataFrame itself (one bounded collect of
+    * the distinct config row — metadata, not data); shards with no
+    * history rows are simply absent and everything hashing there is
+    * unseen. An EMPTY filter (no history at all) marks nothing seen.
+    */
+  def markSeen(batch: DataFrame, filter: DataFrame,
+               textCol: String = "text"): DataFrame = {
+    val cfg = filter.select("seed", "k_hashes", "m_bits", "num_shards")
+      .distinct().collect()
+    require(cfg.length <= 1,
+      s"filter carries ${cfg.length} distinct configs — refusing to probe a " +
+        "mixed filter (merge inputs disagreed on seed/k/mBits/shards?)")
+    if (cfg.isEmpty) return batch.withColumn("maybe_seen", lit(false))
+    val (seed, k, mBits) =
+      (cfg(0).getLong(0), cfg(0).getInt(1), cfg(0).getInt(2))
+    val numShards = cfg(0).getInt(3)
+    val inputCols = batch.columns.map(col)
+    batch
+      .withColumn("_fp", TextAnalysis.portableFingerprint(col(textCol)))
+      .withColumn("_shard", pmod(col("_fp"), lit(numShards.toLong)))
+      .join(broadcast(filter.select(col("shard").as("_shard"), col("words"))),
+        Seq("_shard"), "left")
+      .select(inputCols :+
+        coalesce(BloomFilter.mightContain(col("words"), col("_fp"),
+          seed, k, mBits), lit(false)).as("maybe_seen"): _*)
+  }
+
+  /** OR-merge two independently built filters (e.g. the served filter and
+    * today's batch filter). Configs must match exactly — word-wise OR of
+    * different geometries would silently corrupt membership.
+    */
+  def mergeFilters(a: DataFrame, b: DataFrame): DataFrame = {
+    val merged = a.unionByName(b)
+    val cfg = merged.select("seed", "k_hashes", "m_bits", "num_shards")
+      .distinct().collect()
+    require(cfg.length <= 1,
+      "filters disagree on seed/k/mBits/shards — cannot merge")
+    merged
+      .groupBy("shard")
+      .agg(BloomFilter.or_words_agg(col("words")).as("words"),
+        first("seed").as("seed"), first("k_hashes").as("k_hashes"),
+        first("m_bits").as("m_bits"), first("num_shards").as("num_shards"))
+      .select("shard", "words", "seed", "k_hashes", "m_bits", "num_shards")
+  }
+
+  /** The two-tier admission in one call: rows marked unseen pass through
+    * immediately (exact — a Bloom filter has no false negatives); rows
+    * marked `maybe_seen` are confirmed against `exactKeys` (a DataFrame
+    * with `keyCol` of LongType fingerprints — typically the
+    * partition-pruned key store) with a join whose LEFT side is only the
+    * candidate slice, FP-rate-sized, not the batch.
+    */
+  def admitNew(batch: DataFrame, filter: DataFrame, exactKeys: DataFrame,
+               keyCol: String, textCol: String = "text"): DataFrame = {
+    val marked = markSeen(batch, filter, textCol)
+    val unseen = marked.where(!col("maybe_seen")).drop("maybe_seen")
+    val candidates = marked.where(col("maybe_seen")).drop("maybe_seen")
+      .withColumn("_fp", TextAnalysis.portableFingerprint(col(textCol)))
+    val confirmedNew = candidates
+      .join(exactKeys.select(col(keyCol).cast(LongType).as("_fp")),
+        Seq("_fp"), "left_anti")
+      .drop("_fp")
+    unseen.unionByName(confirmedNew)
+  }
+}

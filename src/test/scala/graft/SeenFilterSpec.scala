@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SeenFilter, TextAnalysis}
+import graft.sources.Tables
+
+/** Sharded Bloom seen-set: no false negatives ever, bounded false
+  * positives, OR-merge equivalence, partitioning invariance, and the
+  * two-tier admit path.
+  */
+class SeenFilterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("no false negatives: every history doc is maybe_seen; filter is partitioning-invariant") {
+    val filter = SeenFilter.buildFilter(docs, seed = 3L, kHashes = 5,
+      mBits = 1 << 14, numShards = 4)
+    val marked = SeenFilter.markSeen(docs, filter)
+    assert(marked.where(!col("maybe_seen")).count() == 0,
+      "a Bloom filter must never miss an inserted element")
+    // rebuilt from a reshuffled history → identical words per shard
+    val filter2 = SeenFilter.buildFilter(
+      docs.orderBy(rand(11)).repartition(7), seed = 3L, kHashes = 5,
+      mBits = 1 << 14, numShards = 4)
+    assert(filter.select("shard", "words").exceptAll(
+      filter2.select("shard", "words")).isEmpty,
+      "OR fold must be independent of row order and partitioning")
+  }
+
+  test("false positives exist at small m, bounded near the analytic rate, and unseen-at-large-m is exact") {
+    val history = docs.where(col("doc_id") % 3 =!= 0)
+    val probe = docs.where(col("doc_id") % 3 === 0)
+    // generous m: the probe half must come back (almost) entirely unseen
+    val big = SeenFilter.buildFilter(history, seed = 3L, kHashes = 5,
+      mBits = 1 << 18, numShards = 2)
+    val fpBig = SeenFilter.markSeen(probe, big).where(col("maybe_seen")).count()
+    assert(fpBig <= 1, s"at 2×2^18 bits the FP count should be ~0, got $fpBig")
+    // tight m: FPs must appear (that is what the oracle replays) and stay
+    // within ~3× of (1 − e^{−kn/m})^k
+    val small = SeenFilter.buildFilter(history, seed = 3L, kHashes = 3,
+      mBits = 1024, numShards = 4)
+    val n = probe.count().toDouble
+    val perShard = history.count().toDouble / 4
+    val rate = math.pow(1 - math.exp(-3 * perShard / 1024), 3)
+    val fpSmall = SeenFilter.markSeen(probe, small).where(col("maybe_seen")).count()
+    assert(fpSmall > 0, "tight fixture must produce false positives")
+    assert(fpSmall <= (3 * rate * n).ceil,
+      s"FP count $fpSmall vs analytic ${rate * n} (n=$n, perShard=$perShard)")
+  }
+
+  test("mergeFilters(half1, half2) answers exactly like a filter built from the union") {
+    val h1 = docs.where(col("doc_id") % 2 === 0)
+    val h2 = docs.where(col("doc_id") % 2 =!= 0)
+    val m = 1 << 12
+    val merged = SeenFilter.mergeFilters(
+      SeenFilter.buildFilter(h1, seed = 5L, kHashes = 4, mBits = m, numShards = 3),
+      SeenFilter.buildFilter(h2, seed = 5L, kHashes = 4, mBits = m, numShards = 3))
+    val whole = SeenFilter.buildFilter(docs, seed = 5L, kHashes = 4,
+      mBits = m, numShards = 3)
+    assert(merged.select("shard", "words").exceptAll(
+      whole.select("shard", "words")).isEmpty &&
+      whole.select("shard", "words").exceptAll(
+        merged.select("shard", "words")).isEmpty)
+    // mismatched geometry refuses loudly
+    intercept[IllegalArgumentException] {
+      SeenFilter.mergeFilters(whole,
+        SeenFilter.buildFilter(h2, seed = 5L, kHashes = 4, mBits = 2 * m,
+          numShards = 3)).collect()
+    }
+  }
+
+  test("empty filter marks nothing seen; markSeen broadcasts the filter") {
+    val empty = SeenFilter.buildFilter(docs.where(lit(false)))
+    val marked = SeenFilter.markSeen(docs, empty)
+    assert(marked.where(col("maybe_seen")).count() == 0)
+    val filter = SeenFilter.buildFilter(docs)
+    val plan = SeenFilter.markSeen(docs, filter)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("admitNew: unseen rows pass untouched, candidates are confirmed exactly — no duplicates admitted, no new rows lost") {
+    val history = docs.where(col("doc_id") % 3 =!= 0)
+    val exactKeys = TextAnalysis.fingerprint(history).select(col("fp"))
+    // tight filter so the FP path actually exercises the confirm join
+    val filter = SeenFilter.buildFilter(history, seed = 3L, kHashes = 3,
+      mBits = 1024, numShards = 4)
+    val admitted = SeenFilter.admitNew(docs, filter, exactKeys, "fp")
+    // ground truth: docs whose fingerprint is NOT in history
+    val truth = TextAnalysis.fingerprint(docs)
+      .join(exactKeys, Seq("fp"), "left_anti").select("doc_id")
+    val got = admitted.select("doc_id")
+    assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+      "admitNew must equal the exact anti-join result")
+  }
+}
