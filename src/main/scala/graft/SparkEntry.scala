@@ -845,6 +845,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Text: model-based quality classifier trained IN the engine —
+    //      4 batch-perceptron epochs over hashed token features (y = +1
+    //      iff lang = en, 75% train split), then map-only scoring of the
+    //      held-out quarter. All-integer arithmetic end to end, so the
+    //      oracle replays every epoch (margins → misclassified deltas →
+    //      weight update) in SQL and must land on bit-identical held-out
+    //      scores. ----
+    "q_perceptron" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.where(col("doc_id") % 4 =!= 0)
+        .withColumn("y", when(col("lang") === "en", 1).otherwise(-1))
+      val model = LinearClassifier.trainPerceptron(labeled, "doc_id", "y",
+        numBuckets = 32, epochs = 4)
+      LinearClassifier.score(docs.where(col("doc_id") % 4 === 0), model)
+        .select(col("doc_id"), col("score"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: corpus-LM familiarity (CCNet-style LM filter with corpus
     //      bigram counts as the model): reference = en docs, scored slice
     //      = doc_id < 100. Integer hit counts + one IEEE division; a mean
@@ -2509,6 +2527,66 @@ object SparkEntry {
        |  FROM f)
        |SELECT source, doc_id FROM r WHERE rk <= 7
        |ORDER BY source, doc_id""".stripMargin
+
+  /** Replays [[graft.operators.LinearClassifier.trainPerceptron]] epoch
+    * by epoch: the token-hash features (bias as bucket −1), then per
+    * epoch margins from the previous weights, the misclassified docs'
+    * per-bucket deltas, and the weight update — all integer arithmetic,
+    * so the held-out scores must match the engine bit for bit.
+    * MATERIALIZED is load-bearing: each epoch references the previous
+    * weights twice (q_bpe_train's lesson — plain CTEs inline to 2^k
+    * base scans).
+    */
+  private lazy val perceptronOracle: String = {
+    val epochs = 4
+    val bucket = "((CAST(len(t) AS BIGINT) * 2654435761 " +
+      "+ CAST(unicode(t) AS BIGINT) * 97 " +
+      "+ CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) % 32"
+    val sb = new StringBuilder
+    sb ++= s"""WITH lab AS MATERIALIZED (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, text
+      |  FROM documents WHERE doc_id % 4 <> 0),
+      |fy AS MATERIALIZED (
+      |  SELECT f.doc_id, f.bucket, f.cnt, l.y FROM (
+      |    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |      SELECT doc_id, $bucket AS bucket FROM (
+      |        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM lab)
+      |      WHERE t <> '') GROUP BY doc_id, bucket
+      |    UNION ALL
+      |    SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM lab) f
+      |  JOIN lab l USING (doc_id)),
+      |w0 AS MATERIALIZED (
+      |  SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS w
+      |  WHERE FALSE)""".stripMargin
+    for (e <- 1 to epochs) {
+      sb ++= s""",
+      |m$e AS MATERIALIZED (
+      |  SELECT f.doc_id FROM fy f LEFT JOIN w${e - 1} w USING (bucket)
+      |  GROUP BY f.doc_id, f.y
+      |  HAVING f.y * SUM(f.cnt * COALESCE(w.w, 0)) <= 0),
+      |d$e AS MATERIALIZED (
+      |  SELECT f.bucket, SUM(f.y * f.cnt) AS d
+      |  FROM fy f JOIN m$e USING (doc_id) GROUP BY f.bucket),
+      |w$e AS MATERIALIZED (
+      |  SELECT COALESCE(w.bucket, d.bucket) AS bucket,
+      |    CAST(COALESCE(w.w, 0) + COALESCE(d.d, 0) AS BIGINT) AS w
+      |  FROM w${e - 1} w FULL JOIN d$e d ON w.bucket = d.bucket)""".stripMargin
+    }
+    sb ++= s""",
+      |held AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+      |hf AS (
+      |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT doc_id, $bucket AS bucket FROM (
+      |      SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM held)
+      |    WHERE t <> '') GROUP BY doc_id, bucket
+      |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM held),
+      |sc AS (
+      |  SELECT h.doc_id, CAST(SUM(h.cnt * COALESCE(w.w, 0)) AS BIGINT) AS score
+      |  FROM hf h LEFT JOIN w$epochs w USING (bucket) GROUP BY h.doc_id)
+      |SELECT doc_id, score, CASE WHEN score > 0 THEN 1 ELSE -1 END AS pred
+      |FROM sc ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
 
   private def semDeDupOracle(nProbe: Int): String =
     s"""WITH RECURSIVE cents AS (
@@ -4427,6 +4505,8 @@ object SparkEntry {
          |SELECT doc_id,
          |  row_number() OVER (ORDER BY sel, doc_id) - 1 AS shuffle_pos
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_perceptron" -> perceptronOracle,
 
     "q_embed_norms" ->
       """SELECT label, count(*) AS n,

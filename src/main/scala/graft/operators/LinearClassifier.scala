@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{Functions => F}
+
+/** In-engine training of a linear text-quality classifier — the
+  * fastText-shaped "model-based quality filter" stage of a training-data
+  * pipeline (CCNet / GPT-3-style: a linear model over hashed
+  * bag-of-words features scores every document; the gate keeps the
+  * high-scoring slice). Both TRAINING and SCORING run as DataFrame
+  * jobs — no single-machine sklearn step with a corpus-sized collect.
+  *
+  * The learner is the batch perceptron with unit learning rate and
+  * INTEGER weights: per epoch, `w += Σ_misclassified y_i·x_i` and
+  * `b += Σ y_i` (the bias rides as an implicit always-on feature,
+  * bucket −1). Every quantity — token-hash buckets, counts, weights,
+  * margins, scores — is exact 64-bit integer arithmetic, so training is
+  * bit-reproducible under ANY partitioning (the epoch sums are
+  * order-insensitive integer sums) and replayable by another engine:
+  * the oracle re-runs all epochs in SQL and must land on identical
+  * scores. A float learner (logistic/SGD) trades that determinism away
+  * for calibrated probabilities; the perceptron keeps the decision
+  * boundary and stays exact.
+  *
+  * Feature hashing is portable arithmetic over the token
+  * (len, first-codepoint, last-codepoint — `length`/`ascii`/`reverse`
+  * exist in every engine): bucket(t) = ((len·2654435761 + unicode(t)·97
+  * + unicode(reverse(t))) mod p) mod D, intermediates < 2^63 for any
+  * realistic token. Empty tokens are dropped on both sides.
+  *
+  * Scale shape: features are one explode + one (id, bucket) count
+  * aggregate, persisted once and reused by every epoch; an epoch is two
+  * aggregates over the labeled set (margins per doc, then deltas per
+  * bucket for the misclassified slice) with the current weights
+  * broadcast as a literal array — the one bounded collect is the D+1
+  * weight vector per epoch (D ≤ 2^18 by contract). Scoring the corpus
+  * is MAP-ONLY: a fold over the token array against the broadcast
+  * weights, no shuffle at all.
+  */
+object LinearClassifier {
+
+  val P: Long = 1000000007L
+
+  /** Trained model: dense weights by bucket, integer bias, config. */
+  case class Model(weights: Array[Long], bias: Long, numBuckets: Int,
+                   epochs: Int) {
+    require(weights.length == numBuckets)
+  }
+
+  /** Portable token→bucket hash (pure codegen arithmetic). */
+  def tokenBucket(t: Column, numBuckets: Int): Column =
+    pmod(pmod(length(t).cast(LongType) * 2654435761L +
+      ascii(t).cast(LongType) * 97L + ascii(reverse(t)).cast(LongType),
+      lit(P)), lit(numBuckets.toLong))
+
+  private def cleanTokens(textCol: String): Column =
+    filter(F.tokens(col(textCol)), t => length(t) > 0)
+
+  /** Sparse hashed features `(idCol, bucket, cnt)` plus the implicit
+    * bias feature (bucket −1, cnt 1) per document.
+    */
+  def features(docs: DataFrame, idCol: String, numBuckets: Int,
+               textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(cleanTokens(textCol)).as("_t"))
+      .select(col(idCol), tokenBucket(col("_t"), numBuckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val bias = docs.select(col(idCol), lit(-1L).as("bucket"),
+      lit(1L).as("cnt"))
+    tok.unionByName(bias)
+  }
+
+  /** Train `epochs` batch-perceptron epochs over `labeled` (labelCol is
+    * ±1). Deterministic: same data + config ⇒ bit-identical model, on
+    * any cluster layout.
+    */
+  def trainPerceptron(labeled: DataFrame, idCol: String, labelCol: String,
+                      numBuckets: Int, epochs: Int,
+                      textCol: String = "text"): Model = {
+    require(numBuckets >= 2 && numBuckets <= (1 << 18),
+      s"numBuckets must be in [2, 2^18] (the driver holds one long per bucket), got $numBuckets")
+    require(epochs >= 1 && epochs <= 64, s"epochs must be in [1,64], got $epochs")
+    val feats = features(labeled, idCol, numBuckets, textCol)
+      .join(labeled.select(col(idCol), col(labelCol).cast(LongType).as("_y")),
+        Seq(idCol))
+      .persist()
+    try {
+      var w = new Array[Long](numBuckets)
+      var b = 0L
+      var e = 0
+      while (e < epochs) {
+        // margin_i = y_i · (Σ w[bucket]·cnt + b); weights ride along as a
+        // broadcast literal, so the epoch plan size is constant
+        val wCol = typedlit(w.toSeq)
+        val weightOf = when(col("bucket") === -1L, lit(b))
+          .otherwise(element_at(wCol, col("bucket").cast(IntegerType) + 1))
+        val deltas = feats
+          .groupBy(col(idCol), col("_y"))
+          .agg(sum(col("cnt") * weightOf).as("_dot"))
+          .where(col("_y") * col("_dot") <= 0) // misclassified (ties count)
+          .select(col(idCol))
+          .join(feats, Seq(idCol))
+          .groupBy(col("bucket"))
+          .agg(sum(col("_y") * col("cnt")).as("_d"))
+          // bounded collect: ≤ numBuckets+1 rows — the weight vector
+          .collect()
+        val next = w.clone()
+        deltas.foreach { r =>
+          val bkt = r.getLong(0)
+          if (bkt == -1L) b += r.getLong(1)
+          else next(bkt.toInt) += r.getLong(1)
+        }
+        w = next
+        e += 1
+      }
+      Model(w, b, numBuckets, epochs)
+    } finally feats.unpersist()
+  }
+
+  /** Score + classify every document MAP-ONLY (token fold against the
+    * broadcast weights; the fold is an integer sum, order along the
+    * token array — identical in any engine). `pred` is +1 iff
+    * score > 0, matching the training convention that a zero margin is
+    * misclassified.
+    */
+  def score(docs: DataFrame, model: Model,
+            textCol: String = "text"): DataFrame = {
+    val wCol = typedlit(model.weights.toSeq)
+    docs
+      .withColumn("score",
+        aggregate(cleanTokens(textCol), lit(model.bias),
+          (acc, t) => acc + element_at(wCol,
+            tokenBucket(t, model.numBuckets).cast(IntegerType) + 1)))
+      .withColumn("pred", when(col("score") > 0, 1).otherwise(-1))
+  }
+
+  /** Train on `labeled`, keep the corpus slice predicted +1 — the
+    * model-based quality gate in one call.
+    */
+  def qualityFilter(docs: DataFrame, labeled: DataFrame, idCol: String,
+                    labelCol: String, numBuckets: Int = 1 << 12,
+                    epochs: Int = 8, textCol: String = "text"): DataFrame = {
+    val model = trainPerceptron(labeled, idCol, labelCol, numBuckets,
+      epochs, textCol)
+    score(docs, model, textCol).where(col("pred") === 1)
+      .drop("score", "pred")
+  }
+}

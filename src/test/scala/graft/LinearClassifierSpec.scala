@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LinearClassifier
+import graft.sources.Tables
+
+/** Integer batch perceptron: learns separable data, is bit-deterministic
+  * under repartitioning, scores map-only.
+  */
+class LinearClassifierSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // clearly separable synthetic corpus: +1 docs carry "excellent prose",
+  // −1 docs carry "spam junk", shared filler words on both sides
+  private def synth = {
+    val pos = (0L until 40L).map(i =>
+      (i, 1, s"excellent prose quality writing filler$i common words"))
+    val neg = (40L until 80L).map(i =>
+      (i, -1, s"spam junk clickbait garbage filler$i common words"))
+    (pos ++ neg).toDF("doc_id", "y", "text")
+  }
+
+  test("perceptron separates a separable corpus (train accuracy 100%) and the margin criterion counts ties") {
+    val docs = synth
+    val model = LinearClassifier.trainPerceptron(docs, "doc_id", "y",
+      numBuckets = 64, epochs = 8)
+    val scored = LinearClassifier.score(docs, model)
+    val acc = scored.where(col("pred") === col("y")).count()
+    assert(acc == 80, s"separable data must reach 100% train accuracy, got $acc/80")
+  }
+
+  test("training is bit-deterministic under repartitioning and row order") {
+    val docs = synth
+    val a = LinearClassifier.trainPerceptron(docs, "doc_id", "y",
+      numBuckets = 64, epochs = 5)
+    val b = LinearClassifier.trainPerceptron(
+      docs.orderBy(rand(13)).repartition(7), "doc_id", "y",
+      numBuckets = 64, epochs = 5)
+    assert(a.weights.toSeq == b.weights.toSeq && a.bias == b.bias,
+      "integer epoch sums must be partitioning-invariant")
+  }
+
+  test("features: bias row per doc, empty text gets only the bias feature") {
+    val docs = Seq((1L, "a b a"), (2L, "")).toDF("doc_id", "text")
+    val f = LinearClassifier.features(docs, "doc_id", numBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(f.count(_._1 == 2L) == 1 && f.filter(_._1 == 2L).head._2 == -1L)
+    assert(f.filter(_._1 == 1L).map(_._3).sum == 4L) // 3 tokens + bias
+  }
+
+  test("scoring is map-only: no exchange in the plan") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val model = LinearClassifier.Model(new Array[Long](32), 1L, 32, 1)
+    val plan = LinearClassifier.score(docs, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("qualityFilter keeps exactly the +1-predicted slice; config bounds are loud") {
+    val docs = synth
+    val kept = LinearClassifier.qualityFilter(docs, docs, "doc_id", "y",
+      numBuckets = 64, epochs = 8)
+    assert(kept.select("doc_id").as[Long].collect().toSet == (0L until 40L).toSet)
+    intercept[IllegalArgumentException] {
+      LinearClassifier.trainPerceptron(docs, "doc_id", "y",
+        numBuckets = 1, epochs = 1)
+    }
+    intercept[IllegalArgumentException] {
+      LinearClassifier.trainPerceptron(docs, "doc_id", "y",
+        numBuckets = 64, epochs = 0)
+    }
+  }
+}
