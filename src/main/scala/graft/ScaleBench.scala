@@ -311,7 +311,7 @@ object ScaleBench {
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
       "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi",
-      "preclean")
+      "preclean", "bloom", "shuffle", "classifier")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -963,6 +963,169 @@ object ScaleBench {
         f""""cached_mtok_s":${nTok / 1e6 / tCached}%.1f,""" +
         f""""uncached_s":$tCold%.2f,"speedup_x":${tCold / tCached}%.1f,""" +
         f""""match":${nTok == nTokCold}}}""")
+    }
+    if (sections("bloom")) {
+      // ---- Bloom seen-set: THE claim is that the probe is independent
+      //      of history size (broadcast bits + map-only bit test) while
+      //      the exact anti-join control pays the history scan + shuffle
+      //      every batch. History at 1× and 10× (distinct content per
+      //      copy via a copy-unique pad token so fingerprints differ),
+      //      batch FIXED (4 copies seen + one unseen slice). ----
+      import graft.operators.{SeenFilter, TextAnalysis}
+      def padded(copies: Int): DataFrame = (0 until copies).map { i =>
+        base.select((col("doc_id") * copies + i).as("doc_id"),
+          concat(col("text"), lit(" " + "y" * (i + 1))).as("text"))
+      }.reduce(_ unionByName _)
+      val hist1 = padded(10).repartition(16).persist()
+      val hist10 = padded(100).repartition(16).persist()
+      val batch = padded(4)
+        .unionByName(base.select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" zq unseen")).as("text")))
+        .repartition(16).persist()
+      val (n1, n10, nB) = (hist1.count(), hist10.count(), batch.count())
+      def point(hist: DataFrame): (Double, Double, Long) = {
+        val t0 = System.nanoTime()
+        val filter = SeenFilter.buildFilter(hist, seed = 3L, kHashes = 5,
+          mBits = 1 << 20, numShards = 16).persist()
+        filter.count()
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        def probe(): (Double, Long) = {
+          val t1 = System.nanoTime()
+          val seen = SeenFilter.markSeen(batch, filter)
+            .where(col("maybe_seen")).count()
+          ((System.nanoTime() - t1) / 1e9, seen)
+        }
+        probe() // warm (broadcast + JIT)
+        val (tProbe, seen) = probe()
+        filter.unpersist()
+        (tBuild, tProbe, seen)
+      }
+      def control(hist: DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val newRows = TextAnalysis.fingerprint(batch).select("doc_id", "fp")
+          .join(TextAnalysis.fingerprint(hist).select("fp").distinct(),
+            Seq("fp"), "left_anti").count()
+        ((System.nanoTime() - t0) / 1e9, newRows)
+      }
+      val (b1, p1, s1) = point(hist1)
+      val (b10, p10, s10) = point(hist10)
+      control(hist1) // warm
+      val (c1a, nNew1) = control(hist1)
+      val (c10a, nNew10) = control(hist10)
+      hist1.unpersist(); hist10.unpersist(); batch.unpersist()
+      val filterMb = 16.0 * (1 << 20) / 8 / 1e6
+      // seen must cover the 4 in-history copies; extras are FPs on the
+      // unseen slice — correctness witness, not timing
+      val nSeenTrue = nB - base.count()
+      println(f"""{"bloom":{"n_hist_1x":$n1,"n_hist_10x":$n10,"n_batch":$nB,""" +
+        f""""filter_mb":$filterMb%.1f,"build_1x_s":$b1%.2f,"build_10x_s":$b10%.2f,""" +
+        f""""probe_1x_s":$p1%.2f,"probe_10x_s":$p10%.2f,""" +
+        f""""probe_flat_ok":${p10 <= p1 * 1.5 + 0.5},""" +
+        f""""anti_join_1x_s":$c1a%.2f,"anti_join_10x_s":$c10a%.2f,""" +
+        f""""seen_1x":$s1,"seen_10x":$s10,"seen_true":$nSeenTrue,""" +
+        f""""fp_1x":${s1 - nSeenTrue},"fp_10x":${s10 - nSeenTrue},""" +
+        f""""exact_new_1x":$nNew1,"exact_new_10x":$nNew10}}""")
+    }
+
+    if (sections("shuffle")) {
+      // ---- Deterministic corpus shuffle: bucketed global rank vs the
+      //      naive global-window row_number. The permutation witness
+      //      (Σ pos = n(n−1)/2, max = n−1) rides inside the timed
+      //      action. The SCALE argument is the per-task row bound, not
+      //      the local clock: the naive window funnels ALL n rows
+      //      through one task's sort (reported as single_task_rows),
+      //      the bucketed rank's biggest task sorts max_bucket_rows ≈
+      //      n/1024 — the difference between "impossible at 10^11 rows"
+      //      and "any executor can hold it". ----
+      import graft.operators.TextAnalysis
+      val c1 = scaled(base, 100).repartition(16).persist()
+      val c10 = scaled(base, 1000).repartition(32).persist()
+      val (m1, m10) = (c1.count(), c10.count())
+      def point(df: DataFrame, n: Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val r = TextAnalysis.corpusShuffle(df, "doc_id", seed = 5L,
+            numBuckets = 1024)
+          .agg(sum(col("shuffle_pos")), max(col("shuffle_pos"))).head
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(r.getLong(0) == n * (n - 1) / 2 && r.getLong(1) == n - 1,
+          s"not a dense permutation: $r for n=$n")
+        // biggest per-task sort the bucketed flavor pays (one extra
+        // metadata-sized job, outside the timed window on purpose)
+        val maxBucket = df
+          .select((pmod((TextAnalysis.portableFingerprint(col("text")) + 5L) *
+            2654435761L, lit(1000000007L)) /
+            ((1000000007L + 1023) / 1024)).cast("long").as("b"))
+          .groupBy("b").count().agg(max("count")).head.getLong(0)
+        (secs, maxBucket)
+      }
+      def naive(df: DataFrame, n: Long): Double = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("_key"), col("doc_id"))
+        val key = pmod((TextAnalysis.portableFingerprint(col("text")) + 5L) *
+          2654435761L, lit(1000000007L))
+        val t0 = System.nanoTime()
+        val r = df.withColumn("_key", key)
+          .withColumn("pos", row_number().over(w).cast("long") - 1L)
+          .agg(sum(col("pos")), max(col("pos"))).head
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(r.getLong(0) == n * (n - 1) / 2, s"naive witness failed: $r")
+        secs
+      }
+      point(c1, m1) // warm
+      val (t1, mb1) = point(c1, m1)
+      val (t10, mb10) = point(c10, m10)
+      naive(c1, m1) // warm
+      val tn1 = naive(c1, m1)
+      val tn10 = naive(c10, m10)
+      c1.unpersist(); c10.unpersist()
+      println(f"""{"shuffle":{"n_1x":$m1,"n_10x":$m10,"bucketed_1x_s":$t1%.2f,""" +
+        f""""bucketed_10x_s":$t10%.2f,"scaling_x":${t10 / t1}%.1f,""" +
+        f""""naive_window_1x_s":$tn1%.2f,"naive_window_10x_s":$tn10%.2f,""" +
+        f""""speedup_10x_x":${tn10 / t10}%.2f,""" +
+        f""""single_task_rows_naive":$m10,"max_bucket_rows":$mb10,""" +
+        f""""task_bound_ratio":${m10.toDouble / mb10}%.0f}}""")
+    }
+
+    if (sections("classifier")) {
+      // ---- Perceptron: train cost is epochs × (two aggregates over the
+      //      labeled set) — linear in labeled rows; scoring is map-only
+      //      and reported as corpus MB/s. Labels from content arithmetic
+      //      (fingerprint parity) so both classes exist at any scale. ----
+      import graft.operators.{LinearClassifier, TextAnalysis}
+      val lab1 = scaled(base, 10)
+        .withColumn("y", when(pmod(TextAnalysis.portableFingerprint(col("text")),
+          lit(2L)) === 0L, 1).otherwise(-1))
+        .repartition(16).persist()
+      val lab10 = scaled(base, 100)
+        .withColumn("y", when(pmod(TextAnalysis.portableFingerprint(col("text")),
+          lit(2L)) === 0L, 1).otherwise(-1))
+        .repartition(16).persist()
+      val corpus = scaled(base, 100).repartition(16).persist()
+      val (l1, l10) = (lab1.count(), lab10.count())
+      val corpusChars = corpus.agg(sum(length(col("text")))).head.getLong(0)
+      def train(df: DataFrame): (Double, LinearClassifier.Model) = {
+        val t0 = System.nanoTime()
+        val m = LinearClassifier.trainPerceptron(df, "doc_id", "y",
+          numBuckets = 4096, epochs = 4)
+        ((System.nanoTime() - t0) / 1e9, m)
+      }
+      train(lab1) // warm
+      val (tt1, model) = train(lab1)
+      val (tt10, _) = train(lab10)
+      def scorePoint(): Double = {
+        val t0 = System.nanoTime()
+        LinearClassifier.score(corpus, model)
+          .agg(sum(col("score")), count(when(col("pred") === 1, 1))).head
+        (System.nanoTime() - t0) / 1e9
+      }
+      scorePoint() // warm
+      val ts = scorePoint()
+      lab1.unpersist(); lab10.unpersist(); corpus.unpersist()
+      val mb = corpusChars / 1e6
+      println(f"""{"classifier":{"n_labeled_1x":$l1,"n_labeled_10x":$l10,""" +
+        f""""epochs":4,"buckets":4096,"train_1x_s":$tt1%.2f,"train_10x_s":$tt10%.2f,""" +
+        f""""train_scaling_x":${tt10 / tt1}%.1f,""" +
+        f""""score_mb":$mb%.1f,"score_s":$ts%.2f,"score_mb_s":${mb / ts}%.0f}}""")
     }
     spark.stop()
   }
