@@ -863,6 +863,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- The VOTED flavor (score with Σ_e w_e — integer-preserving
+    //      averaged perceptron): same epoch chain, different final
+    //      weights; the oracle sums the replayed per-epoch vectors. ----
+    "q_perceptron_voted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.where(col("doc_id") % 4 =!= 0)
+        .withColumn("y", when(col("lang") === "en", 1).otherwise(-1))
+      val model = LinearClassifier.trainVotedPerceptron(labeled, "doc_id",
+        "y", numBuckets = 32, epochs = 4)
+      LinearClassifier.score(docs.where(col("doc_id") % 4 === 0), model)
+        .select(col("doc_id"), col("score"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: corpus-LM familiarity (CCNet-style LM filter with corpus
     //      bigram counts as the model): reference = en docs, scored slice
     //      = doc_id < 100. Integer hit counts + one IEEE division; a mean
@@ -2537,7 +2551,10 @@ object SparkEntry {
     * weights twice (q_bpe_train's lesson — plain CTEs inline to 2^k
     * base scans).
     */
-  private lazy val perceptronOracle: String = {
+  private lazy val perceptronOracle: String = perceptronOracleFor(voted = false)
+  private lazy val perceptronVotedOracle: String = perceptronOracleFor(voted = true)
+
+  private def perceptronOracleFor(voted: Boolean): String = {
     val epochs = 4
     val bucket = "((CAST(len(t) AS BIGINT) * 2654435761 " +
       "+ CAST(unicode(t) AS BIGINT) * 97 " +
@@ -2572,6 +2589,17 @@ object SparkEntry {
       |    CAST(COALESCE(w.w, 0) + COALESCE(d.d, 0) AS BIGINT) AS w
       |  FROM w${e - 1} w FULL JOIN d$e d ON w.bucket = d.bucket)""".stripMargin
     }
+    // voted flavor: score with Σ_e w_e — the integer-preserving averaged
+    // perceptron (same epoch chain, summed at the end)
+    val finalW = if (voted) {
+      sb ++= ("""|,
+        |wv AS MATERIALIZED (
+        |  SELECT bucket, CAST(SUM(w) AS BIGINT) AS w FROM (
+        |""".stripMargin +
+        (1 to epochs).map(e => s"    SELECT * FROM w$e").mkString(" UNION ALL\n") +
+        ") GROUP BY bucket)")
+      "wv"
+    } else s"w$epochs"
     sb ++= s""",
       |held AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
       |hf AS (
@@ -2582,7 +2610,7 @@ object SparkEntry {
       |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM held),
       |sc AS (
       |  SELECT h.doc_id, CAST(SUM(h.cnt * COALESCE(w.w, 0)) AS BIGINT) AS score
-      |  FROM hf h LEFT JOIN w$epochs w USING (bucket) GROUP BY h.doc_id)
+      |  FROM hf h LEFT JOIN $finalW w USING (bucket) GROUP BY h.doc_id)
       |SELECT doc_id, score, CASE WHEN score > 0 THEN 1 ELSE -1 END AS pred
       |FROM sc ORDER BY doc_id""".stripMargin
     sb.toString
@@ -4507,6 +4535,8 @@ object SparkEntry {
          |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_perceptron" -> perceptronOracle,
+
+    "q_perceptron_voted" -> perceptronVotedOracle,
 
     "q_embed_norms" ->
       """SELECT label, count(*) AS n,

@@ -80,7 +80,23 @@ object LinearClassifier {
     */
   def trainPerceptron(labeled: DataFrame, idCol: String, labelCol: String,
                       numBuckets: Int, epochs: Int,
-                      textCol: String = "text"): Model = {
+                      textCol: String = "text"): Model =
+    trainImpl(labeled, idCol, labelCol, numBuckets, epochs, textCol)._1
+
+  /** The VOTED flavor: score with Σ_e w_e (the weight vector after each
+    * epoch, summed) — the integer-preserving form of the averaged
+    * perceptron (averaging divides by E; summing keeps the same decision
+    * boundary and stays exact). Less sensitive to whichever epoch the
+    * loop stopped on, at zero extra job cost.
+    */
+  def trainVotedPerceptron(labeled: DataFrame, idCol: String,
+                           labelCol: String, numBuckets: Int, epochs: Int,
+                           textCol: String = "text"): Model =
+    trainImpl(labeled, idCol, labelCol, numBuckets, epochs, textCol)._2
+
+  private def trainImpl(labeled: DataFrame, idCol: String, labelCol: String,
+                        numBuckets: Int, epochs: Int,
+                        textCol: String): (Model, Model) = {
     require(numBuckets >= 2 && numBuckets <= (1 << 18),
       s"numBuckets must be in [2, 2^18] (the driver holds one long per bucket), got $numBuckets")
     require(epochs >= 1 && epochs <= 64, s"epochs must be in [1,64], got $epochs")
@@ -91,6 +107,8 @@ object LinearClassifier {
     try {
       var w = new Array[Long](numBuckets)
       var b = 0L
+      val vw = new Array[Long](numBuckets)
+      var vb = 0L
       var e = 0
       while (e < epochs) {
         // margin_i = y_i · (Σ w[bucket]·cnt + b); weights ride along as a
@@ -115,9 +133,12 @@ object LinearClassifier {
           else next(bkt.toInt) += r.getLong(1)
         }
         w = next
+        var i = 0
+        while (i < numBuckets) { vw(i) += w(i); i += 1 }
+        vb += b
         e += 1
       }
-      Model(w, b, numBuckets, epochs)
+      (Model(w, b, numBuckets, epochs), Model(vw, vb, numBuckets, epochs))
     } finally feats.unpersist()
   }
 

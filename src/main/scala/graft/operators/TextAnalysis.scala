@@ -957,4 +957,22 @@ object TextAnalysis {
           row_number().over(w).cast(LongType) - 1L)
       .drop("_key", "_bucket")
   }
+
+  /** Write the corpus as `numShards` training shards in shuffled order:
+    * shard files hold CONTIGUOUS `shuffle_pos` ranges (repartitionByRange
+    * + in-partition sort — one range exchange on top of
+    * [[corpusShuffle]]'s bucket exchange), so a trainer streams shard 0,
+    * 1, 2… and sees exactly the seeded global permutation. Rows keep
+    * `shuffle_pos` so any reader can re-verify the order.
+    */
+  def writeShuffled(docs: DataFrame, idCol: String, path: String,
+                    numShards: Int, seed: Long = 1L,
+                    numBuckets: Int = 1024,
+                    textCol: String = "text"): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    corpusShuffle(docs, idCol, seed, numBuckets, textCol)
+      .repartitionByRange(numShards, col("shuffle_pos"))
+      .sortWithinPartitions("shuffle_pos")
+      .write.mode("overwrite").parquet(path)
+  }
 }

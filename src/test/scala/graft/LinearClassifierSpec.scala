@@ -41,6 +41,20 @@ class LinearClassifierSpec extends SparkSpecBase {
       "integer epoch sums must be partitioning-invariant")
   }
 
+  test("voted flavor: epochs=1 voted == final; multi-epoch voted still separates and stays deterministic") {
+    val docs = synth
+    val f1 = LinearClassifier.trainPerceptron(docs, "doc_id", "y", 64, 1)
+    val v1 = LinearClassifier.trainVotedPerceptron(docs, "doc_id", "y", 64, 1)
+    assert(f1.weights.toSeq == v1.weights.toSeq && f1.bias == v1.bias)
+    val v8 = LinearClassifier.trainVotedPerceptron(docs, "doc_id", "y", 64, 8)
+    val acc = LinearClassifier.score(docs, v8)
+      .where(col("pred") === col("y")).count()
+    assert(acc == 80, s"voted flavor must also separate, got $acc/80")
+    val v8b = LinearClassifier.trainVotedPerceptron(
+      docs.repartition(5), "doc_id", "y", 64, 8)
+    assert(v8.weights.toSeq == v8b.weights.toSeq && v8.bias == v8b.bias)
+  }
+
   test("features: bias row per doc, empty text gets only the bias feature") {
     val docs = Seq((1L, "a b a"), (2L, "")).toDF("doc_id", "text")
     val f = LinearClassifier.features(docs, "doc_id", numBuckets = 16)

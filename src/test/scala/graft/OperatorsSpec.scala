@@ -479,6 +479,32 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("writeShuffled: shard files hold contiguous, non-overlapping position ranges in the permutation order") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("shuffled_").toString
+    TextAnalysis.writeShuffled(docs, "doc_id", dir, numShards = 5, seed = 5L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // per-file ranges: within-file sorted, files pairwise disjoint and
+    // jointly covering 0..n-1
+    val spans = back
+      .select(input_file_name().as("f"), col("shuffle_pos"))
+      .groupBy("f")
+      .agg(min("shuffle_pos").as("lo"), max("shuffle_pos").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    spans.foreach { case (lo, hi, n) =>
+      assert(hi - lo + 1 == n, s"file span [$lo,$hi] not dense for $n rows")
+    }
+    spans.sliding(2).foreach {
+      case Array((_, hi, _), (lo2, _, _)) => assert(lo2 == hi + 1,
+        s"shard ranges must be contiguous: $hi then $lo2")
+      case _ =>
+    }
+    assert(spans.head._1 == 0 && spans.last._2 == docs.count() - 1)
+  }
+
   test("dedupParagraphs keeps each paragraph once (first occurrence), reassembles in order") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nreal content one\nfooter"),
