@@ -863,6 +863,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Text: corpus token-frequency estimation by count-min sketch.
+    //      width is DELIBERATELY tight (3×64 counters for a ~40-word
+    //      vocabulary across 5 langs) so collisions overestimate — the
+    //      oracle replays the counter grid and the min-over-rows lookup
+    //      exactly, gating the estimates bit-for-bit, overestimates
+    //      included. ----
+    "q_countmin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sketch = FrequencySketch.tokenSketch(docs, seed = 9L,
+        depth = 3, width = 64)
+      val keys = docs.where(col("doc_id") < 10)
+        .select(explode(filter(graft.functions.Functions.tokens(col("text")),
+          tk => length(tk) > 0)).as("token"))
+        .distinct()
+      FrequencySketch.estimateTokens(keys, sketch, "token")
+        .select(col("token"), col("est"))
+        .orderBy(col("token"))
+    }),
+
     // ---- The VOTED flavor (score with Σ_e w_e — integer-preserving
     //      averaged perceptron): same epoch chain, different final
     //      weights; the oracle sums the replayed per-epoch vectors. ----
@@ -4537,6 +4556,47 @@ object SparkEntry {
     "q_perceptron" -> perceptronOracle,
 
     "q_perceptron_voted" -> perceptronVotedOracle,
+
+    // replay the count-min grid: token hash → 3 double-hashed counter
+    // positions (seed 9; second salt = (9 + 1315423911) % p), counters =
+    // occurrence counts per (row, pos), estimate = min over rows
+    "q_countmin" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT t,
+        |    ((CAST(len(t) AS BIGINT) * 2654435761
+        |      + CAST(unicode(t) AS BIGINT) * 97
+        |      + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |h AS MATERIALIZED (
+        |  SELECT t,
+        |    ((fp + 9) * 2654435761 % 1000000007) AS h1,
+        |    ((((fp + 1315423920) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |  FROM toks),
+        |grid AS MATERIALIZED (
+        |  SELECT u.j, ((h1 + u.j * h2) % 1000000007) % 64 AS pos,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u
+        |  GROUP BY u.j, pos),
+        |q AS (
+        |  SELECT DISTINCT t FROM (
+        |    SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+        |    WHERE doc_id < 10) WHERE t <> ''),
+        |qh AS (
+        |  SELECT t,
+        |    ((fp + 9) * 2654435761 % 1000000007) AS h1,
+        |    ((((fp + 1315423920) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |  FROM (
+        |    SELECT t,
+        |      ((CAST(len(t) AS BIGINT) * 2654435761
+        |        + CAST(unicode(t) AS BIGINT) * 97
+        |        + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |    FROM q))
+        |SELECT qh.t AS token, MIN(COALESCE(g.c, 0)) AS est
+        |FROM qh CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u
+        |LEFT JOIN grid g
+        |  ON g.j = u.j AND g.pos = ((qh.h1 + u.j * qh.h2) % 1000000007) % 64
+        |GROUP BY qh.t ORDER BY token""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT label, count(*) AS n,

@@ -96,6 +96,19 @@ object Functions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Portable per-TOKEN hash in [0, 1e9+7): exact BIGINT arithmetic over
+    * (length, first codepoint, last codepoint), recomputable by any
+    * engine (`len`/`unicode`/`reverse` exist everywhere) — the key for
+    * hashed features ([[graft.operators.LinearClassifier]]) and
+    * frequency sketches ([[graft.operators.FrequencySketch]]).
+    * Intermediates stay < 2^63 for any realistic token length.
+    */
+  def portableTokenHash(t: Column): Column =
+    pmod(length(t).cast(org.apache.spark.sql.types.LongType) * 2654435761L +
+      ascii(t).cast(org.apache.spark.sql.types.LongType) * 97L +
+      ascii(reverse(t)).cast(org.apache.spark.sql.types.LongType),
+      lit(1000000007L))
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CountMin, Functions => F}
+
+/** Corpus token-frequency estimation by count–min sketch — the bounded-
+  * memory answer to "how often does this token/URL/n-gram occur across
+  * 100 TB" when an exact `groupBy(token)` (a corpus-sized shuffle and a
+  * vocabulary-sized result) is not affordable per question. The sketch
+  * is built ONCE in a single map-side-combinable pass (fixed
+  * depth×width grid regardless of corpus size), and any later batch of
+  * candidate keys is answered MAP-ONLY against the broadcast grid —
+  * estimates are upper bounds, exact for keys that avoid collisions in
+  * at least one row, overestimating by at most the collision mass with
+  * probability 1−(1/2)^depth per the standard CM bound.
+  *
+  * Like [[SeenFilter]], the counter positions are exact BIGINT
+  * arithmetic (double hashing over [[F.portableTokenHash]]), so the
+  * grid and every estimate — collisions included — replay bit-for-bit
+  * in the oracle. The sketch is a self-describing one-row DataFrame
+  * `(grid, total_tokens, seed, depth, width)`, parquet-round-trippable;
+  * sketches over disjoint corpus slices merge by element-wise addition
+  * into exactly the union's sketch ([[mergeSketches]]).
+  */
+object FrequencySketch {
+
+  private def checkParams(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 8 && width <= (1 << 21),
+      s"width must be in [8, 2^21] (aggregate buffer = depth×width longs), got $width")
+  }
+
+  /** One pass over the corpus → the token sketch. Empty tokens are
+    * dropped (both engines see the same stream).
+    */
+  def tokenSketch(docs: DataFrame, textCol: String = "text",
+                  seed: Long = 1L, depth: Int = 4,
+                  width: Int = 1 << 16): DataFrame = {
+    checkParams(depth, width)
+    docs
+      .select(explode(filter(F.tokens(col(textCol)),
+        t => length(t) > 0)).as("_t"))
+      .select(CountMin.positions(F.portableTokenHash(col("_t")), seed,
+        depth, width).as("_pos"))
+      .agg(CountMin.countmin_agg(col("_pos"), depth, width).as("grid"),
+        count(lit(1)).as("total_tokens"))
+      .select(col("grid"), col("total_tokens"), lit(seed).as("seed"),
+        lit(depth).as("depth"), lit(width).as("width"))
+  }
+
+  /** Estimate the corpus frequency of every key in `keys(keyCol)` —
+    * map-only against the broadcast grid (ONE bounded collect of the
+    * single sketch row). Adds `est` (upper bound, ≥ the true count).
+    */
+  def estimateTokens(keys: DataFrame, sketch: DataFrame,
+                     keyCol: String): DataFrame = {
+    val rows = sketch.select("grid", "seed", "depth", "width").collect()
+    require(rows.length == 1, s"expected one sketch row, got ${rows.length}")
+    val grid = rows(0).getSeq[Long](0)
+    val (seed, depth, width) =
+      (rows(0).getLong(1), rows(0).getInt(2), rows(0).getInt(3))
+    keys.withColumn("est",
+      CountMin.estimate(typedlit(grid), F.portableTokenHash(col(keyCol)),
+        seed, depth, width))
+  }
+
+  /** Element-wise-sum merge of sketches over disjoint corpus slices;
+    * configs must match exactly.
+    */
+  def mergeSketches(a: DataFrame, b: DataFrame): DataFrame = {
+    val merged = a.unionByName(b)
+    val cfg = merged.select("seed", "depth", "width").distinct().collect()
+    require(cfg.length <= 1,
+      "sketches disagree on seed/depth/width — cannot merge")
+    merged.agg(
+      graft.functions.CountMin.sum_words_agg(col("grid")).as("grid"),
+      sum("total_tokens").cast("long").as("total_tokens"),
+      first("seed").as("seed"), first("depth").as("depth"),
+      first("width").as("width"))
+  }
+}

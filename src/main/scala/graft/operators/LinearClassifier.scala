@@ -50,11 +50,11 @@ object LinearClassifier {
     require(weights.length == numBuckets)
   }
 
-  /** Portable token→bucket hash (pure codegen arithmetic). */
+  /** Portable token→bucket hash (pure codegen arithmetic; the shared
+    * [[graft.functions.Functions.portableTokenHash]] reduced mod D).
+    */
   def tokenBucket(t: Column, numBuckets: Int): Column =
-    pmod(pmod(length(t).cast(LongType) * 2654435761L +
-      ascii(t).cast(LongType) * 97L + ascii(reverse(t)).cast(LongType),
-      lit(P)), lit(numBuckets.toLong))
+    pmod(F.portableTokenHash(t), lit(numBuckets.toLong))
 
   private def cleanTokens(textCol: String): Column =
     filter(F.tokens(col(textCol)), t => length(t) > 0)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Functions => F}
+import graft.operators.FrequencySketch
+import graft.sources.Tables
+
+/** Count–min sketch: upper-bound property, exactness at generous width,
+  * merge ≡ union, partitioning invariance.
+  */
+class FrequencySketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  private def trueCounts = docs
+    .select(explode(filter(F.tokens(col("text")), t => length(t) > 0)).as("token"))
+    .groupBy("token").count()
+
+  test("estimates are upper bounds everywhere; exact at generous width; tight width overestimates somewhere") {
+    val wide = FrequencySketch.tokenSketch(docs, seed = 9L, depth = 4,
+      width = 1 << 14)
+    val est = FrequencySketch.estimateTokens(trueCounts, wide, "token")
+    assert(est.where(col("est") < col("count")).count() == 0,
+      "count-min must never underestimate")
+    assert(est.where(col("est") =!= col("count")).count() == 0,
+      "at 4×2^14 counters for this vocabulary every estimate should be exact")
+    val tight = FrequencySketch.tokenSketch(docs, seed = 9L, depth = 3,
+      width = 16)
+    val estT = FrequencySketch.estimateTokens(trueCounts, tight, "token")
+    assert(estT.where(col("est") < col("count")).count() == 0)
+    assert(estT.where(col("est") > col("count")).count() > 0,
+      "3×16 counters must collide for this vocabulary")
+  }
+
+  test("sketch is partitioning-invariant and mergeSketches(halves) == whole") {
+    val a = FrequencySketch.tokenSketch(docs, seed = 3L, depth = 3, width = 256)
+    val b = FrequencySketch.tokenSketch(
+      docs.orderBy(rand(7)).repartition(5), seed = 3L, depth = 3, width = 256)
+    assert(a.select("grid", "total_tokens").exceptAll(
+      b.select("grid", "total_tokens")).isEmpty)
+    val merged = FrequencySketch.mergeSketches(
+      FrequencySketch.tokenSketch(docs.where(col("doc_id") % 2 === 0),
+        seed = 3L, depth = 3, width = 256),
+      FrequencySketch.tokenSketch(docs.where(col("doc_id") % 2 =!= 0),
+        seed = 3L, depth = 3, width = 256))
+    assert(merged.select("grid", "total_tokens").exceptAll(
+      a.select("grid", "total_tokens")).isEmpty,
+      "element-wise sum of disjoint-slice sketches must equal the union's sketch")
+    intercept[IllegalArgumentException] {
+      FrequencySketch.mergeSketches(a,
+        FrequencySketch.tokenSketch(docs, seed = 3L, depth = 3, width = 512))
+        .collect()
+    }
+  }
+
+  test("estimateTokens is map-only against the broadcast grid; bounds are loud") {
+    val sketch = FrequencySketch.tokenSketch(docs, depth = 3, width = 256)
+    val keys = Seq("the", "value").toDF("token")
+    val plan = FrequencySketch.estimateTokens(keys, sketch, "token")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    intercept[IllegalArgumentException] {
+      FrequencySketch.tokenSketch(docs, depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      FrequencySketch.tokenSketch(docs, width = 4)
+    }
+  }
+}
