@@ -1117,6 +1117,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Dedup: the VERSIONED seen-filter store lifecycle runs for
+    //      real — init (gen + _CURRENT flip) → appendBatch (OR-merge +
+    //      new generation) → recover → probe the CURRENT filter. The
+    //      probe covers both the original corpus and the appended batch
+    //      content, so the append must actually be in the served bits;
+    //      the oracle replays membership over history ∪ batch with the
+    //      same exact position arithmetic. ----
+    "q_bloom_serving" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val work = graft.sources.BucketedTables.scratchDir("graft_bloomstore_q_").toString
+      val filter0 = SeenFilter.buildFilter(docs.where(col("doc_id") % 3 =!= 0),
+        seed = 7L, kHashes = 3, mBits = 1024, numShards = 4)
+      SeenFilterStore.init(s, work, filter0)
+      val batch = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" zz")).as("text"))
+      SeenFilterStore.appendBatch(s, work, batch)
+      SeenFilterStore.recover(s, work)
+      val probe = docs.select(col("doc_id"), col("text"))
+        .unionByName(batch.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("text")))
+      SeenFilter.markSeen(probe, SeenFilterStore.currentFilter(s, work))
+        .select(col("doc_id"), col("maybe_seen"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Dedup: INCREMENTAL through the PARTITIONED serving layout —
     //      same verified-pair contract as q_incremental_dedup, but the
     //      whole on-disk serving path executes for real: signature table
@@ -2862,6 +2887,37 @@ object SparkEntry {
          |bp AS (
          |  SELECT doc_id, shard, ((h1 + u.j * h2) % 1000000007) % 1024 AS pos
          |  FROM g CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u)
+         |SELECT bp.doc_id, bool_and(hp.pos IS NOT NULL) AS maybe_seen
+         |FROM bp LEFT JOIN hp ON hp.shard = bp.shard AND hp.pos = bp.pos
+         |GROUP BY bp.doc_id ORDER BY bp.doc_id""".stripMargin,
+
+    // same replay as q_bloom_seen over history ∪ appended batch (batch
+    // text = text || ' zz'); probing both corpora proves the served
+    // generation carries the append
+    "q_bloom_serving" ->
+      s"""WITH hsrc AS (
+         |  SELECT text FROM documents WHERE doc_id % 3 <> 0
+         |  UNION ALL
+         |  SELECT text || ' zz' FROM documents WHERE doc_id % 7 = 0),
+         |hf AS (SELECT $fpSql AS fp FROM hsrc),
+         |hp AS (
+         |  SELECT DISTINCT fp % 4 AS shard,
+         |    ((((fp + 7) * 2654435761 % 1000000007)
+         |      + u.j * ((((fp + 1315423918) % 1000000007) * 2246822519
+         |                % 1000000007) | 1)) % 1000000007) % 1024 AS pos
+         |  FROM hf CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u),
+         |psrc AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' zz' FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |pf AS (SELECT doc_id, $fpSql AS fp FROM psrc),
+         |bp AS (
+         |  SELECT doc_id, fp % 4 AS shard,
+         |    ((((fp + 7) * 2654435761 % 1000000007)
+         |      + u.j * ((((fp + 1315423918) % 1000000007) * 2246822519
+         |                % 1000000007) | 1)) % 1000000007) % 1024 AS pos
+         |  FROM pf CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u)
          |SELECT bp.doc_id, bool_and(hp.pos IS NOT NULL) AS maybe_seen
          |FROM bp LEFT JOIN hp ON hp.shard = bp.shard AND hp.pos = bp.pos
          |GROUP BY bp.doc_id ORDER BY bp.doc_id""".stripMargin,

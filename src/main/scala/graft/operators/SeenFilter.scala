@@ -129,3 +129,94 @@ object SeenFilter {
     unseen.unionByName(confirmedNew)
   }
 }
+
+/** Crash-safe VERSIONED store for a [[SeenFilter]] — the serving shape
+  * for streaming/daily admission: the current filter lives under a
+  * `gen-<stamp>/` dir referenced by an atomic `_CURRENT` manifest
+  * ([[Manifests]] rename protocol, same discipline as
+  * [[IvfIndexStore]]); `appendBatch` marks the batch against the
+  * CURRENT filter, OR-merges the batch's own filter in, and publishes a
+  * new generation with the flip LAST — a crash at any point leaves
+  * either the old generation current (re-run the batch) or the new one
+  * complete. Replays are idempotent by algebra: OR-merging the same
+  * batch twice is a no-op on the bits, so foreachBatch retries cannot
+  * corrupt membership (they only leave an orphan generation for
+  * [[recover]] to sweep). Single-writer by contract, like the
+  * incremental-dedup signature table.
+  */
+object SeenFilterStore {
+
+  import org.apache.spark.sql.SparkSession
+
+  val CurrentName = "_CURRENT"
+
+  private def stamp(): String =
+    s"gen-${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  def currentGen(spark: SparkSession, root: String): Option[String] =
+    Manifests.read(spark, s"$root/$CurrentName").map(_.trim).filter(_.nonEmpty)
+
+  private def genOrFail(spark: SparkSession, root: String): String =
+    currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no $CurrentName under $root — init() first"))
+
+  def currentFilter(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/${genOrFail(spark, root)}/filter")
+
+  private def writeGen(spark: SparkSession, root: String,
+                       filter: DataFrame): String = {
+    val g = stamp()
+    // everything lands BEFORE the flip; a crash here leaves an orphan
+    // gen dir that recover() sweeps, never a torn current
+    filter.write.parquet(s"$root/$g/filter")
+    Manifests.writeAtomic(spark, s"$root/$CurrentName", g)
+    g
+  }
+
+  /** Publish `filter` as the store's first (or replacement) generation. */
+  def init(spark: SparkSession, root: String, filter: DataFrame): String =
+    writeGen(spark, root, filter)
+
+  /** Mark `batch` against the current filter AND fold the batch into a
+    * new published generation (config inherited from the store). Returns
+    * the marked batch — rows with `maybe_seen = false` are exactly-new,
+    * probe-eagerly materialized BEFORE the flip so the returned frame
+    * reflects the pre-batch filter even after the generation changes.
+    */
+  def appendBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  textCol: String = "text"): DataFrame = {
+    val cur = currentFilter(spark, root)
+    val cfg = cur.select("seed", "k_hashes", "m_bits", "num_shards")
+      .distinct().collect()
+    require(cfg.length == 1,
+      s"store filter carries ${cfg.length} configs — corrupt generation?")
+    val (seed, k, m, sh) = (cfg(0).getLong(0), cfg(0).getInt(1),
+      cfg(0).getInt(2), cfg(0).getInt(3))
+    val marked = SeenFilter.markSeen(batch, cur, textCol).localCheckpoint()
+    val merged = SeenFilter.mergeFilters(cur,
+      SeenFilter.buildFilter(batch, textCol, seed, k, m, sh))
+    writeGen(spark, root, merged)
+    marked
+  }
+
+  /** Drop `gen-*` dirs `_CURRENT` does not reference — crashed or
+    * superseded publications. Age-graced (default 1 h) so a reader that
+    * resolved `_CURRENT` just before a flip never loses the files it is
+    * scanning mid-query. Returns the number of dirs removed.
+    */
+  def recover(spark: SparkSession, root: String,
+              graceMs: Long = 3600 * 1000L): Int = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val cur = currentGen(spark, root)
+    val now = System.currentTimeMillis()
+    fs.listStatus(p).count { st =>
+      val name = st.getPath.getName
+      val stale = st.isDirectory && name.startsWith("gen-") &&
+        !cur.contains(name) && (now - st.getModificationTime) > graceMs
+      if (stale) fs.delete(st.getPath, true)
+      stale
+    }
+  }
+}

@@ -81,6 +81,42 @@ class SeenFilterSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("store lifecycle: init → appendBatch (pre-batch marking, post-batch serving) → retry-idempotent → recover sweeps orphans") {
+    import graft.operators.SeenFilterStore
+    val root = java.nio.file.Files.createTempDirectory("bloomstore_").toString
+    val hist = docs.where(col("doc_id") % 2 === 0)
+    SeenFilterStore.init(spark,
+      root, SeenFilter.buildFilter(hist, seed = 3L, kHashes = 5,
+        mBits = 1 << 14, numShards = 4))
+    val gen0 = SeenFilterStore.currentGen(spark, root).get
+    // batch with genuinely new content: marked against the PRE-batch
+    // filter → (almost) all unseen; after the append the store serves it
+    val batch = docs.where(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), concat(col("text"), lit(" novel")).as("text"))
+    val marked = SeenFilterStore.appendBatch(spark, root, batch)
+    assert(marked.where(col("maybe_seen")).count() <= 1,
+      "fresh content must be unseen against the pre-batch filter")
+    assert(SeenFilterStore.currentGen(spark, root).get != gen0)
+    val served = SeenFilterStore.currentFilter(spark, root)
+    assert(SeenFilter.markSeen(batch, served).where(!col("maybe_seen"))
+      .count() == 0, "the served generation must carry the append")
+    // replaying the same batch is a no-op on the bits
+    SeenFilterStore.appendBatch(spark, root, batch)
+    val replayed = SeenFilterStore.currentFilter(spark, root)
+    assert(served.select("shard", "words").exceptAll(
+      replayed.select("shard", "words")).isEmpty,
+      "OR-merge retry must not change membership")
+    // recover drops every non-current generation (grace 0 for the test)
+    val swept = SeenFilterStore.recover(spark, root, graceMs = 0L)
+    assert(swept >= 2, s"expected the superseded generations swept, got $swept")
+    assert(SeenFilter.markSeen(batch, SeenFilterStore.currentFilter(spark, root))
+      .where(!col("maybe_seen")).count() == 0, "current gen must survive recover")
+    intercept[IllegalStateException] {
+      SeenFilterStore.currentFilter(spark,
+        java.nio.file.Files.createTempDirectory("bloomstore_empty_").toString)
+    }
+  }
+
   test("admitNew: unseen rows pass untouched, candidates are confirmed exactly — no duplicates admitted, no new rows lost") {
     val history = docs.where(col("doc_id") % 3 =!= 0)
     val exactKeys = TextAnalysis.fingerprint(history).select(col("fp"))
