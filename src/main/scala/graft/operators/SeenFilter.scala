@@ -45,22 +45,30 @@ object SeenFilter {
   }
 
   /** Fold `history` into the sharded filter. One map-side-combinable
-    * aggregate pass; null/absent text contributes nothing.
+    * aggregate pass; null/absent text contributes nothing. The result
+    * always carries EXACTLY `numShards` rows (empty shards get zero
+    * words), so the filter is self-describing even over an empty
+    * history — a store initialized before any data still knows its
+    * geometry.
     */
   def buildFilter(history: DataFrame, textCol: String = "text",
                   seed: Long = 1L, kHashes: Int = 5,
                   mBits: Int = 1 << 20, numShards: Int = 16): DataFrame = {
     checkParams(kHashes, mBits, numShards)
-    history
+    val agged = history
       .select(TextAnalysis.portableFingerprint(col(textCol)).as("_fp"))
       .where(col("_fp").isNotNull)
       .select(pmod(col("_fp"), lit(numShards.toLong)).as("shard"),
         BloomFilter.positions(col("_fp"), seed, kHashes, mBits).as("_pos"))
       .groupBy("shard")
       .agg(BloomFilter.bitset_or_agg(col("_pos"), mBits).as("words"))
-      .select(col("shard"), col("words"), lit(seed).as("seed"),
-        lit(kHashes).as("k_hashes"), lit(mBits).as("m_bits"),
-        lit(numShards).as("num_shards"))
+    val zeroWords = typedlit(Seq.fill((mBits + 63) / 64)(0L))
+    history.sparkSession.range(numShards)
+      .select(col("id").as("shard"))
+      .join(agged, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("words"), zeroWords).as("words"),
+        lit(seed).as("seed"), lit(kHashes).as("k_hashes"),
+        lit(mBits).as("m_bits"), lit(numShards).as("num_shards"))
   }
 
   /** Mark each batch row with `maybe_seen` against `filter`. The filter
@@ -198,6 +206,22 @@ object SeenFilterStore {
     writeGen(spark, root, merged)
     marked
   }
+
+  /** Streaming admission: each micro-batch is marked against the CURRENT
+    * generation, folded into a new published one, and the MARKED rows
+    * handed to `route` (send `maybe_seen = false` rows to the accepted
+    * sink, candidates to the exact-confirm path). A foreachBatch retry
+    * re-marks against whichever generation is current and re-publishes —
+    * a membership no-op by OR-algebra, so replays cannot corrupt the
+    * served bits.
+    */
+  def admitStream(batches: DataFrame, root: String,
+                  textCol: String = "text")
+                 (route: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        route(appendBatch(batch.sparkSession, root, batch, textCol))
+      }
 
   /** Drop `gen-*` dirs `_CURRENT` does not reference — crashed or
     * superseded publications. Age-graced (default 1 h) so a reader that

@@ -117,6 +117,40 @@ class SeenFilterSpec extends SparkSpecBase {
     }
   }
 
+  test("admitStream: first micro-batch lands unseen, a replayed batch is fully seen; served bits carry both batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.SeenFilterStore
+    val root = java.nio.file.Files.createTempDirectory("bloomstream_").toString
+    SeenFilterStore.init(spark, root,
+      SeenFilter.buildFilter(docs.where(lit(false)), seed = 3L, kHashes = 5,
+        mBits = 1 << 14, numShards = 2))
+    val routed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = SeenFilterStore.admitStream(
+        input.toDF().toDF("doc_id", "text"), root) { marked =>
+        routed += ((marked.where(!col("maybe_seen")).count(),
+          marked.where(col("maybe_seen")).count()))
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bloomstream_ck_").toString)
+      .start()
+    try {
+      input.addData((1L, "alpha beta"), (2L, "gamma delta epsilon"))
+      q.processAllAvailable()
+      input.addData((3L, "alpha beta"), (4L, "zeta eta")) // 3 repeats 1's content
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(routed.toList == List((2L, 0L), (1L, 1L)),
+      s"expected batch1 all-new, batch2 one seen: $routed")
+    // empty-filter init means config came from the empty build — markSeen
+    // on the served store must now see all four contents
+    val all = Seq((1L, "alpha beta"), (2L, "gamma delta epsilon"),
+      (4L, "zeta eta")).toDF("doc_id", "text")
+    assert(SeenFilter.markSeen(all, SeenFilterStore.currentFilter(spark, root))
+      .where(!col("maybe_seen")).count() == 0)
+  }
+
   test("admitNew: unseen rows pass untouched, candidates are confirmed exactly — no duplicates admitted, no new rows lost") {
     val history = docs.where(col("doc_id") % 3 =!= 0)
     val exactKeys = TextAnalysis.fingerprint(history).select(col("fp"))
