@@ -85,6 +85,14 @@ object TrainingPipeline {
     // canonically-identical spellings dedup/fingerprint together (both
     // map-only with already-clean fast paths — ~free on healthy corpora)
     preClean: Boolean = false,
+    // model-based quality filter: when a labeled seed is passed to
+    // prepare(), an integer perceptron trains on it and only docs the
+    // model predicts +1 survive ([[LinearClassifier]]; voted flavor by
+    // default — bit-deterministic on any cluster layout)
+    classifierLabelCol: String = "y",
+    classifierBuckets: Int = 4096,
+    classifierEpochs: Int = 8,
+    classifierVoted: Boolean = true,
     // CCNet-style corpus-level paragraph dedup BEFORE document-level
     // dedup: boilerplate (banners, navigation, footers) is removed from
     // every doc but its first carrier, and docs that were pure
@@ -100,8 +108,10 @@ object TrainingPipeline {
     */
   def prepare(docs: DataFrame, idCol: String, textCol: String = "text",
               cfg: Config = Config(), evalDocs: Option[DataFrame] = None,
-              lmRefDocs: Option[DataFrame] = None): DataFrame =
-    prepareImpl(docs, idCol, textCol, cfg, evalDocs, lmRefDocs, (_, df) => df)
+              lmRefDocs: Option[DataFrame] = None,
+              classifierSeed: Option[DataFrame] = None): DataFrame =
+    prepareImpl(docs, idCol, textCol, cfg, evalDocs, lmRefDocs,
+      classifierSeed, (_, df) => df)
 
   /** [[prepare]] in AUDIT mode: additionally returns the drop ledger —
     * (stage, surviving rows) at every stage boundary, in pipeline order —
@@ -122,7 +132,8 @@ object TrainingPipeline {
     */
   def prepareAudited(docs: DataFrame, idCol: String, textCol: String = "text",
                      cfg: Config = Config(), evalDocs: Option[DataFrame] = None,
-                     lmRefDocs: Option[DataFrame] = None)
+                     lmRefDocs: Option[DataFrame] = None,
+                     classifierSeed: Option[DataFrame] = None)
       : (DataFrame, Seq[(String, Long)]) = {
     val ledger = scala.collection.mutable.ListBuffer.empty[(String, Long)]
     val staged = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -132,7 +143,8 @@ object TrainingPipeline {
       staged += p
       p
     }
-    val out = prepareImpl(docs, idCol, textCol, cfg, evalDocs, lmRefDocs, tap)
+    val out = prepareImpl(docs, idCol, textCol, cfg, evalDocs, lmRefDocs,
+        classifierSeed, tap)
       .localCheckpoint(true)
     ledger += "final" -> out.count()
     // release the intermediate rungs: the final frame's lineage is
@@ -148,6 +160,7 @@ object TrainingPipeline {
   private def prepareImpl(docs: DataFrame, idCol: String, textCol: String,
                           cfg: Config, evalDocs: Option[DataFrame],
                           lmRefDocs: Option[DataFrame],
+                          classifierSeed: Option[DataFrame],
                           tap: (String, DataFrame) => DataFrame): DataFrame = {
     require(cfg.gateKeepFrac > 0.0 && cfg.gateKeepFrac <= 1.0,
       s"gateKeepFrac must be in (0, 1], got ${cfg.gateKeepFrac}")
@@ -194,6 +207,25 @@ object TrainingPipeline {
       if (cfg.minQuality > 0.0)
         tap("quality_floor", decontaminated.where(col("quality") >= cfg.minQuality))
       else decontaminated
+    // model-based quality filter: train on the labeled seed (one-time,
+    // bounded driver state = the weight vector), keep docs predicted +1 —
+    // map-only scoring, so the stage adds no shuffle to the pipeline
+    val modelFiltered = classifierSeed match {
+      case Some(seedDf) =>
+        val model =
+          if (cfg.classifierVoted)
+            LinearClassifier.trainVotedPerceptron(seedDf, idCol,
+              cfg.classifierLabelCol, cfg.classifierBuckets,
+              cfg.classifierEpochs, textCol)
+          else
+            LinearClassifier.trainPerceptron(seedDf, idCol,
+              cfg.classifierLabelCol, cfg.classifierBuckets,
+              cfg.classifierEpochs, textCol)
+        tap("classifier_gate",
+          LinearClassifier.score(filtered, model, textCol)
+            .where(col("pred") === 1).drop("score", "pred"))
+      case None => filtered
+    }
     val lmStage = lmRefDocs.isDefined && cfg.minFamiliarity > 0.0
     val gateStage = cfg.gateGroupCol.isDefined && cfg.gateKeepFrac < 1.0
     // the optional stages reference their input MULTIPLE times (the LM
@@ -207,8 +239,8 @@ object TrainingPipeline {
     // the intermediate table instead (see the object doc)
     val base =
       if (lmStage || gateStage)
-        filtered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else filtered
+        modelFiltered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else modelFiltered
     // CCNet-style LM floor: model table from the reference slice (small by
     // construction → broadcast), score the survivors, drop the unfamiliar
     val familiar =

@@ -123,6 +123,31 @@ class PipelineE2ESpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("classifier gate: spam-shaped docs are removed by the trained model, ledger records the stage") {
+    import graft.operators.TrainingPipeline
+    // corpus: half clean prose, half spam-shaped — each doc unique
+    val corpus = ((0L until 30L).map(i =>
+        (i, s"excellent prose quality writing unique$i common words")) ++
+      (30L until 60L).map(i =>
+        (i, s"spam junk clickbait garbage unique$i common words")))
+      .toDF("doc_id", "text")
+    // labeled seed: disjoint ids, same vocabulary signal
+    val seed = ((100L until 120L).map(i =>
+        (i, 1, s"excellent prose quality writing seed$i common words")) ++
+      (120L until 140L).map(i =>
+        (i, -1, s"spam junk clickbait garbage seed$i common words")))
+      .toDF("doc_id", "y", "text")
+    val (out, ledger) = TrainingPipeline.prepareAudited(corpus, "doc_id",
+      classifierSeed = Some(seed))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 30L).toSet,
+      s"model must keep exactly the prose half: ${kept.toSeq.sorted}")
+    assert(ledger.map(_._1).contains("classifier_gate"), ledger)
+    // without the seed the stage does not run and spam survives
+    val plain = TrainingPipeline.prepare(corpus, "doc_id")
+    assert(plain.count() == 60)
+  }
+
   test("training pipeline with decontamination: eval-overlapping docs dropped") {
     import graft.operators.{TextAnalysis, TrainingPipeline}
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
