@@ -36,11 +36,13 @@ object CountMin {
 
   /** `min_j grid[j·width + pos_j]` over the flattened grid. */
   def estimate(grid: Column, fp: Column, seed: Long, depth: Int,
-               width: Int): Column =
-    least((0 until depth).map { j =>
+               width: Int): Column = {
+    val rows = (0 until depth).map { j =>
       element_at(grid, (position(fp, seed, j, width) +
         lit(j.toLong * width) + 1L).cast(IntegerType))
-    }: _*)
+    }
+    if (rows.length == 1) rows.head else least(rows: _*)
+  }
 
   /** Single-pass sketch aggregate: input is the key's `ARRAY<BIGINT>` of
     * depth positions (pre-offset by row — see [[gridPositions]]); the

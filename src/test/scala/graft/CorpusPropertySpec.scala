@@ -139,4 +139,56 @@ class CorpusPropertySpec extends SparkSpecBase {
         again.select("doc_id").exceptAll(kept.select("doc_id")).isEmpty)
     }
   }
+
+  test("corpusShuffle: dense permutation equal to the global (selector, id) sort for random corpora/seeds/buckets") {
+    forSamples(Gen.zip(genCorpus, Gen.chooseNum(1L, 1000L),
+      Gen.chooseNum(1, 64)), 8) { case (corpus, seed, buckets) =>
+      val docs = corpus.toDF("doc_id", "text")
+      val sh = TextAnalysis.corpusShuffle(docs, "doc_id", seed, buckets)
+      val pos = sh.select("shuffle_pos").as[Long].collect().sorted
+      assert(pos.toSeq == (0L until corpus.size.toLong).toSeq,
+        s"not dense for seed=$seed buckets=$buckets")
+      val seedR = ((seed % 1000000007L) + 1000000007L) % 1000000007L
+      val sel = pmod((TextAnalysis.portableFingerprint(col("text")) +
+        seedR) * 2654435761L, lit(1000000007L))
+      val exp = docs.orderBy(sel, col("doc_id")).select("doc_id")
+        .as[Long].collect().toSeq
+      val got = sh.orderBy("shuffle_pos").select("doc_id")
+        .as[Long].collect().toSeq
+      assert(got == exp, s"order drift for seed=$seed buckets=$buckets")
+    }
+  }
+
+  test("Bloom seen-set: zero false negatives for random corpora and geometries") {
+    import graft.operators.SeenFilter
+    forSamples(Gen.zip(genCorpus, Gen.chooseNum(1L, 999L),
+      Gen.chooseNum(1, 8), Gen.chooseNum(1, 6)), 8) {
+      case (corpus, seed, k, shards) =>
+        val docs = corpus.toDF("doc_id", "text")
+        val filter = SeenFilter.buildFilter(docs, seed = seed, kHashes = k,
+          mBits = 256, numShards = shards)
+        assert(SeenFilter.markSeen(docs, filter)
+          .where(!col("maybe_seen")).count() == 0,
+          s"false negative at seed=$seed k=$k shards=$shards")
+    }
+  }
+
+  test("count-min: estimate >= true count for every token, random corpora and geometries") {
+    import graft.functions.{Functions => F}
+    import graft.operators.FrequencySketch
+    forSamples(Gen.zip(genCorpus, Gen.chooseNum(1L, 999L),
+      Gen.chooseNum(1, 4), Gen.oneOf(8, 16, 64)), 8) {
+      case (corpus, seed, depth, width) =>
+        val docs = corpus.toDF("doc_id", "text")
+        val sketch = FrequencySketch.tokenSketch(docs, seed = seed,
+          depth = depth, width = width)
+        val truth = docs.select(explode(filter(F.tokens(col("text")),
+            t => length(t) > 0)).as("token"))
+          .groupBy("token").count()
+        val under = FrequencySketch.estimateTokens(truth, sketch, "token")
+          .where(col("est") < col("count")).count()
+        assert(under == 0,
+          s"underestimate at seed=$seed depth=$depth width=$width")
+    }
+  }
 }
