@@ -845,6 +845,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Text: the sharded shuffle WRITER runs for real — write 6
+    //      contiguous-range training shards, read them back, and gate
+    //      the recovered (doc, position) assignment against the same
+    //      global-row_number replay. A shard straddling ranges, a lost
+    //      row or a drifted position all break the hash. ----
+    "q_shuffle_shards" -> ((s, dir) => {
+      val work = graft.sources.BucketedTables.scratchDir("graft_shuffle_q_").toString
+      TextAnalysis.writeShuffled(t(s, dir, "documents"), "doc_id",
+        s"$work/shards", numShards = 6, seed = 5L)
+      s.read.parquet(s"$work/shards")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: model-based quality classifier trained IN the engine —
     //      4 batch-perceptron epochs over hashed token features (y = +1
     //      iff lang = en, 75% train split), then map-only scoring of the
@@ -4601,6 +4615,16 @@ object SparkEntry {
     // bucketed-rank global position vs a plain global row_number over the
     // same replayed selector (seed 5 reduced mod p = 5)
     "q_corpus_shuffle" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    (($fpSql + 5) * 2654435761 % 1000000007) AS sel
+         |  FROM documents)
+         |SELECT doc_id,
+         |  row_number() OVER (ORDER BY sel, doc_id) - 1 AS shuffle_pos
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the writer must land exactly the permutation the rank assigns
+    "q_shuffle_shards" ->
       s"""WITH f AS (
          |  SELECT doc_id,
          |    (($fpSql + 5) * 2654435761 % 1000000007) AS sel
