@@ -877,6 +877,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Text: HTML → text extraction (the crawl pipeline's first text
+    //      stage): per-doc HTML assembled by arithmetic around the real
+    //      document text — head chrome, script payload with embedded
+    //      fake tags, a comment, entity-bearing tail — extracted by the
+    //      single-pass parser; the oracle derives the expected text
+    //      PURELY from the generating arithmetic (no HTML parsing in
+    //      DuckDB). ----
+    "q_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = docs.select(col("doc_id"), concat(
+        lit("<html><head><title>T"), col("doc_id").cast("string"),
+        lit("</title><script>var x = '<p>1</p>';</script></head>"),
+        lit("<body><!-- nav --><p>"), col("text"),
+        lit("</p><div>tail &amp; "), (col("doc_id") % 7).cast("string"),
+        lit("</div></body></html>")).as("html"))
+      HtmlExtract.extract(html, "html")
+        .select(col("doc_id"), col("text").as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: corpus token-frequency estimation by count-min sketch.
     //      width is DELIBERATELY tight (3×64 counters for a ~40-word
     //      vocabulary across 5 langs) so collisions overestimate — the
@@ -4636,6 +4656,15 @@ object SparkEntry {
     "q_perceptron" -> perceptronOracle,
 
     "q_perceptron_voted" -> perceptronVotedOracle,
+
+    // the expected extraction from the generating arithmetic: title text,
+    // newline (all head/body chrome collapses to one), the document text,
+    // newline, decoded tail
+    "q_html_extract" ->
+      """SELECT doc_id,
+        |  'T' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10)
+        |    || 'tail & ' || CAST(doc_id % 7 AS VARCHAR) AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // replay the count-min grid: token hash → 3 double-hashed counter
     // positions (seed 9; second salt = (9 + 1315423911) % p), counters =

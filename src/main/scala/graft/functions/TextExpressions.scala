@@ -238,4 +238,29 @@ object TextExpressions {
   }
 
   def fix_mojibake(text: Column): Column = column(FixMojibake(expression(text)))
+
+  /** HTML → text extraction as a codegen scalar — static-invokes the one
+    * shared parser [[graft.operators.HtmlExtract.extractTextString]]
+    * (single-pass state machine, fail-soft on crawl garbage).
+    */
+  case class HtmlText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(
+        graft.operators.HtmlExtract.extractTextString(
+          v.asInstanceOf[UTF8String].toString))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  graft.operators.HtmlExtract.extractTextString($v.toString()));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def html_text(html: Column): Column = column(HtmlText(expression(html)))
 }

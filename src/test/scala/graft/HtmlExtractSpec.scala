@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HtmlExtract.extractTextString
+import graft.operators.HtmlExtract
+
+/** HTML → text: markup stripped, script/style/comments dropped, entities
+  * decoded, block structure preserved as single newlines, fail-soft on
+  * crawl garbage.
+  */
+class HtmlExtractSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("blocks become single newlines, inline tags vanish, text intact") {
+    assert(extractTextString("<p>Hello <b>world</b></p><p>again</p>") ==
+      "Hello world\nagain")
+    assert(extractTextString(
+      "<div><div>x</div></div><div>y</div>") == "x\ny")
+    assert(extractTextString("a<br/>b<br>c") == "a\nb\nc")
+    assert(extractTextString("<em>in</em>line") == "inline")
+  }
+
+  test("script and style payloads are dropped entirely, case-insensitive, with hostile content") {
+    assert(extractTextString(
+      "<SCRIPT type='t'>var a = '<p>no</p>';</ScRiPt>ok") == "ok")
+    assert(extractTextString(
+      "<style>p { color: red; } /* <div>no</div> */</style>yes") == "yes")
+    assert(extractTextString("a<script>if (x > 1) { y(); }</script>b") == "a\nb")
+  }
+
+  test("comments vanish without inserting whitespace; CDATA is raw text") {
+    assert(extractTextString("a<!--c <p>x</p> -->b") == "ab")
+    assert(extractTextString("a<!-- unterminated") == "a")
+    assert(extractTextString("<x><![CDATA[1 < 2 > 0]]></x>") == "1 < 2 > 0")
+  }
+
+  test("entities: named, decimal, hex, nbsp-as-space; unknown/overlong pass through") {
+    assert(extractTextString("&lt;tag&gt; &amp; &#65;&#x42;") == "<tag> & AB")
+    assert(extractTextString("a&nbsp;&nbsp;b") == "a b")
+    assert(extractTextString("&bogus; &notanentityatall; &") ==
+      "&bogus; &notanentityatall; &")
+    assert(extractTextString("&#xZZ; &#99999999999;") == "&#xZZ; &#99999999999;")
+  }
+
+  test("quoted '>' inside attributes does not end the tag; unterminated structures truncate fail-soft") {
+    assert(extractTextString("<a href='a>b' title=\"x>y\">link</a>") == "link")
+    assert(extractTextString("text <a href=") == "text")
+    assert(extractTextString("keep<script>var x = 1;") == "keep")
+  }
+
+  test("whitespace collapses; doctype and head chrome drop; trailing trim") {
+    assert(extractTextString("a \n\t  b") == "a b")
+    assert(extractTextString(
+      "<!DOCTYPE html><html><head><title>T</title></head><body>c</body></html>") ==
+      "T\nc")
+    assert(extractTextString("<p>x</p>\n\n  ") == "x")
+    assert(extractTextString("") == "")
+    assert(extractTextString(null) == null)
+  }
+
+  test("extract() is a map-only codegen scalar over the corpus") {
+    val docs = Seq((1L, "<p>one</p>"), (2L, "<div>two &amp; three</div>"))
+      .toDF("doc_id", "html")
+    val out = HtmlExtract.extract(docs, "html")
+    assert(out.select("text").as[String].collect().toSeq ==
+      Seq("one", "two & three"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("DeserializeToObject"),
+      plan)
+  }
+}
