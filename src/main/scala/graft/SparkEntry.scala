@@ -2146,6 +2146,38 @@ object SparkEntry {
         .orderBy(col("archive_id"), col("member_idx"))
     }),
 
+    // ---- WARC/WET record parsing chained onto the REAL archive path:
+    //      per-doc WET conversion records (version line + headers +
+    //      Content-Length + payload) built by arithmetic, gzip'd into 20
+    //      concatenated archives, split back by the RFC 1952 walker,
+    //      then parsed into typed fields — the oracle recomputes every
+    //      header value and the payload md5 from the arithmetic. ----
+    "q_warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{GzipArchives, WarcRecords}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val archives = docs.groupByKey(_._1 % 20)
+        .mapGroups { (aid, it) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            val body = text.getBytes("UTF-8")
+            (s"WARC/1.0\r\n" +
+              s"WARC-Type: conversion\r\n" +
+              s"WARC-Target-URI: http://ex.com/$id\r\n" +
+              f"WARC-Date: 2026-01-${id % 28 + 1}%02dT00:00:00Z\r\n" +
+              s"Content-Type: text/plain\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+          }
+          (aid, GzipArchives.buildArchive(recs))
+        }
+      WarcRecords.parseMembers(GzipArchives.explodeArchives(archives))
+        .select(col("archive_id"),
+          col("member_idx").cast(LongType).as("member_idx"), col("ok"),
+          col("warc_type"), col("target_uri"), col("warc_date"),
+          col("content_length"), md5(col("body")).as("h"))
+        .orderBy(col("archive_id"), col("member_idx"))
+    }),
+
     // ---- Z-order layout (Morton-curve clustering for two-dimensional
     //      file pruning — the write/compaction-time layout step that lets
     //      parquet min/max skipping serve predicates on EITHER key).
@@ -3530,6 +3562,21 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents
         |ORDER BY archive_id, member_idx""".stripMargin,
+
+    // every WARC header value and the payload md5 recomputed from the
+    // generating arithmetic
+    "q_warc_ingest" ->
+      """SELECT doc_id % 20 AS archive_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1
+        |       AS BIGINT) AS member_idx,
+        |  TRUE AS ok,
+        |  'conversion' AS warc_type,
+        |  'http://ex.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    || 'T00:00:00Z' AS warc_date,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  md5(text) AS h
+        |FROM documents ORDER BY archive_id, member_idx""".stripMargin,
 
     // the Morton code replayed with the same signed-64-safe spread chain
     // (each mask keeps set bits below 62, so no BIGINT shift overflows)

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** WARC record parsing — the layer between [[GzipArchives]]' member
+  * splitter and the text pipeline: a WET/WARC archive member is one
+  * record (`WARC/x.y` version line, `Key: Value` header lines, a blank
+  * line, then the payload), and this parser recovers the typed fields a
+  * curation run keys on (record type, target URI, date, content type /
+  * length) plus the payload, truncated to `Content-Length` bytes when
+  * the member carries trailing garbage. Pure per-member string walk —
+  * `mapPartitions`, no shuffle, the same flatMap-only ingest shape as
+  * the archive splitter — and fail-SOFT: a member without a WARC
+  * version line yields `ok = false` with null fields, never an
+  * exception mid-ingest.
+  *
+  * Header semantics per the public WARC spec (ISO 28500 shape): header
+  * keys are case-insensitive, values are trimmed, the FIRST occurrence
+  * of a repeated key wins (malformed records repeat keys; first-wins is
+  * deterministic), and unknown keys are ignored.
+  */
+object WarcRecords {
+
+  final case class WarcRow(
+      archive_id: Long,
+      member_idx: Int,
+      ok: Boolean,
+      warc_type: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      body: String)
+
+  /** Parse one record already decoded to a string (WET conversion
+    * records are UTF-8 text). Returns null fields + ok=false on a
+    * non-WARC member.
+    */
+  def parseRecordString(rec: String): (Boolean, String, String, String, String, Long, String) = {
+    if (rec == null) return (false, null, null, null, null, -1L, null)
+    val sep = rec.indexOf("\r\n\r\n")
+    val head = if (sep < 0) rec else rec.substring(0, sep)
+    val body0 = if (sep < 0) "" else rec.substring(sep + 4)
+    val lines = head.split("\r\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("WARC/"))
+      return (false, null, null, null, null, -1L, null)
+    var (t, uri, date, ct) = (null: String, null: String, null: String, null: String)
+    var cl = -1L
+    var i = 1
+    while (i < lines.length) {
+      val ln = lines(i)
+      val c = ln.indexOf(':')
+      if (c > 0) {
+        val k = ln.substring(0, c).trim.toLowerCase
+        val v = ln.substring(c + 1).trim
+        k match {
+          case "warc-type" => if (t == null) t = v
+          case "warc-target-uri" => if (uri == null) uri = v
+          case "warc-date" => if (date == null) date = v
+          case "content-type" => if (ct == null) ct = v
+          case "content-length" => if (cl < 0)
+            cl = try v.toLong catch { case _: NumberFormatException => -1L }
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    // Content-Length counts BYTES; truncate the payload when the member
+    // carries trailing garbage (never pad when it is short — fail-soft)
+    val body =
+      if (cl < 0) body0
+      else {
+        val bytes = body0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (cl < bytes.length)
+          new String(bytes, 0, cl.toInt, java.nio.charset.StandardCharsets.UTF_8)
+        else body0
+      }
+    (true, t, uri, date, ct, cl, body)
+  }
+
+  /** Parse every exploded archive member ([[GzipArchives.explodeArchives]]
+    * output) into typed WARC rows. Members already flagged `ok = false`
+    * by the splitter (CRC/truncation markers) pass through as
+    * `ok = false` rows.
+    */
+  def parseMembers(members: Dataset[GzipArchives.MemberRow]): DataFrame = {
+    import members.sparkSession.implicits._
+    members.mapPartitions(_.map { m =>
+      if (!m.ok || m.content == null)
+        WarcRow(m.archive_id, m.member_idx, ok = false, null, null, null,
+          null, -1L, null)
+      else {
+        val s = new String(m.content, java.nio.charset.StandardCharsets.UTF_8)
+        val (ok, t, uri, date, ct, cl, body) = parseRecordString(s)
+        WarcRow(m.archive_id, m.member_idx, ok, t, uri, date, ct, cl, body)
+      }
+    }).toDF()
+  }
+}
