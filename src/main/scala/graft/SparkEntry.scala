@@ -2178,6 +2178,38 @@ object SparkEntry {
         .orderBy(col("archive_id"), col("member_idx"))
     }),
 
+    // ---- The whole crawl front-end in ONE chain: HTML pages (built by
+    //      arithmetic around the real text) wrapped in WET records,
+    //      gzip'd into concatenated archives, RFC 1952-split, WARC-
+    //      parsed, HTML-extracted — the oracle derives the final TEXT
+    //      from the generating arithmetic, so a drift anywhere in the
+    //      four-stage chain breaks the hash. ----
+    "q_crawl_e2e" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{GzipArchives, WarcRecords}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val archives = docs.groupByKey(_._1 % 10)
+        .mapGroups { (aid, it) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            val html = s"<html><head><title>T$id</title>" +
+              "<script>var x = '<p>1</p>';</script></head>" +
+              s"<body><!-- nav --><p>$text</p><div>tail &amp; ${id % 7}" +
+              "</div></body></html>"
+            val body = html.getBytes("UTF-8")
+            (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+              s"WARC-Target-URI: http://ex.com/$id\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8") ++ body
+          }
+          (aid, GzipArchives.buildArchive(recs))
+        }
+      WarcRecords.parseMembers(GzipArchives.explodeArchives(archives))
+        .select(col("archive_id"), col("member_idx").cast(LongType).as("member_idx"),
+          col("target_uri"),
+          md5(graft.functions.TextExpressions.html_text(col("body"))).as("h"))
+        .orderBy(col("archive_id"), col("member_idx"))
+    }),
+
     // ---- Z-order layout (Morton-curve clustering for two-dimensional
     //      file pruning — the write/compaction-time layout step that lets
     //      parquet min/max skipping serve predicates on EITHER key).
@@ -3576,6 +3608,16 @@ object SparkEntry {
         |    || 'T00:00:00Z' AS warc_date,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |  md5(text) AS h
+        |FROM documents ORDER BY archive_id, member_idx""".stripMargin,
+
+    // final text of the four-stage chain derived from arithmetic alone
+    "q_crawl_e2e" ->
+      """SELECT doc_id % 10 AS archive_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 10 ORDER BY doc_id) - 1
+        |       AS BIGINT) AS member_idx,
+        |  'http://ex.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  md5('T' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10)
+        |    || 'tail & ' || CAST(doc_id % 7 AS VARCHAR)) AS h
         |FROM documents ORDER BY archive_id, member_idx""".stripMargin,
 
     // the Morton code replayed with the same signed-64-safe spread chain
