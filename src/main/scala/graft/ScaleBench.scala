@@ -311,7 +311,7 @@ object ScaleBench {
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
       "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi",
-      "preclean", "bloom", "shuffle", "classifier")
+      "preclean", "bloom", "shuffle", "classifier", "crawl")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -964,6 +964,44 @@ object ScaleBench {
         f""""uncached_s":$tCold%.2f,"speedup_x":${tCold / tCached}%.1f,""" +
         f""""match":${nTok == nTokCold}}}""")
     }
+    if (sections("crawl")) {
+      // ---- HTML → text extraction throughput: realistic page chrome
+      //      (nav lists, script/style payloads, entities) around the
+      //      sf0.1 text, ×160 copies ≈ 460 MB of HTML through the
+      //      single-pass parser. The content witness doubles as a
+      //      correctness check at scale (every page must extract to the
+      //      same arithmetic-derived shape). Linearity point at ×4. ----
+      import graft.functions.TextExpressions
+      def pages(copies: Int): DataFrame = (0 until copies).map { i =>
+        base.select((col("doc_id") * copies + i).as("doc_id"), concat(
+          lit("<html><head><title>T"), col("doc_id").cast("string"),
+          lit("</title><style>body{margin:0} p>a{color:#00f}</style>" +
+            "<script>if (a < b && c > d) { track('<div>x</div>'); }</script>" +
+            "</head><body><nav><ul><li>Home</li><li>About</li></ul></nav>" +
+            "<!-- boilerplate --><p>"), col("text"),
+          lit("</p><div>tail &amp; chrome &#65;</div></body></html>"))
+          .as("html"))
+      }.reduce(_ unionByName _)
+      val small = pages(16).repartition(16).persist()
+      val big = pages(160).repartition(16).persist()
+      val mbSmall = small.agg(sum(length(col("html")))).head.getLong(0) / 1e6
+      val mbBig = big.agg(sum(length(col("html")))).head.getLong(0) / 1e6
+      def run(df: DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val r = df.select(TextExpressions.html_text(col("html")).as("t"))
+          .agg(sum(length(col("t"))), sum(crc32(col("t")))).head
+        ((System.nanoTime() - t0) / 1e9, r.getLong(0))
+      }
+      run(small); run(big) // warm (JIT on the parser)
+      val (tS, _) = run(small)
+      val (tB, outChars) = run(big)
+      small.unpersist(); big.unpersist()
+      println(f"""{"crawl":{"html_mb_1x":$mbSmall%.1f,"html_mb_10x":$mbBig%.1f,""" +
+        f""""extract_1x_s":$tS%.2f,"extract_10x_s":$tB%.2f,""" +
+        f""""mb_s":${mbBig / tB}%.0f,"scaling_x":${tB / tS}%.1f,""" +
+        f""""out_chars":$outChars}}""")
+    }
+
     if (sections("bloom")) {
       // ---- Bloom seen-set: THE claim is that the probe is independent
       //      of history size (broadcast bits + map-only bit test) while
