@@ -916,6 +916,21 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // ---- fastText-style word-BIGRAM features hashed into the same
+    //      bucket space (3 epochs) — the oracle's feature CTE gains the
+    //      adjacent-pair bucket stream and must still land on identical
+    //      held-out scores. ----
+    "q_perceptron_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.where(col("doc_id") % 4 =!= 0)
+        .withColumn("y", when(col("lang") === "en", 1).otherwise(-1))
+      val model = LinearClassifier.trainPerceptron(labeled, "doc_id", "y",
+        numBuckets = 32, epochs = 3, bigrams = true)
+      LinearClassifier.score(docs.where(col("doc_id") % 4 === 0), model)
+        .select(col("doc_id"), col("score"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- The VOTED flavor (score with Σ_e w_e — integer-preserving
     //      averaged perceptron): same epoch chain, different final
     //      weights; the oracle sums the replayed per-epoch vectors. ----
@@ -2695,12 +2710,38 @@ object SparkEntry {
     */
   private lazy val perceptronOracle: String = perceptronOracleFor(voted = false)
   private lazy val perceptronVotedOracle: String = perceptronOracleFor(voted = true)
+  private lazy val perceptronBigramOracle: String =
+    perceptronOracleFor(voted = false, bigrams = true, epochs = 3)
 
-  private def perceptronOracleFor(voted: Boolean): String = {
-    val epochs = 4
-    val bucket = "((CAST(len(t) AS BIGINT) * 2654435761 " +
-      "+ CAST(unicode(t) AS BIGINT) * 97 " +
-      "+ CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) % 32"
+  /** The portable token hash as SQL over an arbitrary expression. */
+  private def thSql(x: String): String =
+    s"((CAST(len($x) AS BIGINT) * 2654435761 " +
+      s"+ CAST(unicode($x) AS BIGINT) * 97 " +
+      s"+ CAST(unicode(reverse($x)) AS BIGINT)) % 1000000007)"
+
+  /** The hashed-feature bucket stream for a relation `src(doc_id, text)`
+    * — unigram buckets, optionally fastText-style adjacent-pair buckets
+    * into the same space.
+    */
+  private def bucketStreamSql(src: String, bigrams: Boolean): String = {
+    val uni = s"""SELECT doc_id, ${thSql("t")} % 32 AS bucket FROM (
+      |        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM $src)
+      |      WHERE t <> ''""".stripMargin
+    if (!bigrams) uni
+    else uni + s"""
+      |      UNION ALL
+      |      SELECT doc_id,
+      |        ((${thSql("lt[i]")} * 131 + ${thSql("lt[i+1]")})
+      |          % 1000000007) % 32 AS bucket
+      |      FROM (
+      |        SELECT doc_id, lt, UNNEST(range(1, len(lt))) AS i FROM (
+      |          SELECT doc_id,
+      |            list_filter(string_split(text, ' '), t -> t <> '') AS lt
+      |          FROM $src))""".stripMargin
+  }
+
+  private def perceptronOracleFor(voted: Boolean, bigrams: Boolean = false,
+                                  epochs: Int = 4): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH lab AS MATERIALIZED (
       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y, text
@@ -2708,9 +2749,7 @@ object SparkEntry {
       |fy AS MATERIALIZED (
       |  SELECT f.doc_id, f.bucket, f.cnt, l.y FROM (
       |    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
-      |      SELECT doc_id, $bucket AS bucket FROM (
-      |        SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM lab)
-      |      WHERE t <> '') GROUP BY doc_id, bucket
+      |      ${bucketStreamSql("lab", bigrams)}) GROUP BY doc_id, bucket
       |    UNION ALL
       |    SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM lab) f
       |  JOIN lab l USING (doc_id)),
@@ -2746,9 +2785,7 @@ object SparkEntry {
       |held AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
       |hf AS (
       |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
-      |    SELECT doc_id, $bucket AS bucket FROM (
-      |      SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM held)
-      |    WHERE t <> '') GROUP BY doc_id, bucket
+      |      ${bucketStreamSql("held", bigrams)}) GROUP BY doc_id, bucket
       |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM held),
       |sc AS (
       |  SELECT h.doc_id, CAST(SUM(h.cnt * COALESCE(w.w, 0)) AS BIGINT) AS score
@@ -4745,6 +4782,8 @@ object SparkEntry {
     "q_perceptron" -> perceptronOracle,
 
     "q_perceptron_voted" -> perceptronVotedOracle,
+
+    "q_perceptron_bigram" -> perceptronBigramOracle,
 
     // the expected extraction from the generating arithmetic: title text,
     // newline (all head/body chrome collapses to one), the document text,

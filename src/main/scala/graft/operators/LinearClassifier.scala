@@ -44,9 +44,13 @@ object LinearClassifier {
 
   val P: Long = 1000000007L
 
-  /** Trained model: dense weights by bucket, integer bias, config. */
+  /** Trained model: dense weights by bucket, integer bias, config.
+    * `bigrams` records whether adjacent-token-pair features were hashed
+    * in alongside unigrams (fastText's word-n-gram trick — scoring must
+    * extract the same feature set).
+    */
   case class Model(weights: Array[Long], bias: Long, numBuckets: Int,
-                   epochs: Int) {
+                   epochs: Int, bigrams: Boolean = false) {
     require(weights.length == numBuckets)
   }
 
@@ -56,22 +60,43 @@ object LinearClassifier {
   def tokenBucket(t: Column, numBuckets: Int): Column =
     pmod(F.portableTokenHash(t), lit(numBuckets.toLong))
 
+  /** Adjacent-pair (bigram) bucket: `(th(a)·131 + th(b)) mod p mod D` —
+    * both token hashes < p ≈ 1e9, so the combine stays far below 2^63
+    * and replays exactly in any engine.
+    */
+  def bigramBucket(a: Column, b: Column, numBuckets: Int): Column =
+    pmod(pmod(F.portableTokenHash(a) * 131L + F.portableTokenHash(b),
+      lit(P)), lit(numBuckets.toLong))
+
   private def cleanTokens(textCol: String): Column =
     filter(F.tokens(col(textCol)), t => length(t) > 0)
 
   /** Sparse hashed features `(idCol, bucket, cnt)` plus the implicit
-    * bias feature (bucket −1, cnt 1) per document.
+    * bias feature (bucket −1, cnt 1) per document; with `bigrams`,
+    * adjacent-pair buckets are hashed into the SAME bucket space
+    * (fastText-style).
     */
   def features(docs: DataFrame, idCol: String, numBuckets: Int,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text",
+               bigrams: Boolean = false): DataFrame = {
     val tok = docs
       .select(col(idCol), explode(cleanTokens(textCol)).as("_t"))
       .select(col(idCol), tokenBucket(col("_t"), numBuckets).as("bucket"))
-      .groupBy(col(idCol), col("bucket"))
+    val uni =
+      if (!bigrams) tok
+      else tok.unionByName(docs
+        .select(col(idCol), cleanTokens(textCol).as("_ts"))
+        .where(size(col("_ts")) >= 2)
+        .select(col(idCol), col("_ts"),
+          explode(sequence(lit(1), size(col("_ts")) - 1)).as("_i"))
+        .select(col(idCol), bigramBucket(
+          element_at(col("_ts"), col("_i")),
+          element_at(col("_ts"), col("_i") + 1), numBuckets).as("bucket")))
+    val counted = uni.groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val bias = docs.select(col(idCol), lit(-1L).as("bucket"),
       lit(1L).as("cnt"))
-    tok.unionByName(bias)
+    counted.unionByName(bias)
   }
 
   /** Train `epochs` batch-perceptron epochs over `labeled` (labelCol is
@@ -80,8 +105,9 @@ object LinearClassifier {
     */
   def trainPerceptron(labeled: DataFrame, idCol: String, labelCol: String,
                       numBuckets: Int, epochs: Int,
-                      textCol: String = "text"): Model =
-    trainImpl(labeled, idCol, labelCol, numBuckets, epochs, textCol)._1
+                      textCol: String = "text",
+                      bigrams: Boolean = false): Model =
+    trainImpl(labeled, idCol, labelCol, numBuckets, epochs, textCol, bigrams)._1
 
   /** The VOTED flavor: score with Σ_e w_e (the weight vector after each
     * epoch, summed) — the integer-preserving form of the averaged
@@ -91,16 +117,17 @@ object LinearClassifier {
     */
   def trainVotedPerceptron(labeled: DataFrame, idCol: String,
                            labelCol: String, numBuckets: Int, epochs: Int,
-                           textCol: String = "text"): Model =
-    trainImpl(labeled, idCol, labelCol, numBuckets, epochs, textCol)._2
+                           textCol: String = "text",
+                           bigrams: Boolean = false): Model =
+    trainImpl(labeled, idCol, labelCol, numBuckets, epochs, textCol, bigrams)._2
 
   private def trainImpl(labeled: DataFrame, idCol: String, labelCol: String,
                         numBuckets: Int, epochs: Int,
-                        textCol: String): (Model, Model) = {
+                        textCol: String, bigrams: Boolean = false): (Model, Model) = {
     require(numBuckets >= 2 && numBuckets <= (1 << 18),
       s"numBuckets must be in [2, 2^18] (the driver holds one long per bucket), got $numBuckets")
     require(epochs >= 1 && epochs <= 64, s"epochs must be in [1,64], got $epochs")
-    val feats = features(labeled, idCol, numBuckets, textCol)
+    val feats = features(labeled, idCol, numBuckets, textCol, bigrams)
       .join(labeled.select(col(idCol), col(labelCol).cast(LongType).as("_y")),
         Seq(idCol))
       .persist()
@@ -138,7 +165,8 @@ object LinearClassifier {
         vb += b
         e += 1
       }
-      (Model(w, b, numBuckets, epochs), Model(vw, vb, numBuckets, epochs))
+      (Model(w, b, numBuckets, epochs, bigrams),
+        Model(vw, vb, numBuckets, epochs, bigrams))
     } finally feats.unpersist()
   }
 
@@ -151,12 +179,23 @@ object LinearClassifier {
   def score(docs: DataFrame, model: Model,
             textCol: String = "text"): DataFrame = {
     val wCol = typedlit(model.weights.toSeq)
-    docs
-      .withColumn("score",
-        aggregate(cleanTokens(textCol), lit(model.bias),
-          (acc, t) => acc + element_at(wCol,
-            tokenBucket(t, model.numBuckets).cast(IntegerType) + 1)))
+    val withToks = docs.withColumn("_ts", cleanTokens(textCol))
+    val uniScore = aggregate(col("_ts"), lit(model.bias),
+      (acc, t) => acc + element_at(wCol,
+        tokenBucket(t, model.numBuckets).cast(IntegerType) + 1))
+    val full =
+      if (!model.bigrams) uniScore
+      else uniScore + when(size(col("_ts")) >= 2,
+        aggregate(sequence(lit(1), size(col("_ts")) - 1), lit(0L),
+          (acc, i) => acc + element_at(wCol, bigramBucket(
+            element_at(col("_ts"), i),
+            element_at(col("_ts"), i + 1),
+            model.numBuckets).cast(IntegerType) + 1)))
+        .otherwise(lit(0L))
+    withToks
+      .withColumn("score", full)
       .withColumn("pred", when(col("score") > 0, 1).otherwise(-1))
+      .drop("_ts")
   }
 
   /** Train on `labeled`, keep the corpus slice predicted +1 — the

@@ -55,6 +55,26 @@ class LinearClassifierSpec extends SparkSpecBase {
     assert(v8.weights.toSeq == v8b.weights.toSeq && v8.bias == v8b.bias)
   }
 
+  test("bigram features separate word-ORDER classes that unigrams cannot") {
+    // identical bags of words, opposite order: only pair features can
+    // tell them apart
+    val docs = ((0L until 30L).map(i => (i, 1, s"good service bad none x$i")) ++
+      (30L until 60L).map(i => (i, -1, s"bad service good none x$i")))
+      .toDF("doc_id", "y", "text")
+    val uni = LinearClassifier.trainPerceptron(docs, "doc_id", "y",
+      numBuckets = 256, epochs = 10)
+    val uniAcc = LinearClassifier.score(docs, uni)
+      .where(col("pred") === col("y")).count()
+    assert(uniAcc <= 40, s"unigram bags are identical — accuracy $uniAcc/60 should stay near chance")
+    val bi = LinearClassifier.trainPerceptron(docs, "doc_id", "y",
+      numBuckets = 256, epochs = 10, bigrams = true)
+    val biAcc = LinearClassifier.score(docs, bi)
+      .where(col("pred") === col("y")).count()
+    assert(biAcc == 60, s"bigram features must separate word order, got $biAcc/60")
+    // scoring refuses nothing: a unigram model still scores the same docs
+    assert(!uni.bigrams && bi.bigrams)
+  }
+
   test("features: bias row per doc, empty text gets only the bias feature") {
     val docs = Seq((1L, "a b a"), (2L, "")).toDF("doc_id", "text")
     val f = LinearClassifier.features(docs, "doc_id", numBuckets = 16)
