@@ -115,7 +115,11 @@ class CodegenHealthSpec extends SparkSpecBase {
     // any plan shape these reach surfaces here instead of as silent
     // interpreted-path throughput loss
     val families = Seq("q_minhash_pairs", "q_simhash_pairs", "q_embed_neardup",
-      "q_knn_brute", "q_ivf_ann")
+      "q_knn_brute", "q_ivf_ann",
+      // round-10 families: Bloom bit test (bridged ShiftRightUnsigned),
+      // count-min grid lookup, html_text/preClean scalars, the
+      // perceptron's unrolled fold scoring
+      "q_bloom_seen", "q_countmin", "q_html_extract", "q_perceptron")
     val errs = codegenErrors {
       families.foreach(q => SparkEntry.queries(q)(spark, sfDir).collect())
     }
