@@ -897,6 +897,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Crawl politeness: robots.txt rules (group selection by
+    //      user-agent, longest-match with allow-wins ties, host-specific
+    //      rules) against an arithmetic URL fixture — a wrong group pick
+    //      (the graftbot group disallows EVERYTHING), a leaked cross-host
+    //      rule or a broken longest-match all flip verdicts. Oracle =
+    //      the allow arithmetic, no robots parsing in DuckDB. ----
+    "q_robots_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = s.range(9).select(
+        concat(lit("h"), col("id").cast("string"), lit(".ex")).as("host"),
+        concat(lit("User-agent: graftbot\nDisallow: /\n\n" +
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+          "Disallow: /x"), col("id").cast("string"), lit("\n")).as("content"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://h"), (col("doc_id") % 10).cast("string"), lit(".ex"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("/public/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/private/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/private/ok/p"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("/x"), (col("doc_id") % 10).cast("string"),
+            lit("/p"), col("doc_id").cast("string")))).as("url"))
+      RobotsFilter.markAllowed(urls, robots, "url")
+        .select(col("doc_id"), col("allowed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: corpus token-frequency estimation by count-min sketch.
     //      width is DELIBERATELY tight (3×64 counters for a ~40-word
     //      vocabulary across 5 langs) so collisions overestimate — the
@@ -4792,6 +4820,14 @@ object SparkEntry {
       """SELECT doc_id,
         |  'T' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10)
         |    || 'tail & ' || CAST(doc_id % 7 AS VARCHAR) AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // verdicts from the generating arithmetic: hosts 0-8 carry robots
+    // (class 0 public and class 2 deep-allow pass, class 1 private and
+    // class 3 host-specific /x{k} are blocked); host 9 has no robots
+    "q_robots_filter" ->
+      """SELECT doc_id,
+        |  (doc_id % 10 = 9) OR (doc_id % 4 = 0) OR (doc_id % 4 = 2) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // replay the count-min grid: token hash → 3 double-hashed counter

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt politeness filtering — the crawl-side admission gate that
+  * decides, per URL, whether the corpus may contain it at all. Semantics
+  * follow the public Robots Exclusion Protocol (RFC 9309 shape):
+  *
+  *  - groups = consecutive `User-agent` lines followed by their rules;
+  *    the group that applies is the MOST SPECIFIC matching one (longest
+  *    agent token that is a case-insensitive prefix of ours; `*` is the
+  *    fallback), and when several user-agent lines head one group the
+  *    group applies if ANY matches;
+  *  - rule matching is longest-(pattern)-match; a tie between Allow and
+  *    Disallow of equal length resolves to ALLOW; no matching rule (or
+  *    no robots.txt for the host) means allowed;
+  *  - patterns support `*` (any char run) and a trailing `$` anchor;
+  *  - `#` comments, unknown directives (Crawl-delay, Sitemap) and blank
+  *    lines are ignored; an empty `Disallow:` value allows everything
+  *    (it can never match more specifically than any other rule).
+  *
+  * Scale shape: robots tables are HOST-sized (10^6-ish rows), URLs are
+  * corpus-sized — so rules are parsed on the tiny side, collected to one
+  * array row per host, BROADCAST, and the per-URL decision is a map-only
+  * fold over that host's rule array: the URL table never shuffles.
+  */
+object RobotsFilter {
+
+  /** One parsed rule: the raw pattern (for specificity length), its
+    * regex form (Java∩RE2 subset: quoted literals + `.*` + `$`), and
+    * the verdict.
+    */
+  final case class Rule(pattern: String, rx: String, allow: Boolean)
+
+  /** Convert a robots path pattern to an anchored-prefix regex. */
+  private[operators] def patternToRegex(p: String): String = {
+    val anchored = p.endsWith("$")
+    val body = if (anchored) p.dropRight(1) else p
+    val sb = new StringBuilder("^")
+    body.foreach {
+      case '*' => sb ++= ".*"
+      case c if "\\.[]{}()+-?^$|".indexOf(c) >= 0 => sb += '\\'; sb += c
+      case c => sb += c
+    }
+    if (anchored) sb += '$'
+    sb.toString
+  }
+
+  /** Parse `content` and return the rules of the group that applies to
+    * `agent` (most-specific user-agent match; `*` fallback; empty when
+    * no group applies or content is null).
+    */
+  def parseRobotsRules(content: String, agent: String): Seq[Rule] = {
+    if (content == null) return Seq.empty
+    val agentLc = agent.toLowerCase
+    // group accumulator: (specificity, rules) — specificity is the
+    // longest matching UA token length; -1 = group does not apply, 0 = *
+    var bestSpec = -1
+    var bestRules = Vector.empty[Rule]
+    var curSpec = -1
+    var curRules = Vector.empty[Rule]
+    var inAgentRun = false // consecutive User-agent lines extend ONE group
+    def closeGroup(): Unit = {
+      if (curSpec > bestSpec) { bestSpec = curSpec; bestRules = curRules }
+      // equally specific groups MERGE (RFC 9309: multiple groups
+      // matching the same agent combine)
+      else if (curSpec == bestSpec && curSpec >= 0) bestRules ++= curRules
+      curSpec = -1; curRules = Vector.empty
+    }
+    content.split("\n", -1).foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!inAgentRun) closeGroup()
+            inAgentRun = true
+            val tok = value.toLowerCase
+            val spec =
+              if (tok == "*") 0
+              else if (agentLc.startsWith(tok)) tok.length
+              else -1
+            if (spec > curSpec) curSpec = spec
+          case "allow" | "disallow" =>
+            inAgentRun = false
+            if (value.nonEmpty && curSpec >= 0)
+              curRules :+= Rule(value, patternToRegex(value), key == "allow")
+          case _ => inAgentRun = false // Crawl-delay, Sitemap, unknown
+        }
+      }
+    }
+    closeGroup()
+    bestRules
+  }
+
+  /** Parse a robots table `(hostCol, contentCol)` into one broadcastable
+    * row per host: `(host, rules ARRAY<STRUCT<pattern,rx,allow,len>>)`.
+    * mapPartitions on the HOST-sized side only.
+    */
+  def robotsRules(robots: DataFrame, agent: String,
+                  hostCol: String = "host",
+                  contentCol: String = "content"): DataFrame = {
+    import robots.sparkSession.implicits._
+    robots.select(col(hostCol).as("host"), col(contentCol).as("content"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (host, content) =>
+        (host, parseRobotsRules(content, agent).map(r =>
+          (r.rx, r.pattern.length, if (r.allow) 1 else 0)))
+      })
+      .toDF("host", "rules")
+  }
+
+  /** Mark every URL with `allowed` against the agent's rules — broadcast
+    * join on the host plus a map-only longest-match fold over the rule
+    * array (RFC tie-break: equal length resolves to allow). URLs whose
+    * host has no robots row are allowed.
+    */
+  def markAllowed(urls: DataFrame, robots: DataFrame, urlCol: String,
+                  agent: String = "*"): DataFrame = {
+    val rules = robotsRules(robots, agent)
+    val inputCols = urls.columns.map(col)
+    // no matching rule → sentinel (len −1, allow) → allowed
+    val zero = struct(lit(-1).as("len"), lit(1).as("allow"))
+    val best = aggregate(coalesce(col("_rules"), array()), zero,
+      (acc, r) => when(
+        regexp_like(col("_path"), r.getField("_1")) &&
+          (r.getField("_2") > acc.getField("len") ||
+            (r.getField("_2") === acc.getField("len") &&
+              r.getField("_3") === 1)),
+        struct(r.getField("_2").as("len"), r.getField("_3").as("allow")))
+        .otherwise(acc))
+    urls
+      .withColumn("_host", lower(parse_url(col(urlCol), lit("HOST"))))
+      .withColumn("_path", coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")))
+      .join(broadcast(rules.select(lower(col("host")).as("_host"),
+        col("rules").as("_rules"))), Seq("_host"), "left")
+      .select(inputCols :+ (best.getField("allow") === 1).as("allowed"): _*)
+  }
+
+  /** Keep only the allowed URLs. */
+  def filterAllowed(urls: DataFrame, robots: DataFrame, urlCol: String,
+                    agent: String = "*"): DataFrame =
+    markAllowed(urls, robots, urlCol, agent).where(col("allowed")).drop("allowed")
+}
