@@ -944,6 +944,22 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    // ---- Heavy hitters through the sketch: candidates = distinct
+    //      tokens of the doc_id % 5 slice, estimates from a 4×4096 grid
+    //      (seed 11), top 15 by (est desc, token) — grid, candidate set,
+    //      ordering and cut all replayed; TakeOrdered plan, no global
+    //      sort. ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sketch = FrequencySketch.tokenSketch(docs, seed = 11L,
+        depth = 4, width = 4096)
+      val candidates = docs.where(col("doc_id") % 5 === 0)
+        .select(explode(filter(graft.functions.Functions.tokens(col("text")),
+          tk => length(tk) > 0)).as("token"))
+        .distinct()
+      FrequencySketch.heavyHitters(candidates, sketch, "token", k = 15)
+    }),
+
     // ---- fastText-style word-BIGRAM features hashed into the same
     //      bucket space (3 epochs) — the oracle's feature CTE gains the
     //      adjacent-pair bucket stream and must still land on identical
@@ -4829,6 +4845,49 @@ object SparkEntry {
       """SELECT doc_id,
         |  (doc_id % 10 = 9) OR (doc_id % 4 = 0) OR (doc_id % 4 = 2) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q_countmin's replay at 4×4096 (seed 11) + the candidate slice +
+    // the deterministic (est desc, token) cut
+    "q_heavy_hitters" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT t,
+        |    ((CAST(len(t) AS BIGINT) * 2654435761
+        |      + CAST(unicode(t) AS BIGINT) * 97
+        |      + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |h AS MATERIALIZED (
+        |  SELECT t,
+        |    ((fp + 11) * 2654435761 % 1000000007) AS h1,
+        |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |  FROM toks),
+        |grid AS MATERIALIZED (
+        |  SELECT u.j, ((h1 + u.j * h2) % 1000000007) % 4096 AS pos,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) u
+        |  GROUP BY u.j, pos),
+        |q AS (
+        |  SELECT DISTINCT t FROM (
+        |    SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+        |    WHERE doc_id % 5 = 0) WHERE t <> ''),
+        |qh AS (
+        |  SELECT t,
+        |    ((fp + 11) * 2654435761 % 1000000007) AS h1,
+        |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |  FROM (
+        |    SELECT t,
+        |      ((CAST(len(t) AS BIGINT) * 2654435761
+        |        + CAST(unicode(t) AS BIGINT) * 97
+        |        + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |    FROM q)),
+        |est AS (
+        |  SELECT qh.t AS token, MIN(COALESCE(g.c, 0)) AS est
+        |  FROM qh CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) u
+        |  LEFT JOIN grid g
+        |    ON g.j = u.j AND g.pos = ((qh.h1 + u.j * qh.h2) % 1000000007) % 4096
+        |  GROUP BY qh.t)
+        |SELECT token, est FROM est
+        |ORDER BY est DESC, token LIMIT 15""".stripMargin,
 
     // replay the count-min grid: token hash → 3 double-hashed counter
     // positions (seed 9; second salt = (9 + 1315423911) % p), counters =

@@ -66,6 +66,24 @@ object FrequencySketch {
         seed, depth, width))
   }
 
+  /** Heavy hitters by sketch: estimate every candidate key, keep the
+    * top k by (estimate desc, key asc — deterministic ties). Candidates
+    * typically come from a deterministic content-selected sample, so
+    * the whole chain is engine-recomputable; because count–min never
+    * underestimates, no true heavy hitter IN the candidate set can be
+    * pushed out of the top k by a measurement error — only collision
+    * OVERestimates can pull extras in, bounded by the standard ε·N.
+    * `orderBy + limit` plans as TakeOrdered (per-partition top-k +
+    * driver merge), not a global sort.
+    */
+  def heavyHitters(candidates: DataFrame, sketch: DataFrame,
+                   keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    estimateTokens(candidates, sketch, keyCol)
+      .orderBy(col("est").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Element-wise-sum merge of sketches over disjoint corpus slices;
     * configs must match exactly.
     */
