@@ -286,4 +286,63 @@ object TrainingPipeline {
       case None => split
     }
   }
+
+  // ------------------------------------------------------- release layer
+
+  private def splitStats(df: DataFrame, textCol: String): String =
+    df.groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(crc32(col(textCol))).as("fp"),
+        sum(F.tokenCount(col(textCol))
+          .cast(org.apache.spark.sql.types.LongType)).as("toks"))
+      .collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}:${r.getLong(2)}:${r.getLong(3)}")
+      .sorted.mkString(",")
+
+  /** Publish the prepared corpus as a verifiable RELEASE: data written
+    * split-partitioned under a generation dir, then a `_DATASET.json`
+    * manifest (atomic rename, written LAST) carrying per-split row/
+    * token counts, an order-insensitive content fingerprint (sum of
+    * crc32(text) — bounded at 2^32 per row, no overflow below ~2^31
+    * rows per split) and the audit ledger. The stats are computed from
+    * what LANDED (read back), not from the input plan — the manifest
+    * describes the files, not the intent. A crash before the manifest
+    * leaves an unreferenced gen dir, never a half-described release.
+    */
+  def writeRelease(data: DataFrame, root: String, textCol: String = "text",
+                   ledger: Seq[(String, Long)] = Nil): String = {
+    require(data.columns.contains("split"),
+      "release data must carry the split column (run prepare() first)")
+    require(data.columns.contains(textCol), s"no column $textCol")
+    val spark = data.sparkSession
+    val gen = s"gen-${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    data.write.partitionBy("split").parquet(s"$root/$gen/data")
+    val splits = splitStats(spark.read.parquet(s"$root/$gen/data"), textCol)
+    val ledgerStr = ledger.map { case (k, v) => s"$k=$v" }.mkString(",")
+    Manifests.writeAtomic(spark, s"$root/_DATASET.json",
+      s"""{"generation":"$gen","textCol":"$textCol",""" +
+        s""""splits":"$splits","ledger":"$ledgerStr"}""")
+    gen
+  }
+
+  /** Open a release and RE-VERIFY it against its manifest: per-split
+    * row count, token count and content fingerprint must all match, or
+    * the read fails loudly — a torn copy, a lost partition or silent
+    * data drift is an error, never silently-different training data.
+    */
+  def readRelease(spark: org.apache.spark.sql.SparkSession,
+                  root: String): DataFrame = {
+    val m = Manifests.read(spark, s"$root/_DATASET.json").getOrElse(
+      throw new IllegalStateException(s"no _DATASET.json under $root"))
+    val gen = Manifests.strField(m, "generation")
+    val textCol = Manifests.strField(m, "textCol")
+    val expected = Manifests.strField(m, "splits")
+    val df = spark.read.parquet(s"$root/$gen/data")
+    val got = splitStats(df, textCol)
+    if (got != expected)
+      throw new IllegalStateException(
+        s"release $root/$gen fails verification:\n  manifest: $expected\n  on disk:  $got")
+    df
+  }
 }

@@ -148,6 +148,35 @@ class PipelineE2ESpec extends SparkSpecBase {
     assert(plain.count() == 60)
   }
 
+  test("release layer: write, verified read-back, tamper and lost-partition are loud") {
+    import graft.operators.TrainingPipeline
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val (out, ledger) = TrainingPipeline.prepareAudited(docs, "doc_id")
+    val root = java.nio.file.Files.createTempDirectory("release_").toString
+    val gen = TrainingPipeline.writeRelease(out, root, ledger = ledger)
+    val back = TrainingPipeline.readRelease(spark, root)
+    assert(back.count() == out.count())
+    assert(back.select("doc_id").exceptAll(out.select("doc_id")).isEmpty)
+    // the manifest records the ledger
+    val manifest = graft.operators.Manifests.read(spark, s"$root/_DATASET.json").get
+    assert(manifest.contains("exact_dedup=") && manifest.contains(s""""generation":"$gen""""))
+    // tamper: delete one split dir → verification must fail loudly
+    val dataDir = new java.io.File(s"$root/$gen/data")
+    val splitDir = dataDir.listFiles().filter(_.getName.startsWith("split=")).head
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf); f.delete()
+    }
+    rmRf(splitDir)
+    intercept[IllegalStateException] {
+      TrainingPipeline.readRelease(spark, root).count()
+    }
+    intercept[IllegalStateException] {
+      TrainingPipeline.readRelease(spark,
+        java.nio.file.Files.createTempDirectory("release_none_").toString)
+    }
+  }
+
   test("training pipeline with decontamination: eval-overlapping docs dropped") {
     import graft.operators.{TextAnalysis, TrainingPipeline}
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
