@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_fix_mojibake(text) - exact-test repair of UTF-8 mis-decoded as Latin-1/Windows-1252") {
       args => TextExpressions.FixMojibake(args(0))
     }
+    register("graft_html_text",
+      "graft_html_text(html) - HTML to text: strip markup, drop script/style/comments, decode entities, block tags to newlines (fail-soft)") {
+      args => TextExpressions.HtmlText(args(0))
+    }
     register("graft_hyperplane_sig",
       "graft_hyperplane_sig(vec, bits, seed) - random-hyperplane LSH signature") {
       args => VectorExpressions.HyperplaneSig(args(0), intArg(args(1), "bits"), intArg(args(2), "seed"))

@@ -49,6 +49,12 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[Exception] { // bad form name fails at plan time, loudly
       spark.sql("SELECT graft_normalize('x', 'NOT_A_FORM')").collect()
     }
+
+    // HTML extraction from pure SQL (script dropped, entity decoded,
+    // block tag to newline)
+    assert(spark.sql(
+      "SELECT graft_html_text('<p>a &amp; b</p><script>x<y</script><p>c</p>') AS t")
+      .collect().head.getString(0) == "a & b\nc")
   }
 
   test("wire + proto decode compose in pure SQL") {
