@@ -84,21 +84,31 @@ object HtmlExtract {
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<') {
+      // '<' before anything but a letter, '/', '!' or '?' is literal TEXT
+      // (the HTML5 tokenizer rule) — otherwise junk like "<<script>"
+      // would swallow the real script opener and LEAK its payload
+      val tagOpener = c == '<' && i + 1 < n && {
+        val d = html.charAt(i + 1)
+        (d >= 'a' && d <= 'z') || (d >= 'A' && d <= 'Z') ||
+          d == '/' || d == '!' || d == '?'
+      }
+      if (tagOpener) {
         if (html.startsWith("<!--", i)) {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
         } else if (html.startsWith("<![CDATA[", i)) {
           val e = html.indexOf("]]>", i + 9)
-          val end = if (e < 0) n else e
-          var k = i + 9
-          while (k < end) { // CDATA payload is raw text
-            val d = html.charAt(k)
-            if (d == ' ' || d == '\t' || d == '\r' || d == '\n') pendingSpace = true
-            else appendChar(d)
-            k += 1
+          if (e < 0) i = n // unterminated CDATA: fail-soft truncation,
+          else {           // never dump the raw remainder as text
+            var k = i + 9
+            while (k < e) { // terminated CDATA payload is raw text
+              val d = html.charAt(k)
+              if (d == ' ' || d == '\t' || d == '\r' || d == '\n') pendingSpace = true
+              else appendChar(d)
+              k += 1
+            }
+            i = e + 3
           }
-          i = if (e < 0) n else e + 3
         } else {
           // scan to the tag's '>' honoring quoted attribute values
           var j = i + 1

@@ -59,6 +59,28 @@ class HtmlExtractSpec extends SparkSpecBase {
     assert(extractTextString(null) == null)
   }
 
+  test("fuzz: random tag soup never throws, never leaks script payloads, and extraction is pure") {
+    val rnd = new scala.util.Random(42)
+    val atoms = Array("<", ">", "&", "p", "div", "script", "/", "\"", "'",
+      "=", " ", "\n", "a", "&amp;", "<!--", "-->", "<![CDATA[", "]]>",
+      "<script>", "</script>", "&#", ";", "$", "*", "é", "中")
+    (0 until 500).foreach { _ =>
+      val soup = (0 until rnd.nextInt(60))
+        .map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+      val once = extractTextString(soup) // must not throw
+      assert(once != null)
+      // purity: same input, same output
+      assert(extractTextString(soup) == once)
+    }
+    // script payloads never leak, whatever garbage surrounds them
+    (0 until 200).foreach { i =>
+      val pre = atoms(i % atoms.length)
+      val soup = s"$pre<script>SECRET_$i()</script>tail"
+      assert(!extractTextString(soup).contains(s"SECRET_$i"),
+        s"script payload leaked for prefix ${pre.replace("\n", "\\n")}")
+    }
+  }
+
   test("extract() is a map-only codegen scalar over the corpus") {
     val docs = Seq((1L, "<p>one</p>"), (2L, "<div>two &amp; three</div>"))
       .toDF("doc_id", "html")
