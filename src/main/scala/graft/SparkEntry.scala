@@ -2269,6 +2269,60 @@ object SparkEntry {
         .orderBy(col("archive_id"), col("member_idx"))
     }),
 
+    // ---- Full-WARC HTTP responses: binary payloads (bytes flavor of the
+    //      record parse), HTTP status/header parse, and CHARSET-aware
+    //      body decode — utf-8 / iso-8859-1 / windows-1252 by doc_id % 3,
+    //      with the doc_id % 5 slice declaring its charset ONLY in an
+    //      HTML meta tag (the WHATWG sniff path) and the doc_id % 2 slice
+    //      carrying trailing garbage the HTTP Content-Length must cut.
+    //      The oracle derives status, charset and the DECODED text from
+    //      the generating arithmetic — any drift in the byte-level
+    //      header walk, the charset resolution order or the decode
+    //      breaks the hash. ----
+    "q_http_parse" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{GzipArchives, HttpPayload, WarcRecords}
+      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val archives = docs.groupByKey(_ % 16)
+        .mapGroups { (aid, it) =>
+          val recs = it.toSeq.sorted.map { id =>
+            val (label, cs) = (id % 3) match {
+              case 0 => ("utf-8", java.nio.charset.StandardCharsets.UTF_8)
+              case 1 => ("iso-8859-1", java.nio.charset.StandardCharsets.ISO_8859_1)
+              case _ => ("windows-1252", java.nio.charset.Charset.forName("windows-1252"))
+            }
+            val mark = (id % 3) match { case 0 | 1 => "é"; case _ => "€" }
+            val bodyText =
+              (if (id % 5 == 0) "<meta charset=\"" + label + "\">" else "") +
+                s"<p>doc $id $mark p${id % 100}</p>"
+            val bodyBytes = bodyText.getBytes(cs)
+            val status = if (id % 7 == 0) 404 else 200
+            val ctHeader =
+              if (id % 5 == 0) "text/html"
+              else s"text/html; charset=$label"
+            val http = (s"HTTP/1.1 $status OK\r\n" +
+              s"Content-Type: $ctHeader\r\n" +
+              s"Content-Length: ${bodyBytes.length}\r\n" +
+              "X-Junk: ignored\r\n\r\n").getBytes("ISO-8859-1") ++
+              bodyBytes ++
+              (if (id % 2 == 0) "JUNK".getBytes("ISO-8859-1") else Array.emptyByteArray)
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://ex.com/$id\r\n" +
+              "Content-Type: application/http;msgtype=response\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++ http
+          }
+          (aid, GzipArchives.buildArchive(recs))
+        }
+      HttpPayload.parseResponses(
+        WarcRecords.parseMembersBinary(GzipArchives.explodeArchives(archives)))
+        .select(col("archive_id"),
+          col("member_idx").cast(LongType).as("member_idx"), col("ok"),
+          col("target_uri"), col("status"), col("mime"), col("charset"),
+          md5(col("text")).as("h"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy(col("archive_id"), col("member_idx"))
+    }),
+
     // ---- Z-order layout (Morton-curve clustering for two-dimensional
     //      file pruning — the write/compaction-time layout step that lets
     //      parquet min/max skipping serve predicates on EITHER key).
@@ -3699,6 +3753,34 @@ object SparkEntry {
         |  'http://ex.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
         |  md5('T' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10)
         |    || 'tail & ' || CAST(doc_id % 7 AS VARCHAR)) AS h
+        |FROM documents ORDER BY archive_id, member_idx""".stripMargin,
+
+    // status, charset and the charset-DECODED body text all derived from
+    // the generating arithmetic (chr(233) = 'é', chr(8364) = '€' — the
+    // marks the three encodings carry differently on the wire)
+    "q_http_parse" ->
+      """SELECT doc_id % 16 AS archive_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1
+        |       AS BIGINT) AS member_idx,
+        |  TRUE AS ok,
+        |  'http://ex.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+        |  'text/html' AS mime,
+        |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+        |    ELSE 'windows-1252' END AS charset,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN '<meta charset="'
+        |        || (CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+        |              ELSE 'windows-1252' END) || '">' ELSE '' END
+        |    || '<p>doc ' || CAST(doc_id AS VARCHAR) || ' '
+        |    || (CASE WHEN doc_id % 3 = 2 THEN chr(8364) ELSE chr(233) END)
+        |    || ' p' || CAST(doc_id % 100 AS VARCHAR) || '</p>') AS h,
+        |  CAST(length(CASE WHEN doc_id % 5 = 0 THEN '<meta charset="'
+        |        || (CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+        |              ELSE 'windows-1252' END) || '">' ELSE '' END
+        |    || '<p>doc ' || CAST(doc_id AS VARCHAR) || ' '
+        |    || (CASE WHEN doc_id % 3 = 2 THEN chr(8364) ELSE chr(233) END)
+        |    || ' p' || CAST(doc_id % 100 AS VARCHAR) || '</p>') AS BIGINT)
+        |    AS n_chars
         |FROM documents ORDER BY archive_id, member_idx""".stripMargin,
 
     // the Morton code replayed with the same signed-64-safe spread chain

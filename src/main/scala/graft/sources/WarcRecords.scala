@@ -96,4 +96,84 @@ object WarcRecords {
       }
     }).toDF()
   }
+
+  final case class WarcBinaryRow(
+      archive_id: Long,
+      member_idx: Int,
+      ok: Boolean,
+      warc_type: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      body: Array[Byte])
+
+  /** Parse one record as BYTES — the full-WARC shape, where `response`
+    * records carry captured HTTP responses whose entity bodies are raw
+    * octets in the origin server's encoding (not necessarily UTF-8; the
+    * string flavor above is only sound for WET conversion records). The
+    * header block is ASCII by spec and is decoded as ISO-8859-1 (an
+    * ASCII superset, so a stray high byte in a malformed header can
+    * never throw); the payload is returned UNDECODED and truncated to
+    * `Content-Length` BYTES directly — no encode/decode round-trip.
+    */
+  def parseRecordBytes(rec: Array[Byte]): (Boolean, String, String, String, String, Long, Array[Byte]) = {
+    if (rec == null) return (false, null, null, null, null, -1L, null)
+    // find the \r\n\r\n header/payload separator at the byte level
+    var sep = -1
+    var i = 0
+    val n = rec.length - 3
+    while (i < n && sep < 0) {
+      if (rec(i) == '\r' && rec(i + 1) == '\n' &&
+          rec(i + 2) == '\r' && rec(i + 3) == '\n') sep = i
+      i += 1
+    }
+    val headEnd = if (sep < 0) rec.length else sep
+    val head = new String(rec, 0, headEnd, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("WARC/"))
+      return (false, null, null, null, null, -1L, null)
+    var (t, uri, date, ct) = (null: String, null: String, null: String, null: String)
+    var cl = -1L
+    var li = 1
+    while (li < lines.length) {
+      val ln = lines(li)
+      val c = ln.indexOf(':')
+      if (c > 0) {
+        val k = ln.substring(0, c).trim.toLowerCase
+        val v = ln.substring(c + 1).trim
+        k match {
+          case "warc-type" => if (t == null) t = v
+          case "warc-target-uri" => if (uri == null) uri = v
+          case "warc-date" => if (date == null) date = v
+          case "content-type" => if (ct == null) ct = v
+          case "content-length" => if (cl < 0)
+            cl = try v.toLong catch { case _: NumberFormatException => -1L }
+          case _ =>
+        }
+      }
+      li += 1
+    }
+    val bodyStart = if (sep < 0) rec.length else sep + 4
+    var bodyLen = rec.length - bodyStart
+    if (cl >= 0 && cl < bodyLen) bodyLen = cl.toInt
+    val body = java.util.Arrays.copyOfRange(rec, bodyStart, bodyStart + bodyLen)
+    (true, t, uri, date, ct, cl, body)
+  }
+
+  /** [[parseMembers]] with the payload kept as BYTES — feeds
+    * [[HttpPayload.parseResponses]] for full-WARC response records.
+    */
+  def parseMembersBinary(members: Dataset[GzipArchives.MemberRow]): DataFrame = {
+    import members.sparkSession.implicits._
+    members.mapPartitions(_.map { m =>
+      if (!m.ok || m.content == null)
+        WarcBinaryRow(m.archive_id, m.member_idx, ok = false, null, null,
+          null, null, -1L, null)
+      else {
+        val (ok, t, uri, date, ct, cl, body) = parseRecordBytes(m.content)
+        WarcBinaryRow(m.archive_id, m.member_idx, ok, t, uri, date, ct, cl, body)
+      }
+    }).toDF()
+  }
 }
