@@ -897,6 +897,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Boilerplate removal (jusText-shaped block classification):
+    //      per doc, a link-dense nav bar (fails link density AND
+    //      stopword density), a content sentence that shrinks below
+    //      minWords on the doc_id % 6 slice, a zero-stopword keyword
+    //      block, a tiny block, and a moderately-linked prose block —
+    //      the oracle derives the SURVIVING text purely from the
+    //      generating arithmetic, so any drift in the walker's link
+    //      accounting or the three integer threshold tests flips a
+    //      block in or out and breaks the hash. ----
+    "q_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = docs.select(col("doc_id"), concat(
+        lit("<body><div><a href=\"/nav\">menu home login and more "),
+        (col("doc_id") % 9).cast("string"),
+        lit("</a></div><p>"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("the cat sat "), col("doc_id").cast("string")))
+          .otherwise(concat(lit("the cat and the dog sat in the house "),
+            col("doc_id").cast("string"))),
+        lit("</p><p>quick brown foxes jump high today</p><p>tiny</p>" +
+          "<p>it is the <a href=\"x\">link "),
+        (col("doc_id") % 7).cast("string"),
+        lit("</a> of the day today</p></body>")).as("html"))
+      Boilerplate.clean(html, "html", "text")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Crawl politeness: robots.txt rules (group selection by
     //      user-agent, longest-match with allow-wins ties, host-specific
     //      rules) against an arithmetic URL fixture — a wrong group pick
@@ -4918,6 +4947,24 @@ object SparkEntry {
       """SELECT doc_id,
         |  'T' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10)
         |    || 'tail & ' || CAST(doc_id % 7 AS VARCHAR) AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the surviving text from the generating arithmetic: the nav bar,
+    // the zero-stopword keyword block and the tiny block always drop;
+    // the cat sentence drops only on the % 6 slice (4 words < minWords);
+    // the moderately-linked prose block always survives
+    "q_boilerplate" ->
+      """SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 6 = 0 THEN '' ELSE
+        |        'the cat and the dog sat in the house '
+        |          || CAST(doc_id AS VARCHAR) || chr(10) END
+        |    || 'it is the link ' || CAST(doc_id % 7 AS VARCHAR)
+        |    || ' of the day today') AS h,
+        |  CAST(length(CASE WHEN doc_id % 6 = 0 THEN '' ELSE
+        |        'the cat and the dog sat in the house '
+        |          || CAST(doc_id AS VARCHAR) || chr(10) END
+        |    || 'it is the link ' || CAST(doc_id % 7 AS VARCHAR)
+        |    || ' of the day today') AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // verdicts from the generating arithmetic: hosts 0-8 carry robots

@@ -263,4 +263,38 @@ object TextExpressions {
   }
 
   def html_text(html: Column): Column = column(HtmlText(expression(html)))
+
+  /** HTML → boilerplate-stripped content text as a codegen scalar —
+    * static-invokes [[graft.operators.Boilerplate.cleanHtmlString]]
+    * (same single-pass walker as [[HtmlText]], plus the integer-exact
+    * block classification). Thresholds are plan-time constants spliced
+    * into the generated call.
+    */
+  case class HtmlClean(child: Expression, minWords: Int, ldNum: Int,
+                       ldDen: Int, swNum: Int, swDen: Int) extends UnaryExpression {
+    require(minWords >= 0 && ldDen > 0 && swDen > 0,
+      "HtmlClean thresholds must be non-negative with positive denominators")
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(
+        graft.operators.Boilerplate.cleanHtmlString(
+          v.asInstanceOf[UTF8String].toString,
+          minWords, ldNum, ldDen, swNum, swDen))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  graft.operators.Boilerplate.cleanHtmlString($v.toString(),
+           |    $minWords, $ldNum, $ldDen, $swNum, $swDen));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def html_clean(html: Column, minWords: Int, ldNum: Int, ldDen: Int,
+                 swNum: Int, swDen: Int): Column =
+    column(HtmlClean(expression(html), minWords, ldNum, ldDen, swNum, swDen))
 }

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions.col
   * emitted as raw text. Whitespace: runs collapse to one space; block
   * boundaries collapse to ONE newline regardless of how many nested
   * block tags close there.
+  *
+  * The walker is block-structured: [[walkBlocks]] emits each text block
+  * (the text between block-tag boundaries) together with how many of
+  * its characters were rendered inside `<a>` anchors — the link-density
+  * signal [[Boilerplate]] classifies on. [[extractTextString]] is the
+  * blocks joined with single newlines.
   */
 object HtmlExtract {
 
@@ -57,28 +63,49 @@ object HtmlExtract {
     (rep, e - i + 1)
   }
 
-  /** The pure extraction function (null passes through). */
-  def extractTextString(html: String): String = {
-    if (html == null) return null
+  /** Walk `html` once, emitting `(blockText, linkChars)` per text block
+    * to `sink`. `linkChars` counts the characters of the block (spaces
+    * included) rendered while inside an `<a>` anchor — materialized at
+    * append time, so a space BETWEEN two link words counts as link mass
+    * while the space that merely precedes a link does too only if it is
+    * rendered after the anchor opened. Blocks are never empty; a literal
+    * newline decoded from an entity stays INSIDE its block (the joined
+    * output reproduces [[extractTextString]] exactly).
+    */
+  private[graft] def walkBlocks(html: String, sink: (String, Int) => Unit): Unit = {
     val n = html.length
-    val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    val buf = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var linkChars = 0
+    var linkDepth = 0
     var pendingNewline = false
     var pendingSpace = false
 
     def trimTrailingSpaces(): Unit =
-      while (out.length > 0 && out.charAt(out.length - 1) == ' ')
-        out.setLength(out.length - 1)
+      while (buf.length > 0 && buf.charAt(buf.length - 1) == ' ')
+        buf.setLength(buf.length - 1)
+
+    def flushBlock(): Unit = {
+      sink(buf.toString, linkChars)
+      buf.setLength(0)
+      linkChars = 0
+    }
 
     def appendChar(c: Char): Unit = {
       if (pendingNewline) {
         trimTrailingSpaces()
-        if (out.length > 0 && out.charAt(out.length - 1) != '\n') out.append('\n')
+        // a buffer already ending in a literal newline absorbs the block
+        // boundary (mirrors the single-'\n' collapse of the joined form)
+        if (buf.length > 0 && buf.charAt(buf.length - 1) != '\n') flushBlock()
         pendingNewline = false; pendingSpace = false
       } else if (pendingSpace) {
-        if (out.length > 0 && out.charAt(out.length - 1) != '\n') out.append(' ')
+        if (buf.length > 0 && buf.charAt(buf.length - 1) != '\n') {
+          buf.append(' ')
+          if (linkDepth > 0) linkChars += 1
+        }
         pendingSpace = false
       }
-      out.append(c)
+      buf.append(c)
+      if (linkDepth > 0) linkChars += 1
     }
 
     var i = 0
@@ -148,6 +175,10 @@ object HtmlExtract {
               }
               pendingNewline = true
             } else {
+              if (name == "a") {
+                if (isClose) { if (linkDepth > 0) linkDepth -= 1 }
+                else linkDepth += 1
+              }
               if (BlockTags.contains(name)) pendingNewline = true
               i = end + 1
             }
@@ -174,8 +205,21 @@ object HtmlExtract {
       }
     }
     trimTrailingSpaces()
-    while (out.length > 0 && out.charAt(out.length - 1) == '\n')
-      out.setLength(out.length - 1)
+    while (buf.length > 0 && buf.charAt(buf.length - 1) == '\n')
+      buf.setLength(buf.length - 1)
+    if (buf.length > 0) flushBlock()
+  }
+
+  /** The pure extraction function (null passes through): the walked
+    * blocks joined with single newlines.
+    */
+  def extractTextString(html: String): String = {
+    if (html == null) return null
+    val out = new java.lang.StringBuilder(math.min(html.length, 1 << 16))
+    walkBlocks(html, (text, _) => {
+      if (out.length > 0) out.append('\n')
+      out.append(text)
+    })
     out.toString
   }
 

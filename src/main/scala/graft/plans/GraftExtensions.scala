@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_html_text(html) - HTML to text: strip markup, drop script/style/comments, decode entities, block tags to newlines (fail-soft)") {
       args => TextExpressions.HtmlText(args(0))
     }
+    register("graft_html_clean",
+      "graft_html_clean(html, minWords, ldNum, ldDen, swNum, swDen) - HTML to content text: extract blocks, drop boilerplate by length / link density / stopword density (integer-exact thresholds)") {
+      args => TextExpressions.HtmlClean(args(0), intArg(args(1), "minWords"),
+        intArg(args(2), "ldNum"), intArg(args(3), "ldDen"),
+        intArg(args(4), "swNum"), intArg(args(5), "swDen"))
+    }
     register("graft_hyperplane_sig",
       "graft_hyperplane_sig(vec, bits, seed) - random-hyperplane LSH signature") {
       args => VectorExpressions.HyperplaneSig(args(0), intArg(args(1), "bits"), intArg(args(2), "seed"))
