@@ -32,6 +32,25 @@ object FrequencySketch {
       s"width must be in [8, 2^21] (aggregate buffer = depth×width longs), got $width")
   }
 
+  /** Size a grid from the standard count-min guarantee: any estimate
+    * overshoots the true count by more than `epsilon · totalTokens`
+    * with probability at most `delta` — width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉
+    * (Cormode & Muthukrishnan 2005). Driver-side sizing metadata only;
+    * the grid arithmetic the oracle replays consumes the resulting
+    * integers. Clamped to the aggregate-buffer bounds [[checkParams]]
+    * enforces — a tighter ε than width 2^21 allows (ε < 1.3e-6) is a
+    * loud error, not a silent cap.
+    */
+  def geometryFor(epsilon: Double, delta: Double = 0.01): (Int, Int) = {
+    require(epsilon > 0 && epsilon < 1, s"epsilon must be in (0,1), got $epsilon")
+    require(delta > 0 && delta < 1, s"delta must be in (0,1), got $delta")
+    val width = math.ceil(math.E / epsilon).toLong
+    require(width <= (1 << 21),
+      s"epsilon=$epsilon needs width $width > 2^21; relax epsilon or shard the corpus")
+    val depth = math.min(8, math.max(1, math.ceil(math.log(1.0 / delta)).toInt))
+    (depth, math.max(8, width.toInt))
+  }
+
   /** One pass over the corpus → the token sketch. Empty tokens are
     * dropped (both engines see the same stream).
     */

@@ -44,6 +44,58 @@ object SeenFilter {
       s"numShards must be in [1, 2^16], got $numShards")
   }
 
+  /** A derived filter geometry: per-shard bits, shard count, hash count.
+    * `totalBits` is the capacity the FP math sees; `fppAt(n)` is the
+    * standard Bloom estimate (1 − e^{−kn/m})^k for n inserted keys,
+    * assuming the fingerprint spreads shards evenly (it is a content
+    * hash, so it does).
+    */
+  final case class Geometry(kHashes: Int, mBits: Int, numShards: Int) {
+    def totalBits: Long = mBits.toLong * numShards
+    def broadcastBytes: Long = totalBits / 8
+    def fppAt(n: Long): Double =
+      math.pow(1.0 - math.exp(-kHashes.toDouble * n / totalBits), kHashes)
+  }
+
+  /** Size a filter for `expectedKeys` at `targetFpp` — the standard
+    * m = −n·ln p/ln²2, k = (m/n)·ln 2 sizing, AUTOMATICALLY sharded so
+    * no single aggregation buffer exceeds `maxShardBits` (the manual
+    * "grow numShards yourself" step this replaces). The geometry is
+    * driver-side metadata: the filter's replayable arithmetic only
+    * consumes the resulting integers, so the floating-point sizing here
+    * never touches oracle parity. Probe cost is a broadcast of
+    * `broadcastBytes` — 10⁹ keys at 1 % is ~1.2 GB, at which point
+    * shard the HISTORY (several stores) or relax the target instead.
+    */
+  def geometryFor(expectedKeys: Long, targetFpp: Double = 0.01,
+                  maxShardBits: Int = 1 << 24): Geometry = {
+    require(expectedKeys > 0, s"expectedKeys must be positive, got $expectedKeys")
+    require(targetFpp > 0 && targetFpp < 1, s"targetFpp must be in (0,1), got $targetFpp")
+    require(maxShardBits >= 64 && maxShardBits <= (1 << 24),
+      s"maxShardBits must be in [64, 2^24], got $maxShardBits")
+    val ln2 = math.log(2.0)
+    val mTotal = math.ceil(-expectedKeys.toDouble * math.log(targetFpp) / (ln2 * ln2)).toLong
+    val numShards = math.max(1L, (mTotal + maxShardBits - 1) / maxShardBits)
+    require(numShards <= (1 << 16),
+      s"$expectedKeys keys at $targetFpp needs $numShards shards (> 2^16); " +
+        "split the history across stores or relax the target")
+    val perShard = (mTotal + numShards - 1) / numShards
+    val mBits = math.min(maxShardBits.toLong, ((perShard + 63) / 64) * 64).toInt
+    val k = math.max(1, math.min(16,
+      math.round(mBits.toDouble * numShards / expectedKeys * ln2).toInt))
+    Geometry(math.max(k, 1), math.max(mBits, 64), numShards.toInt)
+  }
+
+  /** [[buildFilter]] with the geometry derived from a capacity target
+    * instead of hand-picked constants.
+    */
+  def buildFilterAuto(history: DataFrame, expectedKeys: Long,
+                      targetFpp: Double = 0.01, textCol: String = "text",
+                      seed: Long = 1L): DataFrame = {
+    val g = geometryFor(expectedKeys, targetFpp)
+    buildFilter(history, textCol, seed, g.kHashes, g.mBits, g.numShards)
+  }
+
   /** Fold `history` into the sharded filter. One map-side-combinable
     * aggregate pass; null/absent text contributes nothing. The result
     * always carries EXACTLY `numShards` rows (empty shards get zero

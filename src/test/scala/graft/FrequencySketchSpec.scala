@@ -68,4 +68,11 @@ class FrequencySketchSpec extends SparkSpecBase {
       FrequencySketch.tokenSketch(docs, width = 4)
     }
   }
+
+  test("geometryFor: the (epsilon, delta) guarantee sizes the grid; untenable epsilon is loud") {
+    assert(FrequencySketch.geometryFor(0.001, 0.01) == ((5, 2719)))
+    assert(FrequencySketch.geometryFor(0.3, 0.5) == ((1, 10)))
+    intercept[IllegalArgumentException] { FrequencySketch.geometryFor(1e-7, 0.01) }
+    intercept[IllegalArgumentException] { FrequencySketch.geometryFor(0.0, 0.01) }
+  }
 }

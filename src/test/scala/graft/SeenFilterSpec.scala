@@ -165,4 +165,31 @@ class SeenFilterSpec extends SparkSpecBase {
     assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
       "admitNew must equal the exact anti-join result")
   }
+
+  test("geometryFor: standard sizing, automatic shard growth past the buffer cap, loud overflow") {
+    val small = SeenFilter.geometryFor(1000000L, 0.01)
+    assert(small == SeenFilter.Geometry(7, 9585088, 1))
+    assert(small.fppAt(1000000L) < 0.011)
+    // 2e9 keys cannot fit one aggregate buffer: shards grow automatically
+    val big = SeenFilter.geometryFor(2000000000L, 0.01)
+    assert(big.numShards == 1143 && big.mBits == 16771776 && big.kHashes == 7)
+    assert(big.mBits <= (1 << 24) && big.fppAt(2000000000L) < 0.011)
+    // beyond 2^16 shards the capacity ask is a loud error, not a silent cap
+    intercept[IllegalArgumentException] {
+      SeenFilter.geometryFor(200000000000L, 0.0001)
+    }
+    intercept[IllegalArgumentException] { SeenFilter.geometryFor(0L, 0.01) }
+  }
+
+  test("buildFilterAuto: derived geometry rides the filter config; no false negatives") {
+    val filter = SeenFilter.buildFilterAuto(docs, expectedKeys = 100000L,
+      targetFpp = 0.01, seed = 5L)
+    val g = SeenFilter.geometryFor(100000L, 0.01)
+    val cfg = filter.select("k_hashes", "m_bits", "num_shards").distinct().collect()
+    assert(cfg.length == 1 && cfg(0).getInt(0) == g.kHashes &&
+      cfg(0).getInt(1) == g.mBits && cfg(0).getInt(2) == g.numShards)
+    val marked = SeenFilter.markSeen(docs, filter)
+    assert(marked.where(!col("maybe_seen")).isEmpty,
+      "auto-sized filter must keep the no-false-negatives contract")
+  }
 }
