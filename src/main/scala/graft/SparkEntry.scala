@@ -2352,6 +2352,81 @@ object SparkEntry {
         .orderBy(col("archive_id"), col("member_idx"))
     }),
 
+    // ---- The MODERN crawl front-end in ONE chain: charset-encoded HTML
+    //      (nav boilerplate + a content block carrying a non-ASCII mark
+    //      that rides each encoding differently) wrapped in an HTTP
+    //      response, wrapped in a binary WARC record, gzip'd, split,
+    //      parsed, charset-decoded and boilerplate-cleaned — the oracle
+    //      derives the one surviving content block from the generating
+    //      arithmetic, so a drift in ANY of the five stages breaks the
+    //      hash. ----
+    "q_crawl_http_e2e" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{GzipArchives, HttpPayload, WarcRecords}
+      val docs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val archives = docs.groupByKey(_ % 12)
+        .mapGroups { (aid, it) =>
+          val recs = it.toSeq.sorted.map { id =>
+            val (label, cs) = (id % 3) match {
+              case 0 => ("utf-8", java.nio.charset.StandardCharsets.UTF_8)
+              case 1 => ("iso-8859-1", java.nio.charset.StandardCharsets.ISO_8859_1)
+              case _ => ("windows-1252", java.nio.charset.Charset.forName("windows-1252"))
+            }
+            val mark = (id % 3) match { case 0 | 1 => "é"; case _ => "€" }
+            val html = "<div><a href=\"/n\">menu home login and more " +
+              s"${id % 9}</a></div><p>it is the price $mark${id % 50} of the day</p>"
+            val bodyBytes = html.getBytes(cs)
+            val http = (s"HTTP/1.1 200 OK\r\n" +
+              s"Content-Type: text/html; charset=$label\r\n" +
+              s"Content-Length: ${bodyBytes.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+              bodyBytes ++
+              (if (id % 2 == 0) "TRAILJUNK".getBytes("ISO-8859-1") else Array.emptyByteArray)
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://ex.com/$id\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++ http
+          }
+          (aid, GzipArchives.buildArchive(recs))
+        }
+      val responses = HttpPayload.parseResponses(
+        WarcRecords.parseMembersBinary(GzipArchives.explodeArchives(archives)))
+      Boilerplate.clean(responses, "text", "content")
+        .select(col("archive_id"),
+          col("member_idx").cast(LongType).as("member_idx"),
+          col("target_uri"), col("charset"),
+          md5(col("content")).as("h"))
+        .orderBy(col("archive_id"), col("member_idx"))
+    }),
+
+    // ---- DSIR importance resampling (data selection toward a target
+    //      distribution): hashed-unigram generative models of the
+    //      en-curated target slice and the raw corpus, per-doc log
+    //      importance weights, top-50 cut under (score desc, id). Like
+    //      q_bm25_log, the gate compares IDS + RANKS — the log-ratio
+    //      doubles are projected away; bucket counts, smoothing and the
+    //      whole selection replay in DuckDB. ----
+    "q_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en" && col("doc_id") % 3 === 0)
+      val w = ImportanceResampler.fitWeights(target, docs, numBuckets = 32)
+      ImportanceResampler.selectTopK(docs, w, 50, "doc_id")
+        .select(col("rank"), col("doc_id"))
+        .orderBy(col("rank"))
+    }),
+
+    // ---- The RESAMPLING flavor: the same weights perturbed by a
+    //      deterministic Gumbel draw from the salted content fingerprint
+    //      (the paper's importance resampling, replay-stable) — draw
+    //      arithmetic, perturbed key and cut all replayed. ----
+    "q_dsir_gumbel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en" && col("doc_id") % 3 === 0)
+      val w = ImportanceResampler.fitWeights(target, docs, numBuckets = 32)
+      ImportanceResampler.selectTopK(docs, w, 50, "doc_id",
+        gumbelSeed = Some(7L))
+        .select(col("rank"), col("doc_id"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- Z-order layout (Morton-curve clustering for two-dimensional
     //      file pruning — the write/compaction-time layout step that lets
     //      parquet min/max skipping serve predicates on EITHER key).
@@ -3082,6 +3157,56 @@ object SparkEntry {
       |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
       |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** The DSIR replay: hashed-unigram bucket counts for the target slice
+    * and the raw corpus (the same `bucketStreamSql` stream the
+    * perceptron oracles use, D = 32), add-1-smoothed log-ratio weights,
+    * per-doc score, (key desc, doc_id) top-50 — ids + ranks only, the
+    * doubles never reach the hashed projection (Spark folds per-doc
+    * scores in token order, DuckDB sums in group order; both land within
+    * ulps, far inside the fixture's adjacent-rank gaps). The gumbel
+    * flavor perturbs the key with the deterministic draw
+    * `−ln(−ln((Knuth-mix(fp+seed)+1)/(p+2)))` replayed verbatim.
+    */
+  private def dsirOracleFor(gumbelSeed: Option[Long]): String = {
+    val key = gumbelSeed match {
+      case None => "COALESCE(sc.score, 0.0)"
+      case Some(seed) =>
+        val s = ((seed % 1000000007L) + 1000000007L) % 1000000007L
+        s"""COALESCE(sc.score, 0.0)
+           |      + (-ln(-ln((CAST((($fpSql + $s) * 2654435761) % 1000000007
+           |          AS DOUBLE) + 1.0) / 1000000009.0)))""".stripMargin
+    }
+    s"""WITH tgt AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE lang = 'en' AND doc_id % 3 = 0),
+       |rawd AS MATERIALIZED (SELECT doc_id, text FROM documents),
+       |tc AS MATERIALIZED (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM (
+       |    ${bucketStreamSql("tgt", bigrams = false)}) GROUP BY bucket),
+       |rc AS MATERIALIZED (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM (
+       |    ${bucketStreamSql("rawd", bigrams = false)}) GROUP BY bucket),
+       |w AS MATERIALIZED (
+       |  SELECT b.bucket,
+       |    (ln(COALESCE(tc.c, 0) + 1.0)
+       |       - ln((SELECT COALESCE(SUM(c), 0) FROM tc) + 32.0))
+       |    - (ln(COALESCE(rc.c, 0) + 1.0)
+       |       - ln((SELECT COALESCE(SUM(c), 0) FROM rc) + 32.0)) AS w
+       |  FROM (SELECT UNNEST(range(0, 32)) AS bucket) b
+       |  LEFT JOIN tc ON b.bucket = tc.bucket
+       |  LEFT JOIN rc ON b.bucket = rc.bucket),
+       |sc AS MATERIALIZED (
+       |  SELECT f.doc_id, SUM(w.w) AS score
+       |  FROM (${bucketStreamSql("rawd", bigrams = false)}) f
+       |  JOIN w ON f.bucket = w.bucket
+       |  GROUP BY f.doc_id),
+       |scored AS (
+       |  SELECT r.doc_id, $key AS key
+       |  FROM rawd r LEFT JOIN sc ON r.doc_id = sc.doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+       |    AS rank, doc_id
+       |FROM scored ORDER BY key DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   /** The salted Knuth-mixed selector of [[TextAnalysis.stratifiedSample]].
     * The seed is reduced mod p exactly as the operator does it
     * (TextAnalysis.scala `seedReduced`) — embedding the raw seed would make
@@ -3810,6 +3935,29 @@ object SparkEntry {
         |    || (CASE WHEN doc_id % 3 = 2 THEN chr(8364) ELSE chr(233) END)
         |    || ' p' || CAST(doc_id % 100 AS VARCHAR) || '</p>') AS BIGINT)
         |    AS n_chars
+        |FROM documents ORDER BY archive_id, member_idx""".stripMargin,
+
+    // ids + ranks of the DSIR selection (see dsirOracleFor); measured
+    // adjacent-key gaps in the top-60 at sf0.01: ≥ 5.5e-5, zero exact
+    // ties — six orders of magnitude above any libm ulp divergence
+    "q_dsir" -> dsirOracleFor(None),
+
+    // the Gumbel-perturbed resampling flavor, draw replayed verbatim
+    // (measured gaps ≥ 2.5e-5, zero ties)
+    "q_dsir_gumbel" -> dsirOracleFor(Some(7L)),
+
+    // the surviving content block of the five-stage chain (gzip → WARC
+    // bytes → HTTP → charset decode → boilerplate clean) from arithmetic
+    "q_crawl_http_e2e" ->
+      """SELECT doc_id % 12 AS archive_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 12 ORDER BY doc_id) - 1
+        |       AS BIGINT) AS member_idx,
+        |  'http://ex.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+        |    ELSE 'windows-1252' END AS charset,
+        |  md5('it is the price '
+        |    || (CASE WHEN doc_id % 3 = 2 THEN chr(8364) ELSE chr(233) END)
+        |    || CAST(doc_id % 50 AS VARCHAR) || ' of the day') AS h
         |FROM documents ORDER BY archive_id, member_idx""".stripMargin,
 
     // the Morton code replayed with the same signed-64-safe spread chain

@@ -71,6 +71,29 @@ object LinearClassifier {
   private def cleanTokens(textCol: String): Column =
     filter(F.tokens(col(textCol)), t => length(t) > 0)
 
+  /** One row per feature OCCURRENCE: `carryCols ++ (bucket)` — the
+    * hashed unigram (and optionally fastText-style bigram) stream both
+    * the classifier's per-doc features and [[ImportanceResampler]]'s
+    * corpus-level bucket counts aggregate over.
+    */
+  private[operators] def bucketStream(docs: DataFrame, carryCols: Seq[String],
+                                      numBuckets: Int, textCol: String,
+                                      bigrams: Boolean): DataFrame = {
+    val carry = carryCols.map(col)
+    val tok = docs
+      .select(carry :+ explode(cleanTokens(textCol)).as("_t"): _*)
+      .select(carry :+ tokenBucket(col("_t"), numBuckets).as("bucket"): _*)
+    if (!bigrams) tok
+    else tok.unionByName(docs
+      .select(carry :+ cleanTokens(textCol).as("_ts"): _*)
+      .where(size(col("_ts")) >= 2)
+      .select(carry ++ Seq(col("_ts"),
+        explode(sequence(lit(1), size(col("_ts")) - 1)).as("_i")): _*)
+      .select(carry :+ bigramBucket(
+        element_at(col("_ts"), col("_i")),
+        element_at(col("_ts"), col("_i") + 1), numBuckets).as("bucket"): _*))
+  }
+
   /** Sparse hashed features `(idCol, bucket, cnt)` plus the implicit
     * bias feature (bucket −1, cnt 1) per document; with `bigrams`,
     * adjacent-pair buckets are hashed into the SAME bucket space
@@ -79,20 +102,8 @@ object LinearClassifier {
   def features(docs: DataFrame, idCol: String, numBuckets: Int,
                textCol: String = "text",
                bigrams: Boolean = false): DataFrame = {
-    val tok = docs
-      .select(col(idCol), explode(cleanTokens(textCol)).as("_t"))
-      .select(col(idCol), tokenBucket(col("_t"), numBuckets).as("bucket"))
-    val uni =
-      if (!bigrams) tok
-      else tok.unionByName(docs
-        .select(col(idCol), cleanTokens(textCol).as("_ts"))
-        .where(size(col("_ts")) >= 2)
-        .select(col(idCol), col("_ts"),
-          explode(sequence(lit(1), size(col("_ts")) - 1)).as("_i"))
-        .select(col(idCol), bigramBucket(
-          element_at(col("_ts"), col("_i")),
-          element_at(col("_ts"), col("_i") + 1), numBuckets).as("bucket")))
-    val counted = uni.groupBy(col(idCol), col("bucket"))
+    val counted = bucketStream(docs, Seq(idCol), numBuckets, textCol, bigrams)
+      .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val bias = docs.select(col(idCol), lit(-1L).as("bucket"),
       lit(1L).as("cnt"))
