@@ -995,11 +995,24 @@ object ScaleBench {
       run(small); run(big) // warm (JIT on the parser)
       val (tS, _) = run(small)
       val (tB, outChars) = run(big)
+      // boilerplate clean over the same pages: the classifying walker
+      // (block features + three integer tests) vs plain extraction —
+      // the overhead a curation run pays for dropping the nav chrome
+      def runClean(df: DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val r = df.select(TextExpressions.html_clean(col("html"),
+          5, 3, 10, 1, 5).as("t"))
+          .agg(sum(length(col("t"))), sum(crc32(col("t")))).head
+        ((System.nanoTime() - t0) / 1e9, r.getLong(0))
+      }
+      runClean(big) // warm
+      val (tC, cleanChars) = runClean(big)
       small.unpersist(); big.unpersist()
       println(f"""{"crawl":{"html_mb_1x":$mbSmall%.1f,"html_mb_10x":$mbBig%.1f,""" +
         f""""extract_1x_s":$tS%.2f,"extract_10x_s":$tB%.2f,""" +
         f""""mb_s":${mbBig / tB}%.0f,"scaling_x":${tB / tS}%.1f,""" +
-        f""""out_chars":$outChars}}""")
+        f""""out_chars":$outChars,"clean_10x_s":$tC%.2f,""" +
+        f""""clean_mb_s":${mbBig / tC}%.0f,"clean_chars":$cleanChars}}""")
     }
 
     if (sections("bloom")) {

@@ -926,6 +926,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Intra-document line dedup (the RefinedWeb repeated-line
+    //      pass): per doc, a banner line planted three times around
+    //      unique content and a paragraph break, plus a repeated content
+    //      line — keep-first must drop exactly the later copies while
+    //      the EMPTY line (paragraph structure) survives. Oracle =
+    //      the generating arithmetic. ----
+    "q_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withText = docs.select(col("doc_id"), concat(
+        lit("promo banner\nline a "), col("doc_id").cast("string"),
+        lit("\npromo banner\n\npromo banner\nline b "),
+        (col("doc_id") % 5).cast("string"),
+        lit("\nline a "), col("doc_id").cast("string")).as("text"))
+      TextAnalysis.dedupLines(withText)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Crawl politeness: robots.txt rules (group selection by
     //      user-agent, longest-match with allow-wins ties, host-specific
     //      rules) against an arithmetic URL fixture — a wrong group pick
@@ -5113,6 +5132,17 @@ object SparkEntry {
         |          || CAST(doc_id AS VARCHAR) || chr(10) END
         |    || 'it is the link ' || CAST(doc_id % 7 AS VARCHAR)
         |    || ' of the day today') AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // keep-first of the planted lines, paragraph break intact
+    "q_line_dedup" ->
+      """SELECT doc_id,
+        |  md5('promo banner' || chr(10) || 'line a ' || CAST(doc_id AS VARCHAR)
+        |    || chr(10) || chr(10) || 'line b ' || CAST(doc_id % 5 AS VARCHAR))
+        |    AS h,
+        |  CAST(length('promo banner' || chr(10) || 'line a '
+        |    || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || 'line b '
+        |    || CAST(doc_id % 5 AS VARCHAR)) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // verdicts from the generating arithmetic: hosts 0-8 carry robots

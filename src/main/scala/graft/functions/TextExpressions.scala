@@ -297,4 +297,30 @@ object TextExpressions {
   def html_clean(html: Column, minWords: Int, ldNum: Int, ldDen: Int,
                  swNum: Int, swDen: Int): Column =
     column(HtmlClean(expression(html), minWords, ldNum, ldDen, swNum, swDen))
+
+  /** Intra-document line dedup as a codegen scalar — static-invokes
+    * [[graft.operators.TextAnalysis.dedupLinesString]] (keep the first
+    * occurrence of every non-empty line, preserve order and paragraph
+    * breaks).
+    */
+  case class DedupLines(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(
+        graft.operators.TextAnalysis.dedupLinesString(
+          v.asInstanceOf[UTF8String].toString))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  graft.operators.TextAnalysis.dedupLinesString($v.toString()));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def dedup_lines(text: Column): Column = column(DedupLines(expression(text)))
 }

@@ -342,6 +342,43 @@ object TextAnalysis {
     * anything. Exact by construction (full paragraph text is the key, no
     * hash-collision question).
     */
+  /** INTRA-document line dedup (the RefinedWeb/Gopher "remove duplicated
+    * lines within a document" pass — distinct from [[dedupParagraphs]],
+    * which is corpus-level): split on newlines, keep the FIRST
+    * occurrence of every non-empty line, preserve order, rejoin. EMPTY
+    * lines are exempt — they are paragraph structure, not content, and
+    * deduping them would silently merge paragraphs.
+    * Pure per-string walk, null passes through — runs as the codegen
+    * scalar [[graft.functions.TextExpressions.dedup_lines]]; map-only,
+    * no shuffle (the corpus-level flavor needs one; this one doesn't).
+    */
+  def dedupLinesString(text: String): String = {
+    if (text == null) return null
+    val seen = new java.util.HashSet[String]()
+    val out = new java.lang.StringBuilder(text.length)
+    var i = 0
+    val n = text.length
+    var first = true
+    while (i <= n) {
+      var j = i
+      while (j < n && text.charAt(j) != '\n') j += 1
+      val line = text.substring(i, j)
+      if (line.isEmpty || seen.add(line)) {
+        if (!first) out.append('\n')
+        out.append(line)
+        first = false
+      }
+      i = j + 1
+    }
+    out.toString
+  }
+
+  /** Column form of [[dedupLinesString]] (codegen scalar, map-only). */
+  def dedupLines(docs: DataFrame, textCol: String = "text",
+                 outCol: String = "text"): DataFrame =
+    docs.withColumn(outCol,
+      graft.functions.TextExpressions.dedup_lines(col(textCol)))
+
   def dedupParagraphs(docs: DataFrame, idCol: String,
                       textCol: String = "text"): DataFrame = {
     val paras = docs.select(col(idCol).as("_id"),

@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args(2), "ldNum"), intArg(args(3), "ldDen"),
         intArg(args(4), "swNum"), intArg(args(5), "swDen"))
     }
+    register("graft_dedup_lines",
+      "graft_dedup_lines(text) - intra-document line dedup: keep the first occurrence of every non-empty line, preserve order and paragraph breaks") {
+      args => TextExpressions.DedupLines(args(0))
+    }
     register("graft_hyperplane_sig",
       "graft_hyperplane_sig(vec, bits, seed) - random-hyperplane LSH signature") {
       args => VectorExpressions.HyperplaneSig(args(0), intArg(args(1), "bits"), intArg(args(2), "seed"))

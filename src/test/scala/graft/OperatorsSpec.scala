@@ -528,6 +528,23 @@ class OperatorsSpec extends SparkSpecBase {
       out.map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
 
+  test("dedupLines: intra-doc keep-first, empty lines exempt, codegen map-only") {
+    import graft.operators.TextAnalysis.dedupLinesString
+    assert(dedupLinesString("a\nb\na\nc\nb") == "a\nb\nc")
+    // empty lines are paragraph structure — ALL survive, in place
+    assert(dedupLinesString("a\n\nb\n\na") == "a\n\nb\n")
+    assert(dedupLinesString("same\nsame\nsame") == "same")
+    assert(dedupLinesString("") == "" && dedupLinesString(null) == null)
+    assert(dedupLinesString("only one line") == "only one line")
+    // trailing newline: the final empty line is kept (round-trip shape)
+    assert(dedupLinesString("x\n") == "x\n")
+    val out = graft.operators.TextAnalysis.dedupLines(
+      Seq((1L, "p\nq\np")).toDF("doc_id", "text"))
+    assert(out.collect().head.getString(1) == "p\nq")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("DeserializeToObject"), plan)
+  }
+
   test("stratifiedSample is deterministic, honors per-stratum fractions and default-keeps") {
     val docs = Tables.load(spark, sfDir, "documents")
     val fr = Map("en" -> 0.5, "zh" -> 0.0)
