@@ -926,6 +926,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Domain-level curation: hosts extracted from four obfuscated
+    //      URL spellings (uppercase WWW + default port, https:443,
+    //      userinfo, plain), then gated against a broadcast host
+    //      blocklist — verdicts from the id arithmetic; a normalization
+    //      miss on any spelling leaks a blocked host through. ----
+    "q_domain_filter" -> ((s, dir) => {
+      import graft.functions.UrlCanon
+      val docs = t(s, dir, "documents")
+      val urls = docs.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("http://WWW.H"), (col("doc_id") % 10).cast("string"),
+            lit(".EX:80/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
+              lit(".ex:443/p"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("http://user:pw@h"), (col("doc_id") % 10).cast("string"),
+              lit(".ex/p"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("http://h"), (col("doc_id") % 10).cast("string"),
+            lit(".ex/p"), col("doc_id").cast("string"))).as("url"))
+      val blocked = s.createDataFrame(Seq(Tuple1("h0.ex"), Tuple1("h3.ex")))
+        .toDF("host")
+      UrlCanon.markBlockedHosts(urls, "url", blocked)
+        .select(col("doc_id"), col("host"), col("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Intra-document line dedup (the RefinedWeb repeated-line
     //      pass): per doc, a banner line planted three times around
     //      unique content and a paragraph break, plus a repeated content
@@ -5132,6 +5159,13 @@ object SparkEntry {
         |          || CAST(doc_id AS VARCHAR) || chr(10) END
         |    || 'it is the link ' || CAST(doc_id % 7 AS VARCHAR)
         |    || ' of the day today') AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // normalized host + blocklist verdict from the id arithmetic
+    "q_domain_filter" ->
+      """SELECT doc_id,
+        |  'h' || CAST(doc_id % 10 AS VARCHAR) || '.ex' AS host,
+        |  (doc_id % 10 = 0) OR (doc_id % 10 = 3) AS blocked
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // keep-first of the planted lines, paragraph break intact

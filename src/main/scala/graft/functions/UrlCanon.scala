@@ -82,4 +82,54 @@ object UrlCanon {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url")).as("n_raw_forms"),
         min(col("doc_id")).as("keep_doc"))
+
+  /** The normalized HOST of a URL — the key domain-level curation groups
+    * and blocks on: authority extracted, lowercased, userinfo and port
+    * stripped, leading `www.` dropped (the same spellings
+    * [[canonicalizeUrl]] folds). Null/relative URLs yield the empty
+    * string (no authority). Map-only built-ins in the Java∩RE2 subset.
+    */
+  def hostOf(url: Column): Column = {
+    val auth = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    val noPort = regexp_replace(noUser, ":[0-9]+$", "")
+    regexp_replace(noPort, "^www\\.", "")
+  }
+
+  /** Per-host corpus statistics — the table a domain-level policy is
+    * derived FROM (a host contributing 10^6 near-identical pages is a
+    * blocklist candidate; RefinedWeb-style curation works at this
+    * granularity before any content read). One map pass + one hash
+    * aggregate on the host.
+    */
+  def hostStats(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(urlCol).as("url"))
+      .withColumn("host", hostOf(col("url")))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(canonicalizeUrl(col("url"))).as("n_canonical"),
+        min(col("doc_id")).as("min_doc"))
+
+  /** Mark each doc with its normalized host and whether that host is on
+    * the blocklist (`blocked` DataFrame with a `host` column — host-count
+    * sized, broadcast). Left join: unlisted hosts are `blocked = false`.
+    */
+  def markBlockedHosts(docs: DataFrame, urlCol: String,
+                       blocked: DataFrame): DataFrame = {
+    val inputCols = docs.columns.map(col)
+    docs
+      .withColumn("host", hostOf(col(urlCol)))
+      .join(broadcast(blocked.select(col("host"), lit(true).as("_blk"))
+        .distinct()), Seq("host"), "left")
+      .select(inputCols ++ Seq(col("host"),
+        coalesce(col("_blk"), lit(false)).as("blocked")): _*)
+  }
+
+  /** Keep only docs whose host is NOT blocklisted (broadcast anti-join —
+    * the corpus never shuffles).
+    */
+  def dropBlockedHosts(docs: DataFrame, urlCol: String,
+                       blocked: DataFrame): DataFrame =
+    markBlockedHosts(docs, urlCol, blocked)
+      .where(!col("blocked")).drop("host", "blocked")
 }

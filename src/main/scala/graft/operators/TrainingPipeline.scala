@@ -98,7 +98,11 @@ object TrainingPipeline {
     // every doc but its first carrier, and docs that were pure
     // boilerplate disappear — which also makes the document-level stages
     // see content, not chrome ([[TextAnalysis.dedupParagraphs]])
-    paragraphDedup: Boolean = false)
+    paragraphDedup: Boolean = false,
+    // INTRA-document repeated-line removal (the RefinedWeb pass) before
+    // any corpus-level stage: map-only codegen scalar, shrinks what the
+    // paragraph-dedup exchange carries ([[TextAnalysis.dedupLines]])
+    lineDedup: Boolean = false)
 
   /** Run the full preparation over `docs(idCol, textCol, …)`. Output keeps
     * the input columns and adds `quality` and `split` — plus `familiarity`
@@ -170,10 +174,16 @@ object TrainingPipeline {
     // text (exact dedup, shingles, fingerprints, splits), so mojibake and
     // decomposed Unicode must be gone before the first hash or equivalent
     // docs land in different buckets
-    val cleaned0 =
+    val repaired =
       if (cfg.preClean)
         TextAnalysis.normalizeText(TextAnalysis.fixMojibake(docs, textCol), textCol)
       else docs
+    // intra-doc line dedup after repair (lines must hash canonically),
+    // before the corpus-level stages — map-only, no ledger tap needed
+    // (it rewrites text, it never drops documents)
+    val cleaned0 =
+      if (cfg.lineDedup) TextAnalysis.dedupLines(repaired, textCol, textCol)
+      else repaired
     // paragraph dedup AFTER text repair (paragraphs must hash canonically)
     // and BEFORE doc-level dedup (two docs differing only in boilerplate
     // become exact dups once the boilerplate is stripped)

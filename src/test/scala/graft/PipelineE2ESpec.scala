@@ -101,6 +101,33 @@ class PipelineE2ESpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("lineDedup stage: intra-doc repeats collapse BEFORE dedup, so line-spam twins become exact dups") {
+    import graft.operators.TrainingPipeline
+    val body = "the real article content with enough distinct words here"
+    val docs = Seq(
+      (1L, s"$body\npromo line"),
+      // same content, promo line spammed — identical to doc 1 AFTER the pass
+      (2L, s"$body\npromo line\npromo line\npromo line"),
+      (3L, "a different article about catalyst plan shapes entirely")
+    ).toDF("doc_id", "text")
+    val out = TrainingPipeline.prepare(docs, "doc_id",
+      cfg = TrainingPipeline.Config(lineDedup = true))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.count(Set(1L, 2L)) == 1,
+      s"line-spam twins must collapse to one survivor: $ids")
+    assert(ids.contains(3L))
+    assert(out.where(col("text").contains("promo line\npromo line")).isEmpty,
+      "no surviving text may carry a repeated line")
+    // the ledger shows WHERE the twins collapse: with the stage they are
+    // byte-identical and die at EXACT dedup (3 → 2); without it they are
+    // byte-different and only the near-dup stage can catch them
+    val (_, ledgerOn) = TrainingPipeline.prepareAudited(docs, "doc_id",
+      cfg = TrainingPipeline.Config(lineDedup = true))
+    assert(ledgerOn.toMap.apply("exact_dedup") == 2L, ledgerOn)
+    val (_, ledgerOff) = TrainingPipeline.prepareAudited(docs, "doc_id")
+    assert(ledgerOff.toMap.apply("exact_dedup") == 3L, ledgerOff)
+  }
+
   test("training pipeline: dedup -> keep-best -> quality floor -> split, idempotent") {
     import graft.operators.{Dedup, TrainingPipeline}
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")

@@ -70,6 +70,46 @@ class UrlCanonSpec extends SparkSpecBase {
     assert(out(1).getString(0) == "http://b.com/q" && out(1).getLong(1) == 1)
   }
 
+  test("hostOf normalizes every authority spelling; no authority yields empty") {
+    import graft.functions.UrlCanon.hostOf
+    val got = Seq(
+      "http://WWW.Site.COM:80/p", "https://site.com:443/q?x=1",
+      "http://user:pw@site.com/r", "ftp://www.site.com/z",
+      "relative/path", "")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(hostOf(col("url"))).as[String].collect().toSeq
+    assert(got == Seq("site.com", "site.com", "site.com", "site.com", "", ""))
+  }
+
+  test("hostStats: per-host doc counts with canonical-URL dedup inside") {
+    import graft.functions.UrlCanon
+    val docs = Seq(
+      (1L, "http://www.a.com/p"), (2L, "http://a.com:80/p/"), // same canonical
+      (3L, "http://a.com/q"), (4L, "https://b.com/x")).toDF("doc_id", "url")
+    val stats = UrlCanon.hostStats(docs, "doc_id", "url")
+      .orderBy("host").collect()
+    assert(stats.length == 2)
+    assert(stats(0).getString(0) == "a.com" && stats(0).getLong(1) == 3 &&
+      stats(0).getLong(2) == 2 && stats(0).getLong(3) == 1L)
+    assert(stats(1).getString(0) == "b.com" && stats(1).getLong(1) == 1)
+  }
+
+  test("host blocklist: obfuscated spellings cannot leak through; unlisted hosts default-pass; broadcast plan") {
+    import graft.functions.UrlCanon
+    val docs = Seq(
+      (1L, "http://WWW.Bad.COM:80/x"), (2L, "http://user@bad.com/y"),
+      (3L, "http://good.com/z")).toDF("doc_id", "url")
+    val blocked = Seq(Tuple1("bad.com")).toDF("host")
+    val kept = UrlCanon.dropBlockedHosts(docs, "url", blocked)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    assert(kept.columns.toSeq == Seq("doc_id", "url"), "gate must not leak columns")
+    val plan = UrlCanon.markBlockedHosts(docs, "url", blocked)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the host blocklist must broadcast:\n$plan")
+  }
+
   test("blocklistFilter drops exact tokens only, never substrings") {
     val docs = Seq(
       (1L, "clean words here"), (2L, "contains badword here"),
