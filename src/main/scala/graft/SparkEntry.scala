@@ -926,6 +926,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Approximate top tokens in ONE call (the sketch's reason to
+    //      exist): grid over the FULL corpus, candidates from the
+    //      deterministic hash-sampled 20 % doc slice, TakeOrdered cut —
+    //      sample selector, grid, estimates and cut all replayed. ----
+    "q_top_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      FrequencySketch.approxTopTokens(docs, 15, seed = 11L, depth = 4,
+        width = 4096, sampleFrac = 0.2, sampleSeed = 5L)
+        .select(col("token"), col("est"))
+        .orderBy(col("est").desc, col("token"))
+    }),
+
     // ---- Domain-level curation: hosts extracted from four obfuscated
     //      URL spellings (uppercase WWW + default port, https:443,
     //      userinfo, plain), then gated against a broadcast host
@@ -5160,6 +5172,50 @@ object SparkEntry {
         |    || 'it is the link ' || CAST(doc_id % 7 AS VARCHAR)
         |    || ' of the day today') AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q_heavy_hitters' grid replay with the candidate slice swapped for
+    // the salted-selector document sample (seed 5, frac 0.2)
+    "q_top_tokens" ->
+      s"""WITH toks AS MATERIALIZED (
+        |  SELECT t,
+        |    ((CAST(len(t) AS BIGINT) * 2654435761
+        |      + CAST(unicode(t) AS BIGINT) * 97
+        |      + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |h AS MATERIALIZED (
+        |  SELECT t,
+        |    ((fp + 11) * 2654435761 % 1000000007) AS h1,
+        |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |  FROM toks),
+        |grid AS MATERIALIZED (
+        |  SELECT u.j, ((h1 + u.j * h2) % 1000000007) % 4096 AS pos,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM h CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) u
+        |  GROUP BY u.j, pos),
+        |q AS (
+        |  SELECT DISTINCT t FROM (
+        |    SELECT UNNEST(string_split(text, ' ')) AS t FROM documents
+        |    WHERE (($fpSql + 5) * 2654435761 % 1000000007) % 10000 < 2000)
+        |  WHERE t <> ''),
+        |qh AS (
+        |  SELECT t,
+        |    ((fp + 11) * 2654435761 % 1000000007) AS h1,
+        |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |  FROM (
+        |    SELECT t,
+        |      ((CAST(len(t) AS BIGINT) * 2654435761
+        |        + CAST(unicode(t) AS BIGINT) * 97
+        |        + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |    FROM q)),
+        |est AS (
+        |  SELECT qh.t AS token, MIN(COALESCE(g.c, 0)) AS est
+        |  FROM qh CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) u
+        |  LEFT JOIN grid g
+        |    ON g.j = u.j AND g.pos = ((qh.h1 + u.j * qh.h2) % 1000000007) % 4096
+        |  GROUP BY qh.t)
+        |SELECT token, est FROM est
+        |ORDER BY est DESC, token LIMIT 15""".stripMargin,
 
     // normalized host + blocklist verdict from the id arithmetic
     "q_domain_filter" ->

@@ -103,6 +103,39 @@ object FrequencySketch {
       .limit(k)
   }
 
+  /** The whole approximate-top-tokens pass in one call — the composition
+    * the sketch exists FOR: the grid absorbs the full corpus (one
+    * map-side-combined pass), while the CANDIDATE set comes from a
+    * deterministic hash-sampled document slice (salted Knuth-mixed
+    * content selector < frac·10⁴, the engine's shared replay-stable
+    * sampling arithmetic) — a corpus-frequent token appears in a sample
+    * of documents with near-certainty (missing a token of document
+    * frequency d needs all d carriers to miss the sample: (1−f)^d), so
+    * the candidate explode runs over the sample, not the corpus, and the
+    * cut is a TakeOrdered over estimates. Never-underestimate means no
+    * CANDIDATE hitter is displaced by a smaller one; recall is governed
+    * by `sampleFrac` against document frequency, not token count.
+    */
+  def approxTopTokens(corpus: DataFrame, k: Int, textCol: String = "text",
+                      seed: Long = 1L, depth: Int = 4, width: Int = 1 << 16,
+                      sampleFrac: Double = 0.1,
+                      sampleSeed: Long = 2L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(sampleFrac > 0 && sampleFrac <= 1,
+      s"sampleFrac must be in (0,1], got $sampleFrac")
+    val sketch = tokenSketch(corpus, textCol, seed, depth, width)
+    val cut = math.floor(sampleFrac * 10000).toLong
+    val seedReduced = ((sampleSeed % 1000000007L) + 1000000007L) % 1000000007L
+    val selector = pmod(
+      (TextAnalysis.portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
+      lit(1000000007L)) % 10000L
+    val candidates = corpus.where(selector < cut)
+      .select(explode(filter(F.tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+      .distinct()
+    heavyHitters(candidates, sketch, "token", k)
+  }
+
   /** Element-wise-sum merge of sketches over disjoint corpus slices;
     * configs must match exactly.
     */

@@ -196,4 +196,43 @@ object GzipArchives {
         else rows ++ Iterator(FileMemberRow(path, members.length, ok = false, null))
       })
   }
+
+  /** STREAMING flavor of [[readArchiveDir]] — the continuous-crawl
+    * ingest shape: archives land in `dir`, Spark's `binaryFile` file
+    * stream discovers each exactly once (checkpoint-tracked, so restarts
+    * neither lose nor re-split an archive), and the same per-archive
+    * member walk runs inside the streaming plan. Pair with
+    * `foreachBatch` chaining the usual front end (WARC parse → HTTP →
+    * clean) and an idempotent sink. `maxFilesPerTrigger` is the
+    * backpressure knob: one ~1 GB archive is one task's worth of work,
+    * so cap files-per-batch rather than bytes.
+    */
+  def streamArchiveDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       glob: String = "*.gz",
+                       maxFilesPerTrigger: Int = 64): Dataset[FileMemberRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the binaryFile source's fixed schema — a streaming source cannot
+    // infer one from existing files
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val (members, clean) = splitMembers(bytes)
+        val rows = members.iterator.zipWithIndex.map { case (m, i) =>
+          FileMemberRow(path, i, ok = true, m)
+        }
+        if (clean) rows
+        else rows ++ Iterator(FileMemberRow(path, members.length, ok = false, null))
+      })
+  }
 }

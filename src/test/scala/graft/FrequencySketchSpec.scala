@@ -69,6 +69,30 @@ class FrequencySketchSpec extends SparkSpecBase {
     }
   }
 
+  test("approxTopTokens: full-sample flavor recovers the exact top-k; sampled flavor is partitioning-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    // generous width → estimates exact → top-k == exact top-k at frac 1.0
+    val top = FrequencySketch.approxTopTokens(docs, 10, seed = 3L,
+      depth = 4, width = 1 << 18, sampleFrac = 1.0)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("est"))).toSeq
+    val exact = docs
+      .select(explode(filter(graft.functions.Functions.tokens(col("text")),
+        t => length(t) > 0)).as("token"))
+      .groupBy("token").count()
+      .orderBy(col("count").desc, col("token")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == exact, s"full-sample approx must equal exact top-k:\n$top\nvs\n$exact")
+    val s1 = FrequencySketch.approxTopTokens(docs, 10, seed = 3L,
+      depth = 4, width = 1 << 14, sampleFrac = 0.3, sampleSeed = 9L).collect().toSeq
+    val s2 = FrequencySketch.approxTopTokens(docs.repartition(13), 10, seed = 3L,
+      depth = 4, width = 1 << 14, sampleFrac = 0.3, sampleSeed = 9L).collect().toSeq
+    assert(s1 == s2, "sampled candidates must not depend on partitioning")
+    intercept[IllegalArgumentException] {
+      FrequencySketch.approxTopTokens(docs, 10, sampleFrac = 0.0)
+    }
+  }
+
   test("geometryFor: the (epsilon, delta) guarantee sizes the grid; untenable epsilon is loud") {
     assert(FrequencySketch.geometryFor(0.001, 0.01) == ((5, 2719)))
     assert(FrequencySketch.geometryFor(0.3, 0.5) == ((1, 10)))

@@ -114,4 +114,40 @@ class GzipArchivesSpec extends SparkSpecBase {
     assert(byFile("a.gz").sortBy(_.member_idx).map(_.content.toSeq).toSeq ==
       records.map(_.toSeq))
   }
+
+  test("streamArchiveDir: continuous ingest — exactly-once per archive across batches AND restarts") {
+    val dir = graft.sources.BucketedTables.scratchDir("graft_gzs_")
+    val ckpt = graft.sources.BucketedTables.scratchDir("graft_gzck_")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Boolean)]
+    def fileName(p: String) = new java.io.File(new java.net.URI(p).getPath).getName
+    def start() = GzipArchives.streamArchiveDir(spark, dir.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[GzipArchives.FileMemberRow], _: Long) =>
+        sink.synchronized {
+          sink ++= batch.collect().map(r => (fileName(r.path), r.member_idx, r.ok))
+        }
+        ()
+      }
+      .start()
+    java.nio.file.Files.write(dir.resolve("a.gz"), GzipArchives.buildArchive(records))
+    val q1 = start()
+    q1.processAllAvailable()
+    // a second archive lands while the query runs — next trigger picks it up
+    java.nio.file.Files.write(dir.resolve("b.gz"), GzipArchives.buildArchive(records.take(2)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(sink.count(_._1 == "a.gz") == records.length)
+    assert(sink.count(_._1 == "b.gz") == 2)
+    // restart from the same checkpoint: old archives are NOT re-split,
+    // a post-restart arrival is
+    java.nio.file.Files.write(dir.resolve("c.gz"), GzipArchives.buildArchive(records.take(1)))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(sink.count(_._1 == "a.gz") == records.length,
+      "restart must not re-ingest committed archives")
+    assert(sink.count(_._1 == "c.gz") == 1)
+    assert(sink.forall(_._3), "all fixture archives are clean")
+  }
 }
