@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Boilerplate
+
+/** The crawl front-end as ONE call — `.gz` directory in, clean document
+  * text out: concatenated-gzip member split (CRC-verified) → binary WARC
+  * record parse → HTTP response parse + charset decode → boilerplate
+  * removal. Every stage is the already-gated operator; this is the
+  * composition a user actually runs, batch ([[readCleanDocs]]) and
+  * streaming ([[streamCleanDocs]] — archives land continuously, the
+  * file stream discovers each exactly once).
+  *
+  * Policy: a document survives iff every layer parsed (`ok`), the HTTP
+  * status is 2xx, and boilerplate removal left non-empty content.
+  * Everything else is visible via [[parsedDocs]]' `ok`/`status` columns
+  * when a run wants the drop accounting instead of the survivors.
+  *
+  * Scale shape: flatMap + map-only end to end — one task per archive
+  * (gzip is not seekable), per-task memory bounded by one member, no
+  * shuffle anywhere. At 100 TB this is the measured archive path
+  * (SCALE.md: 3.2 GB/s e2e/16c) plus constant per-record HTTP/clean
+  * cost (553 MB/s boilerplate walker).
+  */
+object CrawlIngest {
+
+  final case class ParsedDoc(
+      archive: String,
+      member_idx: Int,
+      ok: Boolean,
+      url: String,
+      warc_date: String,
+      status: Int,
+      charset: String,
+      text: String)
+
+  /** Members → parsed, charset-decoded documents (no filtering — every
+    * member yields a row; failures carry `ok = false`/status −1).
+    */
+  def parsedDocs(members: Dataset[GzipArchives.FileMemberRow]): DataFrame = {
+    import members.sparkSession.implicits._
+    members.mapPartitions(_.map { m =>
+      val bad = ParsedDoc(m.path, m.member_idx, ok = false, null, null, -1, null, null)
+      if (!m.ok || m.content == null) bad
+      else {
+        val (ok, _, uri, date, _, _, payload) = WarcRecords.parseRecordBytes(m.content)
+        if (!ok) bad
+        else {
+          val h = HttpPayload.parseHttpBytes(payload)
+          if (!h.ok) bad.copy(url = uri, warc_date = date)
+          else ParsedDoc(m.path, m.member_idx, ok = true, uri, date, h.status,
+            h.charset, HttpPayload.decodeBody(h.body, h.charset))
+        }
+      }
+    }).toDF()
+  }
+
+  /** The survivor filter + boilerplate clean over [[parsedDocs]] output. */
+  def cleanDocs(parsed: DataFrame,
+                minWords: Int = Boilerplate.MinWords,
+                ldNum: Int = Boilerplate.LinkNum, ldDen: Int = Boilerplate.LinkDen,
+                swNum: Int = Boilerplate.StopNum, swDen: Int = Boilerplate.StopDen): DataFrame =
+    Boilerplate.clean(
+      parsed.where(col("ok") && col("status") >= 200 && col("status") <= 299),
+      "text", "text", minWords, ldNum, ldDen, swNum, swDen)
+      .where(length(col("text")) > 0)
+      .select("archive", "member_idx", "url", "warc_date", "charset", "text")
+
+  /** Batch: the whole chain over a directory of archives. */
+  def readCleanDocs(spark: SparkSession, dir: String,
+                    glob: String = "*.gz"): DataFrame =
+    cleanDocs(parsedDocs(GzipArchives.readArchiveDir(spark, dir, glob)))
+
+  /** Streaming: the same chain per micro-batch; `route` receives each
+    * batch's clean documents (write them idempotently — file-stream
+    * replays re-deliver a batch after a crash). Caller starts the
+    * returned writer with its checkpoint location.
+    */
+  def streamCleanDocs(spark: SparkSession, dir: String,
+                      glob: String = "*.gz", maxFilesPerTrigger: Int = 64)
+                     (route: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    GzipArchives.streamArchiveDir(spark, dir, glob, maxFilesPerTrigger)
+      .toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        route(cleanDocs(parsedDocs(batch.as[GzipArchives.FileMemberRow])))
+      }
+}
