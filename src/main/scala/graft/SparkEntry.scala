@@ -926,6 +926,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- C4-style PHRASE blocklist (multi-word, substring-level —
+    //      beyond the whole-token overlap gate): Aho–Corasick occurrence
+    //      counts over text with phrases planted by arithmetic (one doc
+    //      slice carries a DOUBLE occurrence); the oracle counts each
+    //      phrase independently via replace-arithmetic on the SAME
+    //      constructed text, so natural occurrences in the corpus count
+    //      identically on both sides. Phrases are border-free (no proper
+    //      prefix = suffix), making non-overlapping replace counting
+    //      equal to the automaton's all-occurrence count. ----
+    "q_phrase_block" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val txt = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit(" click here now and click here now")).otherwise(lit("")))
+        .as("text"))
+      TextAnalysis.markPhraseHits(txt, Seq("lorem ipsum", "click here now"))
+        .select(col("doc_id"), col("n_phrase_hits"),
+          (col("n_phrase_hits") > 0).as("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Approximate top tokens in ONE call (the sketch's reason to
     //      exist): grid over the FULL corpus, candidates from the
     //      deterministic hash-sampled 20 % doc slice, TakeOrdered cut —
@@ -2471,6 +2493,19 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- The BIGRAM-feature flavor (the paper's actual feature space):
+    //      adjacent-pair buckets hashed into the same space as the
+    //      unigrams, fit and scored through the identical chain. ----
+    "q_dsir_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en" && col("doc_id") % 3 === 0)
+      val w = ImportanceResampler.fitWeights(target, docs, numBuckets = 32,
+        bigrams = true)
+      ImportanceResampler.selectTopK(docs, w, 50, "doc_id")
+        .select(col("rank"), col("doc_id"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- The RESAMPLING flavor: the same weights perturbed by a
     //      deterministic Gumbel draw from the salted content fingerprint
     //      (the paper's importance resampling, replay-stable) — draw
@@ -3225,7 +3260,8 @@ object SparkEntry {
     * flavor perturbs the key with the deterministic draw
     * `−ln(−ln((Knuth-mix(fp+seed)+1)/(p+2)))` replayed verbatim.
     */
-  private def dsirOracleFor(gumbelSeed: Option[Long]): String = {
+  private def dsirOracleFor(gumbelSeed: Option[Long],
+                            bigrams: Boolean = false): String = {
     val key = gumbelSeed match {
       case None => "COALESCE(sc.score, 0.0)"
       case Some(seed) =>
@@ -3239,10 +3275,10 @@ object SparkEntry {
        |rawd AS MATERIALIZED (SELECT doc_id, text FROM documents),
        |tc AS MATERIALIZED (
        |  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM (
-       |    ${bucketStreamSql("tgt", bigrams = false)}) GROUP BY bucket),
+       |    ${bucketStreamSql("tgt", bigrams)}) GROUP BY bucket),
        |rc AS MATERIALIZED (
        |  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM (
-       |    ${bucketStreamSql("rawd", bigrams = false)}) GROUP BY bucket),
+       |    ${bucketStreamSql("rawd", bigrams)}) GROUP BY bucket),
        |w AS MATERIALIZED (
        |  SELECT b.bucket,
        |    (ln(COALESCE(tc.c, 0) + 1.0)
@@ -3254,7 +3290,7 @@ object SparkEntry {
        |  LEFT JOIN rc ON b.bucket = rc.bucket),
        |sc AS MATERIALIZED (
        |  SELECT f.doc_id, SUM(w.w) AS score
-       |  FROM (${bucketStreamSql("rawd", bigrams = false)}) f
+       |  FROM (${bucketStreamSql("rawd", bigrams)}) f
        |  JOIN w ON f.bucket = w.bucket
        |  GROUP BY f.doc_id),
        |scored AS (
@@ -4003,6 +4039,11 @@ object SparkEntry {
     // the Gumbel-perturbed resampling flavor, draw replayed verbatim
     // (measured gaps ≥ 2.5e-5, zero ties)
     "q_dsir_gumbel" -> dsirOracleFor(Some(7L)),
+
+    // the bigram-feature flavor: the adjacent-pair stream joins the
+    // unigram stream in both count CTEs and the per-doc score
+    // (measured gaps ≥ 1.0e-4, zero ties)
+    "q_dsir_bigram" -> dsirOracleFor(None, bigrams = true),
 
     // the surviving content block of the five-stage chain (gzip → WARC
     // bytes → HTTP → charset decode → boilerplate clean) from arithmetic
@@ -5172,6 +5213,24 @@ object SparkEntry {
         |    || 'it is the link ' || CAST(doc_id % 7 AS VARCHAR)
         |    || ' of the day today') AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-phrase occurrence counts via non-overlapping replace
+    // arithmetic on the constructed text (phrases are border-free)
+    "q_phrase_block" ->
+      """WITH txt AS (
+        |  SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 3 = 0 THEN ' lorem ipsum' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0
+        |          THEN ' click here now and click here now' ELSE '' END) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((length(t) - length(replace(t, 'lorem ipsum', ''))) // 11
+        |    + (length(t) - length(replace(t, 'click here now', ''))) // 14
+        |    AS INT) AS n_phrase_hits,
+        |  ((length(t) - length(replace(t, 'lorem ipsum', ''))) // 11
+        |    + (length(t) - length(replace(t, 'click here now', ''))) // 14) > 0
+        |    AS blocked
+        |FROM txt ORDER BY doc_id""".stripMargin,
 
     // q_heavy_hitters' grid replay with the candidate slice swapped for
     // the salted-selector document sample (seed 5, frac 0.2)

@@ -323,4 +323,32 @@ object TextExpressions {
   }
 
   def dedup_lines(text: Column): Column = column(DedupLines(expression(text)))
+
+  /** Total phrase-blocklist occurrences in a string — the
+    * [[AhoCorasick]] automaton (built once at plan time, shipped as a
+    * plan reference object) run per row inside codegen: one pass over
+    * the text regardless of phrase count, where a `contains` chain
+    * scans once per phrase. Exact-case, substring-level by contract.
+    */
+  case class PhraseMatches(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+    // built eagerly: an invalid phrase list fails at PLAN time, loudly
+    private val ac = AhoCorasick(patterns)
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(v: Any): Any =
+      ac.countMatches(v.asInstanceOf[UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val acRef = ctx.addReferenceObj("graftAhoCorasick", ac,
+        classOf[AhoCorasick].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = $acRef.countMatches($v.toString());")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def phrase_matches(text: Column, patterns: Seq[String]): Column =
+    column(PhraseMatches(expression(text), patterns))
 }

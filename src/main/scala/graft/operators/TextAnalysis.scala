@@ -121,6 +121,25 @@ object TextAnalysis {
       lit(blocklist.distinct.toArray)))
   }
 
+  /** PHRASE blocklist (multi-word, substring-level — the C4 contract
+    * [[blocklistFilter]]'s whole-token overlap cannot express: "click
+    * here", "lorem ipsum"): every doc is marked with its total phrase
+    * occurrence count via the Aho–Corasick automaton — ONE pass over
+    * the text regardless of phrase count, map-only codegen
+    * ([[graft.functions.TextExpressions.PhraseMatches]]). Exact-case by
+    * contract: lowercase both sides to case-fold.
+    */
+  def markPhraseHits(docs: DataFrame, phrases: Seq[String],
+                     textCol: String = "text"): DataFrame =
+    docs.withColumn("n_phrase_hits",
+      graft.functions.TextExpressions.phrase_matches(col(textCol), phrases))
+
+  /** Keep only docs containing NO blocklisted phrase. */
+  def phraseBlocklistFilter(docs: DataFrame, phrases: Seq[String],
+                            textCol: String = "text"): DataFrame =
+    docs.where(graft.functions.TextExpressions
+      .phrase_matches(col(textCol), phrases) === 0)
+
   /** Per-doc token-repetition signals — the Gopher-style repetition
     * filters (a doc dominated by one token, or with a collapsed
     * vocabulary, is boilerplate/spam): `top_token_share` = most frequent
