@@ -926,6 +926,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Gopher quality rules (Rae et al. 2021): real text plus
+    //      arithmetic bullet / ellipsis / symbol lines on the %3/%4/%5
+    //      slices; every integer signal AND the cross-multiplied keep
+    //      verdict replayed — a drift in any rule's counting or
+    //      threshold arithmetic flips verdicts. ----
+    "q_gopher" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val txt = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("\n• bullet item here")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\nto be continued...")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\n## symbols # here")).otherwise(lit("")))
+        .as("text"))
+      TextAnalysis.gopherFilter(txt, minWords = 10L)
+        .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+          col("n_alpha_words"), col("n_hash"), col("n_ellipsis"),
+          col("n_lines"), col("n_bullet_lines"), col("n_ellipsis_lines"),
+          col("n_stop_hits"), col("gopher_keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- C4-style PHRASE blocklist (multi-word, substring-level —
     //      beyond the whole-token overlap gate): Aho–Corasick occurrence
     //      counts over text with phrases planted by arithmetic (one doc
@@ -5213,6 +5233,57 @@ object SparkEntry {
         |    || 'it is the link ' || CAST(doc_id % 7 AS VARCHAR)
         |    || ' of the day today') AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every Gopher signal recomputed: whitespace-class word split,
+    // length sums, alpha test, replace-arithmetic symbol counts,
+    // line classification, stop-word hits, cross-multiplied verdict
+    "q_gopher" ->
+      """WITH txt AS (
+        |  SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '• bullet item here' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '## symbols # here' ELSE '' END) AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS ws,
+        |    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS ls,
+        |    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ellipsis
+        |  FROM txt),
+        |cnt AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(ws, w -> CAST(len(w) AS BIGINT))), 0)
+        |      AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+        |      AS n_alpha_words,
+        |    n_hash, n_ellipsis,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[•\-\*] ')))
+        |      AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '\.\.\.$')))
+        |      AS BIGINT) AS n_ellipsis_lines,
+        |    CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_stop_hits
+        |  FROM sig)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_hash, n_ellipsis,
+        |  n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_hits,
+        |  (n_words >= 10 AND n_words <= 100000
+        |    AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+        |    AND 10 * (n_hash + n_ellipsis) <= n_words
+        |    AND 10 * n_bullet_lines <= 9 * n_lines
+        |    AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |    AND 10 * n_alpha_words >= 8 * n_words
+        |    AND n_stop_hits >= 2) AS gopher_keep
+        |FROM cnt ORDER BY doc_id""".stripMargin,
 
     // per-phrase occurrence counts via non-overlapping replace
     // arithmetic on the constructed text (phrases are border-free)

@@ -39,6 +39,76 @@ object TextAnalysis {
       .withColumn("quality", F.qualityScore(t, stopwords))
   }
 
+  /** The Gopher quality rules (Rae et al. 2021, appendix A1.1) as exact
+    * INTEGER per-document signals — the published rule set pretraining
+    * curation standardized on, kept in integer counts so thresholds
+    * apply by cross-multiplication and the whole verdict is
+    * bit-reproducible in any engine:
+    *
+    *   - `n_words` / `sum_word_len` — word count and total word length
+    *     (whitespace-class split; mean-word-length bounds become
+    *     `3·n ≤ Σlen ≤ 10·n`);
+    *   - `n_alpha_words` — words carrying ≥ 1 ASCII letter (the ≥ 80 %
+    *     alphabetic rule);
+    *   - `n_hash` / `n_ellipsis` — '#' and '...' occurrences (the
+    *     symbol-to-word ratio ≤ 0.1 rule);
+    *   - `n_lines` / `n_bullet_lines` / `n_ellipsis_lines` — bullet-led
+    *     (`•`/`-`/`*` + space) and '...'-terminated lines (≤ 90 %
+    *     non-bullet, ≤ 30 % ellipsis rules);
+    *   - `n_stop_hits` — how many of the 8 Gopher stop words appear
+    *     (`the be to of and that have with`; rule: ≥ 2).
+    *
+    * Map-only column arithmetic; [[gopherFilter]] applies the published
+    * thresholds.
+    */
+  def gopherSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val lines = filter(split(t, "\n"), ln => length(trim(ln)) > 0)
+    val stopTerms = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs
+      .withColumn("_w", words)
+      .withColumn("n_words", size(col("_w")).cast("long"))
+      .withColumn("sum_word_len",
+        coalesce(aggregate(col("_w"), lit(0L), (acc, w) => acc + length(w)), lit(0L)))
+      .withColumn("n_alpha_words",
+        size(filter(col("_w"), w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_hash",
+        (length(t) - length(regexp_replace(t, "#", ""))).cast("long"))
+      .withColumn("n_ellipsis",
+        ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long"))
+      .withColumn("_l", lines)
+      .withColumn("n_lines", size(col("_l")).cast("long"))
+      .withColumn("n_bullet_lines", size(filter(col("_l"),
+        ln => trim(ln).rlike("^[•\\-\\*] "))).cast("long"))
+      .withColumn("n_ellipsis_lines", size(filter(col("_l"),
+        ln => trim(ln).rlike("\\.\\.\\.$"))).cast("long"))
+      .withColumn("n_stop_hits",
+        stopTerms.map(s => array_contains(col("_w"), s).cast("long"))
+          .reduce(_ + _))
+      .drop("_w", "_l")
+  }
+
+  /** [[gopherSignals]] + the published keep verdict, integer
+    * cross-multiplied (no doubles anywhere): word count in
+    * [minWords, maxWords], mean word length in [3, 10], symbol ratio
+    * ≤ 1/10, bullet lines ≤ 9/10, ellipsis lines ≤ 3/10, alphabetic
+    * words ≥ 8/10, stop hits ≥ 2.
+    */
+  def gopherFilter(docs: DataFrame, textCol: String = "text",
+                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val g = gopherSignals(docs, textCol)
+    g.withColumn("gopher_keep",
+      col("n_words") >= minWords && col("n_words") <= maxWords &&
+        lit(3L) * col("n_words") <= col("sum_word_len") &&
+        col("sum_word_len") <= lit(10L) * col("n_words") &&
+        lit(10L) * (col("n_hash") + col("n_ellipsis")) <= col("n_words") &&
+        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines") &&
+        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
+        lit(10L) * col("n_alpha_words") >= lit(8L) * col("n_words") &&
+        col("n_stop_hits") >= 2L)
+  }
+
   /** Exact stopword-mass ratio per group: sums exact integer token counts
     * and divides ONCE, with no rounding — a single IEEE division of exact
     * integers is bit-identical across engines and partitionings (round-of-

@@ -528,6 +528,30 @@ class OperatorsSpec extends SparkSpecBase {
       out.map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
 
+  test("gopherFilter: each published rule flips the verdict independently") {
+    val good = "the cat and the dog have been with us for many good years now"
+    val docs = Seq(
+      (1L, good),
+      (2L, "the of and to tiny"), // too few words
+      (3L, good + "\n• a\n• b\n• c\n• d\n• e\n• f\n• g\n• h\n• i\n• j"), // >10% bullet lines... all-bullet majority
+      (4L, "1 2 3 4 5 6 7 8 9 10 the of and with that be to have"), // <80% alphabetic
+      (5L, good + " ### # # # #### "), // symbol ratio > 0.1
+      (6L, "zz qq rr ss tt uu vv ww xx yy aa bb cc dd") // no stop words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs, minWords = 10L)
+      .select("doc_id", "gopher_keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "the clean doc must keep")
+    assert(!out(2L) && !out(4L) && !out(5L) && !out(6L))
+    // doc 3: 10 bullet lines of 11 total → 10*10 > 9*11 → dropped
+    assert(!out(3L))
+    // signals are exact integers
+    val sig = TextAnalysis.gopherSignals(Seq((1L, "ab cd... ef\n• x y")).toDF("doc_id", "text"))
+      .collect().head
+    assert(sig.getAs[Long]("n_words") == 6 && sig.getAs[Long]("n_ellipsis") == 1 &&
+      sig.getAs[Long]("n_lines") == 2 && sig.getAs[Long]("n_bullet_lines") == 1 &&
+      sig.getAs[Long]("sum_word_len") == 12)
+  }
+
   test("dedupLines: intra-doc keep-first, empty lines exempt, codegen map-only") {
     import graft.operators.TextAnalysis.dedupLinesString
     assert(dedupLinesString("a\nb\na\nc\nb") == "a\nb\nc")
