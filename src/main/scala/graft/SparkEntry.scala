@@ -926,6 +926,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Sentence-boundary chunking: per doc, four candidate
+    //      boundaries of which one is a decoy (lowercase follows, so
+    //      'five xN. gamma' must NOT split) and one is end-of-text;
+    //      greedy 10-token packing puts sentences 1+2 in chunk 0 and
+    //      sentence 3 alone — chunk text and token counts from the
+    //      generating arithmetic. ----
+    "q_sentence_chunk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val txt = docs.select(col("doc_id"), concat(
+        lit("Alpha one "), col("doc_id").cast("string"),
+        lit(". Beta three four five x"), (col("doc_id") % 7).cast("string"),
+        lit(". gamma six. Delta seven "), (col("doc_id") % 5).cast("string"),
+        lit(".")).as("text"))
+      TextAnalysis.chunkBySentences(txt, "doc_id", maxTokens = 10)
+        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("h"),
+          size(split(col("chunk"), " ")).cast(LongType).as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // ---- Gopher quality rules (Rae et al. 2021): real text plus
     //      arithmetic bullet / ellipsis / symbol lines on the %3/%4/%5
     //      slices; every integer signal AND the cross-multiplied keep
@@ -5233,6 +5252,19 @@ object SparkEntry {
         |    || 'it is the link ' || CAST(doc_id % 7 AS VARCHAR)
         |    || ' of the day today') AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both chunks' text + token counts from the generating arithmetic
+    // (the decoy boundary stays inside chunk 0)
+    "q_sentence_chunk" ->
+      """SELECT doc_id, CAST(u.ci AS INT) AS chunk_idx,
+        |  md5(CASE u.ci WHEN 0 THEN
+        |        'Alpha one ' || CAST(doc_id AS VARCHAR)
+        |          || '. Beta three four five x' || CAST(doc_id % 7 AS VARCHAR)
+        |          || '. gamma six.'
+        |      ELSE 'Delta seven ' || CAST(doc_id % 5 AS VARCHAR) || '.' END) AS h,
+        |  CAST(CASE u.ci WHEN 0 THEN 10 ELSE 3 END AS BIGINT) AS n_tokens
+        |FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS ci) u
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // every Gopher signal recomputed: whitespace-class word split,
     // length sums, alpha test, replace-arithmetic symbol counts,

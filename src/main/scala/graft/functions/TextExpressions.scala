@@ -351,4 +351,43 @@ object TextExpressions {
 
   def phrase_matches(text: Column, patterns: Seq[String]): Column =
     column(PhraseMatches(expression(text), patterns))
+
+  /** Sentence-boundary chunks as a codegen scalar — static-invokes
+    * [[graft.operators.TextAnalysis.sentenceChunksString]] (rule-based
+    * segmentation + greedy token-budget packing), returning
+    * `ARRAY<STRING>`.
+    */
+  case class SentenceChunks(child: Expression, maxTokens: Int) extends UnaryExpression {
+    require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    private def toArrayData(chunks: Array[String]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        chunks.map(UTF8String.fromString(_): AnyRef))
+
+    override def nullSafeEval(v: Any): Any =
+      toArrayData(graft.operators.TextAnalysis.sentenceChunksString(
+        v.asInstanceOf[UTF8String].toString, maxTokens))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      ctx.addNewFunction("graftSentenceChunks",
+        """
+          |private org.apache.spark.sql.catalyst.util.GenericArrayData graftSentenceChunks(
+          |    String s, int maxTokens) {
+          |  String[] chunks = graft.operators.TextAnalysis.sentenceChunksString(s, maxTokens);
+          |  Object[] out = new Object[chunks.length];
+          |  for (int i = 0; i < chunks.length; i++)
+          |    out[i] = org.apache.spark.unsafe.types.UTF8String.fromString(chunks[i]);
+          |  return new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+          |}
+        """.stripMargin)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graftSentenceChunks($v.toString(), $maxTokens);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def sentence_chunks(text: Column, maxTokens: Int): Column =
+    column(SentenceChunks(expression(text), maxTokens))
 }

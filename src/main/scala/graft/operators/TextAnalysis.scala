@@ -191,6 +191,92 @@ object TextAnalysis {
       lit(blocklist.distinct.toArray)))
   }
 
+  /** Rule-based sentence segmentation — deterministic by contract, the
+    * same class of splitter CCNet/jusText-era pipelines use: a boundary
+    * is a run of `.` / `!` / `?` followed by whitespace and an uppercase
+    * letter or digit (or end of text), and a newline is always a
+    * boundary. "e.g. this" does not split (lowercase follows);
+    * "U.S. Government" does — the documented cost of rule-based
+    * splitting, acceptable for CHUNKING (a boundary too many never cuts
+    * mid-clause semantics the way a token-window chunk does). Sentences
+    * are trimmed; empties dropped. Null in → null out.
+    */
+  def splitSentencesString(text: String): Array[String] = {
+    if (text == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(from: Int, to: Int): Unit = {
+      val s = text.substring(from, to).trim
+      if (s.nonEmpty) out += s
+    }
+    def isUpperOrDigit(c: Char) =
+      (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+    val n = text.length
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\n') {
+        emit(start, i); start = i + 1; i += 1
+      } else if (c == '.' || c == '!' || c == '?') {
+        var j = i + 1
+        while (j < n && {
+          val d = text.charAt(j); d == '.' || d == '!' || d == '?'
+        }) j += 1
+        var k = j
+        while (k < n && (text.charAt(k) == ' ' || text.charAt(k) == '\t')) k += 1
+        if (k == n || (k > j && isUpperOrDigit(text.charAt(k)))) {
+          emit(start, j); start = k; i = k
+        } else i = j
+      } else i += 1
+    }
+    emit(start, n)
+    out.toArray
+  }
+
+  /** Greedy sentence-boundary chunking: pack consecutive sentences into
+    * chunks of at most `maxTokens` whitespace-tokens (a single oversized
+    * sentence becomes its own chunk — never cut mid-sentence; that is
+    * this chunker's whole point vs the token-window [[chunk]]). Chunks
+    * rejoin with single spaces. Pure per-string walk.
+    */
+  def sentenceChunksString(text: String, maxTokens: Int): Array[String] = {
+    if (text == null) return null
+    def tokenCount(s: String): Int = {
+      var cnt = 0; var i = 0; val n = s.length
+      while (i < n) {
+        while (i < n && (s.charAt(i) == ' ' || s.charAt(i) == '\t')) i += 1
+        if (i < n) { cnt += 1; while (i < n && s.charAt(i) != ' ' && s.charAt(i) != '\t') i += 1 }
+      }
+      cnt
+    }
+    val sentences = splitSentencesString(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder()
+    var curTokens = 0
+    sentences.foreach { s =>
+      val t = tokenCount(s)
+      if (curTokens > 0 && curTokens + t > maxTokens) {
+        out += cur.toString; cur.setLength(0); curTokens = 0
+      }
+      if (cur.length > 0) cur.append(' ')
+      cur.append(s)
+      curTokens += t
+    }
+    if (cur.length > 0) out += cur.toString
+    out.toArray
+  }
+
+  /** One row per chunk: `(idCol, chunk_idx, chunk)` — sentence-boundary
+    * chunking over the corpus, map-only codegen scalar + posexplode.
+    */
+  def chunkBySentences(docs: DataFrame, idCol: String, maxTokens: Int,
+                       textCol: String = "text"): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    docs.select(col(idCol),
+        posexplode(graft.functions.TextExpressions.sentence_chunks(
+          col(textCol), maxTokens)).as(Seq("chunk_idx", "chunk")))
+  }
+
   /** PHRASE blocklist (multi-word, substring-level — the C4 contract
     * [[blocklistFilter]]'s whole-token overlap cannot express: "click
     * here", "lorem ipsum"): every doc is marked with its total phrase

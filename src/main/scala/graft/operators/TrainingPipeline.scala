@@ -102,7 +102,15 @@ object TrainingPipeline {
     // INTRA-document repeated-line removal (the RefinedWeb pass) before
     // any corpus-level stage: map-only codegen scalar, shrinks what the
     // paragraph-dedup exchange carries ([[TextAnalysis.dedupLines]])
-    lineDedup: Boolean = false)
+    lineDedup: Boolean = false,
+    // the Gopher rule bundle as a drop stage (integer cross-multiplied
+    // verdict, [[TextAnalysis.gopherFilter]]); bounds configurable
+    gopherRules: Boolean = false,
+    gopherMinWords: Long = 50L,
+    gopherMaxWords: Long = 100000L,
+    // C4-style PHRASE blocklist (Aho–Corasick, one text pass per doc
+    // regardless of phrase count); empty = stage off
+    blockPhrases: Seq[String] = Nil)
 
   /** Run the full preparation over `docs(idCol, textCol, …)`. Output keeps
     * the input columns and adds `quality` and `split` — plus `familiarity`
@@ -197,7 +205,25 @@ object TrainingPipeline {
     // the keep-best window AND survives as the output score (recomputing
     // the three full-text scans inside the window ordering would double
     // the corpus-scan work and could drift from the emitted value)
-    val exact = tap("exact_dedup", Dedup.dropExactDups(cleaned, idCol, textCol)
+    // cheap map-only drop gates BEFORE the dedup shuffles: the Gopher
+    // rule bundle and the phrase blocklist shrink what every keyed
+    // stage downstream carries
+    val ruleGated0 =
+      if (cfg.gopherRules)
+        tap("gopher_rules",
+          TextAnalysis.gopherFilter(cleaned, textCol,
+            cfg.gopherMinWords, cfg.gopherMaxWords)
+            .where(col("gopher_keep"))
+            .drop("n_words", "sum_word_len", "n_alpha_words", "n_hash",
+              "n_ellipsis", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+              "n_stop_hits", "gopher_keep"))
+      else cleaned
+    val ruleGated =
+      if (cfg.blockPhrases.nonEmpty)
+        tap("phrase_blocklist",
+          TextAnalysis.phraseBlocklistFilter(ruleGated0, cfg.blockPhrases, textCol))
+      else ruleGated0
+    val exact = tap("exact_dedup", Dedup.dropExactDups(ruleGated, idCol, textCol)
       .withColumn("quality", F.qualityScore(col(textCol), cfg.stopwords)))
     val pairs = Dedup.minHashNearDupsExact(exact, idCol, textCol,
       cfg.shingleK, cfg.nearDupThreshold, cfg.margin)

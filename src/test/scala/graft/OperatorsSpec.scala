@@ -528,6 +528,35 @@ class OperatorsSpec extends SparkSpecBase {
       out.map(r => (r.getLong(0), r.getString(1))).toSeq)
   }
 
+  test("sentence split + sentence-boundary chunking: boundary rule, decoys, budget discipline") {
+    import graft.operators.TextAnalysis.{sentenceChunksString, splitSentencesString}
+    assert(splitSentencesString("One two. Three four! Five?").toSeq ==
+      Seq("One two.", "Three four!", "Five?"))
+    // lowercase after punctuation is NOT a boundary (e.g., abbreviations)
+    assert(splitSentencesString("See e.g. this one. Next sentence.").toSeq ==
+      Seq("See e.g. this one.", "Next sentence."))
+    // runs of punctuation, digits as sentence openers, newlines as hard breaks
+    assert(splitSentencesString("Wait... 42 is the answer.\nnew line here").toSeq ==
+      Seq("Wait...", "42 is the answer.", "new line here"))
+    assert(splitSentencesString("") sameElements Array.empty[String])
+    assert(splitSentencesString(null) == null)
+    // greedy packing: never split mid-sentence; oversized sentence = own chunk
+    val text = "Aa bb cc. Dd ee. Ff gg hh ii jj kk ll mm. Nn oo."
+    assert(sentenceChunksString(text, 5).toSeq ==
+      Seq("Aa bb cc. Dd ee.", "Ff gg hh ii jj kk ll mm.", "Nn oo."))
+    assert(sentenceChunksString(text, 100).toSeq == Seq(text))
+    // DataFrame flavor: posexplode shape + codegen map-only plan
+    val df = graft.operators.TextAnalysis.chunkBySentences(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", 5)
+    assert(df.count() == 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("DeserializeToObject"), plan)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.chunkBySentences(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", 0)
+    }
+  }
+
   test("gopherFilter: each published rule flips the verdict independently") {
     val good = "the cat and the dog have been with us for many good years now"
     val docs = Seq(

@@ -128,6 +128,26 @@ class PipelineE2ESpec extends SparkSpecBase {
     assert(ledgerOff.toMap.apply("exact_dedup") == 3L, ledgerOff)
   }
 
+  test("gopherRules + blockPhrases stages: map-only drop gates run before the dedup shuffles") {
+    import graft.operators.TrainingPipeline
+    val good = "the cat and the dog have been with us for many good years now"
+    val docs = Seq(
+      (1L, good),
+      (2L, "it is the story of lorem ipsum placeholder text and that is all we have here today"),
+      (3L, "zz qq rr ss tt uu vv ww xx yy aa bb cc dd") // fails stop-word rule
+    ).toDF("doc_id", "text")
+    val (out, ledger) = TrainingPipeline.prepareAudited(docs, "doc_id",
+      cfg = TrainingPipeline.Config(gopherRules = true, gopherMinWords = 10L,
+        blockPhrases = Seq("lorem ipsum")))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L))
+    val m = ledger.toMap
+    assert(m("gopher_rules") == 2L, ledger) // doc 3 dies on the rules
+    assert(m("phrase_blocklist") == 1L, ledger) // doc 2 dies on the phrase
+    // stages off by default: nothing drops
+    val off = TrainingPipeline.prepare(docs, "doc_id")
+    assert(off.count() == 3)
+  }
+
   test("training pipeline: dedup -> keep-best -> quality floor -> split, idempotent") {
     import graft.operators.{Dedup, TrainingPipeline}
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
