@@ -311,7 +311,7 @@ object ScaleBench {
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
       "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi",
-      "preclean", "bloom", "shuffle", "classifier", "crawl")
+      "preclean", "bloom", "shuffle", "classifier", "crawl", "dsir")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -1177,6 +1177,44 @@ object ScaleBench {
         f""""epochs":4,"buckets":4096,"train_1x_s":$tt1%.2f,"train_10x_s":$tt10%.2f,""" +
         f""""train_scaling_x":${tt10 / tt1}%.1f,""" +
         f""""score_mb":$mb%.1f,"score_s":$ts%.2f,"score_mb_s":${mb / ts}%.0f}}""")
+    }
+
+    if (sections("dsir")) {
+      // ---- DSIR: fit = TWO bucket-count aggregates (target + raw,
+      //      map-side combined) — expected linear in raw size; scoring
+      //      is the classifier's map-only fold with a double
+      //      accumulator, reported as corpus MB/s; the cut is a
+      //      TakeOrdered. Target = the fingerprint-parity slice, so the
+      //      fit sees both corpora at every scale. ----
+      import graft.operators.{ImportanceResampler, TextAnalysis}
+      val raw1 = scaled(base, 10).repartition(16).persist()
+      val raw10 = scaled(base, 100).repartition(16).persist()
+      val target = raw1.where(pmod(
+        TextAnalysis.portableFingerprint(col("text")), lit(4L)) === 0L)
+        .persist()
+      val (n1, n10, nt) = (raw1.count(), raw10.count(), target.count())
+      val chars10 = raw10.agg(sum(length(col("text")))).head.getLong(0)
+      def fit(raw: DataFrame): (Double, ImportanceResampler.Weights) = {
+        val t0 = System.nanoTime()
+        val w = ImportanceResampler.fitWeights(target, raw, numBuckets = 1 << 14)
+        ((System.nanoTime() - t0) / 1e9, w)
+      }
+      fit(raw1) // warm
+      val (tf1, w) = fit(raw1)
+      val (tf10, _) = fit(raw10)
+      def selectPoint(): Double = {
+        val t0 = System.nanoTime()
+        ImportanceResampler.selectTopK(raw10, w, 1000, "doc_id").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      selectPoint() // warm
+      val tsel = selectPoint()
+      raw1.unpersist(); raw10.unpersist(); target.unpersist()
+      val mb10 = chars10 / 1e6
+      println(f"""{"dsir":{"n_raw_1x":$n1,"n_raw_10x":$n10,"n_target":$nt,""" +
+        f""""buckets":${1 << 14},"fit_1x_s":$tf1%.2f,"fit_10x_s":$tf10%.2f,""" +
+        f""""fit_scaling_x":${tf10 / tf1}%.1f,"select_mb":$mb10%.1f,""" +
+        f""""select_s":$tsel%.2f,"select_mb_s":${mb10 / tsel}%.0f}}""")
     }
     spark.stop()
   }
