@@ -871,7 +871,7 @@ object SparkEntry {
       val labeled = docs.where(col("doc_id") % 4 =!= 0)
         .withColumn("y", when(col("lang") === "en", 1).otherwise(-1))
       val model = LinearClassifier.trainPerceptron(labeled, "doc_id", "y",
-        numBuckets = 32, epochs = 4)
+        numBuckets = 32, epochs = 8)
       LinearClassifier.score(docs.where(col("doc_id") % 4 === 0), model)
         .select(col("doc_id"), col("score"), col("pred"))
         .orderBy(col("doc_id"))
@@ -3042,7 +3042,10 @@ object SparkEntry {
     * weights twice (q_bpe_train's lesson — plain CTEs inline to 2^k
     * base scans).
     */
-  private lazy val perceptronOracle: String = perceptronOracleFor(voted = false)
+  // 8 ranks deep (was 4 — the materialized-CTE chain is linear in
+  // epochs; the 4-epoch oracle measured 0.3 s, so depth is cheap)
+  private lazy val perceptronOracle: String =
+    perceptronOracleFor(voted = false, epochs = 8)
   private lazy val perceptronVotedOracle: String = perceptronOracleFor(voted = true)
   private lazy val perceptronBigramOracle: String =
     perceptronOracleFor(voted = false, bigrams = true, epochs = 3)
