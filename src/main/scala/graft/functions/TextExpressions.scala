@@ -268,35 +268,45 @@ object TextExpressions {
     * static-invokes [[graft.operators.Boilerplate.cleanHtmlString]]
     * (same single-pass walker as [[HtmlText]], plus the integer-exact
     * block classification). Thresholds are plan-time constants spliced
-    * into the generated call.
+    * into the generated call; the stopword set (the classification
+    * LANGUAGE) ships as a plan reference object.
     */
   case class HtmlClean(child: Expression, minWords: Int, ldNum: Int,
-                       ldDen: Int, swNum: Int, swDen: Int) extends UnaryExpression {
+                       ldDen: Int, swNum: Int, swDen: Int,
+                       stopwords: Seq[String]) extends UnaryExpression {
     require(minWords >= 0 && ldDen > 0 && swDen > 0,
       "HtmlClean thresholds must be non-negative with positive denominators")
+    // built eagerly: an empty stopword list fails at plan time
+    private val stopSet = graft.operators.Boilerplate.toSet(stopwords)
     override def dataType: DataType = StringType
 
     override def nullSafeEval(v: Any): Any =
       UTF8String.fromString(
         graft.operators.Boilerplate.cleanHtmlString(
           v.asInstanceOf[UTF8String].toString,
-          minWords, ldNum, ldDen, swNum, swDen))
+          minWords, ldNum, ldDen, swNum, swDen, stopSet))
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("graftBoilerplateStops", stopSet,
+        "java.util.HashSet<String>")
       nullSafeCodeGen(ctx, ev, v => {
         s"""
            |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
            |  graft.operators.Boilerplate.cleanHtmlString($v.toString(),
-           |    $minWords, $ldNum, $ldDen, $swNum, $swDen));
+           |    $minWords, $ldNum, $ldDen, $swNum, $swDen, $setRef));
          """.stripMargin
       })
+    }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   def html_clean(html: Column, minWords: Int, ldNum: Int, ldDen: Int,
-                 swNum: Int, swDen: Int): Column =
-    column(HtmlClean(expression(html), minWords, ldNum, ldDen, swNum, swDen))
+                 swNum: Int, swDen: Int,
+                 stopwords: Seq[String] =
+                   graft.operators.TextAnalysis.defaultStopwords): Column =
+    column(HtmlClean(expression(html), minWords, ldNum, ldDen, swNum, swDen,
+      stopwords))
 
   /** Intra-document line dedup as a codegen scalar — static-invokes
     * [[graft.operators.TextAnalysis.dedupLinesString]] (keep the first

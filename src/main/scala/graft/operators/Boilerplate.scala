@@ -40,10 +40,19 @@ object Boilerplate {
   val StopNum = 1
   val StopDen = 5
 
-  /** The default stopword set, shared with quality scoring. */
-  private val Stopwords: java.util.HashSet[String] = {
+  /** The default stopword set, shared with quality scoring. The
+    * classifier is language-specific like jusText itself — pass the
+    * target language's function words ([[LanguageProfiles]] ships 12
+    * sets) through [[clean]]'s `stopwords` param for non-English
+    * corpora; the set rides into codegen as a plan reference object.
+    */
+  private[graft] val DefaultStopwords: java.util.HashSet[String] =
+    toSet(TextAnalysis.defaultStopwords)
+
+  private[graft] def toSet(words: Seq[String]): java.util.HashSet[String] = {
+    require(words.nonEmpty, "boilerplate stopword set must be non-empty")
     val s = new java.util.HashSet[String]()
-    TextAnalysis.defaultStopwords.foreach(w => s.add(w))
+    words.foreach(w => s.add(w.toLowerCase))
     s
   }
 
@@ -53,7 +62,8 @@ object Boilerplate {
     * tokens ("the,") don't match, which only lowers the density a
     * ratio test absorbs.
     */
-  private def wordStats(text: String): (Int, Int) = {
+  private def wordStats(text: String,
+                        stopwords: java.util.HashSet[String]): (Int, Int) = {
     var words = 0
     var stops = 0
     var i = 0
@@ -63,7 +73,7 @@ object Boilerplate {
       while (j < n && text.charAt(j) != ' ' && text.charAt(j) != '\n') j += 1
       if (j > i) {
         words += 1
-        if (Stopwords.contains(text.substring(i, j).toLowerCase)) stops += 1
+        if (stopwords.contains(text.substring(i, j).toLowerCase)) stops += 1
       }
       i = j + 1
     }
@@ -72,8 +82,9 @@ object Boilerplate {
 
   /** The block classification (exposed for specs and [[blockTable]]). */
   private[graft] def isGoodBlock(text: String, linkChars: Int, minWords: Int,
-                                 ldNum: Int, ldDen: Int, swNum: Int, swDen: Int): Boolean = {
-    val (words, stops) = wordStats(text)
+                                 ldNum: Int, ldDen: Int, swNum: Int, swDen: Int,
+                                 stopwords: java.util.HashSet[String] = DefaultStopwords): Boolean = {
+    val (words, stops) = wordStats(text, stopwords)
     words >= minWords &&
       linkChars.toLong * ldDen <= text.length.toLong * ldNum &&
       stops.toLong * swDen >= words.toLong * swNum
@@ -87,11 +98,19 @@ object Boilerplate {
     * Static — the codegen scalar invokes it directly.
     */
   def cleanHtmlString(html: String, minWords: Int, ldNum: Int, ldDen: Int,
-                      swNum: Int, swDen: Int): String = {
+                      swNum: Int, swDen: Int): String =
+    cleanHtmlString(html, minWords, ldNum, ldDen, swNum, swDen, DefaultStopwords)
+
+  /** [[cleanHtmlString]] with an explicit stopword set (the
+    * language-parameterized flavor the codegen scalar invokes).
+    */
+  def cleanHtmlString(html: String, minWords: Int, ldNum: Int, ldDen: Int,
+                      swNum: Int, swDen: Int,
+                      stopwords: java.util.HashSet[String]): String = {
     if (html == null) return null
     val out = new java.lang.StringBuilder(math.min(html.length, 1 << 16))
     HtmlExtract.walkBlocks(html, (text, linkChars) => {
-      if (isGoodBlock(text, linkChars, minWords, ldNum, ldDen, swNum, swDen)) {
+      if (isGoodBlock(text, linkChars, minWords, ldNum, ldDen, swNum, swDen, stopwords)) {
         if (out.length > 0) out.append('\n')
         out.append(text)
       }
@@ -101,14 +120,16 @@ object Boilerplate {
 
   /** Replace `htmlCol` with the boilerplate-stripped content text
     * (map-only codegen scalar, stays inside WholeStageCodegen).
+    * `stopwords` selects the classification language (default English).
     */
   def clean(docs: DataFrame, htmlCol: String = "html", outCol: String = "text",
             minWords: Int = MinWords,
             ldNum: Int = LinkNum, ldDen: Int = LinkDen,
-            swNum: Int = StopNum, swDen: Int = StopDen): DataFrame =
+            swNum: Int = StopNum, swDen: Int = StopDen,
+            stopwords: Seq[String] = TextAnalysis.defaultStopwords): DataFrame =
     docs.withColumn(outCol,
       graft.functions.TextExpressions.html_clean(
-        col(htmlCol), minWords, ldNum, ldDen, swNum, swDen))
+        col(htmlCol), minWords, ldNum, ldDen, swNum, swDen, stopwords))
 
   final case class BlockRow(id: Long, block_idx: Int, text: String,
                             n_chars: Int, link_chars: Int, n_words: Int,
@@ -122,16 +143,18 @@ object Boilerplate {
                  htmlCol: String = "html",
                  minWords: Int = MinWords,
                  ldNum: Int = LinkNum, ldDen: Int = LinkDen,
-                 swNum: Int = StopNum, swDen: Int = StopDen): DataFrame = {
+                 swNum: Int = StopNum, swDen: Int = StopDen,
+                 stopwords: Seq[String] = TextAnalysis.defaultStopwords): DataFrame = {
     import docs.sparkSession.implicits._
+    val stopSet = toSet(stopwords)
     docs.select(col(idCol).cast("long"), col(htmlCol)).as[(Long, String)]
       .flatMap { case (id, html) =>
         val rows = scala.collection.mutable.ArrayBuffer.empty[BlockRow]
         if (html != null) HtmlExtract.walkBlocks(html, (text, linkChars) => {
-          val (words, stops) = wordStats(text)
+          val (words, stops) = wordStats(text, stopSet)
           rows += BlockRow(id, rows.length, text, text.length, linkChars,
             words, stops,
-            isGoodBlock(text, linkChars, minWords, ldNum, ldDen, swNum, swDen))
+            isGoodBlock(text, linkChars, minWords, ldNum, ldDen, swNum, swDen, stopSet))
         })
         rows
       }

@@ -63,10 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => TextExpressions.HtmlText(args(0))
     }
     register("graft_html_clean",
-      "graft_html_clean(html, minWords, ldNum, ldDen, swNum, swDen) - HTML to content text: extract blocks, drop boilerplate by length / link density / stopword density (integer-exact thresholds)") {
+      "graft_html_clean(html, minWords, ldNum, ldDen, swNum, swDen) - HTML to content text: extract blocks, drop boilerplate by length / link density / stopword density (integer-exact thresholds; English stopword set — use the Scala API for other languages)") {
       args => TextExpressions.HtmlClean(args(0), intArg(args(1), "minWords"),
         intArg(args(2), "ldNum"), intArg(args(3), "ldDen"),
-        intArg(args(4), "swNum"), intArg(args(5), "swDen"))
+        intArg(args(4), "swNum"), intArg(args(5), "swDen"),
+        graft.operators.TextAnalysis.defaultStopwords)
     }
     register("graft_dedup_lines",
       "graft_dedup_lines(text) - intra-document line dedup: keep the first occurrence of every non-empty line, preserve order and paragraph breaks") {

@@ -91,6 +91,21 @@ class BoilerplateSpec extends SparkSpecBase {
         s"thresholds-off mismatch on: $p")
   }
 
+  test("language-parameterized stopwords: a French page survives with the French set, not the English default") {
+    val html = "<p>le chat et le chien est dans la maison du village</p>"
+    val fr = graft.operators.LanguageProfiles.profiles("fr")
+    assert(cleanHtmlString(html, 5, 3, 10, 1, 5) == "",
+      "the English default must drop French prose (no English stopwords)")
+    val df = Seq((1L, html)).toDF("doc_id", "html")
+    val cleaned = Boilerplate.clean(df, stopwords = fr)
+    assert(cleaned.collect().head.getAs[String]("text") ==
+      "le chat et le chien est dans la maison du village")
+    // empty stopword set is a plan-time error
+    intercept[IllegalArgumentException] {
+      Boilerplate.clean(df, stopwords = Seq.empty)
+    }
+  }
+
   test("clean is a codegen scalar: no object round-trip, no exchange") {
     val df = Seq((1L, "<p>the cat and the dog sat in the house</p>"))
       .toDF("doc_id", "html")
