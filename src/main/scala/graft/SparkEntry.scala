@@ -1045,6 +1045,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- The language-parameterized boilerplate flavor: the same
+    //      block structure with FRENCH prose and the French stopword
+    //      set — the content block passes only because the stopword
+    //      test speaks the right language (the English default would
+    //      empty every page). ----
+    "q_boilerplate_fr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = docs.select(col("doc_id"), concat(
+        lit("<body><div><a href=\"/nav\">menu accueil connexion et plus "),
+        (col("doc_id") % 9).cast("string"),
+        lit("</a></div><p>le chat et le chien est dans la maison "),
+        col("doc_id").cast("string"),
+        lit("</p><p>minuscule</p></body>")).as("html"))
+      Boilerplate.clean(html, "html", "text",
+        stopwords = LanguageProfiles.profiles("fr"))
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Crawl politeness: robots.txt rules (group selection by
     //      user-agent, longest-match with allow-wins ties, host-specific
     //      rules) against an arithmetic URL fixture — a wrong group pick
@@ -5398,6 +5418,17 @@ object SparkEntry {
         |  CAST(length('promo banner' || chr(10) || 'line a '
         |    || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || 'line b '
         |    || CAST(doc_id % 5 AS VARCHAR)) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the French content sentence survives (10 words, 6 French
+    // stopwords: le, et, le, est, la, dans? — the oracle doesn't care:
+    // it derives the surviving text from the arithmetic)
+    "q_boilerplate_fr" ->
+      """SELECT doc_id,
+        |  md5('le chat et le chien est dans la maison '
+        |    || CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(length('le chat et le chien est dans la maison '
+        |    || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // verdicts from the generating arithmetic: hosts 0-8 carry robots
