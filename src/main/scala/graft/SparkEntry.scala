@@ -2579,6 +2579,19 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- The full production combination: bigram features AND the
+    //      Gumbel resampling draw through one chain. ----
+    "q_dsir_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en" && col("doc_id") % 3 === 0)
+      val w = ImportanceResampler.fitWeights(target, docs, numBuckets = 32,
+        bigrams = true)
+      ImportanceResampler.selectTopK(docs, w, 50, "doc_id",
+        gumbelSeed = Some(13L))
+        .select(col("rank"), col("doc_id"))
+        .orderBy(col("rank"))
+    }),
+
     // ---- Z-order layout (Morton-curve clustering for two-dimensional
     //      file pruning — the write/compaction-time layout step that lets
     //      parquet min/max skipping serve predicates on EITHER key).
@@ -4106,6 +4119,9 @@ object SparkEntry {
     // unigram stream in both count CTEs and the per-doc score
     // (measured gaps ≥ 1.0e-4, zero ties)
     "q_dsir_bigram" -> dsirOracleFor(None, bigrams = true),
+
+    // bigram features + the Gumbel draw — the production combination
+    "q_dsir_full" -> dsirOracleFor(Some(13L), bigrams = true),
 
     // the surviving content block of the five-stage chain (gzip → WARC
     // bytes → HTTP → charset decode → boilerplate clean) from arithmetic
