@@ -3083,11 +3083,15 @@ object SparkEntry {
   private lazy val perceptronBigramOracle: String =
     perceptronOracleFor(voted = false, bigrams = true, epochs = 3)
 
-  /** The portable token hash as SQL over an arbitrary expression. */
+  /** The portable token hash as SQL over an arbitrary expression —
+    * polyHash over all codepoints, mult 131 mod 1e9+7
+    * (Functions.portableTokenHash's exact arithmetic; lambda vars are
+    * named hh/cp/ch so CTE names like `h` never capture).
+    */
   private def thSql(x: String): String =
-    s"((CAST(len($x) AS BIGINT) * 2654435761 " +
-      s"+ CAST(unicode($x) AS BIGINT) * 97 " +
-      s"+ CAST(unicode(reverse($x)) AS BIGINT)) % 1000000007)"
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(unicode(ch) AS BIGINT) FOR ch IN string_split($x, '')]), " +
+      s"(hh, cp) -> (hh * 131 + cp) % 1000000007))"
 
   /** The hashed-feature bucket stream for a relation `src(doc_id, text)`
     * — unigram buckets, optionally fastText-style adjacent-pair buckets
@@ -5379,9 +5383,9 @@ object SparkEntry {
     "q_top_tokens" ->
       s"""WITH toks AS MATERIALIZED (
         |  SELECT t,
-        |    ((CAST(len(t) AS BIGINT) * 2654435761
-        |      + CAST(unicode(t) AS BIGINT) * 97
-        |      + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(t, '')]),
+        |      (hh, cp) -> (hh * 131 + cp) % 1000000007)) AS fp
         |  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
         |  WHERE t <> ''),
         |h AS MATERIALIZED (
@@ -5405,9 +5409,9 @@ object SparkEntry {
         |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
         |  FROM (
         |    SELECT t,
-        |      ((CAST(len(t) AS BIGINT) * 2654435761
-        |        + CAST(unicode(t) AS BIGINT) * 97
-        |        + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |      (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(t, '')]),
+        |        (hh, cp) -> (hh * 131 + cp) % 1000000007)) AS fp
         |    FROM q)),
         |est AS (
         |  SELECT qh.t AS token, MIN(COALESCE(g.c, 0)) AS est
@@ -5460,9 +5464,9 @@ object SparkEntry {
     "q_heavy_hitters" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT t,
-        |    ((CAST(len(t) AS BIGINT) * 2654435761
-        |      + CAST(unicode(t) AS BIGINT) * 97
-        |      + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(t, '')]),
+        |      (hh, cp) -> (hh * 131 + cp) % 1000000007)) AS fp
         |  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
         |  WHERE t <> ''),
         |h AS MATERIALIZED (
@@ -5485,9 +5489,9 @@ object SparkEntry {
         |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
         |  FROM (
         |    SELECT t,
-        |      ((CAST(len(t) AS BIGINT) * 2654435761
-        |        + CAST(unicode(t) AS BIGINT) * 97
-        |        + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |      (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(t, '')]),
+        |        (hh, cp) -> (hh * 131 + cp) % 1000000007)) AS fp
         |    FROM q)),
         |est AS (
         |  SELECT qh.t AS token, MIN(COALESCE(g.c, 0)) AS est
@@ -5504,9 +5508,9 @@ object SparkEntry {
     "q_countmin" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT t,
-        |    ((CAST(len(t) AS BIGINT) * 2654435761
-        |      + CAST(unicode(t) AS BIGINT) * 97
-        |      + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(t, '')]),
+        |      (hh, cp) -> (hh * 131 + cp) % 1000000007)) AS fp
         |  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
         |  WHERE t <> ''),
         |h AS MATERIALIZED (
@@ -5529,9 +5533,9 @@ object SparkEntry {
         |    ((((fp + 1315423920) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
         |  FROM (
         |    SELECT t,
-        |      ((CAST(len(t) AS BIGINT) * 2654435761
-        |        + CAST(unicode(t) AS BIGINT) * 97
-        |        + CAST(unicode(reverse(t)) AS BIGINT)) % 1000000007) AS fp
+        |      (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(unicode(ch) AS BIGINT) FOR ch IN string_split(t, '')]),
+        |        (hh, cp) -> (hh * 131 + cp) % 1000000007)) AS fp
         |    FROM q))
         |SELECT qh.t AS token, MIN(COALESCE(g.c, 0)) AS est
         |FROM qh CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u

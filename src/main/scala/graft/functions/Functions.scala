@@ -96,18 +96,16 @@ object Functions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Portable per-TOKEN hash in [0, 1e9+7): exact BIGINT arithmetic over
-    * (length, first codepoint, last codepoint), recomputable by any
-    * engine (`len`/`unicode`/`reverse` exist everywhere) — the key for
-    * hashed features ([[graft.operators.LinearClassifier]]) and
-    * frequency sketches ([[graft.operators.FrequencySketch]]).
-    * Intermediates stay < 2^63 for any realistic token length.
+  /** Portable per-TOKEN hash in [0, 1e9+7): a polynomial hash over ALL
+    * codepoints (mult 131, mod 1e9+7) — the key for hashed features
+    * ([[graft.operators.LinearClassifier]]) and frequency sketches
+    * ([[graft.operators.FrequencySketch]]), recomputable by any engine
+    * as a `list_reduce` over `string_split(t, '')` codepoints. Replaced
+    * the earlier (length, first, last) 3-feature hash, under which every
+    * token triple-sibling ("the"/"tie") shared ALL counter positions and
+    * conflated counts far beyond the count-min ε·N bound.
     */
-  def portableTokenHash(t: Column): Column =
-    pmod(length(t).cast(org.apache.spark.sql.types.LongType) * 2654435761L +
-      ascii(t).cast(org.apache.spark.sql.types.LongType) * 97L +
-      ascii(reverse(t)).cast(org.apache.spark.sql.types.LongType),
-      lit(1000000007L))
+  def portableTokenHash(t: Column): Column = TextExpressions.poly_token_hash(t)
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =

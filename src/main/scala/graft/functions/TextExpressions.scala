@@ -86,6 +86,52 @@ object TextExpressions {
 
   def portable_token_hash(c: Column): Column = column(PortableTokenHash64(expression(c)))
 
+  /** The count-min / hashed-feature prime (also the modulus of every other
+    * replayable-hash kernel in this engine).
+    */
+  val ModP = 1000000007L
+
+  /** Polynomial token hash in [0, 1e9+7): polyHash over ALL codepoints
+    * (mult 131, mod 1e9+7). The key for frequency sketches
+    * ([[graft.operators.FrequencySketch]]) and hashed features
+    * ([[graft.operators.LinearClassifier]]): unlike the earlier
+    * (length, first, last) 3-feature hash, tokens sharing those three
+    * values ("the"/"tie", "cat"/"cut") no longer collide identically
+    * across EVERY counter row, so sketch estimates stay inside the
+    * advertised ε·N bound. Replayable in SQL as
+    * `list_reduce(list_prepend(0, [unicode(ch) FOR ch IN
+    * string_split(t,'')]), (h,cp) -> (h*131+cp) % 1000000007)` —
+    * intermediates < 131·10^9 + 2^21 < 2^63 both engines.
+    */
+  case class PolyTokenHashP(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(v: Any): Any =
+      polyHash(v.asInstanceOf[UTF8String].toString, Mult1, ModP)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      ctx.addNewFunction("graftPolyHashP",
+        s"""
+          |private long graftPolyHashP(String s) {
+          |  long h = 0L;
+          |  int i = 0;
+          |  while (i < s.length()) {
+          |    int cp = s.codePointAt(i);
+          |    h = (h * ${Mult1}L + cp) % ${ModP}L;
+          |    i += Character.charCount(cp);
+          |  }
+          |  return h;
+          |}
+        """.stripMargin)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graftPolyHashP($v.toString());")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def poly_token_hash(c: Column): Column = column(PolyTokenHashP(expression(c)))
+
   /** Word k-shingles of a single-space-tokenized string, as an array of
     * strings — semantically identical to
     * `transform(sequence(0, greatest(n-k, 0)), i -> array_join(slice(tokens, i+1, k), " "))`

@@ -13,18 +13,29 @@ class ImportanceResamplerSpec extends SparkSpecBase {
 
   private val D = 8
   // the shared portable token hash (Functions.portableTokenHash), mod D
-  private def bucket(t: String): Int =
-    (((t.length.toLong * 2654435761L + t.codePointAt(0).toLong * 97L +
-      t.codePointAt(t.length - 1).toLong) % 1000000007L) % D).toInt
+  private def bucket(t: String): Int = {
+    var h = 0L
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      h = (h * 131L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    (h % D).toInt
+  }
 
   test("fitWeights matches the add-alpha log-ratio arithmetic") {
     val target = Seq((1L, "aa aa bb")).toDF("doc_id", "text")
     val raw = Seq((1L, "aa bb bb cc")).toDF("doc_id", "text")
     val w = ImportanceResampler.fitWeights(target, raw, D)
-    // expected: per-bucket occurrence counts with add-1 smoothing over D
-    val tCnt = Map(bucket("aa") -> 2L, bucket("bb") -> 1L).withDefaultValue(0L)
-    val rCnt = Map(bucket("aa") -> 1L, bucket("bb") -> 2L, bucket("cc") -> 1L)
-      .withDefaultValue(0L)
+    // expected: per-bucket occurrence counts with add-1 smoothing over D —
+    // built by SUMMING per-token streams (tokens may share a bucket at
+    // D=8: "aa" and "cc" do under the polynomial hash)
+    def counts(tokens: Seq[String]): Map[Int, Long] =
+      tokens.groupBy(bucket).map { case (b, ts) => b -> ts.size.toLong }
+        .withDefaultValue(0L)
+    val tCnt = counts(Seq("aa", "aa", "bb"))
+    val rCnt = counts(Seq("aa", "bb", "bb", "cc"))
     val (logT, logR) = (math.log(3.0 + D), math.log(4.0 + D))
     for (b <- 0 until D) {
       val expected = (math.log(tCnt(b) + 1.0) - logT) - (math.log(rCnt(b) + 1.0) - logR)
@@ -62,10 +73,14 @@ class ImportanceResamplerSpec extends SparkSpecBase {
   }
 
   test("gumbel draw: deterministic, finite, seed-decorrelated") {
-    val raw = (0 until 40).map(i => (i.toLong, s"tok$i word$i item$i"))
+    // target == raw ⇒ every bucket weight is EXACTLY 0, so the top-k key
+    // is pure Gumbel noise — isolating the draw itself. Token lengths
+    // grow with the id, so every doc's content fingerprint (the noise
+    // input) is distinct.
+    val raw = (0 until 40).map(i => (i.toLong, "w" + "x" * i))
       .toDF("doc_id", "text")
-    val target = raw.where(col("doc_id") < 10)
-    val w = ImportanceResampler.fitWeights(target, raw, 32)
+    val w = ImportanceResampler.fitWeights(raw, raw, 32)
+    assert(w.w.forall(_ == 0.0), "target == raw must zero every weight")
     def run(seed: Long) = ImportanceResampler
       .selectTopK(raw, w, 15, "doc_id", gumbelSeed = Some(seed))
       .select("doc_id").as[Long].collect().toSeq

@@ -57,9 +57,11 @@ class LinearClassifierSpec extends SparkSpecBase {
 
   test("bigram features separate word-ORDER classes that unigrams cannot") {
     // identical bags of words, opposite order: only pair features can
-    // tell them apart
+    // tell them apart. The trailing marker is SHARED across the pair
+    // (x$k on both sides) so the unigram bags really are identical —
+    // a class-unique token would let unigrams memorize the classes.
     val docs = ((0L until 30L).map(i => (i, 1, s"good service bad none x$i")) ++
-      (30L until 60L).map(i => (i, -1, s"bad service good none x$i")))
+      (30L until 60L).map(i => (i, -1, s"bad service good none x${i - 30}")))
       .toDF("doc_id", "y", "text")
     val uni = LinearClassifier.trainPerceptron(docs, "doc_id", "y",
       numBuckets = 256, epochs = 10)
