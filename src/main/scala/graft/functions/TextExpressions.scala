@@ -132,6 +132,107 @@ object TextExpressions {
 
   def poly_token_hash(c: Column): Column = column(PolyTokenHashP(expression(c)))
 
+  /** Codegen linear scorer over the hashed token stream of a TEXT column
+    * — one pass, weights shipped via `addReferenceObj` (the
+    * [[PhraseMatches]] pattern), kernel in [[TokenFolds.foldLong]].
+    * Replaces the interpreted `aggregate()` HOF fold (CodegenFallback)
+    * AND the D-element `typedlit` weight literal that rode the plan in
+    * [[graft.operators.LinearClassifier.score]].
+    */
+  case class TokenFoldLong(child: Expression, weights: Array[Long],
+                           bias: Long, bigrams: Boolean) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_token_fold"
+
+    override def nullSafeEval(v: Any): Any =
+      TokenFolds.foldLong(v.asInstanceOf[UTF8String].toString, weights, bias, bigrams)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("graftFoldW", weights, "long[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.TokenFolds.foldLong(" +
+          s"$v.toString(), $wRef, ${bias}L, $bigrams);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def token_fold_long(text: Column, weights: Array[Long], bias: Long,
+                      bigrams: Boolean): Column =
+    column(TokenFoldLong(expression(text), weights, bias, bigrams))
+
+  /** [[TokenFoldLong]]'s double flavor — DSIR log-importance scoring
+    * ([[graft.operators.ImportanceResampler.scoreDocs]]); accumulation
+    * order matches the replaced HOF bit-for-bit ([[TokenFolds.foldDouble]]).
+    */
+  case class TokenFoldDouble(child: Expression, weights: Array[Double],
+                             bigrams: Boolean) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_token_fold_d"
+
+    override def nullSafeEval(v: Any): Any =
+      TokenFolds.foldDouble(v.asInstanceOf[UTF8String].toString, weights, bigrams)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("graftFoldWd", weights, "double[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.TokenFolds.foldDouble(" +
+          s"$v.toString(), $wRef, $bigrams);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def token_fold_double(text: Column, weights: Array[Double],
+                        bigrams: Boolean): Column =
+    column(TokenFoldDouble(expression(text), weights, bigrams))
+
+  /** `arr[index]` against a driver-built long array shipped via
+    * `addReferenceObj` — the per-epoch weight lookup of the perceptron's
+    * margin pass, replacing a `typedlit` literal array of up to 2^18
+    * longs serialized into EVERY epoch's plan. Index must be in
+    * [0, arr.length) — the caller owns the bound (perceptron buckets are
+    * `pmod`-produced).
+    */
+  case class LongArrayGet(child: Expression, arr: Array[Long]) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_weight_at"
+
+    override def nullSafeEval(v: Any): Any = arr(v.asInstanceOf[Long].toInt)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("graftWeightArr", arr, "long[]")
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $aRef[(int) $v];")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def long_array_get(index: Column, arr: Array[Long]): Column =
+    column(LongArrayGet(expression(index), arr))
+
+  /** The portable document fingerprint (token-length fold, see
+    * [[TokenFolds.fingerprint]]) as a codegen scalar — every sampler,
+    * split, shuffle and Gumbel draw keys on it, so it must not be the
+    * one interpreted HOF on an otherwise codegen'd every-document path.
+    */
+  case class PortableFingerprintExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_fingerprint"
+
+    override def nullSafeEval(v: Any): Any =
+      TokenFolds.fingerprint(v.asInstanceOf[UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.TokenFolds.fingerprint($v.toString());")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def portable_fingerprint(text: Column): Column =
+    column(PortableFingerprintExpr(expression(text)))
+
   /** Word k-shingles of a single-space-tokenized string, as an array of
     * strings — semantically identical to
     * `transform(sequence(0, greatest(n-k, 0)), i -> array_join(slice(tokens, i+1, k), " "))`

@@ -87,28 +87,16 @@ object ImportanceResampler {
   }
 
   /** Add a `logw` column: the document's log importance weight — a
-    * map-only fold of its feature stream against the broadcast weight
-    * array, in token order (deterministic under any partitioning). An
-    * empty document scores 0.
+    * map-only codegen fold of its hashed token stream against the
+    * weight array (shipped via `addReferenceObj`, not a plan literal),
+    * in token order (deterministic under any partitioning; identical
+    * accumulation order to the HOF form it replaced). An empty document
+    * scores 0.
     */
   def scoreDocs(docs: DataFrame, weights: Weights,
-                textCol: String = "text"): DataFrame = {
-    val wCol = typedlit(weights.w.toSeq)
-    val toks = filter(F.tokens(col(textCol)), t => length(t) > 0)
-    val uniScore = aggregate(col("_ts"), lit(0.0),
-      (acc, t) => acc + element_at(wCol,
-        LinearClassifier.tokenBucket(t, weights.numBuckets).cast(IntegerType) + 1))
-    val full =
-      if (!weights.bigrams) uniScore
-      else uniScore + when(size(col("_ts")) >= 2,
-        aggregate(sequence(lit(1), size(col("_ts")) - 1), lit(0.0),
-          (acc, i) => acc + element_at(wCol, LinearClassifier.bigramBucket(
-            element_at(col("_ts"), i),
-            element_at(col("_ts"), i + 1),
-            weights.numBuckets).cast(IntegerType) + 1)))
-        .otherwise(lit(0.0))
-    docs.withColumn("_ts", toks).withColumn("logw", full).drop("_ts")
-  }
+                textCol: String = "text"): DataFrame =
+    docs.withColumn("logw", graft.functions.TextExpressions.token_fold_double(
+      col(textCol), weights.w, weights.bigrams))
 
   /** Deterministic standard-Gumbel draw from the salted content
     * fingerprint: `u = (Knuth-mix(fp + seed) + 1)/(p + 2)` lies strictly

@@ -26,10 +26,10 @@ import graft.functions.{Functions => F}
   * boundary and stays exact.
   *
   * Feature hashing is portable arithmetic over the token
-  * (len, first-codepoint, last-codepoint — `length`/`ascii`/`reverse`
-  * exist in every engine): bucket(t) = ((len·2654435761 + unicode(t)·97
-  * + unicode(reverse(t))) mod p) mod D, intermediates < 2^63 for any
-  * realistic token. Empty tokens are dropped on both sides.
+  * ([[graft.functions.Functions.portableTokenHash]]: polyHash over all
+  * codepoints, mult 131 mod p — a `list_reduce` in any other engine):
+  * bucket(t) = hash(t) mod D, intermediates < 2^63 for any realistic
+  * token. Empty tokens are dropped on both sides.
   *
   * Scale shape: features are one explode + one (id, bucket) count
   * aggregate, persisted once and reused by every epoch; an epoch is two
@@ -149,11 +149,12 @@ object LinearClassifier {
       var vb = 0L
       var e = 0
       while (e < epochs) {
-        // margin_i = y_i · (Σ w[bucket]·cnt + b); weights ride along as a
-        // broadcast literal, so the epoch plan size is constant
-        val wCol = typedlit(w.toSeq)
+        // margin_i = y_i · (Σ w[bucket]·cnt + b); the weight array ships
+        // via addReferenceObj (ONE serialized object per epoch plan),
+        // not a 2^18-element literal in the expression tree
         val weightOf = when(col("bucket") === -1L, lit(b))
-          .otherwise(element_at(wCol, col("bucket").cast(IntegerType) + 1))
+          .otherwise(graft.functions.TextExpressions.long_array_get(
+            col("bucket"), w))
         val deltas = feats
           .groupBy(col(idCol), col("_y"))
           .agg(sum(col("cnt") * weightOf).as("_dot"))
@@ -181,33 +182,20 @@ object LinearClassifier {
     } finally feats.unpersist()
   }
 
-  /** Score + classify every document MAP-ONLY (token fold against the
-    * broadcast weights; the fold is an integer sum, order along the
-    * token array — identical in any engine). `pred` is +1 iff
-    * score > 0, matching the training convention that a zero margin is
+  /** Score + classify every document MAP-ONLY: one codegen pass over the
+    * text ([[graft.functions.TextExpressions.TokenFoldLong]] — weights
+    * ship via `addReferenceObj`, not a plan literal; the whole stage
+    * stays inside WholeStageCodegen). The fold is an integer sum, so the
+    * score is identical in any engine. `pred` is +1 iff score > 0,
+    * matching the training convention that a zero margin is
     * misclassified.
     */
   def score(docs: DataFrame, model: Model,
-            textCol: String = "text"): DataFrame = {
-    val wCol = typedlit(model.weights.toSeq)
-    val withToks = docs.withColumn("_ts", cleanTokens(textCol))
-    val uniScore = aggregate(col("_ts"), lit(model.bias),
-      (acc, t) => acc + element_at(wCol,
-        tokenBucket(t, model.numBuckets).cast(IntegerType) + 1))
-    val full =
-      if (!model.bigrams) uniScore
-      else uniScore + when(size(col("_ts")) >= 2,
-        aggregate(sequence(lit(1), size(col("_ts")) - 1), lit(0L),
-          (acc, i) => acc + element_at(wCol, bigramBucket(
-            element_at(col("_ts"), i),
-            element_at(col("_ts"), i + 1),
-            model.numBuckets).cast(IntegerType) + 1)))
-        .otherwise(lit(0L))
-    withToks
-      .withColumn("score", full)
+            textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("score", graft.functions.TextExpressions.token_fold_long(
+        col(textCol), model.weights, model.bias, model.bigrams))
       .withColumn("pred", when(col("score") > 0, 1).otherwise(-1))
-      .drop("_ts")
-  }
 
   /** Train on `labeled`, keep the corpus slice predicted +1 — the
     * model-based quality gate in one call.

@@ -149,8 +149,7 @@ object TextAnalysis {
     * token sequence.
     */
   def portableFingerprint(text: Column): Column =
-    aggregate(F.tokens(text), lit(0L),
-      (acc, t) => (acc * 31 + length(t)) % 1000000007L)
+    graft.functions.TextExpressions.portable_fingerprint(text)
 
   /** Deterministic rolling polynomial fingerprint of the token sequence,
     * mod p so it is engine-portable (no silent 64-bit wrap): order-sensitive

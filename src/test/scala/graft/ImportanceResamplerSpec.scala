@@ -54,6 +54,18 @@ class ImportanceResamplerSpec extends SparkSpecBase {
     assert(m(2L) == 0.0)
     val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must be map-only:\n$plan")
+    // codegen witness over a real scan (a local Seq constant-folds to
+    // LocalTableScan): one graft_token_fold_d scalar inside a
+    // WholeStageCodegen stage, no interpreted HOF fold left
+    val filePlan = ImportanceResampler.scoreDocs(
+      graft.sources.Tables.load(spark, sfDir, "documents"), w)
+      .queryExecution.executedPlan.toString
+    assert(filePlan.contains("graft_token_fold_d"),
+      s"expected the codegen fold:\n$filePlan")
+    assert(!filePlan.contains("aggregate(") && !filePlan.contains("lambdafunction"),
+      s"scoring must not fall back to the interpreted HOF:\n$filePlan")
+    assert(filePlan.contains("*("),
+      s"scoring must stay inside WholeStageCodegen:\n$filePlan")
   }
 
   test("selection prefers target-like documents and is partitioning-stable") {

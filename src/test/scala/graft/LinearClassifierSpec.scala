@@ -85,12 +85,15 @@ class LinearClassifierSpec extends SparkSpecBase {
     assert(f.filter(_._1 == 1L).map(_._3).sum == 4L) // 3 tokens + bias
   }
 
-  test("scoring is map-only: no exchange in the plan") {
+  test("scoring is map-only and fully codegen: no exchange, no interpreted HOF") {
     val docs = Tables.load(spark, sfDir, "documents")
     val model = LinearClassifier.Model(new Array[Long](32), 1L, 32, 1)
     val plan = LinearClassifier.score(docs, model)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("graft_token_fold"), plan)
+    assert(!plan.contains("aggregate(") && !plan.contains("lambdafunction"), plan)
+    assert(plan.contains("*("), s"scoring must stay inside WholeStageCodegen:\n$plan")
   }
 
   test("qualityFilter keeps exactly the +1-predicted slice; config bounds are loud") {
