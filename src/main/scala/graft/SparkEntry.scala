@@ -1077,11 +1077,16 @@ object SparkEntry {
         concat(lit("h"), col("id").cast("string"), lit(".ex")).as("host"),
         concat(lit("User-agent: graftbot\nDisallow: /\n\n" +
           "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
-          "Disallow: /x"), col("id").cast("string"), lit("\n")).as("content"))
+          "Disallow: /*?sessionid=\nDisallow: /x"),
+          col("id").cast("string"), lit("\n")).as("content"))
       val urls = docs.select(col("doc_id"),
         concat(lit("http://h"), (col("doc_id") % 10).cast("string"), lit(".ex"),
           when(col("doc_id") % 4 === 0,
-            concat(lit("/public/p"), col("doc_id").cast("string")))
+            concat(lit("/public/p"), col("doc_id").cast("string"),
+              // every other public URL carries a session-id query
+              // string: rules must match path+QUERY (RFC 9309)
+              when(col("doc_id") % 8 === 0, lit("?sessionid=1"))
+                .otherwise(lit(""))))
           .when(col("doc_id") % 4 === 1,
             concat(lit("/private/p"), col("doc_id").cast("string")))
           .when(col("doc_id") % 4 === 2,
@@ -2468,11 +2473,43 @@ object SparkEntry {
             val ctHeader =
               if (id % 5 == 0) "text/html"
               else s"text/html; charset=$label"
+            // the id % 11 slice rides Transfer-Encoding: chunked (with a
+            // deliberately WRONG Content-Length the framing must
+            // supersede); the id % 13 slice rides Content-Encoding: gzip
+            // — both must be transparent to the decoded text
+            val chunked = id % 11 == 0
+            val gzipped = id % 13 == 0
+            def gz(b: Array[Byte]): Array[Byte] = {
+              val bo = new java.io.ByteArrayOutputStream()
+              val g = new java.util.zip.GZIPOutputStream(bo)
+              g.write(b); g.close(); bo.toByteArray
+            }
+            def chunkFrame(b: Array[Byte]): Array[Byte] = {
+              val bo = new java.io.ByteArrayOutputStream()
+              val h = b.length / 2
+              def part(off: Int, len: Int, ext: String): Unit = if (len > 0) {
+                bo.write((java.lang.Integer.toHexString(len) + ext + "\r\n")
+                  .getBytes("ISO-8859-1"))
+                bo.write(b, off, len)
+                bo.write("\r\n".getBytes("ISO-8859-1"))
+              }
+              part(0, h, ";x=1") // chunk extension must be ignored
+              part(h, b.length - h, "")
+              bo.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+              bo.toByteArray
+            }
+            val entity = {
+              val enc = if (gzipped) gz(bodyBytes) else bodyBytes
+              if (chunked) chunkFrame(enc) else enc
+            }
+            val framing =
+              if (chunked) "Transfer-Encoding: chunked\r\nContent-Length: 3\r\n"
+              else s"Content-Length: ${entity.length}\r\n"
+            val encHeader = if (gzipped) "Content-Encoding: gzip\r\n" else ""
             val http = (s"HTTP/1.1 $status OK\r\n" +
-              s"Content-Type: $ctHeader\r\n" +
-              s"Content-Length: ${bodyBytes.length}\r\n" +
+              s"Content-Type: $ctHeader\r\n" + framing + encHeader +
               "X-Junk: ignored\r\n\r\n").getBytes("ISO-8859-1") ++
-              bodyBytes ++
+              entity ++
               (if (id % 2 == 0) "JUNK".getBytes("ISO-8859-1") else Array.emptyByteArray)
             (s"WARC/1.0\r\nWARC-Type: response\r\n" +
               s"WARC-Target-URI: http://ex.com/$id\r\n" +
@@ -5456,7 +5493,8 @@ object SparkEntry {
     // class 3 host-specific /x{k} are blocked); host 9 has no robots
     "q_robots_filter" ->
       """SELECT doc_id,
-        |  (doc_id % 10 = 9) OR (doc_id % 4 = 0) OR (doc_id % 4 = 2) AS allowed
+        |  (doc_id % 10 = 9) OR (doc_id % 4 = 2)
+        |    OR (doc_id % 4 = 0 AND doc_id % 8 <> 0) AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q_countmin's replay at 4×4096 (seed 11) + the candidate slice +

@@ -116,7 +116,11 @@ object RobotsFilter {
   /** Mark every URL with `allowed` against the agent's rules — broadcast
     * join on the host plus a map-only longest-match fold over the rule
     * array (RFC tie-break: equal length resolves to allow). URLs whose
-    * host has no robots row are allowed.
+    * host has no robots row are allowed. Rules match against
+    * path + `?query` (RFC 9309 matches the path-and-query target, so
+    * `Disallow: /search?q=` and wildcard query rules like a disallow
+    * on `*?sessionid=` work); a URL without a query string matches
+    * against the bare path.
     */
   def markAllowed(urls: DataFrame, robots: DataFrame, urlCol: String,
                   agent: String = "*"): DataFrame = {
@@ -132,9 +136,12 @@ object RobotsFilter {
               r.getField("_3") === 1)),
         struct(r.getField("_2").as("len"), r.getField("_3").as("allow")))
         .otherwise(acc))
+    val query = parse_url(col(urlCol), lit("QUERY"))
     urls
       .withColumn("_host", lower(parse_url(col(urlCol), lit("HOST"))))
-      .withColumn("_path", coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")))
+      .withColumn("_path", concat(
+        coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")),
+        when(query.isNotNull, concat(lit("?"), query)).otherwise(lit(""))))
       .join(broadcast(rules.select(lower(col("host")).as("_host"),
         col("rules").as("_rules"))), Seq("_host"), "left")
       .select(inputCols :+ (best.getField("allow") === 1).as("allowed"): _*)

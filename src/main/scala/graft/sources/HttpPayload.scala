@@ -129,12 +129,95 @@ object HttpPayload {
     null // unreachable
   }
 
+  /** Hard cap on a single record's decoded entity (de-chunked or
+    * decompressed): a hostile capture (a gzip bomb, a lying chunk size)
+    * must never be able to blow one task's memory. Exceeding it flags
+    * the row `ok = false` — fail-soft, like every malformed input here.
+    */
+  val MaxEntity: Long = 1L << 26 // 64 MiB
+
+  /** Decode a `Transfer-Encoding: chunked` entity starting at `from`:
+    * hex-size line (`;extensions` ignored) CRLF data CRLF …, terminated
+    * by a 0-size chunk (trailers ignored). Returns null on malformed
+    * framing — the caller flags the row rather than letting chunk-size
+    * lines flow into the decoded text as garbage.
+    */
+  private[graft] def dechunk(b: Array[Byte], from: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = from
+    while (true) {
+      var eol = pos
+      while (eol + 1 < b.length && !(b(eol) == '\r' && b(eol + 1) == '\n')) eol += 1
+      if (eol + 1 >= b.length) return null // size line without CRLF
+      val line = new String(b, pos, eol - pos, StandardCharsets.ISO_8859_1)
+      val sizeStr = {
+        val semi = line.indexOf(';')
+        (if (semi >= 0) line.substring(0, semi) else line).trim
+      }
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => return null }
+      if (size < 0 || size > MaxEntity || out.size + size > MaxEntity) return null
+      pos = eol + 2
+      if (size == 0) return out.toByteArray // terminal chunk; ignore trailers
+      if (pos + size + 2 > b.length) return null // data overruns the capture
+      out.write(b, pos, size.toInt)
+      pos += size.toInt + 2
+      if (!(b(pos - 2) == '\r' && b(pos - 1) == '\n')) return null
+    }
+    null // unreachable
+  }
+
+  /** Drain `in` under [[MaxEntity]]; null on any IO error or overflow. */
+  private def drainCapped(in: java.io.InputStream): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > MaxEntity) return null
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => null
+      case _: RuntimeException => null // ZipException subclasses IOException, but stay safe
+    } finally in.close()
+
+  /** `Content-Encoding: gzip` — null on corrupt stream or bomb. */
+  private[graft] def gunzip(b: Array[Byte]): Array[Byte] =
+    try drainCapped(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b)))
+    catch { case _: java.io.IOException => null }
+
+  /** `Content-Encoding: deflate` — RFC 9110 deflate is zlib-wrapped, but
+    * plenty of servers send raw DEFLATE; try zlib first, raw second.
+    */
+  private[graft] def inflate(b: Array[Byte]): Array[Byte] = {
+    val zlib = drainCapped(new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(b)))
+    if (zlib != null) zlib
+    else drainCapped(new java.util.zip.InflaterInputStream(
+      new java.io.ByteArrayInputStream(b), new java.util.zip.Inflater(true)))
+  }
+
   /** Parse one captured HTTP response. Returns `ok = false` (null
     * fields, null body) when the payload does not start with an HTTP
     * status line — a crawl carries plenty of non-HTTP records and this
     * layer must never throw on them. The entity body is truncated to
     * the HTTP `Content-Length` when the capture carries trailing
     * garbage (never padded when short).
+    *
+    * Transfer/content codings are honored, not ignored: a declared
+    * `Transfer-Encoding: chunked` is de-chunked (Content-Length is then
+    * ignored, per RFC 9112), `Content-Encoding: gzip`/`deflate` is
+    * decompressed, and any OTHER declared coding (br, zstd, compress, a
+    * non-chunked transfer coding) flags the row `ok = false` — raw
+    * framing lines or compressed bytes must never flow into the decoded
+    * `text` as corpus garbage under an `ok = true` verdict. Charset
+    * resolution (header param → meta sniff → UTF-8) runs on the fully
+    * DECODED entity.
     */
   def parseHttpBytes(payload: Array[Byte]): HttpRow = {
     val bad = HttpRow(ok = false, -1, null, null, null)
@@ -161,6 +244,8 @@ object HttpPayload {
     // deterministic policy as WarcRecords)
     var contentType: String = null
     var contentLength = -1L
+    var transferEnc: String = null
+    var contentEnc: String = null
     var i = 1
     while (i < lines.length) {
       val ln = lines(i)
@@ -172,15 +257,38 @@ object HttpPayload {
           case "content-type" => if (contentType == null) contentType = v
           case "content-length" => if (contentLength < 0)
             contentLength = try v.toLong catch { case _: NumberFormatException => -1L }
+          case "transfer-encoding" => if (transferEnc == null) transferEnc = v
+          case "content-encoding" => if (contentEnc == null) contentEnc = v
           case _ =>
         }
       }
       i += 1
     }
     val bodyStart = if (sep < 0) payload.length else sep + 4
-    var bodyLen = payload.length - bodyStart
-    if (contentLength >= 0 && contentLength < bodyLen) bodyLen = contentLength.toInt
-    val body = java.util.Arrays.copyOfRange(payload, bodyStart, bodyStart + bodyLen)
+    // transfer coding first (chunked framing supersedes Content-Length),
+    // then content coding — both fail-soft to ok=false, never garbage
+    var body: Array[Byte] = null
+    if (transferEnc != null) {
+      if (transferEnc.trim.toLowerCase != "chunked") return bad
+      body = dechunk(payload, bodyStart)
+      if (body == null) return bad
+    } else {
+      var bodyLen = payload.length - bodyStart
+      if (contentLength >= 0 && contentLength < bodyLen) bodyLen = contentLength.toInt
+      body = java.util.Arrays.copyOfRange(payload, bodyStart, bodyStart + bodyLen)
+    }
+    if (contentEnc != null) {
+      contentEnc.trim.toLowerCase match {
+        case "gzip" | "x-gzip" =>
+          body = gunzip(body)
+          if (body == null) return bad
+        case "deflate" =>
+          body = inflate(body)
+          if (body == null) return bad
+        case "identity" | "" =>
+        case _ => return bad // br, zstd, compress: undecodable here
+      }
+    }
     // charset resolution: header param, then meta sniff, then UTF-8
     val label0 = charsetParam(contentType)
     val label = if (label0 != null) label0 else sniffMetaCharset(body)

@@ -66,14 +66,30 @@ object WarcRecords {
       i += 1
     }
     // Content-Length counts BYTES; truncate the payload when the member
-    // carries trailing garbage (never pad when it is short — fail-soft)
+    // carries trailing garbage (never pad when it is short — fail-soft).
+    // A cut landing mid multi-byte sequence backs off to the last
+    // COMPLETE code point, so this flavor never manufactures a trailing
+    // U+FFFD the byte-level flavor (parseRecordBytes) would not carry.
     val body =
       if (cl < 0) body0
       else {
         val bytes = body0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        if (cl < bytes.length)
-          new String(bytes, 0, cl.toInt, java.nio.charset.StandardCharsets.UTF_8)
-        else body0
+        if (cl < bytes.length) {
+          var cut = cl.toInt
+          if (cut > 0) {
+            var p = cut - 1
+            while (p > 0 && (bytes(p) & 0xC0) == 0x80) p -= 1
+            val lead = bytes(p) & 0xFF
+            val need =
+              if (lead < 0x80) 1
+              else if ((lead & 0xE0) == 0xC0) 2
+              else if ((lead & 0xF0) == 0xE0) 3
+              else if ((lead & 0xF8) == 0xF0) 4
+              else 1 // invalid lead byte: leave the cut alone
+            if (p + need > cut) cut = p
+          }
+          new String(bytes, 0, cut, java.nio.charset.StandardCharsets.UTF_8)
+        } else body0
       }
     (true, t, uri, date, ct, cl, body)
   }

@@ -112,4 +112,73 @@ class HttpPayloadSpec extends SparkSpecBase {
     assert(out(1).getAs[Boolean]("ok") && out(1).getAs[String]("text") == "café")
     assert(!out(2).getAs[Boolean]("ok") && out(2).isNullAt(out(2).fieldIndex("text")))
   }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(b); g.close(); bo.toByteArray
+  }
+
+  test("Transfer-Encoding: chunked is de-chunked; framing supersedes Content-Length; extensions and trailers ignored") {
+    val entity = "hello chunked world".getBytes(StandardCharsets.UTF_8)
+    val framed = ("a;ext=1\r\n").getBytes(StandardCharsets.ISO_8859_1) ++
+      entity.take(10) ++ "\r\n9\r\n".getBytes(StandardCharsets.ISO_8859_1) ++
+      entity.drop(10) ++
+      "\r\n0\r\nX-Trailer: t\r\n\r\nJUNK".getBytes(StandardCharsets.ISO_8859_1)
+    val r = parseHttpBytes(http("200 OK",
+      "Content-Type: text/plain\r\nTransfer-Encoding: chunked\r\nContent-Length: 3",
+      framed))
+    assert(r.ok && new String(r.body, StandardCharsets.UTF_8) == "hello chunked world")
+    // malformed framing (lying size) flags the row, never leaks garbage
+    val bad = parseHttpBytes(http("200 OK", "Transfer-Encoding: chunked",
+      "ff\r\nshort\r\n0\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)))
+    assert(!bad.ok)
+    // a non-chunked transfer coding is undecodable here: flagged
+    val odd = parseHttpBytes(http("200 OK", "Transfer-Encoding: gzip",
+      "x".getBytes(StandardCharsets.ISO_8859_1)))
+    assert(!odd.ok)
+  }
+
+  test("Content-Encoding: gzip/deflate decompressed (charset sniff on the DECODED entity); unsupported codings flagged") {
+    val html = "<meta charset=\"windows-1252\"><p>café</p>"
+    val bytes = html.getBytes(Charset.forName("windows-1252"))
+    val r = parseHttpBytes(http("200 OK",
+      s"Content-Type: text/html\r\nContent-Encoding: gzip\r\nContent-Length: ${gz(bytes).length}",
+      gz(bytes)))
+    assert(r.ok && r.charset == "windows-1252" &&
+      decodeBody(r.body, r.charset) == html)
+    // zlib-wrapped deflate
+    val zlib = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bo)
+      d.write("plain deflate".getBytes(StandardCharsets.UTF_8)); d.close()
+      bo.toByteArray
+    }
+    val rz = parseHttpBytes(http("200 OK",
+      s"Content-Encoding: deflate\r\nContent-Length: ${zlib.length}", zlib))
+    assert(rz.ok && new String(rz.body, StandardCharsets.UTF_8) == "plain deflate")
+    // corrupt gzip and undecodable codings flag, never throw
+    assert(!parseHttpBytes(http("200 OK", "Content-Encoding: gzip",
+      "not gzip at all".getBytes(StandardCharsets.ISO_8859_1))).ok)
+    assert(!parseHttpBytes(http("200 OK", "Content-Encoding: br",
+      "brotli bytes".getBytes(StandardCharsets.ISO_8859_1))).ok)
+    // identity is a no-op
+    assert(parseHttpBytes(http("200 OK", "Content-Encoding: identity",
+      "asis".getBytes(StandardCharsets.ISO_8859_1))).ok)
+  }
+
+  test("chunked + gzip compose: de-chunk first, then decompress") {
+    val entity = gz("layered <p>body</p>".getBytes(StandardCharsets.UTF_8))
+    val h = entity.length / 2
+    val framed =
+      (java.lang.Integer.toHexString(h) + "\r\n").getBytes(StandardCharsets.ISO_8859_1) ++
+        entity.take(h) ++
+        ("\r\n" + java.lang.Integer.toHexString(entity.length - h) + "\r\n")
+          .getBytes(StandardCharsets.ISO_8859_1) ++
+        entity.drop(h) ++ "\r\n0\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val r = parseHttpBytes(http("200 OK",
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip", framed))
+    assert(r.ok &&
+      new String(r.body, StandardCharsets.UTF_8) == "layered <p>body</p>")
+  }
 }

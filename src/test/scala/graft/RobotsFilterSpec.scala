@@ -78,22 +78,28 @@ class RobotsFilterSpec extends SparkSpecBase {
 
   test("markAllowed: broadcast join + map-only fold, hosts without robots allowed, case-insensitive host") {
     val robots = Seq(
-      ("H0.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+      ("H0.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+        "Disallow: /*?sessionid=\nDisallow: /search?q=\n"),
       ("h1.example", "User-agent: *\nDisallow: /\n")).toDF("host", "content")
     val urls = Seq(
       (1L, "http://h0.example/public/a"),
       (2L, "http://h0.example/private/a"),
       (3L, "http://h0.example/private/ok/a"),
       (4L, "http://H1.example/anything"),
-      (5L, "http://h9.example/whatever")).toDF("id", "url")
+      (5L, "http://h9.example/whatever"),
+      // rules match path+QUERY (RFC 9309): the query string must be
+      // part of the match target, and its absence must not block
+      (6L, "http://h0.example/public/a?sessionid=9"),
+      (7L, "http://h0.example/search?q=x"),
+      (8L, "http://h0.example/search")).toDF("id", "url")
     val marked = RobotsFilter.markAllowed(urls, robots, "url")
     val byId = marked.select("id", "allowed").as[(Long, Boolean)]
       .collect().toMap
     assert(byId == Map(1L -> true, 2L -> false, 3L -> true,
-      4L -> false, 5L -> true))
+      4L -> false, 5L -> true, 6L -> false, 7L -> false, 8L -> true))
     // the URL side never shuffles: broadcast join only
     val plan = marked.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
-    assert(RobotsFilter.filterAllowed(urls, robots, "url").count() == 3)
+    assert(RobotsFilter.filterAllowed(urls, robots, "url").count() == 4)
   }
 }
