@@ -201,14 +201,25 @@ object SeenFilter {
   * complete. Replays are idempotent by algebra: OR-merging the same
   * batch twice is a no-op on the bits, so foreachBatch retries cannot
   * corrupt membership (they only leave an orphan generation for
-  * [[recover]] to sweep). Single-writer by contract, like the
-  * incremental-dedup signature table.
+  * [[recover]] to sweep).
+  *
+  * Single-writer is ENFORCED, not just contractual: [[appendBatch]]
+  * holds a create-exclusive `.append_lock` across its whole
+  * read→merge→flip (the protocol discipline of the incremental-dedup
+  * signature table's `.relayout_lock`,
+  * [[graft.streaming.IncrementalDedup]]). Without it, two concurrent
+  * appenders read the same `_CURRENT`, each OR-merges only its OWN
+  * batch, and the second flip silently DROPS the first batch's bits —
+  * membership loss, i.e. dup re-admission that no drift check would
+  * catch. A second writer now fails loudly instead; a crashed holder's
+  * lock is swept by [[recover]] age-graced.
   */
 object SeenFilterStore {
 
   import org.apache.spark.sql.SparkSession
 
   val CurrentName = "_CURRENT"
+  val AppendLockName = ".append_lock"
 
   private def stamp(): String =
     s"gen-${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -245,18 +256,43 @@ object SeenFilterStore {
     */
   def appendBatch(spark: SparkSession, root: String, batch: DataFrame,
                   textCol: String = "text"): DataFrame = {
-    val cur = currentFilter(spark, root)
-    val cfg = cur.select("seed", "k_hashes", "m_bits", "num_shards")
-      .distinct().collect()
-    require(cfg.length == 1,
-      s"store filter carries ${cfg.length} configs — corrupt generation?")
-    val (seed, k, m, sh) = (cfg(0).getLong(0), cfg(0).getInt(1),
-      cfg(0).getInt(2), cfg(0).getInt(3))
-    val marked = SeenFilter.markSeen(batch, cur, textCol).localCheckpoint()
-    val merged = SeenFilter.mergeFilters(cur,
-      SeenFilter.buildFilter(batch, textCol, seed, k, m, sh))
-    writeGen(spark, root, merged)
-    marked
+    val lock = acquireAppendLock(spark, root)
+    try {
+      val cur = currentFilter(spark, root)
+      val cfg = cur.select("seed", "k_hashes", "m_bits", "num_shards")
+        .distinct().collect()
+      require(cfg.length == 1,
+        s"store filter carries ${cfg.length} configs — corrupt generation?")
+      val (seed, k, m, sh) = (cfg(0).getLong(0), cfg(0).getInt(1),
+        cfg(0).getInt(2), cfg(0).getInt(3))
+      val marked = SeenFilter.markSeen(batch, cur, textCol).localCheckpoint()
+      val merged = SeenFilter.mergeFilters(cur,
+        SeenFilter.buildFilter(batch, textCol, seed, k, m, sh))
+      writeGen(spark, root, merged)
+      marked
+    } finally {
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(lock, false)
+    }
+  }
+
+  /** Take the create-exclusive writer lock, or fail LOUDLY if another
+    * `appendBatch` holds it (see object doc for why a silent second
+    * writer loses bits). A lock left by a crash is age-swept by
+    * [[recover]]; the failure message says so.
+    */
+  private def acquireAppendLock(spark: SparkSession,
+                                root: String): org.apache.hadoop.fs.Path = {
+    val lock = new org.apache.hadoop.fs.Path(s"$root/$AppendLockName")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    require(acquired,
+      s"another appendBatch holds $lock — the seen-filter store is " +
+        "single-writer (a concurrent append would silently drop this " +
+        "batch's bits); wait for it, or run recover() if the holder crashed")
+    lock
   }
 
   /** Streaming admission: each micro-batch is marked against the CURRENT
@@ -276,9 +312,13 @@ object SeenFilterStore {
       }
 
   /** Drop `gen-*` dirs `_CURRENT` does not reference — crashed or
-    * superseded publications. Age-graced (default 1 h) so a reader that
-    * resolved `_CURRENT` just before a flip never loses the files it is
-    * scanning mid-query. Returns the number of dirs removed.
+    * superseded publications — and a crashed writer's `.append_lock`.
+    * Age-graced (default 1 h) so a reader that resolved `_CURRENT` just
+    * before a flip never loses the files it is scanning mid-query, and a
+    * LIVE writer's lock is never swept from under it. A crash while
+    * holding the lock leaves membership at the old generation (the flip
+    * is last), so sweeping the stale lock re-opens the store with
+    * nothing torn. Returns the number of dirs removed.
     */
   def recover(spark: SparkSession, root: String,
               graceMs: Long = 3600 * 1000L): Int = {
@@ -287,6 +327,10 @@ object SeenFilterStore {
     if (!fs.exists(p)) return 0
     val cur = currentGen(spark, root)
     val now = System.currentTimeMillis()
+    val lock = new org.apache.hadoop.fs.Path(s"$root/$AppendLockName")
+    if (fs.exists(lock) &&
+        (now - fs.getFileStatus(lock).getModificationTime) > graceMs)
+      fs.delete(lock, false)
     fs.listStatus(p).count { st =>
       val name = st.getPath.getName
       val stale = st.isDirectory && name.startsWith("gen-") &&

@@ -117,6 +117,44 @@ class SeenFilterSpec extends SparkSpecBase {
     }
   }
 
+  test("append lock: a second writer refuses loudly; a crashed holder is age-swept and membership is the old generation, never torn") {
+    import graft.operators.SeenFilterStore
+    val root = java.nio.file.Files.createTempDirectory("bloomlock_").toString
+    val hist = docs.where(col("doc_id") % 2 === 0)
+    SeenFilterStore.init(spark, root,
+      SeenFilter.buildFilter(hist, seed = 3L, kHashes = 5,
+        mBits = 1 << 14, numShards = 4))
+    val gen0 = SeenFilterStore.currentGen(spark, root).get
+    val batch = docs.where(col("doc_id") % 2 =!= 0)
+    // simulate a writer in flight (or crashed): the lock file exists
+    val lockFile = java.nio.file.Paths.get(root, SeenFilterStore.AppendLockName)
+    java.nio.file.Files.createFile(lockFile)
+    val refused = intercept[IllegalArgumentException] {
+      SeenFilterStore.appendBatch(spark, root, batch)
+    }
+    assert(refused.getMessage.contains("single-writer"))
+    // crash-with-lock: membership is still the OLD generation (flip is
+    // last), and recover sweeps the stale lock past the grace
+    assert(SeenFilterStore.currentGen(spark, root).get == gen0,
+      "a refused/crashed append must leave the old generation current")
+    assert(java.nio.file.Files.exists(lockFile))
+    SeenFilterStore.recover(spark, root, graceMs = 0L)
+    assert(!java.nio.file.Files.exists(lockFile),
+      "recover must sweep a stale lock")
+    // a LIVE writer's lock survives recover under a real grace
+    java.nio.file.Files.createFile(lockFile)
+    SeenFilterStore.recover(spark, root, graceMs = 3600 * 1000L)
+    assert(java.nio.file.Files.exists(lockFile),
+      "recover must not sweep a fresh lock")
+    java.nio.file.Files.delete(lockFile)
+    // with the lock released, the append proceeds and cleans up after
+    // itself (no lock left behind)
+    SeenFilterStore.appendBatch(spark, root, batch)
+    assert(!java.nio.file.Files.exists(lockFile),
+      "appendBatch must release the lock on success")
+    assert(SeenFilterStore.currentGen(spark, root).get != gen0)
+  }
+
   test("admitStream: first micro-batch lands unseen, a replayed batch is fully seen; served bits carry both batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.SeenFilterStore
