@@ -1026,6 +1026,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- eTLD+1 registrable domains: subdomain-sharded URLs over
+    //      multi-label public suffixes (co.uk, com.au), wildcard rules
+    //      (*.ck), an exception rule (!www.ck), a PSL-private hosting
+    //      suffix (github.io) and a bare-suffix host — the registrable
+    //      domain plus a ONE-row-per-SITE blocklist verdict, all from
+    //      the id arithmetic. Blocking spam.co.uk must catch every
+    //      a{k}.spam.co.uk without enumerating subdomains. ----
+    "q_domain_etld" -> ((s, dir) => {
+      import graft.functions.UrlCanon
+      val docs = t(s, dir, "documents")
+      val sub = concat(lit("s"), (col("doc_id") % 3).cast("string"))
+      val urls = docs.select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("http://"), sub, lit(".spam.co.uk/p"),
+            col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("http://"), sub, lit(".shop.example.com.au/p"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("http://"), sub, lit(".example.com/p"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("http://deep."), sub, lit(".anylabel.ck/p"),
+              col("doc_id").cast("string")))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("http://sub.www.ck/p"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("http://"), sub, lit(".mysite.github.io/p"),
+            col("doc_id").cast("string"))).as("url"))
+      val blocked = s.createDataFrame(Seq(
+        Tuple1("spam.co.uk"), Tuple1("mysite.github.io"))).toDF("domain")
+      UrlCanon.markBlockedDomains(urls, "url", blocked)
+        .select(col("doc_id"), col("domain"), col("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Intra-document line dedup (the RefinedWeb repeated-line
     //      pass): per doc, a banner line planted three times around
     //      unique content and a paragraph break, plus a repeated content
@@ -5464,6 +5499,22 @@ object SparkEntry {
       """SELECT doc_id,
         |  'h' || CAST(doc_id % 10 AS VARCHAR) || '.ex' AS host,
         |  (doc_id % 10 = 0) OR (doc_id % 10 = 3) AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // eTLD+1 from the generating arithmetic: multi-label suffixes
+    // (co.uk, com.au, github.io), the *.ck wildcard (any label is a
+    // public suffix there, so the registrable domain keeps the
+    // subdomain), the !www.ck exception, and the implicit-* default
+    "q_domain_etld" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'spam.co.uk'
+        |    WHEN 1 THEN 'example.com.au'
+        |    WHEN 2 THEN 'example.com'
+        |    WHEN 3 THEN 's' || CAST(doc_id % 3 AS VARCHAR) || '.anylabel.ck'
+        |    WHEN 4 THEN 'www.ck'
+        |    ELSE 'mysite.github.io' END AS domain,
+        |  (doc_id % 6 = 0) OR (doc_id % 6 = 5) AS blocked
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // keep-first of the planted lines, paragraph break intact

@@ -1,0 +1,227 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge.{toColumn => column, toExpression => expression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** eTLD+1 (registrable-domain) resolution over a trimmed snapshot of the
+  * public-suffix list — domain-level curation's real grouping key.
+  * Host-level grouping under-aggregates sites that shard across
+  * subdomains (`a.spam.example.co.uk`, `b.spam.example.co.uk`) and makes
+  * blocklists enumerate every subdomain; the registrable domain
+  * (`example.co.uk`) is the unit a site owner actually controls.
+  *
+  * The matcher implements the PSL algorithm over the Mozilla
+  * publicsuffix.org DATA (public domain-shaped rule list; this is a
+  * trimmed snapshot of the common ccTLD second-level registries plus a
+  * few ubiquitous hosting suffixes, NOT the full list — a production
+  * deployment swaps in the complete file, same algorithm):
+  *
+  *  - a rule matches a host when the host ends with the rule's labels;
+  *  - `*.` wildcard rules match any single label at their position
+  *    (`*.ck` makes `example.ck` a public suffix);
+  *  - `!` exception rules override a wildcard (`!www.ck` — `www.ck` is
+  *    registrable even though `*.ck` would cover it);
+  *  - the prevailing rule is the exception if one matches, else the
+  *    matching rule with the most labels; no match falls back to the
+  *    implicit `*` rule (the last label is the public suffix);
+  *  - registrable domain = public suffix + one preceding label; a host
+  *    that IS a public suffix has none (null).
+  *
+  * Everything is a per-row label walk against static in-JVM sets —
+  * map-only, codegen ([[RegistrableDomain]] static-invokes
+  * [[registrableDomain]]), no shuffle, no driver round-trip.
+  */
+object PublicSuffix {
+
+  /** Exact rules (label suffixes). */
+  private[graft] val Exact: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    val ccSecondLevel = Seq(
+      // uk
+      "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "me.uk", "ltd.uk",
+      "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+      // au
+      "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+      // jp
+      "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "go.jp", "ed.jp",
+      "gr.jp", "lg.jp",
+      // nz
+      "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "school.nz",
+      "gen.nz", "geek.nz", "maori.nz", "iwi.nz",
+      // br
+      "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+      // in
+      "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+      "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+      // cn
+      "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+      // za
+      "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za", "edu.za",
+      // kr
+      "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+      "mil.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr",
+      // tw / hk / sg / my / ph / vn / th / id
+      "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+      "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+      "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+      "com.my", "net.my", "org.my", "gov.my", "edu.my", "name.my",
+      "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+      "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "ac.vn",
+      "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th", "mi.th",
+      "co.id", "net.id", "or.id", "web.id", "ac.id", "sch.id", "go.id",
+      "my.id", "biz.id",
+      // mx / ar / co / pe / ve / ec / uy / cl
+      "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+      "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+      "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+      "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "nom.pe",
+      "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve",
+      "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec", "fin.ec",
+      "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy",
+      "gob.cl", "gov.cl", "mil.cl",
+      // il / tr / ua / pl / ru / eg / sa / ae / ng / ke / gh / tz / ug / zw
+      "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "k12.il",
+      "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr", "k12.tr",
+      "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+      "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+      "waw.pl", "biz.pl",
+      "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+      "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+      "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+      "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae",
+      "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "i.ng",
+      "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "info.ke",
+      "com.gh", "org.gh", "gov.gh", "edu.gh",
+      "co.tz", "or.tz", "go.tz", "ac.tz", "ne.tz",
+      "co.ug", "or.ug", "go.ug", "ac.ug", "ne.ug", "sc.ug",
+      "co.zw", "org.zw", "gov.zw", "ac.zw",
+      // misc multis that show up constantly in crawls
+      "co.at", "or.at", "ac.at", "gv.at",
+      "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+      "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
+      "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr")
+    val hosting = Seq(
+      // ubiquitous hosting/platform suffixes from the PSL private section
+      "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+      "herokuapp.com", "cloudfront.net", "netlify.app", "vercel.app",
+      "azurewebsites.net", "firebaseapp.com", "web.app", "pages.dev",
+      "workers.dev", "glitch.me", "onrender.com", "fly.dev")
+    (ccSecondLevel ++ hosting).foreach(s.add)
+    s
+  }
+
+  /** Wildcard rules, stored as the suffix AFTER the `*.` (`"ck"` for
+    * `*.ck`): any single label at the `*` position completes a public
+    * suffix.
+    */
+  private[graft] val Wildcards: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("ck", "bd", "er", "fk", "jm", "kh", "mm", "np", "pg",
+      "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+      "sapporo.jp", "sendai.jp", "yokohama.jp").foreach(s.add)
+    s
+  }
+
+  /** Exception rules (without the `!`): registrable despite a wildcard. */
+  private[graft] val Exceptions: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("www.ck", "city.kawasaki.jp").foreach(s.add)
+    s
+  }
+
+  /** The public suffix of a lowercase host (no trailing dot), per the
+    * PSL algorithm. Empty/null-ish hosts return the input.
+    */
+  def publicSuffix(host: String): String = {
+    if (host == null || host.isEmpty) return host
+    // label start offsets
+    var bestStart = -1 // start offset of the matched public suffix
+    var bestLabels = 0
+    val n = host.length
+    // walk every suffix-by-label: offsets 0 and after each dot
+    var start = 0
+    var labelsFrom = countLabels(host, 0)
+    while (start <= n) {
+      val cand = if (start == 0) host else host.substring(start)
+      if (Exceptions.contains(cand)) {
+        // exception prevails: its public suffix is the rule minus the
+        // leftmost label
+        val dot = cand.indexOf('.')
+        return if (dot < 0) "" else cand.substring(dot + 1)
+      }
+      if (Exact.contains(cand) && labelsFrom > bestLabels) {
+        bestStart = start; bestLabels = labelsFrom
+      }
+      // wildcard: cand = <label>.<w>
+      val dot = cand.indexOf('.')
+      if (dot > 0 && Wildcards.contains(cand.substring(dot + 1)) &&
+          labelsFrom > bestLabels) {
+        bestStart = start; bestLabels = labelsFrom
+      }
+      // advance to the next label
+      val nd = host.indexOf('.', start)
+      if (nd < 0) start = n + 1 else { start = nd + 1; labelsFrom -= 1 }
+    }
+    if (bestStart >= 0) host.substring(bestStart)
+    else {
+      // implicit * rule: the last label
+      val last = host.lastIndexOf('.')
+      if (last < 0) host else host.substring(last + 1)
+    }
+  }
+
+  private def countLabels(s: String, from: Int): Int = {
+    var c = 1
+    var i = from
+    while (i < s.length) { if (s.charAt(i) == '.') c += 1; i += 1 }
+    c
+  }
+
+  /** Registrable domain (eTLD+1) of a lowercase host: public suffix plus
+    * ONE preceding label; null when the host IS a public suffix (nothing
+    * registrable) or has no dots worth grouping by. Column consumers
+    * coalesce to the host.
+    */
+  def registrableDomain(host: String): String = {
+    if (host == null || host.isEmpty) return null
+    val ps = publicSuffix(host)
+    if (ps == null || ps.length >= host.length) return null // host == suffix
+    // the label immediately before the suffix
+    val cut = host.length - ps.length - 1 // index of the '.' before ps
+    if (cut <= 0 || host.charAt(cut) != '.') return null // malformed
+    val prev = host.lastIndexOf('.', cut - 1)
+    host.substring(prev + 1)
+  }
+
+  /** [[registrableDomain]] as a codegen scalar. Null in → null out. */
+  case class RegistrableDomain(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_registrable_domain"
+
+    override def nullSafeEval(v: Any): Any = {
+      val r = registrableDomain(v.asInstanceOf[UTF8String].toString)
+      if (r == null) null else UTF8String.fromString(r)
+    }
+
+    override def nullable: Boolean = true
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val rd = ctx.freshName("rd")
+        s"""
+           |String $rd = graft.functions.PublicSuffix.registrableDomain($v.toString());
+           |if ($rd == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($rd); }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def registrable_domain(host: Column): Column =
+    column(RegistrableDomain(expression(host)))
+}

@@ -132,4 +132,52 @@ object UrlCanon {
                        blocked: DataFrame): DataFrame =
     markBlockedHosts(docs, urlCol, blocked)
       .where(!col("blocked")).drop("host", "blocked")
+
+  /** The REGISTRABLE domain (eTLD+1) of a URL — [[hostOf]] resolved
+    * through the public-suffix snapshot ([[PublicSuffix]]), coalesced
+    * back to the host when nothing is registrable (the host IS a public
+    * suffix, or has no authority). This is the grouping key domain
+    * curation should default to: `a.spam.example.co.uk` and
+    * `b.spam.example.co.uk` are ONE site (`example.co.uk`), and blocking
+    * it must not require enumerating subdomains.
+    */
+  def registrableDomainOf(url: Column): Column = {
+    val host = hostOf(url)
+    coalesce(graft.functions.PublicSuffix.registrable_domain(host), host)
+  }
+
+  /** [[hostStats]] at registrable-domain granularity — the per-SITE
+    * corpus statistics table (a site sharding 10^6 pages across
+    * subdomains aggregates to one row here, where the host table
+    * under-counts it into many).
+    */
+  def domainStats(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(urlCol).as("url"))
+      .withColumn("domain", registrableDomainOf(col("url")))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(canonicalizeUrl(col("url"))).as("n_canonical"),
+        countDistinct(hostOf(col("url"))).as("n_hosts"),
+        min(col("doc_id")).as("min_doc"))
+
+  /** [[markBlockedHosts]] at registrable-domain granularity: one
+    * blocklist row covers every subdomain of the site. Broadcast join,
+    * map-only resolution — the corpus never shuffles.
+    */
+  def markBlockedDomains(docs: DataFrame, urlCol: String,
+                         blocked: DataFrame): DataFrame = {
+    val inputCols = docs.columns.map(col)
+    docs
+      .withColumn("domain", registrableDomainOf(col(urlCol)))
+      .join(broadcast(blocked.select(col("domain"), lit(true).as("_blk"))
+        .distinct()), Seq("domain"), "left")
+      .select(inputCols ++ Seq(col("domain"),
+        coalesce(col("_blk"), lit(false)).as("blocked")): _*)
+  }
+
+  /** Keep only docs whose registrable domain is NOT blocklisted. */
+  def dropBlockedDomains(docs: DataFrame, urlCol: String,
+                         blocked: DataFrame): DataFrame =
+    markBlockedDomains(docs, urlCol, blocked)
+      .where(!col("blocked")).drop("domain", "blocked")
 }

@@ -121,4 +121,55 @@ class UrlCanonSpec extends SparkSpecBase {
       TextAnalysis.blocklistFilter(docs, Seq.empty)
     }
   }
+
+  test("PublicSuffix: PSL algorithm — exact multi-label, wildcard, exception, implicit *, bare suffix") {
+    import graft.functions.PublicSuffix.{publicSuffix, registrableDomain}
+    // exact multi-label rules
+    assert(publicSuffix("a.b.example.co.uk") == "co.uk")
+    assert(registrableDomain("a.b.example.co.uk") == "example.co.uk")
+    assert(registrableDomain("x.shop.site.com.au") == "site.com.au")
+    // implicit * default: last label
+    assert(registrableDomain("sub.example.com") == "example.com")
+    assert(registrableDomain("example.org") == "example.org")
+    // wildcard *.ck: any label completes a public suffix
+    assert(publicSuffix("deep.w.any.ck") == "any.ck")
+    assert(registrableDomain("deep.w.any.ck") == "w.any.ck")
+    // exception !www.ck beats the wildcard
+    assert(publicSuffix("sub.www.ck") == "ck")
+    assert(registrableDomain("sub.www.ck") == "www.ck")
+    // PSL-private hosting suffix
+    assert(registrableDomain("a.b.mysite.github.io") == "mysite.github.io")
+    // a host that IS a public suffix has nothing registrable
+    assert(registrableDomain("co.uk") == null)
+    assert(registrableDomain("github.io") == null)
+    assert(registrableDomain("com") == null)
+    // dotless and empty hosts
+    assert(registrableDomain("localhost") == null)
+    assert(registrableDomain("") == null)
+  }
+
+  test("domainStats aggregates subdomain shards into one site row; domain blocklist covers every subdomain") {
+    import graft.functions.UrlCanon
+    val docs = Seq(
+      (1L, "http://a.spam.co.uk/x"),
+      (2L, "http://b.spam.co.uk/y"),
+      (3L, "https://c.spam.co.uk/z"),
+      (4L, "http://ok.example.com/p"),
+      (5L, "http://www.ok.example.com/p")).toDF("doc_id", "url")
+    val stats = UrlCanon.domainStats(docs, "doc_id", "url")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Long]("n_hosts"))).toMap
+    assert(stats("spam.co.uk") == ((3L, 3L)),
+      s"subdomain shards must aggregate to one site row: $stats")
+    assert(stats("example.com")._1 == 2L)
+    val blocked = Seq(Tuple1("spam.co.uk")).toDF("domain")
+    val kept = UrlCanon.dropBlockedDomains(docs, "url", blocked)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L, 5L),
+      "one blocklist row must cover every subdomain of the site")
+    // broadcast plan: the corpus side never shuffles
+    val plan = UrlCanon.markBlockedDomains(docs, "url", blocked)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
