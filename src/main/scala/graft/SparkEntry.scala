@@ -934,9 +934,13 @@ object SparkEntry {
     //      generating arithmetic. ----
     "q_sentence_chunk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // abbreviation decoys followed by UPPERCASE: U.S. (structural
+      // acronym), e.g. and Mr. (listed) must NOT split even though the
+      // uppercase-follows rule fires; {id}. and six. must. The packing
+      // then lands at chunks of 5 and 7+3=10 tokens under the budget.
       val txt = docs.select(col("doc_id"), concat(
-        lit("Alpha one "), col("doc_id").cast("string"),
-        lit(". Beta three four five x"), (col("doc_id") % 7).cast("string"),
+        lit("Alpha one U.S. Government "), col("doc_id").cast("string"),
+        lit(". Beta e.g. Mr. Smith x"), (col("doc_id") % 7).cast("string"),
         lit(". gamma six. Delta seven "), (col("doc_id") % 5).cast("string"),
         lit(".")).as("text"))
       TextAnalysis.chunkBySentences(txt, "doc_id", maxTokens = 10)
@@ -5368,16 +5372,19 @@ object SparkEntry {
         |    || ' of the day today') AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // both chunks' text + token counts from the generating arithmetic
-    // (the decoy boundary stays inside chunk 0)
+    // both chunks' text + token counts from the generating arithmetic:
+    // the lowercase decoy (". gamma") stays inside a sentence, and the
+    // abbreviation decoys (U.S. / e.g. / Mr., each followed by an
+    // UPPERCASE word) must not split either — sentence 1 is 5 tokens,
+    // sentences 2+3 pack to exactly the 10-token budget
     "q_sentence_chunk" ->
       """SELECT doc_id, CAST(u.ci AS INT) AS chunk_idx,
         |  md5(CASE u.ci WHEN 0 THEN
-        |        'Alpha one ' || CAST(doc_id AS VARCHAR)
-        |          || '. Beta three four five x' || CAST(doc_id % 7 AS VARCHAR)
-        |          || '. gamma six.'
-        |      ELSE 'Delta seven ' || CAST(doc_id % 5 AS VARCHAR) || '.' END) AS h,
-        |  CAST(CASE u.ci WHEN 0 THEN 10 ELSE 3 END AS BIGINT) AS n_tokens
+        |        'Alpha one U.S. Government ' || CAST(doc_id AS VARCHAR) || '.'
+        |      ELSE 'Beta e.g. Mr. Smith x' || CAST(doc_id % 7 AS VARCHAR)
+        |        || '. gamma six. Delta seven ' || CAST(doc_id % 5 AS VARCHAR)
+        |        || '.' END) AS h,
+        |  CAST(CASE u.ci WHEN 0 THEN 5 ELSE 10 END AS BIGINT) AS n_tokens
         |FROM documents CROSS JOIN (SELECT UNNEST([0, 1]) AS ci) u
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 

@@ -190,15 +190,38 @@ object TextAnalysis {
       lit(blocklist.distinct.toArray)))
   }
 
+  /** Multi-letter abbreviations whose trailing `.` is NOT a sentence
+    * boundary even when an uppercase word follows ("Mr. Smith",
+    * "etc. The next…"). A bounded public set (the usual
+    * titles/latinisms/months every rule-based splitter carries);
+    * dotted single-letter acronyms (U.S., e.g., i.e., a.m., initials)
+    * are recognized STRUCTURALLY and need no listing.
+    */
+  private val Abbreviations: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "rev", "hon",
+      "capt", "sgt", "col", "gen", "lt", "etc", "vs", "cf", "al", "fig",
+      "vol", "dept", "univ", "inc", "ltd", "corp", "approx",
+      "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept",
+      "oct", "nov", "dec").foreach(s.add)
+    s
+  }
+
   /** Rule-based sentence segmentation — deterministic by contract, the
     * same class of splitter CCNet/jusText-era pipelines use: a boundary
     * is a run of `.` / `!` / `?` followed by whitespace and an uppercase
     * letter or digit (or end of text), and a newline is always a
-    * boundary. "e.g. this" does not split (lowercase follows);
-    * "U.S. Government" does — the documented cost of rule-based
-    * splitting, acceptable for CHUNKING (a boundary too many never cuts
-    * mid-clause semantics the way a token-window chunk does). Sentences
-    * are trimmed; empties dropped. Null in → null out.
+    * boundary. "e.g. this" does not split (lowercase follows), and the
+    * uppercase-follows rule is gated by an abbreviation check on a
+    * SINGLE `.`: a dotted-single-letter token (U.S., e.g., i.e., a.m.,
+    * an initial) or a listed title/latinism/month ([[Abbreviations]])
+    * is not a boundary, so "U.S. Government" and "Mr. Smith" stay
+    * whole. The residual cost of rule-based splitting is a rare
+    * suppressed TRUE boundary after a sentence-final abbreviation
+    * ("…and more etc. The next…") — acceptable for CHUNKING (a
+    * boundary too few never cuts mid-clause the way a token-window
+    * chunk does). Sentences are trimmed; empties dropped. Null in →
+    * null out.
     */
   def splitSentencesString(text: String): Array[String] = {
     if (text == null) return null
@@ -210,6 +233,25 @@ object TextAnalysis {
     def isUpperOrDigit(c: Char) =
       (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
     val n = text.length
+    // the word ending just before `endExcl` is an abbreviation: either a
+    // dotted-single-letter acronym/initial (U.S, e.g, J — letters and
+    // dots strictly alternating, letter first and last) or a listed one
+    def isAbbrev(endExcl: Int): Boolean = {
+      var w = endExcl - 1
+      while (w >= 0 && {
+        val d = text.charAt(w); d != ' ' && d != '\t' && d != '\n'
+      }) w -= 1
+      val word = text.substring(w + 1, endExcl)
+      if (word.isEmpty) return false
+      var acronym = word.length % 2 == 1
+      var p = 0
+      while (acronym && p < word.length) {
+        acronym = if (p % 2 == 0) Character.isLetter(word.charAt(p))
+                  else word.charAt(p) == '.'
+        p += 1
+      }
+      acronym || Abbreviations.contains(word.toLowerCase)
+    }
     var start = 0
     var i = 0
     while (i < n) {
@@ -223,7 +265,10 @@ object TextAnalysis {
         }) j += 1
         var k = j
         while (k < n && (text.charAt(k) == ' ' || text.charAt(k) == '\t')) k += 1
-        if (k == n || (k > j && isUpperOrDigit(text.charAt(k)))) {
+        if (k == n) {
+          emit(start, j); start = k; i = k
+        } else if (k > j && isUpperOrDigit(text.charAt(k)) &&
+                   !(c == '.' && j == i + 1 && isAbbrev(i))) {
           emit(start, j); start = k; i = k
         } else i = j
       } else i += 1

@@ -535,6 +535,18 @@ class OperatorsSpec extends SparkSpecBase {
     // lowercase after punctuation is NOT a boundary (e.g., abbreviations)
     assert(splitSentencesString("See e.g. this one. Next sentence.").toSeq ==
       Seq("See e.g. this one.", "Next sentence."))
+    // abbreviations followed by UPPERCASE are not boundaries either:
+    // dotted acronyms/initials structurally, titles/latinisms by list
+    assert(splitSentencesString("The U.S. Government pays. Mr. Smith agrees.").toSeq ==
+      Seq("The U.S. Government pays.", "Mr. Smith agrees."))
+    assert(splitSentencesString("See e.g. Figure one. Dr. J. Watson et al. Works.").toSeq ==
+      Seq("See e.g. Figure one.", "Dr. J. Watson et al. Works."))
+    // an ellipsis run is never abbreviation-suppressed
+    assert(splitSentencesString("He left... Then came back.").toSeq ==
+      Seq("He left...", "Then came back."))
+    // a non-abbreviation word before '.' still splits
+    assert(splitSentencesString("It was vast. Mountains rose.").toSeq ==
+      Seq("It was vast.", "Mountains rose."))
     // runs of punctuation, digits as sentence openers, newlines as hard breaks
     assert(splitSentencesString("Wait... 42 is the answer.\nnew line here").toSeq ==
       Seq("Wait...", "42 is the answer.", "new line here"))
