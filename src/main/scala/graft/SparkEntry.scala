@@ -2288,6 +2288,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- Multimodal: the perceptual DCT hash (pHash), gated BIT-FOR-BIT.
+    //      32×32 gradient PNGs whose every pixel derives from doc_id
+    //      arithmetic (equal RGB channels ⇒ luma == the value exactly),
+    //      so the oracle recomputes the full grid, the separable integer
+    //      DCT over the SAME fixed-point cosine table (embedded as a
+    //      VALUES list from the one Scala array), the lower-median
+    //      threshold and all 63 hash bits. A decode drift, a basis-table
+    //      mismatch, a median off-by-one or a bit-order slip breaks the
+    //      hash. Bounded to 200 docs (the oracle's replay is a 200×1024
+    //      pixel × 8-coefficient join). ----
+    "q_image_phash" -> ((s, dir) => {
+      import graft.multimodal.JdkMedia
+      JdkMedia.imagePHashes(JdkMedia.gradientPngMediaFromDocs(
+          t(s, dir, "documents").where(col("doc_id") < 200)))
+        .select(col("media_id"), col("ok"), col("phash"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- Multimodal: the REAL audio codec chain (javax.sound.sampled),
     //      same gating idea as q_image_decode — constant-amplitude PCM
     //      WAVs from doc_id arithmetic, decoded back partition-parallel;
@@ -3159,6 +3177,19 @@ object SparkEntry {
   private lazy val perceptronBigramOracle: String =
     perceptronOracleFor(voted = false, bigrams = true, epochs = 3)
 
+  /** The pHash fixed-point DCT basis as a SQL VALUES list `(k, n, v)` —
+    * printed from [[graft.multimodal.JdkMedia.PHashCos]], the ONE array
+    * both engines consume, so the oracle's DCT uses bit-identical basis
+    * integers by construction.
+    */
+  private lazy val phashCosSql: String = {
+    val rows = for {
+      k <- 0 until 8
+      n <- 0 until graft.multimodal.JdkMedia.PHashDim
+    } yield s"($k, $n, ${graft.multimodal.JdkMedia.PHashCos(k)(n)})"
+    rows.mkString(", ")
+  }
+
   /** The portable token hash as SQL over an arbitrary expression —
     * polyHash over all codepoints, mult 131 mod 1e9+7
     * (Functions.portableTokenHash's exact arithmetic; lambda vars are
@@ -3994,6 +4025,44 @@ object SparkEntry {
         |  (media_id * 7 + 29 * frame) % 251 AS g,
         |  (media_id * 31 + 41 * frame) % 251 AS b
         |FROM f ORDER BY media_id, frame""".stripMargin,
+
+    // the integer DCT replayed end-to-end: the 32×32 luma grid from the
+    // gradient arithmetic, both separable passes over the SAME
+    // fixed-point cosine table (phashCosSql — the Scala array printed as
+    // VALUES), the 32nd-smallest-AC median, and the 63 bit positions
+    "q_image_phash" ->
+      s"""WITH cosv AS MATERIALIZED (
+        |  SELECT * FROM (VALUES $phashCosSql) AS c(k, n, v)),
+        |px AS MATERIALIZED (
+        |  SELECT d.doc_id, yy.y, xx.x,
+        |    CAST((d.doc_id % 32) + (d.doc_id % 4) * xx.x
+        |      + ((3 * d.doc_id) % 4) * yy.y
+        |      + 16 * ((xx.x + yy.y + d.doc_id) % 2) AS BIGINT) AS luma
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        |  CROSS JOIN (SELECT UNNEST(range(0, 32)) AS x) xx
+        |  CROSS JOIN (SELECT UNNEST(range(0, 32)) AS y) yy),
+        |tpass AS MATERIALIZED (
+        |  SELECT px.doc_id, cv.k AS v, px.y, SUM(cv.v * px.luma) AS tv
+        |  FROM px JOIN cosv cv ON cv.n = px.x
+        |  GROUP BY px.doc_id, cv.k, px.y),
+        |f AS MATERIALIZED (
+        |  SELECT tpass.doc_id, cu.k AS u, tpass.v,
+        |    CAST(SUM(cu.v * tpass.tv) AS BIGINT) AS fc
+        |  FROM tpass JOIN cosv cu ON cu.n = tpass.y
+        |  GROUP BY tpass.doc_id, cu.k, tpass.v),
+        |med AS (
+        |  SELECT doc_id, fc AS m FROM (
+        |    SELECT doc_id, fc,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY fc, u, v) AS rn
+        |    FROM f WHERE NOT (u = 0 AND v = 0))
+        |  WHERE rn = 32)
+        |SELECT f.doc_id AS media_id, TRUE AS ok,
+        |  CAST(SUM(CASE WHEN f.fc > med.m
+        |    THEN (CAST(1 AS BIGINT) << CAST(u * 8 + v - 1 AS INT))
+        |    ELSE 0 END) AS BIGINT) AS phash
+        |FROM f JOIN med USING (doc_id)
+        |WHERE NOT (u = 0 AND v = 0)
+        |GROUP BY f.doc_id ORDER BY media_id""".stripMargin,
 
     // uniform images pair iff |Δ BT.601 luma| ≤ 4; luma = (77r+150g+29b)>>8
     // over the doc_id color arithmetic (non-negative, so >>8 is // 256)

@@ -589,6 +589,197 @@ object JdkMedia {
     * exactly (r, g, b) as the channel means, making the real codec
     * chain oracle-checkable (PNG is lossless).
     */
+  // ------------------------------------------------------- perceptual DCT hash
+
+  /** pHash geometry: 32×32 luma → integer DCT → top-left 8×8. */
+  val PHashDim = 32
+
+  /** Fixed-point DCT basis: `PHashCos(k)(n) = round(1024 ·
+    * cos((2n+1)kπ/64))` for k in 0..7, n in 0..31 — the SINGLE source of
+    * truth for both the Spark kernel ([[phash64]]) and the oracle's SQL
+    * replay (SparkEntry embeds these exact integers as a VALUES table),
+    * so there is no cross-engine cosine to disagree about. With scale
+    * 2^10 every DCT intermediate stays < 2^39 and the full coefficient
+    * < 2^45 — exact 64-bit integer arithmetic in any engine.
+    */
+  val PHashCos: Array[Array[Long]] =
+    Array.tabulate(8, PHashDim)((k, n) =>
+      math.round(1024.0 * math.cos((2 * n + 1) * k * math.Pi / (2.0 * PHashDim))))
+
+  /** 32×32 integer luma grid of a decoded frame: BT.601 integer luma per
+    * pixel, box-averaged into cells (floor division). A 32×32 input maps
+    * one pixel per cell — EXACT, which is what lets a fixture replay the
+    * grid from arithmetic. Empty cells (image smaller than the grid)
+    * backfill with the overall floor-mean, like [[featuresOf]].
+    */
+  private[graft] def lumaGrid32(img: BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val d = PHashDim
+    val sum = new Array[Long](d * d)
+    val cnt = new Array[Long](d * d)
+    var totalLuma = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val rowCell = (y * d / h) * d
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        val luma = (77 * r + 150 * g + 29 * b) >> 8
+        totalLuma += luma
+        val cell = rowCell + (x * d / w)
+        sum(cell) += luma
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val mean = (totalLuma / (w.toLong * h)).toInt
+    Array.tabulate(d * d)(i => if (cnt(i) == 0) mean else (sum(i) / cnt(i)).toInt)
+  }
+
+  /** The 63-bit perceptual DCT hash of a 32×32 luma grid: separable
+    * integer DCT (basis [[PHashCos]]), top-left 8×8 coefficients, DC
+    * dropped, bit (u·8+v−1) set iff the coefficient exceeds the LOWER
+    * MEDIAN of the 63 AC coefficients (the 32nd smallest — an integer
+    * pick, no averaging, so the threshold replays exactly). Bits stay
+    * below 2^63, so the hash is a non-negative BIGINT everywhere.
+    *
+    * Robust where aHash is brittle: aHash thresholds each cell against
+    * the image mean, so a JPEG re-encode of content sitting NEAR the
+    * mean flips bits freely; the DCT coefficients aggregate global
+    * structure and move far less under re-encode wobble.
+    */
+  def phash64(luma: Array[Int]): Long = {
+    require(luma.length == PHashDim * PHashDim,
+      s"phash64 wants a ${PHashDim}x$PHashDim grid, got ${luma.length} cells")
+    val d = PHashDim
+    // T(v)(y) = Σ_x cos(v,x) · luma(y,x)
+    val t = Array.ofDim[Long](8, d)
+    var v = 0
+    while (v < 8) {
+      var y = 0
+      while (y < d) {
+        var s = 0L
+        var x = 0
+        while (x < d) { s += PHashCos(v)(x) * luma(y * d + x); x += 1 }
+        t(v)(y) = s
+        y += 1
+      }
+      v += 1
+    }
+    val f = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var vv = 0
+      while (vv < 8) {
+        var s = 0L
+        var y = 0
+        while (y < d) { s += PHashCos(u)(y) * t(vv)(y); y += 1 }
+        f(u * 8 + vv) = s
+        vv += 1
+      }
+      u += 1
+    }
+    val sortedAc = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(sortedAc)
+    val median = sortedAc(31) // lower median of 63
+    var hash = 0L
+    var k = 1
+    while (k < 64) {
+      if (f(k) > median) hash |= 1L << (k - 1)
+      k += 1
+    }
+    hash
+  }
+
+  /** Decode + pHash every media row: `(media_id, ok, phash)`. Map-only. */
+  def imagePHashes(media: Dataset[Multimodal.MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new ByteArrayInputStream(r.content))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+        (r.media_id, false, 0L)
+      else (r.media_id, true, phash64(lumaGrid32(img)))
+    }).toDF("media_id", "ok", "phash")
+  }
+
+  /** [[imageNearDups]] with pHash candidates: the 63-bit DCT hash feeds
+    * the same Manku-banded core (4 bands of 16 bits), the same
+    * mean-gap + centered-cosine verify over a 4×4 grid (derived from the
+    * 32×32 pHash grid — one decode per image). Catches the JPEG
+    * re-encodes of near-mean content whose aHash bits wobble past the
+    * banding tolerance (see [[phash64]]); same scale shape — id-only
+    * bucketed candidates, capped buckets, no all-pairs stage.
+    */
+  def imageNearDupsPHash(media: Dataset[Multimodal.MediaRow],
+                         threshold: Double = 0.98,
+                         meanTol: Double = 4.0,
+                         maxBucket: Int = 100000,
+                         maxHamming: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    val feats = media.mapPartitions(_.flatMap { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new ByteArrayInputStream(r.content))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val g32 = lumaGrid32(img)
+        val ph = phash64(g32)
+        // 4×4 verify grid = 8×8 block means of the 32-grid
+        val g16 = Array.tabulate(16) { c =>
+          val (cy, cx) = (c / 4, c % 4)
+          var s = 0.0
+          var y = cy * 8
+          while (y < cy * 8 + 8) {
+            var x = cx * 8
+            while (x < cx * 8 + 8) { s += g32(y * PHashDim + x); x += 1 }
+            y += 1
+          }
+          s / 64.0
+        }
+        val (_, _, mean, centered, norm0) = gridFeatureRow(r.media_id, g16)
+        Some((r.media_id, ph, mean, centered, norm0))
+      }
+    }).toDF("id", "ahash", "mean", "centered", "norm0")
+    bandedCenteredPairs(feats, 64, maxHamming, maxBucket, threshold, meanTol)
+  }
+
+  /** Deterministic 32×32 gradient-PNG media table from the documents
+    * table — [[pngMediaFromDocs]]' structured sibling for the pHash gate:
+    * r = g = b = (id mod 32) + (id mod 4)·x + ((3·id) mod 4)·y +
+    * 16·((x+y+id) mod 2), every value ≤ 233 so nothing clips, equal
+    * channels so BT.601 luma == the value — the oracle recomputes the
+    * whole 32×32 grid (and from it the integer DCT) from id arithmetic.
+    */
+  def gradientPngMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val d = PHashDim
+      val img = new BufferedImage(d, d, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < d) {
+        var x = 0
+        while (x < d) {
+          val v = ((id % 32) + (id % 4) * x + ((3 * id) % 4) * y +
+            16 * ((x + y + id) % 2)).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRow(id, bos.toByteArray,
+        Multimodal.MediaMeta("png", d, d, 0L))
+    }
+  }
+
   def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     val rgb = (r << 16) | (g << 8) | b

@@ -495,4 +495,53 @@ class MultimodalSpec extends SparkSpecBase {
     assert(restored.length == original.size)
     restored.foreach(r => assert(r.content.toSeq == original(r.media_id)))
   }
+
+  test("pHash recall: a JPEG re-encode that aHash misses in EVERY band still pairs via the DCT hash") {
+    import java.awt.image.BufferedImage
+    import graft.multimodal.JdkMedia
+    // textured near-mean JPEG blocks: each 8x8 cell IS one JPEG block,
+    // its mean sits +-1 from the global mean, and a +-9 checkerboard
+    // inside forces non-exact DCT quantization — at quality 0.3 the DC
+    // error flips ~6 of 16 aHash bits across all four bands, while the
+    // big +-30 structure keeps every pHash bit in place (Hamming 0)
+    val deltas = Array(1, -1, 1, -1, 30, -30, 1, -1, -1, 1, -30, 30, -1, 1, -1, 1)
+    val im = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = 128 + deltas((y / 8) * 4 + (x / 8)) + 9 * (2 * ((x + y) % 2) - 1)
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def png(i: BufferedImage) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", bos); bos.toByteArray
+    }
+    def jpgQ(i: BufferedImage, q: Float) = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(i, null, null), p)
+      w.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, png(im), Multimodal.MediaMeta("png", 32, 32, 0L)),
+      Multimodal.MediaRow(2L, jpgQ(im, 0.3f), Multimodal.MediaMeta("jpg", 32, 32, 0L))).toDS()
+    // the pHash itself is re-encode-stable here
+    val hashes = JdkMedia.imagePHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) <= 1,
+      s"pHash must survive the re-encode, Hamming ${java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))}")
+    // aHash misses even at its widest supported tolerance (3 of 4 bands
+    // may differ): the re-encode flips bits in all four bands
+    assert(JdkMedia.imageNearDups(media, maxHamming = 3).isEmpty,
+      "this fixture must defeat aHash banding — if it pairs, the recall case is stale")
+    // ...and the DCT-hash front-end recovers the pair, same verify core
+    val pairs = JdkMedia.imageNearDupsPHash(media)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)),
+      s"pHash banding must recover the re-encode pair, got $pairs")
+  }
 }
