@@ -2170,6 +2170,108 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- The COMPOSED pipeline, end to end: preClean (mojibake+NFC) →
+    //      lineDedup → gopherRules → phrase blocklist → exact dedup →
+    //      near-dup keep-best → decontaminate → hash split → temperature
+    //      upsample, plus the RELEASE layer (writeRelease manifest
+    //      figures + readRelease re-verification) — the one chain that
+    //      was unit-only. Every doc's fate is a function of doc_id % 10:
+    //      class 1 dies at gopher (3 words), class 2 at the phrase
+    //      blocklist, class 3's odd member spells 'café' as mojibake and
+    //      collapses into its clean twin at exact dedup ONLY IF preClean
+    //      ran, class 4's near-twin pairs (Jaccard 0.75, equal quality →
+    //      min id) collapse at keep-best, class 0 carries the eval
+    //      8-gram and dies at decontamination, class 9 carries a
+    //      repeated line that lineDedup must rewrite before anything
+    //      hashes it, classes 5-8 survive untouched. The oracle replays
+    //      the survivor set, every stage's ledger count, the split,
+    //      the full upsample expansion (factors, fractional-copy
+    //      selector, epochs) and the manifest's per-split row/token
+    //      counts; the crc32-sum fingerprint (no crc32 in the oracle
+    //      engine) is gated as a witness column — manifest vs an
+    //      independent recomputation over the returned frame, plus the
+    //      readRelease verification pass. ANY cross-stage drift — an
+    //      order swap, a stage re-keying, a ledger miscount, a release
+    //      figure off by one — breaks a gated column. ----
+    "q_pipeline_full" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Manifests, TrainingPipeline}
+      val id = col("doc_id")
+      val m = id % 10
+      val p3 = ((id - 3) / 20).cast(LongType)
+      val member3 = ((id - 3) / 10).cast(LongType) % 2
+      val p4 = ((id - 4) / 20).cast(LongType)
+      val member4 = ((id - 4) / 10).cast(LongType) % 2
+      val text =
+        when(m === 0, concat(lit("the deco and n"), id, lit(" p"), id % 3,
+          lit(" evalg1 evalg2 evalg3 evalg4 evalg5 evalg6 evalg7 evalg8 r"),
+          id, lit(" s"), id % 7, lit(" final")))
+        .when(m === 1, concat(lit("the and w"), id % 2))
+        .when(m === 2, concat(lit("the story and click here now prize g"),
+          id % 4, lit(" waits today")))
+        .when(m === 3, concat(lit("the solid and stable u"), p3,
+          lit(" block text caf"),
+          when(member3 === 0, lit("é")).otherwise(lit("Ã©")), p3))
+        .when(m === 4, concat(lit("the river and mountain d"), p4,
+          lit(" stone valley cloud tok"), p4,
+          when(member4 === 0, lit("a")).otherwise(lit("b"))))
+        .when(m === 9, concat(lit("promo banner\nthe grove and stone d"),
+          id, lit(" walk\npromo banner")))
+        .otherwise(concat(lit("the garden and flower d"), id,
+          lit(" window seat light b"), m))
+      val grp = when(m === 3 || m === 4, lit("mid"))
+        .when(m === 9, lit("small")).otherwise(lit("big"))
+      val docs = t(s, dir, "documents")
+        .select(id, grp.as("grp"), text.as("text"))
+      val eval = Seq((9000L,
+        "evalg1 evalg2 evalg3 evalg4 evalg5 evalg6 evalg7 evalg8"))
+        .toDF("doc_id", "text")
+      val cfg = TrainingPipeline.Config(preClean = true, lineDedup = true,
+        gopherRules = true, gopherMinWords = 5L, gopherMaxWords = 1000L,
+        blockPhrases = Seq("click here now"), trainPct = 80,
+        upsampleStrataCol = Some("grp"), upsampleTemperature = 0.5,
+        upsampleMaxFactor = 4.0, upsampleSeed = 13L)
+      val (out, ledger) = TrainingPipeline.prepareAudited(docs, "doc_id",
+        "text", cfg, evalDocs = Some(eval))
+      val led = ledger.toMap
+      // release: manifest figures parsed back from the published JSON
+      val work = graft.sources.BucketedTables.scratchDir("graft_release_").toString
+      TrainingPipeline.writeRelease(out, s"$work/rel", ledger = ledger)
+      val manifest = Manifests.read(s, s"$work/rel/_DATASET.json").get
+      val splits = Manifests.strField(manifest, "splits")
+      val stats = splits.split(",").map { part =>
+        val f = part.split(":")
+        f(0) -> (f(1).toLong, f(2).toLong, f(3).toLong) // (n, fp, toks)
+      }.toMap
+      // fingerprint witness: the manifest (computed from the read-back
+      // files) must equal an independent recomputation over the frame we
+      // hold — write→read drift or a crc/token miscount breaks this
+      val recomputed = out.groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(crc32(col("text"))).as("fp"),
+          sum(F.tokenCount(col("text")).cast(LongType)).as("toks"))
+        .collect()
+        .map(r => s"${r.getString(0)}:${r.getLong(1)}:${r.getLong(2)}:${r.getLong(3)}")
+        .sorted.mkString(",")
+      val fpMatch = recomputed == splits
+      // the re-verification pass must accept its own release
+      val readOk = TrainingPipeline.readRelease(s, s"$work/rel").count() == out.count()
+      out.select(col("doc_id"), col("grp"), col("split"),
+          col("epoch").cast(LongType).as("epoch"), md5(col("text")).as("h"))
+        .withColumn("led_gopher", lit(led("gopher_rules")))
+        .withColumn("led_phrase", lit(led("phrase_blocklist")))
+        .withColumn("led_exact", lit(led("exact_dedup")))
+        .withColumn("led_keepbest", lit(led("near_dup_keep_best")))
+        .withColumn("led_decon", lit(led("decontaminated")))
+        .withColumn("led_final", lit(led("final")))
+        .withColumn("train_n", lit(stats("train")._1))
+        .withColumn("train_toks", lit(stats("train")._3))
+        .withColumn("val_n", lit(stats("val")._1))
+        .withColumn("val_toks", lit(stats("val")._3))
+        .withColumn("fp_match", lit(fpMatch))
+        .withColumn("read_ok", lit(readOk))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // ---- F3/F4 on the WIRE: hasContainerId + hasFramework over the
     //      decoded typed table — container routing on the decoded header
     //      (reference GarmadonMessageFilters.java:31-37), the one filter
@@ -5286,6 +5388,96 @@ object SparkEntry {
          |SELECT lang, epoch, count(*) AS n_docs, min(doc_id) AS min_id,
          |  CAST(sum(doc_id) AS BIGINT) AS sum_id
          |FROM exploded GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin,
+
+    // the composed pipeline replayed end-to-end: survivor set from the
+    // fate-class arithmetic (gopher kills m=1, phrases m=2, exact dedup
+    // the mojibake twin of m=3 — which only collapses because preClean
+    // canonicalized it — keep-best the near-twin of m=4, decontamination
+    // m=0; lineDedup rewrote m=9's text before anything hashed it), the
+    // per-stage ledger counts, the fp-mod split, the full temperature-
+    // upsample expansion (sqrt factor, floor/cut, salted selector,
+    // epochs) and the manifest's per-split row/token counts. The crc32
+    // fingerprint and readRelease verification ride as TRUE witnesses
+    // (no crc32 in this engine; they compare manifest vs recomputation
+    // inside the query).
+    "q_pipeline_full" ->
+      s"""WITH surv AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 IN (3, 4) THEN 'mid'
+        |         WHEN doc_id % 10 = 9 THEN 'small' ELSE 'big' END AS grp,
+        |    CASE
+        |      WHEN doc_id % 10 = 3 THEN 'the solid and stable u'
+        |        || CAST((doc_id - 3) // 20 AS VARCHAR)
+        |        || ' block text café' || CAST((doc_id - 3) // 20 AS VARCHAR)
+        |      WHEN doc_id % 10 = 4 THEN 'the river and mountain d'
+        |        || CAST((doc_id - 4) // 20 AS VARCHAR)
+        |        || ' stone valley cloud tok'
+        |        || CAST((doc_id - 4) // 20 AS VARCHAR) || 'a'
+        |      WHEN doc_id % 10 = 9 THEN 'promo banner' || chr(10)
+        |        || 'the grove and stone d' || CAST(doc_id AS VARCHAR) || ' walk'
+        |      ELSE 'the garden and flower d' || CAST(doc_id AS VARCHAR)
+        |        || ' window seat light b' || CAST(doc_id % 10 AS VARCHAR)
+        |    END AS text
+        |  FROM documents
+        |  WHERE doc_id % 10 IN (5, 6, 7, 8, 9)
+        |     OR (doc_id % 10 = 3 AND ((doc_id - 3) // 10) % 2 = 0)
+        |     OR (doc_id % 10 = 4 AND ((doc_id - 4) // 10) % 2 = 0)),
+        |sp AS MATERIALIZED (
+        |  SELECT doc_id, grp, text,
+        |    CASE WHEN $fpSql % 100 < 80 THEN 'train' ELSE 'val' END AS split
+        |  FROM surv),
+        |tr AS MATERIALIZED (SELECT * FROM sp WHERE split = 'train'),
+        |va AS (SELECT * FROM sp WHERE split = 'val'),
+        |c AS (SELECT grp, count(*) AS n FROM tr GROUP BY grp),
+        |fac AS (
+        |  SELECT grp,
+        |    least(sqrt(CAST((SELECT max(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)),
+        |          4.0) AS f
+        |  FROM c),
+        |k AS (
+        |  SELECT grp, CAST(floor(f) AS BIGINT) AS whole,
+        |         CAST(floor((f - floor(f)) * 10000) AS BIGINT) AS cut
+        |  FROM fac),
+        |selx AS (SELECT grp, doc_id, text, ${selectorSql(13L)} AS sel FROM tr),
+        |copies AS (
+        |  SELECT s.grp, s.doc_id, s.text,
+        |         k.whole + (CASE WHEN s.sel < k.cut THEN 1 ELSE 0 END) AS n_copies
+        |  FROM selx s JOIN k USING (grp)),
+        |trrows AS MATERIALIZED (
+        |  SELECT doc_id, grp, 'train' AS split,
+        |    CAST(u.epoch AS BIGINT) AS epoch, text
+        |  FROM copies, UNNEST(range(n_copies)) AS u(epoch)),
+        |varows AS MATERIALIZED (
+        |  SELECT doc_id, grp, 'val' AS split, CAST(0 AS BIGINT) AS epoch, text
+        |  FROM va),
+        |allrows AS MATERIALIZED (
+        |  SELECT * FROM trrows UNION ALL SELECT * FROM varows),
+        |leds AS (
+        |  SELECT
+        |    (SELECT count(*) FROM documents WHERE doc_id % 10 <> 1) AS led_gopher,
+        |    (SELECT count(*) FROM documents
+        |       WHERE doc_id % 10 NOT IN (1, 2)) AS led_phrase,
+        |    (SELECT count(*) FROM documents
+        |       WHERE doc_id % 10 NOT IN (1, 2)
+        |         AND NOT (doc_id % 10 = 3 AND ((doc_id - 3) // 10) % 2 = 1))
+        |      AS led_exact,
+        |    (SELECT count(*) FROM surv)
+        |      + (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+        |      AS led_keepbest,
+        |    (SELECT count(*) FROM surv) AS led_decon,
+        |    (SELECT count(*) FROM allrows) AS led_final,
+        |    (SELECT count(*) FROM trrows) AS train_n,
+        |    (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |       FROM trrows) AS train_toks,
+        |    (SELECT count(*) FROM varows) AS val_n,
+        |    (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |       FROM varows) AS val_toks)
+        |SELECT a.doc_id, a.grp, a.split, a.epoch, md5(a.text) AS h,
+        |  l.led_gopher, l.led_phrase, l.led_exact, l.led_keepbest,
+        |  l.led_decon, l.led_final, l.train_n, l.train_toks, l.val_n,
+        |  l.val_toks, TRUE AS fp_match, TRUE AS read_ok
+        |FROM allrows a CROSS JOIN leds l
+        |ORDER BY a.doc_id, a.epoch""".stripMargin,
 
     "q_stratified_sample" ->
       s"""WITH f AS (
