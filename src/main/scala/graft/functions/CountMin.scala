@@ -34,12 +34,19 @@ object CountMin {
   def position(fp: Column, seed: Long, j: Int, width: Int): Column =
     BloomFilter.position(fp, seed, j, width)
 
-  /** `min_j grid[j·width + pos_j]` over the flattened grid. */
-  def estimate(grid: Column, fp: Column, seed: Long, depth: Int,
+  /** `min_j grid[j·width + pos_j]` over the flattened grid. The grid is
+    * a driver-held array shipped into codegen via `addReferenceObj`
+    * ([[TextExpressions.LongArrayGet]]) — NOT a `typedlit` literal: at
+    * the 2^21-counter cap a literal grid is 16 MB of plan tree,
+    * re-serialized into every task.
+    */
+  def estimate(grid: Array[Long], fp: Column, seed: Long, depth: Int,
                width: Int): Column = {
+    require(grid.length == depth * width,
+      s"grid has ${grid.length} counters, expected $depth x $width")
     val rows = (0 until depth).map { j =>
-      element_at(grid, (position(fp, seed, j, width) +
-        lit(j.toLong * width) + 1L).cast(IntegerType))
+      TextExpressions.long_array_get(
+        position(fp, seed, j, width) + lit(j.toLong * width), grid)
     }
     if (rows.length == 1) rows.head else least(rows: _*)
   }

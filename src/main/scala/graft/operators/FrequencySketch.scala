@@ -77,11 +77,13 @@ object FrequencySketch {
                      keyCol: String): DataFrame = {
     val rows = sketch.select("grid", "seed", "depth", "width").collect()
     require(rows.length == 1, s"expected one sketch row, got ${rows.length}")
-    val grid = rows(0).getSeq[Long](0)
+    val grid = rows(0).getSeq[Long](0).toArray
     val (seed, depth, width) =
       (rows(0).getLong(1), rows(0).getInt(2), rows(0).getInt(3))
+    // grid rides as ONE addReferenceObj per plan (CountMin.estimate),
+    // not a typedlit literal — 16 MB of plan tree at the counter cap
     keys.withColumn("est",
-      CountMin.estimate(typedlit(grid), F.portableTokenHash(col(keyCol)),
+      CountMin.estimate(grid, F.portableTokenHash(col(keyCol)),
         seed, depth, width))
   }
 
