@@ -1202,14 +1202,21 @@ object TextAnalysis {
     // not data (same contract as the stratum-count collects above)
     val counts = keyed.groupBy("_bucket").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets: Map[Long, Long] = {
-      var acc = 0L
-      counts.map { case (b, n) => val o = b -> acc; acc += n; o }.toMap
+    // dense cumulative offsets (empty buckets inherit the running sum);
+    // shipped via addReferenceObj, not a typedlit map — at the 2^20
+    // bucket cap a literal map is megabytes of plan tree per task
+    val offsets = new Array[Long](numBuckets)
+    var acc = 0L
+    var next = 0
+    counts.foreach { case (b, n) =>
+      while (next <= b.toInt) { offsets(next) = acc; next += 1 }
+      acc += n
     }
+    while (next < numBuckets) { offsets(next) = acc; next += 1 }
     val w = Window.partitionBy(col("_bucket")).orderBy(col("_key"), col(idCol))
     keyed
       .withColumn("shuffle_pos",
-        element_at(typedlit(offsets), col("_bucket")) +
+        graft.functions.TextExpressions.long_array_get(col("_bucket"), offsets) +
           row_number().over(w).cast(LongType) - 1L)
       .drop("_key", "_bucket")
   }
