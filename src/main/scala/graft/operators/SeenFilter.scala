@@ -114,7 +114,10 @@ object SeenFilter {
         BloomFilter.positions(col("_fp"), seed, kHashes, mBits).as("_pos"))
       .groupBy("shard")
       .agg(BloomFilter.bitset_or_agg(col("_pos"), mBits).as("words"))
-    val zeroWords = typedlit(Seq.fill((mBits + 63) / 64)(0L))
+    // built per empty-shard ROW (≤ numShards of them), not as a plan
+    // literal — a typedlit of mBits/64 longs is 2 MB of expression tree
+    // at the buffer cap
+    val zeroWords = array_repeat(lit(0L), (mBits + 63) / 64)
     history.sparkSession.range(numShards)
       .select(col("id").as("shard"))
       .join(agged, Seq("shard"), "left")
