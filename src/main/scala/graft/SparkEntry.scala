@@ -845,6 +845,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Text: deterministic TOKEN-budget cut — the corpus prefix in
+    //      salted shuffle order whose cumulative token count meets the
+    //      budget (crossing doc kept, hard cut after), computed as a
+    //      global running sum WITHOUT a global sort (bucketed offsets,
+    //      the corpusShuffle trick). The oracle replays the selector,
+    //      the global cumulative sum and the cut; every survivor's
+    //      cum_tokens is gated, so a bucket-offset slip or an order
+    //      drift breaks rows, not just counts. ----
+    "q_token_budget" -> ((s, dir) => {
+      TextAnalysis.tokenBudgetSample(t(s, dir, "documents"), "doc_id",
+          budgetTokens = 12000L, seed = 7L, numBuckets = 64)
+        .select(col("doc_id"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Text: the mixture-in-TOKENS cut — per-stratum budgets ("2000
+    //      en tokens, 800 fr"), strata without a budget pass through
+    //      whole. Same no-global-sort shape per (stratum, bucket). ----
+    "q_token_budget_mix" -> ((s, dir) => {
+      TextAnalysis.tokenBudgetMix(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 2000L, "fr" -> 800L), seed = 7L, numBuckets = 64)
+        .select(col("doc_id"), col("lang"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: the sharded shuffle WRITER runs for real — write 6
     //      contiguous-range training shards, read them back, and gate
     //      the recovered (doc, position) assignment against the same
@@ -5589,6 +5614,43 @@ object SparkEntry {
          |SELECT doc_id,
          |  row_number() OVER (ORDER BY sel, doc_id) - 1 AS shuffle_pos
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // selector → global token cumsum → prefix cut, survivors' inclusive
+    // cum_tokens gated (SUM over BIGINT promotes to HUGEINT → cast back)
+    "q_token_budget" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    (($fpSql + 7) * 2654435761 % 1000000007) AS sel,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, toks,
+         |    SUM(toks) OVER (ORDER BY sel, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM f)
+         |SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM cum WHERE cum_tokens - toks < 12000
+         |ORDER BY doc_id""".stripMargin,
+
+    // the per-stratum flavor: within-lang cumsum, en/fr budgets applied,
+    // the other strata pass whole
+    "q_token_budget_mix" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    (($fpSql + 7) * 2654435761 % 1000000007) AS sel,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, lang, toks,
+         |    SUM(toks) OVER (PARTITION BY lang ORDER BY sel, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM f)
+         |SELECT doc_id, lang, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM cum
+         |WHERE CASE lang WHEN 'en' THEN cum_tokens - toks < 2000
+         |                WHEN 'fr' THEN cum_tokens - toks < 800
+         |                ELSE TRUE END
+         |ORDER BY doc_id""".stripMargin,
 
     // the writer must land exactly the permutation the rank assigns
     "q_shuffle_shards" ->

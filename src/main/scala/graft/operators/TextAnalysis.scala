@@ -1221,6 +1221,116 @@ object TextAnalysis {
       .drop("_key", "_bucket")
   }
 
+  /** Deterministic TOKEN-budget sampling: keep the corpus prefix — in
+    * salted content-shuffle order, the same order [[corpusShuffle]]
+    * serves — whose cumulative whitespace-token count stays under
+    * `budgetTokens` (the doc that CROSSES the budget is kept, so the
+    * budget is met, then the cut is hard). Pretraining mixtures are
+    * specified in TOKENS, not documents; a doc-count sample under- or
+    * over-shoots by the doc-length mix, this cut does not.
+    *
+    * Scale shape — a global running sum WITHOUT a global sort, the
+    * [[corpusShuffle]] trick: the selector space splits into `numBuckets`
+    * contiguous key ranges, per-bucket token totals come back to the
+    * driver (≤ numBuckets rows of metadata), the cumulative offset of
+    * each bucket ships back via one plan reference object, and the
+    * in-bucket window adds the local running sum — every doc's GLOBAL
+    * cumulative token count, one bucket exchange, per-task sort bounded
+    * by the bucket. Output adds `cum_tokens` (inclusive of the row), so
+    * any reader re-verifies the cut.
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, budgetTokens: Long,
+                        seed: Long = 1L, numBuckets: Int = 1024,
+                        textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20] (driver holds one sum per bucket), got $numBuckets")
+    val p = 1000000007L
+    val bucketWidth = (p + numBuckets - 1) / numBuckets
+    val keyed = docs
+      .withColumn("_key", sampleSelector(textCol, seed))
+      .withColumn("_bucket", (col("_key") / bucketWidth).cast(LongType))
+      .withColumn("_toks", F.tokenCount(col(textCol)).cast(LongType))
+    // bounded collect: ≤ numBuckets rows of (bucket, token sum) — metadata
+    val sums = keyed.groupBy("_bucket").agg(sum(col("_toks")).as("_s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = new Array[Long](numBuckets)
+    var acc = 0L
+    var next = 0
+    sums.foreach { case (b, s) =>
+      while (next <= b.toInt) { offsets(next) = acc; next += 1 }
+      acc += s
+    }
+    while (next < numBuckets) { offsets(next) = acc; next += 1 }
+    val w = Window.partitionBy(col("_bucket")).orderBy(col("_key"), col(idCol))
+    keyed
+      .withColumn("cum_tokens",
+        graft.functions.TextExpressions.long_array_get(col("_bucket"), offsets) +
+          sum(col("_toks")).over(w))
+      // keep iff the doc STARTS before the budget line — the crossing
+      // doc is the last survivor
+      .where(col("cum_tokens") - col("_toks") < budgetTokens)
+      .drop("_key", "_bucket", "_toks")
+  }
+
+  /** Per-stratum token budgets — the mixture-in-TOKENS cut ("2 B tokens
+    * of code, 500 M of forums"): each stratum keeps its own
+    * [[tokenBudgetSample]] prefix under `budgets(stratum)`; strata
+    * absent from the map pass through whole. Same no-global-sort shape,
+    * one (stratum, bucket) exchange; the driver holds ≤ strata×buckets
+    * metadata rows. Output adds `cum_tokens` (within-stratum,
+    * row-inclusive).
+    */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, strataCol: String,
+                     budgets: Map[String, Long], seed: Long = 1L,
+                     numBuckets: Int = 1024,
+                     textCol: String = "text"): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix needs at least one budget")
+    require(budgets.values.forall(_ > 0),
+      s"budgets must be positive, got $budgets")
+    require(numBuckets > 0 && numBuckets <= (1 << 16),
+      s"numBuckets must be in [1, 2^16] (driver holds strata x buckets sums), got $numBuckets")
+    val p = 1000000007L
+    val bucketWidth = (p + numBuckets - 1) / numBuckets
+    val keyed = docs
+      .withColumn("_key", sampleSelector(textCol, seed))
+      .withColumn("_bucket", (col("_key") / bucketWidth).cast(LongType))
+      .withColumn("_toks", F.tokenCount(col(textCol)).cast(LongType))
+    // bounded collect: ≤ |strata| × numBuckets metadata rows
+    val sums = keyed.groupBy(col(strataCol).as("_g"), col("_bucket"))
+      .agg(sum(col("_toks")).as("_s"))
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.toString).orNull, r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // dense per-stratum offsets, concatenated into ONE array: stratum g's
+    // bucket b sits at stratumBase(g) + b. A NULL stratum has no base
+    // row (a map literal cannot key on null): its cum_tokens is null
+    // and, with no budget addressable either, it passes through whole.
+    val strata = sums.keys.toSeq.filter(_ != null).sorted
+    val base = strata.zipWithIndex.map { case (g, i) => g -> i * numBuckets }.toMap
+    val offsets = new Array[Long](strata.length * numBuckets)
+    strata.foreach { g =>
+      var acc = 0L
+      var next = 0
+      sums(g).sortBy(_._2).foreach { case (_, b, s) =>
+        while (next <= b.toInt) { offsets(base(g) + next) = acc; next += 1 }
+        acc += s
+      }
+      while (next < numBuckets) { offsets(base(g) + next) = acc; next += 1 }
+    }
+    val baseCol = element_at(typedlit(base), col(strataCol)) // |strata| entries: tiny
+    val w = Window.partitionBy(col(strataCol), col("_bucket"))
+      .orderBy(col("_key"), col(idCol))
+    val budgetCol = element_at(typedlit(budgets), col(strataCol))
+    keyed
+      .withColumn("cum_tokens",
+        graft.functions.TextExpressions.long_array_get(
+          baseCol + col("_bucket"), offsets) + sum(col("_toks")).over(w))
+      .where(budgetCol.isNull ||
+        col("cum_tokens") - col("_toks") < budgetCol)
+      .drop("_key", "_bucket", "_toks")
+  }
+
   /** Write the corpus as `numShards` training shards in shuffled order:
     * shard files hold CONTIGUOUS `shuffle_pos` ranges (repartitionByRange
     * + in-partition sort — one range exchange on top of

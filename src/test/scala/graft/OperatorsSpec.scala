@@ -443,6 +443,67 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("tokenBudgetSample: prefix meets the budget, crossing doc kept, hard cut after; bucket/partitioning invariant; loud params") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val budget = 500L
+    val cut = TextAnalysis.tokenBudgetSample(docs, "doc_id", budget, seed = 7L)
+    val rows = cut.select(col("doc_id"), col("cum_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the max cumulative count is the first to reach the budget: it is
+    // >= budget (met) and its predecessor is under it (hard cut)
+    val maxCum = rows.map(_._2).max
+    assert(maxCum >= budget, s"budget must be met, last cum $maxCum")
+    val sorted = rows.map(_._2).sorted
+    assert(sorted.init.forall(_ < budget),
+      "every survivor except the crossing doc must sit under the budget")
+    // the bucketed cumsum cut equals a plain global-sort prefix replay
+    val sel = pmod((TextAnalysis.portableFingerprint(col("text")) + 7L) *
+      2654435761L, lit(1000000007L))
+    val expKept = {
+      var acc = 0L
+      docs.orderBy(sel, col("doc_id"))
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .iterator.takeWhile { case (_, t) => val before = acc; acc += t; before < budget }
+        .map { case (id, _) => id }.toSet
+    }
+    assert(rows.map(_._1).toSet == expKept,
+      "survivor set must equal the global-sort prefix replay")
+    // bucket count and input partitioning must not move the cut
+    val other = TextAnalysis.tokenBudgetSample(docs.repartition(7), "doc_id",
+      budget, seed = 7L, numBuckets = 5)
+      .select(col("doc_id"), col("cum_tokens"))
+    assert(cut.select(col("doc_id"), col("cum_tokens"))
+      .exceptAll(other).isEmpty && other.exceptAll(
+        cut.select(col("doc_id"), col("cum_tokens"))).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenBudgetSample(docs, "doc_id", 0L)
+    }
+  }
+
+  test("tokenBudgetMix: per-stratum budgets met independently; unbudgeted and NULL strata pass whole") {
+    val docs = Seq(
+      (1L, "en", "aa bb cc dd"), (2L, "en", "ee ff gg hh"),
+      (3L, "en", "ii jj kk ll"), (4L, "fr", "mm nn"),
+      (5L, "fr", "oo pp"), (6L, "zh", "qq rr ss"),
+      (7L, null.asInstanceOf[String], "tt uu")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenBudgetMix(docs, "doc_id", "lang",
+      Map("en" -> 5L, "fr" -> 2L), seed = 3L)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // en: 4-token docs, budget 5 → exactly two survive (first meets 5
+    // by crossing); fr: budget 2 → exactly one; zh + null: whole
+    assert(kept.count(Set(1L, 2L, 3L)) == 2, s"en must keep 2, got $kept")
+    assert(kept.count(Set(4L, 5L)) == 1, s"fr must keep 1, got $kept")
+    assert(kept.contains(6L) && kept.contains(7L),
+      s"unbudgeted and null strata pass whole: $kept")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenBudgetMix(docs, "doc_id", "lang", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenBudgetMix(docs, "doc_id", "lang", Map("en" -> 0L))
+    }
+  }
+
   test("corpusShuffle: dense permutation = global (selector, id) order; bucket-count/partitioning invariant; seeds decorrelate") {
     val docs = Tables.load(spark, sfDir, "documents")
     val n = docs.count()
