@@ -1128,13 +1128,50 @@ object ScaleBench {
       naive(c1, m1) // warm
       val tn1 = naive(c1, m1)
       val tn10 = naive(c10, m10)
+      // ---- Token-budget cut on the same corpora: the bucketed global
+      //      token cumsum vs the naive global-window control — same
+      //      per-task bound story as the shuffle (the budget cut is the
+      //      shuffle's offset trick applied to token mass). The cut
+      //      witness (budget met by the crossing doc, nothing after)
+      //      rides inside the timed action. ----
+      def budgetPoint(df: DataFrame, budget: Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val r = TextAnalysis.tokenBudgetSample(df, "doc_id", budget,
+            seed = 5L, numBuckets = 1024)
+          .agg(count(lit(1)), max(col("cum_tokens"))).head
+        val secs = (System.nanoTime() - t0) / 1e9
+        require(r.getLong(1) >= budget,
+          s"budget $budget not met: max cum ${r.getLong(1)}")
+        (secs, r.getLong(0))
+      }
+      def budgetNaive(df: DataFrame, budget: Long): Long = {
+        val key = pmod((TextAnalysis.portableFingerprint(col("text")) + 5L) *
+          2654435761L, lit(1000000007L))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("_key"), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        df.withColumn("_key", key)
+          .withColumn("_t", size(split(col("text"), " ")).cast("long"))
+          .withColumn("_cum", sum(col("_t")).over(w))
+          .where(col("_cum") - col("_t") < budget)
+          .count()
+      }
+      val halfTokens10 = c10.select(sum(size(split(col("text"), " "))
+        .cast("long"))).head.getLong(0) / 2
+      budgetPoint(c10, halfTokens10) // warm
+      val (tb10, kept10) = budgetPoint(c10, halfTokens10)
+      val naiveKept = budgetNaive(c10, halfTokens10)
+      require(naiveKept == kept10,
+        s"bucketed cut kept $kept10 rows, naive global window kept $naiveKept")
       c1.unpersist(); c10.unpersist()
       println(f"""{"shuffle":{"n_1x":$m1,"n_10x":$m10,"bucketed_1x_s":$t1%.2f,""" +
         f""""bucketed_10x_s":$t10%.2f,"scaling_x":${t10 / t1}%.1f,""" +
         f""""naive_window_1x_s":$tn1%.2f,"naive_window_10x_s":$tn10%.2f,""" +
         f""""speedup_10x_x":${tn10 / t10}%.2f,""" +
         f""""single_task_rows_naive":$m10,"max_bucket_rows":$mb10,""" +
-        f""""task_bound_ratio":${m10.toDouble / mb10}%.0f}}""")
+        f""""task_bound_ratio":${m10.toDouble / mb10}%.0f,""" +
+        f""""token_budget_10x_s":$tb10%.2f,"token_budget_kept":$kept10,""" +
+        f""""token_budget_naive_agrees":true}}""")
     }
 
     if (sections("classifier")) {
