@@ -258,8 +258,9 @@ object SeenFilterStore {
     * reflects the pre-batch filter even after the generation changes.
     */
   def appendBatch(spark: SparkSession, root: String, batch: DataFrame,
-                  textCol: String = "text"): DataFrame = {
-    val lock = acquireAppendLock(spark, root)
+                  textCol: String = "text",
+                  writerToken: Option[String] = None): DataFrame = {
+    val lock = acquireAppendLock(spark, root, writerToken)
     try {
       val cur = currentFilter(spark, root)
       val cfg = cur.select("seed", "k_hashes", "m_bits", "num_shards")
@@ -283,14 +284,43 @@ object SeenFilterStore {
     * `appendBatch` holds it (see object doc for why a silent second
     * writer loses bits). A lock left by a crash is age-swept by
     * [[recover]]; the failure message says so.
+    *
+    * `writerToken` is the RETRY escape hatch: the lock file records the
+    * token, and an existing lock carrying the SAME token is reclaimed —
+    * a foreachBatch retry of micro-batch N can only run after its
+    * earlier attempt died (Structured Streaming never runs the same
+    * batch twice concurrently), so its own leftover lock must be a
+    * crash residue, not a live writer. Tokens never collide across
+    * distinct writers (the streaming path uses the batch id); a
+    * token-less caller gets the strict behavior.
     */
-  private def acquireAppendLock(spark: SparkSession,
-                                root: String): org.apache.hadoop.fs.Path = {
+  private def acquireAppendLock(spark: SparkSession, root: String,
+                                writerToken: Option[String]): org.apache.hadoop.fs.Path = {
     val lock = new org.apache.hadoop.fs.Path(s"$root/$AppendLockName")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val acquired =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+    val token = writerToken.getOrElse("")
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryCreate()
+    if (!acquired && token.nonEmpty) {
+      // same-token residue = our own crashed attempt: reclaim
+      val existing =
+        try {
+          val in = fs.open(lock)
+          val b = in.readAllBytes()
+          in.close()
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        } catch { case _: java.io.IOException => null }
+      if (existing == token) {
+        fs.delete(lock, false)
+        acquired = tryCreate()
+      }
+    }
     require(acquired,
       s"another appendBatch holds $lock — the seen-filter store is " +
         "single-writer (a concurrent append would silently drop this " +
@@ -310,8 +340,13 @@ object SeenFilterStore {
                   textCol: String = "text")
                  (route: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     batches.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        route(appendBatch(batch.sparkSession, root, batch, textCol))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the batch id is the writer token: a RETRY of this micro-batch
+        // reclaims its own crashed attempt's lock instead of waiting out
+        // the recover() grace (no two attempts of one batch run
+        // concurrently; a DIFFERENT writer still refuses loudly)
+        route(appendBatch(batch.sparkSession, root, batch, textCol,
+          writerToken = Some(s"batch-$batchId")))
       }
 
   /** Drop `gen-*` dirs `_CURRENT` does not reference — crashed or

@@ -153,6 +153,19 @@ class SeenFilterSpec extends SparkSpecBase {
     assert(!java.nio.file.Files.exists(lockFile),
       "appendBatch must release the lock on success")
     assert(SeenFilterStore.currentGen(spark, root).get != gen0)
+    // retry escape hatch: a tokened writer reclaims ITS OWN crashed
+    // attempt's lock (the streaming foreachBatch retry path) but still
+    // refuses a DIFFERENT holder's
+    java.nio.file.Files.write(lockFile, "batch-7".getBytes("UTF-8"))
+    SeenFilterStore.appendBatch(spark, root, batch,
+      writerToken = Some("batch-7")) // reclaims, completes, releases
+    assert(!java.nio.file.Files.exists(lockFile))
+    java.nio.file.Files.write(lockFile, "batch-8".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      SeenFilterStore.appendBatch(spark, root, batch,
+        writerToken = Some("batch-9"))
+    }
+    java.nio.file.Files.delete(lockFile)
   }
 
   test("admitStream: first micro-batch lands unseen, a replayed batch is fully seen; served bits carry both batches") {
