@@ -4350,7 +4350,7 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY doc_id % 10 ORDER BY doc_id) - 1
         |       AS BIGINT) AS member_idx,
         |  'http://ex.com/' || CAST(doc_id AS VARCHAR) AS target_uri,
-        |  md5('T' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10)
+        |  md5(text || chr(10)
         |    || 'tail & ' || CAST(doc_id % 7 AS VARCHAR)) AS h
         |FROM documents ORDER BY archive_id, member_idx""".stripMargin,
 
@@ -5668,12 +5668,12 @@ object SparkEntry {
 
     "q_perceptron_bigram" -> perceptronBigramOracle,
 
-    // the expected extraction from the generating arithmetic: title text,
-    // newline (all head/body chrome collapses to one), the document text,
-    // newline, decoded tail
+    // the expected extraction from the generating arithmetic: the TITLE
+    // is metadata and must NOT leak into body text (all head chrome
+    // drops), then the document text, newline, decoded tail
     "q_html_extract" ->
       """SELECT doc_id,
-        |  'T' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10)
+        |  text || chr(10)
         |    || 'tail & ' || CAST(doc_id % 7 AS VARCHAR) AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,
 

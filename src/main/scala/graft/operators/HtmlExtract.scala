@@ -5,7 +5,11 @@ import org.apache.spark.sql.functions.col
 
 /** HTML → text extraction — the first text stage of a web-crawl
   * pipeline (between archive ingest and preClean): strip markup, drop
-  * `<script>`/`<style>` payloads and comments entirely, decode the
+  * `<script>`/`<style>`/`<title>` payloads and comments entirely (the
+  * title is document METADATA — jusText/trafilatura-class extractors
+  * exclude it from body text, and keeping it pollutes dedup: two pages
+  * with the same body but different titles would stop being exact
+  * dups), decode the
   * entities that appear in real crawl text, and turn block-level tags
   * into newlines so the paragraph structure survives for
   * [[TextAnalysis.dedupParagraphs]]. One pass, one output buffer, no
@@ -160,7 +164,8 @@ object HtmlExtract {
                 (ch >= '0' && ch <= '9')
             }) ne += 1
             val name = rest.substring(0, ne).toLowerCase
-            if (!isClose && (name == "script" || name == "style")) {
+            if (!isClose && (name == "script" || name == "style" ||
+                name == "title")) {
               val close = "</" + name
               var k = end + 1
               var found = -1
@@ -168,7 +173,7 @@ object HtmlExtract {
                 if (html.regionMatches(true, k, close, 0, close.length)) found = k
                 k += 1
               }
-              if (found < 0) i = n // unclosed script/style: drop the rest
+              if (found < 0) i = n // unclosed payload: drop the rest
               else {
                 val gt = html.indexOf('>', found)
                 i = if (gt < 0) n else gt + 1

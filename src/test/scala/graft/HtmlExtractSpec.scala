@@ -51,9 +51,11 @@ class HtmlExtractSpec extends SparkSpecBase {
 
   test("whitespace collapses; doctype and head chrome drop; trailing trim") {
     assert(extractTextString("a \n\t  b") == "a b")
+    // the title is metadata, not body text: it must NOT leak
     assert(extractTextString(
       "<!DOCTYPE html><html><head><title>T</title></head><body>c</body></html>") ==
-      "T\nc")
+      "c")
+    assert(extractTextString("<title>only a title</title>") == "")
     assert(extractTextString("<p>x</p>\n\n  ") == "x")
     assert(extractTextString("") == "")
     assert(extractTextString(null) == null)
