@@ -113,12 +113,19 @@ object Functions {
       (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast(DoubleType)
         / length(text).cast(DoubleType))
 
-  /** Fraction of tokens that are in the stopword list. */
+  /** Fraction of tokens that are in the stopword list — one codegen pass
+    * ([[TextExpressions.StopStatsExpr]]; set via `addReferenceObj`)
+    * instead of a `filter(isInCollection)` HOF: this sits inside
+    * [[qualityScore]], which the pipeline computes for every document.
+    * Denominator counts ALL split segments (empties included), exactly
+    * like the `size(tokens)` form it replaces.
+    */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
-    val stops = filter(toks, t => t.isInCollection(stopwords))
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(size(stops).cast(DoubleType) / size(toks).cast(DoubleType))
+    val st = TextExpressions.stop_stats(text, stopwords)
+    val nTok = element_at(st, 1)
+    val nStop = element_at(st, 2)
+    when(nTok === 0L, lit(0.0))
+      .otherwise(nStop.cast(DoubleType) / nTok.cast(DoubleType))
   }
 
   /** Mean token length (characters per token). */

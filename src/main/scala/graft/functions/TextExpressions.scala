@@ -211,6 +211,60 @@ object TextExpressions {
   def long_array_get(index: Column, arr: Array[Long]): Column =
     column(LongArrayGet(expression(index), arr))
 
+  /** The nine Gopher signals in one codegen pass
+    * ([[TokenFolds.gopherStats]]) — the rule bundle runs over EVERY raw
+    * document as a pre-dedup pipeline gate, so its word aggregates must
+    * not be interpreted HOF folds.
+    */
+  case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_gopher_stats"
+
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        TokenFolds.gopherStats(v.asInstanceOf[UTF8String].toString))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.TokenFolds.gopherStats($v.toString()));")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def gopher_stats(text: Column): Column = column(GopherStatsExpr(expression(text)))
+
+  /** `[n_tokens, n_stop_tokens]` in one codegen pass
+    * ([[TokenFolds.stopStats]]; the stopword set rides as a plan
+    * reference object) — the stopword-ratio HOF replacement on the
+    * quality-score path.
+    */
+  case class StopStatsExpr(child: Expression, stops: java.util.HashSet[String])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_stop_stats"
+
+    override def nullSafeEval(v: Any): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        TokenFolds.stopStats(v.asInstanceOf[UTF8String].toString, stops))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("graftStopSet", stops,
+        "java.util.HashSet<String>")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.TokenFolds.stopStats($v.toString(), $setRef));")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def stop_stats(text: Column, stopwords: Seq[String]): Column = {
+    val set = new java.util.HashSet[String]()
+    stopwords.foreach(set.add)
+    column(StopStatsExpr(expression(text), set))
+  }
+
   /** The portable document fingerprint (token-length fold, see
     * [[TokenFolds.fingerprint]]) as a codegen scalar — every sampler,
     * split, shuffle and Gumbel draw keys on it, so it must not be the

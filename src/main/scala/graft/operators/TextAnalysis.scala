@@ -62,31 +62,23 @@ object TextAnalysis {
     * thresholds.
     */
   def gopherSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val words = filter(split(t, "\\s+"), w => length(w) > 0)
-    val lines = filter(split(t, "\n"), ln => length(trim(ln)) > 0)
-    val stopTerms = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // ONE codegen pass computes all nine signals (TokenFolds.gopherStats
+    // — semantics pinned bit-for-bit to the original Column formulation,
+    // whose word aggregates were interpreted HOF folds on an
+    // every-document pipeline path); q_gopher gates each signal
+    val g = graft.functions.TextExpressions.gopher_stats(col(textCol))
     docs
-      .withColumn("_w", words)
-      .withColumn("n_words", size(col("_w")).cast("long"))
-      .withColumn("sum_word_len",
-        coalesce(aggregate(col("_w"), lit(0L), (acc, w) => acc + length(w)), lit(0L)))
-      .withColumn("n_alpha_words",
-        size(filter(col("_w"), w => w.rlike("[A-Za-z]"))).cast("long"))
-      .withColumn("n_hash",
-        (length(t) - length(regexp_replace(t, "#", ""))).cast("long"))
-      .withColumn("n_ellipsis",
-        ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long"))
-      .withColumn("_l", lines)
-      .withColumn("n_lines", size(col("_l")).cast("long"))
-      .withColumn("n_bullet_lines", size(filter(col("_l"),
-        ln => trim(ln).rlike("^[•\\-\\*] "))).cast("long"))
-      .withColumn("n_ellipsis_lines", size(filter(col("_l"),
-        ln => trim(ln).rlike("\\.\\.\\.$"))).cast("long"))
-      .withColumn("n_stop_hits",
-        stopTerms.map(s => array_contains(col("_w"), s).cast("long"))
-          .reduce(_ + _))
-      .drop("_w", "_l")
+      .withColumn("_gs", g)
+      .withColumn("n_words", element_at(col("_gs"), 1))
+      .withColumn("sum_word_len", element_at(col("_gs"), 2))
+      .withColumn("n_alpha_words", element_at(col("_gs"), 3))
+      .withColumn("n_hash", element_at(col("_gs"), 4))
+      .withColumn("n_ellipsis", element_at(col("_gs"), 5))
+      .withColumn("n_lines", element_at(col("_gs"), 6))
+      .withColumn("n_bullet_lines", element_at(col("_gs"), 7))
+      .withColumn("n_ellipsis_lines", element_at(col("_gs"), 8))
+      .withColumn("n_stop_hits", element_at(col("_gs"), 9))
+      .drop("_gs")
   }
 
   /** [[gopherSignals]] + the published keep verdict, integer
@@ -115,11 +107,11 @@ object TextAnalysis {
     * double is not: engines disagree near decimal ties).
     */
   def stopwordMassByGroup(docs: DataFrame, groupCol: String, stopwords: Seq[String] = defaultStopwords, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val toks = F.tokens(t)
-    val stops = filter(toks, x => x.isInCollection(stopwords))
+    // one codegen pass for both counts (see Functions.stopwordRatio)
+    val st = graft.functions.TextExpressions.stop_stats(col(textCol), stopwords)
     docs
-      .select(col(groupCol), size(toks).cast(LongType).as("_tot"), size(stops).cast(LongType).as("_stop"))
+      .select(col(groupCol), element_at(st, 1).as("_tot"),
+        element_at(st, 2).as("_stop"))
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_docs"),
