@@ -311,7 +311,7 @@ object ScaleBench {
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
       "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi",
-      "preclean", "bloom", "shuffle", "classifier", "crawl", "dsir")
+      "preclean", "bloom", "shuffle", "classifier", "crawl", "dsir", "robots")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -1013,6 +1013,95 @@ object ScaleBench {
         f""""mb_s":${mbBig / tB}%.0f,"scaling_x":${tB / tS}%.1f,""" +
         f""""out_chars":$outChars,"clean_10x_s":$tC%.2f,""" +
         f""""clean_mb_s":${mbBig / tC}%.0f,"clean_chars":$cleanChars}}""")
+    }
+
+    if (sections("robots")) {
+      // ---- robots.txt politeness gate: the crawl-frontier stage that
+      //      runs over EVERY URL. Fixture: 50 hosts × 40 realistic rules
+      //      (plain prefixes, deep allows, wildcard-query disallows,
+      //      anchored *.pdf$ blocks). New path = ONE codegen byte-walk
+      //      scalar (graft_robots_verdict); legacy control = the
+      //      interpreted aggregate() HOF + regexp_like(column-pattern)
+      //      fold it replaced (Pattern.compile per URL × rule), run on a
+      //      20× smaller slice and compared per-URL. Witness: the allow
+      //      count is arithmetic (k = id mod 40; blocked iff k mod 4 = 0
+      //      — /d0,/d4..,/d36 are the only matching rules). ----
+      import graft.operators.RobotsFilter
+      val robotsTxt = "User-agent: *\n" + (0 until 40).map { j =>
+        if (j % 4 == 0) s"Disallow: /d$j"
+        else if (j % 4 == 1) s"Allow: /d${j - 1}/ok"
+        else if (j % 4 == 2) s"Disallow: /*?x$j="
+        else "Disallow: /p" + j + "*.pdf$"
+      }.mkString("\n") + "\n"
+      val robots = spark.range(50).select(
+        concat(lit("h"), col("id").cast("string"), lit(".ex")).as("host"),
+        lit(robotsTxt).as("content"))
+      def urls(n: Long): DataFrame = spark.range(n).select(col("id"),
+        concat(lit("http://h"), (col("id") % 50).cast("string"), lit(".ex/d"),
+          (col("id") % 40).cast("string"), lit("/p"),
+          col("id").cast("string")).as("url"))
+      def runNew(n: Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val allowed = RobotsFilter.markAllowed(urls(n), robots, "url")
+          .where(col("allowed")).count()
+        ((System.nanoTime() - t0) / 1e9, allowed)
+      }
+      runNew(200000L) // warm
+      val nNew = 4000000L
+      val (tNew, allowedNew) = runNew(nNew)
+      require(allowedNew == nNew / 40 * 30,
+        s"robots witness: expected ${nNew / 40 * 30} allowed, got $allowedNew")
+      // legacy control — the exact pre-round-12 formulation
+      def toRx(p: String): String = {
+        val anchored = p.endsWith("$")
+        val body = if (anchored) p.dropRight(1) else p
+        val sb = new StringBuilder("^")
+        body.foreach {
+          case '*' => sb ++= ".*"
+          case c if "\\.[]{}()+-?^$|".indexOf(c) >= 0 => sb += '\\'; sb += c
+          case c => sb += c
+        }
+        if (anchored) sb += '$'
+        sb.toString
+      }
+      import spark.implicits._
+      val legacyRules = RobotsFilter.robotsRules(robots, "*")
+        .as[(String, Seq[String], Seq[Boolean])]
+        .map { case (h, pats, als) =>
+          (h, pats.zip(als).map { case (p, a) =>
+            (toRx(p), p.length, if (a) 1 else 0) }) }
+        .toDF("host", "rules")
+      val nLegacy = 200000L
+      def runLegacy(): (Double, Long) = {
+        val zero = struct(lit(-1).as("len"), lit(1).as("allow"))
+        val best = aggregate(coalesce(col("_rules"), array()), zero,
+          (acc, r) => when(
+            regexp_like(col("_path"), r.getField("_1")) &&
+              (r.getField("_2") > acc.getField("len") ||
+                (r.getField("_2") === acc.getField("len") &&
+                  r.getField("_3") === 1)),
+            struct(r.getField("_2").as("len"), r.getField("_3").as("allow")))
+            .otherwise(acc))
+        val t0 = System.nanoTime()
+        val allowed = urls(nLegacy)
+          .withColumn("_host", lower(parse_url(col("url"), lit("HOST"))))
+          .withColumn("_path", coalesce(parse_url(col("url"), lit("PATH")), lit("/")))
+          .join(broadcast(legacyRules.select(lower(col("host")).as("_host"),
+            col("rules").as("_rules"))), Seq("_host"), "left")
+          .where(best.getField("allow") === 1).count()
+        ((System.nanoTime() - t0) / 1e9, allowed)
+      }
+      runLegacy() // warm
+      val (tLegacy, allowedLegacy) = runLegacy()
+      require(allowedLegacy == nLegacy / 40 * 30,
+        s"robots legacy witness: expected ${nLegacy / 40 * 30}, got $allowedLegacy")
+      val newRate = nNew / tNew
+      val legacyRate = nLegacy / tLegacy
+      println(f"""{"robots":{"urls":$nNew,"rules_per_host":40,""" +
+        f""""kernel_s":$tNew%.2f,"kernel_urls_s":$newRate%.0f,""" +
+        f""""legacy_urls":$nLegacy,"legacy_s":$tLegacy%.2f,""" +
+        f""""legacy_urls_s":$legacyRate%.0f,""" +
+        f""""speedup_x":${newRate / legacyRate}%.1f}}""")
     }
 
     if (sections("bloom")) {

@@ -30,16 +30,16 @@ object FrameExpressions {
 
   private val Delim = 20
 
+  /** The qualified call names of the shared generated readers — every call
+    * site MUST go through these (the names `addNewFunction` returns):
+    * when a very large WholeStageCodegen plan spills generated functions
+    * into a nested private class the bare name fails to compile and the
+    * whole stage silently falls back to interpreted execution.
+    */
+  private final case class Readers(valid: String, readInt: String, readLong: String)
+
   /** Shared validity + primitive readers emitted into generated code. */
-  private def readerFuncs(ctx: CodegenContext): String = {
-    ctx.addNewFunction("graftFrameValid",
-      s"""
-         |private boolean graftFrameValid(byte[] b) {
-         |  if (b == null || b.length < $Delim) return false;
-         |  int hl = graftReadInt(b, 12); int bl = graftReadInt(b, 16);
-         |  return hl >= 0 && bl >= 0 && b.length == $Delim + hl + bl;
-         |}
-       """.stripMargin)
+  private def readerFuncs(ctx: CodegenContext): Readers = {
     // NOTE: generated-Java lines must never BEGIN with `|`: the final class
     // body is assembled inside s"""...""".stripMargin (GenerateUnsafeProjection
     // and friends), which eats a leading whitespace+`|` as a margin delimiter
@@ -47,14 +47,22 @@ object FrameExpressions {
     // falls back to the interpreted projection (a pure perf loss, no error
     // surfaced). Keep binary operators at end-of-line. CodegenHealthSpec
     // guards this.
-    ctx.addNewFunction("graftReadInt",
+    val readInt = ctx.addNewFunction("graftReadInt",
       """
         |private int graftReadInt(byte[] b, int off) {
         |  return ((b[off] & 0xFF) << 24) | ((b[off+1] & 0xFF) << 16) |
         |         ((b[off+2] & 0xFF) << 8) | (b[off+3] & 0xFF);
         |}
       """.stripMargin)
-    ctx.addNewFunction("graftReadLong",
+    val valid = ctx.addNewFunction("graftFrameValid",
+      s"""
+         |private boolean graftFrameValid(byte[] b) {
+         |  if (b == null || b.length < $Delim) return false;
+         |  int hl = $readInt(b, 12); int bl = $readInt(b, 16);
+         |  return hl >= 0 && bl >= 0 && b.length == $Delim + hl + bl;
+         |}
+       """.stripMargin)
+    val readLong = ctx.addNewFunction("graftReadLong",
       """
         |private long graftReadLong(byte[] b, int off) {
         |  long v = 0;
@@ -62,6 +70,7 @@ object FrameExpressions {
         |  return v;
         |}
       """.stripMargin)
+    Readers(valid, readInt, readLong)
   }
 
   private def readInt(b: Array[Byte], off: Int): Int =
@@ -83,8 +92,9 @@ object FrameExpressions {
   sealed abstract class FrameField extends UnaryExpression {
     override def nullable: Boolean = true
     protected def evalValid(b: Array[Byte]): Any
-    /** (bytesVar, resultVar) => java stmt assigning result. */
-    protected def genValid(ctx: CodegenContext, b: String, result: String): String
+    /** (bytesVar, resultVar, readers) => java stmt assigning result. */
+    protected def genValid(ctx: CodegenContext, b: String, result: String,
+                           rd: Readers): String
 
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
       val v = child.eval(input)
@@ -94,16 +104,16 @@ object FrameExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      readerFuncs(ctx)
+      val rd = readerFuncs(ctx)
       val childGen = child.genCode(ctx)
       val code =
         code"""
           |${childGen.code}
           |boolean ${ev.isNull} = true;
           |${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)} ${ev.value} = ${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.defaultValue(dataType)};
-          |if (!${childGen.isNull} && graftFrameValid(${childGen.value})) {
+          |if (!${childGen.isNull} && ${rd.valid}(${childGen.value})) {
           |  ${ev.isNull} = false;
-          |  ${genValid(ctx, childGen.value.toString, ev.value.toString)}
+          |  ${genValid(ctx, childGen.value.toString, ev.value.toString, rd)}
           |}
         """
       ev.copy(code = code)
@@ -114,8 +124,9 @@ object FrameExpressions {
   case class FrameMarker(child: Expression) extends FrameField {
     override def dataType: DataType = IntegerType
     override protected def evalValid(b: Array[Byte]): Any = readInt(b, 0)
-    override protected def genValid(ctx: CodegenContext, b: String, r: String): String =
-      s"$r = graftReadInt($b, 0);"
+    override protected def genValid(ctx: CodegenContext, b: String, r: String,
+                                    rd: Readers): String =
+      s"$r = ${rd.readInt}($b, 0);"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -123,8 +134,9 @@ object FrameExpressions {
   case class FrameTsMillis(child: Expression) extends FrameField {
     override def dataType: DataType = LongType
     override protected def evalValid(b: Array[Byte]): Any = readLong(b, 4)
-    override protected def genValid(ctx: CodegenContext, b: String, r: String): String =
-      s"$r = graftReadLong($b, 4);"
+    override protected def genValid(ctx: CodegenContext, b: String, r: String,
+                                    rd: Readers): String =
+      s"$r = ${rd.readLong}($b, 4);"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -133,8 +145,9 @@ object FrameExpressions {
     override def dataType: DataType = BinaryType
     override protected def evalValid(b: Array[Byte]): Any =
       java.util.Arrays.copyOfRange(b, Delim, Delim + readInt(b, 12))
-    override protected def genValid(ctx: CodegenContext, b: String, r: String): String =
-      s"$r = java.util.Arrays.copyOfRange($b, $Delim, $Delim + graftReadInt($b, 12));"
+    override protected def genValid(ctx: CodegenContext, b: String, r: String,
+                                    rd: Readers): String =
+      s"$r = java.util.Arrays.copyOfRange($b, $Delim, $Delim + ${rd.readInt}($b, 12));"
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -145,9 +158,10 @@ object FrameExpressions {
       val hl = readInt(b, 12)
       java.util.Arrays.copyOfRange(b, Delim + hl, Delim + hl + readInt(b, 16))
     }
-    override protected def genValid(ctx: CodegenContext, b: String, r: String): String = {
+    override protected def genValid(ctx: CodegenContext, b: String, r: String,
+                                    rd: Readers): String = {
       val hl = ctx.freshName("hl")
-      s"int $hl = graftReadInt($b, 12); $r = java.util.Arrays.copyOfRange($b, $Delim + $hl, $Delim + $hl + graftReadInt($b, 16));"
+      s"int $hl = ${rd.readInt}($b, 12); $r = java.util.Arrays.copyOfRange($b, $Delim + $hl, $Delim + $hl + ${rd.readInt}($b, 16));"
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

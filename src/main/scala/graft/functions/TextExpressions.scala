@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge.{toColumn => column, toExpression => expression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -55,7 +56,11 @@ object TextExpressions {
       portableHash64(v.asInstanceOf[UTF8String].toString)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      ctx.addNewFunction("graftPolyHash",
+      // call through the name addNewFunction RETURNS: when a very large
+      // WholeStageCodegen plan spills generated functions into a nested
+      // private class, the bare name would fail to compile and the whole
+      // stage would silently fall back to interpreted execution
+      val fn = ctx.addNewFunction("graftPolyHash",
         """
           |private long graftPolyHash(String s, long mult, long mod) {
           |  long h = 0L;
@@ -75,8 +80,8 @@ object TextExpressions {
         // FrameExpressions.readerFuncs note)
         s"""
            |String $s = $v.toString();
-           |${ev.value} = graftPolyHash($s, ${Mult1}L, ${Mod1}L) |
-           |  (graftPolyHash($s, ${Mult2}L, ${Mod2}L) << 31);
+           |${ev.value} = $fn($s, ${Mult1}L, ${Mod1}L) |
+           |  ($fn($s, ${Mult2}L, ${Mod2}L) << 31);
          """.stripMargin
       })
     }
@@ -110,7 +115,9 @@ object TextExpressions {
       polyHash(v.asInstanceOf[UTF8String].toString, Mult1, ModP)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      ctx.addNewFunction("graftPolyHashP",
+      // use the RETURNED (possibly class-qualified) name — see
+      // PortableTokenHash64.doGenCode
+      val fn = ctx.addNewFunction("graftPolyHashP",
         s"""
           |private long graftPolyHashP(String s) {
           |  long h = 0L;
@@ -124,7 +131,7 @@ object TextExpressions {
           |}
         """.stripMargin)
       nullSafeCodeGen(ctx, ev, v =>
-        s"${ev.value} = graftPolyHashP($v.toString());")
+        s"${ev.value} = $fn($v.toString());")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -306,7 +313,7 @@ object TextExpressions {
       evalShingles(v.asInstanceOf[UTF8String], k)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      ctx.addNewFunction("graftWordShingles",
+      val fn = ctx.addNewFunction("graftWordShingles",
         s"""
            |private org.apache.spark.sql.catalyst.util.GenericArrayData graftWordShingles(
            |    org.apache.spark.unsafe.types.UTF8String s, int k) {
@@ -331,7 +338,7 @@ object TextExpressions {
            |  return new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
            |}
          """.stripMargin)
-      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = graftWordShingles($v, $k);")
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $fn($v, $k);")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -581,7 +588,7 @@ object TextExpressions {
         v.asInstanceOf[UTF8String].toString, maxTokens))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      ctx.addNewFunction("graftSentenceChunks",
+      val fn = ctx.addNewFunction("graftSentenceChunks",
         """
           |private org.apache.spark.sql.catalyst.util.GenericArrayData graftSentenceChunks(
           |    String s, int maxTokens) {
@@ -593,7 +600,7 @@ object TextExpressions {
           |}
         """.stripMargin)
       nullSafeCodeGen(ctx, ev, v =>
-        s"${ev.value} = graftSentenceChunks($v.toString(), $maxTokens);")
+        s"${ev.value} = $fn($v.toString(), $maxTokens);")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -601,4 +608,41 @@ object TextExpressions {
 
   def sentence_chunks(text: Column, maxTokens: Int): Column =
     column(SentenceChunks(expression(text), maxTokens))
+
+  /** The per-URL robots verdict as ONE codegen scalar — static-invokes
+    * [[TokenFolds.robotsVerdict]]: longest-match fold over the host's
+    * broadcast rule arrays with RFC 9309 `*`/`$` matching as a direct
+    * char walk. Replaces the interpreted `aggregate()` HOF +
+    * `regexp_like(column-pattern)` form, which paid a `Pattern.compile`
+    * per URL × rule (the column-side pattern defeats Spark's regex
+    * cache) and ran row-at-a-time — the politeness gate runs over EVERY
+    * crawl-frontier URL, so its per-row constant factor is the gate's
+    * whole cost at corpus scale. Null rules (host without a robots row)
+    * → null out; the caller coalesces to allowed.
+    */
+  case class RobotsVerdictExpr(path: Expression, patterns: Expression,
+                               allows: Expression) extends TernaryExpression {
+    override def first: Expression = path
+    override def second: Expression = patterns
+    override def third: Expression = allows
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_robots_verdict"
+
+    override def nullSafeEval(p: Any, pats: Any, als: Any): Any =
+      TokenFolds.robotsVerdict(p.asInstanceOf[UTF8String],
+        pats.asInstanceOf[ArrayData], als.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (p, pats, als) =>
+        s"${ev.value} = graft.functions.TokenFolds.robotsVerdict($p, $pats, $als);")
+
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Expression =
+      copy(path = newFirst, patterns = newSecond, allows = newThird)
+  }
+
+  def robots_verdict(path: Column, patterns: Column, allows: Column): Column =
+    column(RobotsVerdictExpr(expression(path), expression(patterns),
+      expression(allows)))
 }

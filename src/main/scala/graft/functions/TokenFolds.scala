@@ -183,6 +183,122 @@ object TokenFolds {
     Array(nTok, nStop)
   }
 
+  /** RFC 9309 path-pattern match as a direct BYTE walk over the UTF-8
+    * encodings — `*` matches any byte run, a trailing `$` anchors the
+    * pattern at the end of the path, everything else (including `?`) is
+    * a literal, and a pattern without `$` matches any PREFIX of the
+    * path. Greedy single-star backtracking (the classic O(n·m) wildcard
+    * walk): on a mismatch the most recent `*` absorbs one more byte and
+    * the suffix retries. Byte-wise is EXACTLY equivalent to
+    * codepoint-wise here: UTF-8 is self-synchronizing — a pattern's
+    * first byte is never a continuation byte, so a match can never begin
+    * mid-character, and absorption positions that split a character
+    * simply fail to match and walk on. No `Pattern.compile`, no regex
+    * semantics anywhere, no string materialization — wildcard matching
+    * is replayable arithmetic, which is what lets the robots verdict
+    * stay oracle-checkable while running inside codegen.
+    */
+  def robotsMatch(path: org.apache.spark.unsafe.types.UTF8String,
+                  pattern: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val pnAll = pattern.numBytes
+    // `$` is ASCII 0x24: as a final byte it can never be the tail of a
+    // multi-byte character (continuations are >= 0x80), so this is exact
+    val anchored = pnAll > 0 && pattern.getByte(pnAll - 1) == '$'.toByte
+    val pn = if (anchored) pnAll - 1 else pnAll
+    val star = '*'.toByte
+    val n = path.numBytes
+    var p = 0
+    var s = 0
+    var starP = -1
+    var starS = 0
+    while (true) {
+      if (p == pn) {
+        if (!anchored || s == n) return true
+        // anchored with path left over: the last * absorbs one more byte
+        if (starP < 0) return false
+        starS += 1
+        if (starS > n) return false
+        s = starS; p = starP + 1
+      } else if (pattern.getByte(p) == star) {
+        starP = p
+        starS = s
+        p += 1
+      } else if (s < n && pattern.getByte(p) == path.getByte(s)) {
+        p += 1; s += 1
+      } else {
+        if (starP < 0) return false
+        starS += 1
+        if (starS > n) return false
+        s = starS; p = starP + 1
+      }
+    }
+    false // unreachable: the loop exits via return
+  }
+
+  /** String flavor of [[robotsMatch]] — the spec-level reference entry
+    * point; delegates to the byte walk.
+    */
+  def robotsMatch(path: String, pattern: String): Boolean =
+    robotsMatch(org.apache.spark.unsafe.types.UTF8String.fromString(path),
+      org.apache.spark.unsafe.types.UTF8String.fromString(pattern))
+
+  /** The per-URL robots verdict: longest-match fold over the host's rule
+    * arrays (parallel `patterns`/`allows`, broadcast-joined onto the URL
+    * row), RFC tie-break — equal-length rules resolve to allow; no
+    * matching rule means allowed. Specificity is the raw pattern's OCTET
+    * length (`*` and `$` count) — RFC 9309's most-octets rule, identical
+    * to character length for ASCII patterns. One pass over the rules,
+    * one byte walk per candidate rule, zero per-URL string allocation.
+    */
+  def robotsVerdict(path: org.apache.spark.unsafe.types.UTF8String,
+                    patterns: org.apache.spark.sql.catalyst.util.ArrayData,
+                    allows: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    val n = patterns.numElements()
+    while (i < n) {
+      val pat = patterns.getUTF8String(i)
+      val len = pat.numBytes
+      val allow = allows.getBoolean(i)
+      // only rules that could improve the fold pay for a byte walk
+      if ((len > bestLen || (len == bestLen && allow && !bestAllow)) &&
+          robotsMatch(path, pat)) {
+        bestLen = len
+        bestAllow = allow
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
+  /** Join one STRING field out of an array of structs with a separator —
+    * the per-document text rebuild after an ordered
+    * `array_sort(collect_list(struct(pos, str)))` aggregation
+    * (paragraph-dedup reassembly, shared-span token rebuild). The sort
+    * already happened in the aggregate; this kernel is just the field
+    * projection + join, replacing an interpreted `transform()` lambda
+    * (CodegenFallback) on the post-aggregation document path. Null
+    * elements/fields are skipped, matching `concat_ws`/`array_join`.
+    */
+  def joinStructField(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                      numFields: Int, fieldIdx: Int,
+                      sep: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val n = arr.numElements()
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, numFields)
+        if (!row.isNullAt(fieldIdx)) parts(i) = row.getUTF8String(fieldIdx)
+      }
+      i += 1
+    }
+    // concatWs skips null inputs — same contract as array_join/concat_ws
+    org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
+  }
+
   /** The portable document fingerprint: token-LENGTH fold
     * `(acc·31 + len) mod p` over `split(text, " ")` — INCLUDING empty
     * segments, exactly like the `aggregate(tokens(text), …)` column form

@@ -188,7 +188,9 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      ctx.addNewFunction("graftPlaneSign",
+      // call through the RETURNED name: bare names break when a large
+      // plan spills generated functions into a nested class
+      val fn = ctx.addNewFunction("graftPlaneSign",
         """
           |private double graftPlaneSign(long seed, int b, int d) {
           |  long z = (seed * 4194304L + ((long) b << 6) + d) + 0x9E3779B97F4A7C15L;
@@ -208,7 +210,7 @@ object VectorExpressions {
            |for (int $b = 0; $b < $sigBits; $b++) {
            |  double $acc = 0.0;
            |  for (int $d = 0; $d < $n; $d++) {
-           |    $acc += $gx * graftPlaneSign($seed, $b, $d);
+           |    $acc += $gx * $fn($seed, $b, $d);
            |  }
            |  if ($acc > 0) $sig |= (1L << $b);
            |}
@@ -315,7 +317,7 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      ctx.addNewFunction("graftMix64",
+      val fn = ctx.addNewFunction("graftMix64",
         """
           |private long graftMix64(long z) {
           |  z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L;
@@ -332,7 +334,7 @@ object VectorExpressions {
            |  long $h = 0x9E3779B97F4A7C15L * ($b + 1);
            |  int $end = java.lang.Math.min(($b + 1) * $rowsPerBand, $a.numElements());
            |  for (int $i = $b * $rowsPerBand; $i < $end; $i++) {
-           |    $h = graftMix64($h ^ $a.getLong($i));
+           |    $h = $fn($h ^ $a.getLong($i));
            |  }
            |  $out[$b] = $h;
            |}

@@ -27,25 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object RobotsFilter {
 
-  /** One parsed rule: the raw pattern (for specificity length), its
-    * regex form (Java∩RE2 subset: quoted literals + `.*` + `$`), and
-    * the verdict.
+  /** One parsed rule: the raw pattern (its length IS the specificity;
+    * `*` and `$` keep their RFC 9309 meaning and are matched by
+    * [[graft.functions.TokenFolds.robotsMatch]]'s char walk — no regex
+    * form exists anywhere on this path) and the verdict.
     */
-  final case class Rule(pattern: String, rx: String, allow: Boolean)
-
-  /** Convert a robots path pattern to an anchored-prefix regex. */
-  private[operators] def patternToRegex(p: String): String = {
-    val anchored = p.endsWith("$")
-    val body = if (anchored) p.dropRight(1) else p
-    val sb = new StringBuilder("^")
-    body.foreach {
-      case '*' => sb ++= ".*"
-      case c if "\\.[]{}()+-?^$|".indexOf(c) >= 0 => sb += '\\'; sb += c
-      case c => sb += c
-    }
-    if (anchored) sb += '$'
-    sb.toString
-  }
+  final case class Rule(pattern: String, allow: Boolean)
 
   /** Parse `content` and return the rules of the group that applies to
     * `agent` (most-specific user-agent match; `*` fallback; empty when
@@ -87,7 +74,7 @@ object RobotsFilter {
           case "allow" | "disallow" =>
             inAgentRun = false
             if (value.nonEmpty && curSpec >= 0)
-              curRules :+= Rule(value, patternToRegex(value), key == "allow")
+              curRules :+= Rule(value, key == "allow")
           case _ => inAgentRun = false // Crawl-delay, Sitemap, unknown
         }
       }
@@ -97,7 +84,8 @@ object RobotsFilter {
   }
 
   /** Parse a robots table `(hostCol, contentCol)` into one broadcastable
-    * row per host: `(host, rules ARRAY<STRUCT<pattern,rx,allow,len>>)`.
+    * row per host: `(host, patterns ARRAY<STRING>, allows ARRAY<BOOLEAN>)`
+    * — parallel arrays, raw patterns (no regex compilation anywhere).
     * mapPartitions on the HOST-sized side only.
     */
   def robotsRules(robots: DataFrame, agent: String,
@@ -107,44 +95,41 @@ object RobotsFilter {
     robots.select(col(hostCol).as("host"), col(contentCol).as("content"))
       .as[(String, String)]
       .mapPartitions(_.map { case (host, content) =>
-        (host, parseRobotsRules(content, agent).map(r =>
-          (r.rx, r.pattern.length, if (r.allow) 1 else 0)))
+        val rs = parseRobotsRules(content, agent)
+        (host, rs.map(_.pattern), rs.map(_.allow))
       })
-      .toDF("host", "rules")
+      .toDF("host", "patterns", "allows")
   }
 
   /** Mark every URL with `allowed` against the agent's rules — broadcast
-    * join on the host plus a map-only longest-match fold over the rule
-    * array (RFC tie-break: equal length resolves to allow). URLs whose
-    * host has no robots row are allowed. Rules match against
-    * path + `?query` (RFC 9309 matches the path-and-query target, so
-    * `Disallow: /search?q=` and wildcard query rules like a disallow
-    * on `*?sessionid=` work); a URL without a query string matches
-    * against the bare path.
+    * join on the host plus ONE codegen scalar per URL
+    * ([[graft.functions.TextExpressions.robots_verdict]]): a
+    * longest-match fold over the host's rule arrays with RFC 9309
+    * `*`/`$` matching as a direct char walk (RFC tie-break: equal length
+    * resolves to allow). No `Pattern.compile`, no interpreted HOF — the
+    * URL side stays map-only inside WholeStageCodegen. URLs whose host
+    * has no robots row are allowed (the verdict is null there; coalesced
+    * to true). Rules match against path + `?query` (RFC 9309 matches the
+    * path-and-query target, so `Disallow: /search?q=` and wildcard query
+    * rules like a disallow on `*?sessionid=` work); a URL without a
+    * query string matches against the bare path.
     */
   def markAllowed(urls: DataFrame, robots: DataFrame, urlCol: String,
                   agent: String = "*"): DataFrame = {
     val rules = robotsRules(robots, agent)
     val inputCols = urls.columns.map(col)
-    // no matching rule → sentinel (len −1, allow) → allowed
-    val zero = struct(lit(-1).as("len"), lit(1).as("allow"))
-    val best = aggregate(coalesce(col("_rules"), array()), zero,
-      (acc, r) => when(
-        regexp_like(col("_path"), r.getField("_1")) &&
-          (r.getField("_2") > acc.getField("len") ||
-            (r.getField("_2") === acc.getField("len") &&
-              r.getField("_3") === 1)),
-        struct(r.getField("_2").as("len"), r.getField("_3").as("allow")))
-        .otherwise(acc))
     val query = parse_url(col(urlCol), lit("QUERY"))
+    val verdict = graft.functions.TextExpressions.robots_verdict(
+      col("_path"), col("_patterns"), col("_allows"))
     urls
       .withColumn("_host", lower(parse_url(col(urlCol), lit("HOST"))))
       .withColumn("_path", concat(
         coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")),
         when(query.isNotNull, concat(lit("?"), query)).otherwise(lit(""))))
       .join(broadcast(rules.select(lower(col("host")).as("_host"),
-        col("rules").as("_rules"))), Seq("_host"), "left")
-      .select(inputCols :+ (best.getField("allow") === 1).as("allowed"): _*)
+        col("patterns").as("_patterns"), col("allows").as("_allows"))),
+        Seq("_host"), "left")
+      .select(inputCols :+ coalesce(verdict, lit(true)).as("allowed"): _*)
   }
 
   /** Keep only the allowed URLs. */

@@ -2,24 +2,48 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.TokenFolds
 import graft.operators.RobotsFilter
 import graft.operators.RobotsFilter.parseRobotsRules
 
 /** robots.txt semantics: group selection, longest-match with allow-wins
-  * ties, wildcards/anchors, and the broadcast map-only URL marking.
+  * ties, wildcards/anchors (char-walk kernel, no regex), and the
+  * broadcast map-only codegen URL marking.
   */
 class RobotsFilterSpec extends SparkSpecBase {
   import spark.implicits._
 
   private def verdict(rules: Seq[RobotsFilter.Rule], path: String): Boolean = {
-    // same find-semantics as regexp_like (the rx is ^-anchored already)
-    val matching = rules.filter(r =>
-      java.util.regex.Pattern.compile(r.rx).matcher(path).find())
+    val matching = rules.filter(r => TokenFolds.robotsMatch(path, r.pattern))
     if (matching.isEmpty) true
     else {
       val maxLen = matching.map(_.pattern.length).max
       matching.filter(_.pattern.length == maxLen).exists(_.allow)
     }
+  }
+
+  test("robotsMatch: prefix, wildcard backtracking, $ anchor, literals") {
+    import TokenFolds.robotsMatch
+    // plain prefix semantics
+    assert(robotsMatch("/private/secret", "/private"))
+    assert(!robotsMatch("/pub/private", "/private")) // anchored at START
+    assert(robotsMatch("/anything", "/"))
+    // `*` absorbs any run, including empty; greedy with backtracking
+    assert(robotsMatch("/a/b/c.pdf", "/a*c.pdf"))
+    assert(robotsMatch("/ac.pdf", "/a*c.pdf"))
+    assert(robotsMatch("/x/yyy/x/z", "/x*x*z"))  // two stars
+    assert(!robotsMatch("/x/yyy/z", "/x*x*z"))
+    // backtracking: first viable split fails, a later one succeeds
+    assert(robotsMatch("/pdfs/f.pdf", "/p*f.pdf$"))
+    assert(!robotsMatch("/pdfs/f.pdfx", "/p*f.pdf$")) // anchor blocks
+    assert(robotsMatch("/f.pdf", "*.pdf$"))
+    // `?` is a LITERAL (query-string matching), not a wildcard
+    assert(robotsMatch("/p?sessionid=1", "/*?sessionid="))
+    assert(!robotsMatch("/psessionid=1", "/*?sessionid="))
+    // `$` alone anchors the empty pattern: only the empty path matches
+    assert(TokenFolds.robotsMatch("", "$") && !robotsMatch("/", "$"))
+    // trailing `*$` = anchored but absorbs the rest
+    assert(robotsMatch("/x/anything/at/all", "/x*$"))
   }
 
   test("group selection: most-specific user-agent wins, * is fallback, equal groups merge") {
@@ -97,9 +121,25 @@ class RobotsFilterSpec extends SparkSpecBase {
       .collect().toMap
     assert(byId == Map(1L -> true, 2L -> false, 3L -> true,
       4L -> false, 5L -> true, 6L -> false, 7L -> false, 8L -> true))
-    // the URL side never shuffles: broadcast join only
+    // the URL side never shuffles: broadcast join only — and the verdict
+    // is ONE codegen scalar, not an interpreted HOF fold or per-row regex
     val plan = marked.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("graft_robots_verdict"), plan)
+    assert(!plan.contains("aggregate(") && !plan.contains("lambdafunction"), plan)
+    assert(!plan.contains("regexp"), plan)
     assert(RobotsFilter.filterAllowed(urls, robots, "url").count() == 4)
+    // WholeStageCodegen witness on a codegen-capable source (the Seq
+    // fixture above is a LocalTableScan, which never opens a `*(` span)
+    val bigUrls = spark.range(1000).select(col("id"),
+      concat(lit("http://h0.example/private/p"), col("id")).as("url"))
+    val bigDf = RobotsFilter.markAllowed(bigUrls, robots, "url")
+    // run THIS frame: AQE only materializes WholeStageCodegen spans in
+    // the final plan of an executed query
+    assert(bigDf.collect().forall(!_.getAs[Boolean]("allowed")))
+    val bigPlan = bigDf.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("*("),
+      s"verdict must stay inside WholeStageCodegen:\n$bigPlan")
+    assert(bigPlan.contains("graft_robots_verdict"), bigPlan)
   }
 }
