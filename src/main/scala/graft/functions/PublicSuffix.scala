@@ -7,18 +7,15 @@ import org.apache.spark.sql.graft.Bridge.{toColumn => column, toExpression => ex
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** eTLD+1 (registrable-domain) resolution over a trimmed snapshot of the
-  * public-suffix list — domain-level curation's real grouping key.
-  * Host-level grouping under-aggregates sites that shard across
-  * subdomains (`a.spam.example.co.uk`, `b.spam.example.co.uk`) and makes
-  * blocklists enumerate every subdomain; the registrable domain
-  * (`example.co.uk`) is the unit a site owner actually controls.
+/** eTLD+1 (registrable-domain) resolution over the public-suffix list —
+  * domain-level curation's real grouping key. Host-level grouping
+  * under-aggregates sites that shard across subdomains
+  * (`a.spam.example.co.uk`, `b.spam.example.co.uk`) and makes blocklists
+  * enumerate every subdomain; the registrable domain (`example.co.uk`)
+  * is the unit a site owner actually controls.
   *
-  * The matcher implements the PSL algorithm over the Mozilla
-  * publicsuffix.org DATA (public domain-shaped rule list; this is a
-  * trimmed snapshot of the common ccTLD second-level registries plus a
-  * few ubiquitous hosting suffixes, NOT the full list — a production
-  * deployment swaps in the complete file, same algorithm):
+  * The matcher implements the PSL algorithm over Mozilla's
+  * publicsuffix.org data:
   *
   *  - a rule matches a host when the host ends with the rule's labels;
   *  - `*.` wildcard rules match any single label at their position
@@ -31,15 +28,142 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - registrable domain = public suffix + one preceding label; a host
   *    that IS a public suffix has none (null).
   *
-  * Everything is a per-row label walk against static in-JVM sets —
-  * map-only, codegen ([[RegistrableDomain]] static-invokes
-  * [[registrableDomain]]), no shuffle, no driver round-trip.
+  * Rules live in a [[SuffixRules]] value: the compiled-in [[Snapshot]]
+  * (a trimmed set of the common ccTLD second-level registries plus a few
+  * ubiquitous hosting suffixes) is the default, and [[fromFile]] /
+  * [[fromLines]] load the REAL `publicsuffix.dat` (comments, the
+  * `===BEGIN ICANN/PRIVATE DOMAINS===` section markers, wildcards,
+  * exceptions) into the same shape — same algorithm, same codegen. The
+  * rules ride into generated code via `addReferenceObj` (the
+  * PhraseMatches pattern), so a 10k-rule production list adds ZERO plan
+  * text.
+  *
+  * Everything is a per-row label walk against in-JVM hash sets —
+  * map-only, codegen ([[RegistrableDomain]]), no shuffle, no driver
+  * round-trip.
   */
 object PublicSuffix {
 
-  /** Exact rules (label suffixes). */
-  private[graft] val Exact: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
+  /** One loaded rule list. The sets hold lowercase label suffixes:
+    * `exact` full rules, `wildcards` the part AFTER the `*.` (`"ck"` for
+    * `*.ck`), `exceptions` the rule without the `!`.
+    */
+  final class SuffixRules(
+      val exact: java.util.HashSet[String],
+      val wildcards: java.util.HashSet[String],
+      val exceptions: java.util.HashSet[String]) extends Serializable {
+
+    /** The public suffix of a lowercase host (no trailing dot), per the
+      * PSL algorithm. Empty/null-ish hosts return the input.
+      */
+    def publicSuffix(host: String): String = {
+      if (host == null || host.isEmpty) return host
+      var bestStart = -1 // start offset of the matched public suffix
+      var bestLabels = 0
+      val n = host.length
+      // walk every suffix-by-label: offsets 0 and after each dot
+      var start = 0
+      var labelsFrom = countLabels(host, 0)
+      while (start <= n) {
+        val cand = if (start == 0) host else host.substring(start)
+        if (exceptions.contains(cand)) {
+          // exception prevails: its public suffix is the rule minus the
+          // leftmost label
+          val dot = cand.indexOf('.')
+          return if (dot < 0) "" else cand.substring(dot + 1)
+        }
+        if (exact.contains(cand) && labelsFrom > bestLabels) {
+          bestStart = start; bestLabels = labelsFrom
+        }
+        // wildcard: cand = <label>.<w>
+        val dot = cand.indexOf('.')
+        if (dot > 0 && wildcards.contains(cand.substring(dot + 1)) &&
+            labelsFrom > bestLabels) {
+          bestStart = start; bestLabels = labelsFrom
+        }
+        // advance to the next label
+        val nd = host.indexOf('.', start)
+        if (nd < 0) start = n + 1 else { start = nd + 1; labelsFrom -= 1 }
+      }
+      if (bestStart >= 0) host.substring(bestStart)
+      else {
+        // implicit * rule: the last label
+        val last = host.lastIndexOf('.')
+        if (last < 0) host else host.substring(last + 1)
+      }
+    }
+
+    /** Registrable domain (eTLD+1) of a lowercase host: public suffix
+      * plus ONE preceding label; null when the host IS a public suffix
+      * (nothing registrable) or has no dots worth grouping by. Column
+      * consumers coalesce to the host.
+      */
+    def registrableDomain(host: String): String = {
+      if (host == null || host.isEmpty) return null
+      val ps = publicSuffix(host)
+      if (ps == null || ps.length >= host.length) return null // host == suffix
+      // the label immediately before the suffix
+      val cut = host.length - ps.length - 1 // index of the '.' before ps
+      if (cut <= 0 || host.charAt(cut) != '.') return null // malformed
+      val prev = host.lastIndexOf('.', cut - 1)
+      host.substring(prev + 1)
+    }
+
+    def size: Int = exact.size + wildcards.size + exceptions.size
+  }
+
+  private def countLabels(s: String, from: Int): Int = {
+    var c = 1
+    var i = from
+    while (i < s.length) { if (s.charAt(i) == '.') c += 1; i += 1 }
+    c
+  }
+
+  /** Parse PSL `publicsuffix.dat`-format lines into a [[SuffixRules]].
+    * Format (public spec at publicsuffix.org/list/):
+    *  - each line is read up to the first whitespace; blank lines and
+    *    `//` comment lines are ignored;
+    *  - the `// ===BEGIN ICANN DOMAINS===` / `// ===BEGIN PRIVATE
+    *    DOMAINS===` markers delimit the two sections; `includePrivate =
+    *    false` keeps only ICANN rules (the choice matters: private rules
+    *    like `github.io` make every user site its own "domain");
+    *  - `!rule` = exception, `*.rule` = wildcard, else exact. Rules are
+    *    lowercased; wildcards are leading-label only (the only form the
+    *    published list uses).
+    */
+  def fromLines(lines: Iterator[String],
+                includePrivate: Boolean = true): SuffixRules = {
+    val exact = new java.util.HashSet[String]()
+    val wild = new java.util.HashSet[String]()
+    val exc = new java.util.HashSet[String]()
+    var inPrivate = false
+    lines.foreach { raw =>
+      val line = raw.trim
+      if (line.startsWith("//")) {
+        if (line.contains("===BEGIN PRIVATE DOMAINS===")) inPrivate = true
+        else if (line.contains("===END PRIVATE DOMAINS===")) inPrivate = false
+      } else if (line.nonEmpty && (includePrivate || !inPrivate)) {
+        // read up to the first whitespace
+        val ws = line.indexWhere(Character.isWhitespace)
+        val rule = (if (ws >= 0) line.substring(0, ws) else line).toLowerCase
+        if (rule.startsWith("!")) exc.add(rule.substring(1))
+        else if (rule.startsWith("*.")) wild.add(rule.substring(2))
+        else if (rule != "*") exact.add(rule)
+      }
+    }
+    new SuffixRules(exact, wild, exc)
+  }
+
+  /** Load the real `publicsuffix.dat` from a local/DFS-visible file. */
+  def fromFile(path: String, includePrivate: Boolean = true): SuffixRules = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try fromLines(src.getLines(), includePrivate)
+    finally src.close()
+  }
+
+  /** The compiled-in trimmed snapshot (see object scaladoc). */
+  val Snapshot: SuffixRules = {
+    val exact = new java.util.HashSet[String]()
     val ccSecondLevel = Seq(
       // uk
       "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "me.uk", "ltd.uk",
@@ -110,118 +234,56 @@ object PublicSuffix {
       "herokuapp.com", "cloudfront.net", "netlify.app", "vercel.app",
       "azurewebsites.net", "firebaseapp.com", "web.app", "pages.dev",
       "workers.dev", "glitch.me", "onrender.com", "fly.dev")
-    (ccSecondLevel ++ hosting).foreach(s.add)
-    s
-  }
-
-  /** Wildcard rules, stored as the suffix AFTER the `*.` (`"ck"` for
-    * `*.ck`): any single label at the `*` position completes a public
-    * suffix.
-    */
-  private[graft] val Wildcards: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
+    (ccSecondLevel ++ hosting).foreach(exact.add)
+    val wild = new java.util.HashSet[String]()
     Seq("ck", "bd", "er", "fk", "jm", "kh", "mm", "np", "pg",
       "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-      "sapporo.jp", "sendai.jp", "yokohama.jp").foreach(s.add)
-    s
+      "sapporo.jp", "sendai.jp", "yokohama.jp").foreach(wild.add)
+    val exc = new java.util.HashSet[String]()
+    Seq("www.ck", "city.kawasaki.jp").foreach(exc.add)
+    new SuffixRules(exact, wild, exc)
   }
 
-  /** Exception rules (without the `!`): registrable despite a wildcard. */
-  private[graft] val Exceptions: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    Seq("www.ck", "city.kawasaki.jp").foreach(s.add)
-    s
-  }
+  /** Snapshot-backed convenience (the shape round-11 callers used). */
+  def publicSuffix(host: String): String = Snapshot.publicSuffix(host)
 
-  /** The public suffix of a lowercase host (no trailing dot), per the
-    * PSL algorithm. Empty/null-ish hosts return the input.
+  /** Snapshot-backed convenience. */
+  def registrableDomain(host: String): String = Snapshot.registrableDomain(host)
+
+  /** [[SuffixRules.registrableDomain]] as a codegen scalar — the rule
+    * sets ride as ONE plan reference object regardless of list size
+    * (trimmed snapshot or the full ~10k-rule `publicsuffix.dat`).
+    * Null in → null out; null also when nothing is registrable.
     */
-  def publicSuffix(host: String): String = {
-    if (host == null || host.isEmpty) return host
-    // label start offsets
-    var bestStart = -1 // start offset of the matched public suffix
-    var bestLabels = 0
-    val n = host.length
-    // walk every suffix-by-label: offsets 0 and after each dot
-    var start = 0
-    var labelsFrom = countLabels(host, 0)
-    while (start <= n) {
-      val cand = if (start == 0) host else host.substring(start)
-      if (Exceptions.contains(cand)) {
-        // exception prevails: its public suffix is the rule minus the
-        // leftmost label
-        val dot = cand.indexOf('.')
-        return if (dot < 0) "" else cand.substring(dot + 1)
-      }
-      if (Exact.contains(cand) && labelsFrom > bestLabels) {
-        bestStart = start; bestLabels = labelsFrom
-      }
-      // wildcard: cand = <label>.<w>
-      val dot = cand.indexOf('.')
-      if (dot > 0 && Wildcards.contains(cand.substring(dot + 1)) &&
-          labelsFrom > bestLabels) {
-        bestStart = start; bestLabels = labelsFrom
-      }
-      // advance to the next label
-      val nd = host.indexOf('.', start)
-      if (nd < 0) start = n + 1 else { start = nd + 1; labelsFrom -= 1 }
-    }
-    if (bestStart >= 0) host.substring(bestStart)
-    else {
-      // implicit * rule: the last label
-      val last = host.lastIndexOf('.')
-      if (last < 0) host else host.substring(last + 1)
-    }
-  }
-
-  private def countLabels(s: String, from: Int): Int = {
-    var c = 1
-    var i = from
-    while (i < s.length) { if (s.charAt(i) == '.') c += 1; i += 1 }
-    c
-  }
-
-  /** Registrable domain (eTLD+1) of a lowercase host: public suffix plus
-    * ONE preceding label; null when the host IS a public suffix (nothing
-    * registrable) or has no dots worth grouping by. Column consumers
-    * coalesce to the host.
-    */
-  def registrableDomain(host: String): String = {
-    if (host == null || host.isEmpty) return null
-    val ps = publicSuffix(host)
-    if (ps == null || ps.length >= host.length) return null // host == suffix
-    // the label immediately before the suffix
-    val cut = host.length - ps.length - 1 // index of the '.' before ps
-    if (cut <= 0 || host.charAt(cut) != '.') return null // malformed
-    val prev = host.lastIndexOf('.', cut - 1)
-    host.substring(prev + 1)
-  }
-
-  /** [[registrableDomain]] as a codegen scalar. Null in → null out. */
-  case class RegistrableDomain(child: Expression) extends UnaryExpression {
+  case class RegistrableDomain(child: Expression, rules: SuffixRules)
+      extends UnaryExpression {
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_registrable_domain"
 
     override def nullSafeEval(v: Any): Any = {
-      val r = registrableDomain(v.asInstanceOf[UTF8String].toString)
+      val r = rules.registrableDomain(v.asInstanceOf[UTF8String].toString)
       if (r == null) null else UTF8String.fromString(r)
     }
 
     override def nullable: Boolean = true
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val rulesRef = ctx.addReferenceObj("graftPslRules", rules,
+        classOf[SuffixRules].getName)
       nullSafeCodeGen(ctx, ev, v => {
         val rd = ctx.freshName("rd")
         s"""
-           |String $rd = graft.functions.PublicSuffix.registrableDomain($v.toString());
+           |String $rd = $rulesRef.registrableDomain($v.toString());
            |if ($rd == null) { ${ev.isNull} = true; }
            |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($rd); }
          """.stripMargin
       })
+    }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  def registrable_domain(host: Column): Column =
-    column(RegistrableDomain(expression(host)))
+  def registrable_domain(host: Column,
+                         rules: SuffixRules = Snapshot): Column =
+    column(RegistrableDomain(expression(host), rules))
 }

@@ -645,4 +645,43 @@ object TextExpressions {
   def robots_verdict(path: Column, patterns: Column, allows: Column): Column =
     column(RobotsVerdictExpr(expression(path), expression(patterns),
       expression(allows)))
+
+  /** Per-document ordered text rebuild — join one string field out of an
+    * `array<struct>` (already sorted by `array_sort` inside the
+    * aggregate) with a separator, as a codegen scalar static-invoking
+    * [[TokenFolds.joinStructField]]. Replaces the
+    * `transform(sorted, x -> x.field)` + `array_join`/`concat_ws` pair,
+    * whose lambda is an interpreted HOF (CodegenFallback) running once
+    * per surviving document after the keyed exchange.
+    *
+    * `numFields`/`fieldIdx` are plan-time constants: the caller names
+    * the struct shape it built two lines earlier.
+    */
+  case class JoinOrderedStructs(child: Expression, numFields: Int,
+                                fieldIdx: Int, sep: String)
+      extends UnaryExpression {
+    require(numFields > 0 && fieldIdx >= 0 && fieldIdx < numFields,
+      s"fieldIdx $fieldIdx out of range for $numFields-field structs")
+    private val sepU = UTF8String.fromString(sep)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_join_structs"
+
+    override def nullSafeEval(v: Any): Any =
+      TokenFolds.joinStructField(v.asInstanceOf[ArrayData], numFields,
+        fieldIdx, sepU)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sepRef = ctx.addReferenceObj("graftJoinSep", sepU,
+        "org.apache.spark.unsafe.types.UTF8String")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.TokenFolds.joinStructField(" +
+          s"$v, $numFields, $fieldIdx, $sepRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def join_ordered_structs(sorted: Column, numFields: Int, fieldIdx: Int,
+                           sep: String): Column =
+    column(JoinOrderedStructs(expression(sorted), numFields, fieldIdx, sep))
 }

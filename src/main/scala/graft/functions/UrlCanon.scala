@@ -141,9 +141,11 @@ object UrlCanon {
     * `b.spam.example.co.uk` are ONE site (`example.co.uk`), and blocking
     * it must not require enumerating subdomains.
     */
-  def registrableDomainOf(url: Column): Column = {
+  def registrableDomainOf(url: Column,
+                          rules: PublicSuffix.SuffixRules =
+                            PublicSuffix.Snapshot): Column = {
     val host = hostOf(url)
-    coalesce(graft.functions.PublicSuffix.registrable_domain(host), host)
+    coalesce(graft.functions.PublicSuffix.registrable_domain(host, rules), host)
   }
 
   /** [[hostStats]] at registrable-domain granularity — the per-SITE
@@ -151,9 +153,11 @@ object UrlCanon {
     * subdomains aggregates to one row here, where the host table
     * under-counts it into many).
     */
-  def domainStats(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+  def domainStats(docs: DataFrame, idCol: String, urlCol: String,
+                  rules: PublicSuffix.SuffixRules =
+                    PublicSuffix.Snapshot): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(urlCol).as("url"))
-      .withColumn("domain", registrableDomainOf(col("url")))
+      .withColumn("domain", registrableDomainOf(col("url"), rules))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(canonicalizeUrl(col("url"))).as("n_canonical"),
@@ -165,10 +169,12 @@ object UrlCanon {
     * map-only resolution — the corpus never shuffles.
     */
   def markBlockedDomains(docs: DataFrame, urlCol: String,
-                         blocked: DataFrame): DataFrame = {
+                         blocked: DataFrame,
+                         rules: PublicSuffix.SuffixRules =
+                           PublicSuffix.Snapshot): DataFrame = {
     val inputCols = docs.columns.map(col)
     docs
-      .withColumn("domain", registrableDomainOf(col(urlCol)))
+      .withColumn("domain", registrableDomainOf(col(urlCol), rules))
       .join(broadcast(blocked.select(col("domain"), lit(true).as("_blk"))
         .distinct()), Seq("domain"), "left")
       .select(inputCols ++ Seq(col("domain"),
@@ -177,7 +183,9 @@ object UrlCanon {
 
   /** Keep only docs whose registrable domain is NOT blocklisted. */
   def dropBlockedDomains(docs: DataFrame, urlCol: String,
-                         blocked: DataFrame): DataFrame =
-    markBlockedDomains(docs, urlCol, blocked)
+                         blocked: DataFrame,
+                         rules: PublicSuffix.SuffixRules =
+                           PublicSuffix.Snapshot): DataFrame =
+    markBlockedDomains(docs, urlCol, blocked, rules)
       .where(!col("blocked")).drop("domain", "blocked")
 }

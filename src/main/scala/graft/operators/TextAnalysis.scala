@@ -602,12 +602,21 @@ object TextAnalysis {
     val reassembled = paras.withColumn("_rk", row_number().over(w))
       .where(col("_rk") === 1)
       .groupBy(col("_id"))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("_pos"), col("_para")))),
-            x => x.getField("_para")),
-          "\n").as(textCol),
+      // sort_array, not array_sort: same natural struct ordering on the
+      // non-null (_pos, _para) rows, but WITHOUT the comparator lambda
+      // array_sort plants in the plan
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_para"))))
+        .as("_ordered"),
         count(lit(1)).as("n_kept"))
+      // ordered rebuild as ONE codegen scalar in the post-agg Project
+      // (field-project + join; the sort already happened above) — the
+      // transform() lambda it replaces was an interpreted HOF per
+      // surviving doc
+      .select(col("_id"),
+        graft.functions.TextExpressions.join_ordered_structs(
+          col("_ordered"), numFields = 2, fieldIdx = 1, sep = "\n")
+          .as(textCol),
+        col("n_kept"))
       .join(totals, Seq("_id"))
       .withColumnRenamed("_id", idCol)
     // ride-along columns survive (the pipeline depends on it); the inner
@@ -1038,7 +1047,8 @@ object TextAnalysis {
     * exchange ([[pinForReuse]]) feeding both the distinct-doc count and
     * the shared-gram join that marks covered positions → anti-join
     * against the token stream → per-doc ordered rebuild
-    * (array_sort(collect_list(struct(pos, tok)))). The corpus is
+    * (sort_array(collect_list(struct(pos, tok))) + the codegen
+    * join-structs kernel). The corpus is
     * tokenized once and shingled ONCE (both gram consumers read the same
     * shuffle output — plan-witnessed in OperatorsSpec); per-doc state in
     * the rebuild is bounded by document length. Emits (idCol, kept_text,
@@ -1079,9 +1089,14 @@ object TextAnalysis {
     docs.select(col(idCol))
       .join(
         kept.groupBy(col(idCol))
-          .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("_ordered"))
+          // sort_array: natural ordering, no comparator lambda (see
+          // dedupParagraphs)
+          .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("_ordered"))
           .select(col(idCol),
-            concat_ws(" ", transform(col("_ordered"), x => x.getField("tok"))).as("kept_text"),
+            // codegen rebuild — see dedupParagraphs' reassembly note
+            graft.functions.TextExpressions.join_ordered_structs(
+              col("_ordered"), numFields = 2, fieldIdx = 1, sep = " ")
+              .as("kept_text"),
             size(col("_ordered")).cast(LongType).as("n_tokens_kept")),
         Seq(idCol), "left")
       .select(col(idCol),

@@ -587,6 +587,13 @@ class OperatorsSpec extends SparkSpecBase {
       docs.repartition(5), "doc_id").orderBy("doc_id").collect()
     assert(again.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       out.map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // the reassembly is a codegen scalar, not an interpreted transform()
+    // (optimized LOGICAL plan: the optimizer collapses the rebuild into
+    // the aggregate's resultExpressions, which physical toString omits)
+    val plan = graft.operators.TextAnalysis.dedupParagraphs(docs, "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_join_structs"), plan)
+    assert(!plan.contains("lambdafunction") && !plan.contains("transform("), plan)
   }
 
   test("sentence split + sentence-boundary chunking: boundary rule, decoys, budget discipline") {
@@ -973,6 +980,11 @@ class OperatorsSpec extends SparkSpecBase {
       ("gamma delta", 2L),
       ("unique content only here now", 5L), // untouched
       ("", 0L), ("", 0L)))         // exact dups fully covered
+    // the token rebuild is a codegen scalar, not an interpreted transform()
+    val plan = TextAnalysis.dropSharedSpans(docs, "doc_id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_join_structs"), plan)
+    assert(!plan.contains("lambdafunction") && !plan.contains("transform("), plan)
   }
 
   test("chunk emits overlapping fixed-size windows covering every token") {

@@ -148,6 +148,56 @@ class UrlCanonSpec extends SparkSpecBase {
     assert(registrableDomain("") == null)
   }
 
+  test("PublicSuffix.fromFile: real publicsuffix.dat format — comments, section markers, wildcard, exception, private filtering") {
+    import graft.functions.{PublicSuffix, UrlCanon}
+    val dat = Seq(
+      "// This Source Code Form is subject to the terms of the MPL 2.0.",
+      "",
+      "// ===BEGIN ICANN DOMAINS===",
+      "",
+      "// uk : https://www.nominet.uk/",
+      "uk",
+      "co.uk  // trailing comment after whitespace is dropped",
+      "// ck : https://example.invalid/",
+      "ck",
+      "*.ck",
+      "!www.ck",
+      "com",
+      "// ===END ICANN DOMAINS===",
+      "// ===BEGIN PRIVATE DOMAINS===",
+      "",
+      "// GitHub, Inc.",
+      "github.io",
+      "// ===END PRIVATE DOMAINS===")
+    val f = java.io.File.createTempFile("psl", ".dat")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      dat.mkString("\n").getBytes("UTF-8"))
+    val rules = PublicSuffix.fromFile(f.getPath)
+    // 5 exact (uk, co.uk, ck, com, github.io) + 1 wildcard + 1 exception
+    assert(rules.size == 7, s"expected 7 rules, got ${rules.size}")
+    assert(rules.registrableDomain("a.b.example.co.uk") == "example.co.uk")
+    assert(rules.registrableDomain("deep.w.any.ck") == "w.any.ck") // wildcard
+    assert(rules.registrableDomain("sub.www.ck") == "www.ck")      // exception
+    assert(rules.registrableDomain("a.mysite.github.io") == "mysite.github.io")
+    // ICANN-only load: the private github.io rule is gone, implicit *
+    // puts the cut at .io
+    val icann = PublicSuffix.fromFile(f.getPath, includePrivate = false)
+    assert(icann.registrableDomain("a.mysite.github.io") == "github.io")
+    assert(icann.registrableDomain("a.b.example.co.uk") == "example.co.uk")
+    // the file-driven matcher drives the COLUMN path (domainStats) — the
+    // rules ride as a plan reference object, not plan text
+    val docs = Seq(
+      (1L, "http://a.site.github.io/x"),
+      (2L, "http://b.site.github.io/y")).toDF("doc_id", "url")
+    val byFile = UrlCanon.domainStats(docs, "doc_id", "url", rules)
+      .select("domain").as[String].collect().toSet
+    assert(byFile == Set("site.github.io"))
+    val byIcann = UrlCanon.domainStats(docs, "doc_id", "url", icann)
+      .select("domain").as[String].collect().toSet
+    assert(byIcann == Set("github.io"))
+  }
+
   test("domainStats aggregates subdomain shards into one site row; domain blocklist covers every subdomain") {
     import graft.functions.UrlCanon
     val docs = Seq(
