@@ -107,6 +107,16 @@ object Functions {
     */
   def portableTokenHash(t: Column): Column = TextExpressions.poly_token_hash(t)
 
+  /** Version tag of [[portableTokenHash]]'s arithmetic, stamped into every
+    * persisted artifact keyed by it (frequency-sketch rows, classifier
+    * models) and `require()`d on read: a sketch built under one hash and
+    * probed under another returns silently-wrong estimates — the grid
+    * carries no other signal of the mismatch. v1 was the (length, first,
+    * last) 3-feature hash; v2 is the full polynomial (mult 131 mod 1e9+7)
+    * over all codepoints. Bump on ANY change to the arithmetic.
+    */
+  val TokenHashVersion: Int = 2
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(

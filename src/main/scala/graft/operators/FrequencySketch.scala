@@ -20,7 +20,12 @@ import graft.functions.{CountMin, Functions => F}
   * arithmetic (double hashing over [[F.portableTokenHash]]), so the
   * grid and every estimate — collisions included — replay bit-for-bit
   * in the oracle. The sketch is a self-describing one-row DataFrame
-  * `(grid, total_tokens, seed, depth, width)`, parquet-round-trippable;
+  * `(grid, total_tokens, seed, depth, width, hash_version)`,
+  * parquet-round-trippable — `hash_version` pins the token-hash
+  * arithmetic the grid was built under ([[F.TokenHashVersion]]), and
+  * [[estimateTokens]]/[[mergeSketches]] `require()` it so a sketch
+  * persisted under an older hash fails loudly instead of returning
+  * silently-wrong estimates;
   * sketches over disjoint corpus slices merge by element-wise addition
   * into exactly the union's sketch ([[mergeSketches]]).
   */
@@ -66,7 +71,27 @@ object FrequencySketch {
       .agg(CountMin.countmin_agg(col("_pos"), depth, width).as("grid"),
         count(lit(1)).as("total_tokens"))
       .select(col("grid"), col("total_tokens"), lit(seed).as("seed"),
-        lit(depth).as("depth"), lit(width).as("width"))
+        lit(depth).as("depth"), lit(width).as("width"),
+        lit(F.TokenHashVersion).as("hash_version"))
+  }
+
+  /** Loud guard against probing a sketch persisted under a different
+    * token-hash arithmetic: a missing column means a pre-versioning
+    * artifact (built under hash v1); a value mismatch means the hash
+    * changed after the sketch was written. Either way every estimate
+    * would be silently wrong — refuse instead.
+    */
+  private def checkHashVersion(sketch: DataFrame, what: String): Unit = {
+    require(sketch.columns.contains("hash_version"),
+      s"$what has no hash_version column — it predates token-hash " +
+        s"versioning (current v${F.TokenHashVersion}); rebuild it from " +
+        "the corpus before probing")
+    val vs = sketch.select("hash_version").distinct().collect()
+      .map(_.getInt(0))
+    require(vs.forall(_ == F.TokenHashVersion),
+      s"$what was built under token-hash v${vs.mkString(",")} but this " +
+        s"build hashes with v${F.TokenHashVersion} — estimates would be " +
+        "silently wrong; rebuild the sketch from the corpus")
   }
 
   /** Estimate the corpus frequency of every key in `keys(keyCol)` —
@@ -75,6 +100,7 @@ object FrequencySketch {
     */
   def estimateTokens(keys: DataFrame, sketch: DataFrame,
                      keyCol: String): DataFrame = {
+    checkHashVersion(sketch, "sketch")
     val rows = sketch.select("grid", "seed", "depth", "width").collect()
     require(rows.length == 1, s"expected one sketch row, got ${rows.length}")
     val grid = rows(0).getSeq[Long](0).toArray
@@ -142,6 +168,8 @@ object FrequencySketch {
     * configs must match exactly.
     */
   def mergeSketches(a: DataFrame, b: DataFrame): DataFrame = {
+    checkHashVersion(a, "left sketch")
+    checkHashVersion(b, "right sketch")
     val merged = a.unionByName(b)
     val cfg = merged.select("seed", "depth", "width").distinct().collect()
     require(cfg.length <= 1,
@@ -150,6 +178,7 @@ object FrequencySketch {
       graft.functions.CountMin.sum_words_agg(col("grid")).as("grid"),
       sum("total_tokens").cast("long").as("total_tokens"),
       first("seed").as("seed"), first("depth").as("depth"),
-      first("width").as("width"))
+      first("width").as("width"),
+      first("hash_version").as("hash_version"))
   }
 }

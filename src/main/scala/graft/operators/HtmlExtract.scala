@@ -173,7 +173,12 @@ object HtmlExtract {
                 if (html.regionMatches(true, k, close, 0, close.length)) found = k
                 k += 1
               }
-              if (found < 0) i = n // unclosed payload: drop the rest
+              // unclosed payload tag: for script/style drop the rest
+              // (the content is code — emitting it would be worse), but
+              // an unclosed <title> is COMMON in malformed crawl HTML
+              // and its payload is a short line of text — skip just the
+              // open tag rather than discard the entire remaining body
+              if (found < 0) i = if (name == "title") end + 1 else n
               else {
                 val gt = html.indexOf('>', found)
                 i = if (gt < 0) n else gt + 1

@@ -47,11 +47,53 @@ object LinearClassifier {
   /** Trained model: dense weights by bucket, integer bias, config.
     * `bigrams` records whether adjacent-token-pair features were hashed
     * in alongside unigrams (fastText's word-n-gram trick — scoring must
-    * extract the same feature set).
+    * extract the same feature set). `hashVersion` pins the token-hash
+    * arithmetic the buckets were computed under
+    * ([[graft.functions.Functions.TokenHashVersion]]): a model persisted
+    * under one hash and scored under another maps every token to the
+    * wrong bucket — [[score]] `require()`s the match so stale artifacts
+    * fail loudly instead of mis-scoring.
     */
   case class Model(weights: Array[Long], bias: Long, numBuckets: Int,
-                   epochs: Int, bigrams: Boolean = false) {
+                   epochs: Int, bigrams: Boolean = false,
+                   hashVersion: Int = F.TokenHashVersion) {
     require(weights.length == numBuckets)
+  }
+
+  /** Persist a model as a self-describing one-row DataFrame
+    * `(weights, bias, num_buckets, epochs, bigrams, hash_version)` —
+    * parquet-round-trippable; [[modelFromRow]] restores it with the
+    * hash-version guard.
+    */
+  def modelToRow(spark: org.apache.spark.sql.SparkSession,
+                 model: Model): DataFrame = {
+    import spark.implicits._
+    Seq((model.weights.toSeq, model.bias, model.numBuckets, model.epochs,
+      model.bigrams, model.hashVersion))
+      .toDF("weights", "bias", "num_buckets", "epochs", "bigrams",
+        "hash_version")
+  }
+
+  /** Restore a persisted model row. A missing `hash_version` column
+    * (pre-versioning artifact) or a value differing from this build's
+    * [[graft.functions.Functions.TokenHashVersion]] is a loud error —
+    * every bucket lookup would be silently wrong.
+    */
+  def modelFromRow(df: DataFrame): Model = {
+    require(df.columns.contains("hash_version"),
+      "model row has no hash_version column — it predates token-hash " +
+        s"versioning (current v${F.TokenHashVersion}); retrain the model")
+    val rows = df.select("weights", "bias", "num_buckets", "epochs",
+      "bigrams", "hash_version").collect()
+    require(rows.length == 1, s"expected one model row, got ${rows.length}")
+    val r = rows(0)
+    val m = Model(r.getSeq[Long](0).toArray, r.getLong(1), r.getInt(2),
+      r.getInt(3), r.getBoolean(4), r.getInt(5))
+    require(m.hashVersion == F.TokenHashVersion,
+      s"model was trained under token-hash v${m.hashVersion} but this " +
+        s"build hashes with v${F.TokenHashVersion} — scores would be " +
+        "silently wrong; retrain the model")
+    m
   }
 
   /** Portable token→bucket hash (pure codegen arithmetic; the shared
@@ -191,11 +233,16 @@ object LinearClassifier {
     * misclassified.
     */
   def score(docs: DataFrame, model: Model,
-            textCol: String = "text"): DataFrame =
+            textCol: String = "text"): DataFrame = {
+    require(model.hashVersion == F.TokenHashVersion,
+      s"model was trained under token-hash v${model.hashVersion} but " +
+        s"this build hashes with v${F.TokenHashVersion} — scores would " +
+        "be silently wrong; retrain the model")
     docs
       .withColumn("score", graft.functions.TextExpressions.token_fold_long(
         col(textCol), model.weights, model.bias, model.bigrams))
       .withColumn("pred", when(col("score") > 0, 1).otherwise(-1))
+  }
 
   /** Train on `labeled`, keep the corpus slice predicted +1 — the
     * model-based quality gate in one call.

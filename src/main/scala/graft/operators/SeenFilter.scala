@@ -216,6 +216,22 @@ object SeenFilter {
   * membership loss, i.e. dup re-admission that no drift check would
   * catch. A second writer now fails loudly instead; a crashed holder's
   * lock is swept by [[recover]] age-graced.
+  *
+  * THE LOCK IS ONLY AS ATOMIC AS THE FILESYSTEM'S CREATE-EXCLUSIVE:
+  * `fs.create(path, overwrite = false)` is an atomic test-and-create on
+  * HDFS and local POSIX filesystems — the store's supported homes. On
+  * S3A-style object stores it is a non-atomic existence check followed
+  * by a PUT, so two racing writers can BOTH acquire; do not home the
+  * store there without fronting appends with a real coordination
+  * service (or a single-writer scheduler). Torn acquisitions are
+  * detectable: the holder's token is terminated by a newline written in
+  * the same close, so a crash between create() and close() leaves
+  * content without the terminator — such a TORN lock is reclaimable by
+  * any writer after a short grace ([[TornLockGraceMs]]) instead of
+  * blocking the store for the full [[recover]] grace. A LIVE append
+  * refreshes the lock's mtime between its internal jobs, so
+  * [[recover]]'s age sweep does not harvest the lock of an append that
+  * merely runs long.
   */
 object SeenFilterStore {
 
@@ -223,6 +239,14 @@ object SeenFilterStore {
 
   val CurrentName = "_CURRENT"
   val AppendLockName = ".append_lock"
+
+  /** How old a TORN lock (created but never token-terminated — a crash
+    * between create() and close()) must be before any writer may reclaim
+    * it. The create→close window is one small metadata write, not a
+    * Spark job, so 30 s is generous; a lock with a complete token is
+    * never swept by this path.
+    */
+  val TornLockGraceMs: Long = 30 * 1000L
 
   private def stamp(): String =
     s"gen-${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -270,14 +294,25 @@ object SeenFilterStore {
       val (seed, k, m, sh) = (cfg(0).getLong(0), cfg(0).getInt(1),
         cfg(0).getInt(2), cfg(0).getInt(3))
       val marked = SeenFilter.markSeen(batch, cur, textCol).localCheckpoint()
+      // heartbeat between the append's internal jobs: a long mark or
+      // merge must not look crash-stale to recover()'s age sweep
+      touchLock(spark, lock)
       val merged = SeenFilter.mergeFilters(cur,
         SeenFilter.buildFilter(batch, textCol, seed, k, m, sh))
+      touchLock(spark, lock)
       writeGen(spark, root, merged)
       marked
     } finally {
       val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(lock, false)
     }
+  }
+
+  private def touchLock(spark: SparkSession,
+                        lock: org.apache.hadoop.fs.Path): Unit = {
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.setTimes(lock, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () } // best-effort heartbeat
   }
 
   /** Take the create-exclusive writer lock, or fail LOUDLY if another
@@ -299,24 +334,37 @@ object SeenFilterStore {
     val lock = new org.apache.hadoop.fs.Path(s"$root/$AppendLockName")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token = writerToken.getOrElse("")
+    // the atomic acquire point: create-exclusive (see the FS requirement
+    // in the object doc). The trailing newline is the write-completed
+    // terminator — content without it means the holder crashed between
+    // create() and close() (a torn lock), distinguishable from a live
+    // writer with an empty token.
     def tryCreate(): Boolean =
       try {
         val out = fs.create(lock, false)
-        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write((token + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def readContent(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        val b = in.readAllBytes()
+        in.close()
+        Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: java.io.IOException => None }
     var acquired = tryCreate()
-    if (!acquired && token.nonEmpty) {
-      // same-token residue = our own crashed attempt: reclaim
-      val existing =
-        try {
-          val in = fs.open(lock)
-          val b = in.readAllBytes()
-          in.close()
-          new String(b, java.nio.charset.StandardCharsets.UTF_8)
-        } catch { case _: java.io.IOException => null }
-      if (existing == token) {
+    if (!acquired) {
+      val content = readContent()
+      val sameToken = token.nonEmpty && content.exists(_ == token + "\n")
+      // a TORN lock (no terminator) older than the tear grace is crash
+      // residue from the create→close window — reclaimable by anyone
+      val tornStale = content.exists(!_.endsWith("\n")) &&
+        (try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > TornLockGraceMs
+        catch { case _: java.io.IOException => false })
+      if (sameToken || tornStale) {
+        // same-token residue = our own crashed attempt: reclaim
         fs.delete(lock, false)
         acquired = tryCreate()
       }

@@ -205,10 +205,12 @@ object TextAnalysis {
     * letter or digit (or end of text), and a newline is always a
     * boundary. "e.g. this" does not split (lowercase follows), and the
     * uppercase-follows rule is gated by an abbreviation check on a
-    * SINGLE `.`: a dotted-single-letter token (U.S., e.g., i.e., a.m.,
-    * an initial) or a listed title/latinism/month ([[Abbreviations]])
-    * is not a boundary, so "U.S. Government" and "Mr. Smith" stay
-    * whole. The residual cost of rule-based splitting is a rare
+    * SINGLE `.`: a dotted acronym (U.S., e.g., i.e., a.m.), a
+    * name-initial (a bare uppercase letter preceded by a capitalized
+    * word, "John F. Kennedy"), or a listed title/latinism/month
+    * ([[Abbreviations]]) is not a boundary, so "U.S. Government" and
+    * "Mr. Smith" stay whole — while "plan B. Next" and "did I. Then"
+    * split. The residual cost of rule-based splitting is a rare
     * suppressed TRUE boundary after a sentence-final abbreviation
     * ("…and more etc. The next…") — acceptable for CHUNKING (a
     * boundary too few never cuts mid-clause the way a token-window
@@ -225,9 +227,13 @@ object TextAnalysis {
     def isUpperOrDigit(c: Char) =
       (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
     val n = text.length
-    // the word ending just before `endExcl` is an abbreviation: either a
-    // dotted-single-letter acronym/initial (U.S, e.g, J — letters and
-    // dots strictly alternating, letter first and last) or a listed one
+    // the word ending just before `endExcl` is an abbreviation: a dotted
+    // acronym (U.S, e.g, a.m — letters and dots strictly alternating
+    // with at least one INTERIOR dot, so length >= 3), a bare single
+    // letter ONLY in name-initial context (uppercase preceded by a
+    // capitalized word: "John F. Kennedy" — but "plan B. Next",
+    // "vitamin C. The", "did I. Then" are true boundaries and split),
+    // or a listed title/latinism/month
     def isAbbrev(endExcl: Int): Boolean = {
       var w = endExcl - 1
       while (w >= 0 && {
@@ -235,7 +241,19 @@ object TextAnalysis {
       }) w -= 1
       val word = text.substring(w + 1, endExcl)
       if (word.isEmpty) return false
-      var acronym = word.length % 2 == 1
+      if (word.length == 1 && Character.isLetter(word.charAt(0))) {
+        if (!Character.isUpperCase(word.charAt(0))) return false
+        var e = w
+        while (e >= 0 && {
+          val d = text.charAt(e); d == ' ' || d == '\t'
+        }) e -= 1
+        var b = e
+        while (b >= 0 && {
+          val d = text.charAt(b); d != ' ' && d != '\t' && d != '\n'
+        }) b -= 1
+        return b < e && Character.isUpperCase(text.charAt(b + 1))
+      }
+      var acronym = word.length >= 3 && word.length % 2 == 1
       var p = 0
       while (acronym && p < word.length) {
         acronym = if (p % 2 == 0) Character.isLetter(word.charAt(p))

@@ -93,6 +93,30 @@ class FrequencySketchSpec extends SparkSpecBase {
     }
   }
 
+  test("hash_version rides the sketch row and gates every probe: stale or version-less artifacts fail loudly") {
+    val sketch = FrequencySketch.tokenSketch(docs, depth = 3, width = 256)
+    assert(sketch.select("hash_version").head.getInt(0) == F.TokenHashVersion)
+    val keys = Seq("the").toDF("token")
+    // a sketch persisted under an older hash arithmetic (doctored version)
+    val stale = sketch.withColumn("hash_version", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      FrequencySketch.estimateTokens(keys, stale, "token").collect()
+    }
+    assert(e1.getMessage.contains("token-hash v1"), e1.getMessage)
+    // a pre-versioning artifact (column absent entirely)
+    val versionless = sketch.drop("hash_version")
+    val e2 = intercept[IllegalArgumentException] {
+      FrequencySketch.estimateTokens(keys, versionless, "token").collect()
+    }
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      FrequencySketch.mergeSketches(sketch, stale).collect()
+    }
+    // merge of matching sketches carries the version through
+    assert(FrequencySketch.mergeSketches(sketch, sketch)
+      .select("hash_version").head.getInt(0) == F.TokenHashVersion)
+  }
+
   test("geometryFor: the (epsilon, delta) guarantee sizes the grid; untenable epsilon is loud") {
     assert(FrequencySketch.geometryFor(0.001, 0.01) == ((5, 2719)))
     assert(FrequencySketch.geometryFor(0.3, 0.5) == ((1, 10)))

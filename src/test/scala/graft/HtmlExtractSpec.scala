@@ -47,6 +47,16 @@ class HtmlExtractSpec extends SparkSpecBase {
     assert(extractTextString("<a href='a>b' title=\"x>y\">link</a>") == "link")
     assert(extractTextString("text <a href=") == "text")
     assert(extractTextString("keep<script>var x = 1;") == "keep")
+    // an UNCLOSED <title> (common malformed-crawl shape) must not
+    // swallow the remaining document: only the open tag is skipped —
+    // the title text leaks into the body, the body itself survives
+    assert(extractTextString(
+      "<html><head><title>T<body>the body text</body></html>") ==
+      "T\nthe body text")
+    // closed <title> still drops its payload entirely
+    assert(extractTextString("<title>T</title>body here") == "body here")
+    // unclosed script/style still fail-soft truncate (payload is code)
+    assert(extractTextString("keep<style>.x{color:red}") == "keep")
   }
 
   test("whitespace collapses; doctype and head chrome drop; trailing trim") {

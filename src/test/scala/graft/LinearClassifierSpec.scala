@@ -110,4 +110,33 @@ class LinearClassifierSpec extends SparkSpecBase {
         numBuckets = 64, epochs = 0)
     }
   }
+
+  test("model round-trips through its persisted row; hash_version gates score and load") {
+    val docs = synth
+    val model = LinearClassifier.trainPerceptron(docs, "doc_id", "y",
+      numBuckets = 64, epochs = 4, bigrams = true)
+    assert(model.hashVersion == graft.functions.Functions.TokenHashVersion)
+    val row = LinearClassifier.modelToRow(spark, model)
+    val back = LinearClassifier.modelFromRow(row)
+    assert(back == model.copy(weights = back.weights) &&
+      back.weights.toSeq == model.weights.toSeq)
+    val a = LinearClassifier.score(docs, model).select("doc_id", "score")
+    val b = LinearClassifier.score(docs, back).select("doc_id", "score")
+    assert(a.collect().toSeq == b.collect().toSeq)
+    // a model persisted under the old hash arithmetic must refuse to score
+    val stale = model.copy(hashVersion = 1)
+    val e1 = intercept[IllegalArgumentException] {
+      LinearClassifier.score(docs, stale)
+    }
+    assert(e1.getMessage.contains("token-hash v1"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      LinearClassifier.modelFromRow(row.withColumn("hash_version", lit(1)))
+    }
+    assert(e2.getMessage.contains("token-hash v1"), e2.getMessage)
+    // a pre-versioning row (column absent) is equally loud
+    val e3 = intercept[IllegalArgumentException] {
+      LinearClassifier.modelFromRow(row.drop("hash_version"))
+    }
+    assert(e3.getMessage.contains("predates"), e3.getMessage)
+  }
 }

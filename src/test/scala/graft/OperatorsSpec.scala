@@ -609,6 +609,17 @@ class OperatorsSpec extends SparkSpecBase {
       Seq("The U.S. Government pays.", "Mr. Smith agrees."))
     assert(splitSentencesString("See e.g. Figure one. Dr. J. Watson et al. Works.").toSeq ==
       Seq("See e.g. Figure one.", "Dr. J. Watson et al. Works."))
+    // a bare single letter is an initial ONLY in name context (uppercase
+    // AND preceded by a capitalized word); elsewhere it is a true
+    // sentence end — "plan B." / "vitamin C." / "did I." all split
+    assert(splitSentencesString("Use plan B. Next we regroup.").toSeq ==
+      Seq("Use plan B.", "Next we regroup."))
+    assert(splitSentencesString("Take vitamin C. The rest follows.").toSeq ==
+      Seq("Take vitamin C.", "The rest follows."))
+    assert(splitSentencesString("So did I. Then we left.").toSeq ==
+      Seq("So did I.", "Then we left."))
+    assert(splitSentencesString("John F. Kennedy spoke. Crowds cheered.").toSeq ==
+      Seq("John F. Kennedy spoke.", "Crowds cheered."))
     // an ellipsis run is never abbreviation-suppressed
     assert(splitSentencesString("He left... Then came back.").toSeq ==
       Seq("He left...", "Then came back."))

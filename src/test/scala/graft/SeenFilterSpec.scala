@@ -155,15 +155,56 @@ class SeenFilterSpec extends SparkSpecBase {
     assert(SeenFilterStore.currentGen(spark, root).get != gen0)
     // retry escape hatch: a tokened writer reclaims ITS OWN crashed
     // attempt's lock (the streaming foreachBatch retry path) but still
-    // refuses a DIFFERENT holder's
-    java.nio.file.Files.write(lockFile, "batch-7".getBytes("UTF-8"))
+    // refuses a DIFFERENT holder's (the \n is the write-completed
+    // terminator a real holder leaves)
+    java.nio.file.Files.write(lockFile, "batch-7\n".getBytes("UTF-8"))
     SeenFilterStore.appendBatch(spark, root, batch,
       writerToken = Some("batch-7")) // reclaims, completes, releases
     assert(!java.nio.file.Files.exists(lockFile))
-    java.nio.file.Files.write(lockFile, "batch-8".getBytes("UTF-8"))
+    java.nio.file.Files.write(lockFile, "batch-8\n".getBytes("UTF-8"))
     intercept[IllegalArgumentException] {
       SeenFilterStore.appendBatch(spark, root, batch,
         writerToken = Some("batch-9"))
+    }
+    java.nio.file.Files.delete(lockFile)
+  }
+
+  test("torn lock (crash between create and close): fresh torn blocks, aged torn is reclaimable by any writer") {
+    import graft.operators.SeenFilterStore
+    val root = java.nio.file.Files.createTempDirectory("bloomtorn_").toString
+    SeenFilterStore.init(spark, root,
+      SeenFilter.buildFilter(docs.where(col("doc_id") % 2 === 0),
+        seed = 3L, kHashes = 5, mBits = 1 << 14, numShards = 4))
+    val batch = docs.where(col("doc_id") % 2 =!= 0)
+    val lockFile = java.nio.file.Paths.get(root, SeenFilterStore.AppendLockName)
+    // content without the \n terminator = the holder died between
+    // create() and close(); while FRESH it might still be mid-write,
+    // so even a tokened retry must refuse
+    java.nio.file.Files.write(lockFile, "batch-3".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      SeenFilterStore.appendBatch(spark, root, batch)
+    }
+    intercept[IllegalArgumentException] {
+      SeenFilterStore.appendBatch(spark, root, batch,
+        writerToken = Some("batch-3"))
+    }
+    // age it past the tear grace: now it is provably crash residue and
+    // ANY writer (tokenless included) reclaims instead of waiting out
+    // the full recover() grace
+    java.nio.file.Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - SeenFilterStore.TornLockGraceMs - 5000L))
+    SeenFilterStore.appendBatch(spark, root, batch)
+    assert(!java.nio.file.Files.exists(lockFile),
+      "append must release the reclaimed lock")
+    // a COMPLETE-token lock is never torn-reclaimed however old: aging a
+    // terminated foreign lock still refuses a tokenless writer
+    java.nio.file.Files.write(lockFile, "batch-4\n".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - SeenFilterStore.TornLockGraceMs - 5000L))
+    intercept[IllegalArgumentException] {
+      SeenFilterStore.appendBatch(spark, root, batch)
     }
     java.nio.file.Files.delete(lockFile)
   }
