@@ -2195,6 +2195,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Cross-modal PAIR curation, end to end: (image, caption) rows
+    //      through decode-ok → caption quality (token bounds + phrase
+    //      blocklist) → pHash-keyed near-dup collapse (keep the
+    //      longest-captioned copy) → exact caption dedup, with every
+    //      stage's ledger count gated. Solid PNGs collapse the image
+    //      side to arithmetic: equal-channel luma v = (id%40)·6, so
+    //      every same-class pair verifies at mean-gap 0 and every
+    //      cross-class pair fails (gap ≥ 6 > tol 4) — the REAL chain
+    //      (PNG decode, 32×32 luma grid, integer-DCT pHash, Manku
+    //      banding, bucket join, mean verify, connected components,
+    //      keep-best window, Aho–Corasick, token-count kernel) runs on
+    //      the Spark side while DuckDB replays the survivor set from
+    //      id arithmetic alone. id%13 images are corrupt bytes (decode
+    //      gate), id%5 captions run short, id%11 captions carry the
+    //      blocked phrase, id%3 pads vary the caption length the
+    //      keep-best rule ranks on. ----
+    "q_pair_curation" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{JdkMedia, PairCuration}
+      val pairsDf = t(s, dir, "documents").where(col("doc_id") < 240)
+        .select(col("doc_id")).as[Long].map { id =>
+          val v = ((id % 40) * 6).toInt
+          val img =
+            if (id % 13 == 0) "not an image payload".getBytes("UTF-8")
+            else JdkMedia.solidPng(8, 8, v, v, v)
+          val cap = s"pair cap c${id % 7}" +
+            (if (id % 5 == 0) "" else " tail words") +
+            (" pad" * (id % 3).toInt) +
+            (if (id % 11 == 0) " click here now" else "")
+          (id, img, cap)
+        }.toDF("pair_id", "image", "caption")
+      val (out, ledger) = PairCuration.curatePairsAudited(pairsDf, "pair_id",
+        cfg = PairCuration.Config(minCaptionTokens = 4,
+          blockPhrases = Seq("click here now")))
+      val led = ledger.toMap
+      out.select(col("pair_id"), col("caption"))
+        .withColumn("led_input", lit(led("input")))
+        .withColumn("led_decode", lit(led("image_decode")))
+        .withColumn("led_quality", lit(led("caption_quality")))
+        .withColumn("led_keepbest", lit(led("image_neardup_keep_best")))
+        .withColumn("led_final", lit(led("final")))
+        .orderBy(col("pair_id"))
+    }),
+
     // ---- The COMPOSED pipeline, end to end: preClean (mojibake+NFC) →
     //      lineDedup → gopherRules → phrase blocklist → exact dedup →
     //      near-dup keep-best → decontaminate → hash split → temperature
@@ -4226,6 +4270,42 @@ object SparkEntry {
         |   OR (doc_id % 4 = 2 AND (doc_id % 9000) + 1000 >= 3000)
         |   OR (doc_id % 4 = 3 AND ((doc_id % 3) + 1) * ((doc_id % 9) + 1) * 500 >= 3000)
         |ORDER BY doc_id""".stripMargin,
+
+    // the whole pair-curation chain from id arithmetic: decode fate
+    // (id%13), caption string + token count ((id%7, id%5, id%3, id%11)
+    // arithmetic), image class (id%40 — solid luma spacing 6 > tol 4 ⇒
+    // components == classes), keep-best (max tokens, tie min id), exact
+    // caption dedup (min id), and every stage's ledger count
+    "q_pair_curation" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'pair cap c' || CAST(doc_id % 7 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE ' tail words' END)
+        |      || repeat(' pad', CAST(doc_id % 3 AS INT))
+        |      || (CASE WHEN doc_id % 11 = 0 THEN ' click here now' ELSE '' END)
+        |      AS caption,
+        |    doc_id % 40 AS img_class,
+        |    3 + (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 2 END) + (doc_id % 3)
+        |      + (CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END) AS n_tok
+        |  FROM documents WHERE doc_id < 240),
+        |decoded AS (SELECT * FROM base WHERE doc_id % 13 <> 0),
+        |qual AS (SELECT * FROM decoded
+        |  WHERE doc_id % 11 <> 0 AND n_tok BETWEEN 4 AND 512),
+        |coll AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY img_class ORDER BY n_tok DESC, doc_id) AS rn
+        |  FROM qual) WHERE rn = 1),
+        |fin AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY caption ORDER BY doc_id) AS rn2
+        |  FROM coll) WHERE rn2 = 1)
+        |SELECT doc_id AS pair_id, caption,
+        |  (SELECT count(*) FROM base) AS led_input,
+        |  (SELECT count(*) FROM decoded) AS led_decode,
+        |  (SELECT count(*) FROM qual) AS led_quality,
+        |  (SELECT count(*) FROM coll) AS led_keepbest,
+        |  (SELECT count(*) FROM fin) AS led_final
+        |FROM fin ORDER BY pair_id""".stripMargin,
 
     // the probed container facts from the generating arithmetic alone
     // (mvhd timescale fixed at 1000 ⇒ duration_ms == the stamped value)

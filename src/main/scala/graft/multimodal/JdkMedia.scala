@@ -721,12 +721,28 @@ object JdkMedia {
                          meanTol: Double = 4.0,
                          maxBucket: Int = 100000,
                          maxHamming: Int = 1): DataFrame = {
+    val feats = phashFeatureRows(media).where(
+      org.apache.spark.sql.functions.col("ok")).drop("ok")
+    bandedCenteredPairs(feats, 64, maxHamming, maxBucket, threshold, meanTol)
+  }
+
+  /** ONE decode per image → the pHash near-dup signature row
+    * `(id, ok, ahash, mean, centered, norm0)`: `ahash` is the 63-bit DCT
+    * pHash ([[phash64]]), the verify features come from the 4×4 grid of
+    * 8×8 block means of the same 32×32 luma grid. `ok = false` rows mark
+    * undecodable payloads (zeroed features) — kept so callers like
+    * [[PairCuration]] can ledger the decode gate before banding; the
+    * near-dup front-ends filter them out.
+    */
+  private[multimodal] def phashFeatureRows(
+      media: Dataset[Multimodal.MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
-    val feats = media.mapPartitions(_.flatMap { r =>
+    media.mapPartitions(_.map { r =>
       val img =
         try javax.imageio.ImageIO.read(new ByteArrayInputStream(r.content))
         catch { case _: Exception => null }
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+        (r.media_id, false, 0L, 0.0, Seq.empty[Double], false)
       else {
         val g32 = lumaGrid32(img)
         val ph = phash64(g32)
@@ -743,10 +759,9 @@ object JdkMedia {
           s / 64.0
         }
         val (_, _, mean, centered, norm0) = gridFeatureRow(r.media_id, g16)
-        Some((r.media_id, ph, mean, centered, norm0))
+        (r.media_id, true, ph, mean, centered, norm0)
       }
-    }).toDF("id", "ahash", "mean", "centered", "norm0")
-    bandedCenteredPairs(feats, 64, maxHamming, maxBucket, threshold, meanTol)
+    }).toDF("id", "ok", "ahash", "mean", "centered", "norm0")
   }
 
   /** Deterministic 32×32 gradient-PNG media table from the documents

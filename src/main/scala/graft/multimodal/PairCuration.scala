@@ -1,0 +1,136 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{TextExpressions, Functions => F}
+import graft.operators.Dedup
+
+/** Cross-modal (image, caption) pair curation — the LAION-shape
+  * image-text gate composed from the engine's per-modality pieces into
+  * ONE audited pipeline: a pair survives only if its IMAGE decodes and
+  * wins its perceptual near-dup group AND its CAPTION passes the text
+  * gates and is the first carrier of its content.
+  *
+  * Stage order (each tapped into the ledger, q_pipeline_full-style):
+  *   1. `input`          — the pair count in.
+  *   2. `image_decode`   — undecodable image payloads drop; the decode
+  *                         runs ONCE per image and yields everything the
+  *                         later stages need ([[JdkMedia.phashFeatureRows]]:
+  *                         the 63-bit DCT pHash + the 4×4 verify grid),
+  *                         so no stage ever re-touches the bytes.
+  *   3. `caption_quality` — whitespace-token count inside
+  *                         [minCaptionTokens, maxCaptionTokens] and zero
+  *                         blocklist-phrase hits (Aho–Corasick, one text
+  *                         pass regardless of phrase count). Runs BEFORE
+  *                         the near-dup exchange so the banding only
+  *                         carries rows that could survive.
+  *   4. `image_neardup_keep_best` — perceptual collapse keyed by the
+  *                         IMAGE: pHash-banded candidates verified by
+  *                         mean-gap + centered cosine (the shared
+  *                         [[JdkMedia.bandedCenteredPairs]] core), then
+  *                         one keep-best per connected group — the
+  *                         surviving pair is the one with the LONGEST
+  *                         caption (ties → min id), the standard "keep
+  *                         the best-captioned copy" rule.
+  *   5. `final`          — exact caption dedup: among survivors, the
+  *                         min-id pair per identical caption string.
+  *
+  * Scale shape: after stage 2 every exchange carries only
+  * (id, caption, hash, 16 doubles) — the image BYTES never shuffle; the
+  * banding join is id-only with per-bucket caps; the collapse is the
+  * connected-components label loop plus one window over the component
+  * key; the caption dedup is one exchange on the caption. Callers that
+  * need the full original rows semi-join the survivor ids back
+  * (id-only), exactly like the release layer.
+  */
+object PairCuration {
+
+  /** @param minCaptionTokens  whitespace-token floor for captions
+    * @param maxCaptionTokens  token ceiling (alt-text spam / runaway
+    *                          scrapes)
+    * @param blockPhrases      C4-style phrase blocklist (empty = off)
+    * @param threshold         centered-cosine floor for the image verify
+    * @param meanTol           luma mean-gap tolerance for the image verify
+    * @param maxBucket         per-band bucket cap for the candidate join
+    * @param maxHamming        pHash Hamming tolerance the banding covers
+    */
+  final case class Config(
+      minCaptionTokens: Int = 4,
+      maxCaptionTokens: Int = 512,
+      blockPhrases: Seq[String] = Nil,
+      threshold: Double = 0.98,
+      meanTol: Double = 4.0,
+      maxBucket: Int = 100000,
+      maxHamming: Int = 1)
+
+  /** Curate `pairs(idCol, imageCol: binary, captionCol: string, …)`.
+    * Returns the survivor frame `(idCol, captionCol, phash)` plus the
+    * per-stage ledger — survivors carry the pHash so downstream serving
+    * (e.g. an incremental pair store) can band against it without
+    * re-decoding.
+    */
+  def curatePairsAudited(pairs: DataFrame, idCol: String,
+                         imageCol: String = "image",
+                         captionCol: String = "caption",
+                         cfg: Config = Config())
+      : (DataFrame, Seq[(String, Long)]) = {
+    require(cfg.minCaptionTokens >= 1 &&
+      cfg.maxCaptionTokens >= cfg.minCaptionTokens,
+      s"caption token bounds must satisfy 1 <= min <= max, got " +
+        s"[${cfg.minCaptionTokens}, ${cfg.maxCaptionTokens}]")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    val ledger = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val staged = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def tap(name: String, df: DataFrame): DataFrame = {
+      val p = df.localCheckpoint(true)
+      ledger += name -> p.count()
+      staged += p
+      p
+    }
+
+    // decode ONCE; from here on the pipeline is slim rows only
+    val media = pairs
+      .select(col(idCol).cast(LongType), col(imageCol))
+      .as[(Long, Array[Byte])]
+      .map { case (i, c) =>
+        Multimodal.MediaRow(i, c, Multimodal.MediaMeta("unknown", 0, 0, 0L))
+      }
+    val feats = JdkMedia.phashFeatureRows(media)
+    val slim = pairs.select(col(idCol), col(captionCol))
+      .join(feats.withColumnRenamed("id", idCol), Seq(idCol))
+
+    val input = tap("input", slim)
+    val decoded = tap("image_decode", input.where(col("ok")).drop("ok"))
+
+    val nTok: Column = F.tokenCount(col(captionCol))
+    val qualityPred: Column = {
+      val inBounds = nTok.between(cfg.minCaptionTokens, cfg.maxCaptionTokens)
+      if (cfg.blockPhrases.isEmpty) inBounds
+      else inBounds &&
+        TextExpressions.phrase_matches(col(captionCol), cfg.blockPhrases) === 0
+    }
+    val quality = tap("caption_quality", decoded.where(qualityPred))
+
+    val candidates = JdkMedia.bandedCenteredPairs(
+      quality.select(col(idCol).as("id"), col("ahash"), col("mean"),
+        col("centered"), col("norm0")),
+      bits = 64, maxHamming = cfg.maxHamming, maxBucket = cfg.maxBucket,
+      threshold = cfg.threshold, meanTol = cfg.meanTol)
+    val collapsed = tap("image_neardup_keep_best",
+      Dedup.keepBestPerGroup(quality, idCol, candidates,
+        scoreCol = nTok.cast(LongType)))
+
+    val w = Window.partitionBy(col(captionCol)).orderBy(col(idCol))
+    val out = tap("final", collapsed
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col(captionCol), col("ahash").as("phash")))
+    staged.dropRight(1).foreach(_.unpersist())
+    (out, ledger.toSeq)
+  }
+}
