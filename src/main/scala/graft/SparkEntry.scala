@@ -870,6 +870,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Streaming token budget: the "stop at N tokens" admission
+    //      valve run batch-equivalently over 5 deterministic micro-batch
+    //      slices (doc_id % 5) against ONE persisted state — whole
+    //      batches admit while they fit, the crossing batch is cut with
+    //      the content-keyed sampler (q_token_budget's arithmetic), all
+    //      later batches admit nothing. After EVERY batch the gate
+    //      re-runs the same batch id as a foreachBatch RETRY would:
+    //      replay_ok witnesses that the replay emitted the identical
+    //      slice and left the state untouched (no double count). The
+    //      oracle replays per-batch raw totals, the crossing batch's
+    //      within-batch selector prefix, the admitted token total and
+    //      the exhausted flag from the documents table alone. ----
+    "q_stream_token_budget" -> ((s, dir) => {
+      import graft.streaming.StreamingTokenBudget
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = graft.sources.BucketedTables.scratchDir("graft_stb_").toString
+      val budget = 12000L
+      var replayOk = true
+      val parts = (0 until 5).map { b =>
+        val batch = docs.where(col("doc_id") % 5 === b)
+        val admitted = StreamingTokenBudget.admitCommitted(batch, b.toLong,
+          root, budget, "doc_id", seed = 7L, numBuckets = 64)
+        val ids = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+        val stateAfter = StreamingTokenBudget.readState(s, root)
+        val replay = StreamingTokenBudget.admitCommitted(batch, b.toLong,
+          root, budget, "doc_id", seed = 7L, numBuckets = 64)
+        replayOk &&=
+          replay.select("doc_id").collect().map(_.getLong(0)).toSet == ids &&
+            StreamingTokenBudget.readState(s, root) == stateAfter
+        admitted.select(col("doc_id"), lit(b.toLong).as("batch_id"))
+      }
+      val st = StreamingTokenBudget.readState(s, root).get
+      parts.reduce(_ unionByName _)
+        .withColumn("total_after", lit(st.totalAfter))
+        .withColumn("exhausted", lit(StreamingTokenBudget.exhausted(s, root)))
+        .withColumn("replay_ok", lit(replayOk))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: the sharded shuffle WRITER runs for real — write 6
     //      contiguous-range training shards, read them back, and gate
     //      the recovered (doc, position) assignment against the same
@@ -5731,6 +5770,36 @@ object SparkEntry {
          |                WHEN 'fr' THEN cum_tokens - toks < 800
          |                ELSE TRUE END
          |ORDER BY doc_id""".stripMargin,
+
+    // the streaming admission replayed batch-arithmetically: per-batch
+    // raw token totals decide whole/cut/none, the crossing batch keeps
+    // its within-batch (selector, id) prefix under what remains of the
+    // budget, total_after = the admitted token mass; replay_ok is a
+    // Spark-side measured witness (oracle hardcodes TRUE)
+    "q_stream_token_budget" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, doc_id % 5 AS b,
+         |    (($fpSql + 7) * 2654435761 % 1000000007) AS sel,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |bt AS (SELECT b, SUM(toks) AS btoks FROM f GROUP BY b),
+         |run AS (SELECT b, btoks,
+         |  SUM(btoks) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_raw
+         |  FROM bt),
+         |dc AS (SELECT doc_id, b, toks,
+         |  SUM(toks) OVER (PARTITION BY b ORDER BY sel, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS dcum FROM f),
+         |adm AS (
+         |  SELECT dc.doc_id, dc.b, dc.toks
+         |  FROM dc JOIN run ON dc.b = run.b
+         |  WHERE run.cum_raw <= 12000
+         |     OR (run.cum_raw - run.btoks < 12000
+         |         AND dc.dcum - dc.toks < 12000 - (run.cum_raw - run.btoks)))
+         |SELECT doc_id, b AS batch_id,
+         |  CAST((SELECT SUM(toks) FROM adm) AS BIGINT) AS total_after,
+         |  (SELECT SUM(toks) FROM adm) >= 12000 AS exhausted,
+         |  TRUE AS replay_ok
+         |FROM adm ORDER BY doc_id""".stripMargin,
 
     // the writer must land exactly the permutation the rank assigns
     "q_shuffle_shards" ->

@@ -500,4 +500,89 @@ class StreamingSpec extends SparkSpecBase {
     assert(Dedup.prunedCorpusSigs(spark, sigTable, Seq(102L).toDF("corpus_id"), P)
       .where(col("id") === 102L).count() == 1)
   }
+
+  test("streaming token budget: whole batches while they fit, the crossing batch cut, later batches empty; restart resumes mid-budget") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingTokenBudget
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stb_").toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def doc(id: Long, n: Int) = (id, Array.fill(n)("w").mkString(" "))
+    val input = MemoryStream[(Long, String)]
+    // budget 10: batch0 = 6 tokens (whole), batch1 = 3+3+3 crosses at 10
+    val q = StreamingTokenBudget.admitStream(
+      input.toDF().toDF("doc_id", "text"), root, budgetTokens = 10L,
+      idCol = "doc_id", numBuckets = 8) { admitted =>
+      out ++= admitted.select("doc_id")
+        .collect().map(r => (r.getLong(0), 0L))
+      ()
+    }.option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      input.addData(doc(1L, 4), doc(2L, 2))
+      q.processAllAvailable()
+      assert(out.map(_._1).toSet == Set(1L, 2L))
+      val st1 = StreamingTokenBudget.readState(spark, root).get
+      assert(st1.totalAfter == 6L && !StreamingTokenBudget.exhausted(spark, root))
+      // the crossing batch: remaining 4, three 3-token docs — the
+      // content-keyed prefix keeps the first 4-token mass (crossing doc
+      // included), so exactly TWO of the three survive
+      input.addData(doc(3L, 3), doc(4L, 3), doc(5L, 3))
+      q.processAllAvailable()
+      val afterCross = StreamingTokenBudget.readState(spark, root).get
+      assert(afterCross.totalAfter == 12L, afterCross.toString)
+      assert(out.size == 4, out.toString)
+      assert(StreamingTokenBudget.exhausted(spark, root))
+      // post-budget batch admits nothing
+      input.addData(doc(6L, 2))
+      q.processAllAvailable()
+      assert(out.size == 4)
+    } finally q.stop()
+    // a RETRY of the recorded batch re-emits the identical slice and does
+    // not advance the state (no double count)
+    val st = StreamingTokenBudget.readState(spark, root).get
+    val replay = StreamingTokenBudget.admitCommitted(
+      Seq(doc(6L, 2)).toDF("doc_id", "text"), st.batchId, root,
+      budgetTokens = 10L, idCol = "doc_id", numBuckets = 8)
+    assert(replay.count() == 0)
+    assert(StreamingTokenBudget.readState(spark, root).get == st)
+    // a RESTARTED query (fresh checkpoint feeding later batch ids)
+    // resumes against the persisted total — still exhausted
+    val more = StreamingTokenBudget.admitCommitted(
+      Seq(doc(7L, 5)).toDF("doc_id", "text"), st.batchId + 1, root,
+      budgetTokens = 10L, idCol = "doc_id", numBuckets = 8)
+    assert(more.count() == 0)
+    // config drift and checkpoint mismatch are loud
+    intercept[IllegalArgumentException] {
+      StreamingTokenBudget.admitCommitted(
+        Seq(doc(8L, 1)).toDF("doc_id", "text"), st.batchId + 2, root,
+        budgetTokens = 99L, idCol = "doc_id", numBuckets = 8)
+    }
+    intercept[IllegalStateException] {
+      StreamingTokenBudget.admitCommitted(
+        Seq(doc(8L, 1)).toDF("doc_id", "text"), 0L, root,
+        budgetTokens = 10L, idCol = "doc_id", numBuckets = 8)
+    }
+  }
+
+  test("streaming token budget: mid-budget crash replay recomputes the identical crossing cut from total_before") {
+    import graft.streaming.StreamingTokenBudget
+    val root = java.nio.file.Files.createTempDirectory("stb_replay_").toString
+    def doc(id: Long, n: Int) = (id, Array.fill(n)("w").mkString(" "))
+    val b0 = Seq(doc(1L, 4)).toDF("doc_id", "text")
+    val first = StreamingTokenBudget.admitCommitted(b0, 0L, root, 10L,
+      "doc_id", numBuckets = 8)
+    assert(first.count() == 1)
+    // crossing batch commits...
+    val b1 = Seq(doc(2L, 3), doc(3L, 3), doc(4L, 3)).toDF("doc_id", "text")
+    val cut = StreamingTokenBudget.admitCommitted(b1, 1L, root, 10L,
+      "doc_id", numBuckets = 8)
+    val cutIds = cut.select("doc_id").as[Long].collect().sorted
+    assert(cutIds.length == 2, cutIds.toString) // remaining 6 over 3-token docs
+    // ...then the sink crashes and foreachBatch replays batch 1: the cut
+    // must be recomputed bit-identically from the recorded total_before
+    val replay = StreamingTokenBudget.admitCommitted(b1, 1L, root, 10L,
+      "doc_id", numBuckets = 8)
+    assert(replay.select("doc_id").as[Long].collect().sorted.sameElements(cutIds))
+    assert(StreamingTokenBudget.readState(spark, root).get.totalAfter == 10L)
+  }
 }
