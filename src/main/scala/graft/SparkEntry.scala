@@ -2937,6 +2937,20 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- BPE training with NO vocab cap: the merge loop stays a
+    //      DataFrame (one pair-count aggregate + one map-only replace
+    //      per rank, the winner reaching the driver as a single
+    //      TakeOrdered row) — must land the IDENTICAL 24 rules as the
+    //      driver-loop flavor, so it shares q_bpe_train's oracle. ----
+    "q_bpe_train_dist" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Bpe
+      Bpe.trainBpeDistributed(t(s, dir, "documents"), "text", numMerges = 24)
+        .map(m => (m.rank.toLong, m.lhs, m.rhs))
+        .toDF("rank", "lhs", "rhs")
+        .orderBy(col("rank"))
+    }),
+
     // ---- BPE train→apply COMPOSITION: encode the corpus with the
     //      24 rules just trained on it (not a fixed chain) — the oracle
     //      re-derives the merges level-by-level AND replays the encode
@@ -4680,6 +4694,9 @@ object SparkEntry {
     // 24 BPE training ranks replayed level-by-level (see bpeTrainOracle;
     // cost is linear in ranks thanks to the MATERIALIZED chain)
     "q_bpe_train" -> bpeTrainOracle(24),
+
+    // the uncapped DataFrame merge loop must land the identical rules
+    "q_bpe_train_dist" -> bpeTrainOracle(24),
 
     // the full train→apply composition at the same depth
     "q_bpe_compose" -> bpeComposeOracle(24),

@@ -93,6 +93,66 @@ object Bpe {
     merges.result()
   }
 
+  /** [[trainBpe]] with NO vocabulary cap — the flavor for corpora whose
+    * distinct-word count exceeds what the driver should hold: the
+    * vocabulary stays a DataFrame for the whole merge loop. Each rank is
+    * one vocabulary-sized pair-count aggregate (map-side combined; the
+    * winning pair reaches the driver as a TakeOrdered of ONE row) plus
+    * one map-only literal `replace` — the corpus itself is still touched
+    * exactly once, by the initial word count. The per-rank
+    * `localCheckpoint` truncates the growing replace lineage so rank R's
+    * plan never replays ranks 0..R−1 (the [[graft.operators.Dedup
+    * .connectedComponents]] iterative-frame discipline); the
+    * checkpointed frame is vocabulary-sized, not corpus-sized.
+    *
+    * Bit-identical to [[trainBpe]] when the vocab fits its cap: same
+    * frequency weighting, same `(count desc, lhs, rhs)` winner rule, and
+    * SQL `replace` shares `java.lang.String.replace`'s non-overlapping
+    * left-to-right semantics — so the same oracle replays both.
+    */
+  def trainBpeDistributed(docs: DataFrame, textCol: String = "text",
+                          numMerges: Int = 1000): Seq[Merge] = {
+    require(numMerges > 0, s"numMerges must be positive (got $numMerges)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].map { case (w, n) => (padSymbols(w), n) }
+      .toDF("s", "n")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = words
+        .select(split(trim(col("s")), " ").as("syms"), col("n"))
+        .where(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(rank, a, b)
+        val prev = words
+        words = words.withColumn("s", call_function("replace",
+            col("s"), lit(s" $a $b "), lit(s" $a$b ")))
+          .localCheckpoint(true)
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Encode one word into its BPE tokens under `merges` (already
     * rank-ordered).
     */

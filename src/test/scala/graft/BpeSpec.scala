@@ -99,4 +99,27 @@ class BpeSpec extends SparkSpecBase {
       .agg(sum("n_tokens")).as[Long].head()
     assert(nTokens < fewer, s"40 merges ($nTokens) must beat 10 ($fewer)")
   }
+
+  test("trainBpeDistributed: identical rules to the driver loop, exhaustion, partitioning invariance") {
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val dist = Bpe.trainBpeDistributed(docs, "text", numMerges = 10)
+    assert(dist == Bpe.trainBpe(docs, "text", numMerges = 10))
+    assert(dist.length == 4, dist.toString) // exhausted after 4 merges
+    assert(Bpe.trainBpeDistributed(docs, "text", numMerges = 2) ==
+      dist.take(2))
+    // a bigger corpus, adversarially repartitioned: the pair-count
+    // aggregate and the (cnt desc, lhs, rhs) winner rule are
+    // order-insensitive, so the rule sequence cannot move
+    val corpus = graft.sources.Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id") < 120).select("doc_id", "text")
+    val a = Bpe.trainBpeDistributed(corpus, "text", numMerges = 12)
+    val b = Bpe.trainBpeDistributed(corpus.repartition(17), "text",
+      numMerges = 12)
+    assert(a == b)
+    assert(a == Bpe.trainBpe(corpus, "text", numMerges = 12),
+      "uncapped DataFrame loop must equal the driver loop when the vocab fits")
+    intercept[IllegalArgumentException] {
+      Bpe.trainBpeDistributed(docs, "text", numMerges = 0)
+    }
+  }
 }
