@@ -646,6 +646,30 @@ object TextExpressions {
     column(RobotsVerdictExpr(expression(path), expression(patterns),
       expression(allows)))
 
+  /** Tracking-parameter strip for URL canonicalization as ONE codegen
+    * scalar — static-invokes [[TokenFolds.stripTracking]] (byte walk
+    * over the query string). Replaces the `filter(split(query, "&"),
+    * p => !p.rlike(…))` + `array_join` pair, whose ArrayFilter lambda is
+    * an interpreted HOF running once per URL on the canonicalization
+    * path every crawl-side operator shares.
+    */
+  case class StripTrackingExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_strip_tracking"
+
+    override def nullSafeEval(v: Any): Any =
+      TokenFolds.stripTracking(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.TokenFolds.stripTracking($v);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def strip_tracking(query: Column): Column =
+    column(StripTrackingExpr(expression(query)))
+
   /** Per-document ordered text rebuild — join one string field out of an
     * `array<struct>` (already sorted by `array_sort` inside the
     * aggregate) with a separator, as a codegen scalar static-invoking

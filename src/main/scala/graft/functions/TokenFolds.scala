@@ -299,6 +299,53 @@ object TokenFolds {
     org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
   }
 
+  /** Drop tracking parameters from a URL query string — the byte-walk
+    * form of `filter(split(query, "&"), p => !p.rlike("^(utm_[^&=]*|fbclid|gclid)="))`
+    * + `array_join(…, "&")` (an interpreted ArrayFilter on the per-URL
+    * canonicalization path). A param is tracking iff it starts with
+    * `utm_` and carries a `=` anywhere after (the `[^&=]*` run is
+    * implicit: `&` cannot appear inside a split param and the scan stops
+    * at the FIRST `=`), or is literally `fbclid=…` / `gclid=…`. Empty
+    * params ("a=1&&b=2") are kept, exactly like the lambda form. All
+    * delimiters are ASCII, so the byte walk is exact on any UTF-8 query.
+    * Returns the kept params re-joined with `&` ("" when none survive).
+    */
+  def stripTracking(query: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.unsafe.types.UTF8String = {
+    val b = query.getBytes
+    val n = b.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var first = true
+    while (i <= n) {
+      var j = i
+      while (j < n && b(j) != '&') j += 1
+      // param = bytes [i, j)
+      var drop = false
+      if (j - i >= 5 && b(i) == 'u' && b(i + 1) == 't' && b(i + 2) == 'm' &&
+          b(i + 3) == '_') {
+        var k = i + 4
+        while (k < j && b(k) != '=') k += 1
+        drop = k < j
+      } else if (j - i >= 7 && b(i) == 'f' && b(i + 1) == 'b' &&
+          b(i + 2) == 'c' && b(i + 3) == 'l' && b(i + 4) == 'i' &&
+          b(i + 5) == 'd' && b(i + 6) == '=') {
+        drop = true
+      } else if (j - i >= 6 && b(i) == 'g' && b(i + 1) == 'c' &&
+          b(i + 2) == 'l' && b(i + 3) == 'i' && b(i + 4) == 'd' &&
+          b(i + 5) == '=') {
+        drop = true
+      }
+      if (!drop) {
+        if (!first) sb.append('&')
+        sb.append(new String(b, i, j - i, java.nio.charset.StandardCharsets.UTF_8))
+        first = false
+      }
+      i = j + 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
   /** The portable document fingerprint: token-LENGTH fold
     * `(acc·31 + len) mod p` over `split(text, " ")` — INCLUDING empty
     * segments, exactly like the `aggregate(tokens(text), …)` column form

@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object UrlCanon {
 
-  private val TRACK = "(utm_[^&=]*|fbclid|gclid)"
+  /** The tracking-param pattern [[graft.functions.TokenFolds
+    * .stripTracking]] implements as a byte walk (kept here as the
+    * documented contract the oracle replays relationally).
+    */
+  private[graft] val TRACK = "(utm_[^&=]*|fbclid|gclid)"
 
   /** The canonical form of a URL column (see object scaladoc contract). */
   def canonicalizeUrl(url: Column): Column = {
@@ -52,18 +56,20 @@ object UrlCanon {
     val noPort = regexp_replace(
       regexp_replace(noWww, "^(http://[^/:?#]*):80([/?#].*)?$", "$1$2"),
       "^(https://[^/:?#]*):443([/?#].*)?$", "$1$2")
-    // 5. tracking params: split the query on '&', drop tracking params
-    // with a higher-order filter, rejoin — exact for any run length
-    // (a global regexp_replace restarts AFTER the consumed separator,
-    // so each pass leaves every second param of an adjacent run; the
-    // old fixed-two-pass form left residue for runs of >= 3). rlike's
-    // pattern stays in the Java∩RE2 subset for the oracle replay.
+    // 5. tracking params: one codegen byte-walk over the query
+    // ([[TextExpressions.StripTrackingExpr]] — split on '&', drop
+    // ^(utm_[^&=]*|fbclid|gclid)= params, rejoin; exact for any run
+    // length, unlike a global regexp_replace which restarts AFTER the
+    // consumed separator and leaves every second param of an adjacent
+    // run). The oracle keeps replaying the equivalent
+    // list_filter(... regexp ...) form — the kernel implements exactly
+    // that Java∩RE2-subset pattern.
     val base = regexp_extract(noPort, "^([^?]*)", 1)
     val query = regexp_extract(noPort, "^[^?]*\\?(.*)$", 1) // '' when no '?'
-    val kept = filter(split(query, "&"), p => !p.rlike(s"^$TRACK="))
+    val keptStr = TextExpressions.strip_tracking(query)
     val noTrack = when(query === "", noPort)
-      .when(size(kept) === 0, base)
-      .otherwise(concat(base, lit("?"), array_join(kept, "&")))
+      .when(keptStr === "", base)
+      .otherwise(concat(base, lit("?"), keptStr))
     // 6. trailing slashes and bare '?'
     val slashQ = regexp_replace(noTrack, "/+\\?", "?")
     val noTrailSlash = regexp_replace(slashQ, "(://[^/?#]+/[^?#]*?)/+$", "$1")

@@ -155,6 +155,111 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** max |x| over a numeric array — the int8-quantization scale, as a
+    * tight codegen loop instead of `array_max(transform(v, abs))` (the
+    * transform lambda is an interpreted HOF and this runs per vector on
+    * the quantized-index BUILD pass over the whole corpus). Matches the
+    * combinator form bitwise: |x| via Math.abs on the double widening,
+    * max propagates NaN like Spark's NaN-greatest ordering, empty array
+    * → null (array_max of an empty array is null).
+    */
+  case class VecMaxAbs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private lazy val elemGet = elemAccessors(child.dataType)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n == 0) null
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val x = math.abs(elemGet(a, i))
+          if (x > acc || java.lang.Double.isNaN(x)) acc = x
+          i += 1
+        }
+        acc
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
+        val gx = elemGenGet(child.dataType, a, i)
+        s"""
+           |int $n = $a.numElements();
+           |if ($n == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $x = java.lang.Math.abs($gx);
+           |    if ($x > $acc || java.lang.Double.isNaN($x)) $acc = $x;
+           |  }
+           |  ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def vec_max_abs(v: Column): Column = column(VecMaxAbs(expression(v)))
+
+  /** Symmetric int8 codes of a numeric vector under scale `maxAbs` —
+    * `floor(x/maxAbs·127 + 0.5)` per element as one codegen loop over a
+    * primitive byte array, replacing the `transform(v, when(…))` lambda
+    * on the same corpus-sized build pass as [[VecMaxAbs]]. maxAbs = 0
+    * (the all-zero vector) yields all-zero codes, exactly like the
+    * column form.
+    */
+  case class VecInt8Codes(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    private lazy val elemGet = elemAccessors(left.dataType)
+
+    override def nullSafeEval(v: Any, m: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val maxAbs = m.asInstanceOf[Double]
+      val n = a.numElements()
+      val out = new Array[Byte](n)
+      if (maxAbs != 0d) {
+        var i = 0
+        while (i < n) {
+          out(i) = math.floor(elemGet(a, i) / maxAbs * 127d + 0.5d).toByte
+          i += 1
+        }
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, m) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val out = ctx.freshName("out")
+        val gx = elemGenGet(left.dataType, a, i)
+        s"""
+           |int $n = $a.numElements();
+           |byte[] $out = new byte[$n];
+           |if ($m != 0.0) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $out[$i] = (byte) java.lang.Math.floor($gx / $m * 127.0 + 0.5);
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def vec_int8_codes(v: Column, maxAbs: Column): Column =
+    column(VecInt8Codes(expression(v), expression(maxAbs)))
+
   /** Random-hyperplane LSH signature of a float/double vector: bit b =
     * sign(dot(v, plane(seed, b))), planes derived deterministically from
     * (seed, b, dim index) via a splitmix64 parity — identical on every

@@ -43,9 +43,13 @@ object Bm25 {
 
   /** Tokenize to non-empty whitespace terms — the same semantics the
     * oracle replays (`list_filter(string_split(text, ' '), x -> x != '')`).
+    * `array_remove` (codegen) rather than a `filter(…)` lambda
+    * (ArrayFilter is CodegenFallback): regex `\s+` splitting can only
+    * produce empty segments, never whitespace ones, so removing `""`
+    * IS the non-empty filter.
     */
   private def terms(textCol: Column): Column =
-    filter(split(textCol, "\\s+"), t => length(t) > 0)
+    array_remove(split(textCol, "\\s+"), "")
 
   /** Per-document BM25 scores for `query` over the corpus: one row per
     * matching doc, `(doc_id, score)`. See the object scaladoc for the

@@ -57,15 +57,17 @@ object FrequencySketch {
   }
 
   /** One pass over the corpus → the token sketch. Empty tokens are
-    * dropped (both engines see the same stream).
+    * dropped (both engines see the same stream) — AFTER the explode, as
+    * a codegen `Filter`, not an `ArrayFilter` lambda on the array (the
+    * HOF is CodegenFallback and this is the sketch's corpus pass).
     */
   def tokenSketch(docs: DataFrame, textCol: String = "text",
                   seed: Long = 1L, depth: Int = 4,
                   width: Int = 1 << 16): DataFrame = {
     checkParams(depth, width)
     docs
-      .select(explode(filter(F.tokens(col(textCol)),
-        t => length(t) > 0)).as("_t"))
+      .select(explode(F.tokens(col(textCol))).as("_t"))
+      .where(length(col("_t")) > 0)
       .select(CountMin.positions(F.portableTokenHash(col("_t")), seed,
         depth, width).as("_pos"))
       .agg(CountMin.countmin_agg(col("_pos"), depth, width).as("grid"),
@@ -158,8 +160,8 @@ object FrequencySketch {
       (TextAnalysis.portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
       lit(1000000007L)) % 10000L
     val candidates = corpus.where(selector < cut)
-      .select(explode(filter(F.tokens(col(textCol)),
-        t => length(t) > 0)).as("token"))
+      .select(explode(F.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
       .distinct()
     heavyHitters(candidates, sketch, "token", k)
   }

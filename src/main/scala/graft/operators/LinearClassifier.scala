@@ -110,20 +110,28 @@ object LinearClassifier {
     pmod(pmod(F.portableTokenHash(a) * 131L + F.portableTokenHash(b),
       lit(P)), lit(numBuckets.toLong))
 
+  /** The non-empty token ARRAY (bigram pairing needs the positions):
+    * `array_remove` is a codegen collection op, unlike the
+    * `filter(…, len > 0)` HOF it replaced (ArrayFilter is
+    * CodegenFallback, and this feeds [[ImportanceResampler]]'s
+    * corpus-level bucket counts, not just the bounded labeled set).
+    */
   private def cleanTokens(textCol: String): Column =
-    filter(F.tokens(col(textCol)), t => length(t) > 0)
+    array_remove(F.tokens(col(textCol)), "")
 
   /** One row per feature OCCURRENCE: `carryCols ++ (bucket)` — the
     * hashed unigram (and optionally fastText-style bigram) stream both
     * the classifier's per-doc features and [[ImportanceResampler]]'s
-    * corpus-level bucket counts aggregate over.
+    * corpus-level bucket counts aggregate over. Empty tokens drop AFTER
+    * the explode (a codegen Filter, no array lambda).
     */
   private[operators] def bucketStream(docs: DataFrame, carryCols: Seq[String],
                                       numBuckets: Int, textCol: String,
                                       bigrams: Boolean): DataFrame = {
     val carry = carryCols.map(col)
     val tok = docs
-      .select(carry :+ explode(cleanTokens(textCol)).as("_t"): _*)
+      .select(carry :+ explode(F.tokens(col(textCol))).as("_t"): _*)
+      .where(length(col("_t")) > 0)
       .select(carry :+ tokenBucket(col("_t"), numBuckets).as("bucket"): _*)
     if (!bigrams) tok
     else tok.unionByName(docs

@@ -384,7 +384,7 @@ object Similarity {
     */
   def writeIvfIndexQuantized(corpus: DataFrame, idCol: String, vecCol: String,
                              centroids: Array[Array[Double]], path: String): Unit = {
-    val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast(DoubleType))))
+    val maxAbs = VectorExpressions.vec_max_abs(col(vecCol))
     corpus.select(col(idCol),
       element_at(VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1).as("cid"),
       maxAbs.as("max_abs"), col(vecCol).as("_v"))
@@ -431,11 +431,11 @@ object Similarity {
   }
 
   /** codes = floor(x/maxAbs·127 + 0.5) per element, 0 for the zero vector. */
+  // one codegen loop over the vector ([[VectorExpressions.VecInt8Codes]])
+  // — the transform(when(...)) lambda this replaces was an interpreted
+  // HOF on the quantized-index build pass over the whole corpus
   private[operators] def int8Codes(vCol: Column, maxAbsCol: Column): Column =
-    transform(vCol, v =>
-      when(maxAbsCol === 0d, lit(0).cast(ByteType))
-        .otherwise(floor(v.cast(DoubleType) / maxAbsCol * 127d + 0.5d)
-          .cast(ByteType)))
+    VectorExpressions.vec_int8_codes(vCol, maxAbsCol)
 
   /** Per-vector symmetric int8 quantization — the 4× memory shrink that
     * makes a 100 TB embedding corpus fit ANN serving (float32 → byte codes
@@ -449,7 +449,7 @@ object Similarity {
     * arrays directly.
     */
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast(DoubleType))))
+    val maxAbs = VectorExpressions.vec_max_abs(col(vecCol))
     embs.select(col(idCol), maxAbs.as("max_abs"), col(vecCol).as("_v"))
       .select(col(idCol), col("max_abs"),
         int8Codes(col("_v"), col("max_abs")).as("codes"))
@@ -462,7 +462,7 @@ object Similarity {
     * code_sum, code_abs_sum, err2).
     */
   def quantError(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast(DoubleType))))
+    val maxAbs = VectorExpressions.vec_max_abs(col(vecCol))
     embs.select(col(idCol), maxAbs.as("max_abs"), col(vecCol).as("_v"))
       .select(col(idCol), col("max_abs"), col("_v"),
         int8Codes(col("_v"), col("max_abs")).as("codes"))

@@ -771,17 +771,20 @@ object TextAnalysis {
 
   // ------------------------------------------------- corpus-LM scoring
 
-  /** Adjacent-token bigram strings ("w1 w2") of a document, in order.
-    * Empty/one-token docs yield an empty array (slice with a non-positive
-    * length throws, so the `size >= 2` guard is load-bearing).
+  /** Adjacent-token bigram strings ("w1 w2") of a document, in order —
+    * the codegen [[graft.functions.TextExpressions.WordShingles]] kernel
+    * at k = 2 (one byte walk; same single-space tokenization as
+    * [[F.tokens]], and a k-shingle over tokens (i, i+1) is byte-for-byte
+    * the `concat(a, " ", b)` pair, empties included). Replaces a
+    * `zip_with(slice, slice, concat)` lambda — interpreted HOF, and this
+    * feeds the corpus-sized LM-familiarity scoring pass. Empty/one-token
+    * docs yield an empty array (the shingle kernel returns the whole
+    * string when n < k, so the `size >= 2` guard is load-bearing).
     */
   def bigramStream(text: Column): Column = {
     val toks = F.tokens(text)
     when(size(toks) >= 2,
-      zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
+      graft.functions.TextExpressions.word_shingles(text, 2))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 

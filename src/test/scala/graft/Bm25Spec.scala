@@ -85,6 +85,12 @@ class Bm25Spec extends SparkSpecBase {
     }
   }
 
+  test("tokenization is lambda-free: array_remove, not an ArrayFilter HOF, on the corpus passes") {
+    val plan = Bm25.scores(docs, "doc_id", Seq("a"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"), plan)
+  }
+
   test("the tf shuffle carries only query-term rows (filter below the aggregate)") {
     val plan = Bm25.scores(docs, "doc_id", Seq("a", "b"))
       .queryExecution.optimizedPlan.toString

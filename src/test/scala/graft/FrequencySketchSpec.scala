@@ -93,6 +93,13 @@ class FrequencySketchSpec extends SparkSpecBase {
     }
   }
 
+  test("the corpus pass is lambda-free: empty-token drop is a codegen Filter after the explode, not an ArrayFilter HOF") {
+    val plan = FrequencySketch.tokenSketch(docs, depth = 3, width = 256)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction") && !plan.contains("filter("),
+      plan)
+  }
+
   test("hash_version rides the sketch row and gates every probe: stale or version-less artifacts fail loudly") {
     val sketch = FrequencySketch.tokenSketch(docs, depth = 3, width = 256)
     assert(sketch.select("hash_version").head.getInt(0) == F.TokenHashVersion)

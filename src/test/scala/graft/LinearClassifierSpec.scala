@@ -111,6 +111,16 @@ class LinearClassifierSpec extends SparkSpecBase {
     }
   }
 
+  test("the feature stream is lambda-free (unigram and bigram): no ArrayFilter HOF on the corpus-sized bucket pass") {
+    val docs = synth
+    Seq(false, true).foreach { bg =>
+      val plan = LinearClassifier.features(docs, "doc_id", 64,
+          bigrams = bg).queryExecution.executedPlan.toString
+      assert(!plan.contains("lambdafunction") && !plan.contains("filter("),
+        s"bigrams=$bg:\n$plan")
+    }
+  }
+
   test("model round-trips through its persisted row; hash_version gates score and load") {
     val docs = synth
     val model = LinearClassifier.trainPerceptron(docs, "doc_id", "y",

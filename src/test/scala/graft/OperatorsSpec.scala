@@ -875,6 +875,13 @@ class OperatorsSpec extends SparkSpecBase {
       Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding")
     val bad = audit.where(col("err2") > col("max_abs") * col("max_abs") / (127.0 * 127.0) * 16)
     assert(bad.isEmpty)
+    // the BUILD pass (scale + codes) is codegen kernels, not transform
+    // lambdas — quantError's audit folds stay HOFs by design (sampled
+    // diagnostic, not the corpus pass)
+    val plan = Similarity.quantizeInt8(embs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction") && !plan.contains("transform("),
+      plan)
   }
 
   test("bruteForceTopK returns k nearest by cosine, self excluded") {
@@ -1067,6 +1074,17 @@ class OperatorsSpec extends SparkSpecBase {
       (2L, 2L, 1L, 1L, 0.5),
       (3L, 0L, 0L, 0L, 0.0),
       (4L, 0L, 0L, 0L, 0.0)))
+    // the bigram stream is the WordShingles codegen kernel now, not a
+    // zip_with lambda — including on degenerate whitespace, where the
+    // shingle byte-spans must equal concat(a, ' ', b) of the raw tokens
+    val weird = Seq((1L, "a  b"), (2L, " x"), (3L, "w1 w2 w3"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.bigramStream(col("text")).as("bg"))
+    assert(weird.orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq ==
+      Seq((1L, Seq("a ", " b")), (2L, Seq(" x")), (3L, Seq("w1 w2", "w2 w3"))))
+    val plan = docs.select(TextAnalysis.bigramStream(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction") && !plan.contains("zip_with"), plan)
   }
 
   test("qualityGate: per-group rank cut, doc_id tiebreak, floor semantics") {

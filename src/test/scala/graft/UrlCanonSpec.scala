@@ -49,6 +49,25 @@ class UrlCanonSpec extends SparkSpecBase {
     assert(canon("http://a.com", "http://a.com/") == Seq("http://a.com", "http://a.com/"))
   }
 
+  test("tracking strip is a codegen byte-walk: lambda-free plan, edge params exact") {
+    val plan = Seq("http://a.com/p?utm_a=1&x=2").toDF("url")
+      .select(UrlCanon.canonicalizeUrl(col("url")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_strip_tracking"), plan)
+    assert(!plan.contains("lambdafunction") && !plan.contains("filter("), plan)
+    // kernel edges vs the documented regex contract: utm_ needs '=' to
+    // match; fbclidX is not fbclid; empty params survive; bare trailing
+    // '?' still drops downstream
+    assert(canon("http://a.com/p?utm_nomatch&x=1") ==
+      Seq("http://a.com/p?utm_nomatch&x=1"))
+    assert(canon("http://a.com/p?utm_=1&x=1") == Seq("http://a.com/p?x=1"))
+    assert(canon("http://a.com/p?fbclidX=1") == Seq("http://a.com/p?fbclidX=1"))
+    assert(canon("http://a.com/p?fbclid=1") == Seq("http://a.com/p"))
+    assert(canon("http://a.com/p?a=1&&b=2") == Seq("http://a.com/p?a=1&&b=2"))
+    assert(canon("http://a.com/p?utm_a=1&") == Seq("http://a.com/p"))
+    assert(canon("http://a.com/p?gclid=x&gclid=y") == Seq("http://a.com/p"))
+  }
+
   test("canonicalization is idempotent") {
     val urls = Seq("HTTP://WWW.Site.COM:80/p/?utm_a=1&x=2#f",
       "https://b.org:443/q?fbclid=z", "http://c.net/r///")
