@@ -89,10 +89,12 @@ object Functions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Regex tokenization: word-ish chunks, a BPE-ish approximation that keeps
-    * punctuation as its own tokens.
+    * punctuation as its own tokens. `array_remove` (codegen), not a
+    * `filter` lambda — a `+`-quantified separator can only yield EMPTY
+    * segments (at the edges), so removing `""` is the non-empty filter.
     */
   def tokensRegex(text: Column): Column =
-    filter(split(text, "[^\\p{L}\\p{N}']+"), t => length(t) > 0)
+    array_remove(split(text, "[^\\p{L}\\p{N}']+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -670,6 +670,35 @@ object TextExpressions {
   def strip_tracking(query: Column): Column =
     column(StripTrackingExpr(expression(query)))
 
+  /** One named section's properties as `map<string,string>` — the
+    * codegen walk behind [[graft.operators.JvmStats.heapProjection]]
+    * (static-invokes [[TokenFolds.sectionPropsMap]]); see that kernel
+    * for the triple-HOF stack it replaces and the first-wins duplicate
+    * policy.
+    */
+  case class SectionPropsMapExpr(child: Expression, section: String)
+      extends UnaryExpression {
+    private val secU = UTF8String.fromString(section)
+    override def dataType: DataType =
+      MapType(StringType, StringType, valueContainsNull = true)
+    override def prettyName: String = "graft_section_props"
+
+    override def nullSafeEval(v: Any): Any =
+      TokenFolds.sectionPropsMap(v.asInstanceOf[ArrayData], secU)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftSectionName", secU,
+        classOf[UTF8String].getName)
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.TokenFolds.sectionPropsMap($v, $ref);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def section_props_map(sections: Column, section: String): Column =
+    column(SectionPropsMapExpr(expression(sections), section))
+
   /** Per-document ordered text rebuild — join one string field out of an
     * `array<struct>` (already sorted by `array_sort` inside the
     * aggregate) with a separator, as a codegen scalar static-invoking

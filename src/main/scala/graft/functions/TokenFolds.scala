@@ -299,6 +299,50 @@ object TokenFolds {
     org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*)
   }
 
+  /** Collect one named section's properties into a string map — the walk
+    * behind [[graft.operators.JvmStats.heapProjection]], replacing a
+    * `map_from_entries(transform(flatten(transform(filter(sections, …)`
+    * triple-lambda stack (each an interpreted HOF, run once per JVMSTATS
+    * event on the wire path). Sections shape is fixed by the proto
+    * schema: `array<struct<name, properties: array<struct<name, value>>>>`.
+    * Duplicate property keys keep the FIRST occurrence (the HOF form
+    * threw under the default map-key dedup policy; first-wins is the
+    * fail-soft choice for malformed agent payloads).
+    */
+  def sectionPropsMap(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                      section: org.apache.spark.unsafe.types.UTF8String):
+      org.apache.spark.sql.catalyst.util.MapData = {
+    val keys = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getStruct(i, 2)
+        if (!s.isNullAt(0) && s.getUTF8String(0) == section && !s.isNullAt(1)) {
+          val props = s.getArray(1)
+          val m = props.numElements()
+          var j = 0
+          while (j < m) {
+            if (!props.isNullAt(j)) {
+              val p = props.getStruct(j, 2)
+              if (!p.isNullAt(0) && seen.add(p.getUTF8String(0))) {
+                keys += p.getUTF8String(0)
+                vals += (if (p.isNullAt(1)) null else p.getUTF8String(1))
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys.toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray))
+  }
+
   /** Drop tracking parameters from a URL query string — the byte-walk
     * form of `filter(split(query, "&"), p => !p.rlike("^(utm_[^&=]*|fbclid|gclid)="))`
     * + `array_join(…, "&")` (an interpreted ArrayFilter on the per-URL

@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.DoubleType
   *    query-term filter applied BEFORE the group so the shuffle carries
   *    only query-term rows (|query| terms × matching docs, not the
   *    corpus token stream);
-  *  - document lengths are a MAP-ONLY column (`size(filter(split(...)))`
-  *    — no explode, no shuffle);
+  *  - document lengths are a MAP-ONLY column
+  *    (`size(array_remove(split(...), ""))` — no explode, no shuffle);
   *  - document frequencies and corpus scalars (N, avgdl) are tiny
   *    aggregates broadcast into the scoring join;
   *  - per-document scores fold the term contributions in SORTED term

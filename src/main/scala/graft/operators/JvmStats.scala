@@ -94,11 +94,15 @@ object JvmStats {
       acc.withColumn(k, element_at(col(propsMapCol), k).cast(DoubleType))
     }
 
-  /** P5: the HDFS reader's fixed heap projection (init/committed/used/max). */
+  /** P5: the HDFS reader's fixed heap projection (init/committed/used/
+    * max) — one codegen struct walk per event
+    * ([[graft.functions.TextExpressions.SectionPropsMapExpr]]) instead
+    * of the filter/transform/map_from_entries lambda stack (three
+    * interpreted HOFs per JVMSTATS event on the wire path).
+    */
   def heapProjection(df: DataFrame, sectionsCol: String = "sections"): DataFrame = {
-    val heap = filter(col(sectionsCol), s => s.getField("name") === "heap")
-    val m = map_from_entries(transform(flatten(transform(heap, s => s.getField("properties"))),
-      p => struct(p.getField("name"), p.getField("value"))))
+    val m = graft.functions.TextExpressions.section_props_map(
+      col(sectionsCol), "heap")
     df.withColumn("heap_init", element_at(m, "init").cast(LongType))
       .withColumn("heap_committed", element_at(m, "committed").cast(LongType))
       .withColumn("heap_used", element_at(m, "used").cast(LongType))

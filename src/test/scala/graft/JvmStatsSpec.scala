@@ -51,6 +51,23 @@ class JvmStatsSpec extends SparkSpecBase {
       .select("heap_init", "heap_committed", "heap_used", "heap_max")
       .as[(Long, Long, Long, Long)].head()
     assert(out == ((100L, 200L, 150L, 400L)))
+    // one codegen struct walk per event, not a filter/transform/
+    // map_from_entries lambda stack (repartition blocks the
+    // LocalRelation constant-fold so the runtime plan is visible)
+    val plan = JvmStats.heapProjection(df.repartition(2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_section_props"), plan)
+    assert(!plan.contains("lambdafunction") && !plan.contains("map_from_entries"),
+      plan)
+    // a missing section yields an empty map → all-null columns, and a
+    // null sections array stays null — never a crash
+    import graft.functions.TextExpressions
+    val missing = df.where($"event_id" === 1).select(
+      TextExpressions.section_props_map($"sections", "nope").as("m"),
+      TextExpressions.section_props_map(lit(null).cast(
+        graft.operators.JvmStats.sectionsType), "heap").as("n"))
+      .head()
+    assert(missing.getMap[String, String](0).size == 0 && missing.isNullAt(1))
   }
 
   test("pivotKnown widens the map over a known key list") {
