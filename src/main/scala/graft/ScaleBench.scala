@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
@@ -311,7 +311,8 @@ object ScaleBench {
     // successful-looking run that measured nothing.
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
       "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi",
-      "preclean", "bloom", "shuffle", "classifier", "crawl", "dsir", "robots")
+      "preclean", "bloom", "shuffle", "classifier", "crawl", "dsir", "robots",
+      "kernels")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -1102,6 +1103,101 @@ object ScaleBench {
         f""""legacy_urls":$nLegacy,"legacy_s":$tLegacy%.2f,""" +
         f""""legacy_urls_s":$legacyRate%.0f,""" +
         f""""speedup_x":${newRate / legacyRate}%.1f}}""")
+    }
+
+    if (sections("kernels")) {
+      // ---- round-12 HOF-purge kernels, each measured against the EXACT
+      //      combinator form it replaced (interpreted higher-order
+      //      lambdas), value-witnessed equal on a slice before timing.
+      //      Forcing is a noop write (every output column evaluated). ----
+      import graft.functions.{TextExpressions, VectorExpressions}
+      def force(df: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // (a) tracking-param strip: byte walk vs ArrayFilter+rlike+join
+      def queries(n: Long): DataFrame = spark.range(n).select(
+        concat(lit("utm_source=s"), (col("id") % 7).cast("string"),
+          lit("&x="), (col("id") % 13).cast("string"),
+          lit("&gclid=g&q="), col("id").cast("string"),
+          lit("&utm_medium=m&y=2")).as("q"))
+      def legacyStrip(q: Column): Column = array_join(
+        filter(split(q, "&"), p => !p.rlike("^(utm_[^&=]*|fbclid|gclid)=")), "&")
+      val qsmall = queries(50000L)
+      require(qsmall.where(TextExpressions.strip_tracking(col("q")) =!=
+        legacyStrip(col("q"))).count() == 0, "strip kernel diverges from the legacy form")
+      val nStrip = 8000000L
+      val qs = queries(nStrip).persist(); qs.count()
+      force(qs.select(TextExpressions.strip_tracking(col("q")).as("v"))) // warm
+      val tStripK = force(qs.select(TextExpressions.strip_tracking(col("q")).as("v")))
+      force(qs.select(legacyStrip(col("q")).as("v"))) // warm
+      val tStripL = force(qs.select(legacyStrip(col("q")).as("v")))
+      qs.unpersist()
+      // (b) int8 quantize build pass: VecMaxAbs+VecInt8Codes vs
+      //     array_max(transform)+transform(when(...))
+      val embBase = graft.sources.Tables.load(spark, "/root/testdata/sf0.1",
+        "embeddings").select("vec_id", "embedding")
+      val embs = scaledEmb(embBase, 20).persist()
+      val nEmb = embs.count()
+      def legacyMaxAbs(v: Column): Column =
+        array_max(transform(v, x => abs(x.cast("double"))))
+      def legacyCodes(v: Column, m: Column): Column =
+        transform(v, x => when(m === 0d, lit(0).cast("byte"))
+          .otherwise(floor(x.cast("double") / m * 127d + 0.5d).cast("byte")))
+      def kernelQuant(df: DataFrame): DataFrame = {
+        val m = VectorExpressions.vec_max_abs(col("embedding"))
+        df.select(col("vec_id"), m.as("max_abs"),
+          VectorExpressions.vec_int8_codes(col("embedding"), m).as("codes"))
+      }
+      def legacyQuant(df: DataFrame): DataFrame = {
+        val m = legacyMaxAbs(col("embedding"))
+        df.select(col("vec_id"), m.as("max_abs"),
+          legacyCodes(col("embedding"), m).as("codes"))
+      }
+      val quantDiff = kernelQuant(embBase)
+        .withColumnRenamed("max_abs", "ma_k").withColumnRenamed("codes", "c_k")
+        .join(legacyQuant(embBase)
+          .withColumnRenamed("max_abs", "ma_l").withColumnRenamed("codes", "c_l"),
+          Seq("vec_id"))
+        .where(col("ma_k") =!= col("ma_l") || col("c_k") =!= col("c_l"))
+        .count()
+      require(quantDiff == 0,
+        s"quantize kernel diverges from the legacy form on $quantDiff rows")
+      force(kernelQuant(embs)) // warm
+      val tQuantK = force(kernelQuant(embs))
+      force(legacyQuant(embs)) // warm
+      val tQuantL = force(legacyQuant(embs))
+      embs.unpersist()
+      // (c) bigram stream: WordShingles byte walk vs zip_with(slice,
+      //     slice, concat) under the same size>=2 guard
+      def legacyBigrams(text: Column): Column = {
+        val toks = split(text, " ")
+        when(size(toks) >= 2,
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))
+      }
+      require(small.where(graft.operators.TextAnalysis.bigramStream(col("text")) =!=
+        legacyBigrams(col("text"))).count() == 0,
+        "bigram kernel diverges from the legacy form")
+      val docs10 = scaled(base, 10).persist()
+      val nDocs = docs10.count()
+      force(docs10.select(graft.operators.TextAnalysis.bigramStream(col("text")).as("v"))) // warm
+      val tBgK = force(docs10.select(
+        graft.operators.TextAnalysis.bigramStream(col("text")).as("v")))
+      force(docs10.select(legacyBigrams(col("text")).as("v"))) // warm
+      val tBgL = force(docs10.select(legacyBigrams(col("text")).as("v")))
+      docs10.unpersist()
+      println(f"""{"kernels":{""" +
+        f""""strip_urls":$nStrip,"strip_kernel_s":$tStripK%.2f,""" +
+        f""""strip_legacy_s":$tStripL%.2f,"strip_speedup_x":${tStripL / tStripK}%.1f,""" +
+        f""""quant_vecs":$nEmb,"quant_kernel_s":$tQuantK%.2f,""" +
+        f""""quant_legacy_s":$tQuantL%.2f,"quant_speedup_x":${tQuantL / tQuantK}%.1f,""" +
+        f""""bigram_docs":$nDocs,"bigram_kernel_s":$tBgK%.2f,""" +
+        f""""bigram_legacy_s":$tBgL%.2f,"bigram_speedup_x":${tBgL / tBgK}%.1f}}""")
     }
 
     if (sections("bloom")) {
