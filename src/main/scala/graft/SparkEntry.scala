@@ -909,6 +909,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Streaming MIXTURE budget: per-stratum token budgets admitted
+    //      LIVE (the tokenBudgetMix spec as a streaming valve) — en and
+    //      fr cross their budgets on different batches, every other
+    //      stratum passes whole forever, one persisted per-stratum state
+    //      with the same flip-last/replay discipline, replayed after
+    //      every commit. ----
+    "q_stream_token_budget_mix" -> ((s, dir) => {
+      import graft.streaming.StreamingTokenBudget
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val root = graft.sources.BucketedTables.scratchDir("graft_stbm_").toString
+      val budgets = Map("en" -> 2000L, "fr" -> 800L)
+      var replayOk = true
+      val parts = (0 until 4).map { b =>
+        val batch = docs.where(col("doc_id") % 4 === b)
+        val admitted = StreamingTokenBudget.admitCommittedMix(batch,
+          b.toLong, root, budgets, "doc_id", "lang", seed = 7L,
+          numBuckets = 64)
+        val ids = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+        val stateAfter = StreamingTokenBudget.readMixState(s, root)
+        val replay = StreamingTokenBudget.admitCommittedMix(batch,
+          b.toLong, root, budgets, "doc_id", "lang", seed = 7L,
+          numBuckets = 64)
+        replayOk &&=
+          replay.select("doc_id").collect().map(_.getLong(0)).toSet == ids &&
+            StreamingTokenBudget.readMixState(s, root) == stateAfter
+        admitted.select(col("doc_id"), col("lang"),
+          lit(b.toLong).as("batch_id"))
+      }
+      val st = StreamingTokenBudget.readMixState(s, root).get
+      parts.reduce(_ unionByName _)
+        .withColumn("en_after", lit(st.after("en")))
+        .withColumn("fr_after", lit(st.after("fr")))
+        .withColumn("replay_ok", lit(replayOk))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Text: the sharded shuffle WRITER runs for real — write 6
     //      contiguous-range training shards, read them back, and gate
     //      the recovered (doc, position) assignment against the same
@@ -5817,6 +5854,48 @@ object SparkEntry {
          |  (SELECT SUM(toks) FROM adm) >= 12000 AS exhausted,
          |  TRUE AS replay_ok
          |FROM adm ORDER BY doc_id""".stripMargin,
+
+    // per-stratum streaming admission: each budgeted lang's whole/cut/
+    // none fate replays from per-(lang, batch) raw totals and the
+    // within-(lang, batch) selector prefix; unbudgeted (and NULL) langs
+    // pass whole in every batch
+    "q_stream_token_budget_mix" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, doc_id % 4 AS b,
+         |    (($fpSql + 7) * 2654435761 % 1000000007) AS sel,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |bud AS (SELECT 'en' AS lang, 2000 AS bud
+         |        UNION ALL SELECT 'fr', 800),
+         |bt AS (SELECT f.lang, b, SUM(toks) AS btoks
+         |  FROM f JOIN bud ON f.lang = bud.lang GROUP BY 1, 2),
+         |run AS (SELECT lang, b, btoks,
+         |  SUM(btoks) OVER (PARTITION BY lang ORDER BY b
+         |    ROWS UNBOUNDED PRECEDING) AS cum_raw FROM bt),
+         |dc AS (SELECT f.doc_id, f.lang, f.b, f.toks,
+         |  SUM(f.toks) OVER (PARTITION BY f.lang, f.b ORDER BY sel, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS dcum
+         |  FROM f JOIN bud ON f.lang = bud.lang),
+         |adm AS (
+         |  SELECT dc.doc_id, dc.lang, dc.b, dc.toks
+         |  FROM dc
+         |  JOIN run ON dc.lang = run.lang AND dc.b = run.b
+         |  JOIN bud ON dc.lang = bud.lang
+         |  WHERE run.cum_raw <= bud.bud
+         |     OR (run.cum_raw - run.btoks < bud.bud
+         |         AND dc.dcum - dc.toks < bud.bud - (run.cum_raw - run.btoks))),
+         |allrows AS (
+         |  SELECT doc_id, lang, b FROM adm
+         |  UNION ALL
+         |  SELECT doc_id, lang, b FROM f
+         |  WHERE lang IS NULL OR lang NOT IN ('en', 'fr'))
+         |SELECT doc_id, lang, b AS batch_id,
+         |  CAST((SELECT SUM(toks) FROM adm WHERE lang = 'en') AS BIGINT)
+         |    AS en_after,
+         |  CAST((SELECT SUM(toks) FROM adm WHERE lang = 'fr') AS BIGINT)
+         |    AS fr_after,
+         |  TRUE AS replay_ok
+         |FROM allrows ORDER BY doc_id""".stripMargin,
 
     // the writer must land exactly the permutation the rank assigns
     "q_shuffle_shards" ->

@@ -131,6 +131,131 @@ object StreamingTokenBudget {
     admitted
   }
 
+  // ------------------------------------------- per-stratum (mixture) flavor
+
+  val MixStateName = "_TOKEN_BUDGET_MIX"
+
+  /** Per-stratum admission state — the streaming counterpart of
+    * [[TextAnalysis.tokenBudgetMix]]'s mixture-in-tokens spec ("2 B of
+    * code, 500 M of forums", admitted LIVE). Totals map budgeted strata
+    * to cumulative admitted tokens; unbudgeted (and NULL) strata pass
+    * whole and are not tracked.
+    */
+  final case class MixState(batchId: Long, before: Map[String, Long],
+                            after: Map[String, Long], budgets: Map[String, Long])
+
+  private def renderMap(m: Map[String, Long]): String =
+    m.toSeq.sorted.map { case (g, v) => s"$g:$v" }.mkString(",")
+
+  private def parseMap(s: String): Map[String, Long] =
+    if (s.isEmpty) Map.empty
+    else s.split(",").map { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(0, i) -> kv.substring(i + 1).toLong
+    }.toMap
+
+  private def renderMix(s: MixState): String =
+    s"""{"batch_id": ${s.batchId}, "mix_before": "${renderMap(s.before)}", """ +
+      s""""mix_after": "${renderMap(s.after)}", "mix_budgets": "${renderMap(s.budgets)}"}"""
+
+  def readMixState(spark: SparkSession, root: String): Option[MixState] =
+    Manifests.read(spark, s"$root/$MixStateName").map { j =>
+      MixState(Manifests.numField(j, "batch_id").toLong,
+        parseMap(Manifests.strField(j, "mix_before")),
+        parseMap(Manifests.strField(j, "mix_after")),
+        parseMap(Manifests.strField(j, "mix_budgets")))
+    }
+
+  /** Budgeted strata whose admitted total has reached their budget. */
+  def exhaustedStrata(spark: SparkSession, root: String): Set[String] =
+    readMixState(spark, root).map(s =>
+      s.budgets.keySet.filter(g =>
+        s.after.getOrElse(g, 0L) >= s.budgets(g))).getOrElse(Set.empty)
+
+  private def admitPreparedMix(batch: DataFrame, batchId: Long, root: String,
+                               budgets: Map[String, Long], idCol: String,
+                               strataCol: String, textCol: String,
+                               seed: Long, numBuckets: Int)
+      : (DataFrame, MixState, Boolean) = {
+    require(budgets.nonEmpty && budgets.values.forall(_ > 0),
+      s"budgets must be non-empty and positive, got $budgets")
+    budgets.keys.foreach(g => require(!g.contains(":") && !g.contains(","),
+      s"stratum name '$g' cannot carry ':' or ',' (the state encoding's " +
+        "delimiters); rename the stratum"))
+    val spark = batch.sparkSession
+    val st = readMixState(spark, root)
+    st.foreach(s => require(s.budgets == budgets,
+      s"budgets changed mid-stream: state carries ${s.budgets}, caller " +
+        s"passed $budgets — use a fresh state root"))
+    val (before, isReplay) = st match {
+      case Some(s) if batchId == s.batchId => (s.before, true)
+      case Some(s) if batchId < s.batchId =>
+        throw new IllegalStateException(
+          s"batch $batchId is older than the recorded high-water mark " +
+            s"${s.batchId} under $root — this state dir belongs to a " +
+            "different query/checkpoint")
+      case Some(s) => (s.after, false)
+      case None => (Map.empty[String, Long], false)
+    }
+    val remaining = budgets.map { case (g, b) =>
+      g -> (b - before.getOrElse(g, 0L)) }
+    val exhausted = remaining.filter(_._2 <= 0L).keys.toSeq
+    val open = remaining.filter(_._2 > 0L)
+    val pruned =
+      if (exhausted.isEmpty) batch
+      else batch.where(col(strataCol).isNull ||
+        !col(strataCol).isin(exhausted: _*))
+    val admitted = (if (open.isEmpty) pruned
+      else TextAnalysis.tokenBudgetMix(pruned, idCol, strataCol, open,
+        seed, numBuckets, textCol).drop("cum_tokens"))
+      .localCheckpoint(true)
+    // bounded collect: one (stratum, token sum) row per budgeted stratum
+    val admittedToks = admitted
+      .where(col(strataCol).isin(budgets.keys.toSeq: _*))
+      .groupBy(col(strataCol).as("_g"))
+      .agg(sum(F.tokenCount(col(textCol)).cast(LongType)).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = budgets.keys.map { g =>
+      g -> (before.getOrElse(g, 0L) + admittedToks.getOrElse(g, 0L)) }.toMap
+    (admitted, MixState(batchId, before, after, budgets), isReplay)
+  }
+
+  /** The per-stratum batch-equivalent admission step — [[admitCommitted]]
+    * with a budget per stratum: strata admit independently (whole while
+    * they fit, content-keyed prefix on their crossing batch, nothing
+    * after), unbudgeted and NULL strata always pass whole. Same
+    * flip-last + replay-from-`before` discipline as the global flavor.
+    */
+  def admitCommittedMix(batch: DataFrame, batchId: Long, root: String,
+                        budgets: Map[String, Long], idCol: String,
+                        strataCol: String, textCol: String = "text",
+                        seed: Long = 1L, numBuckets: Int = 1024): DataFrame = {
+    val (admitted, newState, isReplay) = admitPreparedMix(batch, batchId,
+      root, budgets, idCol, strataCol, textCol, seed, numBuckets)
+    if (!isReplay)
+      Manifests.writeAtomic(batch.sparkSession, s"$root/$MixStateName",
+        renderMix(newState))
+    admitted
+  }
+
+  /** Streaming per-stratum admission — [[admitStream]] with a budget per
+    * stratum (see [[admitCommittedMix]]).
+    */
+  def admitStreamMix(batches: DataFrame, root: String,
+                     budgets: Map[String, Long], idCol: String,
+                     strataCol: String, textCol: String = "text",
+                     seed: Long = 1L, numBuckets: Int = 1024)
+                    (route: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    batches.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (admitted, newState, isReplay) = admitPreparedMix(batch, batchId,
+        root, budgets, idCol, strataCol, textCol, seed, numBuckets)
+      route(admitted)
+      if (!isReplay)
+        Manifests.writeAtomic(batch.sparkSession, s"$root/$MixStateName",
+          renderMix(newState))
+    }
+
   /** Streaming admission: each micro-batch's admitted slice is handed to
     * `route`; the state flips LAST (after the route), so a crash at any
     * point replays the batch into the identical slice — before the flip

@@ -564,6 +564,67 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming mixture budget: strata admit independently, unbudgeted passes whole, replay and config drift handled") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingTokenBudget
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stbm_").toString
+    def doc(id: Long, g: String, n: Int) =
+      (id, g, Array.fill(n)("w").mkString(" "))
+    val budgets = Map("a" -> 5L, "b" -> 9L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingTokenBudget.admitStreamMix(
+      input.toDF().toDF("doc_id", "grp", "text"), root, budgets,
+      idCol = "doc_id", strataCol = "grp", numBuckets = 8) { admitted =>
+      out ++= admitted.select("doc_id").collect().map(_.getLong(0)); ()
+    }.option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      // batch 0: a fits whole (3 <= 5), b fits whole (4 <= 9),
+      // unbudgeted z always passes
+      input.addData(doc(1L, "a", 3), doc(2L, "b", 4), doc(3L, "z", 50))
+      q.processAllAvailable()
+      assert(out.toSet == Set(1L, 2L, 3L))
+      val st1 = StreamingTokenBudget.readMixState(spark, root).get
+      assert(st1.after == Map("a" -> 3L, "b" -> 4L))
+      // batch 1: a crosses (remaining 2, three 2-token docs -> the
+      // id-ordered prefix keeps exactly one); b still fits (4+3 <= 9);
+      // z passes
+      input.addData(doc(4L, "a", 2), doc(5L, "a", 2), doc(6L, "a", 2),
+        doc(7L, "b", 3), doc(8L, "z", 50))
+      q.processAllAvailable()
+      val st2 = StreamingTokenBudget.readMixState(spark, root).get
+      assert(st2.after == Map("a" -> 5L, "b" -> 7L), st2.toString)
+      assert(StreamingTokenBudget.exhaustedStrata(spark, root) == Set("a"))
+      // batch 2: a admits nothing, b crosses (remaining 2), z passes
+      input.addData(doc(9L, "a", 1), doc(10L, "b", 3), doc(11L, "z", 1))
+      q.processAllAvailable()
+      val st3 = StreamingTokenBudget.readMixState(spark, root).get
+      assert(st3.after == Map("a" -> 5L, "b" -> 10L), st3.toString)
+      assert(StreamingTokenBudget.exhaustedStrata(spark, root) == Set("a", "b"))
+      assert(!out.contains(9L) && out.contains(10L) && out.contains(11L))
+    } finally q.stop()
+    // replay of the recorded batch: same slice, state untouched
+    val st = StreamingTokenBudget.readMixState(spark, root).get
+    val replay = StreamingTokenBudget.admitCommittedMix(
+      Seq(doc(9L, "a", 1), doc(10L, "b", 3), doc(11L, "z", 1))
+        .toDF("doc_id", "grp", "text"),
+      st.batchId, root, budgets, "doc_id", "grp", numBuckets = 8)
+    assert(replay.select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+    assert(StreamingTokenBudget.readMixState(spark, root).get == st)
+    // budget drift and bad stratum names are loud
+    intercept[IllegalArgumentException] {
+      StreamingTokenBudget.admitCommittedMix(
+        Seq(doc(12L, "a", 1)).toDF("doc_id", "grp", "text"),
+        st.batchId + 1, root, Map("a" -> 99L), "doc_id", "grp")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingTokenBudget.admitCommittedMix(
+        Seq(doc(12L, "a", 1)).toDF("doc_id", "grp", "text"),
+        st.batchId + 1, root, Map("a:b" -> 5L), "doc_id", "grp")
+    }
+  }
+
   test("streaming token budget: mid-budget crash replay recomputes the identical crossing cut from total_before") {
     import graft.streaming.StreamingTokenBudget
     val root = java.nio.file.Files.createTempDirectory("stb_replay_").toString
