@@ -3692,9 +3692,18 @@ object SparkEntry {
     * shared by every selector-based oracle so a formula change is made in
     * ONE place (plus the Scala expression).
     */
+  // the CONTENT document fingerprint (acc·31 + polyHash(token), polyHash
+  // = codepoint fold ·131, both mod 1e9+7) — the one arithmetic every
+  // fingerprint-keyed oracle replays; empty tokens contribute 0 (DuckDB's
+  // unicode('') is −1, hence the CASE guard)
   private val fpSql: String =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
+      |      list_transform(string_split(text, ' '),
+      |        t -> CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+      |             ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |               list_transform(string_split(t, ''),
+      |                 ch -> CAST(unicode(ch) AS BIGINT))),
+      |             (hh, cp) -> (hh * 131 + cp) % 1000000007) END)),
       |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   /** The DSIR replay: hashed-unigram bucket counts for the target slice

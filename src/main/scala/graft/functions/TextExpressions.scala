@@ -272,10 +272,11 @@ object TextExpressions {
     column(StopStatsExpr(expression(text), set))
   }
 
-  /** The portable document fingerprint (token-length fold, see
-    * [[TokenFolds.fingerprint]]) as a codegen scalar — every sampler,
-    * split, shuffle and Gumbel draw keys on it, so it must not be the
-    * one interpreted HOF on an otherwise codegen'd every-document path.
+  /** The portable document fingerprint (content fold — per-token
+    * codepoint polynomial folded ·31, see [[TokenFolds.fingerprint]])
+    * as a codegen scalar — every sampler, split, shuffle, seen-store
+    * key and Gumbel draw keys on it, so it must not be the one
+    * interpreted HOF on an otherwise codegen'd every-document path.
     */
   case class PortableFingerprintExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType

@@ -390,12 +390,20 @@ object TokenFolds {
     org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
   }
 
-  /** The portable document fingerprint: token-LENGTH fold
-    * `(acc·31 + len) mod p` over `split(text, " ")` — INCLUDING empty
-    * segments, exactly like the `aggregate(tokens(text), …)` column form
-    * it replaces (split keeps empties; the fingerprint never filtered
-    * them). Lengths are codepoint counts (Spark `length` = UTF8String
-    * codepoints, not UTF-16 units).
+  /** The portable document fingerprint: CONTENT fold
+    * `(acc·31 + polyHash(token)) mod p` over `split(text, " ")` —
+    * including empty segments (contributing 0), where polyHash is the
+    * shared per-token codepoint polynomial
+    * ([[graft.functions.Functions.portableTokenHash]]'s arithmetic,
+    * mult 131 mod p). Replaced the earlier token-LENGTH fold
+    * `(acc·31 + len)`, under which ANY two documents with the same
+    * token-length sequence collided with probability 1 ("the cat sat"
+    * vs "his dog ran") — catastrophic for the Bloom seen-store (silent
+    * document loss at ingest) and a correlated-fate bias for every
+    * fingerprint-keyed sampler/split/shuffle over templated corpora.
+    * Still engine-portable: a nested `list_reduce` in the oracle, exact
+    * BIGINT arithmetic (acc·31 + h < 32·10⁹ ≪ 2⁶³), codepoints not
+    * UTF-16 units.
     */
   def fingerprint(s: String): Long = {
     var acc = 0L
@@ -404,7 +412,14 @@ object TokenFolds {
     while (i <= n) {
       var j = s.indexOf(' ', i)
       if (j < 0) j = n
-      acc = (acc * 31L + s.codePointCount(i, j)) % P
+      var h = 0L
+      var k = i
+      while (k < j) {
+        val cp = s.codePointAt(k)
+        h = (h * 131L + cp) % P
+        k += Character.charCount(cp)
+      }
+      acc = (acc * 31L + h) % P
       i = j + 1
     }
     acc

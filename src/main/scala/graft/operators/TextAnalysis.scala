@@ -137,8 +137,10 @@ object TextAnalysis {
   }
 
   /** The portable rolling-fingerprint Column ([[fingerprint]]'s formula as
-    * a reusable expression): fold (acc*31 + len(token)) mod 1e9+7 over the
-    * token sequence.
+    * a reusable expression): fold (acc·31 + polyHash(token)) mod 1e9+7
+    * over the token sequence — order-sensitive CONTENT identity
+    * ([[graft.functions.TokenFolds.fingerprint]] for the collision story
+    * of the length-only fold it replaced).
     */
   def portableFingerprint(text: Column): Column =
     graft.functions.TextExpressions.portable_fingerprint(text)

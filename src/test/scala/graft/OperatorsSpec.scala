@@ -925,10 +925,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "es", 5L -> "it", 6L -> "nl"))
   }
 
-  test("fingerprint is order-sensitive (rolling, not bag)") {
+  test("fingerprint is order-sensitive (rolling, not bag) and content-bearing (not length-shaped)") {
     val docs = Seq((1L, "a bb ccc"), (2L, "ccc bb a")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprint(docs).select("fp").as[Long].collect().toSeq
     assert(fps(0) != fps(1))
+    // hand-computed against the published arithmetic (matches the
+    // DuckDB replay): h(a)=97, h(bb)=12936, h(ccc)=1712007 →
+    // ((97·31+12936)·31+1712007) = 2206240
+    assert(fps(0) == 2206240L)
+    // the length-only fold this replaced keyed ONLY on token lengths:
+    // same-shape documents must NOT collide any more (the seen-store
+    // and every sampler/split key on this)
+    import graft.functions.TokenFolds
+    assert(TokenFolds.fingerprint("the cat sat") !=
+      TokenFolds.fingerprint("his dog ran"))
+    // empty tokens contribute 0, astral codepoints fold as ONE codepoint
+    assert(TokenFolds.fingerprint("") == 0L)
+    assert(TokenFolds.fingerprint("  ") == 0L)
+    assert(TokenFolds.fingerprint("é 中 😀") == 972828L)
   }
 
   test("severity thresholds mirror the reference tables") {
