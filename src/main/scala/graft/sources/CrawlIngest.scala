@@ -88,4 +88,63 @@ object CrawlIngest {
         import batch.sparkSession.implicits._
         route(cleanDocs(parsedDocs(batch.as[GzipArchives.FileMemberRow])))
       }
+
+  /** The COMPOSED streaming ingest — the full "streaming ingest story"
+    * in one call: archives → parse → boilerplate clean → Gopher quality
+    * gate → token-budget valve → Bloom seen-store admission, per
+    * micro-batch, every stateful stage keyed so a crash at any point
+    * replays into the identical routed slice. `route` receives each
+    * admitted batch MARKED (`maybe_seen` — send the false rows to the
+    * accepted sink, the true rows to the exact-confirm path); stop the
+    * query once [[graft.streaming.StreamingTokenBudget.exhausted]] turns
+    * true. The seen store under `seenRoot` must be initialized
+    * ([[graft.operators.SeenFilterStore.init]]).
+    *
+    * Stage ORDER is crash-safety, not taste: the budget valve must see a
+    * batch that is a DETERMINISTIC function of the batch alone, so it
+    * sits before the history-dependent seen-store stage — a replayed
+    * batch then recomputes the identical cut from the valve's recorded
+    * `total_before`, and the store's OR-algebra absorbs the re-append.
+    * (Marking first would feed the valve `maybe_seen` flags that DIFFER
+    * on replay — the retry would see its own earlier bits.) The cost:
+    * the budget counts tokens admitted TO the store, duplicates
+    * included; exact novel-only accounting would need a
+    * replay-deterministic dedup verdict, which Bloom marking across
+    * generations is not.
+    */
+  def streamIngestGated(spark: SparkSession, dir: String,
+                        budgetRoot: String, seenRoot: String,
+                        budgetTokens: Long, glob: String = "*.gz",
+                        maxFilesPerTrigger: Int = 64,
+                        gopherMinWords: Long = 5L,
+                        gopherMaxWords: Long = 100000L)
+                       (route: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    GzipArchives.streamArchiveDir(spark, dir, glob, maxFilesPerTrigger)
+      .toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val clean = cleanDocs(parsedDocs(batch.as[GzipArchives.FileMemberRow]))
+        val keep = clean.columns
+        val gated = graft.operators.TextAnalysis
+          .gopherFilter(clean, "text", gopherMinWords, gopherMaxWords)
+          .where(col("gopher_keep"))
+          .select(keep.head, keep.tail: _*)
+          // the valve's deterministic tiebreak key: (archive, member)
+          // identifies a record uniquely within any batch
+          .withColumn("doc_key",
+            concat_ws("#", col("archive"), col("member_idx")))
+        val admitted = graft.streaming.StreamingTokenBudget.admitCommitted(
+          gated, batchId, budgetRoot, budgetTokens, idCol = "doc_key")
+        // post-budget (empty) batches skip the store append — appending
+        // nothing would still flip a fresh generation per trigger,
+        // piling up orphan dirs for recover() with zero information
+        val marked =
+          if (admitted.isEmpty)
+            admitted.withColumn("maybe_seen", lit(false))
+          else graft.operators.SeenFilterStore.appendBatch(
+            batch.sparkSession, seenRoot, admitted,
+            writerToken = Some(s"batch-$batchId"))
+        route(marked.drop("doc_key"))
+      }
 }
