@@ -2315,6 +2315,58 @@ object SparkEntry {
         .orderBy(col("pair_id"))
     }),
 
+    // ---- The PAIR RELEASE layer on q_pair_curation's fixture:
+    //      survivors → pack-file blob externalization → manifest (count,
+    //      caption tokens, caption/image crc32 sums over the
+    //      pointer-RESOLVED bytes) → verified read-back. The oracle
+    //      replays the survivor set and the released row/caption-token
+    //      figures from id arithmetic; the crc round-trip (byte-exact
+    //      images through the packs) rides as a measured witness. ----
+    "q_pair_release" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{JdkMedia, PairCuration}
+      import graft.operators.Manifests
+      val pairsDf = t(s, dir, "documents").where(col("doc_id") < 240)
+        .select(col("doc_id")).as[Long].map { id =>
+          val v = ((id % 40) * 6).toInt
+          val img =
+            if (id % 13 == 0) "not an image payload".getBytes("UTF-8")
+            else JdkMedia.solidPng(8, 8, v, v, v)
+          val cap = s"pair cap c${id % 7}" +
+            (if (id % 5 == 0) "" else " tail words") +
+            (" pad" * (id % 3).toInt) +
+            (if (id % 11 == 0) " click here now" else "")
+          (id, img, cap)
+        }.toDF("pair_id", "image", "caption")
+      val (out, _) = PairCuration.curatePairsAudited(pairsDf, "pair_id",
+        cfg = PairCuration.Config(minCaptionTokens = 4,
+          blockPhrases = Seq("click here now")))
+      val survivors = pairsDf
+        .join(out.select("pair_id"), Seq("pair_id"), "left_semi")
+        .localCheckpoint(true)
+      val work = graft.sources.BucketedTables.scratchDir("graft_prel_").toString
+      // inlineMax 64 < any PNG here: every surviving blob goes through
+      // the pack-pointer path
+      PairCuration.writePairRelease(survivors, s"$work/rel", inlineMax = 64)
+      val back = PairCuration.readPairRelease(s, s"$work/rel")
+        .localCheckpoint(true)
+      val stats = Manifests.strField(
+        Manifests.read(s, s"$work/rel/_PAIRS.json").get, "pairs").split(":")
+      val mismatches = back
+        .select(col("pair_id"), crc32(col("image")).as("_c"),
+          col("caption").as("_cap"))
+        .join(survivors.select(col("pair_id"), crc32(col("image")).as("_c2"),
+          col("caption").as("_cap2")), Seq("pair_id"))
+        .where(col("_c") =!= col("_c2") || col("_cap") =!= col("_cap2"))
+        .count()
+      val roundtripOk = mismatches == 0 && back.count() == survivors.count()
+      back.select(col("pair_id"), col("caption"))
+        .withColumn("rel_n", lit(stats(0).toLong))
+        .withColumn("rel_toks", lit(stats(1).toLong))
+        .withColumn("roundtrip_ok", lit(roundtripOk))
+        .orderBy(col("pair_id"))
+    }),
+
     // ---- The COMPOSED pipeline, end to end: preClean (mojibake+NFC) →
     //      lineDedup → gopherRules → phrase blocklist → exact dedup →
     //      near-dup keep-best → decontaminate → hash split → temperature
@@ -4404,6 +4456,39 @@ object SparkEntry {
         |  (SELECT count(*) FROM qual) AS led_quality,
         |  (SELECT count(*) FROM coll) AS led_keepbest,
         |  (SELECT count(*) FROM fin) AS led_final
+        |FROM fin ORDER BY pair_id""".stripMargin,
+
+    // the release figures from the same survivor arithmetic as
+    // q_pair_curation: rel_n = survivor count, rel_toks = survivor
+    // caption-token mass; the crc32 pack round-trip is a Spark-side
+    // measured witness (oracle hardcodes TRUE)
+    "q_pair_release" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'pair cap c' || CAST(doc_id % 7 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN '' ELSE ' tail words' END)
+        |      || repeat(' pad', CAST(doc_id % 3 AS INT))
+        |      || (CASE WHEN doc_id % 11 = 0 THEN ' click here now' ELSE '' END)
+        |      AS caption,
+        |    doc_id % 40 AS img_class,
+        |    3 + (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 2 END) + (doc_id % 3)
+        |      + (CASE WHEN doc_id % 11 = 0 THEN 3 ELSE 0 END) AS n_tok
+        |  FROM documents WHERE doc_id < 240),
+        |decoded AS (SELECT * FROM base WHERE doc_id % 13 <> 0),
+        |qual AS (SELECT * FROM decoded
+        |  WHERE doc_id % 11 <> 0 AND n_tok BETWEEN 4 AND 512),
+        |coll AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY img_class ORDER BY n_tok DESC, doc_id) AS rn
+        |  FROM qual) WHERE rn = 1),
+        |fin AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY caption ORDER BY doc_id) AS rn2
+        |  FROM coll) WHERE rn2 = 1)
+        |SELECT doc_id AS pair_id, caption,
+        |  (SELECT count(*) FROM fin) AS rel_n,
+        |  CAST((SELECT SUM(n_tok) FROM fin) AS BIGINT) AS rel_toks,
+        |  TRUE AS roundtrip_ok
         |FROM fin ORDER BY pair_id""".stripMargin,
 
     // the probed container facts from the generating arithmetic alone

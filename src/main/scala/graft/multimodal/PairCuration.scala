@@ -133,4 +133,94 @@ object PairCuration {
     staged.dropRight(1).foreach(_.unpersist())
     (out, ledger.toSeq)
   }
+
+  // ------------------------------------------------------ release layer
+
+  private def pairStats(pairs: DataFrame, idCol: String, imageCol: String,
+                        captionCol: String): String = {
+    val r = pairs.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(graft.functions.Functions.tokenCount(col(captionCol))
+        .cast(LongType)), lit(0L)).as("toks"),
+      coalesce(sum(crc32(col(captionCol))), lit(0L)).as("cap_fp"),
+      coalesce(sum(crc32(col(imageCol))), lit(0L)).as("img_fp")).head()
+    s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}:${r.getLong(3)}"
+  }
+
+  /** Publish curated pairs as a verifiable RELEASE — the multimodal
+    * counterpart of [[graft.operators.TrainingPipeline.writeRelease]]:
+    * image blobs above `inlineMax` are externalized into per-partition
+    * pack files ([[Multimodal.packBlobs]] — parquet rows stay slim, one
+    * sequential pack read per partition at training time), the pair
+    * table (id, caption, pointer) lands as parquet, and the manifest
+    * records `n : caption-token sum : caption-crc32 sum : image-crc32
+    * sum` computed from a full READ-BACK (pointer resolution included),
+    * so a torn pack or lost partition is caught at publish time.
+    * [[readPairRelease]] re-verifies the same stats on every open.
+    */
+  def writePairRelease(pairs: DataFrame, root: String,
+                       idCol: String = "pair_id",
+                       imageCol: String = "image",
+                       captionCol: String = "caption",
+                       inlineMax: Int = 1 << 16): String = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val gen = s"gen-${System.currentTimeMillis()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val media = pairs
+      .select(col(idCol).cast(LongType), col(imageCol))
+      .as[(Long, Array[Byte])]
+      .map { case (i, b) =>
+        Multimodal.MediaRow(i, b, Multimodal.MediaMeta("unknown", 0, 0, 0L))
+      }
+    Multimodal.packBlobs(media, s"$root/$gen/packs", inlineMax)
+      .toDF()
+      .select(col("media_id").as(idCol), col("content"), col("ref"), col("meta"))
+      .join(pairs.drop(imageCol), Seq(idCol))
+      .write.parquet(s"$root/$gen/data")
+    // stats from the read-back THROUGH the pointers: the manifest
+    // witnesses the bytes a reader will actually get
+    val stats = pairStats(openPairData(spark, root, gen, idCol, imageCol),
+      idCol, imageCol, captionCol)
+    graft.operators.Manifests.writeAtomic(spark, s"$root/_PAIRS.json",
+      s"""{"generation":"$gen","idCol":"$idCol","imageCol":"$imageCol",""" +
+        s""""captionCol":"$captionCol","pairs":"$stats"}""")
+    gen
+  }
+
+  private def openPairData(spark: org.apache.spark.sql.SparkSession,
+                           root: String, gen: String, idCol: String,
+                           imageCol: String): DataFrame = {
+    import spark.implicits._
+    val data = spark.read.parquet(s"$root/$gen/data")
+    val resolved = Multimodal.resolveBlobs(
+        data.select(col(idCol).as("media_id"), col("content"), col("ref"),
+          col("meta")).as[Multimodal.PackedMediaRow])
+      .toDF()
+      .select(col("media_id").as(idCol), col("content").as(imageCol))
+    data.drop("content", "ref", "meta").join(resolved, Seq(idCol))
+  }
+
+  /** Open a pair release and RE-VERIFY it against its manifest (count,
+    * caption tokens, caption and image crc32 sums over the
+    * pointer-resolved bytes) — a torn pack, a swept-too-early blob or a
+    * lost partition fails loudly, never silently-different pairs.
+    */
+  def readPairRelease(spark: org.apache.spark.sql.SparkSession,
+                      root: String): DataFrame = {
+    val m = graft.operators.Manifests.read(spark, s"$root/_PAIRS.json")
+      .getOrElse(throw new IllegalStateException(s"no _PAIRS.json under $root"))
+    val gen = graft.operators.Manifests.strField(m, "generation")
+    val idCol = graft.operators.Manifests.strField(m, "idCol")
+    val imageCol = graft.operators.Manifests.strField(m, "imageCol")
+    val captionCol = graft.operators.Manifests.strField(m, "captionCol")
+    val expected = graft.operators.Manifests.strField(m, "pairs")
+    val df = openPairData(spark, root, gen, idCol, imageCol)
+    val got = pairStats(df, idCol, imageCol, captionCol)
+    if (got != expected)
+      throw new IllegalStateException(
+        s"pair release $root/$gen fails verification:\n" +
+          s"  manifest: $expected\n  on disk:  $got")
+    df
+  }
 }

@@ -56,6 +56,50 @@ class PairCurationSpec extends SparkSpecBase {
     assert(out.columns.toSeq == Seq("pair_id", "caption", "phash"))
   }
 
+  test("pair release: blobs round-trip byte-exact through pack pointers; tampering fails loudly on open") {
+    import org.apache.spark.sql.functions.crc32
+    val big = Array.tabulate[Byte](512)(i => (i % 251).toByte) // > inlineMax
+    val pairs = Seq(
+      (1L, JdkMedia.solidPng(8, 8, 10, 10, 10), "alpha beta gamma delta"),
+      (2L, big, "epsilon zeta eta theta"),
+      (3L, JdkMedia.solidPng(4, 4, 99, 99, 99), "iota kappa lambda mu"))
+      .toDF("pair_id", "image", "caption")
+    val root = graft.sources.BucketedTables.scratchDir("pair_rel_").toString
+    val gen = PairCuration.writePairRelease(pairs, root, inlineMax = 256)
+    val back = PairCuration.readPairRelease(spark, root)
+    assert(back.count() == 3)
+    // byte-exact: crc32 of every image matches the source, inline and
+    // packed alike
+    val diff = back.select($"pair_id", crc32($"image").as("c"))
+      .join(pairs.select($"pair_id", crc32($"image").as("c2")), Seq("pair_id"))
+      .where($"c" =!= $"c2").count()
+    assert(diff == 0)
+    assert(back.where($"pair_id" === 2L).select("caption").as[String].head()
+      == "epsilon zeta eta theta")
+    // the big blob really went through a pack file
+    val packs = new java.io.File(s"$root/$gen/packs").listFiles()
+    assert(packs != null && packs.nonEmpty, "expected at least one pack file")
+    // tamper: flip the pack's bytes (same length) — and drop the local
+    // FS checksum sidecars so the corruption reaches OUR verification
+    // layer instead of Hadoop's (HDFS/S3 have no sidecar files)
+    new java.io.File(s"$root/$gen/packs").listFiles()
+      .filter(_.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    val pack = packs.filter(_.getName.endsWith(".bin")).head.toPath
+    val bytes = java.nio.file.Files.readAllBytes(pack)
+    java.nio.file.Files.write(pack,
+      bytes.map(b => (b ^ 0x5A).toByte))
+    val e = intercept[IllegalStateException] {
+      PairCuration.readPairRelease(spark, root).collect()
+    }
+    assert(e.getMessage.contains("fails verification"), e.getMessage)
+    // a missing manifest is equally loud
+    intercept[IllegalStateException] {
+      PairCuration.readPairRelease(spark,
+        graft.sources.BucketedTables.scratchDir("pair_rel_none_").toString)
+    }
+  }
+
   test("pairs in no near-dup group pass through; empty blocklist disables the phrase gate") {
     val solo = Seq(
       (10L, JdkMedia.solidPng(4, 4, 30, 30, 30), "one two three four"),
