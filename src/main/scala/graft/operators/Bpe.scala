@@ -41,9 +41,26 @@ object Bpe {
   /** One learned merge rule: at `rank`, symbol pair (lhs, rhs) → lhs+rhs. */
   final case class Merge(rank: Int, lhs: String, rhs: String)
 
-  /** The space-padded symbol form of a word: `"key"` → `" k e y "`. */
-  private[graft] def padSymbols(word: String): String =
-    " " + word.map(_.toString).mkString(" ") + " "
+  /** The space-padded symbol form of a word: `"key"` → `" k e y "`.
+    * Initial symbols are CODEPOINTS, not UTF-16 units — `map(_.toString)`
+    * would split an astral character (emoji, rare CJK) into two lone
+    * surrogate halves, producing invalid-string symbols the oracle's
+    * codepoint-based `string_split(t, '')` replay could never agree
+    * with.
+    */
+  private[graft] def padSymbols(word: String): String = {
+    val sb = new java.lang.StringBuilder(word.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendCodePoint(cp)
+      sb.append(' ')
+      i += Character.charCount(cp)
+    }
+    if (word.isEmpty) sb.append(' ') // "" → "  ", the historical shape
+    sb.toString
+  }
 
   /** Apply one merge rule to a padded symbol string — non-overlapping
     * left-to-right, the shared Java/SQL `replace` semantics.

@@ -100,6 +100,17 @@ class BpeSpec extends SparkSpecBase {
     assert(nTokens < fewer, s"40 merges ($nTokens) must beat 10 ($fewer)")
   }
 
+  test("astral characters are single symbols, never surrogate halves") {
+    // 😀 is one codepoint (two UTF-16 units): the first merge must pair
+    // the WHOLE emoji with 'x' — a UTF-16 split would emit lone
+    // surrogates as symbols, which no codepoint-based replay can match
+    val docs = Seq((1L, "😀x 😀x")).toDF("doc_id", "text")
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 4)
+    assert(merges == Seq(Merge(0, "😀", "x")), merges.toString)
+    assert(Bpe.encodeWord("😀x", merges) == Seq("😀x"))
+    assert(Bpe.trainBpeDistributed(docs, "text", numMerges = 4) == merges)
+  }
+
   test("trainBpeDistributed: identical rules to the driver loop, exhaustion, partitioning invariance") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val dist = Bpe.trainBpeDistributed(docs, "text", numMerges = 10)
