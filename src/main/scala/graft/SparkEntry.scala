@@ -2290,18 +2290,7 @@ object SparkEntry {
     "q_pair_curation" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.{JdkMedia, PairCuration}
-      val pairsDf = t(s, dir, "documents").where(col("doc_id") < 240)
-        .select(col("doc_id")).as[Long].map { id =>
-          val v = ((id % 40) * 6).toInt
-          val img =
-            if (id % 13 == 0) "not an image payload".getBytes("UTF-8")
-            else JdkMedia.solidPng(8, 8, v, v, v)
-          val cap = s"pair cap c${id % 7}" +
-            (if (id % 5 == 0) "" else " tail words") +
-            (" pad" * (id % 3).toInt) +
-            (if (id % 11 == 0) " click here now" else "")
-          (id, img, cap)
-        }.toDF("pair_id", "image", "caption")
+      val pairsDf = pairCurationFixture(s, dir)
       val (out, ledger) = PairCuration.curatePairsAudited(pairsDf, "pair_id",
         cfg = PairCuration.Config(minCaptionTokens = 4,
           blockPhrases = Seq("click here now")))
@@ -2326,18 +2315,7 @@ object SparkEntry {
       import s.implicits._
       import graft.multimodal.{JdkMedia, PairCuration}
       import graft.operators.Manifests
-      val pairsDf = t(s, dir, "documents").where(col("doc_id") < 240)
-        .select(col("doc_id")).as[Long].map { id =>
-          val v = ((id % 40) * 6).toInt
-          val img =
-            if (id % 13 == 0) "not an image payload".getBytes("UTF-8")
-            else JdkMedia.solidPng(8, 8, v, v, v)
-          val cap = s"pair cap c${id % 7}" +
-            (if (id % 5 == 0) "" else " tail words") +
-            (" pad" * (id % 3).toInt) +
-            (if (id % 11 == 0) " click here now" else "")
-          (id, img, cap)
-        }.toDF("pair_id", "image", "caption")
+      val pairsDf = pairCurationFixture(s, dir)
       val (out, _) = PairCuration.curatePairsAudited(pairsDf, "pair_id",
         cfg = PairCuration.Config(minCaptionTokens = 4,
           blockPhrases = Seq("click here now")))
@@ -3744,6 +3722,28 @@ object SparkEntry {
     * shared by every selector-based oracle so a formula change is made in
     * ONE place (plus the Scala expression).
     */
+  /** The shared (image, caption) pair fixture of q_pair_curation AND
+    * q_pair_release — ONE definition because the id%13/%5/%11/%3/%40
+    * arithmetic is load-bearing for both DuckDB oracles; editing a copy
+    * without the other would desynchronize a gate from its oracle.
+    */
+  private def pairCurationFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.JdkMedia
+    t(s, dir, "documents").where(col("doc_id") < 240)
+      .select(col("doc_id")).as[Long].map { id =>
+        val v = ((id % 40) * 6).toInt
+        val img =
+          if (id % 13 == 0) "not an image payload".getBytes("UTF-8")
+          else JdkMedia.solidPng(8, 8, v, v, v)
+        val cap = "pair cap c" + (id % 7) +
+          (if (id % 5 == 0) "" else " tail words") +
+          (" pad" * (id % 3).toInt) +
+          (if (id % 11 == 0) " click here now" else "")
+        (id, img, cap)
+      }.toDF("pair_id", "image", "caption")
+  }
+
   // the CONTENT document fingerprint (acc·31 + polyHash(token), polyHash
   // = codepoint fold ·131, both mod 1e9+7) — the one arithmetic every
   // fingerprint-keyed oracle replays; empty tokens contribute 0 (DuckDB's

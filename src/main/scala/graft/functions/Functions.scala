@@ -119,6 +119,17 @@ object Functions {
     */
   val TokenHashVersion: Int = 2
 
+  /** Version tag of [[graft.operators.TextAnalysis.portableFingerprint]]'s
+    * arithmetic — the key under the Bloom seen-store, samplers, splits
+    * and shuffles — stamped into persisted filters and `require()`d on
+    * probe, for the same reason as [[TokenHashVersion]]: a store built
+    * under one fingerprint and probed under another silently re-admits
+    * every duplicate. v1 was the token-LENGTH fold; v2 is the content
+    * fold (per-token codepoint polynomial ·131, folded ·31). Bump on ANY
+    * change to the arithmetic.
+    */
+  val FingerprintVersion: Int = 2
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(

@@ -161,7 +161,10 @@ object VectorExpressions {
     * the quantized-index BUILD pass over the whole corpus). Matches the
     * combinator form bitwise: |x| via Math.abs on the double widening,
     * max propagates NaN like Spark's NaN-greatest ordering, empty array
-    * → null (array_max of an empty array is null).
+    * → null (array_max of an empty array is null). A NULL ELEMENT is a
+    * loud error, never a silent 0-read — a vector with a null slot is
+    * malformed input, and the UnsafeArrayData payload under a null slot
+    * is garbage.
     */
   case class VecMaxAbs(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -176,6 +179,8 @@ object VectorExpressions {
         var acc = 0.0
         var i = 0
         while (i < n) {
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            "vec_max_abs: null element in vector — repair or drop the row")
           val x = math.abs(elemGet(a, i))
           if (x > acc || java.lang.Double.isNaN(x)) acc = x
           i += 1
@@ -196,6 +201,8 @@ object VectorExpressions {
            |} else {
            |  double $acc = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i)) throw new IllegalArgumentException(
+           |      "vec_max_abs: null element in vector — repair or drop the row");
            |    double $x = java.lang.Math.abs($gx);
            |    if ($x > $acc || java.lang.Double.isNaN($x)) $acc = $x;
            |  }
@@ -229,6 +236,8 @@ object VectorExpressions {
       if (maxAbs != 0d) {
         var i = 0
         while (i < n) {
+          if (a.isNullAt(i)) throw new IllegalArgumentException(
+            "vec_int8_codes: null element in vector — repair or drop the row")
           out(i) = math.floor(elemGet(a, i) / maxAbs * 127d + 0.5d).toByte
           i += 1
         }
@@ -246,6 +255,8 @@ object VectorExpressions {
            |byte[] $out = new byte[$n];
            |if ($m != 0.0) {
            |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i)) throw new IllegalArgumentException(
+           |      "vec_int8_codes: null element in vector");
            |    $out[$i] = (byte) java.lang.Math.floor($gx / $m * 127.0 + 0.5);
            |  }
            |}

@@ -68,6 +68,23 @@ object Bpe {
   private def applyMerge(padded: String, lhs: String, rhs: String): String =
     padded.replace(s" $lhs $rhs ", s" $lhs$rhs ")
 
+  /** Codepoint-lexicographic comparison — identical to UTF-8 binary
+    * order (what UTF8String / the oracle sort under), unlike Java's
+    * UTF-16 code-unit `compareTo`.
+    */
+  private def cmpCodepoints(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Train `numMerges` BPE rules from the corpus. One distributed
     * word-count pass; merge loop over the capped vocabulary (see object
     * scaladoc). Stops early if no adjacent pair remains. Deterministic:
@@ -99,9 +116,26 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        // max count, ties to the lexicographically smallest pair — the
-        // ordering the oracle replays with ORDER BY cnt DESC, a, b
-        val ((a, b), _) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        // max count, ties to the CODEPOINT-lexicographically smallest
+        // pair — the collation ORDER BY cnt DESC, a, b resolves to in
+        // both the DataFrame flavor (UTF8String binary order) and the
+        // oracle. Scala's default String ordering is UTF-16 code-unit
+        // order, which DISAGREES for supplementary symbols vs
+        // U+E000..U+FFFF (a surrogate unit 0xD8xx sorts below 0xE000
+        // while the UTF-8 byte 0xF0 sorts above 0xEE) — with astral
+        // symbols now representable ([[padSymbols]]) the tie-break must
+        // share one collation everywhere.
+        val ((a, b), _) = counts.min(new Ordering[((String, String), Long)] {
+          def compare(u: ((String, String), Long),
+                      v: ((String, String), Long)): Int = {
+            val byCount = java.lang.Long.compare(v._2, u._2) // count DESC
+            if (byCount != 0) byCount
+            else {
+              val byLhs = cmpCodepoints(u._1._1, v._1._1)
+              if (byLhs != 0) byLhs else cmpCodepoints(u._1._2, v._1._2)
+            }
+          }
+        })
         merges += Merge(rank, a, b)
         words = words.map { case (s, n) => (applyMerge(s, a, b), n) }
         rank += 1

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.BloomFilter
+import graft.functions.{BloomFilter, Functions => F}
 
 /** Sharded Bloom "seen set" — the incremental exact-dedup PROBE for
   * corpora where joining each new batch against the full history is the
@@ -123,7 +123,26 @@ object SeenFilter {
       .join(agged, Seq("shard"), "left")
       .select(col("shard"), coalesce(col("words"), zeroWords).as("words"),
         lit(seed).as("seed"), lit(kHashes).as("k_hashes"),
-        lit(mBits).as("m_bits"), lit(numShards).as("num_shards"))
+        lit(mBits).as("m_bits"), lit(numShards).as("num_shards"),
+        lit(F.FingerprintVersion).as("fp_version"))
+  }
+
+  /** Loud guard against probing (or merging) a filter persisted under a
+    * different FINGERPRINT arithmetic ([[F.FingerprintVersion]]): the
+    * bits are positions of the old fold — every previously-seen document
+    * would silently mark unseen (duplicate re-admission), and an
+    * OR-merge would fuse two incompatible keyings into one filter.
+    */
+  private def checkFpVersion(filter: DataFrame, what: String): Unit = {
+    require(filter.columns.contains("fp_version"),
+      s"$what has no fp_version column — it predates fingerprint " +
+        s"versioning (current v${F.FingerprintVersion}); rebuild it from " +
+        "the history")
+    val vs = filter.select("fp_version").distinct().collect().map(_.getInt(0))
+    require(vs.forall(_ == F.FingerprintVersion),
+      s"$what was built under fingerprint v${vs.mkString(",")} but this " +
+        s"build fingerprints with v${F.FingerprintVersion} — membership " +
+        "would be silently wrong; rebuild the filter from the history")
   }
 
   /** Mark each batch row with `maybe_seen` against `filter`. The filter
@@ -134,6 +153,7 @@ object SeenFilter {
     */
   def markSeen(batch: DataFrame, filter: DataFrame,
                textCol: String = "text"): DataFrame = {
+    checkFpVersion(filter, "filter")
     val cfg = filter.select("seed", "k_hashes", "m_bits", "num_shards")
       .distinct().collect()
     require(cfg.length <= 1,
@@ -159,6 +179,8 @@ object SeenFilter {
     * different geometries would silently corrupt membership.
     */
   def mergeFilters(a: DataFrame, b: DataFrame): DataFrame = {
+    checkFpVersion(a, "left filter")
+    checkFpVersion(b, "right filter")
     val merged = a.unionByName(b)
     val cfg = merged.select("seed", "k_hashes", "m_bits", "num_shards")
       .distinct().collect()
@@ -168,8 +190,10 @@ object SeenFilter {
       .groupBy("shard")
       .agg(BloomFilter.or_words_agg(col("words")).as("words"),
         first("seed").as("seed"), first("k_hashes").as("k_hashes"),
-        first("m_bits").as("m_bits"), first("num_shards").as("num_shards"))
-      .select("shard", "words", "seed", "k_hashes", "m_bits", "num_shards")
+        first("m_bits").as("m_bits"), first("num_shards").as("num_shards"),
+        first("fp_version").as("fp_version"))
+      .select("shard", "words", "seed", "k_hashes", "m_bits", "num_shards",
+        "fp_version")
   }
 
   /** The two-tier admission in one call: rows marked unseen pass through
@@ -320,29 +344,37 @@ object SeenFilterStore {
     * writer loses bits). A lock left by a crash is age-swept by
     * [[recover]]; the failure message says so.
     *
-    * `writerToken` is the RETRY escape hatch: the lock file records the
-    * token, and an existing lock carrying the SAME token is reclaimed —
-    * a foreachBatch retry of micro-batch N can only run after its
-    * earlier attempt died (Structured Streaming never runs the same
-    * batch twice concurrently), so its own leftover lock must be a
-    * crash residue, not a live writer. Tokens never collide across
-    * distinct writers (the streaming path uses the batch id); a
-    * token-less caller gets the strict behavior.
+    * Lock content is `token\nnonce\n` — the token is the caller's
+    * identity, the nonce is unique per ACQUISITION ATTEMPT, and the
+    * final newline is the write-completed terminator (fewer than two
+    * terminated lines = the holder crashed between create() and
+    * close(): a TORN lock).
+    *
+    * `writerToken` is the RETRY escape hatch: an existing complete lock
+    * carrying the SAME non-empty token is reclaimed — a foreachBatch
+    * retry of micro-batch N can only run after its earlier attempt died
+    * (Structured Streaming never runs the same batch twice
+    * concurrently), so its own leftover lock must be crash residue, not
+    * a live writer. A torn lock older than [[TornLockGraceMs]] is
+    * reclaimable by ANY writer. Both reclaim paths are a
+    * delete-then-create with no atomicity between them, so after the
+    * create the acquirer RE-READS the lock and verifies its own nonce —
+    * two writers racing the same stale lock resolve to exactly one
+    * winner (the one whose create landed last; every earlier create was
+    * deleted by a later racer's delete, which its nonce check detects).
     */
   private def acquireAppendLock(spark: SparkSession, root: String,
                                 writerToken: Option[String]): org.apache.hadoop.fs.Path = {
     val lock = new org.apache.hadoop.fs.Path(s"$root/$AppendLockName")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token = writerToken.getOrElse("")
-    // the atomic acquire point: create-exclusive (see the FS requirement
-    // in the object doc). The trailing newline is the write-completed
-    // terminator — content without it means the holder crashed between
-    // create() and close() (a torn lock), distinguishable from a live
-    // writer with an empty token.
+    require(!token.contains("\n"), s"writer token cannot contain newlines: $token")
+    val nonce = java.util.UUID.randomUUID().toString
+    val payload = token + "\n" + nonce + "\n"
     def tryCreate(): Boolean =
       try {
         val out = fs.create(lock, false)
-        out.write((token + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
         true
       } catch { case _: java.io.IOException => false }
@@ -353,20 +385,28 @@ object SeenFilterStore {
         in.close()
         Some(new String(b, java.nio.charset.StandardCharsets.UTF_8))
       } catch { case _: java.io.IOException => None }
+    def isComplete(c: String): Boolean =
+      c.endsWith("\n") && c.count(_ == '\n') >= 2
     var acquired = tryCreate()
     if (!acquired) {
       val content = readContent()
-      val sameToken = token.nonEmpty && content.exists(_ == token + "\n")
-      // a TORN lock (no terminator) older than the tear grace is crash
-      // residue from the create→close window — reclaimable by anyone
-      val tornStale = content.exists(!_.endsWith("\n")) &&
+      val sameToken = token.nonEmpty &&
+        content.exists(c => isComplete(c) && c.takeWhile(_ != '\n') == token)
+      // a TORN lock (missing its terminated two lines) older than the
+      // tear grace is crash residue from the create→close window —
+      // reclaimable by anyone
+      val tornStale = content.exists(c => !isComplete(c)) &&
         (try System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime > TornLockGraceMs
         catch { case _: java.io.IOException => false })
       if (sameToken || tornStale) {
-        // same-token residue = our own crashed attempt: reclaim
         fs.delete(lock, false)
-        acquired = tryCreate()
+        if (tryCreate()) {
+          // the reclaim's delete+create is not atomic: verify OUR nonce
+          // survived — a racer's delete/create landing in between shows
+          // up as foreign content, and exactly one racer sees its own
+          acquired = readContent().contains(payload)
+        }
       }
     }
     require(acquired,

@@ -126,6 +126,10 @@ object CrawlIngest {
         import batch.sparkSession.implicits._
         val clean = cleanDocs(parsedDocs(batch.as[GzipArchives.FileMemberRow]))
         val keep = clean.columns
+        // materialized ONCE: four consumers follow (the valve's token
+        // sum, the empty probe, the store's marking and its filter
+        // build) and each would otherwise replay the WARC parse +
+        // boilerplate + gopher walk — the dominant per-batch cost
         val gated = graft.operators.TextAnalysis
           .gopherFilter(clean, "text", gopherMinWords, gopherMaxWords)
           .where(col("gopher_keep"))
@@ -134,6 +138,7 @@ object CrawlIngest {
           // identifies a record uniquely within any batch
           .withColumn("doc_key",
             concat_ws("#", col("archive"), col("member_idx")))
+          .localCheckpoint(true)
         val admitted = graft.streaming.StreamingTokenBudget.admitCommitted(
           gated, batchId, budgetRoot, budgetTokens, idCol = "doc_key")
         // post-budget (empty) batches skip the store append — appending

@@ -179,9 +179,12 @@ object StreamingTokenBudget {
       : (DataFrame, MixState, Boolean) = {
     require(budgets.nonEmpty && budgets.values.forall(_ > 0),
       s"budgets must be non-empty and positive, got $budgets")
-    budgets.keys.foreach(g => require(!g.contains(":") && !g.contains(","),
-      s"stratum name '$g' cannot carry ':' or ',' (the state encoding's " +
-        "delimiters); rename the stratum"))
+    budgets.keys.foreach(g => require(
+      !g.contains(":") && !g.contains(",") && !g.contains("\"") &&
+        !g.contains("\\") && g.forall(_ >= ' '),
+      s"stratum name '$g' cannot carry ':', ',', '\"', '\\' or control " +
+        "characters (the state encoding's delimiters and JSON " +
+        "metacharacters); rename the stratum"))
     val spark = batch.sparkSession
     val st = readMixState(spark, root)
     st.foreach(s => require(s.budgets == budgets,

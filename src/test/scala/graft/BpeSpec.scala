@@ -111,6 +111,17 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.trainBpeDistributed(docs, "text", numMerges = 4) == merges)
   }
 
+  test("merge tie-break is codepoint order — identical in the driver loop, the DataFrame loop and binary collation") {
+    // (😀, a) and (, a) tie at count 1; codepoint order puts
+    // U+E000 (57344) below U+1F600 (128512), but Java's UTF-16 compareTo
+    // would order the surrogate pair (0xD83D...) FIRST — the collations
+    // disagree exactly here, so this pins all flavors to one winner
+    val docs = Seq((1L, "😀a a")).toDF("doc_id", "text")
+    val m1 = Bpe.trainBpe(docs, "text", numMerges = 1)
+    assert(m1 == Seq(Merge(0, "", "a")), m1.toString)
+    assert(Bpe.trainBpeDistributed(docs, "text", numMerges = 1) == m1)
+  }
+
   test("trainBpeDistributed: identical rules to the driver loop, exhaustion, partitioning invariance") {
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
     val dist = Bpe.trainBpeDistributed(docs, "text", numMerges = 10)

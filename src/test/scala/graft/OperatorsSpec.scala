@@ -882,6 +882,16 @@ class OperatorsSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("lambdafunction") && !plan.contains("transform("),
       plan)
+    // a null ELEMENT is malformed input: loud error, never a silent
+    // 0-read of the slot under the null bit
+    val withNull = Seq((9L, Seq[java.lang.Float](1.0f, null)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.quantizeInt8(withNull, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage != null && (e.getMessage.contains("null element") ||
+      Option(e.getCause).exists(_.getMessage.contains("null element"))),
+      e.toString)
   }
 
   test("bruteForceTopK returns k nearest by cosine, self excluded") {

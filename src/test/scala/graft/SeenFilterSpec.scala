@@ -81,6 +81,32 @@ class SeenFilterSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("fp_version rides the filter and gates probes: stale or version-less filters fail loudly") {
+    import graft.functions.{Functions => F}
+    val filter = SeenFilter.buildFilter(docs, seed = 3L, kHashes = 5,
+      mBits = 1 << 14, numShards = 4)
+    assert(filter.select("fp_version").distinct().head.getInt(0) ==
+      F.FingerprintVersion)
+    // a filter persisted under the old (length-fold) fingerprint: its
+    // bits answer a different arithmetic — probing must refuse, never
+    // silently re-admit every duplicate
+    val stale = filter.withColumn("fp_version", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      SeenFilter.markSeen(docs, stale).collect()
+    }
+    assert(e1.getMessage.contains("fingerprint v1"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SeenFilter.markSeen(docs, filter.drop("fp_version")).collect()
+    }
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      SeenFilter.mergeFilters(filter, stale).collect()
+    }
+    // merge of matching filters carries the version through
+    assert(SeenFilter.mergeFilters(filter, filter)
+      .select("fp_version").distinct().head.getInt(0) == F.FingerprintVersion)
+  }
+
   test("store lifecycle: init → appendBatch (pre-batch marking, post-batch serving) → retry-idempotent → recover sweeps orphans") {
     import graft.operators.SeenFilterStore
     val root = java.nio.file.Files.createTempDirectory("bloomstore_").toString
@@ -155,13 +181,13 @@ class SeenFilterSpec extends SparkSpecBase {
     assert(SeenFilterStore.currentGen(spark, root).get != gen0)
     // retry escape hatch: a tokened writer reclaims ITS OWN crashed
     // attempt's lock (the streaming foreachBatch retry path) but still
-    // refuses a DIFFERENT holder's (the \n is the write-completed
-    // terminator a real holder leaves)
-    java.nio.file.Files.write(lockFile, "batch-7\n".getBytes("UTF-8"))
+    // refuses a DIFFERENT holder's (token\nnonce\n is the complete
+    // two-line payload a real holder leaves)
+    java.nio.file.Files.write(lockFile, "batch-7\nold-nonce\n".getBytes("UTF-8"))
     SeenFilterStore.appendBatch(spark, root, batch,
       writerToken = Some("batch-7")) // reclaims, completes, releases
     assert(!java.nio.file.Files.exists(lockFile))
-    java.nio.file.Files.write(lockFile, "batch-8\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(lockFile, "batch-8\nold-nonce\n".getBytes("UTF-8"))
     intercept[IllegalArgumentException] {
       SeenFilterStore.appendBatch(spark, root, batch,
         writerToken = Some("batch-9"))
@@ -199,7 +225,7 @@ class SeenFilterSpec extends SparkSpecBase {
       "append must release the reclaimed lock")
     // a COMPLETE-token lock is never torn-reclaimed however old: aging a
     // terminated foreign lock still refuses a tokenless writer
-    java.nio.file.Files.write(lockFile, "batch-4\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(lockFile, "batch-4\nold-nonce\n".getBytes("UTF-8"))
     java.nio.file.Files.setLastModifiedTime(lockFile,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - SeenFilterStore.TornLockGraceMs - 5000L))
