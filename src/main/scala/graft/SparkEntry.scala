@@ -3860,14 +3860,14 @@ object SparkEntry {
     // replay the Bloom filter as arithmetic: double-hashing positions
     // (h1 + j·h2 mod p mod m) per doc, history bit-set per shard, probe =
     // all 3 positions present — false positives and all. Seed 7 reduced
-    // mod p = 7; second salt = (7 + 1315423911) % p = 1315423918.
+    // mod p = 7; second salt = (7 + 1315423911) % p = 315423911.
     "q_bloom_seen" ->
       s"""WITH f AS (
          |  SELECT doc_id, $fpSql AS fp FROM documents),
          |g AS (
          |  SELECT doc_id, fp % 4 AS shard,
          |    ((fp + 7) * 2654435761 % 1000000007) AS h1,
-         |    ((((fp + 1315423918) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+         |    (((fp + 315423911) * 2246822519) % 1000000006 + 1) AS h2
          |  FROM f),
          |hp AS (
          |  SELECT DISTINCT shard, ((h1 + u.j * h2) % 1000000007) % 1024 AS pos
@@ -3892,8 +3892,8 @@ object SparkEntry {
          |hp AS (
          |  SELECT DISTINCT fp % 4 AS shard,
          |    ((((fp + 7) * 2654435761 % 1000000007)
-         |      + u.j * ((((fp + 1315423918) % 1000000007) * 2246822519
-         |                % 1000000007) | 1)) % 1000000007) % 1024 AS pos
+         |      + u.j * (((fp + 315423911) * 2246822519)
+         |                % 1000000006 + 1)) % 1000000007) % 1024 AS pos
          |  FROM hf CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u),
          |psrc AS (
          |  SELECT doc_id, text FROM documents
@@ -3904,8 +3904,8 @@ object SparkEntry {
          |bp AS (
          |  SELECT doc_id, fp % 4 AS shard,
          |    ((((fp + 7) * 2654435761 % 1000000007)
-         |      + u.j * ((((fp + 1315423918) % 1000000007) * 2246822519
-         |                % 1000000007) | 1)) % 1000000007) % 1024 AS pos
+         |      + u.j * (((fp + 315423911) * 2246822519)
+         |                % 1000000006 + 1)) % 1000000007) % 1024 AS pos
          |  FROM pf CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) u)
          |SELECT bp.doc_id, bool_and(hp.pos IS NOT NULL) AS maybe_seen
          |FROM bp LEFT JOIN hp ON hp.shard = bp.shard AND hp.pos = bp.pos
@@ -6132,7 +6132,7 @@ object SparkEntry {
         |h AS MATERIALIZED (
         |  SELECT t,
         |    ((fp + 11) * 2654435761 % 1000000007) AS h1,
-        |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |    (((fp + 315423915) * 2246822519) % 1000000006 + 1) AS h2
         |  FROM toks),
         |grid AS MATERIALIZED (
         |  SELECT u.j, ((h1 + u.j * h2) % 1000000007) % 4096 AS pos,
@@ -6147,7 +6147,7 @@ object SparkEntry {
         |qh AS (
         |  SELECT t,
         |    ((fp + 11) * 2654435761 % 1000000007) AS h1,
-        |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |    (((fp + 315423915) * 2246822519) % 1000000006 + 1) AS h2
         |  FROM (
         |    SELECT t,
         |      (list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -6230,7 +6230,7 @@ object SparkEntry {
         |h AS MATERIALIZED (
         |  SELECT t,
         |    ((fp + 11) * 2654435761 % 1000000007) AS h1,
-        |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |    (((fp + 315423915) * 2246822519) % 1000000006 + 1) AS h2
         |  FROM toks),
         |grid AS MATERIALIZED (
         |  SELECT u.j, ((h1 + u.j * h2) % 1000000007) % 4096 AS pos,
@@ -6244,7 +6244,7 @@ object SparkEntry {
         |qh AS (
         |  SELECT t,
         |    ((fp + 11) * 2654435761 % 1000000007) AS h1,
-        |    ((((fp + 1315423922) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |    (((fp + 315423915) * 2246822519) % 1000000006 + 1) AS h2
         |  FROM (
         |    SELECT t,
         |      (list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -6274,7 +6274,7 @@ object SparkEntry {
         |h AS MATERIALIZED (
         |  SELECT t,
         |    ((fp + 9) * 2654435761 % 1000000007) AS h1,
-        |    ((((fp + 1315423920) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |    (((fp + 315423913) * 2246822519) % 1000000006 + 1) AS h2
         |  FROM toks),
         |grid AS MATERIALIZED (
         |  SELECT u.j, ((h1 + u.j * h2) % 1000000007) % 64 AS pos,
@@ -6288,7 +6288,7 @@ object SparkEntry {
         |qh AS (
         |  SELECT t,
         |    ((fp + 9) * 2654435761 % 1000000007) AS h1,
-        |    ((((fp + 1315423920) % 1000000007) * 2246822519 % 1000000007) | 1) AS h2
+        |    (((fp + 315423913) * 2246822519) % 1000000006 + 1) AS h2
         |  FROM (
         |    SELECT t,
         |      (list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   *
   * The bit positions are Kirsch–Mitzenmacher double hashing over the
   * portable content fingerprint: `pos_j = (h1 + j·h2) mod p mod m` with
-  * `h1 = (fp + s1)·2654435761 mod p`, `h2 = ((fp + s2)·2246822519 mod p) | 1`
+  * `h1 = (fp + s1)·2654435761 mod p`, `h2 = (fp + s2)·2246822519 mod (p−1) + 1`
   * (`p = 1e9+7`; the odd step makes h2 item-dependent, the classic FP-rate
   * fix over a constant stride). Every operation is exact BIGINT arithmetic
   * with all intermediates < 2^63 (max (fp+s)·c ≈ 2e9 · 2.65e9 ≈ 5.3e18),
@@ -44,12 +44,21 @@ object BloomFilter {
 
   /** The j-th bit position for a document with portable fingerprint `fp`
     * (a BIGINT column in [0, p)). Pure codegen arithmetic, no UDF.
+    *
+    * `h2 = x mod (p−1) + 1` ∈ [1, p−1] — NEVER ≡ 0 mod p, so the k
+    * probes are always distinct residues (p prime ⇒ any nonzero step
+    * generates them all). The earlier `(x mod p) | 1` form had a
+    * 1-in-1e9 degenerate: when `x mod p = p−1` (even), OR-ing 1 yields
+    * exactly p ≡ 0, collapsing all k positions onto h1 — such an item's
+    * false-positive rate became the filter FILL instead of fill^k.
+    * Intermediates stay < 2^63 ((fp+s) < 2p ≈ 2.1e9, ×Knuth2 ≈ 4.8e18),
+    * so the oracle replays the same expression without pre-reduction.
     */
   def position(fp: Column, seed: Long, j: Int, mBits: Int): Column = {
     val s1 = reduceSeed(seed)
     val s2 = (s1 + SaltOffset) % P
     val h1 = pmod((fp + lit(s1)) * lit(Knuth1), lit(P))
-    val h2 = pmod((fp + lit(s2)) * lit(Knuth2), lit(P)).bitwiseOR(lit(1L))
+    val h2 = pmod((fp + lit(s2)) * lit(Knuth2), lit(P - 1)) + lit(1L)
     pmod(pmod(h1 + lit(j.toLong) * h2, lit(P)), lit(mBits.toLong))
   }
 

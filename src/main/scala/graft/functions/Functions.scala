@@ -125,8 +125,10 @@ object Functions {
     * probe, for the same reason as [[TokenHashVersion]]: a store built
     * under one fingerprint and probed under another silently re-admits
     * every duplicate. v1 was the token-LENGTH fold; v2 is the content
-    * fold (per-token codepoint polynomial ·131, folded ·31). Bump on ANY
-    * change to the arithmetic.
+    * fold (per-token codepoint polynomial ·131, folded ·31) TOGETHER
+    * with [[BloomFilter]]'s non-degenerate probe step (h2 mod (p−1)+1 —
+    * both landed in the same release). Bump on ANY change to either
+    * arithmetic.
     */
   val FingerprintVersion: Int = 2
 

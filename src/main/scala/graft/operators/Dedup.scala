@@ -33,14 +33,17 @@ object Dedup {
   // ------------------------------------------------------------------ exact
 
   /** Exact duplicate statistics per group: rows vs distinct texts. The
-    * distinct is computed on xxhash64(text) so the shuffle carries 8-byte
-    * keys, not document bodies.
+    * distinct is computed on an independent PAIR of 64-bit hashes so
+    * the shuffle carries 16-byte keys, not document bodies — a single
+    * 64-bit key expects O(1) birthday collisions at 10^10 docs, each
+    * silently under-counting a distinct text.
     */
   def exactStats(docs: DataFrame, groupCol: String, textCol: String = "text"): DataFrame =
     docs.groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(xxhash64(col(textCol))).as("n_distinct"))
+        countDistinct(xxhash64(col(textCol)),
+          xxhash64(lit(1L), col(textCol))).as("n_distinct"))
 
   /** Keep one representative (min id) per exact text; drops the rest.
     *
@@ -60,7 +63,13 @@ object Dedup {
     */
   def dropExactDups(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
     val cols = docs.columns
-    docs.groupBy(xxhash64(col(textCol)).as("_h"))
+    // TWO independent 64-bit hashes (the second salts the stream with a
+    // leading literal), so the group key is effectively 128-bit: at the
+    // design scale (~10^10 docs) a single 64-bit key expects O(1)
+    // birthday collisions — each one silently DELETING a distinct
+    // document; at 128 bits the expectation is ~1e-19
+    docs.groupBy(xxhash64(col(textCol)).as("_h"),
+        xxhash64(lit(1L), col(textCol)).as("_h2"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_best"))
       .select(cols.map(c => col("_best").getField(c).as(c)): _*)
   }
@@ -70,8 +79,9 @@ object Dedup {
     * seen within `delay` of the stream's max event time — bounded, evicted
     * by the engine when the watermark passes (unbounded-state
     * `dropDuplicates` on a stream would grow forever at ingest scale; the
-    * watermark bound is the production shape). The hash column keeps state
-    * at 8 bytes per key instead of a document body. At-least-once sources
+    * watermark bound is the production shape). The hash pair keeps state
+    * at 16 bytes per key instead of a document body (two independent
+    * 64-bit hashes — see [[dropExactDups]] for the collision math). At-least-once sources
     * (Kafka replays) therefore cannot double-ingest a document whose
     * duplicate arrives within the lateness bound — the same guarantee the
     * batch layer's [[dropExactDups]] gives retrospectively.
@@ -80,9 +90,10 @@ object Dedup {
                           textCol: String = "text"): DataFrame =
     docs
       .withColumn("_content_hash", xxhash64(col(textCol)))
+      .withColumn("_content_hash2", xxhash64(lit(1L), col(textCol)))
       .withWatermark(tsCol, delay)
-      .dropDuplicatesWithinWatermark("_content_hash")
-      .drop("_content_hash")
+      .dropDuplicatesWithinWatermark("_content_hash", "_content_hash2")
+      .drop("_content_hash", "_content_hash2")
 
   // --------------------------------------------------------- bucket bounds
 
@@ -1136,13 +1147,22 @@ object Dedup {
   def keepBestPerGroup(docs: DataFrame, idCol: String, pairs: DataFrame,
                        scoreCol: Column): DataFrame = {
     val comps = connectedComponents(pairs)
-    val withComp = docs
-      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn("_comp", coalesce(col("component"), col(idCol)))
-    val w = Window.partitionBy(col("_comp")).orderBy(scoreCol.desc, col(idCol))
-    withComp.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn", "_comp", "component")
+    try {
+      val w = Window.partitionBy(col("_comp")).orderBy(scoreCol.desc, col(idCol))
+      docs
+        .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .withColumn("_comp", coalesce(col("component"), col(idCol)))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .drop("_rn", "_comp", "component")
+        // materialize so the component frame can release NOW — the
+        // one-shot connectedComponents returns a PERSISTED frame, and a
+        // per-batch loop over the lazy form would pin one cached frame
+        // per call forever (the exact leak dropNearDupGroupsWith's doc
+        // warns about, here with neither the warning nor the escape
+        // hatch)
+        .localCheckpoint(true)
+    } finally comps.unpersist()
   }
 
   // ----------------------------------------- embedding cosine near-dup

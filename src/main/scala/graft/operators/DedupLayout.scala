@@ -37,6 +37,17 @@ object DedupLayout {
       * key).
       */
     def sigKey: (Int, Int, Int) = (shingleK, numHashes, sigPartitions)
+
+    /** The fields a BANDED table depends on — everything EXCEPT
+      * `sigPartitions` (banded rows are (id, band, bucket); where the
+      * SIGNATURE rows live does not shape them). Including it would
+      * brick ingest after a legitimate `relayoutSignatures` grow: the
+      * sig manifest re-stamps with the new P, the banded manifest keeps
+      * the old one, and a strict full compare rejects a perfectly valid
+      * banded table forever.
+      */
+    def bandedKey: (Int, Int, Int, Int, Double, Int) =
+      (shingleK, numHashes, nBands, rowsPerBand, threshold, maxBucket)
   }
 
   val ManifestName = "_LAYOUT.json"
@@ -83,10 +94,14 @@ object DedupLayout {
     * first batch that then blocks the seeding write's ErrorIfExists, and
     * (b) freeze the failed call's possibly-wrong parameters as truth.
     *
-    * `full = true` (banded tables) compares every field; `full = false`
-    * (signature tables) compares only (shingleK, numHashes) — the fields
-    * the sig bytes actually depend on — so one signature table can serve
-    * several banding/threshold configurations.
+    * `full = true` (banded tables) compares every field EXCEPT
+    * `sigPartitions` ([[Layout.bandedKey]] — banded rows do not depend
+    * on the sig table's partitioning, and a strict compare would reject
+    * valid banded tables after a re-layout grow); `full = false`
+    * (signature tables) compares only (shingleK, numHashes,
+    * sigPartitions) — the fields the sig bytes and their placement
+    * actually depend on — so one signature table can serve several
+    * banding/threshold configurations.
     */
   def ensure(spark: SparkSession, tablePath: String, l: Layout, full: Boolean): Unit =
     read(spark, tablePath) match {
@@ -101,11 +116,14 @@ object DedupLayout {
                 fs.listStatus(s.getPath).exists(_.getPath.getName.endsWith(".parquet"))))
         if (hasData) write(spark, tablePath, l)
       case Some(existing) =>
-        val ok = if (full) existing == l else existing.sigKey == l.sigKey
+        val ok =
+          if (full) existing.bandedKey == l.bandedKey
+          else existing.sigKey == l.sigKey
         if (!ok) throw new IllegalStateException(
           s"dedup layout mismatch at $tablePath: table was written with " +
             s"${toJson(existing)} but this call uses ${toJson(l)}" +
-            (if (full) "" else " (compared: shingleK, numHashes, sigPartitions)") +
+            (if (full) " (compared: all fields except sigPartitions)"
+             else " (compared: shingleK, numHashes, sigPartitions)") +
             " — running with drifted parameters would silently admit duplicates; " +
             "re-sign the table or fix the caller's configuration")
     }

@@ -179,7 +179,11 @@ object TextAnalysis {
   def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
                       textCol: String = "text"): DataFrame = {
     require(blocklist.nonEmpty, "blocklistFilter needs at least one term")
-    docs.where(!arrays_overlap(
+    // null text rides THROUGH (it contains no blocklisted token): the
+    // raw !arrays_overlap(null, ...) predicate is SQL null, which
+    // where() treats as false — silently deleting null-text docs a
+    // "drop docs containing a blocked token" contract has no claim on
+    docs.where(col(textCol).isNull || !arrays_overlap(
       split(col(textCol), "\\s+"),
       lit(blocklist.distinct.toArray)))
   }
@@ -349,7 +353,8 @@ object TextAnalysis {
   /** Keep only docs containing NO blocklisted phrase. */
   def phraseBlocklistFilter(docs: DataFrame, phrases: Seq[String],
                             textCol: String = "text"): DataFrame =
-    docs.where(graft.functions.TextExpressions
+    // null text passes (no phrase present) — see [[blocklistFilter]]
+    docs.where(col(textCol).isNull || graft.functions.TextExpressions
       .phrase_matches(col(textCol), phrases) === 0)
 
   /** Per-doc token-repetition signals — the Gopher-style repetition
@@ -392,9 +397,7 @@ object TextAnalysis {
     // stays below Long.MaxValue — an unreduced large seed (e.g. a
     // timestamp) would silently wrap in 64-bit and break the documented
     // exact-arithmetic recomputability of the selection.
-    val seedReduced = ((seed % 1000000007L) + 1000000007L) % 1000000007L
-    val salted = pmod((portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
-      lit(1000000007L))
+    val salted = sampleSelector(textCol, seed)
     val frac = coalesce(
       element_at(typedlit(fractions), col(strataCol)), lit(1.0))
     // integer gate: keep iff selector < floor(frac·10⁴). Selector and cut
@@ -513,7 +516,15 @@ object TextAnalysis {
     * [[graft.functions.TopKAggregate]] pattern) over the window — same
     * result, no full per-group sort.
     */
-  private def sampleSelector(textCol: String, seed: Long): Column = {
+  /** THE salted content selector — the single definition every
+    * fingerprint-keyed sampler shares (stratifiedSample, upsample,
+    * sampleKPerGroup, hash splits, corpus shuffle, token budgets): the
+    * replay-stability and cross-operator decorrelation contracts all
+    * hinge on this one formula staying bit-identical, so no caller may
+    * re-derive it inline. Seed reduced mod p FIRST so (fp + seed') ×
+    * 2654435761 stays < 2^63 for ANY seed (timestamps included).
+    */
+  private[operators] def sampleSelector(textCol: String, seed: Long): Column = {
     val seedReduced = ((seed % 1000000007L) + 1000000007L) % 1000000007L
     pmod(
       (portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
@@ -760,11 +771,7 @@ object TextAnalysis {
       factors.map { case (s, f) => s -> math.floor(f).toInt }
     val cut: Map[String, Long] =
       factors.map { case (s, f) => s -> math.floor((f - math.floor(f)) * 10000).toLong }
-    val seedReduced = ((seed % 1000000007L) + 1000000007L) % 1000000007L
-    val sel = pmod(
-      pmod((portableFingerprint(col(textCol)) + lit(seedReduced)) * 2654435761L,
-        lit(1000000007L)),
-      lit(10000L))
+    val sel = pmod(sampleSelector(textCol, seed), lit(10000L))
     val copies = coalesce(element_at(typedlit(whole), col(strataCol)), lit(1)) +
       when(sel < coalesce(element_at(typedlit(cut), col(strataCol)), lit(0L)), 1)
         .otherwise(0)
@@ -1231,7 +1238,14 @@ object TextAnalysis {
     // bounded collect: ≤ numBuckets rows of (bucket, count) — metadata,
     // not data (same contract as the stratum-count collects above)
     val counts = keyed.groupBy("_bucket").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map { r =>
+        // null text -> null fingerprint -> null bucket: name the fix
+        // instead of NPE-ing on getLong (null text is in-contract
+        // upstream: normalizeText/fixMojibake pass it through)
+        require(!r.isNullAt(0), s"corpusShuffle: null $textCol rows have " +
+          "no shuffle key - drop or repair null-text documents first")
+        r.getLong(0) -> r.getLong(1)
+      }.sortBy(_._1)
     // dense cumulative offsets (empty buckets inherit the running sum);
     // shipped via addReferenceObj, not a typedlit map — at the 2^20
     // bucket cap a literal map is megabytes of plan tree per task
@@ -1283,7 +1297,11 @@ object TextAnalysis {
       .withColumn("_toks", F.tokenCount(col(textCol)).cast(LongType))
     // bounded collect: ≤ numBuckets rows of (bucket, token sum) — metadata
     val sums = keyed.groupBy("_bucket").agg(sum(col("_toks")).as("_s"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0), s"tokenBudgetSample: null $textCol rows " +
+          "have no budget key - drop or repair null-text documents first")
+        r.getLong(0) -> r.getLong(1)
+      }.sortBy(_._1)
     val offsets = new Array[Long](numBuckets)
     var acc = 0L
     var next = 0
@@ -1330,7 +1348,11 @@ object TextAnalysis {
     val sums = keyed.groupBy(col(strataCol).as("_g"), col("_bucket"))
       .agg(sum(col("_toks")).as("_s"))
       .collect()
-      .map(r => (Option(r.get(0)).map(_.toString).orNull, r.getLong(1), r.getLong(2)))
+      .map { r =>
+        require(!r.isNullAt(1), s"tokenBudgetMix: null $textCol rows " +
+          "have no budget key - drop or repair null-text documents first")
+        (Option(r.get(0)).map(_.toString).orNull, r.getLong(1), r.getLong(2))
+      }
       .groupBy(_._1)
     // dense per-stratum offsets, concatenated into ONE array: stratum g's
     // bucket b sits at stratumBase(g) + b. A NULL stratum has no base

@@ -118,6 +118,23 @@ object IncrementalDedup {
     assertNoRelayout("at batch start",
       "increment batches must pause until relayoutSignatures completes " +
         "(or run recoverSignatureRelayout if it crashed)")
+    // the lock-existence checks alone cannot see a re-layout that both
+    // ACQUIRED AND RELEASED between two points — but every completed
+    // re-layout re-stamps the layout manifest (it only runs when
+    // sigPartitions changes), so comparing the stamp closes that window
+    val layoutAtStart = DedupLayout.read(spark, sigTablePath)
+    // bootstrap contract, stated loudly: the table must be seeded before
+    // the first increment (minHashSignatures(...) -> writeSignatures) --
+    // without this the first read dies in Spark's generic
+    // path-not-found/schema-inference error with no hint at the fix
+    require(layoutAtStart.isDefined || {
+      val d = new org.apache.hadoop.fs.Path(sigTablePath)
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(d) && fs.listStatus(d).nonEmpty
+    }, s"$sigTablePath does not exist (or is empty) -- seed the corpus " +
+      "signature table first: Dedup.writeSignatures(Dedup.minHashSignatures(" +
+      "corpus, ...), path, sigPartitions) (an increment-only stream cannot " +
+      "bootstrap the table itself)")
     lazy val corpusSigs = spark.read.parquet(sigTablePath)
     val newSigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleK, numHashes)
       .persist() // consumed by both band joins, the verifies AND the sig append
@@ -133,6 +150,21 @@ object IncrementalDedup {
         Dedup.minHashCandidatePairs(newSigs, nBands, rowsPerBand, maxBucket),
         newSigs, newSigs, "id_a", "id_b", numHashes)
         .where(col("est_jaccard") >= threshold)
+      // the candidate join's bucket cap drops oversized (band, bucket)
+      // groups SILENTLY — for the INTRA-batch stage that means a flood
+      // of > maxBucket near-identical copies of one novel doc produces
+      // zero self-pairs and every copy is admitted and signed. The
+      // module contract is "recall loss is visible, never silent":
+      // surface it (increment-sized aggregate, cheap per batch).
+      val oversizedSelf = Dedup.oversizedBuckets(
+        Dedup.bandedTable(newSigs, nBands, rowsPerBand),
+        Seq("band", "bucket"), maxBucket).count()
+      if (oversizedSelf > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"incremental dedup: $oversizedSelf intra-batch band buckets " +
+            s"exceed maxBucket=$maxBucket — copies beyond the cap in THIS " +
+            "batch can pass the self-dedup stage as novel; raise maxBucket " +
+            "or pre-dedup the source feed")
       val candidatePlan = bandedTablePath match {
         case Some(bp) =>
           val banded = spark.read.parquet(bp)
@@ -203,6 +235,11 @@ object IncrementalDedup {
             "them mid-swap — REPLAY this batch once it completes (replay " +
             "is dedup-safe: surviving rows re-collide with themselves, " +
             "trashed rows are re-admitted)")
+        require(DedupLayout.read(spark, sigTablePath) == layoutAtStart,
+          s"$sigTablePath was re-laid-out DURING this batch (layout stamp " +
+            "changed since batch start) — the rows this batch appended " +
+            "went to the swapped-out directory; REPLAY the batch (replay " +
+            "is dedup-safe, see above)")
       } finally {
         novel.unpersist(); comps.unpersist()
         if (sigPartitions > 0) { candidates.unpersist(); () }
