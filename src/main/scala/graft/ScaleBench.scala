@@ -282,7 +282,7 @@ object ScaleBench {
       spans.collect()
       graft.sources.BucketedTables.PlanWitness.collectNodes(spans) {
         case g: org.apache.spark.sql.execution.GenerateExec
-          if g.boundGenerator.toString.toLowerCase.contains("shingle") => g
+          if g.boundGenerator.toString.toLowerCase(java.util.Locale.ROOT).contains("shingle") => g
       }.size
     } else -1
     val witnessField = if (witness) f""","shingle_derivations":$gens""" else ""

@@ -145,7 +145,7 @@ object PublicSuffix {
       } else if (line.nonEmpty && (includePrivate || !inPrivate)) {
         // read up to the first whitespace
         val ws = line.indexWhere(Character.isWhitespace)
-        val rule = (if (ws >= 0) line.substring(0, ws) else line).toLowerCase
+        val rule = (if (ws >= 0) line.substring(0, ws) else line).toLowerCase(java.util.Locale.ROOT)
         if (rule.startsWith("!")) exc.add(rule.substring(1))
         else if (rule.startsWith("*.")) wild.add(rule.substring(2))
         else if (rule != "*") exact.add(rule)

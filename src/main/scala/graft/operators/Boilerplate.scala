@@ -52,7 +52,7 @@ object Boilerplate {
   private[graft] def toSet(words: Seq[String]): java.util.HashSet[String] = {
     require(words.nonEmpty, "boilerplate stopword set must be non-empty")
     val s = new java.util.HashSet[String]()
-    words.foreach(w => s.add(w.toLowerCase))
+    words.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
     s
   }
 
@@ -73,7 +73,7 @@ object Boilerplate {
       while (j < n && text.charAt(j) != ' ' && text.charAt(j) != '\n') j += 1
       if (j > i) {
         words += 1
-        if (stopwords.contains(text.substring(i, j).toLowerCase)) stops += 1
+        if (stopwords.contains(text.substring(i, j).toLowerCase(java.util.Locale.ROOT))) stops += 1
       }
       i = j + 1
     }

@@ -163,7 +163,7 @@ object HtmlExtract {
               (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
                 (ch >= '0' && ch <= '9')
             }) ne += 1
-            val name = rest.substring(0, ne).toLowerCase
+            val name = rest.substring(0, ne).toLowerCase(java.util.Locale.ROOT)
             if (!isClose && (name == "script" || name == "style" ||
                 name == "title")) {
               val close = "</" + name

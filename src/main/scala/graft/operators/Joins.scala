@@ -33,7 +33,7 @@ object Joins {
     require(salt >= 1, "salt must be >= 1")
     val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
       "left_anti", "leftanti")
-    require(allowed.contains(joinType.toLowerCase),
+    require(allowed.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
       s"joinType $joinType would duplicate unmatched right rows per salt")
     val saltedL = skewed.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))

@@ -40,7 +40,7 @@ object RobotsFilter {
     */
   def parseRobotsRules(content: String, agent: String): Seq[Rule] = {
     if (content == null) return Seq.empty
-    val agentLc = agent.toLowerCase
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     // group accumulator: (specificity, rules) — specificity is the
     // longest matching UA token length; -1 = group does not apply, 0 = *
     var bestSpec = -1
@@ -59,13 +59,13 @@ object RobotsFilter {
       val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
       val c = line.indexOf(':')
       if (c > 0) {
-        val key = line.substring(0, c).trim.toLowerCase
+        val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(c + 1).trim
         key match {
           case "user-agent" =>
             if (!inAgentRun) closeGroup()
             inAgentRun = true
-            val tok = value.toLowerCase
+            val tok = value.toLowerCase(java.util.Locale.ROOT)
             val spec =
               if (tok == "*") 0
               else if (agentLc.startsWith(tok)) tok.length
@@ -92,7 +92,12 @@ object RobotsFilter {
                   hostCol: String = "host",
                   contentCol: String = "content"): DataFrame = {
     import robots.sparkSession.implicits._
+    // ONE row per host, deterministically (min content on a re-fetch
+    // collision): a duplicate host row would otherwise FAN OUT every
+    // URL of that host through markAllowed's join — duplicate documents
+    // in the corpus, not just duplicate verdicts
     robots.select(col(hostCol).as("host"), col(contentCol).as("content"))
+      .groupBy("host").agg(min("content").as("content"))
       .as[(String, String)]
       .mapPartitions(_.map { case (host, content) =>
         val rs = parseRobotsRules(content, agent)
@@ -124,7 +129,12 @@ object RobotsFilter {
     urls
       .withColumn("_host", lower(parse_url(col(urlCol), lit("HOST"))))
       .withColumn("_path", concat(
-        coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")),
+        // RFC 9309: the empty path (authority-only URL, parse_url
+        // yields "" not null) is the root — "Disallow: /" must block
+        // the homepage too
+        when(parse_url(col(urlCol), lit("PATH")).isNull ||
+            parse_url(col(urlCol), lit("PATH")) === "", lit("/"))
+          .otherwise(parse_url(col(urlCol), lit("PATH"))),
         when(query.isNotNull, concat(lit("?"), query)).otherwise(lit(""))))
       .join(broadcast(rules.select(lower(col("host")).as("_host"),
         col("patterns").as("_patterns"), col("allows").as("_allows"))),

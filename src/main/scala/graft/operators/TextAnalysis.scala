@@ -266,7 +266,7 @@ object TextAnalysis {
                   else word.charAt(p) == '.'
         p += 1
       }
-      acronym || Abbreviations.contains(word.toLowerCase)
+      acronym || Abbreviations.contains(word.toLowerCase(java.util.Locale.ROOT))
     }
     var start = 0
     var i = 0

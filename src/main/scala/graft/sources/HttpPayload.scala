@@ -60,7 +60,7 @@ object HttpPayload {
     * Anything else falls back to UTF-8 (fail-soft, never a throw).
     */
   private[graft] def resolveCharset(label: String): (String, Charset) =
-    label.trim.toLowerCase match {
+    label.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "utf-8" | "utf8" => ("utf-8", StandardCharsets.UTF_8)
       case "iso-8859-1" | "latin-1" | "latin1" | "iso8859-1" =>
         ("iso-8859-1", StandardCharsets.ISO_8859_1)
@@ -84,8 +84,16 @@ object HttpPayload {
     */
   private[graft] def charsetParam(contentType: String): String = {
     if (contentType == null) return null
-    val lower = contentType.toLowerCase
-    val at = lower.indexOf("charset=")
+    // case-insensitive scan on the ORIGINAL string (regionMatches):
+    // indexing it with an offset found in a lowercased COPY is wrong —
+    // toLowerCase can change string LENGTH ('İ' → "i̇" is two chars), so
+    // the offset would misalign or run past the end on hostile headers
+    var at = -1
+    var i0 = 0
+    while (at < 0 && i0 + 8 <= contentType.length) {
+      if (contentType.regionMatches(true, i0, "charset=", 0, 8)) at = i0
+      i0 += 1
+    }
     if (at < 0) return null
     var s = contentType.substring(at + 8).trim
     val semi = s.indexOf(';')
@@ -106,7 +114,7 @@ object HttpPayload {
     */
   private[graft] def sniffMetaCharset(body: Array[Byte]): String = {
     val n = math.min(body.length, SniffWindow)
-    val s = new String(body, 0, n, StandardCharsets.ISO_8859_1).toLowerCase
+    val s = new String(body, 0, n, StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
     var from = 0
     while (true) {
       val meta = s.indexOf("<meta", from)
@@ -251,7 +259,7 @@ object HttpPayload {
       val ln = lines(i)
       val c = ln.indexOf(':')
       if (c > 0) {
-        val k = ln.substring(0, c).trim.toLowerCase
+        val k = ln.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
         val v = ln.substring(c + 1).trim
         k match {
           case "content-type" => if (contentType == null) contentType = v
@@ -269,7 +277,7 @@ object HttpPayload {
     // then content coding — both fail-soft to ok=false, never garbage
     var body: Array[Byte] = null
     if (transferEnc != null) {
-      if (transferEnc.trim.toLowerCase != "chunked") return bad
+      if (transferEnc.trim.toLowerCase(java.util.Locale.ROOT) != "chunked") return bad
       body = dechunk(payload, bodyStart)
       if (body == null) return bad
     } else {
@@ -278,7 +286,7 @@ object HttpPayload {
       body = java.util.Arrays.copyOfRange(payload, bodyStart, bodyStart + bodyLen)
     }
     if (contentEnc != null) {
-      contentEnc.trim.toLowerCase match {
+      contentEnc.trim.toLowerCase(java.util.Locale.ROOT) match {
         case "gzip" | "x-gzip" =>
           body = gunzip(body)
           if (body == null) return bad
@@ -295,7 +303,7 @@ object HttpPayload {
     val (canonical, _) = resolveCharset(if (label == null) "utf-8" else label)
     val mime = if (contentType == null) null else {
       val semi = contentType.indexOf(';')
-      (if (semi < 0) contentType else contentType.substring(0, semi)).trim.toLowerCase
+      (if (semi < 0) contentType else contentType.substring(0, semi)).trim.toLowerCase(java.util.Locale.ROOT)
     }
     HttpRow(ok = true, status, mime, canonical, body)
   }

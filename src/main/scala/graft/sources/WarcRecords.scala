@@ -51,7 +51,7 @@ object WarcRecords {
       val ln = lines(i)
       val c = ln.indexOf(':')
       if (c > 0) {
-        val k = ln.substring(0, c).trim.toLowerCase
+        val k = ln.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
         val v = ln.substring(c + 1).trim
         k match {
           case "warc-type" => if (t == null) t = v
@@ -70,6 +70,11 @@ object WarcRecords {
     // A cut landing mid multi-byte sequence backs off to the last
     // COMPLETE code point, so this flavor never manufactures a trailing
     // U+FFFD the byte-level flavor (parseRecordBytes) would not carry.
+    // KNOWN DRIFT: this string flavor measures RE-ENCODED UTF-8 — if the
+    // member carried invalid UTF-8 before the boundary, each U+FFFD
+    // replacement re-encodes as 3 bytes and the cut shifts by the
+    // difference (a few bytes early per bad byte). The byte flavor is
+    // exact; route binary/dirty archives through parseRecordBytes.
     val body =
       if (cl < 0) body0
       else {
@@ -156,7 +161,7 @@ object WarcRecords {
       val ln = lines(li)
       val c = ln.indexOf(':')
       if (c > 0) {
-        val k = ln.substring(0, c).trim.toLowerCase
+        val k = ln.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
         val v = ln.substring(c + 1).trim
         k match {
           case "warc-type" => if (t == null) t = v

@@ -21,6 +21,21 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   */
 object EventSink {
 
+  /** The day contract is UTC end to end (P8): the partition column
+    * buckets via session-timezone `date_trunc` while
+    * [[closedDayFromWatermark]] reckons UTC — under a non-UTC session a
+    * _DONE marker could stamp a local-time bucket hours of event time
+    * early, handing consumers a "complete" partition that still receives
+    * in-grace rows. Refuse loudly rather than drift.
+    */
+  private def requireUtcSession(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "Z",
+      s"day partitioning and the _DONE watermark contract both reckon " +
+        s"days in UTC, but spark.sql.session.timeZone=$tz would bucket " +
+        "day= dirs in local time — set the session timezone to UTC")
+  }
+
   /** Streaming writer: day-partitioned parquet with 26 h watermark.
     *
     * Late-data semantics (same contract as the reference's delayed-path
@@ -39,6 +54,7 @@ object EventSink {
     // ST11 default-on: the session's shared lag listener rides every
     // production sink (the reference's footer stamps are not opt-in either)
     if (monitorLag) IngestLagListener.forSession(events.sparkSession)
+    requireUtcSession(events.sparkSession)
     events
       .withWatermark("timestamp", lateness)
       .withColumn("day", to_date(date_trunc("day", col("timestamp"))))
@@ -59,13 +75,15 @@ object EventSink {
     * streams — so the stream sink relies on [[compactPartition]]'s
     * sorted rewrite to restore time order.)
     */
-  def writePartitioned(events: DataFrame, path: String, tsCol: String = "timestamp"): Unit =
+  def writePartitioned(events: DataFrame, path: String, tsCol: String = "timestamp"): Unit = {
+    requireUtcSession(events.sparkSession)
     events
       .withColumn("day", to_date(date_trunc("day", col(tsCol))))
       .sortWithinPartitions(col("event_type"), col("day"), col(tsCol))
       .write.mode(SaveMode.Append)
       .partitionBy("event_type", "day")
       .parquet(path)
+  }
 
   /** ST5: small-file compaction — rewrite partitions whose file count
     * exceeds `maxFiles` into `targetFiles` time-sorted files. Idempotent
@@ -127,6 +145,14 @@ object EventSink {
     * are set and the zorder columns exist, zorder wins; either silently
     * degrades to the other/nothing when its columns are absent (the
     * compactor must not fail a sweep over a heterogeneous table).
+    *
+    * READ FENCE: the swap (originals → `.compact_trash`, compacted in)
+    * is crash-safe but not read-isolated — a query that LISTS the
+    * partition mid-swap can see it empty or partially populated.
+    * Compact during a maintenance window, or on tables whose readers
+    * re-plan per query (the streaming gates here run compaction between
+    * reads). Crash recovery: [[graft.operators.Dedup
+    * .recoverTableMaintenance]]-style trash restore via the sweep.
     */
   def compactPartition(spark: SparkSession, tablePath: String, partitionSpec: Map[String, String],
                        maxFiles: Int = 8, targetFiles: Int = 1,
@@ -305,7 +331,11 @@ object EventSink {
       if fs.exists(root)
       dayDir <- fs.listStatus(root).toSeq
       if dayDir.isDirectory && dayDir.getPath.getName.startsWith("day=")
-      day = java.time.LocalDate.parse(dayDir.getPath.getName.stripPrefix("day="))
+      // a non-date partition dir (day=__HIVE_DEFAULT_PARTITION__ from a
+      // null-timestamp event) must not crash the whole sweep — skip it;
+      // it can never be "closed" by a watermark anyway
+      day <- scala.util.Try(java.time.LocalDate.parse(
+        dayDir.getPath.getName.stripPrefix("day="))).toOption.toSeq
       if day.isBefore(closedBefore)
       marker = new org.apache.hadoop.fs.Path(dayDir.getPath, "_DONE")
       if !fs.exists(marker)
@@ -337,8 +367,11 @@ object EventSink {
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter { p =>
+        // skip non-date dirs (null-timestamp partition) — see the
+        // marker sweep; retention never ages out what it cannot date
         p.getName.startsWith("day=") &&
-          java.time.LocalDate.parse(p.getName.stripPrefix("day=")).isBefore(cutoff)
+          scala.util.Try(java.time.LocalDate.parse(p.getName.stripPrefix("day=")))
+            .toOption.exists(_.isBefore(cutoff))
       }
       .map { p => fs.delete(p, true); p.toString }
   }

@@ -142,4 +142,25 @@ class RobotsFilterSpec extends SparkSpecBase {
       s"verdict must stay inside WholeStageCodegen:\n$bigPlan")
     assert(bigPlan.contains("graft_robots_verdict"), bigPlan)
   }
+
+  test("authority-only URL is the root path (RFC 9309); duplicate host rows do not fan URLs out") {
+    import spark.implicits._
+    val robots = Seq(
+      ("blocked.ex", "User-agent: *\nDisallow: /\n"),
+      // duplicate host: deterministic min-content wins, and one URL in
+      // must be one URL out
+      ("dup.ex", "User-agent: *\nDisallow: /b\n"),
+      ("dup.ex", "User-agent: *\nDisallow: /z\n"))
+      .toDF("host", "content")
+    val urls = Seq(
+      (1L, "http://blocked.ex"),       // NO path: parse_url yields "",
+      (2L, "http://blocked.ex/page"),  // which must read as "/"
+      (3L, "http://dup.ex/a"))
+      .toDF("doc_id", "url")
+    val out = RobotsFilter.markAllowed(urls, robots, "url")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().sorted
+    assert(out.length == 3, s"dup host rows must not multiply URLs: ${out.toSeq}")
+    assert(out.toSeq == Seq((1L, false), (2L, false), (3L, true)),
+      out.toSeq.toString)
+  }
 }
