@@ -21,6 +21,37 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object WarcRecords {
 
+  /** First-wins fold of the five WARC header fields this reader consumes
+    * — ONE definition for both the string and byte record flavors:
+    * `(type, target_uri, date, content_type, content_length)`.
+    */
+  private def headerFields(lines: Array[String])
+      : (String, String, String, String, Long) = {
+    var (t, uri, date, ct) = (null: String, null: String, null: String, null: String)
+    var cl = -1L
+    var i = 1
+    while (i < lines.length) {
+      val ln = lines(i)
+      val c = ln.indexOf(':')
+      if (c > 0) {
+        val k = ln.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val v = ln.substring(c + 1).trim
+        k match {
+          case "warc-type" => if (t == null) t = v
+          case "warc-target-uri" => if (uri == null) uri = v
+          case "warc-date" => if (date == null) date = v
+          case "content-type" => if (ct == null) ct = v
+          case "content-length" => if (cl < 0)
+            cl = try v.toLong catch { case _: NumberFormatException => -1L }
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    (t, uri, date, ct, cl)
+  }
+
+
   final case class WarcRow(
       archive_id: Long,
       member_idx: Int,
@@ -44,27 +75,7 @@ object WarcRecords {
     val lines = head.split("\r\n", -1)
     if (lines.isEmpty || !lines(0).startsWith("WARC/"))
       return (false, null, null, null, null, -1L, null)
-    var (t, uri, date, ct) = (null: String, null: String, null: String, null: String)
-    var cl = -1L
-    var i = 1
-    while (i < lines.length) {
-      val ln = lines(i)
-      val c = ln.indexOf(':')
-      if (c > 0) {
-        val k = ln.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-        val v = ln.substring(c + 1).trim
-        k match {
-          case "warc-type" => if (t == null) t = v
-          case "warc-target-uri" => if (uri == null) uri = v
-          case "warc-date" => if (date == null) date = v
-          case "content-type" => if (ct == null) ct = v
-          case "content-length" => if (cl < 0)
-            cl = try v.toLong catch { case _: NumberFormatException => -1L }
-          case _ =>
-        }
-      }
-      i += 1
-    }
+    val (t, uri, date, ct, cl) = headerFields(lines)
     // Content-Length counts BYTES; truncate the payload when the member
     // carries trailing garbage (never pad when it is short — fail-soft).
     // A cut landing mid multi-byte sequence backs off to the last
@@ -154,27 +165,7 @@ object WarcRecords {
     val lines = head.split("\r\n", -1)
     if (lines.isEmpty || !lines(0).startsWith("WARC/"))
       return (false, null, null, null, null, -1L, null)
-    var (t, uri, date, ct) = (null: String, null: String, null: String, null: String)
-    var cl = -1L
-    var li = 1
-    while (li < lines.length) {
-      val ln = lines(li)
-      val c = ln.indexOf(':')
-      if (c > 0) {
-        val k = ln.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-        val v = ln.substring(c + 1).trim
-        k match {
-          case "warc-type" => if (t == null) t = v
-          case "warc-target-uri" => if (uri == null) uri = v
-          case "warc-date" => if (date == null) date = v
-          case "content-type" => if (ct == null) ct = v
-          case "content-length" => if (cl < 0)
-            cl = try v.toLong catch { case _: NumberFormatException => -1L }
-          case _ =>
-        }
-      }
-      li += 1
-    }
+    val (t, uri, date, ct, cl) = headerFields(lines)
     val bodyStart = if (sep < 0) rec.length else sep + 4
     var bodyLen = rec.length - bodyStart
     if (cl >= 0 && cl < bodyLen) bodyLen = cl.toInt
