@@ -312,7 +312,7 @@ object ScaleBench {
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
       "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi",
       "preclean", "bloom", "shuffle", "classifier", "crawl", "dsir", "robots",
-      "kernels")
+      "kernels", "keepbest")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -730,6 +730,61 @@ object ScaleBench {
       embs.unpersist()
       println(f"""{"knn_topk_shuffle_cut":{"window_records":$recWindow,"agg_records":$recAgg,""" +
         f""""cut_x":${recWindow.toDouble / math.max(recAgg, 1L)}%.1f}}""")
+    }
+
+    if (sections("keepbest")) {
+      // ---- keep-best-per-component on a FLOOD component: one group with
+      //      10^6 members (the boilerplate/template-flood shape real
+      //      crawls produce) + 10^5 singletons. The retired row_number()
+      //      window form vs keepBestPerGroupPlan's partial-aggregated
+      //      min_by. Spark 4 partially rescues the rank-1 window via
+      //      InferWindowGroupLimit (map-side top-1 per key), so the
+      //      honest comparison reports BOTH wall time and shuffled
+      //      records — the aggregate must be no slower and shuffle no
+      //      more; without the inference (any non-rank predicate, any
+      //      engine without the rule) the window degrades to a
+      //      single-task million-row sort. ----
+      val flood = 1000000L
+      val singles = 100000L
+      val docs = spark.range(flood + singles).select(col("id").as("doc_id"),
+        concat(lit("document body "), col("id")).as("text"),
+        (col("id") % 997L).cast("double").as("score"))
+      // caller-owned labels, precomputed so the measurement isolates the
+      // keep-one stage (not the component loop): ids < flood share
+      // component 0, the rest are singletons
+      val comps = spark.range(flood + singles).select(col("id"),
+        when(col("id") < flood, lit(0L)).otherwise(col("id")).as("component"))
+        .localCheckpoint(true)
+      def windowForm(): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_comp")).orderBy(col("score").desc, col("doc_id"))
+        docs.join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("_comp", coalesce(col("component"), col("doc_id")))
+          .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+          .drop("_rn", "_comp", "component")
+      }
+      def aggForm(): DataFrame =
+        graft.operators.Dedup.keepBestPerGroupPlan(docs, "doc_id", comps, col("score"))
+      def runKeep(label: String, df: => DataFrame): (Double, Long) = {
+        val listener = new ShuffleBytesListener
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(listener)
+        require(n == singles + 1, s"keepbest $label kept $n groups, expected ${singles + 1}")
+        println(f"""{"keep_best":"$label","groups":${singles + 1},"rows_in":${flood + singles},""" +
+          f""""shuffle_records":${listener.records.get()},"sec":$secs%.2f}""")
+        (secs, listener.records.get())
+      }
+      windowForm().count(); aggForm().count() // warm both before timing
+      val (wSec, wRec) = runKeep("window", windowForm())
+      val (aSec, aRec) = runKeep("min_by_agg", aggForm())
+      println(f"""{"keep_best_flood":{"window_sec":$wSec%.2f,"agg_sec":$aSec%.2f,""" +
+        f""""window_records":$wRec,"agg_records":$aRec,""" +
+        f""""rec_cut_x":${wRec.toDouble / math.max(aRec, 1L)}%.2f}}""")
+      comps.unpersist()
     }
 
     if (sections("gzip")) {

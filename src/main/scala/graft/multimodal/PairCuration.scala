@@ -1,7 +1,6 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -36,15 +35,18 @@ import graft.operators.Dedup
   *                         caption (ties → min id), the standard "keep
   *                         the best-captioned copy" rule.
   *   5. `final`          — exact caption dedup: among survivors, the
-  *                         min-id pair per identical caption string.
+  *                         min-id pair per identical caption content
+  *                         (keyed by a 128-bit caption hash pair).
   *
   * Scale shape: after stage 2 every exchange carries only
   * (id, caption, hash, 16 doubles) — the image BYTES never shuffle; the
   * banding join is id-only with per-bucket caps; the collapse is the
-  * connected-components label loop plus one window over the component
-  * key; the caption dedup is one exchange on the caption. Callers that
-  * need the full original rows semi-join the survivor ids back
-  * (id-only), exactly like the release layer.
+  * connected-components label loop plus one partial-aggregated `min_by`
+  * over the component key; the caption dedup is one partial-aggregated
+  * exchange on a 128-bit caption hash pair (never the raw caption
+  * bytes, which are Zipf-heavy). Callers that need the full original
+  * rows semi-join the survivor ids back (id-only), exactly like the
+  * release layer.
   */
 object PairCuration {
 
@@ -125,10 +127,15 @@ object PairCuration {
       Dedup.keepBestPerGroup(quality, idCol, candidates,
         scoreCol = nTok.cast(LongType)))
 
-    val w = Window.partitionBy(col(captionCol)).orderBy(col(idCol))
-    val out = tap("final", collapsed
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
+    // Caption-exact keep-one via the engine's exact-dedup discipline:
+    // group on a 128-bit caption hash PAIR (caption strings are Zipf-heavy
+    // at LAION scale — "stock photo"-class heads repeat 10^6-10^7 times,
+    // and raw caption bytes should never be a shuffle key), keep min id
+    // with map-side partial aggregation. A row_number() window here would
+    // funnel every copy of a hot caption into one task.
+    val out = tap("final", Dedup.dropExactDups(
+        collapsed.select(col(idCol), col(captionCol), col("ahash")),
+        idCol, captionCol)
       .select(col(idCol), col(captionCol), col("ahash").as("phash")))
     staged.dropRight(1).foreach(_.unpersist())
     (out, ledger.toSeq)

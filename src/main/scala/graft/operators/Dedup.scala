@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1139,30 +1138,56 @@ object Dedup {
   /** Keep the BEST-scoring doc per near-dup component (docs in no pair pass
     * through) — the standard "keep canonical by quality" pipeline step
     * (vs [[dropNearDupGroups]]'s min-id representative). `scoreCol` is any
-    * deterministic Column over `docs` (quality score, token count, …); ties
-    * break on min id so the selection is replay-stable. One window over the
-    * component key after the component join — no extra shuffle beyond the
-    * component computation itself.
+    * deterministic NUMERIC, non-null, non-NaN Column over `docs` (quality
+    * score, token count, …); ties break on min id so the selection is
+    * replay-stable.
+    *
+    * The keep-one is a `min_by` AGGREGATE over the component key (ordering
+    * = (−score, id), so argmax-score / tie-min-id), NOT a
+    * `row_number()` window: a window exchanges every member of a component
+    * into one task and sorts it, and dup components are exactly the keys
+    * that go Zipf at crawl scale (boilerplate/template floods produce
+    * million-member components). The aggregate form gets map-side partial
+    * aggregation — each task reduces its slice of a flood component to ONE
+    * candidate row before the exchange — the same skew-proof shape as
+    * [[dropExactDups]].
+    *
+    * Score-column contract (why numeric/non-null/non-NaN): the ordering
+    * negates the score to turn argmax into `min_by`'s argmin; NaN would
+    * flip from "sorts first under desc" to "sorts last", and a null score
+    * would flip from "loses under desc NULLS LAST" to "wins" — both are
+    * senseless quality scores anyway, so the contract forbids them rather
+    * than paying a per-row guard.
     */
   def keepBestPerGroup(docs: DataFrame, idCol: String, pairs: DataFrame,
                        scoreCol: Column): DataFrame = {
     val comps = connectedComponents(pairs)
-    try {
-      val w = Window.partitionBy(col("_comp")).orderBy(scoreCol.desc, col(idCol))
-      docs
-        .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
-        .withColumn("_comp", coalesce(col("component"), col(idCol)))
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1)
-        .drop("_rn", "_comp", "component")
-        // materialize so the component frame can release NOW — the
-        // one-shot connectedComponents returns a PERSISTED frame, and a
-        // per-batch loop over the lazy form would pin one cached frame
-        // per call forever (the exact leak dropNearDupGroupsWith's doc
-        // warns about, here with neither the warning nor the escape
-        // hatch)
-        .localCheckpoint(true)
-    } finally comps.unpersist()
+    // materialize so the component frame can release NOW — the one-shot
+    // connectedComponents returns a PERSISTED frame, and a per-batch loop
+    // over the lazy form would pin one cached frame per call forever (the
+    // exact leak dropNearDupGroupsWith's doc warns about, here with
+    // neither the warning nor the escape hatch)
+    try keepBestPerGroupPlan(docs, idCol, comps, scoreCol).localCheckpoint(true)
+    finally comps.unpersist()
+  }
+
+  /** The un-materialized plan behind [[keepBestPerGroup]], with
+    * caller-owned component labels — exposed so specs can witness the
+    * plan shape (aggregate, no Window/Sort) and so repeated/streaming
+    * contexts can manage the labels' cache lifecycle themselves. */
+  private[graft] def keepBestPerGroupPlan(docs: DataFrame, idCol: String,
+                                          comps: DataFrame,
+                                          scoreCol: Column): DataFrame = {
+    val cols = docs.columns
+    val ord = struct((scoreCol.cast("double") * lit(-1.0d)).as("_neg_score"),
+      col(idCol).as("_tie_id"))
+    docs
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("_comp", coalesce(col("component"), col(idCol)))
+      .drop("component")
+      .groupBy(col("_comp"))
+      .agg(min_by(struct(cols.map(col): _*), ord).as("_best"))
+      .select(cols.map(c => col("_best").getField(c).as(c)): _*)
   }
 
   // ----------------------------------------- embedding cosine near-dup

@@ -241,6 +241,22 @@ class OperatorsSpec extends SparkSpecBase {
     val kept = Dedup.keepBestPerGroup(docs, "doc_id", pairs, col("score"))
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(kept == Seq(2L, 3L, 4L))
+    // plan witness: the keep-one is a partial-aggregated min_by over the
+    // component key, NOT a row_number() window — dup components are
+    // Zipf-skewed at crawl scale (template floods → million-member
+    // components) and a window would exchange every member into one task
+    val comps = Dedup.connectedComponents(pairs)
+    try {
+      val plan = Dedup.keepBestPerGroupPlan(docs, "doc_id", comps, col("score"))
+      val optimized = plan.queryExecution.optimizedPlan.toString
+      val physical = plan.queryExecution.executedPlan.toString
+      assert(!optimized.contains("Window") && !optimized.contains("row_number"),
+        optimized)
+      assert(!physical.contains("WindowExec") && physical.contains("min_by"),
+        physical)
+      // min_by gets a partial_ stage before the exchange (map-side combine)
+      assert(physical.contains("partial_min_by"), physical)
+    } finally comps.unpersist()
   }
 
   test("hashSplit is a pure function of content and covers both sides") {

@@ -56,6 +56,27 @@ class PairCurationSpec extends SparkSpecBase {
     assert(out.columns.toSeq == Seq("pair_id", "caption", "phash"))
   }
 
+  test("caption keep-one stage is a partial-aggregated min_by keyed by hash pair, not a window over the caption") {
+    // the exact shape curatePairsAudited's `final` stage runs (the stage
+    // itself is checkpoint-hidden, so witness the building block on the
+    // same (id, caption, ahash) slice): hot captions ("stock photo"-class
+    // Zipf heads) must reduce map-side, and raw caption bytes must not be
+    // the shuffle key
+    val slice = Seq((1L, "stock photo", 11L), (2L, "stock photo", 12L),
+      (3L, "a real caption", 13L)).toDF("pair_id", "caption", "ahash")
+    val deduped = graft.operators.Dedup.dropExactDups(slice, "pair_id", "caption")
+    assert(deduped.select("pair_id").as[Long].collect().toSet == Set(1L, 3L))
+    val physical = deduped.queryExecution.executedPlan.toString
+    assert(!physical.contains("WindowExec") && !physical.contains("row_number"),
+      physical)
+    assert(physical.contains("partial_min_by"), physical)
+    // the exchange keys are the hoisted 64-bit hash fields (Catalyst
+    // projects them as _groupingexpression longs), never the caption bytes
+    val exchange = physical.linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(exchange.nonEmpty && !exchange.contains("caption#"), physical)
+  }
+
   test("pair release: blobs round-trip byte-exact through pack pointers; tampering fails loudly on open") {
     import org.apache.spark.sql.functions.crc32
     val big = Array.tabulate[Byte](512)(i => (i % 251).toByte) // > inlineMax
