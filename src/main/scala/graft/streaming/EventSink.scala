@@ -132,6 +132,138 @@ object EventSink {
     false
   }
 
+  // ------------------------- manifest-pinned compaction (snapshot reads)
+
+  /** Per-partition compaction manifest: the single flip point that makes
+    * compaction SNAPSHOT-ISOLATED for manifest-resolving readers (the
+    * r12 READ FENCE, closed). Plain text, one record per line
+    * (filenames are engine- or Spark-generated — no quoting needed):
+    *
+    * {{{
+    * graft-compaction-manifest v1
+    * commit <stamp> <flipMillis>
+    * tombstone <stamp> <fileName>
+    * }}}
+    *
+    * Invariants the whole protocol hangs on:
+    *   - `compacted-<stamp>-*.parquet` files are INVISIBLE to resolving
+    *     readers until their stamp has a `commit` line;
+    *   - `tombstone`d files are invisible from the same atomic flip, but
+    *     stay ON DISK until [[sweepCompacted]] deletes them after a grace
+    *     — so a reader that resolved just before the flip still finds
+    *     every file it planned on;
+    *   - the manifest lands via [[graft.operators.Manifests.writeAtomic]]
+    *     (uuid-temp + rename): a reader sees the old complete state or
+    *     the new complete state, never a torn one.
+    *
+    * Underscore prefix keeps it invisible to Spark's file listing, like
+    * `_SUCCESS` (and the engine's other `_LAYOUT`/`_CURRENT` manifests).
+    */
+  private[graft] val ManifestName = "_compaction_manifest"
+  private val CompactedName = "^compacted-(.+)-([0-9]+)\\.parquet$".r
+
+  /** committed: stamp -> flip millis; tombstones: fileName -> owning stamp. */
+  private[graft] final case class CompactionState(
+      committed: Map[String, Long], tombstones: Map[String, String]) {
+    def isLive(fileName: String): Boolean =
+      !tombstones.contains(fileName) && (fileName match {
+        case CompactedName(stamp, _) => committed.contains(stamp)
+        case _ => true
+      })
+    def serialize: String =
+      ("graft-compaction-manifest v1" +:
+        (committed.toSeq.sortBy(_._1).map { case (s, t) => s"commit $s $t" } ++
+          tombstones.toSeq.sortBy(_._1).map { case (f, s) => s"tombstone $s $f" }))
+        .mkString("\n") + "\n"
+  }
+
+  /** None = the partition has never been manifest-compacted: EVERY file
+    * in it is live (pre-r13 layouts, plain appends). This is distinct
+    * from Some(empty state), where the protocol is in force and an
+    * unknown `compacted-*` stamp means a crashed run's garbage —
+    * [[compactPartition]] bootstraps the manifest (grandfathering any
+    * pre-protocol `compacted-*` files) before it lands a single
+    * uncommitted file, so the distinction is always decidable.
+    */
+  private[graft] def readCompactionState(spark: SparkSession, partDir: org.apache.hadoop.fs.Path)
+      : Option[CompactionState] = {
+    graft.operators.Manifests.read(spark,
+      new org.apache.hadoop.fs.Path(partDir, ManifestName).toString) match {
+      case None => None
+      case Some(text) =>
+        val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+        require(lines.headOption.contains("graft-compaction-manifest v1"),
+          s"unrecognized compaction manifest header at $partDir: " +
+            s"${lines.headOption.getOrElse("<empty>")} — refusing to guess " +
+            "which files are live")
+        val committed = scala.collection.mutable.Map.empty[String, Long]
+        val tombstones = scala.collection.mutable.Map.empty[String, String]
+        lines.drop(1).foreach { l =>
+          l.split(" ", 3) match {
+            case Array("commit", stamp, ms) => committed(stamp) = ms.toLong
+            case Array("tombstone", stamp, file) => tombstones(file) = stamp
+            case other => throw new IllegalStateException(
+              s"unrecognized compaction manifest line at $partDir: '$l'")
+          }
+        }
+        Some(CompactionState(committed.toMap, tombstones.toMap))
+    }
+  }
+
+  private def writeCompactionState(spark: SparkSession, partDir: org.apache.hadoop.fs.Path,
+                                   state: CompactionState): Unit =
+    graft.operators.Manifests.writeAtomic(spark,
+      new org.apache.hadoop.fs.Path(partDir, ManifestName).toString, state.serialize)
+
+  /** The LIVE data files of one partition dir under the manifest contract:
+    * the directory listing minus tombstoned files minus compacted files
+    * whose stamp never committed (a crashed run's garbage). This is the
+    * read path AND the compactor's own input snapshot — both sides agree
+    * on what the partition contains at every intermediate state.
+    */
+  private[graft] def liveFiles(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                               partDir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val isLive: String => Boolean = readCompactionState(spark, partDir) match {
+      case None => _ => true // never manifest-compacted: listing is truth
+      case Some(state) => state.isLive
+    }
+    fs.listStatus(partDir).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet") && isLive(f.getPath.getName))
+  }
+
+  /** Snapshot-isolated read of a compactable table: walk the partition
+    * dirs, resolve each dir's [[liveFiles]] through its manifest, and read
+    * EXACTLY that file list (`basePath` keeps the hive partition columns).
+    * A concurrent [[compactPartition]] is invisible: before the flip the
+    * resolver returns the originals (uncommitted `compacted-*` files are
+    * skipped), after it the compacted set (tombstoned originals are
+    * skipped, but still on disk until the sweep's grace expires — so a
+    * plan that resolved the pre-flip snapshot reads to completion).
+    *
+    * The listing itself is driver-side metadata work, same cost as
+    * Spark's own InMemoryFileIndex walk; at many-partition scale restrict
+    * `subdir` to the partitions the query needs (e.g.
+    * `event_type=GC_EVENT`) exactly like partition pruning would.
+    */
+  def readIsolated(spark: SparkSession, tablePath: String, subdir: String = ""): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(
+      if (subdir.isEmpty) tablePath else s"$tablePath/$subdir")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"readIsolated: no such table dir $root")
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val entries = fs.listStatus(p)
+      val here = entries.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val sub = entries.filter(e => e.isDirectory &&
+        !e.getPath.getName.startsWith(".") && !e.getPath.getName.startsWith("_"))
+      val mine = if (here.nonEmpty) liveFiles(spark, fs, p).map(_.getPath.toString) else Nil
+      mine ++ sub.flatMap(d => walk(d.getPath))
+    }
+    val files = walk(root)
+    require(files.nonEmpty, s"readIsolated: no live data files under $root")
+    spark.read.option("basePath", tablePath).parquet(files: _*)
+  }
+
   /** `sortCol` re-sorts the rewritten file so its row-group min/max stats
     * serve range predicates on that one column; `zorderCols` instead lays
     * the rows on the Morton curve of TWO columns
@@ -146,18 +278,31 @@ object EventSink {
     * degrades to the other/nothing when its columns are absent (the
     * compactor must not fail a sweep over a heterogeneous table).
     *
-    * READ FENCE: the swap (originals → `.compact_trash`, compacted in)
-    * is crash-safe but not read-isolated — a query that LISTS the
-    * partition mid-swap can see it empty or partially populated.
-    * Compact during a maintenance window, or on tables whose readers
-    * re-plan per query (the streaming gates here run compaction between
-    * reads). Crash recovery: [[graft.operators.Dedup
-    * .recoverTableMaintenance]]-style trash restore via the sweep.
+    * ISOLATION CONTRACT (replaces the r12 READ FENCE note): originals are
+    * NEVER moved — the compacted files land under uncommitted names, one
+    * atomic manifest flip makes them live and tombstones the originals,
+    * and tombstoned files are deleted only by the sweep, `sweepGraceMs`
+    * after their flip. A [[readIsolated]] reader therefore sees the old
+    * complete snapshot or the new one at every instant, and a plan that
+    * resolved pre-flip keeps every file it planned on for the grace
+    * window (size it to the longest query). Plain directory-LISTING
+    * readers of a partition whose originals are still within grace see
+    * originals + compacted = DUPLICATES — so either read through
+    * [[readIsolated]], or keep the default `sweepGraceMs = 0`, which
+    * restores the pre-r13 lister behavior (immediate delete after flip;
+    * crash-safe, not read-isolated for listers).
+    *
+    * Crash safety is now trivial: before the flip the originals are
+    * untouched and authoritative (a crashed run leaves only ignorable
+    * uncommitted `compacted-*` files, deleted by [[recoverCompaction]]);
+    * after the flip the compacted set is complete and committed. No
+    * intermediate state ever holds the only copy of a row in a trash dir.
     */
   def compactPartition(spark: SparkSession, tablePath: String, partitionSpec: Map[String, String],
                        maxFiles: Int = 8, targetFiles: Int = 1,
                        sortCol: Option[String] = Some("timestamp"),
-                       zorderCols: Option[(String, String)] = None): Boolean = {
+                       zorderCols: Option[(String, String)] = None,
+                       sweepGraceMs: Long = 0L): Boolean = {
     val partPath = partitionSpec.map { case (k, v) => s"$k=$v" }.mkString("/")
     val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$partPath")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -165,34 +310,40 @@ object EventSink {
     if (isStreamLogTracked(fs, tablePath)) return false
     // exclusive per-partition lock (atomic create-no-overwrite on HDFS;
     // object stores without atomic create should front this with their own
-    // conditional-put — same caveat as every rename-based committer there)
+    // conditional-put — same caveat as every rename-based committer
+    // there). The lock serializes manifest read-modify-write between
+    // compactors and sweepers of ONE partition; readers never take it.
     val lockDir = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_locks")
     fs.mkdirs(lockDir)
     val lock = new org.apache.hadoop.fs.Path(lockDir, partPath.replace("/", "__") + ".lock")
     val locked = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
     if (!locked) return false
-    // once the destructive swap begins, an exception must behave like a
-    // crash: the lock stays behind (recoverCompaction clears it with the
-    // trash at startup). Releasing it here would let a second compactor
-    // consume the half-moved state, whose rows recovery then restores ON
-    // TOP of the second run's output — duplicated data.
-    var swapStarted = false
-    var completed = false
     try {
-      val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
+      // bootstrap on first manifest-compaction of this partition:
+      // grandfather every pre-protocol `compacted-*` file as committed
+      // (they are live data under listing semantics) so the manifest can
+      // exist BEFORE this run lands its first uncommitted file — without
+      // it, a crash pre-flip would leave files a manifest-less reader
+      // counts as live (duplicates)
+      val state = readCompactionState(spark, dir).getOrElse {
+        val legacy = fs.listStatus(dir).map(_.getPath.getName).collect {
+          case CompactedName(s, _) => s
+        }.distinct.map(_ -> System.currentTimeMillis()).toMap
+        val bootstrapped = CompactionState(legacy, Map.empty)
+        writeCompactionState(spark, dir, bootstrapped)
+        bootstrapped
+      }
+      val files = fs.listStatus(dir).filter(f =>
+        f.getPath.getName.endsWith(".parquet") && state.isLive(f.getPath.getName))
       if (files.length <= maxFiles) return false
-      // The stamp names this run's trash/tmp dirs AND its output files:
-      // recovery matches `compacted-<stamp>-*` against the trash dir name,
-      // so half-moved files of an interrupted run are distinguishable from
-      // prior-compaction originals (which are compacted-<otherStamp>-*).
       val stamp = System.currentTimeMillis() + "-" +
         java.util.UUID.randomUUID().toString.take(8)
       val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp/$partPath")
-      // read EXACTLY the snapshotted file list, not the directory: a live
+      // read EXACTLY the snapshotted LIVE list, not the directory: a live
       // writer may commit a new file between the listing above and the
-      // read's own listing — a directory read would fold that file's rows
-      // into the compacted output while the swap (driven by `files`) leaves
-      // the file in place, duplicating its rows
+      // read's own listing (its rows would be folded in AND left live =
+      // duplicated), and tombstoned-in-grace originals or a crashed run's
+      // uncommitted files must not be folded in at all
       // coalesce for the single-file case: same result as repartition(1)
       // without the full shuffle exchange — at one Spark job per compacted
       // partition the per-job exchange is the dominant cost of a
@@ -221,42 +372,137 @@ object EventSink {
       }
       laid.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val newFiles = fs.listStatus(tmp).filter(f => f.getPath.getName.endsWith(".parquet"))
-      // swap, never destroying the only copy: all originals → this run's
-      // trash, new files in, then drop the run's trash
-      val trash = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$stamp/$partPath")
-      fs.mkdirs(trash)
-      // FileSystem.rename signals many failures by returning FALSE, not
-      // throwing — proceeding past one would delete the trash (= the only
-      // copy of the un-renamed rows). Escalate to an exception so the
-      // mid-swap-failure path (lock retained, recovery restores) handles it.
       def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"rename failed: $src -> $dst")
-      swapStarted = true
-      files.foreach(f => renameOrThrow(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+      // land the compacted files under their UNCOMMITTED names — readers
+      // and a re-run compactor both skip them until the flip commits
       newFiles.zipWithIndex.foreach { case (f, i) =>
         renameOrThrow(f.getPath, new org.apache.hadoop.fs.Path(dir, s"compacted-$stamp-$i.parquet"))
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash/$stamp"), true)
+      // THE FLIP: one atomic manifest write commits the stamp and
+      // tombstones the snapshot's originals — the entire visibility
+      // change, for every resolving reader, in one rename
+      val flipped = CompactionState(
+        state.committed + (stamp -> System.currentTimeMillis()),
+        state.tombstones ++ files.map(f => f.getPath.getName -> stamp))
+      writeCompactionState(spark, dir, flipped)
+      // sweep THIS partition's expired tombstones (the lock is held);
+      // grace 0 = delete the originals now
+      sweepPartitionLocked(spark, fs, dir, sweepGraceMs)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp"), true)
-      completed = true
       true
     } finally {
-      if (completed || !swapStarted) fs.delete(lock, false)
+      // an exception anywhere is safe to unlock past: pre-flip the
+      // originals are untouched (this run left only ignorable uncommitted
+      // files), post-flip the commit is complete — there is no half-moved
+      // state a second compactor could corrupt (the r12 retain-on-failure
+      // rule died with the trash-first swap)
+      fs.delete(lock, false)
     }
   }
 
-  /** Repair interrupted [[compactPartition]] runs: every dir under
-    * `.compact_trash/<stamp>/` is a swap that did not complete — drop the
-    * `compacted-<stamp>-*` files that made it into the affected
-    * partitions, restore the originals, and clear tmp dirs and locks.
-    * Files named `compacted-<otherStamp>-*` are prior-compaction ORIGINALS
-    * and must survive recovery. Returns the restored partition paths.
+  /** Delete expired tombstoned files of one partition and prune their
+    * manifest entries (plus committed stamps that no longer own any file
+    * on disk). Caller MUST hold the partition lock — this rewrites the
+    * manifest.
+    */
+  private def sweepPartitionLocked(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                                   partDir: org.apache.hadoop.fs.Path,
+                                   graceMs: Long): Seq[String] = {
+    val state = readCompactionState(spark, partDir) match {
+      case None => return Nil
+      case Some(s) if s.tombstones.isEmpty => return Nil
+      case Some(s) => s
+    }
+    val now = System.currentTimeMillis()
+    val (expired, kept) = state.tombstones.partition { case (_, stamp) =>
+      // a tombstone with no committed flip time is unreachable by
+      // construction (tombstones are written in the same atomic flip as
+      // their commit line); treat it as immediately expired if ever seen
+      now - state.committed.getOrElse(stamp, 0L) >= graceMs
+    }
+    if (expired.isEmpty) return Nil
+    val deleted = expired.keys.toSeq.sorted.map { name =>
+      fs.delete(new org.apache.hadoop.fs.Path(partDir, name), false)
+      name
+    }
+    // prune committed stamps that own no remaining file (neither live
+    // compacted-<stamp>-* nor a still-kept tombstone) — keeps the
+    // manifest O(live generations), not O(compaction history)
+    val remaining = fs.listStatus(partDir).map(_.getPath.getName)
+      .collect { case n @ CompactedName(s, _) => (n, s) }
+    val referenced = remaining.map(_._2).toSet ++ kept.values.toSet
+    writeCompactionState(spark, partDir,
+      CompactionState(state.committed.filter { case (s, _) => referenced.contains(s) }, kept))
+    deleted
+  }
+
+  /** Table-level tombstone sweep — the maintenance step that reclaims the
+    * space of originals whose grace has expired. Per-partition locked
+    * (skips partitions a live compactor holds); returns deleted file
+    * paths. Run it where you run compaction; with the default
+    * `compactPartition(sweepGraceMs = 0)` there is usually nothing left
+    * to sweep, and with a production grace (≥ the longest query) this is
+    * the "vacuum".
+    */
+  def sweepCompacted(spark: SparkSession, tablePath: String, graceMs: Long = 0L): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val lockDir = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_locks")
+    dataDirs(fs, fs.makeQualified(root)).flatMap { partDir =>
+      if (!readCompactionState(spark, partDir).exists(_.tombstones.nonEmpty)) Nil
+      else {
+        val rel = partDir.toString.stripPrefix(fs.makeQualified(root).toString)
+          .stripPrefix("/")
+        fs.mkdirs(lockDir)
+        val lock = new org.apache.hadoop.fs.Path(lockDir,
+          (if (rel.isEmpty) "_root" else rel.replace("/", "__")) + ".lock")
+        val locked = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
+        if (!locked) Nil
+        else try sweepPartitionLocked(spark, fs, partDir, graceMs)
+          .map(n => new org.apache.hadoop.fs.Path(partDir, n).toString)
+        finally fs.delete(lock, false)
+      }
+    }
+  }
+
+  /** Every dir under `root` (root included) that holds at least one
+    * parquet file — the partition dirs of a hive layout, or the root
+    * itself for an unpartitioned table. Dot/underscore auxiliary dirs are
+    * skipped.
+    */
+  private def dataDirs(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val entries = fs.listStatus(root)
+    val here = if (entries.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      Seq(root) else Nil
+    here ++ entries
+      .filter(e => e.isDirectory && !e.getPath.getName.startsWith(".") &&
+        !e.getPath.getName.startsWith("_"))
+      .flatMap(d => dataDirs(fs, d.getPath))
+  }
+
+  /** Repair interrupted [[compactPartition]] runs at writer STARTUP.
     *
-    * Call at writer STARTUP, before any compactor starts (the reference's
-    * equivalent is offset-based replay): it assumes no compactor is live —
-    * it clears the lock files, and a live run's trash dir is
-    * indistinguishable from a crashed one's.
+    * Manifest-era runs (r13+) need only garbage collection: a crash
+    * before the flip leaves `compacted-<stamp>-*` files whose stamp is
+    * uncommitted in the partition's manifest — invisible to every
+    * resolving reader, deleted here; a crash after the flip is already a
+    * complete commit (tombstoned originals fall to the next
+    * [[sweepCompacted]]). No restore step exists because originals are
+    * never moved.
+    *
+    * LEGACY (pre-manifest) crashed swaps are still repaired: every dir
+    * under `.compact_trash/<stamp>/` is a swap that did not complete —
+    * drop the `compacted-<stamp>-*` files that made it into the affected
+    * partitions, restore the originals. Files named
+    * `compacted-<otherStamp>-*` are prior-compaction ORIGINALS and must
+    * survive recovery. Returns the restored partition paths.
+    *
+    * Assumes no compactor is live (it clears the lock files); the
+    * reference's equivalent is offset-based replay.
     */
   def recoverCompaction(spark: SparkSession, tablePath: String): Seq[String] = {
     val unqualified = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_trash")
@@ -264,6 +510,19 @@ object EventSink {
     def clearAux(): Unit = {
       fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_locks"), true)
+    }
+    // manifest-era GC: uncommitted compacted files are crashed-run garbage
+    val rootPath = new org.apache.hadoop.fs.Path(tablePath)
+    if (fs.exists(rootPath)) {
+      dataDirs(fs, fs.makeQualified(rootPath)).foreach { partDir =>
+        readCompactionState(spark, partDir).foreach { state =>
+          fs.listStatus(partDir)
+            .filter(f => f.getPath.getName.endsWith(".parquet") &&
+              !state.isLive(f.getPath.getName) &&
+              !state.tombstones.contains(f.getPath.getName))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+      }
     }
     if (!fs.exists(unqualified)) { clearAux(); return Nil }
     // qualify so prefix-stripping below matches listStatus's URIs

@@ -223,6 +223,80 @@ class EventSinkSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir.toString).where(col("day") === "2024-03-02").count() == 24)
   }
 
+  test("manifest-pinned reads: every intermediate compaction state resolves to a complete snapshot") {
+    val dir = Files.createTempDirectory("isolated").toString
+    (0 until 10).foreach(_ => EventSink.writePartitioned(sampleEvents(3, "2024-03-01"), dir))
+    val part = new org.apache.hadoop.fs.Path(s"$dir/event_type=FS_EVENT/day=2024-03-01")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = 30L
+
+    // state 1 — mid-swap, pre-flip: uncommitted compacted files sitting
+    // next to the originals (what a reader sees if the compactor crashes
+    // or is still running). Simulate by bootstrapping via a real compact
+    // then planting an uncommitted file.
+    fs.create(new org.apache.hadoop.fs.Path(part, "compacted-9999-zz-0.parquet")).close()
+    // no manifest yet → garbage-looking file is indistinguishable from
+    // data under listing semantics; after the FIRST real compaction the
+    // manifest exists and the protocol takes over. Clean the plant and
+    // compact with an effectively-infinite grace (originals stay).
+    fs.delete(new org.apache.hadoop.fs.Path(part, "compacted-9999-zz-0.parquet"), false)
+    assert(EventSink.compactPartition(spark, dir,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"),
+      maxFiles = 1, sweepGraceMs = Long.MaxValue))
+
+    // state 2 — post-flip, originals tombstoned-in-grace: BOTH file sets
+    // are on disk; the resolving reader sees exactly the new snapshot,
+    // once, while a plain lister would double-count
+    val originals = fs.listStatus(part)
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("compacted-"))
+    assert(originals.nonEmpty, "grace must keep the originals on disk")
+    assert(EventSink.readIsolated(spark, dir).count() == n)
+    assert(spark.read.parquet(dir).count() > n, "lister double-counts in grace — the isolated reader must not")
+
+    // state 3 — a SECOND run crashes pre-flip: uncommitted files next to
+    // the live compacted generation; still exactly n
+    fs.create(new org.apache.hadoop.fs.Path(part, "compacted-123-abcd1234-0.parquet")).close()
+    assert(EventSink.readIsolated(spark, dir).count() == n)
+    fs.delete(new org.apache.hadoop.fs.Path(part, "compacted-123-abcd1234-0.parquet"), false)
+
+    // state 4 — sweep after grace expiry: tombstones deleted, manifest
+    // pruned, reader unchanged, and now the plain lister agrees again
+    assert(EventSink.sweepCompacted(spark, dir, graceMs = 0L).nonEmpty)
+    assert(EventSink.readIsolated(spark, dir).count() == n)
+    assert(spark.read.parquet(dir).count() == n)
+    // the sweep pruned the tombstones and kept the one live stamp
+    val state = EventSink.readCompactionState(spark, part).get
+    assert(state.tombstones.isEmpty && state.committed.size == 1, state.toString)
+
+    // live concurrency: a reader loop races a real compaction+sweep and
+    // must observe a complete snapshot at EVERY resolution
+    (0 until 10).foreach(_ => EventSink.writePartitioned(sampleEvents(3, "2024-03-01"), dir))
+    val total = n * 2
+    @volatile var bad: Option[Long] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && bad.isEmpty) {
+        val c = EventSink.readIsolated(spark, dir).count()
+        if (c != total) bad = Some(c)
+      }
+    })
+    reader.start()
+    try {
+      assert(EventSink.compactPartition(spark, dir,
+        Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"),
+        maxFiles = 1, sweepGraceMs = Long.MaxValue))
+      EventSink.sweepCompacted(spark, dir, graceMs = Long.MaxValue) // no-op inside grace
+    } finally { stop = true; reader.join(30000) }
+    assert(bad.isEmpty, s"concurrent reader saw an incomplete snapshot: $bad")
+    assert(EventSink.readIsolated(spark, dir).count() == total)
+    // partition columns survive the explicit-file read (basePath)
+    assert(EventSink.readIsolated(spark, dir).select("day").distinct().count() == 1)
+    // subdir-restricted resolution (the partition-pruned flavor)
+    assert(EventSink.readIsolated(spark, dir, "event_type=FS_EVENT/day=2024-03-01")
+      .count() == total)
+  }
+
   test("writeDayCloseMarkers closes only watermark-passed days, idempotently (P9)") {
     val dir = Files.createTempDirectory("markers").toString
     EventSink.writePartitioned(sampleEvents(3, "2024-03-01"), dir)
