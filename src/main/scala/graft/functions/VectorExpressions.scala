@@ -222,15 +222,25 @@ object VectorExpressions {
     * on the same corpus-sized build pass as [[VecMaxAbs]]. maxAbs = 0
     * (the all-zero vector) yields all-zero codes, exactly like the
     * column form.
+    *
+    * Null handling is EXPLICIT, not BinaryExpression null-propagation:
+    * an EMPTY vector yields an empty code array regardless of `maxAbs`
+    * — [[VecMaxAbs]] returns null there, and default propagation would
+    * turn the codes null too, silently diverging from the legacy
+    * combinator form that mapped empty→empty (quantizeInt8 output for
+    * zero-length embeddings changed under it). A null `maxAbs` paired
+    * with a NON-empty vector has no meaning (the engine's scale source
+    * is vec_max_abs, non-null on non-empty input) and fails loudly.
     */
   case class VecInt8Codes(left: Expression, right: Expression)
       extends BinaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+
     override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def nullable: Boolean = left.nullable
     private lazy val elemGet = elemAccessors(left.dataType)
 
-    override def nullSafeEval(v: Any, m: Any): Any = {
-      val a = v.asInstanceOf[ArrayData]
-      val maxAbs = m.asInstanceOf[Double]
+    private def codesOf(a: ArrayData, maxAbs: Double): GenericArrayData = {
       val n = a.numElements()
       val out = new Array[Byte](n)
       if (maxAbs != 0d) {
@@ -245,24 +255,48 @@ object VectorExpressions {
       new GenericArrayData(out)
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, m) => {
-        val i = ctx.freshName("i"); val n = ctx.freshName("n")
-        val out = ctx.freshName("out")
-        val gx = elemGenGet(left.dataType, a, i)
-        s"""
-           |int $n = $a.numElements();
-           |byte[] $out = new byte[$n];
-           |if ($m != 0.0) {
-           |  for (int $i = 0; $i < $n; $i++) {
-           |    if ($a.isNullAt($i)) throw new IllegalArgumentException(
-           |      "vec_int8_codes: null element in vector");
-           |    $out[$i] = (byte) java.lang.Math.floor($gx / $m * 127.0 + 0.5);
-           |  }
-           |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         """.stripMargin
-      })
+    override def eval(input: InternalRow): Any = {
+      val v = left.eval(input)
+      if (v == null) return null
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() == 0) return new GenericArrayData(Array.emptyByteArray)
+      val m = right.eval(input)
+      if (m == null) throw new IllegalArgumentException(
+        "vec_int8_codes: null maxAbs for a non-empty vector — scale with vec_max_abs")
+      codesOf(a, m.asInstanceOf[Double])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lg = left.genCode(ctx)
+      val rg = right.genCode(ctx)
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val gx = elemGenGet(left.dataType, lg.value.toString, i)
+      val block =
+        code"""
+          |${lg.code}
+          |boolean ${ev.isNull} = ${lg.isNull};
+          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+          |if (!${ev.isNull}) {
+          |  int $n = ${lg.value}.numElements();
+          |  byte[] $out = new byte[$n];
+          |  if ($n > 0) {
+          |    ${rg.code}
+          |    if (${rg.isNull}) throw new IllegalArgumentException(
+          |      "vec_int8_codes: null maxAbs for a non-empty vector — scale with vec_max_abs");
+          |    if (${rg.value} != 0.0) {
+          |      for (int $i = 0; $i < $n; $i++) {
+          |        if (${lg.value}.isNullAt($i)) throw new IllegalArgumentException(
+          |          "vec_int8_codes: null element in vector");
+          |        $out[$i] = (byte) java.lang.Math.floor($gx / ${rg.value} * 127.0 + 0.5);
+          |      }
+          |    }
+          |  }
+          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+          |}
+        """
+      ev.copy(code = block)
+    }
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)

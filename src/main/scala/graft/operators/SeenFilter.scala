@@ -248,14 +248,19 @@ object SeenFilter {
   * by a PUT, so two racing writers can BOTH acquire; do not home the
   * store there without fronting appends with a real coordination
   * service (or a single-writer scheduler). Torn acquisitions are
-  * detectable: the holder's token is terminated by a newline written in
+  * detectable: the holder's token+nonce lines are newline-terminated in
   * the same close, so a crash between create() and close() leaves
-  * content without the terminator — such a TORN lock is reclaimable by
-  * any writer after a short grace ([[TornLockGraceMs]]) instead of
-  * blocking the store for the full [[recover]] grace. A LIVE append
-  * refreshes the lock's mtime between its internal jobs, so
-  * [[recover]]'s age sweep does not harvest the lock of an append that
-  * merely runs long.
+  * unterminated content — a PROVABLY torn lock (empty, or
+  * newline-bearing but unterminated) is reclaimable by any writer after
+  * a short grace ([[TornLockGraceMs]]) instead of blocking the store
+  * for the full [[recover]] grace; non-empty newline-LESS content is
+  * ambiguous (a pre-versioning release's complete lock looks exactly
+  * like that) and is never torn-reclaimed. The reclaim itself is
+  * arbitrated against stale-read racers by a fresh pre-delete
+  * re-judgment plus a [[ReclaimConfirmMs]] post-create confirm window
+  * on the nonce. A LIVE append refreshes the lock's mtime between its
+  * internal jobs, so [[recover]]'s age sweep does not harvest the lock
+  * of an append that merely runs long.
   */
 object SeenFilterStore {
 
@@ -271,6 +276,18 @@ object SeenFilterStore {
     * never swept by this path.
     */
   val TornLockGraceMs: Long = 30 * 1000L
+
+  /** How long a torn-lock reclaimer holds its freshly created lock before
+    * the CONFIRMING nonce re-read declares acquisition. The delete+create
+    * reclaim is not atomic, and a racer acting on stale observations can
+    * delete a winner's live lock AFTER the winner's first nonce check
+    * passed — the confirm delay means both-proceed now requires the racer
+    * to stall longer than this between two ADJACENT filesystem metadata
+    * calls (its pre-delete re-judgment and its delete), the same
+    * bounded-stall assumption every lease-based lock rests on. Reclaim is
+    * a crash path; the latency is paid only there.
+    */
+  val ReclaimConfirmMs: Long = 2000L
 
   private def stamp(): String =
     s"gen-${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -387,32 +404,69 @@ object SeenFilterStore {
       } catch { case _: java.io.IOException => None }
     def isComplete(c: String): Boolean =
       c.endsWith("\n") && c.count(_ == '\n') >= 2
+    // PROVABLY torn under the current protocol: empty (create landed, no
+    // bytes) or newline-bearing but unterminated. Non-empty NEWLINE-LESS
+    // content is AMBIGUOUS — the pre-versioning release wrote complete
+    // locks as a bare token with no terminator, so "batch-3" could be a
+    // LIVE old-version writer, not crash residue; such locks are never
+    // torn-reclaimed (only the same-token retry path or recover()'s age
+    // sweep releases them — fail loudly otherwise).
+    def isProvablyTorn(c: String): Boolean =
+      c.isEmpty || (c.contains("\n") && !isComplete(c))
+    def isLegacyAmbiguous(c: String): Boolean = c.nonEmpty && !c.contains("\n")
+    def agedPastTearGrace(): Boolean =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime > TornLockGraceMs
+      catch { case _: java.io.IOException => false }
     var acquired = tryCreate()
+    var sawLegacy = false
     if (!acquired) {
       val content = readContent()
-      val sameToken = token.nonEmpty &&
-        content.exists(c => isComplete(c) && c.takeWhile(_ != '\n') == token)
-      // a TORN lock (missing its terminated two lines) older than the
-      // tear grace is crash residue from the create→close window —
-      // reclaimable by anyone
-      val tornStale = content.exists(c => !isComplete(c)) &&
-        (try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime > TornLockGraceMs
-        catch { case _: java.io.IOException => false })
+      sawLegacy = content.exists(isLegacyAmbiguous)
+      val sameToken = token.nonEmpty && content.exists(c =>
+        (isComplete(c) && c.takeWhile(_ != '\n') == token) ||
+          // legacy bare-token lock of OUR OWN token: the retry protocol
+          // (one attempt of a writer at a time) makes it reclaimable by
+          // its owner even though its liveness is unprovable
+          (isLegacyAmbiguous(c) && c == token))
+      val tornStale = content.exists(isProvablyTorn) && agedPastTearGrace()
       if (sameToken || tornStale) {
-        fs.delete(lock, false)
-        if (tryCreate()) {
-          // the reclaim's delete+create is not atomic: verify OUR nonce
-          // survived — a racer's delete/create landing in between shows
-          // up as foreign content, and exactly one racer sees its own
-          acquired = readContent().contains(payload)
+        // contemporaneous re-judgment IMMEDIATELY before the destructive
+        // delete: the reclaim race starts with a racer acting on reads
+        // taken before another reclaimer's delete+create completed — a
+        // fresh winner's lock is complete and seconds old, so re-reading
+        // here refuses it (the torn path; the same-token path is
+        // protocol-serialized and needs no re-check)
+        val freshOk = sameToken ||
+          (readContent().exists(isProvablyTorn) && agedPastTearGrace())
+        if (freshOk) {
+          fs.delete(lock, false)
+          if (tryCreate()) {
+            // the reclaim's delete+create is not atomic: verify OUR nonce
+            // survived — a racer's delete/create landing in between shows
+            // up as foreign content, and exactly one racer sees its own
+            acquired = readContent().contains(payload)
+            if (acquired && !sameToken) {
+              // arbitration delay (see ReclaimConfirmMs): hold, then
+              // confirm the nonce AGAIN — a stale-read racer that deletes
+              // our live lock inside the window is caught here, and for
+              // both to proceed it would have to stall longer than the
+              // delay between two adjacent metadata calls
+              Thread.sleep(ReclaimConfirmMs)
+              acquired = readContent().contains(payload)
+            }
+          }
         }
       }
     }
     require(acquired,
       s"another appendBatch holds $lock — the seen-filter store is " +
         "single-writer (a concurrent append would silently drop this " +
-        "batch's bits); wait for it, or run recover() if the holder crashed")
+        "batch's bits); wait for it, or run recover() if the holder crashed" +
+        (if (sawLegacy) ". NOTE: the lock content is a pre-versioning " +
+          "bare token whose holder's liveness cannot be proven — if that " +
+          "writer is known dead, remove the lock manually or via " +
+          "recover()'s age sweep" else ""))
     lock
   }
 

@@ -1399,5 +1399,32 @@ object TextAnalysis {
       .repartitionByRange(numShards, col("shuffle_pos"))
       .sortWithinPartitions("shuffle_pos")
       .write.mode("overwrite").parquet(path)
+    // the permutation is a pure function of (content fingerprint, seed):
+    // stamp the arithmetic version so an append/extend under a bumped
+    // fingerprint — which would interleave two DIFFERENT permutations in
+    // one shard set — fails loudly at open instead (manifest LAST, after
+    // the data landed)
+    Manifests.writeAtomic(docs.sparkSession, s"$path/_SHUFFLE.json",
+      s"""{"seed":$seed,"num_shards":$numShards,"num_buckets":$numBuckets,""" +
+        s""""fp_version":${graft.functions.Functions.FingerprintVersion}}""")
+  }
+
+  /** Open a [[writeShuffled]] shard set, verifying its `_SHUFFLE.json`
+    * stamp: a shard set permuted under a different fingerprint version
+    * (or missing the manifest entirely — pre-versioning, or a torn
+    * write) fails loudly. Returns rows with their `shuffle_pos`.
+    */
+  def readShuffled(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val m = Manifests.read(spark, s"$path/_SHUFFLE.json").getOrElse(
+      throw new IllegalStateException(
+        s"no _SHUFFLE.json under $path — the shard set predates shuffle " +
+          s"versioning or its publish was torn; rebuild with writeShuffled"))
+    val fpv = Manifests.numField(m, "fp_version").toInt
+    require(fpv == graft.functions.Functions.FingerprintVersion,
+      s"shard set $path was permuted under fingerprint v$fpv but this " +
+        s"build runs v${graft.functions.Functions.FingerprintVersion} — " +
+        "extending it would interleave two different permutations; " +
+        "rebuild the shards")
+    spark.read.parquet(path)
   }
 }

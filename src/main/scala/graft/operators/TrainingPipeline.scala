@@ -356,8 +356,14 @@ object TrainingPipeline {
     data.write.partitionBy("split").parquet(s"$root/$gen/data")
     val splits = splitStats(spark.read.parquet(s"$root/$gen/data"), textCol)
     val ledgerStr = ledger.map { case (k, v) => s"$k=$v" }.mkString(",")
+    // fp_version: the train/val membership is DERIVED from the content
+    // fingerprint (hashSplit), so a release is only interpretable under
+    // the arithmetic that cut it — an incremental pipeline straddling a
+    // fingerprint bump would otherwise migrate documents between train
+    // and test (holdout leakage) with no error anywhere
     Manifests.writeAtomic(spark, s"$root/_DATASET.json",
       s"""{"generation":"$gen","textCol":"$textCol",""" +
+        s""""fp_version":${F.FingerprintVersion},""" +
         s""""splits":"$splits","ledger":"$ledgerStr"}""")
     gen
   }
@@ -371,6 +377,19 @@ object TrainingPipeline {
                   root: String): DataFrame = {
     val m = Manifests.read(spark, s"$root/_DATASET.json").getOrElse(
       throw new IllegalStateException(s"no _DATASET.json under $root"))
+    val fpv = try Manifests.numField(m, "fp_version").toInt catch {
+      case e: IllegalStateException => throw new IllegalStateException(
+        s"release $root predates fingerprint versioning (current " +
+          s"v${F.FingerprintVersion}): its train/val split was cut under " +
+          "unknown fingerprint arithmetic — appending or re-splitting " +
+          "against it can migrate documents across the holdout boundary; " +
+          "re-release from source", e)
+    }
+    require(fpv == F.FingerprintVersion,
+      s"release $root was split under fingerprint v$fpv but this build " +
+        s"runs v${F.FingerprintVersion} — the same document now maps to a " +
+        "different split, so mixing them leaks holdout data; re-release " +
+        "from source (or pin the engine version that cut it)")
     val gen = Manifests.strField(m, "generation")
     val textCol = Manifests.strField(m, "textCol")
     val expected = Manifests.strField(m, "splits")

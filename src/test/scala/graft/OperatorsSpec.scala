@@ -580,6 +580,22 @@ class OperatorsSpec extends SparkSpecBase {
       case _ =>
     }
     assert(spans.head._1 == 0 && spans.last._2 == docs.count() - 1)
+    // the shard set is stamped with the fingerprint version that permuted
+    // it; the verifying reader round-trips, a drifted stamp or a missing
+    // manifest fails loudly (extending across a fingerprint bump would
+    // interleave two different permutations)
+    assert(TextAnalysis.readShuffled(spark, dir).count() == docs.count())
+    val mf = graft.operators.Manifests.read(spark, s"$dir/_SHUFFLE.json").get
+    graft.operators.Manifests.writeAtomic(spark, s"$dir/_SHUFFLE.json",
+      mf.replaceAll("\"fp_version\":\\d+", "\"fp_version\":1"))
+    val drift = intercept[Exception] { TextAnalysis.readShuffled(spark, dir) }
+    assert(drift.getMessage.contains("fingerprint"), drift.getMessage)
+    val bare = java.nio.file.Files.createTempDirectory("shuffled_bare_").toString
+    docs.limit(1).write.mode("overwrite").parquet(bare)
+    val missing = intercept[IllegalStateException] {
+      TextAnalysis.readShuffled(spark, bare)
+    }
+    assert(missing.getMessage.contains("_SHUFFLE.json"), missing.getMessage)
   }
 
   test("dedupParagraphs keeps each paragraph once (first occurrence), reassembles in order") {
@@ -908,6 +924,19 @@ class OperatorsSpec extends SparkSpecBase {
     assert(e.getMessage != null && (e.getMessage.contains("null element") ||
       Option(e.getCause).exists(_.getMessage.contains("null element"))),
       e.toString)
+    // an EMPTY vector quantizes to an empty code array (the legacy
+    // combinator's behavior), NOT to null via vec_max_abs's null
+    // propagating through the kernel — exercised through both the
+    // interpreted eval (local relation) and a codegen-capable plan
+    val empty = Seq((7L, Seq.empty[Float]), (8L, Seq(2.0f)))
+      .toDF("vec_id", "embedding")
+    val eq = Similarity.quantizeInt8(empty, "vec_id", "embedding")
+      .orderBy("vec_id").select("codes").as[Seq[Byte]].collect().toSeq
+    assert(eq == Seq(Seq.empty[Byte], Seq[Byte](127)), eq.toString)
+    val eqCodegen = Similarity.quantizeInt8(
+      empty.repartition(1).localCheckpoint(true), "vec_id", "embedding")
+      .orderBy("vec_id").select("codes").as[Seq[Byte]].collect().toSeq
+    assert(eqCodegen == Seq(Seq.empty[Byte], Seq[Byte](127)), eqCodegen.toString)
   }
 
   test("bruteForceTopK returns k nearest by cosine, self excluded") {

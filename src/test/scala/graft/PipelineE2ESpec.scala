@@ -222,6 +222,26 @@ class PipelineE2ESpec extends SparkSpecBase {
       TrainingPipeline.readRelease(spark,
         java.nio.file.Files.createTempDirectory("release_none_").toString)
     }
+    // fingerprint-version guard: a release cut under different fingerprint
+    // arithmetic (or predating versioning) must fail loudly — its split
+    // membership is fingerprint-derived, so mixing versions leaks holdout
+    val root2 = java.nio.file.Files.createTempDirectory("release_fpv_").toString
+    TrainingPipeline.writeRelease(out, root2, ledger = ledger)
+    val mf = graft.operators.Manifests.read(spark, s"$root2/_DATASET.json").get
+    assert(mf.contains("\"fp_version\":"), mf)
+    graft.operators.Manifests.writeAtomic(spark, s"$root2/_DATASET.json",
+      mf.replaceAll("\"fp_version\":\\d+", "\"fp_version\":1"))
+    val drift = intercept[Exception] {
+      TrainingPipeline.readRelease(spark, root2)
+    }
+    assert(drift.getMessage.contains("fingerprint"), drift.getMessage)
+    graft.operators.Manifests.writeAtomic(spark, s"$root2/_DATASET.json",
+      mf.replaceAll("\"fp_version\":\\d+,", ""))
+    val legacy = intercept[IllegalStateException] {
+      TrainingPipeline.readRelease(spark, root2)
+    }
+    assert(legacy.getMessage.contains("predates fingerprint versioning"),
+      legacy.getMessage)
   }
 
   test("training pipeline with decontamination: eval-overlapping docs dropped") {

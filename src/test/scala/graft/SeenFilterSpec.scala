@@ -203,10 +203,10 @@ class SeenFilterSpec extends SparkSpecBase {
         seed = 3L, kHashes = 5, mBits = 1 << 14, numShards = 4))
     val batch = docs.where(col("doc_id") % 2 =!= 0)
     val lockFile = java.nio.file.Paths.get(root, SeenFilterStore.AppendLockName)
-    // content without the \n terminator = the holder died between
-    // create() and close(); while FRESH it might still be mid-write,
-    // so even a tokened retry must refuse
-    java.nio.file.Files.write(lockFile, "batch-3".getBytes("UTF-8"))
+    // PROVABLY torn content (newline-bearing but unterminated = the
+    // holder died between create() and close()); while FRESH it might
+    // still be mid-write, so even a tokened retry must refuse
+    java.nio.file.Files.write(lockFile, "batch-3\npartial-non".getBytes("UTF-8"))
     intercept[IllegalArgumentException] {
       SeenFilterStore.appendBatch(spark, root, batch)
     }
@@ -223,6 +223,31 @@ class SeenFilterSpec extends SparkSpecBase {
     SeenFilterStore.appendBatch(spark, root, batch)
     assert(!java.nio.file.Files.exists(lockFile),
       "append must release the reclaimed lock")
+    // NEWLINE-LESS non-empty content is AMBIGUOUS: a pre-versioning
+    // release wrote complete locks as a bare token — its holder may be
+    // LIVE, so it is never torn-reclaimable, however old (only the
+    // owner's same-token retry or recover()'s age sweep release it)
+    java.nio.file.Files.write(lockFile, "batch-7".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - SeenFilterStore.TornLockGraceMs - 5000L))
+    val legacyRefusal = intercept[IllegalArgumentException] {
+      SeenFilterStore.appendBatch(spark, root, batch)
+    }
+    assert(legacyRefusal.getMessage.contains("pre-versioning"),
+      legacyRefusal.getMessage)
+    // ... but its OWNER's retry reclaims it (one attempt at a time by
+    // the writer protocol)
+    SeenFilterStore.appendBatch(spark, root, batch,
+      writerToken = Some("batch-7"))
+    assert(!java.nio.file.Files.exists(lockFile))
+    // an EMPTY aged lock (create landed, zero bytes) is provably torn
+    java.nio.file.Files.write(lockFile, Array.emptyByteArray)
+    java.nio.file.Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - SeenFilterStore.TornLockGraceMs - 5000L))
+    SeenFilterStore.appendBatch(spark, root, batch)
+    assert(!java.nio.file.Files.exists(lockFile))
     // a COMPLETE-token lock is never torn-reclaimed however old: aging a
     // terminated foreign lock still refuses a tokenless writer
     java.nio.file.Files.write(lockFile, "batch-4\nold-nonce\n".getBytes("UTF-8"))
