@@ -63,57 +63,67 @@ object WarcRecords {
       content_length: Long,
       body: String)
 
+  /** Back a truncation cut off to the start of the last INCOMPLETE UTF-8
+    * sequence, so decoding a Content-Length-cut payload never
+    * manufactures a trailing U+FFFD that is the CUT's artifact (U+FFFD
+    * from genuinely invalid bytes inside the payload is preserved
+    * faithfully — the decoder sees those bytes unchanged).
+    */
+  private def utf8SafeCut(bytes: Array[Byte], cut0: Int): Int = {
+    var cut = cut0
+    if (cut > 0) {
+      var p = cut - 1
+      while (p > 0 && (bytes(p) & 0xC0) == 0x80) p -= 1
+      val lead = bytes(p) & 0xFF
+      val need =
+        if (lead < 0x80) 1
+        else if ((lead & 0xE0) == 0xC0) 2
+        else if ((lead & 0xF0) == 0xE0) 3
+        else if ((lead & 0xF8) == 0xF0) 4
+        else 1 // invalid lead byte: leave the cut alone
+      if (p + need > cut) cut = p
+    }
+    cut
+  }
+
   /** Parse one record already decoded to a string (WET conversion
     * records are UTF-8 text). Returns null fields + ok=false on a
     * non-WARC member.
+    *
+    * A THIN DECODE over [[parseRecordBytes]]: the record is measured and
+    * Content-Length-cut on its RAW bytes first, then the payload is
+    * decoded — so the cut position is byte-exact even when invalid UTF-8
+    * sits before the boundary (the retired parallel implementation
+    * measured re-encoded U+FFFD replacements, shifting the cut a few
+    * bytes early per bad byte). When the cut lands mid multi-byte
+    * sequence the decode backs off to the last complete code point
+    * ([[utf8SafeCut]]), so no trailing U+FFFD is manufactured by the
+    * truncation itself.
     */
   def parseRecordString(rec: String): (Boolean, String, String, String, String, Long, String) = {
     if (rec == null) return (false, null, null, null, null, -1L, null)
-    val sep = rec.indexOf("\r\n\r\n")
-    val head = if (sep < 0) rec else rec.substring(0, sep)
-    val body0 = if (sep < 0) "" else rec.substring(sep + 4)
-    val lines = head.split("\r\n", -1)
-    if (lines.isEmpty || !lines(0).startsWith("WARC/"))
-      return (false, null, null, null, null, -1L, null)
-    val (t, uri, date, ct, cl) = headerFields(lines)
-    // Content-Length counts BYTES; truncate the payload when the member
-    // carries trailing garbage (never pad when it is short — fail-soft).
-    // A cut landing mid multi-byte sequence backs off to the last
-    // COMPLETE code point, so this flavor never manufactures a trailing
-    // U+FFFD the byte-level flavor (parseRecordBytes) would not carry.
-    // KNOWN DRIFT: this string flavor measures RE-ENCODED UTF-8 — if the
-    // member carried invalid UTF-8 before the boundary, each U+FFFD
-    // replacement re-encodes as 3 bytes and the cut shifts by the
-    // difference (a few bytes early per bad byte). The byte flavor is
-    // exact; route binary/dirty archives through parseRecordBytes.
-    val body =
-      if (cl < 0) body0
-      else {
-        val bytes = body0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        if (cl < bytes.length) {
-          var cut = cl.toInt
-          if (cut > 0) {
-            var p = cut - 1
-            while (p > 0 && (bytes(p) & 0xC0) == 0x80) p -= 1
-            val lead = bytes(p) & 0xFF
-            val need =
-              if (lead < 0x80) 1
-              else if ((lead & 0xE0) == 0xC0) 2
-              else if ((lead & 0xF0) == 0xE0) 3
-              else if ((lead & 0xF8) == 0xF0) 4
-              else 1 // invalid lead byte: leave the cut alone
-            if (p + need > cut) cut = p
-          }
-          new String(bytes, 0, cut, java.nio.charset.StandardCharsets.UTF_8)
-        } else body0
-      }
-    (true, t, uri, date, ct, cl, body)
+    parseBytesThenDecode(rec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def parseBytesThenDecode(raw: Array[Byte])
+      : (Boolean, String, String, String, String, Long, String) = {
+    val (ok, t, uri, date, ct, cl, body, rawBodyLen) = parseRecordCore(raw)
+    if (!ok) return (false, null, null, null, null, -1L, null)
+    // only a cut that actually SHORTENED the raw payload can have split a
+    // sequence; an un-truncated payload's trailing bytes are the record's
+    // own, decoded as-is (incomplete tail → U+FFFD, faithfully)
+    val truncated = cl >= 0 && cl < rawBodyLen
+    val end = if (truncated) utf8SafeCut(body, body.length) else body.length
+    (true, t, uri, date, ct, cl,
+      new String(body, 0, end, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Parse every exploded archive member ([[GzipArchives.explodeArchives]]
     * output) into typed WARC rows. Members already flagged `ok = false`
     * by the splitter (CRC/truncation markers) pass through as
-    * `ok = false` rows.
+    * `ok = false` rows. Parses the member's RAW bytes (the
+    * [[parseRecordString]] cut discipline) — no whole-member decode
+    * before the header walk.
     */
   def parseMembers(members: Dataset[GzipArchives.MemberRow]): DataFrame = {
     import members.sparkSession.implicits._
@@ -122,8 +132,7 @@ object WarcRecords {
         WarcRow(m.archive_id, m.member_idx, ok = false, null, null, null,
           null, -1L, null)
       else {
-        val s = new String(m.content, java.nio.charset.StandardCharsets.UTF_8)
-        val (ok, t, uri, date, ct, cl, body) = parseRecordString(s)
+        val (ok, t, uri, date, ct, cl, body) = parseBytesThenDecode(m.content)
         WarcRow(m.archive_id, m.member_idx, ok, t, uri, date, ct, cl, body)
       }
     }).toDF()
@@ -150,7 +159,17 @@ object WarcRecords {
     * `Content-Length` BYTES directly — no encode/decode round-trip.
     */
   def parseRecordBytes(rec: Array[Byte]): (Boolean, String, String, String, String, Long, Array[Byte]) = {
-    if (rec == null) return (false, null, null, null, null, -1L, null)
+    val (ok, t, uri, date, ct, cl, body, _) = parseRecordCore(rec)
+    (ok, t, uri, date, ct, cl, body)
+  }
+
+  /** The one record walk both flavors share; the extra last element is
+    * the RAW payload length before the Content-Length cut (the string
+    * flavor needs it to know whether a cut actually happened).
+    */
+  private def parseRecordCore(rec: Array[Byte])
+      : (Boolean, String, String, String, String, Long, Array[Byte], Int) = {
+    if (rec == null) return (false, null, null, null, null, -1L, null, 0)
     // find the \r\n\r\n header/payload separator at the byte level
     var sep = -1
     var i = 0
@@ -164,13 +183,14 @@ object WarcRecords {
     val head = new String(rec, 0, headEnd, java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split("\r\n", -1)
     if (lines.isEmpty || !lines(0).startsWith("WARC/"))
-      return (false, null, null, null, null, -1L, null)
+      return (false, null, null, null, null, -1L, null, 0)
     val (t, uri, date, ct, cl) = headerFields(lines)
     val bodyStart = if (sep < 0) rec.length else sep + 4
-    var bodyLen = rec.length - bodyStart
+    val rawBodyLen = rec.length - bodyStart
+    var bodyLen = rawBodyLen
     if (cl >= 0 && cl < bodyLen) bodyLen = cl.toInt
     val body = java.util.Arrays.copyOfRange(rec, bodyStart, bodyStart + bodyLen)
-    (true, t, uri, date, ct, cl, body)
+    (true, t, uri, date, ct, cl, body, rawBodyLen)
   }
 
   /** [[parseMembers]] with the payload kept as BYTES — feeds

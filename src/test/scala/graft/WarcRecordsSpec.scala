@@ -45,6 +45,36 @@ class WarcRecordsSpec extends SparkSpecBase {
     assert(none._7 == "free body" && none._6 == -1L)
   }
 
+  test("invalid UTF-8 BEFORE the boundary does not shift the cut: the string flavor is a decode over the byte flavor") {
+    // one raw 0xFF byte (invalid UTF-8) early in the payload, then ASCII.
+    // The retired parallel string implementation decoded first (0xFF →
+    // U+FFFD, which RE-encodes as 3 bytes) and measured the re-encoded
+    // stream, shifting the Content-Length cut 2 bytes early. Measuring
+    // raw bytes keeps the cut exact.
+    val headerBytes = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "Content-Length: 10\r\n\r\n").getBytes("ISO-8859-1")
+    val payload = Array[Byte]('a', 0xFF.toByte, 'b', 'c', 'd', 'e', 'f',
+      'g', 'h', 'i', 'J', 'U', 'N', 'K')
+    val raw = headerBytes ++ payload
+    // byte flavor: byte-exact ground truth — exactly the first 10 bytes
+    val (okB, _, _, _, _, clB, bodyB) =
+      graft.sources.WarcRecords.parseRecordBytes(raw)
+    assert(okB && clB == 10L && bodyB.toSeq == payload.take(10).toSeq)
+    // string flavor over the same member (the parseMembers path hands it
+    // raw bytes; parseRecordString itself round-trips via UTF-8, which
+    // is lossy on 0xFF — so compare through the members API)
+    import spark.implicits._
+    val members = Seq(graft.sources.GzipArchives.MemberRow(0L, 0, ok = true, raw))
+      .toDS()
+    val row = graft.sources.WarcRecords.parseMembers(members).collect().head
+    val body = row.getAs[String]("body")
+    // same content the byte flavor's 10 bytes decode to: the invalid byte
+    // becomes U+FFFD, the cut still lands after 'i' — nothing from JUNK,
+    // nothing shaved before it
+    assert(body == new String(bodyB, "UTF-8"), body)
+    assert(body == "a�bcdefghi", body)
+  }
+
   test("header keys are case-insensitive, first occurrence wins, unknown keys ignored, bad length fail-soft") {
     val r = parseRecordString(rec(
       "warc-type: first\r\nWARC-TYPE: second\r\nX-Custom: junk\r\n" +
