@@ -700,6 +700,31 @@ object TextExpressions {
   def section_props_map(sections: Column, section: String): Column =
     column(SectionPropsMapExpr(expression(sections), section))
 
+  /** EVERY section's properties as one `{section}_{property}` map — the
+    * codegen walk behind [[graft.operators.JvmStats.toPropsMap]]
+    * (static-invokes [[TokenFolds.allSectionPropsMap]]); same shape as
+    * [[SectionPropsMapExpr]] with the section-name filter replaced by a
+    * key concat.
+    */
+  case class AllSectionPropsMapExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      MapType(StringType, StringType, valueContainsNull = true)
+    override def prettyName: String = "graft_all_section_props"
+
+    override def nullSafeEval(v: Any): Any =
+      TokenFolds.allSectionPropsMap(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.TokenFolds.allSectionPropsMap($v);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def all_section_props_map(sections: Column): Column =
+    column(AllSectionPropsMapExpr(expression(sections)))
+
   /** Per-document ordered text rebuild — join one string field out of an
     * `array<struct>` (already sorted by `array_sort` inside the
     * aggregate) with a separator, as a codegen scalar static-invoking

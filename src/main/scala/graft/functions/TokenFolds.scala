@@ -343,6 +343,61 @@ object TokenFolds {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray))
   }
 
+  private val Underscore = org.apache.spark.unsafe.types.UTF8String.fromString("_")
+
+  /** ALL sections' properties flattened to one `{section}_{property}` →
+    * value map — the event-sized walk behind
+    * [[graft.operators.JvmStats.toPropsMap]], replacing the nested
+    * interpreted `transform(transform(…))` + `flatten` +
+    * `map_from_entries` stack. Key join mirrors `concat_ws("_", s, p)`
+    * (null names are skipped, not rendered); duplicate composite keys
+    * are FIRST-WINS like [[sectionPropsMap]] (the combinator form
+    * inherited Spark's map-dedup EXCEPTION policy — a malformed event
+    * repeating a key should not kill the job); null section/property
+    * structs are skipped.
+    */
+  def allSectionPropsMap(arr: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.MapData = {
+    val keys = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getStruct(i, 2)
+        val sName = if (s.isNullAt(0)) null else s.getUTF8String(0)
+        if (!s.isNullAt(1)) {
+          val props = s.getArray(1)
+          val m = props.numElements()
+          var j = 0
+          while (j < m) {
+            if (!props.isNullAt(j)) {
+              val p = props.getStruct(j, 2)
+              val pName = if (p.isNullAt(0)) null else p.getUTF8String(0)
+              val key =
+                if (sName == null && pName == null)
+                  org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+                else if (sName == null) pName
+                else if (pName == null) sName
+                else org.apache.spark.unsafe.types.UTF8String.concat(
+                  sName, Underscore, pName)
+              if (seen.add(key)) {
+                keys += key
+                vals += (if (p.isNullAt(1)) null else p.getUTF8String(1))
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys.toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray))
+  }
+
   /** Drop tracking parameters from a URL query string — the byte-walk
     * form of `filter(split(query, "&"), p => !p.rlike("^(utm_[^&=]*|fbclid|gclid)="))`
     * + `array_join(…, "&")` (an interpreted ArrayFilter on the per-URL

@@ -39,12 +39,17 @@ object JvmStats {
       .withColumn("value", col("_p.value"))
       .drop("_s", "_p", sectionsCol)
 
-  /** Stable MapType form: `{section}_{property}` → value (string). */
+  /** Stable MapType form: `{section}_{property}` → value (string), as ONE
+    * codegen struct walk ([[graft.functions.TextExpressions
+    * .all_section_props_map]]) — the nested
+    * `transform(transform(…))`+`flatten`+`map_from_entries` combinator
+    * it replaces carried two interpreted lambdas on the event path (the
+    * heap projection got the same treatment in r12). First-wins on a
+    * repeated key (a malformed event must not kill the job the way the
+    * combinator's map-dedup EXCEPTION policy did).
+    */
   def toPropsMap(sectionsCol: Column): Column =
-    map_from_entries(flatten(transform(sectionsCol,
-      s => transform(s.getField("properties"),
-        p => struct(concat_ws("_", s.getField("name"), p.getField("name")).as("key"),
-          p.getField("value").as("value"))))))
+    graft.functions.TextExpressions.all_section_props_map(sectionsCol)
 
   /** ES-style numeric extraction: value parsed as double where possible
     * (reference parses double-if-possible, EventHelper.java:31-38).

@@ -44,6 +44,28 @@ class JvmStatsSpec extends SparkSpecBase {
       .where($"event_id" === 1)
       .select(element_at($"nums", "gc(PS Scavenge)_count")).as[Double].head()
     assert(nums == 7.0)
+    // one codegen struct walk per event — no nested transform lambdas,
+    // no flatten/map_from_entries (repartition blocks the LocalRelation
+    // constant-fold so the runtime plan is visible)
+    val plan = df.repartition(2)
+      .select(JvmStats.toPropsMap($"sections"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_all_section_props"), plan)
+    assert(!plan.contains("lambdafunction") && !plan.contains("map_from_entries"),
+      plan)
+    // event 2's map carries BOTH its sections through the one walk
+    val e2 = m.where($"event_id" === 2).select($"props").head()
+      .getMap[String, String](0)
+    assert(e2.size == 4 && e2("network_eth0_rx") == "1000", e2.toString)
+    // a repeated composite key is first-wins, not a job-killing
+    // MAP_KEY_DEDUP exception (malformed events happen at crawl rates)
+    val dup = spark.createDataFrame(java.util.Arrays.asList(
+      Row(9L, Seq(sec("heap", "used" -> "1", "used" -> "2")))), schema)
+      .select(JvmStats.toPropsMap($"sections")).head().getMap[String, String](0)
+    assert(dup("heap_used") == "1", dup.toString)
+    // a null sections array stays null
+    assert(spark.createDataFrame(java.util.Arrays.asList(Row(9L, null)), schema)
+      .select(JvmStats.toPropsMap($"sections")).head().isNullAt(0))
   }
 
   test("heapProjection extracts the 4 fixed heap columns (HDFS flavor)") {
