@@ -470,9 +470,16 @@ object JdkMedia {
     * norm0); emits (id_a, id_b, mean_gap, centered_cosine). Buckets
     * capped per (subset, key) like every bucketed self-join.
     */
-  private[multimodal] def bandedCenteredPairs(feats: DataFrame, bits: Int, maxHamming: Int,
-                                  maxBucket: Int, threshold: Double,
-                                  meanTol: Double): DataFrame = {
+  /** The Manku-style band-subset keys of a `bits`-bit aHash: one row per
+    * (id, subset) with the packed subset key `bk` — a Hamming ≤
+    * `maxHamming` pair agrees on ≥ (bands − maxHamming) bands, hence on
+    * at least one enumerated subset; packed subset values keep the key
+    * as wide as the tolerance allows (12 bits at the default
+    * maxHamming = 1 vs 4 bits for single-band keys). Shared by the
+    * self-join pair finder and the history "against" matcher so both
+    * sides of an incremental store compute IDENTICAL keys.
+    */
+  private def bandSubsetKeys(feats: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val bands = 4
     require(bits % bands == 0, s"grid hash width $bits must split into $bands bands")
@@ -480,14 +487,10 @@ object JdkMedia {
       s"aHash banding tolerates 0 <= maxHamming < $bands bit flips (got $maxHamming)")
     val width = bits / bands
     val mask = (1L << width) - 1L
-    // band-subset keys: a Hamming <= maxHamming pair agrees on >= (bands -
-    // maxHamming) bands, hence on at least one enumerated subset — packed
-    // subset values keep the key as wide as the tolerance allows (12 bits
-    // at the default maxHamming = 1 vs 4 bits for single-band keys)
     def bandVal(ah: Column, b: Int): Column =
       call_function("shiftright", ah, lit(width * b)).bitwiseAND(lit(mask))
     val subsets = (0 until bands).combinations(bands - maxHamming).toSeq.zipWithIndex
-    val blocked = feats.select(col("id"), col("mean"), col("centered"), col("norm0"),
+    feats.select(col("id"), col("mean"), col("centered"), col("norm0"),
       explode(array(subsets.map { case (ss, si) =>
         struct(lit(si).as("t"),
           ss.zipWithIndex.map { case (b, pos) =>
@@ -496,6 +499,13 @@ object JdkMedia {
       }: _*)).as("s"))
       .select(col("id"), col("mean"), col("centered"), col("norm0"),
         col("s.t").as("t"), col("s.bk").as("bk"))
+  }
+
+  private[multimodal] def bandedCenteredPairs(feats: DataFrame, bits: Int, maxHamming: Int,
+                                  maxBucket: Int, threshold: Double,
+                                  meanTol: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val blocked = bandSubsetKeys(feats, bits, maxHamming)
     val bounded = graft.operators.Dedup.capBuckets(blocked, Seq("t", "bk"), maxBucket)
     val a = bounded.select(col("t"), col("bk"), col("id").as("id_a"), col("mean").as("mean_a"),
       col("centered").as("c_a"), col("norm0").as("z_a"))
@@ -511,6 +521,38 @@ object JdkMedia {
         (col("centered_cosine") >= threshold || col("_both_uniform")))
       .drop("_both_uniform")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Which of `batchFeats`' images perceptually match ANYTHING in
+    * `historyFeats` — the incremental-store flavor of
+    * [[bandedCenteredPairs]] (same band-subset keys, same mean-gap +
+    * centered-cosine verify). Returns the matched batch ids, one row
+    * each.
+    *
+    * Scale shape: the BATCH side (micro-batch-sized by construction) is
+    * broadcast, so the corpus-sized history is a single MAP-ONLY scan —
+    * no history-keyed exchange, no bucket cap needed (an oversized
+    * history bucket costs linear verify work inside the scan, never a
+    * shuffle blowup; output collapses to ≤ batch-size matched ids
+    * before the one small distinct exchange).
+    */
+  private[multimodal] def bandedCenteredMatchesAgainst(
+      batchFeats: DataFrame, historyFeats: DataFrame, bits: Int,
+      maxHamming: Int, threshold: Double, meanTol: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val b = bandSubsetKeys(batchFeats, bits, maxHamming)
+      .select(col("t"), col("bk"), col("id").as("batch_id_"),
+        col("mean").as("mean_b"), col("centered").as("c_b"),
+        col("norm0").as("z_b"))
+    val h = bandSubsetKeys(historyFeats, bits, maxHamming)
+      .select(col("t"), col("bk"), col("mean").as("mean_h"),
+        col("centered").as("c_h"), col("norm0").as("z_h"))
+    h.join(broadcast(b), Seq("t", "bk"))
+      .where(abs(col("mean_h") - col("mean_b")) <= meanTol &&
+        (graft.functions.Functions.cosine(col("c_h"), col("c_b")) >= threshold ||
+          (col("z_h") && col("z_b"))))
+      .select(col("batch_id_").as("id"))
+      .distinct()
   }
 
   // ------------------------------------------------ cross-modal gating

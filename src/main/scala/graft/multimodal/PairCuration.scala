@@ -79,6 +79,21 @@ object PairCuration {
                          captionCol: String = "caption",
                          cfg: Config = Config())
       : (DataFrame, Seq[(String, Long)]) = {
+    val (out, ledger) = curateCore(pairs, idCol, imageCol, captionCol, cfg)
+    (out.select(col(idCol), col(captionCol), col("ahash").as("phash")), ledger)
+  }
+
+  /** The full curation pass with the survivors' PERCEPTUAL FEATURES kept
+    * (`ahash, mean, centered, norm0` — everything
+    * [[JdkMedia.bandedCenteredPairs]]-shaped serving needs), so the
+    * incremental store ([[IncrementalPairs]]) can band and verify new
+    * batches against history without re-decoding a single image.
+    * [[curatePairsAudited]] is this minus the feature columns.
+    */
+  private[multimodal] def curateCore(pairs: DataFrame, idCol: String,
+                                     imageCol: String, captionCol: String,
+                                     cfg: Config)
+      : (DataFrame, Seq[(String, Long)]) = {
     require(cfg.minCaptionTokens >= 1 &&
       cfg.maxCaptionTokens >= cfg.minCaptionTokens,
       s"caption token bounds must satisfy 1 <= min <= max, got " +
@@ -134,9 +149,9 @@ object PairCuration {
     // with map-side partial aggregation. A row_number() window here would
     // funnel every copy of a hot caption into one task.
     val out = tap("final", Dedup.dropExactDups(
-        collapsed.select(col(idCol), col(captionCol), col("ahash")),
-        idCol, captionCol)
-      .select(col(idCol), col(captionCol), col("ahash").as("phash")))
+        collapsed.select(col(idCol), col(captionCol), col("ahash"),
+          col("mean"), col("centered"), col("norm0")),
+        idCol, captionCol))
     staged.dropRight(1).foreach(_.unpersist())
     (out, ledger.toSeq)
   }
