@@ -2345,6 +2345,45 @@ object SparkEntry {
         .orderBy(col("pair_id"))
     }),
 
+    // ---- The INCREMENTAL pair store ([[IncrementalPairs]]): two
+    //      micro-batches through the curation gates, batch 2 admitted
+    //      against batch 1's banded pHash history (image leg) and its
+    //      caption hash-pair history (caption leg), then a REPLAY of the
+    //      committed batch 2 that must skip (high-water mark). Every
+    //      pair's fate is id arithmetic: img class = id/2 (id%5==0 folds
+    //      into (id/2)%60 — batch 2's deliberate image re-uses of
+    //      batch 1 classes), caption class = id (id%7==0 folds into
+    //      id%120 — deliberate caption re-uses), solid-luma images 2
+    //      apart with meanTol 1.0 so ONLY identical classes match. The
+    //      oracle replays the intra-batch keep-ones as windows and the
+    //      two history legs as class-membership checks. ----
+    "q_pair_incremental" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{IncrementalPairs, JdkMedia, PairCuration}
+      def fixture(lo: Long, hi: Long) = t(s, dir, "documents")
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id")).as[Long].map { id =>
+          val cls = (if (id % 5 == 0) (id / 2) % 60 else id / 2).toInt
+          val cap = "inc cap c" + (if (id % 7 == 0) id % 120 else id) + " x y"
+          (id, JdkMedia.solidPng(8, 8, cls * 2, cls * 2, cls * 2), cap)
+        }.toDF("pair_id", "image", "caption")
+      val work = graft.sources.BucketedTables.scratchDir("graft_incpairs_q_").toString
+      val root = s"$work/store"
+      val acc = s"$work/accepted"
+      val cfg = PairCuration.Config(minCaptionTokens = 2, meanTol = 1.0)
+      IncrementalPairs.processBatch(fixture(0, 120), 0L, root, acc, cfg = cfg)
+      val led = IncrementalPairs.processBatch(fixture(120, 240), 1L, root, acc,
+        cfg = cfg).toMap
+      val replay = IncrementalPairs.processBatch(fixture(120, 240), 1L, root,
+        acc, cfg = cfg).toMap
+      val replayOk = replay == Map("replay_skipped" -> 1L)
+      s.read.parquet(acc).select(col("pair_id"), col("caption"))
+        .withColumn("img_dups", lit(led("history_image_dup")))
+        .withColumn("cap_dups", lit(led("history_caption_dup")))
+        .withColumn("replay_skip_ok", lit(replayOk))
+        .orderBy(col("pair_id"))
+    }),
+
     // ---- The COMPOSED pipeline, end to end: preClean (mojibake+NFC) →
     //      lineDedup → gopherRules → phrase blocklist → exact dedup →
     //      near-dup keep-best → decontaminate → hash split → temperature
@@ -4490,6 +4529,47 @@ object SparkEntry {
         |  CAST((SELECT SUM(n_tok) FROM fin) AS BIGINT) AS rel_toks,
         |  TRUE AS roundtrip_ok
         |FROM fin ORDER BY pair_id""".stripMargin,
+
+    // the incremental pair store from id arithmetic: intra-batch image
+    // keep-one (min id per (batch, img class) — equal caption lengths)
+    // then caption keep-one, batch 2 admitted only where neither class
+    // appears among batch 1's admitted; the replay skip is a Spark-side
+    // measured witness (oracle hardcodes TRUE)
+    "q_pair_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 5 = 0 THEN (doc_id // 2) % 60
+        |         ELSE doc_id // 2 END AS img_class,
+        |    CASE WHEN doc_id % 7 = 0 THEN doc_id % 120
+        |         ELSE doc_id END AS cap_class,
+        |    doc_id // 120 AS b
+        |  FROM documents WHERE doc_id < 240),
+        |k1 AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY b, img_class ORDER BY id) AS rn FROM base)
+        |  WHERE rn = 1),
+        |k2 AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY b, cap_class ORDER BY id) AS rn2 FROM k1)
+        |  WHERE rn2 = 1),
+        |h AS (SELECT img_class, cap_class FROM k2 WHERE b = 0),
+        |b2 AS (SELECT * FROM k2 WHERE b = 1),
+        |imgdup AS (SELECT id FROM b2
+        |  WHERE img_class IN (SELECT img_class FROM h)),
+        |capdup AS (SELECT id FROM b2
+        |  WHERE cap_class IN (SELECT cap_class FROM h)),
+        |adm AS (
+        |  SELECT id FROM k2 WHERE b = 0
+        |  UNION ALL
+        |  SELECT id FROM b2 WHERE id NOT IN (SELECT id FROM imgdup)
+        |    AND id NOT IN (SELECT id FROM capdup))
+        |SELECT a.id AS pair_id,
+        |  'inc cap c' || CAST(CASE WHEN a.id % 7 = 0 THEN a.id % 120
+        |    ELSE a.id END AS VARCHAR) || ' x y' AS caption,
+        |  (SELECT count(*) FROM imgdup) AS img_dups,
+        |  (SELECT count(*) FROM capdup) AS cap_dups,
+        |  TRUE AS replay_skip_ok
+        |FROM adm a ORDER BY pair_id""".stripMargin,
 
     // the probed container facts from the generating arithmetic alone
     // (mvhd timescale fixed at 1000 ⇒ duration_ms == the stamped value)
