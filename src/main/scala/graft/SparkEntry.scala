@@ -1138,6 +1138,41 @@ object SparkEntry {
     //      domain plus a ONE-row-per-SITE blocklist verdict, all from
     //      the id arithmetic. Blocking spam.co.uk must catch every
     //      a{k}.spam.co.uk without enumerating subdomains. ----
+    // ---- eTLD+1 with rules loaded from a REAL publicsuffix.dat-format
+    //      FILE (comments, ICANN/PRIVATE section markers, wildcard,
+    //      exception) driving the codegen RegistrableDomain column — the
+    //      file→plan path pinned at the oracle level, not just the
+    //      parser spec. Hosts from id arithmetic across all five rule
+    //      shapes plus an unregistrable dotless host (null etld). ----
+    "q_domain_etld_file" -> ((s, dir) => {
+      import graft.functions.PublicSuffix
+      val dat = Seq(
+        "// fixture publicsuffix.dat",
+        "// ===BEGIN ICANN DOMAINS===",
+        "uk", "co.uk  // trailing comment", "ck", "*.ck", "!www.ck",
+        "com", "io",
+        "// ===END ICANN DOMAINS===",
+        "// ===BEGIN PRIVATE DOMAINS===",
+        "github.io",
+        "// ===END PRIVATE DOMAINS===")
+      val f = new java.io.File(
+        graft.sources.BucketedTables.scratchDir("graft_psl_q_").toFile, "psl.dat")
+      java.nio.file.Files.write(f.toPath, dat.mkString("\n").getBytes("UTF-8"))
+      val rules = PublicSuffix.fromFile(f.getPath)
+      val k = (col("doc_id") % 50).cast("string")
+      val host = when(col("doc_id") % 6 === 0, concat(lit("sub.h"), k, lit(".co.uk")))
+        .when(col("doc_id") % 6 === 1, concat(lit("deep.h"), k, lit(".any.ck")))
+        .when(col("doc_id") % 6 === 2, lit("x.sub.www.ck"))
+        .when(col("doc_id") % 6 === 3, concat(lit("a.h"), k, lit(".github.io")))
+        .when(col("doc_id") % 6 === 4, concat(lit("h"), k, lit(".com")))
+        .otherwise(lit("localhost"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"))
+        .select(col("doc_id"), col("host"),
+          PublicSuffix.registrable_domain(col("host"), rules).as("etld1"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_domain_etld" -> ((s, dir) => {
       import graft.functions.UrlCanon
       val docs = t(s, dir, "documents")
@@ -6254,6 +6289,27 @@ object SparkEntry {
     // (co.uk, com.au, github.io), the *.ck wildcard (any label is a
     // public suffix there, so the registrable domain keeps the
     // subdomain), the !www.ck exception, and the implicit-* default
+    // the file-loaded PSL cut replayed from the same id arithmetic:
+    // exact co.uk, wildcard *.ck, exception !www.ck, private github.io,
+    // plain com, and the unregistrable dotless host (NULL)
+    "q_domain_etld_file" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'sub.h' || CAST(doc_id % 50 AS VARCHAR) || '.co.uk'
+        |    WHEN 1 THEN 'deep.h' || CAST(doc_id % 50 AS VARCHAR) || '.any.ck'
+        |    WHEN 2 THEN 'x.sub.www.ck'
+        |    WHEN 3 THEN 'a.h' || CAST(doc_id % 50 AS VARCHAR) || '.github.io'
+        |    WHEN 4 THEN 'h' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |    ELSE 'localhost' END AS host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'h' || CAST(doc_id % 50 AS VARCHAR) || '.co.uk'
+        |    WHEN 1 THEN 'h' || CAST(doc_id % 50 AS VARCHAR) || '.any.ck'
+        |    WHEN 2 THEN 'www.ck'
+        |    WHEN 3 THEN 'h' || CAST(doc_id % 50 AS VARCHAR) || '.github.io'
+        |    WHEN 4 THEN 'h' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |    ELSE NULL END AS etld1
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_domain_etld" ->
       """SELECT doc_id,
         |  CASE doc_id % 6
