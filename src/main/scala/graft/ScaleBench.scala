@@ -1003,22 +1003,68 @@ object ScaleBench {
         .repartition(16).persist()
       val totalChars = expanded.agg(sum(length(col("text")))).head.getLong(0)
       val merges = Bpe.trainBpe(base, "text", numMerges = 150)
+      // consume BOTH output columns (n_tokens + the token stream itself,
+      // via its length) — the realistic contract: downstream chunk/pack
+      // reads the tokens, so neither form may let serializer pruning
+      // skip materializing them
       def run(cache: Int): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = Bpe.applyBpe(expanded, "doc_id", merges, wordCacheSize = cache)
-          .agg(sum("n_tokens")).head.getLong(0)
+          .agg(sum("n_tokens"), sum(length(col("tokens")))).head.getLong(0)
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      run(1 << 16) // warmup (JIT + page cache)
-      val (tCached, nTok) = run(1 << 16)
+      // inline legacy control: the retired typed-mapPartitions flavor
+      // (deser/reser of every document) with the identical memo and
+      // merge arithmetic — the kernel-vs-mapPartitions point
+      def runLegacy(): (Double, Long) = {
+        import spark.implicits._
+        val ms = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
+        val t0 = System.nanoTime()
+        val n = expanded.select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            val memo = new java.util.LinkedHashMap[String, String](1024, 0.75f, false) {
+              override def removeEldestEntry(
+                  e: java.util.Map.Entry[String, String]): Boolean = size() > (1 << 16)
+            }
+            def enc(w: String): String = {
+              val hit = memo.get(w)
+              if (hit != null) hit
+              else {
+                var s = graft.operators.Bpe.padSymbols(w)
+                ms.foreach { case (a, b) => s = s.replace(s" $a $b ", s" $a$b ") }
+                val out = s.trim; memo.put(w, out); out
+              }
+            }
+            it.map { case (id, text) =>
+              val tokens = text.split("\\s+").iterator.filter(_.nonEmpty)
+                .map(enc).mkString(" ")
+              (id, if (tokens.isEmpty) 0L else (tokens.count(_ == ' ') + 1).toLong,
+                tokens)
+            }
+          }.toDF("id", "n_tokens", "tokens")
+          .agg(sum("n_tokens"), sum(length(col("tokens")))).head.getLong(0)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      run(1 << 16); runLegacy() // warmup BOTH forms (JIT + page cache)
+      // median of 3 per form: single-shot times on a shared host swing
+      // ±40% run to run, far above the effect under measurement
+      def median3(f: => (Double, Long)): (Double, Long) = {
+        val rs = Seq(f, f, f)
+        (rs.map(_._1).sorted.apply(1), rs.head._2)
+      }
+      val (tCached, nTok) = median3(run(1 << 16))
       val (tCold, nTokCold) = run(0)
+      val (tLegacy, nTokLegacy) = median3(runLegacy())
       expanded.unpersist()
       val mb = totalChars / 1e6
       println(f"""{"bpe":{"mb":$mb%.1f,"merges":${merges.length},"tokens":$nTok,""" +
         f""""cached_s":$tCached%.2f,"cached_mb_s":${mb / tCached}%.0f,""" +
         f""""cached_mtok_s":${nTok / 1e6 / tCached}%.1f,""" +
         f""""uncached_s":$tCold%.2f,"speedup_x":${tCold / tCached}%.1f,""" +
-        f""""match":${nTok == nTokCold}}}""")
+        f""""legacy_mappart_s":$tLegacy%.2f,""" +
+        f""""kernel_vs_mappart_x":${tLegacy / tCached}%.2f,""" +
+        f""""match":${nTok == nTokCold && nTok == nTokLegacy}}}""")
     }
     if (sections("crawl")) {
       // ---- HTML → text extraction throughput: realistic page chrome

@@ -725,6 +725,30 @@ object TextExpressions {
   def all_section_props_map(sections: Column): Column =
     column(AllSectionPropsMapExpr(expression(sections)))
 
+  /** Token count of a single-space-joined stream (0 for empty, spaces+1
+    * otherwise) as one codegen byte walk — static-invokes
+    * [[TokenFolds.joinedTokenCount]]. For joiner-produced streams (BPE
+    * token columns): counting via `replace`+`length` copies the whole
+    * document, and `size(split(…))` allocates the array, on the one
+    * every-document tokenizer stage.
+    */
+  case class JoinedTokenCountExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_joined_token_count"
+
+    override def nullSafeEval(v: Any): Any =
+      TokenFolds.joinedTokenCount(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.functions.TokenFolds.joinedTokenCount($v);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def joined_token_count(stream: Column): Column =
+    column(JoinedTokenCountExpr(expression(stream)))
+
   /** Per-document ordered text rebuild — join one string field out of an
     * `array<struct>` (already sorted by `array_sort` inside the
     * aggregate) with a separator, as a codegen scalar static-invoking

@@ -343,6 +343,23 @@ object TokenFolds {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray))
   }
 
+  /** Token count of a SINGLE-SPACE-JOINED stream: 0 for empty, spaces+1
+    * otherwise — one byte walk, no split allocation (0x20 never occurs
+    * inside a UTF-8 multi-byte sequence, so the byte count is exact).
+    * For streams a joiner produced (BPE token streams), not free text.
+    */
+  def joinedTokenCount(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes
+    if (n == 0) return 0L
+    var c = 1L
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == 0x20) c += 1
+      i += 1
+    }
+    c
+  }
+
   private val Underscore = org.apache.spark.unsafe.types.UTF8String.fromString("_")
 
   /** ALL sections' properties flattened to one `{section}_{property}` →

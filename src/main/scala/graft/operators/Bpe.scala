@@ -214,52 +214,111 @@ object Bpe {
       s.trim.split(" ")).filter(_.nonEmpty)
   }
 
-  /** Distributed BPE encode: map-only over the corpus, rules shipped as a
-    * closure constant (vocabulary-sized). Emits one row per doc:
+  /** The executor-side BPE encoder the codegen kernel static-invokes:
+    * rank-ordered merge rules plus a bounded per-THREAD word → encoding
+    * memo (natural text is Zipf-distributed, so hot words dominate and
+    * the replace chain runs once per distinct word per thread;
+    * eldest-entry eviction caps the heap on high-cardinality text).
+    * ThreadLocal because a deserialized plan's reference objects can be
+    * shared across an executor's task threads; the memo is pure cache,
+    * so thread-locality costs only warm-up, never correctness.
+    */
+  final class Encoder(lhs: Array[String], rhs: Array[String],
+                      cacheSize: Int) extends Serializable {
+    @transient private lazy val memo =
+      new ThreadLocal[java.util.LinkedHashMap[String, String]] {
+        override def initialValue(): java.util.LinkedHashMap[String, String] =
+          new java.util.LinkedHashMap[String, String](1024, 0.75f, false) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, String]): Boolean =
+              size() > cacheSize
+          }
+      }
+
+    private def encodeWord(w: String,
+                           m: java.util.LinkedHashMap[String, String]): String = {
+      val hit = m.get(w)
+      if (hit != null) hit
+      else {
+        var s = padSymbols(w)
+        var i = 0
+        while (i < lhs.length) { s = applyMerge(s, lhs(i), rhs(i)); i += 1 }
+        val out = s.trim
+        m.put(w, out)
+        out
+      }
+    }
+
+    /** Whole-document encode: whitespace-split words, each encoded (its
+      * tokens internally single-space-joined), re-joined with single
+      * spaces — the flat token stream whose separator count is the token
+      * count. Bit-identical to the retired mapPartitions flavor. One
+      * ThreadLocal lookup per DOCUMENT, not per word.
+      */
+    def encode(text: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.unsafe.types.UTF8String = {
+      val m = memo.get()
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        text.toString.split("\\s+").iterator.filter(_.nonEmpty)
+          .map(encodeWord(_, m)).mkString(" "))
+    }
+  }
+
+  /** [[Encoder.encode]] as a codegen scalar: the merges ride as ONE plan
+    * reference object ([[CodegenContext.addReferenceObj]]), the encode
+    * stays inside WholeStageCodegen — the retired typed `mapPartitions`
+    * deserialized and re-serialized every document on the one
+    * every-document stage of the tokenizer path.
+    */
+  case class BpeEncodeExpr(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                           encoder: Encoder)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def prettyName: String = "graft_bpe_encode"
+
+    override def nullSafeEval(v: Any): Any =
+      encoder.encode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("graftBpeEncoder", encoder,
+        classOf[Encoder].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encode($v);")
+    }
+
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+  }
+
+  def bpe_encode(text: org.apache.spark.sql.Column, encoder: Encoder)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.Bridge.toColumn(
+      BpeEncodeExpr(org.apache.spark.sql.graft.Bridge.toExpression(text), encoder))
+
+  /** Distributed BPE encode: map-only over the corpus, rules shipped as
+    * one plan reference object (vocabulary-sized). Emits one row per doc:
     * `(id, n_tokens, tokens)` with tokens space-joined in word order —
     * the schema both the oracle gate and downstream token budgeting
-    * (chunk/pack) consume.
+    * (chunk/pack) consume. The encode is a codegen kernel
+    * ([[BpeEncodeExpr]]); n_tokens = separators + 1 computed as plain
+    * length arithmetic in the same codegen stage.
     */
   def applyBpe(docs: DataFrame, idCol: String, merges: Seq[Merge],
                textCol: String = "text",
                wordCacheSize: Int = 1 << 16): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ms = merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
-    docs.select(col(idCol).cast(LongType), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        // per-partition word → encoded-string memo: natural text is Zipf-
-        // distributed, so hot words dominate and the replace chain runs
-        // once per DISTINCT word per task, not once per occurrence.
-        // Size-capped (eldest-entry eviction) so a high-cardinality
-        // partition (ids, hashes) cannot grow the task heap unboundedly.
-        val memo = new java.util.LinkedHashMap[String, String](1024, 0.75f, false) {
-          override def removeEldestEntry(
-              e: java.util.Map.Entry[String, String]): Boolean =
-            size() > wordCacheSize
-        }
-        def encode(w: String): String = {
-          val hit = memo.get(w)
-          if (hit != null) hit
-          else {
-            var s = padSymbols(w)
-            ms.foreach { case (a, b) => s = applyMerge(s, a, b) }
-            val out = s.trim
-            memo.put(w, out)
-            out
-          }
-        }
-        it.map { case (id, text) =>
-          // encoded words are internally single-space-joined symbol runs,
-          // so joining them with single spaces yields the flat token
-          // stream and the separator count gives the token count
-          val tokens = text.split("\\s+").iterator.filter(_.nonEmpty)
-            .map(encode).mkString(" ")
-          val n = if (tokens.isEmpty) 0L else (tokens.count(_ == ' ') + 1).toLong
-          (id, n, tokens)
-        }
-      }
-      .toDF("id", "n_tokens", "tokens")
+    val sorted = merges.sortBy(_.rank)
+    val enc = new Encoder(sorted.map(_.lhs).toArray, sorted.map(_.rhs).toArray,
+      wordCacheSize)
+    docs
+      .select(col(idCol).cast(LongType).as("id"),
+        bpe_encode(col(textCol), enc).as("tokens"))
+      .select(col("id"),
+        graft.functions.TextExpressions.joined_token_count(col("tokens"))
+          .as("n_tokens"),
+        col("tokens"))
   }
 }

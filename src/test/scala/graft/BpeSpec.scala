@@ -71,6 +71,16 @@ class BpeSpec extends SparkSpecBase {
         .orderBy("id").as[(Long, Long, String)].collect()
       assert(un.toSeq == out.toSeq, s"cache size $cap")
     }
+    // plan witness: the encode is a codegen scalar inside the stage —
+    // no typed mapPartitions (DeserializeToObject/SerializeFromObject
+    // round-trip on the one every-document tokenizer stage), no regex
+    // in the token count
+    val plan = Bpe.applyBpe(docs.repartition(2), "doc_id", merges)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bpe_encode"), plan)
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      plan)
+    assert(!plan.contains("regexp"), plan)
   }
 
   test("vocabulary cap keeps the most frequent words (deterministic tiebreak)") {
