@@ -5486,7 +5486,8 @@ object SparkEntry {
         |       count(*) AS n,
         |       count(DISTINCT user_id) AS n_users,
         |       CAST(sum(event_id) AS BIGINT) AS checksum,
-        |       TRUE AS compaction_ok, TRUE AS retention_ok
+        |       TRUE AS compaction_ok, TRUE AS retention_ok,
+        |       TRUE AS isolated_read_ok
         |FROM events, mx
         |WHERE date_trunc('day', ts) >= max_day - INTERVAL 9 DAY
         |GROUP BY 1, 2

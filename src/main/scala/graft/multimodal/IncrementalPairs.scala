@@ -146,6 +146,46 @@ object IncrementalPairs {
     }
   }
 
+  /** Maintenance: collapse the rare duplicate rows a crash-replay leaves
+    * behind (the replayed attempt re-appends rows the crashed attempt
+    * already wrote under the SAME batch_id — harmless for membership
+    * checks, reclaimed here). One `min_by` keep-one per id on the
+    * history, rewritten via the engine's locked rewrite discipline is
+    * overkill for an append-only side table — a plain rewrite-to-temp +
+    * swap suffices because the single-writer contract (foreachBatch)
+    * means no appender is live during maintenance. Returns rows removed.
+    */
+  def compactHistory(spark: SparkSession, root: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/history")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0L
+    val hist = spark.read.parquet(path.toString)
+    val before = hist.count()
+    val cols = hist.columns
+    val deduped = hist
+      .groupBy(col("id"))
+      .agg(min_by(struct(cols.map(col): _*), col("batch_id")).as("_r"))
+      .select(cols.map(c => col("_r").getField(c).as(c)): _*)
+      .localCheckpoint(true)
+    val after = deduped.count()
+    if (after == before) { deduped.unpersist(); return 0L }
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/history.compact_tmp")
+    fs.delete(tmp, true)
+    deduped.write.parquet(tmp.toString)
+    deduped.unpersist()
+    // swap: old dir out of the way first (a crash between the renames
+    // leaves .old as the recoverable copy, never zero copies)
+    val old = new org.apache.hadoop.fs.Path(s"$root/history.compact_old")
+    fs.delete(old, true)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compactHistory: rename $path -> $old failed")
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(
+        s"compactHistory: rename $tmp -> $path failed — restore from $old")
+    fs.delete(old, true)
+    before - after
+  }
+
   /** The streaming wrapper: micro-batches of `(idCol, imageCol,
     * captionCol)` rows through [[processBatch]], batch ids from the
     * engine (exactly what the replay skip keys on — Structured Streaming

@@ -340,6 +340,13 @@ object StreamingGate {
           }
       }
 
+    // the manifest-resolving reader must agree with the plain lister on
+    // the maintained table (tombstones swept at grace 0, so both views
+    // are the committed snapshot) — the isolated-read contract witnessed
+    // inside the oracle gate
+    val isolatedOk =
+      EventSink.readIsolated(spark, table).count() == spark.read.parquet(table).count()
+
     spark.read.parquet(table)
       .withColumn("day", col("day")
         .cast(org.apache.spark.sql.types.DateType)
@@ -350,6 +357,7 @@ object StreamingGate {
         sum(col("event_id")).as("checksum"))
       .withColumn("compaction_ok", lit(compactionOk && sawCompacted))
       .withColumn("retention_ok", lit(retentionOk))
+      .withColumn("isolated_read_ok", lit(isolatedOk))
       .orderBy(col("event_type"), col("day"))
   }
 

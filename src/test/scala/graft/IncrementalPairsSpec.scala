@@ -82,6 +82,15 @@ class IncrementalPairsSpec extends SparkSpecBase {
     assert(led("admitted") == 1, led.toString)
     assert(spark.read.parquet(accepted).select("pair_id").as[Long]
       .collect().toSet == Set(1L, 21L))
+    // maintenance reclaims the crashed attempt's now-duplicate row
+    // (id 21 appears under the crashed stamp AND the committed replay)
+    assert(spark.read.parquet(s"$root/history").count() == 3)
+    assert(IncrementalPairs.compactHistory(spark, root) == 1L)
+    val hist = spark.read.parquet(s"$root/history")
+    assert(hist.count() == 2)
+    assert(hist.select("id").as[Long].collect().toSet == Set(1L, 21L))
+    // idempotent: nothing more to reclaim
+    assert(IncrementalPairs.compactHistory(spark, root) == 0L)
   }
 
   private def xxhash64Lit(s: String): Long =
