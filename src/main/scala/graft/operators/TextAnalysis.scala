@@ -626,12 +626,24 @@ object TextAnalysis {
     val paras = docs.select(col(idCol).as("_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_para")))
       .where(length(trim(col("_para"))) > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_para")).orderBy(col("_id"), col("_pos"))
     val totals = paras.groupBy(col("_id"))
       .agg(count(lit(1)).as("n_total"))
-    val reassembled = paras.withColumn("_rk", row_number().over(w))
-      .where(col("_rk") === 1)
+    // keep-first per distinct paragraph as a partial-aggregated `min_by`
+    // keyed by a 128-bit paragraph hash PAIR — NOT a row_number() window
+    // over the raw paragraph: the heavy keys are exactly the boilerplate
+    // being deleted (a promo banner repeated in 10^7 docs), a window
+    // funnels every copy into one task with no map-side reduction, and
+    // raw paragraph bytes should never ride a shuffle key (the
+    // dropExactDups discipline; two independent xxhash64 = ~1e-19
+    // expected collisions at 10^10 paragraphs)
+    val reassembled = paras
+      .groupBy(xxhash64(col("_para")).as("_ph"),
+        xxhash64(lit(1L), col("_para")).as("_ph2"))
+      .agg(min_by(struct(col("_id"), col("_pos"), col("_para")),
+        struct(col("_id"), col("_pos"))).as("_w"))
+      .select(col("_w").getField("_id").as("_id"),
+        col("_w").getField("_pos").as("_pos"),
+        col("_w").getField("_para").as("_para"))
       .groupBy(col("_id"))
       // sort_array, not array_sort: same natural struct ordering on the
       // non-null (_pos, _para) rows, but WITHOUT the comparator lambda

@@ -626,6 +626,17 @@ class OperatorsSpec extends SparkSpecBase {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("graft_join_structs"), plan)
     assert(!plan.contains("lambdafunction") && !plan.contains("transform("), plan)
+    // the keep-first is a partial-aggregated min_by on a paragraph HASH
+    // pair, not a row_number() window over the raw paragraph (boilerplate
+    // banners are the Zipf flood keys this operator exists to delete)
+    val physical = graft.operators.TextAnalysis.dedupParagraphs(docs, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("WindowExec") && !physical.contains("row_number"),
+      physical)
+    assert(physical.contains("partial_min_by"), physical)
+    val keyLines = physical.linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!keyLines.contains("_para#"), physical)
   }
 
   test("sentence split + sentence-boundary chunking: boundary rule, decoys, budget discipline") {
