@@ -843,9 +843,14 @@ object Dedup {
                    maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     require(maxHamming <= 3, "4-quarter blocking guarantees recall only for maxHamming <= 3")
     val hashed = simHashSignatures(docs, idCol, textCol)
+    // band keys as a static 4-element struct array (codegen), not a
+    // transform(sequence(…)) lambda — HigherOrderFunctions are
+    // CodegenFallback and this explode runs once per document (the
+    // bandedCenteredPairs form)
     val blocked = hashed.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)),
-        q => struct(q.as("q"), call_function("shiftright", col("sh"), q.cast(IntegerType) * 16).bitwiseAND(0xFFFFL).as("qk")))).as("b"))
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"), call_function("shiftright", col("sh"), lit(q * 16))
+          .bitwiseAND(0xFFFFL).as("qk"))): _*)).as("b"))
       .select(col("id"), col("sh"), col("b.q").as("q"), col("b.qk").as("qk"))
     val bounded = capBuckets(blocked, Seq("q", "qk"), maxBucket)
     val a = bounded.select(col("q"), col("qk"), col("id").as("id_a"), col("sh").as("sh_a"))

@@ -253,7 +253,11 @@ object IvfIndexStore {
       VectorExpressions.centroid_probes(vecG, centroids, 1), 1).as("cid")
     val rows =
       if (layout.quantized) {
-        val maxAbs = array_max(transform(vecG, v => abs(v.cast("double"))))
+        // codegen kernel, matching the BUILD pass (writeIvfIndexQuantized
+        // got it in r12; this append site still carried the interpreted
+        // array_max(transform(…)) lambda on the increment path) — and
+        // the same loud-null-element discipline
+        val maxAbs = VectorExpressions.vec_max_abs(vecG)
         increment.select(col(idCol), cid, maxAbs.as("max_abs"), vecG.as("_v"))
           .select(col(idCol), col("cid"), col("max_abs"),
             Similarity.int8Codes(col("_v"), col("max_abs")).as("codes"))
