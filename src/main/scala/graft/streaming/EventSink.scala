@@ -315,7 +315,11 @@ object EventSink {
     // compactors and sweepers of ONE partition; readers never take it.
     val lockDir = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_locks")
     fs.mkdirs(lockDir)
-    val lock = new org.apache.hadoop.fs.Path(lockDir, partPath.replace("/", "__") + ".lock")
+    // "_root" for the empty spec (unpartitioned table) — MUST match
+    // sweepCompacted's naming or compactor and sweeper stop excluding
+    // each other on that partition
+    val lock = new org.apache.hadoop.fs.Path(lockDir,
+      (if (partPath.isEmpty) "_root" else partPath.replace("/", "__")) + ".lock")
     val locked = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
     if (!locked) return false
     try {
