@@ -99,14 +99,17 @@ object IncrementalPairs {
         .withColumn("cap_h2", xxhash64(lit(1L), col(captionCol)))
       val history = committedHistory(spark, root, committed)
 
-      // image leg: banded broadcast-batch match against history features
+      // image leg: banded broadcast-batch match against history features.
+      // Both dup frames are MATERIALIZED (≤ batch-size id lists) so the
+      // ledger counts and the anti-joins below share ONE history scan per
+      // leg — lazily they would each re-scan the corpus-sized history.
       val imageDups = JdkMedia.bandedCenteredMatchesAgainst(
         curated.select(col(idCol).as("id"), col("ahash"), col("mean"),
           col("centered"), col("norm0")),
         history.select(col("id"), col("ahash"), col("mean"), col("centered"),
           col("norm0")),
         bits = 64, maxHamming = cfg.maxHamming, threshold = cfg.threshold,
-        meanTol = cfg.meanTol)
+        meanTol = cfg.meanTol).localCheckpoint(true)
       // caption leg: 128-bit hash-pair membership, history scanned
       // map-only against the broadcast batch keys (history's own id is
       // dropped first — both sides carry one)
@@ -114,7 +117,7 @@ object IncrementalPairs {
         .select(col("cap_h"), col("cap_h2"))
         .join(broadcast(curated.select(col(idCol).as("id"),
           col("cap_h"), col("cap_h2"))), Seq("cap_h", "cap_h2"))
-        .select(col("id")).distinct()
+        .select(col("id")).distinct().localCheckpoint(true)
 
       val nImageDup = imageDups.count()
       val nCaptionDup = captionDups.count()
@@ -122,6 +125,8 @@ object IncrementalPairs {
         .join(imageDups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
         .join(captionDups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
         .localCheckpoint(true)
+      imageDups.unpersist()
+      captionDups.unpersist()
       try {
         val nAdmitted = admitted.count()
         // accepted FIRST (at-least-once), state second, manifest flip LAST
