@@ -68,9 +68,23 @@ object IncrementalPairs {
     val path = new org.apache.hadoop.fs.Path(s"$root/history")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hwm = committed.getOrElse(-1L)
-    if (hwm < 0 || !fs.exists(path))
+    if (hwm < 0)
       spark.createDataFrame(new java.util.ArrayList[Row](), historySchema)
-    else spark.read.parquet(path.toString).where(col("batch_id") <= hwm)
+    else {
+      // a committed high-water mark with NO history dir is provably
+      // inconsistent (every committed batch appended its survivors
+      // before the flip — unless it admitted zero rows, in which case
+      // parquet wrote the dir anyway). Treating it as empty would
+      // silently re-admit every duplicate of everything ever admitted;
+      // the one legitimate cause is a compactHistory crash mid-swap,
+      // whose recoverable copy this names.
+      require(fs.exists(path),
+        s"$root/$StateName records committed batch $hwm but $path does not " +
+          s"exist — if $path.compact_old exists, a compactHistory crashed " +
+          "mid-swap: restore it (rename back) or run compactHistory again " +
+          "(it self-heals); otherwise the store is corrupt")
+      spark.read.parquet(path.toString).where(col("batch_id") <= hwm)
+    }
   }
 
   /** Curate one micro-batch against the store at `root`, appending
@@ -163,6 +177,15 @@ object IncrementalPairs {
   def compactHistory(spark: SparkSession, root: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$root/history")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$root/history.compact_old")
+    // self-heal a prior run's crash between its two swap renames: the
+    // .compact_old dir IS the history (the new dir never landed) —
+    // restore it before anything else reads or rewrites
+    if (!fs.exists(path) && fs.exists(old)) {
+      if (!fs.rename(old, path))
+        throw new java.io.IOException(
+          s"compactHistory: crash-recovery rename $old -> $path failed")
+    }
     if (!fs.exists(path)) return 0L
     val hist = spark.read.parquet(path.toString)
     val before = hist.count()
@@ -179,8 +202,9 @@ object IncrementalPairs {
     deduped.write.parquet(tmp.toString)
     deduped.unpersist()
     // swap: old dir out of the way first (a crash between the renames
-    // leaves .old as the recoverable copy, never zero copies)
-    val old = new org.apache.hadoop.fs.Path(s"$root/history.compact_old")
+    // leaves .old as the recoverable copy, never zero copies — restored
+    // by the self-heal above on the next call, or named by
+    // committedHistory's loud failure if a batch runs first)
     fs.delete(old, true)
     if (!fs.rename(path, old))
       throw new java.io.IOException(s"compactHistory: rename $path -> $old failed")

@@ -1161,8 +1161,11 @@ object Dedup {
     * negates the score to turn argmax into `min_by`'s argmin; NaN would
     * flip from "sorts first under desc" to "sorts last", and a null score
     * would flip from "loses under desc NULLS LAST" to "wins" — both are
-    * senseless quality scores anyway, so the contract forbids them rather
-    * than paying a per-row guard.
+    * senseless quality scores anyway, so the contract is ENFORCED with a
+    * per-row raise (a `when` chain inside the same codegen stage — the
+    * alternative is a silent winner inversion keeping the WORST
+    * duplicate as canonical, exactly the corruption no drift check would
+    * ever catch).
     */
   def keepBestPerGroup(docs: DataFrame, idCol: String, pairs: DataFrame,
                        scoreCol: Column): DataFrame = {
@@ -1184,7 +1187,16 @@ object Dedup {
                                           comps: DataFrame,
                                           scoreCol: Column): DataFrame = {
     val cols = docs.columns
-    val ord = struct((scoreCol.cast("double") * lit(-1.0d)).as("_neg_score"),
+    val s = scoreCol.cast("double")
+    val guarded = when(s.isNull, raise_error(lit(
+        "keepBestPerGroup: null score — the min_by ordering would invert " +
+          "the winner (null wins instead of losing); repair or coalesce " +
+          "the score column")))
+      .when(isnan(s), raise_error(lit(
+        "keepBestPerGroup: NaN score — the negated ordering would invert " +
+          "the winner; repair the score column")))
+      .otherwise(s)
+    val ord = struct((guarded * lit(-1.0d)).as("_neg_score"),
       col(idCol).as("_tie_id"))
     docs
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -223,23 +223,61 @@ object EventSink {
     */
   private[graft] def liveFiles(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                                partDir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    liveFromListing(spark, fs, partDir, fs.listStatus(partDir))
+
+  /** [[liveFiles]] over an already-fetched listing (one listStatus per
+    * dir, not two — at many-partition scale the driver-side metadata
+    * RPCs dominate on object stores).
+    *
+    * STALE-MANIFEST RETRY: a concurrent flip+sweep between this reader's
+    * manifest read and its listing can leave the listing with only
+    * files the STALE state calls dead (originals swept, new stamp
+    * uncommitted-in-the-old-manifest) — resolving to zero live files for
+    * a partition that demonstrably has data. Re-reading the manifest and
+    * re-listing once closes that resolution race (the second read sees
+    * the committed stamp: the flip is atomic and the files it commits
+    * are already on disk before it). What the retry cannot cover is a
+    * file deleted mid-EXECUTION after resolution — that is what
+    * `sweepGraceMs` is for (size it ≥ the longest query; grace 0 keeps
+    * only crash safety and resolution-level consistency).
+    */
+  private def liveFromListing(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                              partDir: org.apache.hadoop.fs.Path,
+                              listing: Array[org.apache.hadoop.fs.FileStatus])
       : Seq[org.apache.hadoop.fs.FileStatus] = {
-    val isLive: String => Boolean = readCompactionState(spark, partDir) match {
-      case None => _ => true // never manifest-compacted: listing is truth
-      case Some(state) => state.isLive
+    def resolve(entries: Array[org.apache.hadoop.fs.FileStatus])
+        : (Seq[org.apache.hadoop.fs.FileStatus], Boolean) = {
+      val parquet = entries.filter(_.getPath.getName.endsWith(".parquet"))
+      val isLive: String => Boolean = readCompactionState(spark, partDir) match {
+        case None => _ => true // never manifest-compacted: listing is truth
+        case Some(state) => state.isLive
+      }
+      (parquet.toSeq.filter(f => isLive(f.getPath.getName)), parquet.nonEmpty)
     }
-    fs.listStatus(partDir).toSeq
-      .filter(f => f.getPath.getName.endsWith(".parquet") && isLive(f.getPath.getName))
+    val (live, hadParquet) = resolve(listing)
+    if (live.nonEmpty || !hadParquet) live
+    else {
+      // zero live files in a dir that HAS parquet = the stale-manifest
+      // race (or a genuinely all-uncommitted-garbage dir): fresh
+      // manifest + fresh listing decide
+      val (retry, _) = resolve(fs.listStatus(partDir))
+      retry
+    }
   }
 
   /** Snapshot-isolated read of a compactable table: walk the partition
     * dirs, resolve each dir's [[liveFiles]] through its manifest, and read
     * EXACTLY that file list (`basePath` keeps the hive partition columns).
-    * A concurrent [[compactPartition]] is invisible: before the flip the
-    * resolver returns the originals (uncommitted `compacted-*` files are
-    * skipped), after it the compacted set (tombstoned originals are
-    * skipped, but still on disk until the sweep's grace expires — so a
-    * plan that resolved the pre-flip snapshot reads to completion).
+    * A concurrent [[compactPartition]] is invisible AT RESOLUTION: before
+    * the flip the resolver returns the originals (uncommitted
+    * `compacted-*` files are skipped), after it the compacted set
+    * (tombstoned originals are skipped), and the zero-live retry in
+    * [[liveFromListing]] closes the stale-manifest interleaving. For the
+    * files to also survive until the plan finishes EXECUTING, the
+    * sweep's `sweepGraceMs` must exceed the longest query — grace 0
+    * (the default) keeps crash safety and resolution consistency but a
+    * pre-flip plan can lose its files to the immediate sweep mid-scan.
     *
     * The listing itself is driver-side metadata work, same cost as
     * Spark's own InMemoryFileIndex walk; at many-partition scale restrict
@@ -251,15 +289,10 @@ object EventSink {
       if (subdir.isEmpty) tablePath else s"$tablePath/$subdir")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"readIsolated: no such table dir $root")
-    def walk(p: org.apache.hadoop.fs.Path): Seq[String] = {
-      val entries = fs.listStatus(p)
-      val here = entries.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val sub = entries.filter(e => e.isDirectory &&
-        !e.getPath.getName.startsWith(".") && !e.getPath.getName.startsWith("_"))
-      val mine = if (here.nonEmpty) liveFiles(spark, fs, p).map(_.getPath.toString) else Nil
-      mine ++ sub.flatMap(d => walk(d.getPath))
+    val files = dataDirListings(fs, fs.makeQualified(root)).flatMap {
+      case (dir, listing) =>
+        liveFromListing(spark, fs, dir, listing).map(_.getPath.toString)
     }
-    val files = walk(root)
     require(files.nonEmpty, s"readIsolated: no live data files under $root")
     spark.read.option("basePath", tablePath).parquet(files: _*)
   }
@@ -322,6 +355,8 @@ object EventSink {
       (if (partPath.isEmpty) "_root" else partPath.replace("/", "__")) + ".lock")
     val locked = try fs.createNewFile(lock) catch { case _: java.io.IOException => false }
     if (!locked) return false
+    var flipped = false
+    var cleanupGarbage: () => Unit = () => ()
     try {
       // bootstrap on first manifest-compaction of this partition:
       // grandfather every pre-protocol `compacted-*` file as committed
@@ -342,6 +377,18 @@ object EventSink {
       if (files.length <= maxFiles) return false
       val stamp = System.currentTimeMillis() + "-" +
         java.util.UUID.randomUUID().toString.take(8)
+      // an exception before the flip must not strand this run's
+      // already-renamed uncommitted files in the partition: resolving
+      // readers skip them, but plain LISTERS (the grace-0 default read
+      // mode) would double-count every row until a writer restart runs
+      // recoverCompaction. They are this run's private garbage —
+      // identifiable by stamp, safe to delete.
+      cleanupGarbage = () => {
+        fs.globStatus(new org.apache.hadoop.fs.Path(dir, s"compacted-$stamp-*.parquet"))
+          .foreach(f => fs.delete(f.getPath, false))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp"), true)
+        ()
+      }
       val tmp = new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp/$partPath")
       // read EXACTLY the snapshotted LIVE list, not the directory: a live
       // writer may commit a new file between the listing above and the
@@ -387,21 +434,31 @@ object EventSink {
       // THE FLIP: one atomic manifest write commits the stamp and
       // tombstones the snapshot's originals — the entire visibility
       // change, for every resolving reader, in one rename
-      val flipped = CompactionState(
+      val committed = CompactionState(
         state.committed + (stamp -> System.currentTimeMillis()),
         state.tombstones ++ files.map(f => f.getPath.getName -> stamp))
-      writeCompactionState(spark, dir, flipped)
+      writeCompactionState(spark, dir, committed)
+      flipped = true
       // sweep THIS partition's expired tombstones (the lock is held);
       // grace 0 = delete the originals now
       sweepPartitionLocked(spark, fs, dir, sweepGraceMs)
       fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/.compact_tmp/$stamp"), true)
       true
+    } catch {
+      case e: Throwable =>
+        // pre-flip failure: this run's renamed-but-uncommitted files are
+        // private garbage — remove them so plain listers never
+        // double-count (resolving readers never saw them anyway);
+        // best-effort — a crash (vs exception) still falls to
+        // recoverCompaction's GC
+        if (!flipped) { try cleanupGarbage() catch { case _: Throwable => () } }
+        throw e
     } finally {
       // an exception anywhere is safe to unlock past: pre-flip the
-      // originals are untouched (this run left only ignorable uncommitted
-      // files), post-flip the commit is complete — there is no half-moved
-      // state a second compactor could corrupt (the r12 retain-on-failure
-      // rule died with the trash-first swap)
+      // originals are untouched (this run left only ignorable — and now
+      // cleaned — uncommitted files), post-flip the commit is complete —
+      // there is no half-moved state a second compactor could corrupt
+      // (the r12 retain-on-failure rule died with the trash-first swap)
       fs.delete(lock, false)
     }
   }
@@ -478,14 +535,23 @@ object EventSink {
     * skipped.
     */
   private def dataDirs(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path)
-      : Seq[org.apache.hadoop.fs.Path] = {
+      : Seq[org.apache.hadoop.fs.Path] = dataDirListings(fs, root).map(_._1)
+
+  /** [[dataDirs]] with each dir's listing attached — the ONE recursive
+    * walk readers and sweepers share, so neither re-lists a dir it just
+    * traversed (driver-side metadata RPCs are the cost that dominates at
+    * many-partition scale on object stores).
+    */
+  private def dataDirListings(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path)
+      : Seq[(org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus])] = {
     val entries = fs.listStatus(root)
     val here = if (entries.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
-      Seq(root) else Nil
+      Seq((root, entries)) else Nil
     here ++ entries
       .filter(e => e.isDirectory && !e.getPath.getName.startsWith(".") &&
         !e.getPath.getName.startsWith("_"))
-      .flatMap(d => dataDirs(fs, d.getPath))
+      .flatMap(d => dataDirListings(fs, d.getPath))
   }
 
   /** Repair interrupted [[compactPartition]] runs at writer STARTUP.

@@ -257,6 +257,26 @@ class OperatorsSpec extends SparkSpecBase {
       // min_by gets a partial_ stage before the exchange (map-side combine)
       assert(physical.contains("partial_min_by"), physical)
     } finally comps.unpersist()
+    // the score contract is ENFORCED, not just documented: a null or NaN
+    // score would silently invert the winner under the negated min_by
+    // ordering — both raise instead
+    val nullScore = Seq((1L, "a", java.lang.Double.valueOf(1.0)),
+      (2L, "b", null.asInstanceOf[java.lang.Double]))
+      .toDF("doc_id", "text", "score")
+    val eNull = intercept[Exception] {
+      Dedup.keepBestPerGroup(nullScore, "doc_id",
+        Seq((1L, 2L)).toDF("id_a", "id_b"), col("score")).collect()
+    }
+    assert(eNull.getMessage.contains("null score") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("null score")), eNull.toString)
+    val nanScore = Seq((1L, "a", 1.0), (2L, "b", Double.NaN))
+      .toDF("doc_id", "text", "score")
+    val eNan = intercept[Exception] {
+      Dedup.keepBestPerGroup(nanScore, "doc_id",
+        Seq((1L, 2L)).toDF("id_a", "id_b"), col("score")).collect()
+    }
+    assert(eNan.getMessage.contains("NaN score") ||
+      Option(eNan.getCause).exists(_.getMessage.contains("NaN score")), eNan.toString)
   }
 
   test("hashSplit is a pure function of content and covers both sides") {
