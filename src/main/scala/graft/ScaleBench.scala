@@ -312,7 +312,7 @@ object ScaleBench {
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
       "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi",
       "preclean", "bloom", "shuffle", "classifier", "crawl", "dsir", "robots",
-      "kernels", "keepbest")
+      "kernels", "keepbest", "incpairs")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -785,6 +785,70 @@ object ScaleBench {
         f""""window_records":$wRec,"agg_records":$aRec,""" +
         f""""rec_cut_x":${wRec.toDouble / math.max(aRec, 1L)}%.2f}}""")
       comps.unpersist()
+    }
+
+    if (sections("incpairs")) {
+      // ---- incremental pair store: per-batch cost vs HISTORY size. The
+      //      design claim is that a batch pays O(batch) curation work +
+      //      two MAP-ONLY history scans (broadcast batch side on both
+      //      dedup legs) — no history-keyed exchange. Measured: the same
+      //      240-pair batch against synthetic histories of 10^5 and 10^6
+      //      feature rows; shuffle records must stay ~flat (the
+      //      broadcast legs move no history rows through an exchange)
+      //      and the wall delta is the scan, not a shuffle. ----
+      import graft.multimodal.{IncrementalPairs, JdkMedia, PairCuration}
+      def store(h: Long): (String, String) = {
+        val work = graft.sources.BucketedTables.scratchDir(s"sb_incpairs_${h}_").toString
+        // synthetic committed history: h feature rows (16-double verify
+        // grids, distinct hashes/captions so nothing collides with the
+        // probe batch), stamped batch 0 + the _PAIRSTATE flip
+        spark.range(h).select(
+            lit(0L).as("batch_id"), col("id"),
+            (col("id") + 1000000L).as("ahash"),
+            (col("id") % 97L).cast("double").as("mean"),
+            array((0 until 16).map(i => (col("id") % (i + 2)).cast("double")): _*)
+              .as("centered"),
+            lit(false).as("norm0"),
+            xxhash64(concat(lit("hist cap "), col("id"))).as("cap_h"),
+            xxhash64(lit(1L), concat(lit("hist cap "), col("id"))).as("cap_h2"))
+          .write.parquet(s"$work/store/history")
+        graft.operators.Manifests.writeAtomic(spark,
+          s"$work/store/${IncrementalPairs.StateName}",
+          """{"batch_id":0,"admitted":""" + h + "}")
+        (s"$work/store", s"$work/accepted")
+      }
+      val batch = spark.range(240).select(col("id").as("pair_id"),
+          concat(lit("probe caption number "), col("id").cast("string")).as("caption"))
+        .collect().map(r => (r.getLong(0),
+          JdkMedia.solidPng(8, 8, (r.getLong(0) % 40).toInt * 6,
+            (r.getLong(0) % 40).toInt * 6, (r.getLong(0) % 40).toInt * 6),
+          r.getString(1)))
+      import spark.implicits._
+      val batchDf = batch.toSeq.toDF("pair_id", "image", "caption")
+        .repartition(8).localCheckpoint(true)
+      val cfg = PairCuration.Config(minCaptionTokens = 2, meanTol = 2.0)
+      def point(h: Long): (Double, Long) = {
+        val (root, acc) = store(h)
+        val listener = new ShuffleBytesListener
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val led = IncrementalPairs.processBatch(batchDf, 1L, root, acc, cfg = cfg).toMap
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        spark.sparkContext.removeSparkListener(listener)
+        require(led("admitted") == 40L, s"history must not collide: $led")
+        println(f"""{"incpairs":{"history":$h,"sec":$secs%.2f,""" +
+          f""""shuffle_records":${listener.records.get()},"admitted":${led("admitted")}}}""")
+        (secs, listener.records.get())
+      }
+      point(100000L) // warm (JIT + codec paths)
+      val (s1, r1) = point(100000L)
+      val (s10, r10) = point(1000000L)
+      println(f"""{"incpairs_linearity":{"sec_1x":$s1%.2f,"sec_10x":$s10%.2f,""" +
+        f""""wall_ratio":${s10 / math.max(s1, 1e-9)}%.2f,""" +
+        f""""records_1x":$r1,"records_10x":$r10,""" +
+        f""""records_ratio":${r10.toDouble / math.max(r1, 1L)}%.2f}}""")
+      batchDf.unpersist()
     }
 
     if (sections("gzip")) {
