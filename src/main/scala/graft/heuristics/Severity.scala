@@ -61,10 +61,14 @@ object Severity {
   }
 
   /** CodeCacheUsage: MODERATE iff peak came within 5% of max
-    * (reference: CodeCacheUsage.java:43-46).
+    * (reference: CodeCacheUsage.java:43-46). Degenerate max = 0 is
+    * MODERATE (`max > peak` short-circuits before the division), exactly
+    * like the reference AND [[graft.heuristics.HeuristicAggs
+    * .codeCacheUsage]] — an extra `max > 0` guard here once made the two
+    * flavors contradict each other on degenerate stats.
     */
   def codeCache(max: Long, peak: Long): Int =
-    if (max > 0 && !(max > peak && (max - peak) * 100 / max >= 5)) Moderate else None
+    if (!(max > peak && (max - peak) * 100 / max >= 5)) Moderate else None
 
   /** GCCause: any Metadata-GC-Threshold / Ergonomics GC ⇒ MODERATE
     * (reference: GCCause.java:22-53).

@@ -21,6 +21,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * keys row-by-row — inherently serial). A distributed writer can't round-trip
   * generated keys, so details join on the deterministic composite key
   * (yarn_app_result_id, heuristic_name) instead — same information, scale-safe.
+  * THE KEY MUST BE UNIQUE PER RESULT ROW: heuristics that emit one row per
+  * INSTANCE within an attempt (per-container gcCause, per-device splits)
+  * must pass `instanceCol` to BOTH [[resultRows]] and [[detailRows]] so the
+  * instance rides the name (`Simple@attempt@container`) — without it the
+  * detail join fans out across same-key siblings and misattributes counters.
   */
 object HeuristicsSink {
 
@@ -32,32 +37,50 @@ object HeuristicsSink {
     * `SimpleName@attemptId`, severity, score, ready=1.
     */
   def resultRows(heuristic: DataFrame, heuristicClass: String,
-                 severityCol: String = "severity", scoreCol: Option[String] = None): DataFrame = {
-    val simpleName = heuristicClass.split('.').last
+                 severityCol: String = "severity", scoreCol: Option[String] = None,
+                 instanceCol: Option[String] = None): DataFrame = {
     heuristic.select(
       col("application_id").as("yarn_app_result_id"),
       lit(heuristicClass).as("heuristic_class"),
-      concat(lit(simpleName), lit("@"), col("attempt_id")).as("heuristic_name"),
+      heuristicName(heuristicClass, instanceCol),
       col(severityCol).cast("int").as("severity"),
       scoreCol.map(c => col(c).cast("int")).getOrElse(lit(0)).as("score"),
       lit(1).as("ready"))
   }
 
+  /** `Simple@attempt` (per-attempt heuristics) or
+    * `Simple@attempt@instance` (per-container/per-device heuristics) —
+    * ONE definition so results and details can never disagree on the
+    * composite key.
+    */
+  private def heuristicName(heuristicClass: String,
+                            instanceCol: Option[String]): org.apache.spark.sql.Column = {
+    val simpleName = heuristicClass.split('.').last
+    val base = concat(lit(simpleName), lit("@"), col("attempt_id"))
+    instanceCol.fold(base)(c => concat(base, lit("@"), col(c)))
+      .as("heuristic_name")
+  }
+
   /** Detail rows: (result key, name, value, details) — one row per named
-    * counter, joined to results on the composite key (see object scaladoc).
+    * counter, joined to results on the composite key (see object scaladoc;
+    * `instanceCol` must match the [[resultRows]] call's).
     */
   def detailRows(heuristic: DataFrame, heuristicClass: String,
-                 nameValueCols: Seq[(String, String)]): DataFrame = {
-    val simpleName = heuristicClass.split('.').last
+                 nameValueCols: Seq[(String, String)],
+                 instanceCol: Option[String] = None): DataFrame = {
     val base = heuristic.select(
       col("application_id").as("yarn_app_result_id"),
-      concat(lit(simpleName), lit("@"), col("attempt_id")).as("heuristic_name"),
+      heuristicName(heuristicClass, instanceCol),
       array(nameValueCols.map { case (n, vc) =>
         struct(lit(n).as("name"), col(vc).cast("string").as("value"))
       }: _*).as("_d"))
     base.select(col("yarn_app_result_id"), col("heuristic_name"), explode(col("_d")).as("d"))
       .select(col("yarn_app_result_id"), col("heuristic_name"),
-        col("d.name").as("name"), col("d.value").as("value"), lit(null.asInstanceOf[String]).as("details"))
+        col("d.name").as("name"), col("d.value").as("value"),
+        // a bare lit(null) is NullType (SQL void), which the JDBC writer
+        // cannot map to a column type — writeResults over detail rows
+        // would throw at CREATE TABLE; cast pins the declared varchar
+        lit(null).cast("string").as("details"))
   }
 
   private def props(user: String, password: String, driver: Option[String]): Properties = {

@@ -336,10 +336,28 @@ object EventSink {
                        sortCol: Option[String] = Some("timestamp"),
                        zorderCols: Option[(String, String)] = None,
                        sweepGraceMs: Long = 0L): Boolean = {
-    val partPath = partitionSpec.map { case (k, v) => s"$k=$v" }.mkString("/")
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // resolve the physical dir by EXISTENCE across key orders, not the
+    // Map's iteration order: Map(day -> …, event_type -> …) must find
+    // event_type=/day= — order-sensitive resolution silently returned
+    // false forever (partition never compacted, no signal), and >4-key
+    // HashMap order is nondeterministic across JVMs
+    val partPath: String = {
+      val orders = partitionSpec.toSeq.permutations
+        .map(_.map { case (k, v) => s"$k=$v" }.mkString("/"))
+      val existing = orders.filter(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/$p"))).toSeq.distinct
+      existing match {
+        case Seq() => return false // genuinely absent under every order
+        case Seq(one) => one
+        case many => throw new IllegalArgumentException(
+          s"partition spec $partitionSpec matches ${many.size} distinct " +
+            s"dirs under $tablePath (${many.mkString(", ")}) — the layout " +
+            "is ambiguous; address the partition by its full ordered path")
+      }
+    }
     val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$partPath")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) return false
     if (isStreamLogTracked(fs, tablePath)) return false
     // exclusive per-partition lock (atomic create-no-overwrite on HDFS;
     // object stores without atomic create should front this with their own
@@ -597,25 +615,33 @@ object EventSink {
     if (!fs.exists(unqualified)) { clearAux(); return Nil }
     // qualify so prefix-stripping below matches listStatus's URIs
     val trashRoot = fs.makeQualified(unqualified)
-    def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val subdirs = fs.listStatus(p).filter(_.isDirectory)
-      if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(d => leafDirs(d.getPath))
+    // every dir under the run's trash that DIRECTLY holds files mirrors a
+    // partition dir — including the run root itself (an UNPARTITIONED
+    // table's crashed swap trashes its originals straight under
+    // .compact_trash/<stamp>/, and a dir mixing files with subdirs must
+    // restore its own files too; a leaf-dirs-only walk would skip both
+    // and the final trash delete below would destroy the only copy)
+    def fileDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(p)
+      val here = if (entries.exists(_.isFile)) Seq(p) else Nil
+      here ++ entries.filter(_.isDirectory).toSeq.flatMap(d => fileDirs(d.getPath))
     }
     val restored = fs.listStatus(trashRoot).filter(_.isDirectory).toSeq.flatMap { runDir =>
       val stamp = runDir.getPath.getName
       val runRoot = fs.makeQualified(runDir.getPath)
-      // every dir under the run's trash mirrors a partition dir
-      leafDirs(runRoot).filter(_ != runRoot).map { trashDir =>
+      fileDirs(runRoot).map { trashDir =>
         val rel = trashDir.toString.stripPrefix(runRoot.toString).stripPrefix("/")
-        val dir = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
+        val dir = new org.apache.hadoop.fs.Path(
+          if (rel.isEmpty) tablePath else s"$tablePath/$rel")
         fs.mkdirs(dir)
         // originals are authoritative: drop this run's half-moved compacted
         // files (and only those) …
         fs.listStatus(dir)
           .filter(_.getPath.getName.startsWith(s"compacted-$stamp-"))
           .foreach(f => fs.delete(f.getPath, false))
-        // … and move the originals back
-        fs.listStatus(trashDir).foreach(f =>
+        // … and move the originals back (FILES only: a subdir here is
+        // its own mirrored partition, restored by its own fileDirs entry)
+        fs.listStatus(trashDir).filter(_.isFile).foreach(f =>
           fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
         dir.toString
       }
@@ -707,7 +733,15 @@ object EventSink {
 
   /** S9: register the dump as a partitioned external table in the catalog. */
   def registerTable(spark: SparkSession, name: String, path: String): Unit = {
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet LOCATION '$path'")
-    spark.sql(s"MSCK REPAIR TABLE $name")
+    // backquote the identifier and escape the location: a path with a
+    // single quote (user dirs do contain them) broke the statement, and
+    // raw interpolation is an injection surface besides
+    require(!name.contains("`"), s"table name cannot contain backquotes: $name")
+    // quote each dotted part separately so qualified names (db.table)
+    // keep their namespace structure
+    val quotedName = name.split('.').map(p => "`" + p + "`").mkString(".")
+    val quotedPath = path.replace("'", "\\'")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $quotedName USING parquet LOCATION '$quotedPath'")
+    spark.sql(s"MSCK REPAIR TABLE $quotedName")
   }
 }

@@ -87,6 +87,14 @@ object StreamingEnrichment {
             var st = state.getOption.getOrElse(EnrichState(None, Map.empty))
             // In-batch determinism: fold in event-time order so "first-wins"
             // is by timestamp, not arrival order (SURVEY §7.4 risk 3).
+            // MEMORY BOUND, stated: the sort buffers ONE app's micro-batch
+            // slice in the task heap. The bound is per-(app, batch), not
+            // per-corpus — at the reference's rates (10^4-10^5 live apps
+            // sharing a trigger's events) a slice is thousands of events;
+            // an adversarially hot single app needs a shorter trigger (the
+            // knob that bounds every per-batch structure here) or the
+            // batch Enrichment flavor. Determinism is the contract the
+            // sort buys; dropping it re-opens arrival-order replays.
             it.toSeq.sortBy(e => (e.tsMillis, e.eventType)).foreach { e =>
               if (e.isAppEvent) {
                 if (st.attrs.isEmpty) st = st.copy(attrs = e.attrs) // first-wins

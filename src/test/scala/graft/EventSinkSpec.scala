@@ -297,6 +297,41 @@ class EventSinkSpec extends SparkSpecBase {
       .count() == total)
   }
 
+  test("partition spec resolves by existence, not Map order; unpartitioned legacy trash restores") {
+    // spec given in the WRONG key order must still find and compact the
+    // physical event_type=/day= dir (Map iteration order silently
+    // resolved to a nonexistent path and returned false forever)
+    val dir = Files.createTempDirectory("specorder").toString
+    (0 until 4).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
+    assert(EventSink.compactPartition(spark, dir,
+      scala.collection.immutable.ListMap(
+        "day" -> "2024-03-01", "event_type" -> "FS_EVENT"), maxFiles = 1))
+    assert(spark.read.parquet(dir).count() == 8)
+    val part = new java.io.File(s"$dir/event_type=FS_EVENT/day=2024-03-01")
+    assert(part.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+
+    // legacy (pre-manifest) crashed swap of an UNPARTITIONED table:
+    // originals sit DIRECTLY under .compact_trash/<stamp>/ with no
+    // partition subdirs — recovery must restore them (the leaf-dirs-only
+    // walk skipped the run root and the final trash delete destroyed the
+    // only copy)
+    val flat = Files.createTempDirectory("flat_table").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(2)
+      .write.mode("append").parquet(flat)
+    val fs = new org.apache.hadoop.fs.Path(flat)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(s"$flat/.compact_trash/77-zz")
+    fs.mkdirs(trash)
+    fs.listStatus(new org.apache.hadoop.fs.Path(flat))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(trash, f.getPath.getName)))
+    fs.create(new org.apache.hadoop.fs.Path(flat, "compacted-77-zz-0.parquet")).close()
+    val restored = EventSink.recoverCompaction(spark, flat)
+    assert(restored.nonEmpty, "run-root originals must be restored")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$flat/.compact_trash")))
+    assert(spark.read.parquet(flat).count() == 2, "no loss on the unpartitioned table")
+  }
+
   test("writeDayCloseMarkers closes only watermark-passed days, idempotently (P9)") {
     val dir = Files.createTempDirectory("markers").toString
     EventSink.writePartitioned(sampleEvents(3, "2024-03-01"), dir)

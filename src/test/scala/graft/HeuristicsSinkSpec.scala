@@ -60,6 +60,37 @@ class HeuristicsSinkSpec extends SparkSpecBase {
     assert(d.map(_.getString(2)).distinct.sorted.toSeq == Seq("flagged_gc", "severity"))
   }
 
+  test("detail rows WRITE through JDBC (null details column must be a typed varchar, not SQL void)") {
+    val details = HeuristicsSink.detailRows(
+      HeuristicAggs.gcCause(gcEvents),
+      "com.criteo.hadoop.garmadon.heuristics.GCCause",
+      Seq("flagged_gc" -> "flagged_gc"))
+    // a bare lit(null) NullType column made this throw at CREATE TABLE
+    // ("Can't get JDBC type for void") — the sink's stated purpose
+    HeuristicsSink.writeResults(details, url, "heur_details_t", driver = driver)
+    val p = new java.util.Properties()
+    p.setProperty("driver", driver.get)
+    val back = spark.read.jdbc(url, "heur_details_t", p)
+    assert(back.count() == 3 && back.where(col("details").isNull).count() == 3)
+  }
+
+  test("per-instance heuristics disambiguate the composite key via instanceCol — no detail fan-out") {
+    val cls = "com.criteo.hadoop.garmadon.heuristics.GCCause"
+    // gcCause groups per (app, attempt, container): two containers of one
+    // attempt share (app, GCCause@attempt) — instanceCol rides the
+    // container into the name so the join key is unique per result row
+    val perContainer = HeuristicAggs.gcCause(gcEvents)
+    val results = HeuristicsSink.resultRows(perContainer, cls,
+      instanceCol = Some("container_id"))
+    val details = HeuristicsSink.detailRows(perContainer, cls,
+      Seq("flagged_gc" -> "flagged_gc"), instanceCol = Some("container_id"))
+    val joined = results.join(details, Seq("yarn_app_result_id", "heuristic_name"))
+    assert(joined.count() == details.count(),
+      "the composite-key join must not fan out across same-attempt containers")
+    assert(results.select("heuristic_name").as[String].collect()
+      .forall(_.split("@").length == 3))
+  }
+
   test("streamWriter inserts per micro-batch (foreachBatch JDBC)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, String, String, String)]

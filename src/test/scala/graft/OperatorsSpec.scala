@@ -1051,6 +1051,13 @@ class OperatorsSpec extends SparkSpecBase {
     assert(Severity.safepoints(6) == Severity.Moderate)
     assert(Severity.safepoints(8) == Severity.Severe)
     assert(Severity.safepoints(11) == Severity.Critical)
+    // CodeCacheUsage (CodeCacheUsage.java:43-46): within 5% of max ⇒
+    // MODERATE; degenerate max = 0 is MODERATE too — IDENTICAL to the
+    // distributed HeuristicAggs.codeCacheUsage (an extra max > 0 guard
+    // here once made the two flavors contradict on degenerate stats)
+    assert(Severity.codeCache(100, 96) == Severity.Moderate) // within 5%
+    assert(Severity.codeCache(100, 94) == Severity.None)     // 6% clear
+    assert(Severity.codeCache(0, 0) == Severity.Moderate)    // degenerate
   }
 
   test("contaminatedIds flags docs sharing a k-gram with the eval set; decontaminate drops them") {
