@@ -153,10 +153,10 @@ object WarcRecords {
     * records carry captured HTTP responses whose entity bodies are raw
     * octets in the origin server's encoding (not necessarily UTF-8; the
     * string flavor above is only sound for WET conversion records). The
-    * header block is ASCII by spec and is decoded as ISO-8859-1 (an
-    * ASCII superset, so a stray high byte in a malformed header can
-    * never throw); the payload is returned UNDECODED and truncated to
-    * `Content-Length` BYTES directly — no encode/decode round-trip.
+    * header block is decoded as UTF-8 (the spec allows raw UTF-8 in
+    * values like WARC-Target-URI; the lenient decoder can never throw);
+    * the payload is returned UNDECODED and truncated to `Content-Length`
+    * BYTES directly — no encode/decode round-trip.
     */
   def parseRecordBytes(rec: Array[Byte]): (Boolean, String, String, String, String, Long, Array[Byte]) = {
     val (ok, t, uri, date, ct, cl, body, _) = parseRecordCore(rec)
@@ -180,7 +180,13 @@ object WarcRecords {
       i += 1
     }
     val headEnd = if (sep < 0) rec.length else sep
-    val head = new String(rec, 0, headEnd, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // UTF-8, not Latin-1: WARC-Target-URI may carry raw UTF-8 per the WARC
+    // spec, and a Latin-1 decode would mojibake each UTF-8 byte into its
+    // own char. The separator scan and Content-Length cut above/below run
+    // on BYTE offsets, so the header decode never affects the payload cut;
+    // String's lenient decoder maps genuinely invalid bytes to U+FFFD and
+    // can never throw mid-ingest.
+    val head = new String(rec, 0, headEnd, java.nio.charset.StandardCharsets.UTF_8)
     val lines = head.split("\r\n", -1)
     if (lines.isEmpty || !lines(0).startsWith("WARC/"))
       return (false, null, null, null, null, -1L, null, 0)

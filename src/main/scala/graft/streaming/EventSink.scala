@@ -259,9 +259,29 @@ object EventSink {
     if (live.nonEmpty || !hadParquet) live
     else {
       // zero live files in a dir that HAS parquet = the stale-manifest
-      // race (or a genuinely all-uncommitted-garbage dir): fresh
-      // manifest + fresh listing decide
-      val (retry, _) = resolve(fs.listStatus(partDir))
+      // race: fresh manifest + fresh listing decide. Bounded LOOP, not a
+      // single retry — back-to-back flip+sweeps can re-stale one retry —
+      // and if the dir still demonstrably holds parquet that all resolves
+      // dead after the budget, FAIL: a loud error beats a silently
+      // incomplete snapshot (a partition dropped from the query). A
+      // compactor needs > graceMs between flips to re-trigger the race,
+      // so 4 fresh reads outlast any realistic flip cadence; the
+      // all-resolved-dead state is otherwise unreachable by construction
+      // (every flip commits its files before tombstoning the originals).
+      var attempt = 0
+      var retry = Seq.empty[org.apache.hadoop.fs.FileStatus]
+      var stillHasParquet = true
+      while (attempt < 4 && retry.isEmpty && stillHasParquet) {
+        val (r, h) = resolve(fs.listStatus(partDir))
+        retry = r; stillHasParquet = h; attempt += 1
+      }
+      if (retry.isEmpty && stillHasParquet)
+        throw new IllegalStateException(
+          s"liveFiles: $partDir holds parquet files but every one resolved " +
+            s"dead across $attempt fresh manifest+listing reads — the " +
+            "compaction manifest is inconsistent with the directory " +
+            "(manual deletes? a foreign writer?); refusing to silently " +
+            "drop the partition from the query")
       retry
     }
   }
@@ -338,18 +358,25 @@ object EventSink {
                        sweepGraceMs: Long = 0L): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // resolve the physical dir by EXISTENCE across key orders, not the
-    // Map's iteration order: Map(day -> …, event_type -> …) must find
-    // event_type=/day= — order-sensitive resolution silently returned
-    // false forever (partition never compacted, no signal), and >4-key
-    // HashMap order is nondeterministic across JVMs
+    // resolve the physical dir order-free by WALKING the table's data
+    // dirs once and matching each dir's k=v segment SET against the spec
+    // — Map(day -> …, event_type -> …) must find event_type=/day=, and
+    // the retired flavor probed fs.exists over spec permutations, which
+    // is factorial in key count (8 keys = 40 320 existence RPCs on the
+    // driver before any work). One recursive listing is O(partitions),
+    // the same walk readers and sweepers already pay.
     val partPath: String = {
-      val orders = partitionSpec.toSeq.permutations
-        .map(_.map { case (k, v) => s"$k=$v" }.mkString("/"))
-      val existing = orders.filter(p =>
-        fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/$p"))).toSeq.distinct
-      existing match {
-        case Seq() => return false // genuinely absent under every order
+      val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(tablePath))
+      if (!fs.exists(rootQ)) return false
+      val specSet = partitionSpec.map { case (k, v) => s"$k=$v" }.toSet
+      val matching = dataDirListings(fs, rootQ).map(_._1).flatMap { dir =>
+        val rel = dir.toString.stripPrefix(rootQ.toString).stripPrefix("/")
+        val segs = if (rel.isEmpty) Seq.empty[String] else rel.split('/').toSeq
+        // size check too: a=1/a=1 collapses to one set element
+        if (segs.size == specSet.size && segs.toSet == specSet) Some(rel) else None
+      }.distinct
+      matching match {
+        case Seq() => return false // absent (or holds no parquet = nothing to compact)
         case Seq(one) => one
         case many => throw new IllegalArgumentException(
           s"partition spec $partitionSpec matches ${many.size} distinct " +
@@ -740,7 +767,17 @@ object EventSink {
     // quote each dotted part separately so qualified names (db.table)
     // keep their namespace structure
     val quotedName = name.split('.').map(p => "`" + p + "`").mkString(".")
-    val quotedPath = path.replace("'", "\\'")
+    // backslash-escape BOTH backslashes and quotes (escaping only the
+    // quote leaves a literal backslash free to eat the escape, and under
+    // spark.sql.parser.escapedStringLiterals=true backslashes are literal
+    // so no escape exists at all — refuse loudly there rather than let a
+    // quoted path terminate the literal early)
+    if (spark.conf.getOption("spark.sql.parser.escapedStringLiterals").contains("true"))
+      require(!path.contains("'") && !path.contains("\\"),
+        s"registerTable: path contains a quote or backslash but " +
+          "spark.sql.parser.escapedStringLiterals=true leaves no way to " +
+          s"escape it in a SQL string literal: $path")
+    val quotedPath = path.replace("\\", "\\\\").replace("'", "\\'")
     spark.sql(s"CREATE TABLE IF NOT EXISTS $quotedName USING parquet LOCATION '$quotedPath'")
     spark.sql(s"MSCK REPAIR TABLE $quotedName")
   }

@@ -297,6 +297,29 @@ class EventSinkSpec extends SparkSpecBase {
       .count() == total)
   }
 
+  test("a partition whose parquet all resolves dead fails LOUDLY instead of silently dropping from the query") {
+    // construct the pathological state: compact with grace (originals
+    // tombstoned but on disk, compacted live), then manually delete the
+    // live compacted files — every remaining file resolves dead, and no
+    // number of manifest re-reads can fix it (this is a foreign delete,
+    // not the stale-manifest race the bounded retry loop closes)
+    val dir = Files.createTempDirectory("zerolive").toString
+    (0 until 4).foreach(_ => EventSink.writePartitioned(sampleEvents(2, "2024-03-01"), dir))
+    assert(EventSink.compactPartition(spark, dir,
+      Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"),
+      maxFiles = 1, sweepGraceMs = Long.MaxValue))
+    val part = new org.apache.hadoop.fs.Path(s"$dir/event_type=FS_EVENT/day=2024-03-01")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(part)
+      .filter(_.getPath.getName.startsWith("compacted-"))
+      .foreach(f => fs.delete(f.getPath, false))
+    val e = intercept[IllegalStateException] {
+      EventSink.readIsolated(spark, dir).count()
+    }
+    assert(e.getMessage.contains("resolved") && e.getMessage.contains("dead"),
+      e.getMessage)
+  }
+
   test("partition spec resolves by existence, not Map order; unpartitioned legacy trash restores") {
     // spec given in the WRONG key order must still find and compact the
     // physical event_type=/day= dir (Map iteration order silently

@@ -75,6 +75,34 @@ class WarcRecordsSpec extends SparkSpecBase {
     assert(body == "a�bcdefghi", body)
   }
 
+  test("non-ASCII header values decode as UTF-8 (WARC-Target-URI may carry raw UTF-8), on BOTH flavors") {
+    // per the WARC spec header values may carry raw UTF-8; a Latin-1
+    // header decode would mojibake every multi-byte char into two chars
+    val uri = "http://exämple.test/païr/日本"
+    val raw = rec(
+      s"WARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        "Content-Length: 5", "hello")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val s = parseRecordString(new String(raw, java.nio.charset.StandardCharsets.UTF_8))
+    assert(s._3 == uri, s._3)
+    assert(s._7 == "hello")
+    val b = WarcRecords.parseRecordBytes(raw)
+    assert(b._3 == uri, b._3)
+    assert(new String(b._7, java.nio.charset.StandardCharsets.UTF_8) == "hello")
+    // the Content-Length cut stays BYTE-exact with a multi-byte header
+    // in front of it (header decode never shifts payload offsets)
+    val cut = WarcRecords.parseRecordBytes(rec(
+      s"WARC-Target-URI: $uri\r\nContent-Length: 5", "helloGARBAGE")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(new String(cut._7, java.nio.charset.StandardCharsets.UTF_8) == "hello")
+    // a genuinely invalid byte in a header value cannot throw — it
+    // decodes to U+FFFD, fail-soft like every ingest path
+    val bad = "WARC/1.0\r\nWARC-Target-URI: http://x/".getBytes("UTF-8") ++
+      Array(0xFF.toByte) ++ "\r\nContent-Length: 2\r\n\r\nab".getBytes("UTF-8")
+    val soft = WarcRecords.parseRecordBytes(bad)
+    assert(soft._1 && soft._3.contains("�"), soft._3)
+  }
+
   test("header keys are case-insensitive, first occurrence wins, unknown keys ignored, bad length fail-soft") {
     val r = parseRecordString(rec(
       "warc-type: first\r\nWARC-TYPE: second\r\nX-Custom: junk\r\n" +
