@@ -14,12 +14,17 @@ import org.apache.spark.sql.SparkSession
   *  - per-query {min, median, max, spread} are emitted so a regression can
   *    be told apart from host contention: an untouched query whose spread
   *    spans 20x is noise, a tight spread that moved is a plan change;
-  *  - a fixed canary query (lineitem group-agg, not part of the query set)
-  *    is timed before and after the sweep (min of 5 after warmup — min
-  *    tracks the machine's available capacity, not stragglers); if the two
-  *    diverge by more than 50 % AND 0.5 s the box was contended mid-run
-  *    and the whole round is marked `"dirty": true` — per-query numbers
-  *    are then unattributable;
+  *  - TWO fixed canaries are timed before and after the sweep (min of
+  *    N after warmup — min tracks the machine's available capacity, not
+  *    stragglers): a 0.2 s scan+shuffle (CPU/IO capacity) and a
+  *    ~1-2 s 30-sequential-tiny-jobs probe (scheduler+collect latency —
+  *    the term that dominates iterative queries like the perceptron
+  *    epochs and that ambient load amplifies hardest). A swing in a
+  *    many-small-jobs query with a matching canary_jobs swing is host
+  *    drift; without one it is a plan change. If the scan canary's two
+  *    ends diverge by more than 50 % AND 0.5 s the box was contended
+  *    mid-run and the whole round is marked `"dirty": true` — per-query
+  *    numbers are then unattributable;
   *  - failures are isolated per query: a broken query records an `"error"`
   *    entry (and forces a nonzero exit at the end) instead of erasing the
   *    other measurements — one analysis error must not null the whole
@@ -43,6 +48,26 @@ object Bench {
       .agg(org.apache.spark.sql.functions.sum("l_quantity"),
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
       .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** MID-WEIGHT canary: 30 tiny SEQUENTIAL jobs (~1-2 s total) — the
+    * shape of the iterative queries (perceptron epochs, distributed BPE
+    * merge rounds, bloom generation loops) whose wall time is dominated
+    * by per-job scheduler+collect latency, which ambient host load
+    * amplifies far more than it does one big scan. The 0.2 s scan canary
+    * tracks CPU/IO capacity; this one tracks scheduling latency — with
+    * both, a swing in a many-small-jobs query is mechanically
+    * attributable to host drift vs a plan change. Pure Spark primitives
+    * on purpose: operator-code changes must never move the canary.
+    */
+  private def canaryJobsOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 30) {
+      spark.range(200000L + i).selectExpr("sum(id * 3 + 1)").collect()
+      i += 1
+    }
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -70,6 +95,8 @@ object Bench {
     // the canary must measure host contention, not warm-in drift
     (1 to 3).foreach(_ => canaryOnce(spark, sfDir))
     val canaryFirst = Seq.fill(5)(canaryOnce(spark, sfDir)).min
+    (1 to 2).foreach(_ => canaryJobsOnce(spark))
+    val canaryJobsFirst = Seq.fill(3)(canaryJobsOnce(spark)).min
     // fault injection for the isolation path itself: name a query here and
     // it throws instead of running — the artifact must still carry every
     // other measurement plus one "error" entry, and exit nonzero
@@ -91,8 +118,12 @@ object Bench {
     val results = attempts.collect { case (n, Right(ts)) => n -> ts }
     val failures = attempts.collect { case (n, Left(msg)) => n -> msg }
     val canaryLast = Seq.fill(5)(canaryOnce(spark, sfDir)).min
+    val canaryJobsLast = Seq.fill(3)(canaryJobsOnce(spark)).min
     val canarySpread =
       math.max(canaryFirst, canaryLast) / math.max(math.min(canaryFirst, canaryLast), 1e-9) - 1.0
+    val canaryJobsSpread =
+      math.max(canaryJobsFirst, canaryJobsLast) /
+        math.max(math.min(canaryJobsFirst, canaryJobsLast), 1e-9) - 1.0
     // relative drift alone would flag sub-second jitter at tiny SF; demand
     // both >50% drift and >0.5s absolute before declaring the round dirty
     val dirty = canarySpread > 0.5 && math.abs(canaryFirst - canaryLast) > 0.5
@@ -116,6 +147,7 @@ object Bench {
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$stats,""" +
       s""""errors":$errs,"n_errors":${failures.size},""" +
       s""""canary":{"first":${f(canaryFirst)},"last":${f(canaryLast)},"spread":${f(canarySpread)}},""" +
+      s""""canary_jobs":{"first":${f(canaryJobsFirst)},"last":${f(canaryJobsLast)},"spread":${f(canaryJobsSpread)}},""" +
       s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}""")
     // Compact SECOND line after the full stats: the driver's artifact
     // captures the output tail, and the full per-query line is ~15 KB —
@@ -128,6 +160,7 @@ object Bench {
     println(s"""{"metric":"summary","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_errors":${failures.size},""" +
       s""""top5":$top5,"canary_first":${f(canaryFirst)},"canary_last":${f(canaryLast)},""" +
+      s""""canary_jobs_first":${f(canaryJobsFirst)},"canary_jobs_last":${f(canaryJobsLast)},""" +
       s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     // Nonzero exit AFTER emitting partial numbers: the artifact stays

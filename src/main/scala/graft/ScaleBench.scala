@@ -789,13 +789,20 @@ object ScaleBench {
 
     if (sections("incpairs")) {
       // ---- incremental pair store: per-batch cost vs HISTORY size. The
-      //      design claim is that a batch pays O(batch) curation work +
-      //      two MAP-ONLY history scans (broadcast batch side on both
-      //      dedup legs) — no history-keyed exchange. Measured: the same
-      //      240-pair batch against synthetic histories of 10^5 and 10^6
-      //      feature rows; shuffle records must stay ~flat (the
-      //      broadcast legs move no history rows through an exchange)
-      //      and the wall delta is the scan, not a shuffle. ----
+      //      r14 design claim is BYTES-PER-BATCH ∝ batch, not history:
+      //      the band-indexed store probes only the partitions the
+      //      batch's own keys hit (bk/id additionally pushed into the
+      //      scans), and the caption leg is fronted by the Bloom
+      //      seen-set, so an all-novel batch touches captions/ not at
+      //      all. Measured: the same 240-pair batch against synthetic
+      //      histories of 10^5 and 10^6 feature rows; shuffle records
+      //      must stay ~flat (broadcast batch side on both legs) AND
+      //      input bytes must stay far below the store's growth (the
+      //      retired flavor re-scanned the full history twice per
+      //      batch — bytes were linear in the corpus by construction).
+      //      Residual per-batch history terms: the Bloom read
+      //      (~1.2 bytes/key — 400x smaller than the feature rows) and
+      //      the probed band partitions' footers. ----
       import graft.multimodal.{IncrementalPairs, JdkMedia, PairCuration}
       def store(h: Long): (String, String) = {
         val work = graft.sources.BucketedTables.scratchDir(s"sb_incpairs_${h}_").toString
@@ -815,6 +822,10 @@ object ScaleBench {
         graft.operators.Manifests.writeAtomic(spark,
           s"$work/store/${IncrementalPairs.StateName}",
           """{"batch_id":0,"admitted":""" + h + "}")
+        // flat → band-indexed: builds bands/, captions/, the caption
+        // Bloom and the layout stamp (the production migration path,
+        // exercised here at 10^6 rows as a bonus)
+        IncrementalPairs.indexHistory(spark, s"$work/store")
         (s"$work/store", s"$work/accepted")
       }
       val batch = spark.range(240).select(col("id").as("pair_id"),
@@ -827,7 +838,12 @@ object ScaleBench {
       val batchDf = batch.toSeq.toDF("pair_id", "image", "caption")
         .repartition(8).localCheckpoint(true)
       val cfg = PairCuration.Config(minCaptionTokens = 2, meanTol = 2.0)
-      def point(h: Long): (Double, Long) = {
+      def storeBytes(root: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      }
+      def point(h: Long): (Double, Long, Long) = {
         val (root, acc) = store(h)
         val listener = new ShuffleBytesListener
         spark.sparkContext.addSparkListener(listener)
@@ -838,16 +854,21 @@ object ScaleBench {
         spark.sparkContext.removeSparkListener(listener)
         require(led("admitted") == 40L, s"history must not collide: $led")
         println(f"""{"incpairs":{"history":$h,"sec":$secs%.2f,""" +
-          f""""shuffle_records":${listener.records.get()},"admitted":${led("admitted")}}}""")
-        (secs, listener.records.get())
+          f""""shuffle_records":${listener.records.get()},""" +
+          f""""input_mb":${listener.inputBytes.get() / 1048576.0}%.2f,""" +
+          f""""store_mb":${storeBytes(root) / 1048576.0}%.2f,""" +
+          f""""admitted":${led("admitted")}}}""")
+        (secs, listener.records.get(), listener.inputBytes.get())
       }
       point(100000L) // warm (JIT + codec paths)
-      val (s1, r1) = point(100000L)
-      val (s10, r10) = point(1000000L)
+      val (s1, r1, b1) = point(100000L)
+      val (s10, r10, b10) = point(1000000L)
       println(f"""{"incpairs_linearity":{"sec_1x":$s1%.2f,"sec_10x":$s10%.2f,""" +
         f""""wall_ratio":${s10 / math.max(s1, 1e-9)}%.2f,""" +
         f""""records_1x":$r1,"records_10x":$r10,""" +
-        f""""records_ratio":${r10.toDouble / math.max(r1, 1L)}%.2f}}""")
+        f""""records_ratio":${r10.toDouble / math.max(r1, 1L)}%.2f,""" +
+        f""""input_mb_1x":${b1 / 1048576.0}%.2f,"input_mb_10x":${b10 / 1048576.0}%.2f,""" +
+        f""""bytes_ratio":${b10.toDouble / math.max(b1, 1L)}%.2f}}""")
       batchDf.unpersist()
     }
 

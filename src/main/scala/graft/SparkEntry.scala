@@ -794,8 +794,10 @@ object SparkEntry {
 
     // ---- Text: exact-k-per-group sampling (the "7 docs per source"
     //      cut): rank by the salted content selector within source, ties
-    //      by doc_id — DuckDB replays the selector arithmetic and the
-    //      window rank exactly. ----
+    //      by doc_id. The DEFAULT path is the bounded top-k AGGREGATE
+    //      (r14 — Zipf-safe, no per-group sort); selection is identical
+    //      to the window form, which DuckDB's oracle replays as a window
+    //      rank over the same selector arithmetic. ----
     "q_sample_k" -> ((s, dir) => {
       TextAnalysis.sampleKPerGroup(t(s, dir, "documents"),
           "source", "doc_id", k = 7, seed = 3L)
@@ -2412,10 +2414,21 @@ object SparkEntry {
       val replay = IncrementalPairs.processBatch(fixture(120, 240), 1L, root,
         acc, cfg = cfg).toMap
       val replayOk = replay == Map("replay_skipped" -> 1L)
+      // band-index witness (r14): the store is the partitioned layout —
+      // stamp present, all three key tables + the caption Bloom live
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val indexedOk = IncrementalPairs.readLayout(s, root).isDefined &&
+        Seq("history", "bands", "captions").forall { tbl =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$tbl")).exists(p =>
+            p.isDirectory && p.getPath.getName.startsWith("pt="))
+        } &&
+        graft.operators.Manifests.read(s, s"$root/caption_bloom/_CURRENT").isDefined
       s.read.parquet(acc).select(col("pair_id"), col("caption"))
         .withColumn("img_dups", lit(led("history_image_dup")))
         .withColumn("cap_dups", lit(led("history_caption_dup")))
         .withColumn("replay_skip_ok", lit(replayOk))
+        .withColumn("indexed_ok", lit(indexedOk))
         .orderBy(col("pair_id"))
     }),
 
@@ -4603,7 +4616,8 @@ object SparkEntry {
         |    ELSE a.id END AS VARCHAR) || ' x y' AS caption,
         |  (SELECT count(*) FROM imgdup) AS img_dups,
         |  (SELECT count(*) FROM capdup) AS cap_dups,
-        |  TRUE AS replay_skip_ok
+        |  TRUE AS replay_skip_ok,
+        |  TRUE AS indexed_ok
         |FROM adm a ORDER BY pair_id""".stripMargin,
 
     // the probed container facts from the generating arithmetic alone

@@ -3,208 +3,562 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
 
-import graft.operators.Manifests
+import graft.operators.{KeyedHistory, Manifests}
 
 /** STREAMING cross-modal pair curation — [[PairCuration.curatePairsAudited]]
   * per micro-batch, with admission AGAINST HISTORY: a pair survives only
   * if it passes the batch-local gates AND its image matches nothing the
   * store has admitted before AND its caption content is unseen.
   *
-  * The store is one `history/` parquet table per root:
-  * `(batch_id, id, ahash, mean, centered, norm0, cap_h, cap_h2)` — the
-  * survivors' decode-once perceptual features (exactly what
-  * [[JdkMedia.bandedCenteredPairs]]-shaped serving needs; images are
-  * NEVER re-decoded and never stored here) plus the 128-bit caption hash
-  * pair (the exact-dedup key discipline — caption bytes are not needed
-  * to refuse a re-arrival).
+  * THE STORE IS BAND-INDEXED (the [[graft.streaming.IncrementalDedup]]
+  * signature-table discipline, landed here via the shared
+  * [[KeyedHistory]] primitive). Three tables per root, all
+  * hash-partitioned `pt = pmod(xxhash64(keys…), P)` with P stamped in
+  * `_PAIRLAYOUT`:
   *
-  * Scale shape per batch: the batch side of both history checks is
-  * broadcast (micro-batches are small by construction), so history is
-  * two MAP-ONLY scans — no corpus-keyed exchange anywhere; the image
-  * check needs no bucket cap (an oversized band bucket costs linear
-  * verify work inside the scan, and the output collapses to ≤ batch-size
-  * matched ids).
+  *  - `history/` (partitioned by id) — the authoritative survivor rows:
+  *    decode-once perceptual features `(batch_id, id, ahash, mean,
+  *    centered, norm0)` plus the 128-bit caption hash pair
+  *    `(cap_h, cap_h2)`; images are NEVER re-decoded and never stored;
+  *  - `bands/` (partitioned by (t, bk)) — the PRECOMPUTED Manku band-
+  *    subset keys of every admitted image, `(batch_id, t, bk, id)`,
+  *    written once at admission;
+  *  - `captions/` (partitioned by (cap_h, cap_h2)) — the caption keys
+  *    `(batch_id, cap_h, cap_h2)`.
+  *
+  * Scale shape per batch — O(batch), not O(history): the retired flavor
+  * re-ran `bandSubsetKeys` over the FULL history and scanned it end to
+  * end, twice, every micro-batch (linear in the corpus by construction —
+  * at 10^9+ admitted pairs that is a multi-TB re-read on a minutes
+  * cadence). Now:
+  *
+  *  - the batch's own band keys select the `bands/` partitions to read
+  *    ([[KeyedHistory.prunedRead]] — a static `pt IN (…)` pruned at
+  *    planning time), with the batch's `bk` values additionally PUSHED
+  *    into the parquet scan so row-group min/max stats (partitions are
+  *    written bk-sorted) skip inside each probed partition;
+  *  - matched candidates fetch their verify features from only the
+  *    `history/` partitions those candidate ids hash to, id-pushed the
+  *    same way;
+  *  - the caption leg is TWO-TIER: a persisted Bloom seen-set
+  *    (`caption_bloom/`, [[graft.operators.SeenFilter.buildFilterKeyed]]
+  *    over `pmod(cap_h, P)`) answers definite-negative for most of the
+  *    batch with zero table IO — only probable hits (dups + fpp) do the
+  *    pruned exact confirm against `captions/`. The Bloom is updated
+  *    BEFORE each state flip (always a superset of committed keys — a
+  *    false positive costs one confirm, a false negative would silently
+  *    re-admit), re-sized from the live key count by [[compactHistory]],
+  *    and a lost Bloom on a live store is a LOUD failure naming the
+  *    rebuild.
+  *
+  * The batch side of every probe join is broadcast, so history-side rows
+  * never shuffle; per-batch bytes read scale with the batch's key spread
+  * and dup rate, not the corpus.
   *
   * REPLAY IDEMPOTENCE — the [[graft.streaming.StreamingTokenBudget]]
   * discipline, not dedup algebra: `_PAIRSTATE` records the committed
   * batch high-water mark and is flipped atomically LAST, and every
-  * history READ is filtered to `batch_id <= committed`. A replay of a
+  * store READ is filtered to `batch_id <= committed`. A replay of a
   * fully committed batch SKIPS (no double admit, no re-append); a replay
   * after a crash mid-write recomputes against exactly the committed
   * prefix — the crashed attempt's partial appends are invisible to the
   * filter — and re-runs the same writes (the accepted table is
   * AT-LEAST-ONCE like every sink here, dedup downstream on id; a
-  * re-appended history row is a harmless duplicate for membership
-  * checks, reclaimable by maintenance compaction). Single writer per
-  * root, which foreachBatch guarantees.
+  * re-appended store row is a harmless duplicate for membership
+  * checks, reclaimed by [[compactHistory]]). Single writer per root,
+  * which foreachBatch guarantees — and which the store now ENFORCES
+  * against maintenance: batches and [[compactHistory]] both take the
+  * root's `.store_lock` (torn locks reclaimed by age with a nonce
+  * confirm, the SeenFilterStore arbitration discipline), so maintenance
+  * racing a live batch is a loud failure, never a lost-history race.
   */
 object IncrementalPairs {
 
   val StateName = "_PAIRSTATE"
+  val LayoutName = "_PAIRLAYOUT"
+  private val LockName = ".store_lock"
+
+  /** Default partition count for all three store tables. Pruning bites
+    * when P exceeds a batch's distinct key spread — size UP with the
+    * corpus and batch cadence (a re-index rewrite changes it; partitions
+    * are a pure key function).
+    */
+  val DefaultParts = 64
+
+  /** pHash width is fixed: [[JdkMedia.phash64]]. */
+  private val Bits = 64
+
+  /** A lock younger than this is live; older is a crashed holder's torn
+    * lock, reclaimed with a nonce confirm.
+    */
+  private val StaleLockMs = 60 * 60 * 1000L
+  private val ReclaimConfirmMs = 200L
 
   def committedBatchId(spark: SparkSession, root: String): Option[Long] =
     Manifests.read(spark, s"$root/$StateName")
       .map(m => Manifests.numField(m, "batch_id").toLong)
 
-  private def historySchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("ahash", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("mean", org.apache.spark.sql.types.DoubleType),
-    org.apache.spark.sql.types.StructField("centered",
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
-    org.apache.spark.sql.types.StructField("norm0", org.apache.spark.sql.types.BooleanType),
-    org.apache.spark.sql.types.StructField("cap_h", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("cap_h2", org.apache.spark.sql.types.LongType)))
+  private[graft] final case class Layout(parts: Int, maxHamming: Int)
 
-  /** The COMMITTED history snapshot: rows of batches at or below the
-    * high-water mark. A crashed attempt's partial appends carry a
-    * batch_id above it and are invisible — this is what makes replay
-    * recompute the identical admission set.
+  private[graft] def readLayout(spark: SparkSession, root: String): Option[Layout] =
+    Manifests.read(spark, s"$root/$LayoutName").map { m =>
+      require(Manifests.numField(m, "v") == "2",
+        s"$root/$LayoutName has unrecognized version ${Manifests.numField(m, "v")}")
+      Layout(Manifests.numField(m, "parts").toInt,
+        Manifests.numField(m, "max_hamming").toInt)
+    }
+
+  /** Verify (or stamp, on a fresh root) the store layout. The band keys
+    * persisted in `bands/` are a function of `maxHamming` and the
+    * partition assignment a function of `parts` — a caller drifting on
+    * either would probe the wrong keys/partitions and silently admit
+    * every duplicate, so both are stamped and enforced (the
+    * [[graft.operators.DedupLayout]] discipline).
     */
-  private def committedHistory(spark: SparkSession, root: String,
-                               committed: Option[Long]): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$root/history")
+  private def ensureLayout(spark: SparkSession, root: String, want: Layout): Unit =
+    readLayout(spark, root) match {
+      case Some(l) =>
+        require(l == want,
+          s"$root pair-store layout drift: stamped (parts=${l.parts}, " +
+            s"maxHamming=${l.maxHamming}) but this call uses " +
+            s"(parts=${want.parts}, maxHamming=${want.maxHamming}) — a " +
+            "drifted probe matches nothing and silently admits duplicates; " +
+            "match the stamp or re-index the store")
+      case None =>
+        val hist = new org.apache.hadoop.fs.Path(s"$root/history")
+        val fs = hist.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(!fs.exists(hist),
+          s"$root holds a pre-index (flat) pair-store history but no " +
+            s"$LayoutName — run IncrementalPairs.indexHistory(spark, root) " +
+            "once to migrate it to the band-indexed layout")
+        Manifests.writeAtomic(spark, s"$root/$LayoutName",
+          s"""{"v":2,"parts":${want.parts},"bits":$Bits,"max_hamming":${want.maxHamming}}""")
+    }
+
+  // ------------------------------------------------- caption Bloom front
+
+  /** The caption leg's Bloom key: the 64-bit caption hash reduced into
+    * the replayable position arithmetic's domain. The reduction can only
+    * ADD false positives (caught by the exact confirm), never false
+    * negatives; rebuildable from `captions/` alone (no caption text in
+    * the store).
+    */
+  private def captionBloomKey: org.apache.spark.sql.Column =
+    pmod(col("cap_h"), lit(graft.functions.BloomFilter.P))
+
+  /** Fresh-store Bloom sizing: ~1M keys at 1% fpp (one 1.25 MB shard).
+    * The geometry is NOT load-bearing for correctness — fpp drift as the
+    * store outgrows it only costs extra exact confirms — and
+    * [[compactHistory]] re-sizes it from the live caption count.
+    */
+  private val BloomSeed = 9L
+  private val DefaultBloomKeys = 1L << 20
+  private val BloomFpp = 0.01
+
+  private def bloomCfg(filter: DataFrame): (Long, Int, Int, Int) = {
+    val r = filter.select(col("seed"), col("k_hashes"), col("m_bits"),
+      col("num_shards")).distinct().collect()
+    require(r.length == 1, s"caption bloom carries ${r.length} configs")
+    (r(0).getLong(0), r(0).getInt(1), r(0).getInt(2), r(0).getInt(3))
+  }
+
+  /** The CURRENT caption Bloom. Absent is legitimate only on a store
+    * with no committed batch — on a live store a lost Bloom means false
+    * negatives (silent duplicate re-admission), so fail loudly and name
+    * the rebuild.
+    */
+  private def readCaptionBloom(spark: SparkSession, root: String,
+                               hwm: Long): DataFrame =
+    Manifests.read(spark, s"$root/caption_bloom/_CURRENT") match {
+      case Some(gen) =>
+        spark.read.parquet(s"$root/caption_bloom/${gen.trim}")
+      case None =>
+        require(hwm < 0,
+          s"$root records committed batch $hwm but caption_bloom/_CURRENT " +
+            "is missing — a lost Bloom silently re-admits duplicate " +
+            "captions; rebuild it with IncrementalPairs.compactHistory")
+        val g = graft.operators.SeenFilter.geometryFor(DefaultBloomKeys, BloomFpp)
+        graft.operators.SeenFilter.buildFilterKeyed(
+          spark.range(0).select(col("id").as("cap_h")),
+          captionBloomKey, BloomSeed, g.kHashes, g.mBits, g.numShards)
+    }
+
+  /** Publish a Bloom generation: complete dir first, `_CURRENT` flip
+    * last (the [[graft.operators.SeenFilterStore]] discipline). Orphan
+    * generations from crashed flips are swept by [[compactHistory]].
+    */
+  private def writeCaptionBloom(spark: SparkSession, root: String,
+                                filter: DataFrame): Unit = {
+    val stamp = System.currentTimeMillis() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    filter.coalesce(1).write
+      .parquet(s"$root/caption_bloom/gen-$stamp")
+    Manifests.writeAtomic(spark, s"$root/caption_bloom/_CURRENT", s"gen-$stamp")
+  }
+
+  /** Rebuild the Bloom from the (just-compacted) committed captions —
+    * re-sized to the live key count — and sweep generations the
+    * `_CURRENT` flip left behind. Runs under the store lock.
+    */
+  private def rebuildCaptionBloom(spark: SparkSession, root: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/captions")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hwm = committed.getOrElse(-1L)
-    if (hwm < 0)
-      spark.createDataFrame(new java.util.ArrayList[Row](), historySchema)
-    else {
-      // a committed high-water mark with NO history dir is provably
-      // inconsistent (every committed batch appended its survivors
-      // before the flip — unless it admitted zero rows, in which case
-      // parquet wrote the dir anyway). Treating it as empty would
-      // silently re-admit every duplicate of everything ever admitted;
-      // the one legitimate cause is a compactHistory crash mid-swap,
-      // whose recoverable copy this names.
-      require(fs.exists(path),
-        s"$root/$StateName records committed batch $hwm but $path does not " +
-          s"exist — if $path.compact_old exists, a compactHistory crashed " +
-          "mid-swap: restore it (rename back) or run compactHistory again " +
-          "(it self-heals); otherwise the store is corrupt")
-      spark.read.parquet(path.toString).where(col("batch_id") <= hwm)
+    val caps =
+      if (fs.exists(path) && fs.listStatus(path).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith(KeyedHistory.PartCol + "=")))
+        spark.read.parquet(path.toString).select(col("cap_h"))
+      else spark.range(0).select(col("id").as("cap_h"))
+    val n = caps.count()
+    // 2x headroom so appends between maintenance runs stay near target fpp
+    val g = graft.operators.SeenFilter.geometryFor(
+      math.max(n * 2, DefaultBloomKeys), BloomFpp)
+    writeCaptionBloom(spark, root, graft.operators.SeenFilter
+      .buildFilterKeyed(caps, captionBloomKey, BloomSeed,
+        g.kHashes, g.mBits, g.numShards))
+    // sweep every generation the fresh _CURRENT no longer references
+    val bloomDir = new org.apache.hadoop.fs.Path(s"$root/caption_bloom")
+    Manifests.read(spark, s"$root/caption_bloom/_CURRENT").foreach { cur =>
+      fs.listStatus(bloomDir)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
+          s.getPath.getName != cur.trim)
+        .foreach(s => fs.delete(s.getPath, true))
     }
   }
 
+  // data schemas (partition column excluded) — used by the pruned reads
+  // to resolve an empty/unborn table to an empty frame of the right shape
+  private val historySchema = StructType(Seq(
+    StructField("batch_id", LongType), StructField("id", LongType),
+    StructField("ahash", LongType), StructField("mean", DoubleType),
+    StructField("centered", ArrayType(DoubleType)),
+    StructField("norm0", BooleanType),
+    StructField("cap_h", LongType), StructField("cap_h2", LongType)))
+  private val bandsSchema = StructType(Seq(
+    StructField("batch_id", LongType), StructField("t", IntegerType),
+    StructField("bk", LongType), StructField("id", LongType)))
+  private val captionsSchema = StructType(Seq(
+    StructField("batch_id", LongType), StructField("cap_h", LongType),
+    StructField("cap_h2", LongType)))
+
+  // ----------------------------------------------------------- locking
+
+  /** Exclusive store lock (atomic create-no-overwrite; object stores
+    * without atomic create front this with conditional-put, same caveat
+    * as every rename committer). Batches AND maintenance take it, so a
+    * [[compactHistory]] racing a live batch fails loudly instead of
+    * swapping history out from under the batch's appends. Torn locks
+    * (crashed holder) are reclaimed after [[StaleLockMs]] with a
+    * delete + nonce-create + confirm re-read, so two reclaimers racing
+    * cannot both win silently.
+    */
+  private def acquireLock(spark: SparkSession, root: String, kind: String): org.apache.hadoop.fs.Path = {
+    val lock = new org.apache.hadoop.fs.Path(s"$root/$LockName")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    def tryCreate(nonce: String): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        out.write(s"$kind ${System.currentTimeMillis()} $nonce\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def readContent(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new java.io.ByteArrayOutputStream(128)
+          val chunk = new Array[Byte](1024)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          Some(new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
+    val nonce = java.util.UUID.randomUUID().toString
+    if (tryCreate(nonce)) return lock
+    val held = readContent().getOrElse("")
+    val parts = held.trim.split(" ")
+    val ageMs =
+      if (parts.length >= 2)
+        try System.currentTimeMillis() - parts(1).toLong
+        catch { case _: NumberFormatException => -1L }
+      else -1L
+    if (ageMs >= 0 && ageMs < StaleLockMs)
+      throw new IllegalStateException(
+        s"$root is locked by a live '${parts(0)}' operation (${ageMs} ms " +
+          "old) — the pair store is single-writer: run maintenance only " +
+          "while the stream is quiescent, and vice versa")
+    // torn (crashed holder, or unreadable): reclaim with nonce confirm
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"reclaiming torn pair-store lock at $lock (content: '${held.trim}')")
+    fs.delete(lock, false)
+    if (!tryCreate(nonce))
+      throw new IllegalStateException(
+        s"lost the torn-lock reclaim race at $lock — retry")
+    Thread.sleep(ReclaimConfirmMs)
+    if (!readContent().exists(_.contains(nonce))) {
+      throw new IllegalStateException(
+        s"lost the torn-lock reclaim race at $lock (another reclaimer " +
+          "overwrote the lock during the confirm window) — retry")
+    }
+    lock
+  }
+
+  private def releaseLock(spark: SparkSession, lock: org.apache.hadoop.fs.Path): Unit = {
+    lock.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lock, false)
+    ()
+  }
+
+  // ------------------------------------------------------ the batch path
+
   /** Curate one micro-batch against the store at `root`, appending
     * admitted pairs `(idCol, captionCol, phash)` to `acceptedPath` and
-    * their features to the history. Returns the batch ledger (the
-    * [[PairCuration.curatePairsAudited]] stages plus
+    * their features/keys to the three store tables. Returns the batch
+    * ledger (the [[PairCuration.curatePairsAudited]] stages plus
     * `history_image_dup` / `history_caption_dup` / `admitted`), or
     * `replay_skipped -> batchId` when the batch is already committed.
     */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
                    acceptedPath: String, idCol: String = "pair_id",
                    imageCol: String = "image", captionCol: String = "caption",
-                   cfg: PairCuration.Config = PairCuration.Config())
-      : Seq[(String, Long)] = {
+                   cfg: PairCuration.Config = PairCuration.Config(),
+                   parts: Int = DefaultParts): Seq[(String, Long)] = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     val spark = batch.sparkSession
     val committed = committedBatchId(spark, root)
     if (committed.exists(batchId <= _))
       return Seq("replay_skipped" -> batchId)
-
-    val (curated0, ledger) = PairCuration.curateCore(
-      batch, idCol, imageCol, captionCol, cfg)
-    try {
-      val curated = curated0
-        .withColumn("cap_h", xxhash64(col(captionCol)))
-        .withColumn("cap_h2", xxhash64(lit(1L), col(captionCol)))
-      val history = committedHistory(spark, root, committed)
-
-      // image leg: banded broadcast-batch match against history features.
-      // Both dup frames are MATERIALIZED (≤ batch-size id lists) so the
-      // ledger counts and the anti-joins below share ONE history scan per
-      // leg — lazily they would each re-scan the corpus-sized history.
-      val imageDups = JdkMedia.bandedCenteredMatchesAgainst(
-        curated.select(col(idCol).as("id"), col("ahash"), col("mean"),
-          col("centered"), col("norm0")),
-        history.select(col("id"), col("ahash"), col("mean"), col("centered"),
-          col("norm0")),
-        bits = 64, maxHamming = cfg.maxHamming, threshold = cfg.threshold,
-        meanTol = cfg.meanTol).localCheckpoint(true)
-      // caption leg: 128-bit hash-pair membership, history scanned
-      // map-only against the broadcast batch keys (history's own id is
-      // dropped first — both sides carry one)
-      val captionDups = history
-        .select(col("cap_h"), col("cap_h2"))
-        .join(broadcast(curated.select(col(idCol).as("id"),
-          col("cap_h"), col("cap_h2"))), Seq("cap_h", "cap_h2"))
-        .select(col("id")).distinct().localCheckpoint(true)
-
-      val nImageDup = imageDups.count()
-      val nCaptionDup = captionDups.count()
-      val admitted = curated
-        .join(imageDups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-        .join(captionDups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
-        .localCheckpoint(true)
-      imageDups.unpersist()
-      captionDups.unpersist()
-      try {
-        val nAdmitted = admitted.count()
-        // accepted FIRST (at-least-once), state second, manifest flip LAST
-        admitted
-          .select(col(idCol), col(captionCol), col("ahash").as("phash"))
-          .write.mode(SaveMode.Append).parquet(acceptedPath)
-        admitted
-          .select(lit(batchId).as("batch_id"), col(idCol).as("id"),
-            col("ahash"), col("mean"), col("centered"), col("norm0"),
-            col("cap_h"), col("cap_h2"))
-          .write.mode(SaveMode.Append).parquet(s"$root/history")
-        Manifests.writeAtomic(spark, s"$root/$StateName",
-          s"""{"batch_id":$batchId,"admitted":$nAdmitted}""")
-        ledger ++ Seq("history_image_dup" -> nImageDup,
-          "history_caption_dup" -> nCaptionDup, "admitted" -> nAdmitted)
-      } finally { admitted.unpersist(); () }
-    } finally {
-      // curateCore returns its final stage CHECKPOINTED (batch-query
-      // hygiene); in a per-batch loop that is one pinned frame per batch
-      // forever — release it
-      curated0.unpersist(); ()
+    ensureLayout(spark, root, Layout(parts, cfg.maxHamming))
+    val hwm = committed.getOrElse(-1L)
+    if (hwm >= 0) {
+      // a committed high-water mark with a MISSING table is provably
+      // inconsistent (every committed batch created all three dirs before
+      // its flip — a zero-row append still writes the dir). Treating it
+      // as empty would silently re-admit every duplicate of everything
+      // ever admitted; the one legitimate cause is a compactHistory crash
+      // mid-swap, whose recoverable copy this names.
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("history", "bands", "captions").foreach { tbl =>
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$tbl")),
+          s"$root/$StateName records committed batch $hwm but $root/$tbl " +
+            s"does not exist — if $root/$tbl.compact_old exists, a " +
+            "compactHistory crashed mid-swap: run compactHistory again " +
+            "(it self-heals); otherwise the store is corrupt")
+      }
     }
+
+    val lock = acquireLock(spark, root, "batch")
+    try {
+      val (curated0, ledger) = PairCuration.curateCore(
+        batch, idCol, imageCol, captionCol, cfg)
+      try {
+        val curated = curated0
+          .withColumn("cap_h", xxhash64(col(captionCol)))
+          .withColumn("cap_h2", xxhash64(lit(1L), col(captionCol)))
+
+        // image leg: the batch's OWN band-subset keys select the bands/
+        // partitions to read; matched candidate ids then select the
+        // history/ partitions holding their verify features. Both dup
+        // frames are MATERIALIZED (≤ batch-size id lists) so the ledger
+        // counts and the anti-joins below share one probe per leg.
+        val batchFeats = curated.select(col(idCol).as("id"), col("ahash"),
+          col("mean"), col("centered"), col("norm0"))
+        val batchBandKeys = JdkMedia.bandSubsetKeys(batchFeats, Bits, cfg.maxHamming)
+          .select(col("t"), col("bk"), col("id").as("id_b"))
+        val candPairs = KeyedHistory.probe(spark, s"$root/bands", parts,
+            Seq("t", "bk"), batchBandKeys, bandsSchema,
+            col("batch_id") <= hwm, pushKeyCol = Some("bk"))
+          .select(col("id").as("id_h"), col("id_b"))
+          .distinct()
+          .persist() // partition collect + feature join: one band probe
+        val histFeats = KeyedHistory.prunedRead(spark, s"$root/history",
+            parts, Seq("id"), candPairs.select(col("id_h").as("id")),
+            historySchema, pushKeyCol = Some("id"))
+          .where(col("batch_id") <= hwm)
+          .select(col("id").as("id_h"), col("mean").as("mean_h"),
+            col("centered").as("c_h"), col("norm0").as("z_h"))
+        val batchVerify = batchFeats.select(col("id").as("id_b"),
+          col("mean").as("mean_b"), col("centered").as("c_b"),
+          col("norm0").as("z_b"))
+        val imageDups = histFeats
+          .join(candPairs, Seq("id_h"))
+          .join(broadcast(batchVerify), Seq("id_b"))
+          .where(JdkMedia.centeredMatch(cfg.threshold, cfg.meanTol))
+          .select(col("id_b").as("id")).distinct()
+          .localCheckpoint(true)
+        candPairs.unpersist()
+
+        // caption leg, TWO-TIER: the persisted Bloom seen-set answers
+        // definite-NEGATIVE for most of the batch without touching
+        // captions/ at all (a Bloom has no false negatives; and an In()
+        // pushdown past ~10 values degrades to a vacuous min/max range
+        // filter, so the exact probe alone cannot be bytes-flat on an
+        // all-novel batch). Only probable hits do the pruned exact
+        // confirm — that key set is dup-count + fpp-sized, small enough
+        // that its In() pushes as eq-chains and row-group stats bite.
+        val batchCaps = curated.select(col(idCol).as("id"),
+          col("cap_h"), col("cap_h2"))
+        val bloom = readCaptionBloom(spark, root, hwm)
+        val probable = graft.operators.SeenFilter
+          .markSeenKeyed(batchCaps, bloom, captionBloomKey)
+          .where(col("maybe_seen")).drop("maybe_seen")
+          .localCheckpoint(true) // partition collect + probe join: one pass
+        val captionDups = KeyedHistory.probe(spark, s"$root/captions",
+            parts, Seq("cap_h", "cap_h2"), probable, captionsSchema,
+            col("batch_id") <= hwm, pushKeyCol = Some("cap_h"))
+          .select(col("id")).distinct().localCheckpoint(true)
+        probable.unpersist()
+
+        val nImageDup = imageDups.count()
+        val nCaptionDup = captionDups.count()
+        val admitted = curated
+          .join(imageDups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+          .join(captionDups.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        imageDups.unpersist()
+        captionDups.unpersist()
+        try {
+          val nAdmitted = admitted.count()
+          // accepted FIRST (at-least-once), store tables second, manifest
+          // flip LAST — a crash anywhere leaves only invisible partials
+          admitted
+            .select(col(idCol), col(captionCol), col("ahash").as("phash"))
+            .write.mode(SaveMode.Append).parquet(acceptedPath)
+          KeyedHistory.append(
+            admitted.select(lit(batchId).as("batch_id"),
+              col(idCol).as("id"), col("ahash"), col("mean"),
+              col("centered"), col("norm0"), col("cap_h"), col("cap_h2")),
+            s"$root/history", parts, Seq("id"), sortCols = Seq("id"))
+          KeyedHistory.append(
+            JdkMedia.bandSubsetKeys(
+                admitted.select(col(idCol).as("id"), col("ahash"),
+                  col("mean"), col("centered"), col("norm0")),
+                Bits, cfg.maxHamming)
+              .select(lit(batchId).as("batch_id"), col("t"), col("bk"),
+                col("id")),
+            // bk PRIMARY in the sort: it is the pushed filter key, and a
+            // t-primary sort would give every row group the full bk range
+            // (stats too wide to skip anything)
+            s"$root/bands", parts, Seq("t", "bk"),
+            sortCols = Seq("bk", "t"))
+          KeyedHistory.append(
+            admitted.select(lit(batchId).as("batch_id"), col("cap_h"),
+              col("cap_h2")),
+            s"$root/captions", parts, Seq("cap_h", "cap_h2"),
+            sortCols = Seq("cap_h", "cap_h2"))
+          // Bloom BEFORE the flip: the seen-set must be a SUPERSET of
+          // committed caption keys at every instant — an extra
+          // uncommitted key only costs an exact confirm; a missing
+          // committed key would be a false negative = silent dup admit
+          val (bSeed, bK, bM, bShards) = bloomCfg(bloom)
+          writeCaptionBloom(spark, root, graft.operators.SeenFilter
+            .mergeFilters(bloom, graft.operators.SeenFilter
+              .buildFilterKeyed(admitted.select(col("cap_h")),
+                captionBloomKey, bSeed, bK, bM, bShards)))
+          Manifests.writeAtomic(spark, s"$root/$StateName",
+            s"""{"batch_id":$batchId,"admitted":$nAdmitted}""")
+          ledger ++ Seq("history_image_dup" -> nImageDup,
+            "history_caption_dup" -> nCaptionDup, "admitted" -> nAdmitted)
+        } finally { admitted.unpersist(); () }
+      } finally {
+        // curateCore returns its final stage CHECKPOINTED (batch-query
+        // hygiene); in a per-batch loop that is one pinned frame per batch
+        // forever — release it
+        curated0.unpersist(); ()
+      }
+    } finally releaseLock(spark, lock)
   }
 
+  // ---------------------------------------------------------- maintenance
+
   /** Maintenance: collapse the rare duplicate rows a crash-replay leaves
-    * behind (the replayed attempt re-appends rows the crashed attempt
-    * already wrote under the SAME batch_id — harmless for membership
-    * checks, reclaimed here). One `min_by` keep-one per id on the
-    * history, rewritten via the engine's locked rewrite discipline is
-    * overkill for an append-only side table — a plain rewrite-to-temp +
-    * swap suffices because the single-writer contract (foreachBatch)
-    * means no appender is live during maintenance. Returns rows removed.
+    * behind and drop uncommitted partials (`batch_id` above the
+    * high-water mark — a crashed attempt's garbage; safe to reclaim
+    * under the store lock, which guarantees no batch is mid-flight).
+    * One `min_by` keep-one per key on each table, rewritten via
+    * write-aside + swap, PRESERVING each table's hash-partitioned layout
+    * (the pruned probes keep pruning after maintenance). A crash between
+    * the two swap renames leaves `<table>.compact_old` as the
+    * recoverable copy — self-healed on the next call. Returns rows
+    * removed across the three tables.
     */
   def compactHistory(spark: SparkSession, root: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(s"$root/history")
+    val layout = readLayout(spark, root).getOrElse {
+      val hist = new org.apache.hadoop.fs.Path(s"$root/history")
+      val fs = hist.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(hist),
+        s"$root holds a pre-index pair-store history but no $LayoutName — " +
+          "run IncrementalPairs.indexHistory(spark, root) to migrate it " +
+          "before maintenance")
+      return 0L
+    }
+    val hwm = committedBatchId(spark, root).getOrElse(return 0L)
+    val lock = acquireLock(spark, root, "maintenance")
+    try {
+      val removed =
+        compactOne(spark, root, "history", layout.parts, Seq("id"),
+          Seq("id"), Seq("id"), hwm) +
+          compactOne(spark, root, "bands", layout.parts, Seq("t", "bk"),
+            Seq("bk", "t"), Seq("t", "bk", "id"), hwm) +
+          compactOne(spark, root, "captions", layout.parts,
+            Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2"),
+            Seq("cap_h", "cap_h2"), hwm)
+      // always rebuild the caption Bloom: re-sized to the live count
+      // (fpp healing), uncommitted keys dropped, lost-Bloom recovery,
+      // orphan generations swept
+      rebuildCaptionBloom(spark, root)
+      removed
+    } finally releaseLock(spark, lock)
+  }
+
+  /** Rewrite one store table keep-one-per-`dedupKeys` (min `batch_id`
+    * wins), committed rows only, preserving the [[KeyedHistory]] layout.
+    */
+  private def compactOne(spark: SparkSession, root: String, table: String,
+                         parts: Int, keyCols: Seq[String],
+                         sortCols: Seq[String], dedupKeys: Seq[String],
+                         hwm: Long): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/$table")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new org.apache.hadoop.fs.Path(s"$root/history.compact_old")
+    val old = new org.apache.hadoop.fs.Path(s"$root/$table.compact_old")
     // self-heal a prior run's crash between its two swap renames: the
-    // .compact_old dir IS the history (the new dir never landed) —
-    // restore it before anything else reads or rewrites
+    // .compact_old dir IS the table (the new dir never landed) — restore
+    // it before anything else reads or rewrites
     if (!fs.exists(path) && fs.exists(old)) {
       if (!fs.rename(old, path))
         throw new java.io.IOException(
           s"compactHistory: crash-recovery rename $old -> $path failed")
     }
     if (!fs.exists(path)) return 0L
-    val hist = spark.read.parquet(path.toString)
-    val before = hist.count()
-    val cols = hist.columns
-    val deduped = hist
-      .groupBy(col("id"))
+    // an empty table (zero-row appends only) has no partition dirs and
+    // nothing to reclaim
+    if (!fs.listStatus(path).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith(KeyedHistory.PartCol + "=")))
+      return 0L
+    val tbl = spark.read.parquet(path.toString).drop(KeyedHistory.PartCol)
+    val before = tbl.count()
+    val data = tbl.where(col("batch_id") <= hwm)
+    val cols = data.columns
+    val deduped = data
+      .groupBy(dedupKeys.map(col): _*)
       .agg(min_by(struct(cols.map(col): _*), col("batch_id")).as("_r"))
       .select(cols.map(c => col("_r").getField(c).as(c)): _*)
       .localCheckpoint(true)
     val after = deduped.count()
     if (after == before) { deduped.unpersist(); return 0L }
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/history.compact_tmp")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$table.compact_tmp")
     fs.delete(tmp, true)
-    deduped.write.parquet(tmp.toString)
+    KeyedHistory.append(deduped, tmp.toString, parts, keyCols, sortCols,
+      SaveMode.ErrorIfExists)
     deduped.unpersist()
     // swap: old dir out of the way first (a crash between the renames
-    // leaves .old as the recoverable copy, never zero copies — restored
-    // by the self-heal above on the next call, or named by
-    // committedHistory's loud failure if a batch runs first)
+    // leaves .compact_old as the recoverable copy, never zero copies —
+    // restored by the self-heal above on the next call, or named by
+    // processBatch's loud missing-table failure if a batch runs first)
     fs.delete(old, true)
     if (!fs.rename(path, old))
       throw new java.io.IOException(s"compactHistory: rename $path -> $old failed")
@@ -215,6 +569,73 @@ object IncrementalPairs {
     before - after
   }
 
+  /** One-time migration of a pre-index (flat `history/`-only, r13-era)
+    * store to the band-indexed layout: rewrite `history/`
+    * hash-partitioned by id, derive `bands/` and `captions/` from it
+    * (both are DERIVED tables — history is authoritative, so a crashed
+    * migration is simply re-run), stamp `_PAIRLAYOUT` LAST. `maxHamming`
+    * must equal the value every future [[processBatch]] will use (it
+    * shapes the persisted band keys; the stamp enforces it from then on).
+    */
+  def indexHistory(spark: SparkSession, root: String,
+                   parts: Int = DefaultParts, maxHamming: Int = 1): Unit = {
+    require(readLayout(spark, root).isEmpty,
+      s"$root is already band-indexed ($LayoutName exists)")
+    val lock = acquireLock(spark, root, "maintenance")
+    try {
+      val path = new org.apache.hadoop.fs.Path(s"$root/history")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old = new org.apache.hadoop.fs.Path(s"$root/history.compact_old")
+      if (!fs.exists(path) && fs.exists(old)) {
+        if (!fs.rename(old, path))
+          throw new java.io.IOException(
+            s"indexHistory: crash-recovery rename $old -> $path failed")
+      }
+      require(fs.exists(path), s"$root/history does not exist — nothing to migrate")
+      val flat = spark.read.parquet(path.toString)
+      require(!flat.columns.contains(KeyedHistory.PartCol),
+        s"$root/history is already hash-partitioned but $LayoutName is " +
+          "missing — the store is half-migrated; restore the manifest or " +
+          "rebuild the store")
+      // history: rewrite partitioned via write-aside + swap
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/history.compact_tmp")
+      fs.delete(tmp, true)
+      KeyedHistory.append(flat, tmp.toString, parts, Seq("id"), Seq("id"),
+        SaveMode.ErrorIfExists)
+      fs.delete(old, true)
+      if (!fs.rename(path, old))
+        throw new java.io.IOException(s"indexHistory: rename $path -> $old failed")
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(
+          s"indexHistory: rename $tmp -> $path failed — restore from $old")
+      // derived tables: rebuild from scratch (delete any partial attempt)
+      val hist = spark.read.parquet(path.toString).drop(KeyedHistory.PartCol)
+        .persist()
+      try {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/bands"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/captions"), true)
+        KeyedHistory.append(
+          JdkMedia.bandSubsetKeys(
+              hist.select(col("id"), col("ahash"), col("mean"),
+                col("centered"), col("norm0")), Bits, maxHamming)
+            .select(col("t"), col("bk"), col("id"))
+            .join(hist.select(col("id"), col("batch_id")), Seq("id"))
+            .select(col("batch_id"), col("t"), col("bk"), col("id")),
+          s"$root/bands", parts, Seq("t", "bk"), Seq("bk", "t"),
+          SaveMode.ErrorIfExists)
+        KeyedHistory.append(
+          hist.select(col("batch_id"), col("cap_h"), col("cap_h2")),
+          s"$root/captions", parts, Seq("cap_h", "cap_h2"),
+          Seq("cap_h", "cap_h2"), SaveMode.ErrorIfExists)
+        rebuildCaptionBloom(spark, root)
+      } finally { hist.unpersist(); () }
+      fs.delete(old, true)
+      // the stamp lands LAST: its presence asserts a complete index
+      Manifests.writeAtomic(spark, s"$root/$LayoutName",
+        s"""{"v":2,"parts":$parts,"bits":$Bits,"max_hamming":$maxHamming}""")
+    } finally releaseLock(spark, lock)
+  }
+
   /** The streaming wrapper: micro-batches of `(idCol, imageCol,
     * captionCol)` rows through [[processBatch]], batch ids from the
     * engine (exactly what the replay skip keys on — Structured Streaming
@@ -223,12 +644,12 @@ object IncrementalPairs {
   def curateStream(pairs: DataFrame, root: String, acceptedPath: String,
                    idCol: String = "pair_id", imageCol: String = "image",
                    captionCol: String = "caption",
-                   cfg: PairCuration.Config = PairCuration.Config())
-      : DataStreamWriter[Row] =
+                   cfg: PairCuration.Config = PairCuration.Config(),
+                   parts: Int = DefaultParts): DataStreamWriter[Row] =
     pairs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, root, acceptedPath, idCol, imageCol,
-          captionCol, cfg)
+          captionCol, cfg, parts)
         ()
       }
 }

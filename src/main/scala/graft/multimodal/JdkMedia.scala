@@ -479,7 +479,7 @@ object JdkMedia {
     * self-join pair finder and the history "against" matcher so both
     * sides of an incremental store compute IDENTICAL keys.
     */
-  private def bandSubsetKeys(feats: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+  private[graft] def bandSubsetKeys(feats: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val bands = 4
     require(bits % bands == 0, s"grid hash width $bits must split into $bands bands")
@@ -547,12 +547,25 @@ object JdkMedia {
     val h = bandSubsetKeys(historyFeats, bits, maxHamming)
       .select(col("t"), col("bk"), col("mean").as("mean_h"),
         col("centered").as("c_h"), col("norm0").as("z_h"))
-    h.join(broadcast(b), Seq("t", "bk"))
-      .where(abs(col("mean_h") - col("mean_b")) <= meanTol &&
-        (graft.functions.Functions.cosine(col("c_h"), col("c_b")) >= threshold ||
-          (col("z_h") && col("z_b"))))
+    graft.operators.KeyedHistory.probeFrames(h, b, Seq("t", "bk"))
+      .where(centeredMatch(threshold, meanTol))
       .select(col("batch_id_").as("id"))
       .distinct()
+  }
+
+  /** The ONE near-dup verify predicate of the banded-grid family, over
+    * columns `(mean_h, c_h, z_h)` × `(mean_b, c_b, z_b)`: mean gap ≤
+    * `meanTol` AND (centered cosine ≥ `threshold` OR both sides uniform)
+    * — shared by the in-memory matcher above and
+    * [[IncrementalPairs]]' partition-pruned history probe so the two
+    * flavors can never verify differently.
+    */
+  private[multimodal] def centeredMatch(threshold: Double, meanTol: Double)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    abs(col("mean_h") - col("mean_b")) <= meanTol &&
+      (graft.functions.Functions.cosine(col("c_h"), col("c_b")) >= threshold ||
+        (col("z_h") && col("z_b")))
   }
 
   // ------------------------------------------------ cross-modal gating

@@ -285,8 +285,8 @@ object Dedup {
       else capBuckets(corpus, Seq("band", "bucket"), maxBucket)
     val incBands = bandedTable(newSigs, nBands, rowsPerBand)
       .select(col("id").as("new_id"), col("band"), col("bucket"))
-    val inc = if (broadcastIncrement) broadcast(incBands) else incBands
-    inc.join(capped, Seq("band", "bucket"))
+    KeyedHistory.probeFrames(capped, incBands, Seq("band", "bucket"),
+        broadcastBatch = broadcastIncrement)
       .select(col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
   }
@@ -547,13 +547,14 @@ object Dedup {
   /** Partition column of a hash-partitioned signature table. */
   val SigPartitionCol = "sig_pt"
 
-  /** The hash bucket a signature row lives in: `pmod(xxhash64(id), P)`.
-    * Pure function of the id, so writers and readers agree with zero
-    * coordination — PROVIDED they agree on P, which [[DedupLayout]]
-    * therefore stamps and enforces.
+  /** The hash bucket a signature row lives in: `pmod(xxhash64(id), P)` —
+    * [[KeyedHistory.partValue]], the formula every hash-partitioned
+    * history table shares. Pure function of the id, so writers and
+    * readers agree with zero coordination — PROVIDED they agree on P,
+    * which [[DedupLayout]] therefore stamps and enforces.
     */
   def sigPartition(id: Column, sigPartitions: Int): Column =
-    pmod(xxhash64(id), lit(sigPartitions.toLong)).cast(IntegerType)
+    KeyedHistory.partValue(sigPartitions, id)
 
   /** Write a [[minHashSignatures]] output as the serving signature table.
     * With `sigPartitions > 0` the table is `partitionBy(sig_pt)` on
@@ -583,10 +584,8 @@ object Dedup {
   def writeSignatures(sigs: DataFrame, path: String, sigPartitions: Int,
                       mode: SaveMode = SaveMode.ErrorIfExists): Unit =
     if (sigPartitions <= 0) sigs.write.mode(mode).parquet(path)
-    else sigs
-      .withColumn(SigPartitionCol, sigPartition(col("id"), sigPartitions))
-      .repartition(col(SigPartitionCol))
-      .write.mode(mode).partitionBy(SigPartitionCol).parquet(path)
+    else KeyedHistory.append(sigs, path, sigPartitions, Seq("id"),
+      mode = mode, partCol = SigPartitionCol)
 
   /** Partition-pruned read of the signature rows a candidate id set can
     * touch: the distinct `hash(id) % P` values of `ids` (≤ P rows —
@@ -602,8 +601,8 @@ object Dedup {
       s"prunedCorpusSigs needs a hash-partitioned table (sigPartitions > 0); " +
         s"flat tables at $sigTablePath can only be scanned whole")
     val idCol = ids.columns.head
-    val pts = ids.select(sigPartition(col(idCol), sigPartitions).as("pt"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+    val pts = KeyedHistory.probePartitions(
+      ids.select(col(idCol).as("id")), sigPartitions, Seq("id"))
     val table = spark.read.parquet(sigTablePath)
     // a FLAT table reached with sigPartitions > 0 means the caller's
     // config and the table's layout disagree — name the repair instead of

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -105,10 +105,25 @@ object SeenFilter {
     */
   def buildFilter(history: DataFrame, textCol: String = "text",
                   seed: Long = 1L, kHashes: Int = 5,
-                  mBits: Int = 1 << 20, numShards: Int = 16): DataFrame = {
+                  mBits: Int = 1 << 20, numShards: Int = 16): DataFrame =
+    buildFilterKeyed(history,
+      TextAnalysis.portableFingerprint(col(textCol)),
+      seed, kHashes, mBits, numShards)
+
+  /** [[buildFilter]] over an arbitrary KEY expression instead of the text
+    * fingerprint — the flavor a hash-keyed store fronts its exact probe
+    * with (e.g. [[graft.multimodal.IncrementalPairs]]' caption leg keys on
+    * `pmod(xxhash64(caption), P)`). CONTRACT: `fp` must be deterministic
+    * and land in `[0, BloomFilter.P)` — the position arithmetic assumes
+    * it; reduce wider hashes with `pmod(h, BloomFilter.P)` (the reduction
+    * can only ADD false positives, never false negatives).
+    */
+  def buildFilterKeyed(history: DataFrame, fp: Column,
+                       seed: Long = 1L, kHashes: Int = 5,
+                       mBits: Int = 1 << 20, numShards: Int = 16): DataFrame = {
     checkParams(kHashes, mBits, numShards)
     val agged = history
-      .select(TextAnalysis.portableFingerprint(col(textCol)).as("_fp"))
+      .select(fp.as("_fp"))
       .where(col("_fp").isNotNull)
       .select(pmod(col("_fp"), lit(numShards.toLong)).as("shard"),
         BloomFilter.positions(col("_fp"), seed, kHashes, mBits).as("_pos"))
@@ -152,7 +167,16 @@ object SeenFilter {
     * unseen. An EMPTY filter (no history at all) marks nothing seen.
     */
   def markSeen(batch: DataFrame, filter: DataFrame,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text"): DataFrame =
+    markSeenKeyed(batch, filter,
+      TextAnalysis.portableFingerprint(col(textCol)))
+
+  /** [[markSeen]] over an arbitrary key expression — MUST be the same
+    * expression the filter was [[buildFilterKeyed]] with (same contract:
+    * deterministic, in `[0, BloomFilter.P)`).
+    */
+  def markSeenKeyed(batch: DataFrame, filter: DataFrame,
+                    fp: Column): DataFrame = {
     checkFpVersion(filter, "filter")
     val cfg = filter.select("seed", "k_hashes", "m_bits", "num_shards")
       .distinct().collect()
@@ -165,7 +189,7 @@ object SeenFilter {
     val numShards = cfg(0).getInt(3)
     val inputCols = batch.columns.map(col)
     batch
-      .withColumn("_fp", TextAnalysis.portableFingerprint(col(textCol)))
+      .withColumn("_fp", fp)
       .withColumn("_shard", pmod(col("_fp"), lit(numShards.toLong)))
       .join(broadcast(filter.select(col("shard").as("_shard"), col("words"))),
         Seq("_shard"), "left")

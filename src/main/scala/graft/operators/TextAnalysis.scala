@@ -511,10 +511,10 @@ object TextAnalysis {
     * select the same docs; different seeds select decorrelated subsets),
     * and exact-count where fractions can only promise expectation.
     *
-    * Shape: one hash exchange on the group key + a per-group sort. For
-    * groups of 10⁸+ docs prefer a bounded top-k aggregate (the
-    * [[graft.functions.TopKAggregate]] pattern) over the window — same
-    * result, no full per-group sort.
+    * Shape (the default, [[sampleKPerGroupAgg]]): one map-side-combinable
+    * bounded top-k aggregate ([[graft.functions.TopKAggregate]], O(k)
+    * buffers) + a broadcast semi-join of the picked (group, id) pairs —
+    * no per-group sort, safe on Zipf group keys at any group size.
     */
   /** THE salted content selector — the single definition every
     * fingerprint-keyed sampler shares (stratifiedSample, upsample,
@@ -531,8 +531,23 @@ object TextAnalysis {
       lit(1000000007L))
   }
 
+  /** DEFAULT = the bounded top-k aggregate ([[sampleKPerGroupAgg]]):
+    * group keys are Zipf in practice (source/language), and the window
+    * flavor funnels every row of a hot group through one task's sort.
+    * [[sampleKPerGroupWindow]] remains as the documented
+    * exact-comparison arm (identical selection, unit-pinned).
+    */
   def sampleKPerGroup(docs: DataFrame, groupCol: String, idCol: String, k: Int,
-                      seed: Long = 1L, textCol: String = "text"): DataFrame = {
+                      seed: Long = 1L, textCol: String = "text"): DataFrame =
+    sampleKPerGroupAgg(docs, groupCol, idCol, k, seed, textCol)
+
+  /** The window form — kept ONLY as the exact-comparison control arm for
+    * the aggregate default (OperatorsSpec pins their selections equal);
+    * not for corpus-scale use: `row_number()` over a Zipf group key sorts
+    * each whole group in one task.
+    */
+  def sampleKPerGroupWindow(docs: DataFrame, groupCol: String, idCol: String, k: Int,
+                            seed: Long = 1L, textCol: String = "text"): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))

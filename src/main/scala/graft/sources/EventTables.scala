@@ -33,12 +33,21 @@ object EventTables {
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
   /** Load every `<type>.parquet` table under a directory into the map the
-    * union view consumes.
+    * union view consumes — MANIFEST-RESOLVED
+    * ([[graft.streaming.EventSink.readIsolated]]): on a table mid-
+    * compaction with a grace window, a plain directory-listing read
+    * double-counts (originals and compacted files are both on disk by
+    * design); the isolated read resolves each partition through its
+    * compaction manifest to exactly one complete snapshot. On a table
+    * that has never been manifest-compacted the resolution is the plain
+    * listing — same result, same one driver-side walk.
     */
   def loadAll(spark: SparkSession, dir: String, types: Seq[String] = EventModel.typeMarkers.values.toSeq): Map[String, DataFrame] =
     types.flatMap { t =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) Some(t -> spark.read.parquet(p.toString)) else None
+      if (fs.exists(p))
+        Some(t -> graft.streaming.EventSink.readIsolated(spark, p.toString))
+      else None
     }.toMap
 }

@@ -758,6 +758,28 @@ object EventSink {
       .map { p => fs.delete(p, true); p.toString }
   }
 
+  /** The serving-read companion to [[registerTable]]: (re)register `name`
+    * as a TEMP VIEW over the manifest-resolved live file list
+    * ([[readIsolated]]). A catalog `USING parquet` table resolves by
+    * directory LISTING, which double-counts a partition during its grace
+    * window (post-flip, pre-sweep — originals and compacted files are
+    * both on disk by design); this view resolves through the compaction
+    * manifest, so a query through `spark.table(name)` sees exactly one
+    * complete snapshot at every instant. The view PINS the snapshot at
+    * registration: re-register on the serving cadence (cheap — one
+    * driver-side listing, the same walk a plain read pays) to pick up
+    * newly appended data, and size `sweepGraceMs` ≥ registration
+    * staleness + the longest query so a pinned file list outlives its
+    * queries — the same contract as every [[readIsolated]] reader.
+    * Dashboards/serving readers of a compacting table should query
+    * through this (or call [[readIsolated]] directly); [[registerTable]]
+    * remains the Hive-DDL surface, correct for listers only at the
+    * default `sweepGraceMs = 0`.
+    */
+  def registerIsolatedView(spark: SparkSession, name: String, path: String,
+                           subdir: String = ""): Unit =
+    readIsolated(spark, path, subdir).createOrReplaceTempView(name)
+
   /** S9: register the dump as a partitioned external table in the catalog. */
   def registerTable(spark: SparkSession, name: String, path: String): Unit = {
     // backquote the identifier and escape the location: a path with a

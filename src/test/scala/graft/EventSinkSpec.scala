@@ -297,6 +297,54 @@ class EventSinkSpec extends SparkSpecBase {
       .count() == total)
   }
 
+  test("serving through the catalog: registerIsolatedView stays exact across a compaction + grace sweep where the plain catalog table double-counts") {
+    val dir = Files.createTempDirectory("isoview").toString
+    (0 until 6).foreach(_ => EventSink.writePartitioned(sampleEvents(3, "2024-03-01"), dir))
+    val total = 18L
+    // both registrations: the Hive-DDL catalog table (lister semantics)
+    // and the manifest-resolved serving view
+    EventSink.registerTable(spark, "cat_events_t", dir)
+    EventSink.registerIsolatedView(spark, "iso_events_v", dir)
+    assert(spark.table("cat_events_t").count() == total)
+    assert(spark.table("iso_events_v").count() == total)
+
+    // a reader loop through the CATALOG VIEW races the compaction+sweep,
+    // re-registering each round (the serving cadence) — exact throughout
+    @volatile var bad: Option[Long] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && bad.isEmpty) {
+        EventSink.registerIsolatedView(spark, "iso_events_v", dir)
+        val c = spark.table("iso_events_v").count()
+        if (c != total) bad = Some(c)
+      }
+    })
+    reader.start()
+    try {
+      assert(EventSink.compactPartition(spark, dir,
+        Map("event_type" -> "FS_EVENT", "day" -> "2024-03-01"),
+        maxFiles = 1, sweepGraceMs = Long.MaxValue))
+      // in-grace: the catalog TABLE (plain lister) double-counts — the
+      // exact window the view exists to close
+      spark.sql("REFRESH TABLE cat_events_t")
+      assert(spark.table("cat_events_t").count() > total,
+        "fixture must be inside the grace window")
+      EventSink.sweepCompacted(spark, dir, graceMs = Long.MaxValue) // no-op inside grace
+    } finally { stop = true; reader.join(30000) }
+    assert(bad.isEmpty, s"catalog-view reader saw an incomplete snapshot: $bad")
+    // grace expiry AFTER the racing readers stop: a grace-0 sweep under
+    // live readers is exactly the misconfiguration the grace contract
+    // (grace ≥ longest query + registration staleness) exists to forbid
+    EventSink.sweepCompacted(spark, dir, graceMs = 0L)
+    EventSink.registerIsolatedView(spark, "iso_events_v", dir)
+    assert(spark.table("iso_events_v").count() == total)
+    // post-sweep the lister agrees again
+    spark.sql("REFRESH TABLE cat_events_t")
+    assert(spark.table("cat_events_t").count() == total)
+    spark.sql("DROP TABLE cat_events_t")
+    spark.catalog.dropTempView("iso_events_v")
+  }
+
   test("a partition whose parquet all resolves dead fails LOUDLY instead of silently dropping from the query") {
     // construct the pathological state: compact with grace (originals
     // tombstoned but on disk, compacted live), then manually delete the

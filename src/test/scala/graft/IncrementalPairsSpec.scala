@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.{IncrementalPairs, JdkMedia, PairCuration}
+import graft.operators.{KeyedHistory, Manifests}
 
 /** Incremental (streaming) cross-modal pair store: admission against
   * history on both legs, replay idempotence by committed high-water
-  * mark, crash-attempt invisibility.
+  * mark, crash-attempt invisibility — and the band-indexed layout:
+  * partition-pruned probes, layout-preserving maintenance under the
+  * store lock, flat-store migration.
   */
 class IncrementalPairsSpec extends SparkSpecBase {
   import spark.implicits._
@@ -14,6 +17,11 @@ class IncrementalPairsSpec extends SparkSpecBase {
   private val cfg = PairCuration.Config(minCaptionTokens = 2, meanTol = 2.0)
 
   private def png(v: Int) = JdkMedia.solidPng(8, 8, v, v, v)
+
+  private def xxhash64Lit(s: String): Long =
+    spark.range(1).select(xxhash64(lit(s))).as[Long].head()
+  private def xxhash64SaltedLit(s: String): Long =
+    spark.range(1).select(xxhash64(lit(1L), lit(s))).as[Long].head()
 
   test("batch 2 pairs matching batch 1 history drop on the right leg; novel pairs admit; replay skips") {
     val root = java.nio.file.Files.createTempDirectory("incpairs_").toString
@@ -51,52 +59,309 @@ class IncrementalPairsSpec extends SparkSpecBase {
     assert(spark.read.parquet(accepted).count() == 4)
 
     // survivors carry the pHash for downstream banding; history carries
-    // features + caption hash pair, never image bytes or caption bytes
-    // beyond the accepted table
+    // features + caption hash pair under the hash-partitioned layout,
+    // never image bytes or caption bytes beyond the accepted table
     val hist = spark.read.parquet(s"$root/history")
     assert(hist.columns.toSet == Set("batch_id", "id", "ahash", "mean",
-      "centered", "norm0", "cap_h", "cap_h2"), hist.columns.mkString(","))
+      "centered", "norm0", "cap_h", "cap_h2", KeyedHistory.PartCol),
+      hist.columns.mkString(","))
     assert(hist.count() == 4)
+    // the derived tables carry the PRECOMPUTED keys: 4 band-subset rows
+    // per admitted image, one caption key row per admitted pair
+    assert(spark.read.parquet(s"$root/bands").count() == 16)
+    assert(spark.read.parquet(s"$root/captions").count() == 4)
+    // layout stamped
+    assert(IncrementalPairs.readLayout(spark, root)
+      .contains(IncrementalPairs.Layout(IncrementalPairs.DefaultParts, cfg.maxHamming)))
   }
 
-  test("a crashed attempt's partial history append is invisible: replay recomputes against the committed prefix") {
+  // structured (non-uniform) test image: diverse pixel patterns give
+  // diverse pHashes, so band keys spread over many store partitions —
+  // solid PNGs all pHash to 0 and could never witness pruning
+  private def patternPng(i: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val l = (i * 31 + x * 7 + y * 13 + (x * y * (i + 1)) % 97) % 256
+      img.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("probes read a STRICT SUBSET of the store's partitions (partition-pruned, bytes ∝ batch)") {
+    val root = java.nio.file.Files.createTempDirectory("incpairs_prune_").toString
+    val accepted = s"$root/accepted"
+    // 40 structurally distinct pairs spread keys over many pt partitions
+    val b1 = (0 until 40).map(i =>
+      (i.toLong, patternPng(i), s"seed caption c$i word")).toDF("pair_id", "image", "caption")
+    IncrementalPairs.processBatch(b1, 0L, root, accepted, cfg = cfg)
+
+    def ptDirs(table: String): Set[String] = {
+      val d = new java.io.File(s"$root/$table")
+      d.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith(KeyedHistory.PartCol + "=")).map(_.getName).toSet
+    }
+    assert(ptDirs("bands").size > 4, "fixture too small to witness pruning")
+    assert(ptDirs("captions").size > 1)
+
+    // the PLANNED scan of a pruned read: partitions/files/bytes AFTER
+    // partition pruning (Dataset.inputFiles ignores partition filters —
+    // the scan node's selectedPartitions is the real planning-time list)
+    def scanStats(df: org.apache.spark.sql.DataFrame): (Int, Long, Long) = {
+      val scan = df.queryExecution.sparkPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in the probe plan"))
+      val sel = scan.selectedPartitions
+      (sel.partitionCount, sel.totalNumberOfFiles, sel.totalFileSize)
+    }
+
+    // a one-pair batch probes captions/ via its single caption key: the
+    // pruned read plans a strict subset of the table's partitions/bytes
+    val capSchema = spark.read.parquet(s"$root/captions")
+      .drop(KeyedHistory.PartCol).schema
+    val oneCap = Seq((xxhash64Lit("seed caption c7 word"),
+      xxhash64SaltedLit("seed caption c7 word"))).toDF("cap_h", "cap_h2")
+    val prunedCap = KeyedHistory.prunedRead(spark, s"$root/captions",
+      IncrementalPairs.DefaultParts, Seq("cap_h", "cap_h2"), oneCap, capSchema)
+    val (capParts, capFiles, capBytes) = scanStats(prunedCap)
+    val (allCapParts, allCapFiles, allCapBytes) =
+      scanStats(spark.read.parquet(s"$root/captions"))
+    assert(capParts == 1 && capFiles >= 1)
+    assert(capParts < allCapParts && capBytes < allCapBytes,
+      s"caption probe planned $capParts/$allCapParts partitions, " +
+        s"$capFiles/$allCapFiles files — not pruned")
+    // the probed partition holds the seen caption (alongside whatever
+    // other keys hash there — pruning is partition-level; the probe JOIN
+    // does the exact match)
+    assert(prunedCap.where(
+      col("cap_h") === xxhash64Lit("seed caption c7 word") &&
+        col("cap_h2") === xxhash64SaltedLit("seed caption c7 word"))
+      .count() == 1)
+
+    // the image leg the same way: one image's band-subset keys prune bands/
+    val bandSchema = spark.read.parquet(s"$root/bands")
+      .drop(KeyedHistory.PartCol).schema
+    val img7 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(patternPng(7)))
+    val ph7 = JdkMedia.phash64(JdkMedia.lumaGrid32(img7))
+    val oneFeat = Seq((7L, ph7, 0.0, Seq.fill(16)(0.0), false))
+      .toDF("id", "ahash", "mean", "centered", "norm0")
+    val oneKeys = JdkMedia.bandSubsetKeys(oneFeat, 64, cfg.maxHamming)
+      .select("t", "bk")
+    val prunedBands = KeyedHistory.prunedRead(spark, s"$root/bands",
+      IncrementalPairs.DefaultParts, Seq("t", "bk"), oneKeys, bandSchema)
+    val (bandParts, bandFiles, bandBytes) = scanStats(prunedBands)
+    val (allBandParts, allBandFiles2, allBandBytes) =
+      scanStats(spark.read.parquet(s"$root/bands"))
+    assert(bandParts <= 4, s"one image probes ≤ 4 band keys, planned $bandParts partitions")
+    assert(bandParts < allBandParts && bandBytes < allBandBytes,
+      s"band probe planned $bandParts/$allBandParts partitions, " +
+        s"$bandFiles/$allBandFiles2 files — not pruned")
+
+    // end-to-end: the pruned probe still catches a dup on each leg (the
+    // exact image of pair 7, the exact caption of pair 9) and admits the
+    // novel pair — solid novel images cannot near-dup the patterned seeds
+    // (not both-uniform, near-zero centered cosine) nor each other (mean
+    // gap 150 ≫ meanTol)
+    val b2 = Seq(
+      (100L, patternPng(7), "resubmitted under new caption"),
+      (101L, png(250), "seed caption c9 word"),
+      (102L, png(100), "entirely novel caption here"))
+      .toDF("pair_id", "image", "caption")
+    val led = IncrementalPairs.processBatch(b2, 1L, root, accepted, cfg = cfg).toMap
+    assert(led("history_image_dup") == 1, led.toString)
+    assert(led("history_caption_dup") == 1, led.toString)
+    assert(led("admitted") == 1, led.toString)
+  }
+
+  test("a crashed attempt's partial store appends are invisible: replay recomputes against the committed prefix; maintenance reclaims, preserving the layout") {
     val root = java.nio.file.Files.createTempDirectory("incpairs_crash_").toString
     val accepted = s"$root/accepted"
     val b1 = Seq((1L, png(0), "alpha beta gamma"))
       .toDF("pair_id", "image", "caption")
     IncrementalPairs.processBatch(b1, 0L, root, accepted, cfg = cfg)
-    // simulate batch 1 crashing AFTER its history append but BEFORE the
-    // manifest flip: rows stamped batch_id=1 exist, high-water mark is 0
+    // simulate batch 1 crashing AFTER its store appends but BEFORE the
+    // manifest flip: rows stamped batch_id=1 exist in all three tables,
+    // high-water mark is 0. A solid image has ahash=0 (all pixels = mean)
+    // so its four band-subset keys are (t, bk=0) — exactly what the
+    // crashed attempt would have written.
+    val P = IncrementalPairs.DefaultParts
+    val histRow = Seq((1L, 21L, 0L, 90.0, Seq.fill(16)(0.0), true,
+      xxhash64Lit("brand new pair"), xxhash64SaltedLit("brand new pair")))
+      .toDF("batch_id", "id", "ahash", "mean", "centered", "norm0",
+        "cap_h", "cap_h2")
+    KeyedHistory.append(histRow, s"$root/history", P, Seq("id"))
+    KeyedHistory.append(
+      (0 until 4).map(t => (1L, t, 0L, 21L)).toDF("batch_id", "t", "bk", "id"),
+      s"$root/bands", P, Seq("t", "bk"))
+    KeyedHistory.append(
+      Seq((1L, xxhash64Lit("brand new pair"), xxhash64SaltedLit("brand new pair")))
+        .toDF("batch_id", "cap_h", "cap_h2"),
+      s"$root/captions", P, Seq("cap_h", "cap_h2"))
+    // the replayed batch must NOT see the crashed attempt's rows on any
+    // leg (it would self-collide and be dropped = permanent loss); it
+    // recomputes against committed batch 0 only and admits
     val b2 = Seq((21L, png(90), "brand new pair"))
       .toDF("pair_id", "image", "caption")
-    spark.createDataFrame(java.util.Arrays.asList(
-      org.apache.spark.sql.Row(1L, 21L, 0L, 90.0,
-        Seq.fill(16)(0.0), true,
-        xxhash64Lit("brand new pair"), xxhash64SaltedLit("brand new pair"))),
-      spark.read.parquet(s"$root/history").schema)
-      .write.mode("append").parquet(s"$root/history")
-    // the replayed batch must NOT see the crashed attempt's row (it would
-    // self-collide and be dropped = permanent loss); it recomputes against
-    // committed batch 0 only and admits
     val led = IncrementalPairs.processBatch(b2, 1L, root, accepted, cfg = cfg).toMap
     assert(led("admitted") == 1, led.toString)
     assert(spark.read.parquet(accepted).select("pair_id").as[Long]
       .collect().toSet == Set(1L, 21L))
-    // maintenance reclaims the crashed attempt's now-duplicate row
-    // (id 21 appears under the crashed stamp AND the committed replay)
+    // maintenance reclaims the crashed attempt's now-duplicate rows:
+    // 1 history row + 4 band rows + 1 caption row (each collapsing onto
+    // the committed replay's identical keys) = 6 removals
     assert(spark.read.parquet(s"$root/history").count() == 3)
-    assert(IncrementalPairs.compactHistory(spark, root) == 1L)
+    assert(IncrementalPairs.compactHistory(spark, root) == 6L)
     val hist = spark.read.parquet(s"$root/history")
     assert(hist.count() == 2)
     assert(hist.select("id").as[Long].collect().toSet == Set(1L, 21L))
     // idempotent: nothing more to reclaim
     assert(IncrementalPairs.compactHistory(spark, root) == 0L)
+    // the rewrite PRESERVED the hash-partitioned layout: partition dirs
+    // exist and a later batch still dedups through the pruned probes
+    Seq("history", "bands", "captions").foreach { tbl =>
+      val dirs = new java.io.File(s"$root/$tbl").listFiles()
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith(KeyedHistory.PartCol + "="))
+      assert(dirs.nonEmpty, s"$tbl lost its partitioned layout")
+    }
+    val b3 = Seq((31L, png(90), "post maintenance novel caption"))
+      .toDF("pair_id", "image", "caption")
+    val led3 = IncrementalPairs.processBatch(b3, 2L, root, accepted, cfg = cfg).toMap
+    assert(led3("history_image_dup") == 1, led3.toString) // image dup of 21
+    assert(led3("admitted") == 0, led3.toString)
   }
 
-  private def xxhash64Lit(s: String): Long =
-    spark.range(1).select(xxhash64(lit(s))).as[Long].head()
-  private def xxhash64SaltedLit(s: String): Long =
-    spark.range(1).select(xxhash64(lit(1L), lit(s))).as[Long].head()
+  test("caption Bloom front: gens flip per batch, a LOST bloom on a live store fails loudly, compactHistory rebuilds it") {
+    val root = java.nio.file.Files.createTempDirectory("incpairs_bloom_").toString
+    val accepted = s"$root/accepted"
+    IncrementalPairs.processBatch(
+      Seq((1L, png(0), "alpha beta gamma"), (2L, png(60), "delta epsilon zeta"))
+        .toDF("pair_id", "image", "caption"),
+      0L, root, accepted, cfg = cfg)
+    val cur0 = Manifests.read(spark, s"$root/caption_bloom/_CURRENT")
+    assert(cur0.isDefined, "batch 0 must publish a bloom generation")
+    // the bloom KNOWS batch 0's captions (no false negatives): the dup
+    // caption is caught, through the two-tier path
+    val led = IncrementalPairs.processBatch(
+      Seq((11L, png(120), "delta epsilon zeta"), (12L, png(180), "novel cap here"))
+        .toDF("pair_id", "image", "caption"),
+      1L, root, accepted, cfg = cfg).toMap
+    assert(led("history_caption_dup") == 1, led.toString)
+    assert(led("admitted") == 1, led.toString)
+    val cur1 = Manifests.read(spark, s"$root/caption_bloom/_CURRENT")
+    assert(cur1 != cur0, "each batch flips a fresh bloom generation")
+
+    // a LOST bloom on a live store would mean false negatives: loud
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/caption_bloom"), true)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalPairs.processBatch(
+        Seq((21L, png(30), "whatever words these")).toDF("pair_id", "image", "caption"),
+        2L, root, accepted, cfg = cfg)
+    }
+    assert(e.getMessage.contains("compactHistory"), e.getMessage)
+    // the named rebuild restores it — re-sized, orphans swept — and the
+    // store dedups correctly again
+    IncrementalPairs.compactHistory(spark, root)
+    assert(Manifests.read(spark, s"$root/caption_bloom/_CURRENT").isDefined)
+    val led2 = IncrementalPairs.processBatch(
+      Seq((21L, png(30), "alpha beta gamma"), (22L, png(90), "fresh one here"))
+        .toDF("pair_id", "image", "caption"),
+      2L, root, accepted, cfg = cfg).toMap
+    assert(led2("history_caption_dup") == 1, led2.toString)
+    assert(led2("admitted") == 1, led2.toString)
+    // exactly one live generation after the rebuild's sweep + one more flip
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/caption_bloom"))
+      .filter(_.getPath.getName.startsWith("gen-"))
+    assert(gens.length <= 2, gens.map(_.getPath.getName).mkString(","))
+  }
+
+  test("maintenance racing a live batch fails LOUDLY (single-writer store lock); torn locks reclaim") {
+    val root = java.nio.file.Files.createTempDirectory("incpairs_lock_").toString
+    val accepted = s"$root/accepted"
+    IncrementalPairs.processBatch(
+      Seq((1L, png(0), "alpha beta gamma")).toDF("pair_id", "image", "caption"),
+      0L, root, accepted, cfg = cfg)
+    // a live batch holds the lock (fresh timestamp): maintenance refuses
+    val lockPath = java.nio.file.Paths.get(root, ".store_lock")
+    java.nio.file.Files.write(lockPath,
+      s"batch ${System.currentTimeMillis()} test-nonce\n".getBytes)
+    val e = intercept[IllegalStateException] {
+      IncrementalPairs.compactHistory(spark, root)
+    }
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    // and the reverse: a batch refuses while maintenance holds the lock
+    java.nio.file.Files.write(lockPath,
+      s"maintenance ${System.currentTimeMillis()} test-nonce\n".getBytes)
+    val e2 = intercept[IllegalStateException] {
+      IncrementalPairs.processBatch(
+        Seq((2L, png(50), "some new caption")).toDF("pair_id", "image", "caption"),
+        1L, root, accepted, cfg = cfg)
+    }
+    assert(e2.getMessage.contains("single-writer"), e2.getMessage)
+    // a TORN lock (crashed holder, stale timestamp) is reclaimed and the
+    // operation proceeds
+    java.nio.file.Files.write(lockPath, "batch 12345 dead-nonce\n".getBytes)
+    val led = IncrementalPairs.processBatch(
+      Seq((2L, png(50), "some new caption")).toDF("pair_id", "image", "caption"),
+      1L, root, accepted, cfg = cfg).toMap
+    assert(led("admitted") == 1, led.toString)
+    assert(!java.nio.file.Files.exists(lockPath), "lock not released")
+  }
+
+  test("layout drift is refused loudly; a flat (pre-index) store migrates via indexHistory") {
+    val root = java.nio.file.Files.createTempDirectory("incpairs_migrate_").toString
+    val accepted = s"$root/accepted"
+    IncrementalPairs.processBatch(
+      Seq((1L, png(0), "alpha beta gamma"), (2L, png(60), "delta epsilon zeta"))
+        .toDF("pair_id", "image", "caption"),
+      0L, root, accepted, cfg = cfg)
+    // drifted parts: refused before any probe can silently miss
+    val drift = intercept[IllegalArgumentException] {
+      IncrementalPairs.processBatch(
+        Seq((3L, png(120), "eta theta iota")).toDF("pair_id", "image", "caption"),
+        1L, root, accepted, cfg = cfg, parts = 8)
+    }
+    assert(drift.getMessage.contains("layout drift"), drift.getMessage)
+
+    // strip the store back to the r13-era FLAT shape: flat history/, no
+    // derived tables, no layout stamp
+    val flat = spark.read.parquet(s"$root/history")
+      .drop(KeyedHistory.PartCol).localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("history", "bands", "captions", IncrementalPairs.LayoutName).foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true))
+    flat.write.parquet(s"$root/history")
+    flat.unpersist()
+
+    // a batch against the un-indexed store is refused with the migration hint
+    val legacy = intercept[IllegalArgumentException] {
+      IncrementalPairs.processBatch(
+        Seq((3L, png(120), "eta theta iota")).toDF("pair_id", "image", "caption"),
+        1L, root, accepted, cfg = cfg)
+    }
+    assert(legacy.getMessage.contains("indexHistory"), legacy.getMessage)
+
+    // migrate, then the store behaves identically: image dup of 1,
+    // caption dup of 2, novel admitted
+    IncrementalPairs.indexHistory(spark, root, maxHamming = cfg.maxHamming)
+    assert(spark.read.parquet(s"$root/bands").count() == 8) // 2 ids × 4 subsets
+    assert(spark.read.parquet(s"$root/captions").count() == 2)
+    val led = IncrementalPairs.processBatch(
+      Seq((11L, png(0), "fresh caption one"),
+        (12L, png(180), "delta epsilon zeta"),
+        (13L, png(240), "totally new words"))
+        .toDF("pair_id", "image", "caption"),
+      1L, root, accepted, cfg = cfg).toMap
+    assert(led("history_image_dup") == 1, led.toString)
+    assert(led("history_caption_dup") == 1, led.toString)
+    assert(led("admitted") == 1, led.toString)
+  }
 
   test("streaming restart: a re-offered batch under the same id is a no-op; the stream continues past it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

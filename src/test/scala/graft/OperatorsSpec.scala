@@ -457,15 +457,15 @@ class OperatorsSpec extends SparkSpecBase {
     assert(all.count() == docs.count())
   }
 
-  test("sampleKPerGroupAgg selects IDENTICAL rows to the window flavor, windowless plan") {
+  test("sampleKPerGroup default = agg flavor, IDENTICAL rows to the window control arm, windowless plan") {
     val docs = Tables.load(spark, sfDir, "documents")
-    val win = TextAnalysis.sampleKPerGroup(docs, "source", "doc_id", k = 7, seed = 3L)
+    val win = TextAnalysis.sampleKPerGroupWindow(docs, "source", "doc_id", k = 7, seed = 3L)
       .select("source", "doc_id")
-    val agg = TextAnalysis.sampleKPerGroupAgg(docs, "source", "doc_id", k = 7, seed = 3L)
+    val agg = TextAnalysis.sampleKPerGroup(docs, "source", "doc_id", k = 7, seed = 3L)
       .select("source", "doc_id")
     assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty,
       "the two flavors must pick the same rows")
-    // the point of the aggregate flavor: no Window, no per-group sort of
+    // the point of the aggregate default: no Window, no per-group sort of
     // the whole group — the plan carries the bounded aggregate instead
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
