@@ -68,11 +68,19 @@ import graft.operators.{KeyedHistory, Manifests}
   * AT-LEAST-ONCE like every sink here, dedup downstream on id; a
   * re-appended store row is a harmless duplicate for membership
   * checks, reclaimed by [[compactHistory]]). Single writer per root,
-  * which foreachBatch guarantees — and which the store now ENFORCES
+  * which foreachBatch guarantees — and which the store ENFORCES
   * against maintenance: batches and [[compactHistory]] both take the
-  * root's `.store_lock` (torn locks reclaimed by age with a nonce
-  * confirm, the SeenFilterStore arbitration discipline), so maintenance
-  * racing a live batch is a loud failure, never a lost-history race.
+  * root's `.store_lock`, so maintenance racing a live batch is a loud
+  * failure, never a lost-history race. The lock carries the full
+  * [[graft.operators.SeenFilterStore]] liveness discipline — heartbeat
+  * mtime (long holders are never harvested), age-graced torn-lock
+  * reclaim with a nonce confirm, and writer-token reclaim for
+  * foreachBatch retries — but stays a separate instance rather than
+  * reusing SeenFilterStore's: this lock serializes TABLE SWAPS and
+  * multi-table appends plus the seen-set flip as one critical section,
+  * not just filter-generation flips, and its seen-set state (base
+  * filter + exact-key delta chain in one `_CURRENT`) is a shape
+  * SeenFilterStore does not model.
   */
 object IncrementalPairs {
 
@@ -150,12 +158,100 @@ object IncrementalPairs {
 
   /** Fresh-store Bloom sizing: ~1M keys at 1% fpp (one 1.25 MB shard).
     * The geometry is NOT load-bearing for correctness — fpp drift as the
-    * store outgrows it only costs extra exact confirms — and
-    * [[compactHistory]] re-sizes it from the live caption count.
+    * store outgrows it only costs extra exact confirms — and the base is
+    * re-sized (2× headroom) whenever its capacity is crossed or
+    * [[compactHistory]] runs.
     */
   private val BloomSeed = 9L
   private val DefaultBloomKeys = 1L << 20
   private val BloomFpp = 0.01
+  private val BloomHeader = "graft-caption-bloom v2"
+
+  /** The seen-set is BASE + DELTA CHAIN, not one monolithic filter —
+    * the monolith forced an O(|corpus-bloom|) read+merge+rewrite on
+    * EVERY micro-batch (a ~1.2 GB single-task write per minutes-batch
+    * at 10^9 captions), quietly re-introducing a per-batch corpus term.
+    * Instead:
+    *
+    *  - `base` (`gen-*` dir): the full Bloom filter, rebuilt rarely;
+    *  - `deltas` (`delta-*` dirs): each batch's admitted caption keys
+    *    as RAW (cap_h, cap_h2) parquet — batch-sized, exact (deltas are
+    *    probed by broadcast semi-join, no fpp at all);
+    *  - when accumulated delta keys cross max(8, baseKeys/16), the
+    *    chain FOLDS: one merge of the delta keys into the base filter —
+    *    a base-sized write amortized over ≥ baseKeys/16 admissions, so
+    *    the per-batch cost stays O(batch);
+    *  - when total keys cross the base's sized capacity, the base is
+    *    REBUILT from the captions table with 2× headroom (geometric —
+    *    O(log corpus) rebuilds over a store's life).
+    *
+    * `_CURRENT` lists the live pieces and is flipped atomically BEFORE
+    * each `_PAIRSTATE` commit, so the seen-set is always a SUPERSET of
+    * committed keys (an uncommitted crashed-attempt delta costs exact
+    * confirms, never a false negative). Every flip sweeps unreferenced
+    * piece dirs — no per-batch disk leak.
+    */
+  private final case class BloomState(
+      base: DataFrame, baseKeys: Long, baseCap: Long,
+      baseLine: String, deltaLines: Seq[String],
+      deltaKeys: DataFrame, deltaTotal: Long, persisted: Boolean)
+
+  private def emptyCapsFrame(spark: SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
+      StructField("cap_h", LongType), StructField("cap_h2", LongType))))
+
+  private def freshEmptyBase(spark: SparkSession, expectedKeys: Long): (DataFrame, Long) = {
+    val sized = math.max(expectedKeys, DefaultBloomKeys)
+    val g = graft.operators.SeenFilter.geometryFor(sized, BloomFpp)
+    (graft.operators.SeenFilter.buildFilterKeyed(
+      emptyCapsFrame(spark).select(col("cap_h")),
+      captionBloomKey, BloomSeed, g.kHashes, g.mBits, g.numShards), sized)
+  }
+
+  /** The CURRENT seen-set state. Absent is legitimate only on a store
+    * with no committed batch — on a live store a lost seen-set means
+    * false negatives (silent duplicate re-admission), so fail loudly and
+    * name the rebuild.
+    */
+  private def readBloomState(spark: SparkSession, root: String,
+                             hwm: Long): BloomState =
+    Manifests.read(spark, s"$root/caption_bloom/_CURRENT") match {
+      case Some(text) =>
+        val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+        require(lines.headOption.contains(BloomHeader),
+          s"$root/caption_bloom/_CURRENT has unrecognized header " +
+            s"'${lines.headOption.getOrElse("<empty>")}' — rebuild the " +
+            "seen-set with IncrementalPairs.compactHistory")
+        def field(l: String, k: String): Long =
+          l.split(" ").collectFirst {
+            case p if p.startsWith(k + "=") => p.stripPrefix(k + "=").toLong
+          }.getOrElse(throw new IllegalStateException(
+            s"caption_bloom/_CURRENT line missing $k=: '$l'"))
+        val baseLine = lines.find(_.startsWith("base ")).getOrElse(
+          throw new IllegalStateException(
+            s"$root/caption_bloom/_CURRENT has no base line"))
+        val baseDir = baseLine.split(" ")(1)
+        val deltaLines = lines.filter(_.startsWith("delta "))
+        val deltaDirs = deltaLines.map(_.split(" ")(1))
+        val deltaKeys =
+          if (deltaDirs.isEmpty) emptyCapsFrame(spark)
+          else spark.read.parquet(
+            deltaDirs.map(d => s"$root/caption_bloom/$d"): _*)
+            .select(col("cap_h"), col("cap_h2"))
+        BloomState(
+          spark.read.parquet(s"$root/caption_bloom/$baseDir"),
+          field(baseLine, "keys"), field(baseLine, "cap"),
+          baseLine, deltaLines, deltaKeys,
+          deltaLines.map(field(_, "keys")).sum, persisted = true)
+      case None =>
+        require(hwm < 0,
+          s"$root records committed batch $hwm but caption_bloom/_CURRENT " +
+            "is missing — a lost seen-set silently re-admits duplicate " +
+            "captions; rebuild it with IncrementalPairs.compactHistory")
+        val (base, cap) = freshEmptyBase(spark, DefaultBloomKeys)
+        BloomState(base, 0L, cap, "", Nil, emptyCapsFrame(spark), 0L,
+          persisted = false)
+    }
 
   private def bloomCfg(filter: DataFrame): (Long, Int, Int, Int) = {
     val r = filter.select(col("seed"), col("k_hashes"), col("m_bits"),
@@ -164,43 +260,88 @@ object IncrementalPairs {
     (r(0).getLong(0), r(0).getInt(1), r(0).getInt(2), r(0).getInt(3))
   }
 
-  /** The CURRENT caption Bloom. Absent is legitimate only on a store
-    * with no committed batch — on a live store a lost Bloom means false
-    * negatives (silent duplicate re-admission), so fail loudly and name
-    * the rebuild.
-    */
-  private def readCaptionBloom(spark: SparkSession, root: String,
-                               hwm: Long): DataFrame =
-    Manifests.read(spark, s"$root/caption_bloom/_CURRENT") match {
-      case Some(gen) =>
-        spark.read.parquet(s"$root/caption_bloom/${gen.trim}")
-      case None =>
-        require(hwm < 0,
-          s"$root records committed batch $hwm but caption_bloom/_CURRENT " +
-            "is missing — a lost Bloom silently re-admits duplicate " +
-            "captions; rebuild it with IncrementalPairs.compactHistory")
-        val g = graft.operators.SeenFilter.geometryFor(DefaultBloomKeys, BloomFpp)
-        graft.operators.SeenFilter.buildFilterKeyed(
-          spark.range(0).select(col("id").as("cap_h")),
-          captionBloomKey, BloomSeed, g.kHashes, g.mBits, g.numShards)
-    }
+  private def newStamp(): String =
+    System.currentTimeMillis() + "-" + java.util.UUID.randomUUID().toString.take(8)
 
-  /** Publish a Bloom generation: complete dir first, `_CURRENT` flip
-    * last (the [[graft.operators.SeenFilterStore]] discipline). Orphan
-    * generations from crashed flips are swept by [[compactHistory]].
+  /** Flip `_CURRENT` to `lines` and sweep every piece dir the fresh
+    * state no longer references (crashed flips' orphans included) —
+    * runs under the store lock, and the only readers are lock holders,
+    * so sweeping superseded pieces immediately is safe.
     */
-  private def writeCaptionBloom(spark: SparkSession, root: String,
-                                filter: DataFrame): Unit = {
-    val stamp = System.currentTimeMillis() + "-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    filter.coalesce(1).write
-      .parquet(s"$root/caption_bloom/gen-$stamp")
-    Manifests.writeAtomic(spark, s"$root/caption_bloom/_CURRENT", s"gen-$stamp")
+  private def flipBloomState(spark: SparkSession, root: String,
+                             lines: Seq[String]): Unit = {
+    Manifests.writeAtomic(spark, s"$root/caption_bloom/_CURRENT",
+      (BloomHeader +: lines).mkString("\n") + "\n")
+    val bloomDir = new org.apache.hadoop.fs.Path(s"$root/caption_bloom")
+    val fs = bloomDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = lines.map(_.split(" ")(1)).toSet
+    fs.listStatus(bloomDir)
+      .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
-  /** Rebuild the Bloom from the (just-compacted) committed captions —
-    * re-sized to the live key count — and sweep generations the
-    * `_CURRENT` flip left behind. Runs under the store lock.
+  /** Publish this batch's admitted caption keys into the seen-set —
+    * BEFORE the `_PAIRSTATE` flip (superset invariant, see the state
+    * doc). Per-batch work is O(batch) amortized: a tiny exact-key delta
+    * normally; a base-sized fold every ≥ baseKeys/16 admitted keys; a
+    * captions-table rebuild only when the base outgrows its capacity
+    * (geometric, with 2× headroom).
+    */
+  private def commitCaptionBloom(spark: SparkSession, root: String,
+                                 st: BloomState, admittedCaps: DataFrame,
+                                 nNew: Long): Unit = {
+    val SF = graft.operators.SeenFilter
+    if (!st.persisted) {
+      // first commit of a fresh store: persist the base (sized for the
+      // batch if it is backfill-shaped), no deltas
+      val g = SF.geometryFor(math.max(nNew * 2, DefaultBloomKeys), BloomFpp)
+      val dir = s"gen-${newStamp()}"
+      SF.buildFilterKeyed(admittedCaps.select(col("cap_h")), captionBloomKey,
+          BloomSeed, g.kHashes, g.mBits, g.numShards)
+        .coalesce(1).write.parquet(s"$root/caption_bloom/$dir")
+      flipBloomState(spark, root, Seq(
+        s"base $dir keys=$nNew cap=${math.max(nNew * 2, DefaultBloomKeys)}"))
+    } else if (nNew == 0) {
+      () // nothing admitted: the state is already correct
+    } else if (st.deltaTotal + nNew <= math.max(8L, st.baseKeys / 16)) {
+      // the common path: one batch-sized exact-key delta
+      val dir = s"delta-${newStamp()}"
+      admittedCaps.coalesce(1).write.parquet(s"$root/caption_bloom/$dir")
+      flipBloomState(spark, root,
+        st.baseLine +: (st.deltaLines :+ s"delta $dir keys=$nNew"))
+    } else if (st.baseKeys + st.deltaTotal + nNew > st.baseCap) {
+      // capacity crossed: rebuild from the captions table with 2×
+      // headroom (reading EVERY row there — uncommitted partials
+      // included — keeps the superset invariant trivially)
+      val caps = spark.read.parquet(s"$root/captions")
+        .select(col("cap_h"), col("cap_h2"))
+      val n = caps.count()
+      val cap = math.max(n * 2, DefaultBloomKeys)
+      val g = SF.geometryFor(cap, BloomFpp)
+      val dir = s"gen-${newStamp()}"
+      SF.buildFilterKeyed(caps.select(col("cap_h")), captionBloomKey,
+          BloomSeed, g.kHashes, g.mBits, g.numShards)
+        .coalesce(1).write.parquet(s"$root/caption_bloom/$dir")
+      flipBloomState(spark, root, Seq(s"base $dir keys=$n cap=$cap"))
+    } else {
+      // FOLD: merge the accumulated delta keys + this batch into the
+      // base filter (same geometry), collapse the chain
+      val (bSeed, bK, bM, bShards) = bloomCfg(st.base)
+      val folded = SF.mergeFilters(st.base,
+        SF.buildFilterKeyed(
+          st.deltaKeys.select(col("cap_h"))
+            .unionByName(admittedCaps.select(col("cap_h"))),
+          captionBloomKey, bSeed, bK, bM, bShards))
+      val dir = s"gen-${newStamp()}"
+      folded.coalesce(1).write.parquet(s"$root/caption_bloom/$dir")
+      val keys = st.baseKeys + st.deltaTotal + nNew
+      flipBloomState(spark, root, Seq(s"base $dir keys=$keys cap=${st.baseCap}"))
+    }
+  }
+
+  /** Rebuild the seen-set from the (just-compacted) committed captions —
+    * re-sized to the live key count, chain collapsed, orphan pieces
+    * swept. Runs under the store lock.
     */
   private def rebuildCaptionBloom(spark: SparkSession, root: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$root/captions")
@@ -209,22 +350,17 @@ object IncrementalPairs {
       if (fs.exists(path) && fs.listStatus(path).exists(s =>
           s.isDirectory && s.getPath.getName.startsWith(KeyedHistory.PartCol + "=")))
         spark.read.parquet(path.toString).select(col("cap_h"))
-      else spark.range(0).select(col("id").as("cap_h"))
+      else emptyCapsFrame(spark).select(col("cap_h"))
     val n = caps.count()
     // 2x headroom so appends between maintenance runs stay near target fpp
-    val g = graft.operators.SeenFilter.geometryFor(
-      math.max(n * 2, DefaultBloomKeys), BloomFpp)
-    writeCaptionBloom(spark, root, graft.operators.SeenFilter
+    val cap = math.max(n * 2, DefaultBloomKeys)
+    val g = graft.operators.SeenFilter.geometryFor(cap, BloomFpp)
+    val dir = s"gen-${newStamp()}"
+    graft.operators.SeenFilter
       .buildFilterKeyed(caps, captionBloomKey, BloomSeed,
-        g.kHashes, g.mBits, g.numShards))
-    // sweep every generation the fresh _CURRENT no longer references
-    val bloomDir = new org.apache.hadoop.fs.Path(s"$root/caption_bloom")
-    Manifests.read(spark, s"$root/caption_bloom/_CURRENT").foreach { cur =>
-      fs.listStatus(bloomDir)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
-          s.getPath.getName != cur.trim)
-        .foreach(s => fs.delete(s.getPath, true))
-    }
+        g.kHashes, g.mBits, g.numShards)
+      .coalesce(1).write.parquet(s"$root/caption_bloom/$dir")
+    flipBloomState(spark, root, Seq(s"base $dir keys=$n cap=$cap"))
   }
 
   // data schemas (partition column excluded) — used by the pruned reads
@@ -248,19 +384,31 @@ object IncrementalPairs {
     * without atomic create front this with conditional-put, same caveat
     * as every rename committer). Batches AND maintenance take it, so a
     * [[compactHistory]] racing a live batch fails loudly instead of
-    * swapping history out from under the batch's appends. Torn locks
-    * (crashed holder) are reclaimed after [[StaleLockMs]] with a
-    * delete + nonce-create + confirm re-read, so two reclaimers racing
-    * cannot both win silently.
+    * swapping history out from under the batch's appends.
+    *
+    * Liveness is the lock file's MODIFICATION TIME, heartbeat-touched by
+    * the holder at stage boundaries ([[touchLock]]) — so a batch or
+    * maintenance run that legitimately outlives [[StaleLockMs]] is never
+    * harvested as torn (the write-once-timestamp flavor re-enabled the
+    * exact lost-history race the lock exists to prevent). Reclaim paths,
+    * both nonce-confirmed so two reclaimers racing cannot both win:
+    *
+    *  - mtime older than [[StaleLockMs]] — a crashed holder's torn lock;
+    *  - same `token` on a `batch` lock — a foreachBatch RETRY of the
+    *    same micro-batch, which the engine only issues after the prior
+    *    attempt died (the [[graft.operators.SeenFilterStore]]
+    *    writer-token discipline): a driver crash mid-batch does NOT
+    *    stall the restarted stream for the stale grace.
     */
-  private def acquireLock(spark: SparkSession, root: String, kind: String): org.apache.hadoop.fs.Path = {
+  private def acquireLock(spark: SparkSession, root: String, kind: String,
+                          token: String = ""): org.apache.hadoop.fs.Path = {
     val lock = new org.apache.hadoop.fs.Path(s"$root/$LockName")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
     def tryCreate(nonce: String): Boolean =
       try {
         val out = fs.create(lock, false)
-        out.write(s"$kind ${System.currentTimeMillis()} $nonce\n"
+        out.write(s"$kind $nonce token=$token\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
         true
@@ -280,20 +428,26 @@ object IncrementalPairs {
     val nonce = java.util.UUID.randomUUID().toString
     if (tryCreate(nonce)) return lock
     val held = readContent().getOrElse("")
-    val parts = held.trim.split(" ")
-    val ageMs =
-      if (parts.length >= 2)
-        try System.currentTimeMillis() - parts(1).toLong
-        catch { case _: NumberFormatException => -1L }
-      else -1L
-    if (ageMs >= 0 && ageMs < StaleLockMs)
+    val heldParts = held.trim.split(" ")
+    val heldKind = heldParts.headOption.getOrElse("?")
+    val heldToken = heldParts.collectFirst {
+      case p if p.startsWith("token=") => p.stripPrefix("token=")
+    }.getOrElse("")
+    val mtimeAge =
+      try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.IOException => Long.MaxValue } // vanished = retryable
+    val sameBatchRetry = kind == "batch" && heldKind == "batch" &&
+      token.nonEmpty && heldToken == token
+    if (mtimeAge < StaleLockMs && !sameBatchRetry)
       throw new IllegalStateException(
-        s"$root is locked by a live '${parts(0)}' operation (${ageMs} ms " +
-          "old) — the pair store is single-writer: run maintenance only " +
-          "while the stream is quiescent, and vice versa")
-    // torn (crashed holder, or unreadable): reclaim with nonce confirm
+        s"$root is locked by a live '$heldKind' operation (last heartbeat " +
+          s"$mtimeAge ms ago) — the pair store is single-writer: run " +
+          "maintenance only while the stream is quiescent, and vice versa")
+    // torn (crashed holder) or a provably-dead prior attempt of the SAME
+    // batch: reclaim with nonce confirm
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"reclaiming torn pair-store lock at $lock (content: '${held.trim}')")
+      s"reclaiming pair-store lock at $lock (content: '${held.trim}', " +
+        s"heartbeat age $mtimeAge ms, sameBatchRetry=$sameBatchRetry)")
     fs.delete(lock, false)
     if (!tryCreate(nonce))
       throw new IllegalStateException(
@@ -306,6 +460,15 @@ object IncrementalPairs {
     }
     lock
   }
+
+  /** Heartbeat: bump the lock's mtime so a long-running holder stays
+    * visibly live. Called at stage boundaries (post-curation, between
+    * appends, between table compactions) — each is one cheap `setTimes`.
+    */
+  private def touchLock(spark: SparkSession, lock: org.apache.hadoop.fs.Path): Unit =
+    try lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(lock, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () } // next stage touches again
 
   private def releaseLock(spark: SparkSession, lock: org.apache.hadoop.fs.Path): Unit = {
     lock.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lock, false)
@@ -328,31 +491,39 @@ object IncrementalPairs {
                    parts: Int = DefaultParts): Seq[(String, Long)] = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     val spark = batch.sparkSession
-    val committed = committedBatchId(spark, root)
-    if (committed.exists(batchId <= _))
+    if (committedBatchId(spark, root).exists(batchId <= _))
       return Seq("replay_skipped" -> batchId)
-    ensureLayout(spark, root, Layout(parts, cfg.maxHamming))
-    val hwm = committed.getOrElse(-1L)
-    if (hwm >= 0) {
-      // a committed high-water mark with a MISSING table is provably
-      // inconsistent (every committed batch created all three dirs before
-      // its flip — a zero-row append still writes the dir). Treating it
-      // as empty would silently re-admit every duplicate of everything
-      // ever admitted; the one legitimate cause is a compactHistory crash
-      // mid-swap, whose recoverable copy this names.
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq("history", "bands", "captions").foreach { tbl =>
-        require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$tbl")),
-          s"$root/$StateName records committed batch $hwm but $root/$tbl " +
-            s"does not exist — if $root/$tbl.compact_old exists, a " +
-            "compactHistory crashed mid-swap: run compactHistory again " +
-            "(it self-heals); otherwise the store is corrupt")
-      }
-    }
-
-    val lock = acquireLock(spark, root, "batch")
+    // the lock comes FIRST: layout/table/corruption checks against a
+    // store a live compactHistory is mid-swap on would misdiagnose
+    // healthy maintenance as corruption — under the lock every state
+    // they can see is quiescent, so a failure there is real
+    val lock = acquireLock(spark, root, "batch", token = batchId.toString)
     try {
+      ensureLayout(spark, root, Layout(parts, cfg.maxHamming))
+      // re-read under the lock (a reclaimed same-batch retry could in
+      // principle follow a competing replay — single-writer makes this
+      // a no-op re-read, never a behavior change)
+      val committed = committedBatchId(spark, root)
+      if (committed.exists(batchId <= _))
+        return Seq("replay_skipped" -> batchId)
+      val hwm = committed.getOrElse(-1L)
+      if (hwm >= 0) {
+        // a committed high-water mark with a MISSING table is provably
+        // inconsistent (every committed batch created all three dirs
+        // before its flip — a zero-row append still writes the dir).
+        // Treating it as empty would silently re-admit every duplicate
+        // ever seen; the one legitimate cause is a compactHistory crash
+        // mid-swap, whose recoverable copy this names.
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq("history", "bands", "captions").foreach { tbl =>
+          require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$tbl")),
+            s"$root/$StateName records committed batch $hwm but $root/$tbl " +
+              s"does not exist — if $root/$tbl.compact_old exists, a " +
+              "compactHistory crashed mid-swap: run compactHistory again " +
+              "(it self-heals); otherwise the store is corrupt")
+        }
+      }
       val (curated0, ledger) = PairCuration.curateCore(
         batch, idCol, imageCol, captionCol, cfg)
       try {
@@ -392,20 +563,25 @@ object IncrementalPairs {
           .localCheckpoint(true)
         candPairs.unpersist()
 
-        // caption leg, TWO-TIER: the persisted Bloom seen-set answers
-        // definite-NEGATIVE for most of the batch without touching
-        // captions/ at all (a Bloom has no false negatives; and an In()
-        // pushdown past ~10 values degrades to a vacuous min/max range
-        // filter, so the exact probe alone cannot be bytes-flat on an
-        // all-novel batch). Only probable hits do the pruned exact
-        // confirm — that key set is dup-count + fpp-sized, small enough
-        // that its In() pushes as eq-chains and row-group stats bite.
+        // caption leg, TWO-TIER: the persisted seen-set (base Bloom +
+        // exact-key delta chain) answers definite-NEGATIVE for most of
+        // the batch without touching captions/ at all (a Bloom has no
+        // false negatives, deltas are exact; and an In() pushdown past
+        // ~10 values degrades to a vacuous min/max range filter, so the
+        // exact probe alone cannot be bytes-flat on an all-novel batch).
+        // Only probable hits do the pruned exact confirm — that key set
+        // is dup-count + fpp-sized, small enough that its In() pushes as
+        // eq-chains and row-group stats bite.
+        touchLock(spark, lock) // post-curation heartbeat
         val batchCaps = curated.select(col(idCol).as("id"),
           col("cap_h"), col("cap_h2"))
-        val bloom = readCaptionBloom(spark, root, hwm)
-        val probable = graft.operators.SeenFilter
-          .markSeenKeyed(batchCaps, bloom, captionBloomKey)
-          .where(col("maybe_seen")).drop("maybe_seen")
+        val bloomState = readBloomState(spark, root, hwm)
+        val marked = graft.operators.SeenFilter
+          .markSeenKeyed(batchCaps, bloomState.base, captionBloomKey)
+        val probable = marked.where(col("maybe_seen")).drop("maybe_seen")
+          .unionByName(marked.where(!col("maybe_seen")).drop("maybe_seen")
+            .join(broadcast(bloomState.deltaKeys),
+              Seq("cap_h", "cap_h2"), "left_semi"))
           .localCheckpoint(true) // partition collect + probe join: one pass
         val captionDups = KeyedHistory.probe(spark, s"$root/captions",
             parts, Seq("cap_h", "cap_h2"), probable, captionsSchema,
@@ -423,6 +599,7 @@ object IncrementalPairs {
         captionDups.unpersist()
         try {
           val nAdmitted = admitted.count()
+          touchLock(spark, lock) // pre-append heartbeat
           // accepted FIRST (at-least-once), store tables second, manifest
           // flip LAST — a crash anywhere leaves only invisible partials
           admitted
@@ -450,15 +627,13 @@ object IncrementalPairs {
               col("cap_h2")),
             s"$root/captions", parts, Seq("cap_h", "cap_h2"),
             sortCols = Seq("cap_h", "cap_h2"))
-          // Bloom BEFORE the flip: the seen-set must be a SUPERSET of
-          // committed caption keys at every instant — an extra
-          // uncommitted key only costs an exact confirm; a missing
-          // committed key would be a false negative = silent dup admit
-          val (bSeed, bK, bM, bShards) = bloomCfg(bloom)
-          writeCaptionBloom(spark, root, graft.operators.SeenFilter
-            .mergeFilters(bloom, graft.operators.SeenFilter
-              .buildFilterKeyed(admitted.select(col("cap_h")),
-                captionBloomKey, bSeed, bK, bM, bShards)))
+          // seen-set BEFORE the flip: it must be a SUPERSET of committed
+          // caption keys at every instant — an extra uncommitted key only
+          // costs an exact confirm; a missing committed key would be a
+          // false negative = silent dup admit
+          touchLock(spark, lock) // pre-flip heartbeat
+          commitCaptionBloom(spark, root, bloomState,
+            admitted.select(col("cap_h"), col("cap_h2")), nAdmitted)
           Manifests.writeAtomic(spark, s"$root/$StateName",
             s"""{"batch_id":$batchId,"admitted":$nAdmitted}""")
           ledger ++ Seq("history_image_dup" -> nImageDup,
@@ -499,19 +674,21 @@ object IncrementalPairs {
     val hwm = committedBatchId(spark, root).getOrElse(return 0L)
     val lock = acquireLock(spark, root, "maintenance")
     try {
-      val removed =
-        compactOne(spark, root, "history", layout.parts, Seq("id"),
-          Seq("id"), Seq("id"), hwm) +
-          compactOne(spark, root, "bands", layout.parts, Seq("t", "bk"),
-            Seq("bk", "t"), Seq("t", "bk", "id"), hwm) +
-          compactOne(spark, root, "captions", layout.parts,
-            Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2"),
-            Seq("cap_h", "cap_h2"), hwm)
-      // always rebuild the caption Bloom: re-sized to the live count
-      // (fpp healing), uncommitted keys dropped, lost-Bloom recovery,
-      // orphan generations swept
+      val h = compactOne(spark, root, "history", layout.parts, Seq("id"),
+        Seq("id"), Seq("id"), hwm)
+      touchLock(spark, lock)
+      val b = compactOne(spark, root, "bands", layout.parts, Seq("t", "bk"),
+        Seq("bk", "t"), Seq("t", "bk", "id"), hwm)
+      touchLock(spark, lock)
+      val c = compactOne(spark, root, "captions", layout.parts,
+        Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2"),
+        Seq("cap_h", "cap_h2"), hwm)
+      touchLock(spark, lock)
+      // always rebuild the caption seen-set: re-sized to the live count
+      // (fpp healing), uncommitted keys dropped, lost-seen-set recovery,
+      // delta chain collapsed, orphan pieces swept
       rebuildCaptionBloom(spark, root)
-      removed
+      h + b + c
     } finally releaseLock(spark, lock)
   }
 
@@ -571,11 +748,16 @@ object IncrementalPairs {
 
   /** One-time migration of a pre-index (flat `history/`-only, r13-era)
     * store to the band-indexed layout: rewrite `history/`
-    * hash-partitioned by id, derive `bands/` and `captions/` from it
-    * (both are DERIVED tables — history is authoritative, so a crashed
-    * migration is simply re-run), stamp `_PAIRLAYOUT` LAST. `maxHamming`
-    * must equal the value every future [[processBatch]] will use (it
-    * shapes the persisted band keys; the stamp enforces it from then on).
+    * hash-partitioned by id, derive `bands/`, `captions/` and the
+    * caption seen-set from it (all DERIVED — history is authoritative),
+    * stamp `_PAIRLAYOUT` LAST. CRASH-RESTARTABLE at every stage: a crash
+    * before the history swap leaves the flat table authoritative; a
+    * crash after it (the hours-long derived-table phase at corpus scale)
+    * is RESUMED on re-run — an already-partitioned history with no
+    * layout stamp is recognized as a half-done migration and only the
+    * derived tables are rebuilt. `maxHamming` must equal the value every
+    * future [[processBatch]] will use (it shapes the persisted band
+    * keys; the stamp enforces it from then on).
     */
   def indexHistory(spark: SparkSession, root: String,
                    parts: Int = DefaultParts, maxHamming: Int = 1): Unit = {
@@ -593,21 +775,36 @@ object IncrementalPairs {
       }
       require(fs.exists(path), s"$root/history does not exist — nothing to migrate")
       val flat = spark.read.parquet(path.toString)
-      require(!flat.columns.contains(KeyedHistory.PartCol),
-        s"$root/history is already hash-partitioned but $LayoutName is " +
-          "missing — the store is half-migrated; restore the manifest or " +
-          "rebuild the store")
-      // history: rewrite partitioned via write-aside + swap
-      val tmp = new org.apache.hadoop.fs.Path(s"$root/history.compact_tmp")
-      fs.delete(tmp, true)
-      KeyedHistory.append(flat, tmp.toString, parts, Seq("id"), Seq("id"),
-        SaveMode.ErrorIfExists)
-      fs.delete(old, true)
-      if (!fs.rename(path, old))
-        throw new java.io.IOException(s"indexHistory: rename $path -> $old failed")
-      if (!fs.rename(tmp, path))
-        throw new java.io.IOException(
-          s"indexHistory: rename $tmp -> $path failed — restore from $old")
+      if (!flat.columns.contains(KeyedHistory.PartCol)) {
+        // history: rewrite partitioned via write-aside + swap
+        val tmp = new org.apache.hadoop.fs.Path(s"$root/history.compact_tmp")
+        fs.delete(tmp, true)
+        KeyedHistory.append(flat, tmp.toString, parts, Seq("id"), Seq("id"),
+          SaveMode.ErrorIfExists)
+        fs.delete(old, true)
+        if (!fs.rename(path, old))
+          throw new java.io.IOException(s"indexHistory: rename $path -> $old failed")
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(
+            s"indexHistory: rename $tmp -> $path failed — restore from $old")
+      } else {
+        // already partitioned with no layout stamp = a prior indexHistory
+        // crashed after its history swap — RESUME: the partitioned
+        // history is complete (the swap is atomic), only the derived
+        // tables below need (re)building. Its partition count must match
+        // this call's (a pure key function — a drifted P would mis-prune).
+        val pts = fs.listStatus(path).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(KeyedHistory.PartCol + "="))
+          .map(_.getPath.getName.stripPrefix(KeyedHistory.PartCol + "=").toInt)
+        require(pts.isEmpty || pts.max < parts,
+          s"$root/history is partitioned with values up to ${pts.max} but " +
+            s"this call resumes with parts=$parts — re-run with the " +
+            "original partition count")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"indexHistory: resuming a half-done migration at $root " +
+            "(partitioned history found without a layout stamp)")
+      }
+      touchLock(spark, lock)
       // derived tables: rebuild from scratch (delete any partial attempt)
       val hist = spark.read.parquet(path.toString).drop(KeyedHistory.PartCol)
         .persist()

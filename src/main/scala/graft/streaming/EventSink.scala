@@ -358,23 +358,36 @@ object EventSink {
                        sweepGraceMs: Long = 0L): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // resolve the physical dir order-free by WALKING the table's data
-    // dirs once and matching each dir's k=v segment SET against the spec
-    // — Map(day -> …, event_type -> …) must find event_type=/day=, and
-    // the retired flavor probed fs.exists over spec permutations, which
-    // is factorial in key count (8 keys = 40 320 existence RPCs on the
-    // driver before any work). One recursive listing is O(partitions),
-    // the same walk readers and sweepers already pay.
+    // resolve the physical dir order-free: Map(day -> …, event_type -> …)
+    // must find event_type=/day= (Map iteration order once silently
+    // resolved to a nonexistent path and returned false forever). Two
+    // regimes, both order-free:
+    //  - SMALL specs (≤ 4 keys, the universal case): probe fs.exists over
+    //    the ≤ 24 key orders — ~2 RPCs for the typical 2-key spec. A
+    //    per-partition compaction sweep calls this once per partition, so
+    //    the alternative full-table walk would be O(partitions²) driver
+    //    metadata RPCs across the sweep.
+    //  - LARGER specs: one recursive listing matched by k=v segment SET
+    //    (the walk is O(partitions); the permutation count would be
+    //    factorial — 8 keys = 40 320 probes).
     val partPath: String = {
-      val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(tablePath))
-      if (!fs.exists(rootQ)) return false
-      val specSet = partitionSpec.map { case (k, v) => s"$k=$v" }.toSet
-      val matching = dataDirListings(fs, rootQ).map(_._1).flatMap { dir =>
-        val rel = dir.toString.stripPrefix(rootQ.toString).stripPrefix("/")
-        val segs = if (rel.isEmpty) Seq.empty[String] else rel.split('/').toSeq
-        // size check too: a=1/a=1 collapses to one set element
-        if (segs.size == specSet.size && segs.toSet == specSet) Some(rel) else None
-      }.distinct
+      val matching: Seq[String] =
+        if (partitionSpec.size <= 4) {
+          partitionSpec.toSeq.permutations
+            .map(_.map { case (k, v) => s"$k=$v" }.mkString("/"))
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/$p")))
+            .toSeq.distinct
+        } else {
+          val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(tablePath))
+          if (!fs.exists(rootQ)) return false
+          val specSet = partitionSpec.map { case (k, v) => s"$k=$v" }.toSet
+          dataDirListings(fs, rootQ).map(_._1).flatMap { dir =>
+            val rel = dir.toString.stripPrefix(rootQ.toString).stripPrefix("/")
+            val segs = if (rel.isEmpty) Seq.empty[String] else rel.split('/').toSeq
+            // size check too: a=1/a=1 collapses to one set element
+            if (segs.size == specSet.size && segs.toSet == specSet) Some(rel) else None
+          }.distinct
+        }
       matching match {
         case Seq() => return false // absent (or holds no parquet = nothing to compact)
         case Seq(one) => one

@@ -274,10 +274,31 @@ class IncrementalPairsSpec extends SparkSpecBase {
       2L, root, accepted, cfg = cfg).toMap
     assert(led2("history_caption_dup") == 1, led2.toString)
     assert(led2("admitted") == 1, led2.toString)
-    // exactly one live generation after the rebuild's sweep + one more flip
+    // every flip sweeps superseded pieces: at most one live base + the
+    // current delta chain, never an accumulating gen per batch
     val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/caption_bloom"))
       .filter(_.getPath.getName.startsWith("gen-"))
-    assert(gens.length <= 2, gens.map(_.getPath.getName).mkString(","))
+    assert(gens.length == 1, gens.map(_.getPath.getName).mkString(","))
+
+    // small batches append EXACT-KEY DELTAS (no base rewrite); a batch
+    // pushing the accumulated delta keys past max(8, baseKeys/16) FOLDS
+    // the chain into one new base
+    val st0 = Manifests.read(spark, s"$root/caption_bloom/_CURRENT").get
+    assert(st0.linesIterator.exists(_.startsWith("delta ")), st0)
+    val b3 = (0 until 12).map(k => (100L + k, png(131 + 9 * k),
+      s"fold caption number c$k here")).toDF("pair_id", "image", "caption")
+    val led3 = IncrementalPairs.processBatch(b3, 3L, root, accepted, cfg = cfg).toMap
+    assert(led3("admitted") == 12, led3.toString)
+    val st1 = Manifests.read(spark, s"$root/caption_bloom/_CURRENT").get
+    assert(st1.linesIterator.count(_.startsWith("base ")) == 1, st1)
+    assert(!st1.linesIterator.exists(_.startsWith("delta ")), st1)
+    // the folded base still refuses a re-arrival through the two-tier path
+    val led4 = IncrementalPairs.processBatch(
+      Seq((200L, png(77), "fold caption number c5 here"))
+        .toDF("pair_id", "image", "caption"),
+      4L, root, accepted, cfg = cfg).toMap
+    assert(led4("history_caption_dup") == 1, led4.toString)
+    assert(led4("admitted") == 0, led4.toString)
   }
 
   test("maintenance racing a live batch fails LOUDLY (single-writer store lock); torn locks reclaim") {
@@ -303,13 +324,27 @@ class IncrementalPairsSpec extends SparkSpecBase {
         1L, root, accepted, cfg = cfg)
     }
     assert(e2.getMessage.contains("single-writer"), e2.getMessage)
-    // a TORN lock (crashed holder, stale timestamp) is reclaimed and the
-    // operation proceeds
-    java.nio.file.Files.write(lockPath, "batch 12345 dead-nonce\n".getBytes)
+    // a RETRY of the SAME batch reclaims the dead prior attempt's lock
+    // immediately (foreachBatch only re-offers a batch after its earlier
+    // attempt died — the writer-token discipline), even with a fresh
+    // heartbeat on the corpse
+    java.nio.file.Files.write(lockPath,
+      "batch dead-nonce token=1\n".getBytes)
     val led = IncrementalPairs.processBatch(
       Seq((2L, png(50), "some new caption")).toDF("pair_id", "image", "caption"),
       1L, root, accepted, cfg = cfg).toMap
     assert(led("admitted") == 1, led.toString)
+    assert(!java.nio.file.Files.exists(lockPath), "lock not released")
+
+    // a TORN lock (crashed holder: heartbeat mtime gone stale) is
+    // reclaimed by ANY operation
+    java.nio.file.Files.write(lockPath, "batch dead-nonce token=99\n".getBytes)
+    java.nio.file.Files.setLastModifiedTime(lockPath,
+      java.nio.file.attribute.FileTime.fromMillis(12345L))
+    val led2 = IncrementalPairs.processBatch(
+      Seq((3L, png(110), "one more novel caption")).toDF("pair_id", "image", "caption"),
+      2L, root, accepted, cfg = cfg).toMap
+    assert(led2("admitted") == 1, led2.toString)
     assert(!java.nio.file.Files.exists(lockPath), "lock not released")
   }
 
@@ -361,6 +396,21 @@ class IncrementalPairsSpec extends SparkSpecBase {
     assert(led("history_image_dup") == 1, led.toString)
     assert(led("history_caption_dup") == 1, led.toString)
     assert(led("admitted") == 1, led.toString)
+
+    // RESUME: a migration that crashed AFTER its history swap (the
+    // hours-long derived phase at corpus scale) leaves a partitioned
+    // history with no layout stamp — re-running indexHistory must resume
+    // (rebuild the derived tables), not refuse
+    Seq("bands", "captions", "caption_bloom", IncrementalPairs.LayoutName)
+      .foreach(t => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true))
+    IncrementalPairs.indexHistory(spark, root, maxHamming = cfg.maxHamming)
+    val led2 = IncrementalPairs.processBatch(
+      Seq((21L, png(0), "after resume fresh cap"),
+        (22L, png(250), "entirely new after resume"))
+        .toDF("pair_id", "image", "caption"),
+      2L, root, accepted, cfg = cfg).toMap
+    assert(led2("history_image_dup") == 1, led2.toString) // image dup of 1
+    assert(led2("admitted") == 1, led2.toString)
   }
 
   test("streaming restart: a re-offered batch under the same id is a no-op; the stream continues past it") {
