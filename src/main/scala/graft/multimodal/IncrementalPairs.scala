@@ -98,10 +98,22 @@ object IncrementalPairs {
   /** pHash width is fixed: [[JdkMedia.phash64]]. */
   private val Bits = 64
 
-  /** A lock younger than this is live; older is a crashed holder's torn
-    * lock, reclaimed with a nonce confirm.
+  /** A lock whose heartbeat mtime is younger than this is live; older is
+    * a crashed holder's torn lock, reclaimed with a nonce confirm. The
+    * holder heartbeats from a BACKGROUND daemon ([[withHeartbeat]]) every
+    * [[HeartbeatMs]], so even an hours-long single Spark stage keeps the
+    * lock visibly live.
     */
   private val StaleLockMs = 60 * 60 * 1000L
+  private val HeartbeatMs = 60 * 1000L
+
+  /** A foreachBatch retry of the SAME batch may reclaim its
+    * predecessor's lock once the heartbeat has been silent this long —
+    * long enough that a zombie driver (GC stall, network partition)
+    * still heartbeating keeps its lock, short enough that a crashed
+    * driver's restart resumes in minutes instead of [[StaleLockMs]].
+    */
+  private val BatchRetryGraceMs = 3 * 60 * 1000L
   private val ReclaimConfirmMs = 200L
 
   def committedBatchId(spark: SparkSession, root: String): Option[Long] =
@@ -167,6 +179,13 @@ object IncrementalPairs {
   private val BloomFpp = 0.01
   private val BloomHeader = "graft-caption-bloom v2"
 
+  /** Ceiling on the exact-key delta chain (≈ 64 MB of keys broadcast at
+    * the worst point): the fold cadence scales with the base up to here,
+    * then stays constant so the chain can never itself become a
+    * per-batch corpus term.
+    */
+  private val MaxDeltaKeys = 1L << 22
+
   /** The seen-set is BASE + DELTA CHAIN, not one monolithic filter —
     * the monolith forced an O(|corpus-bloom|) read+merge+rewrite on
     * EVERY micro-batch (a ~1.2 GB single-task write per minutes-batch
@@ -177,10 +196,13 @@ object IncrementalPairs {
     *  - `deltas` (`delta-*` dirs): each batch's admitted caption keys
     *    as RAW (cap_h, cap_h2) parquet — batch-sized, exact (deltas are
     *    probed by broadcast semi-join, no fpp at all);
-    *  - when accumulated delta keys cross max(8, baseKeys/16), the
-    *    chain FOLDS: one merge of the delta keys into the base filter —
-    *    a base-sized write amortized over ≥ baseKeys/16 admissions, so
-    *    the per-batch cost stays O(batch);
+    *  - when accumulated delta keys cross min(max(8, baseKeys/16),
+    *    [[MaxDeltaKeys]]), the chain FOLDS: one merge of the delta keys
+    *    into the base filter — a base-sized write amortized over the
+    *    accumulated admissions. The ceiling BOUNDS the per-batch delta
+    *    read/broadcast (and the chain's dir count) at any corpus size —
+    *    an uncapped baseKeys/16 at a 10^9-key base would let the chain
+    *    reach ~62M keys before folding, itself a per-batch corpus term;
     *  - when total keys cross the base's sized capacity, the base is
     *    REBUILT from the captions table with 2× headroom (geometric —
     *    O(log corpus) rebuilds over a store's life).
@@ -303,7 +325,8 @@ object IncrementalPairs {
         s"base $dir keys=$nNew cap=${math.max(nNew * 2, DefaultBloomKeys)}"))
     } else if (nNew == 0) {
       () // nothing admitted: the state is already correct
-    } else if (st.deltaTotal + nNew <= math.max(8L, st.baseKeys / 16)) {
+    } else if (st.deltaTotal + nNew <=
+        math.min(math.max(8L, st.baseKeys / 16), MaxDeltaKeys)) {
       // the common path: one batch-sized exact-key delta
       val dir = s"delta-${newStamp()}"
       admittedCaps.coalesce(1).write.parquet(s"$root/caption_bloom/$dir")
@@ -387,18 +410,22 @@ object IncrementalPairs {
     * swapping history out from under the batch's appends.
     *
     * Liveness is the lock file's MODIFICATION TIME, heartbeat-touched by
-    * the holder at stage boundaries ([[touchLock]]) — so a batch or
-    * maintenance run that legitimately outlives [[StaleLockMs]] is never
-    * harvested as torn (the write-once-timestamp flavor re-enabled the
-    * exact lost-history race the lock exists to prevent). Reclaim paths,
-    * both nonce-confirmed so two reclaimers racing cannot both win:
+    * a background daemon for the holder's whole critical section
+    * ([[withStoreLock]] — stage boundaries are not enough, a single
+    * corpus-scale stage can outlive the grace) — so a holder that
+    * legitimately outlives [[StaleLockMs]] is never harvested as torn
+    * (the write-once-timestamp flavor re-enabled the exact lost-history
+    * race the lock exists to prevent). Reclaim paths, both
+    * nonce-confirmed so two reclaimers racing cannot both win:
     *
     *  - mtime older than [[StaleLockMs]] — a crashed holder's torn lock;
-    *  - same `token` on a `batch` lock — a foreachBatch RETRY of the
-    *    same micro-batch, which the engine only issues after the prior
-    *    attempt died (the [[graft.operators.SeenFilterStore]]
-    *    writer-token discipline): a driver crash mid-batch does NOT
-    *    stall the restarted stream for the stale grace.
+    *  - same `token` on a `batch` lock whose heartbeat has been quiet
+    *    past [[BatchRetryGraceMs]] — a foreachBatch RETRY of the same
+    *    micro-batch (the [[graft.operators.SeenFilterStore]]
+    *    writer-token discipline): a driver crash mid-batch stalls the
+    *    restarted stream for minutes, not the full stale grace, while a
+    *    ZOMBIE predecessor still heartbeating keeps its lock (two live
+    *    drivers can never both hold it).
     */
   private def acquireLock(spark: SparkSession, root: String, kind: String,
                           token: String = ""): org.apache.hadoop.fs.Path = {
@@ -435,14 +462,35 @@ object IncrementalPairs {
     }.getOrElse("")
     val mtimeAge =
       try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
-      catch { case _: java.io.IOException => Long.MaxValue } // vanished = retryable
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // the holder released between our create-fail and the stat:
+          // one clean retry, then loud contention
+          if (tryCreate(nonce)) return lock
+          throw new IllegalStateException(s"lock at $lock is contended — retry")
+        case e: java.io.IOException =>
+          // a transient stat fault is NOT evidence of a dead holder —
+          // reclaiming here would delete a live writer's lock
+          throw new IllegalStateException(
+            s"cannot stat pair-store lock $lock — refusing to judge " +
+              "liveness on a filesystem error; retry", e)
+      }
+    // a retry of the SAME batch may reclaim its provably-dead
+    // predecessor once its heartbeat has gone quiet past the retry
+    // grace — a ZOMBIE predecessor (GC stall, partition) still
+    // heartbeating keeps the lock, so two live drivers can never both
+    // hold it
     val sameBatchRetry = kind == "batch" && heldKind == "batch" &&
-      token.nonEmpty && heldToken == token
+      token.nonEmpty && heldToken == token && mtimeAge >= BatchRetryGraceMs
     if (mtimeAge < StaleLockMs && !sameBatchRetry)
       throw new IllegalStateException(
         s"$root is locked by a live '$heldKind' operation (last heartbeat " +
           s"$mtimeAge ms ago) — the pair store is single-writer: run " +
-          "maintenance only while the stream is quiescent, and vice versa")
+          "maintenance only while the stream is quiescent, and vice versa" +
+          (if (kind == "batch" && heldKind == "batch" && heldToken == token)
+            s"; a retry of batch $token may proceed once the dead " +
+              s"attempt's heartbeat is $BatchRetryGraceMs ms quiet"
+          else ""))
     // torn (crashed holder) or a provably-dead prior attempt of the SAME
     // batch: reclaim with nonce confirm
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -461,18 +509,39 @@ object IncrementalPairs {
     lock
   }
 
-  /** Heartbeat: bump the lock's mtime so a long-running holder stays
-    * visibly live. Called at stage boundaries (post-curation, between
-    * appends, between table compactions) — each is one cheap `setTimes`.
+  /** Run `body` holding the store lock with a BACKGROUND heartbeat
+    * daemon bumping the lock's mtime every [[HeartbeatMs]] — stage
+    * boundaries are not enough (a single corpus-scale Spark stage can
+    * outlive [[StaleLockMs]], and a mid-stage harvest is exactly the
+    * lost-history race the lock prevents). `setTimes` heartbeating needs
+    * a filesystem that honors it (HDFS/POSIX — the store's supported
+    * homes, same caveat as the lock's create-exclusive; an object store
+    * that no-ops setTimes degrades to the r13 write-once-age behavior).
     */
-  private def touchLock(spark: SparkSession, lock: org.apache.hadoop.fs.Path): Unit =
-    try lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .setTimes(lock, System.currentTimeMillis(), -1)
-    catch { case _: java.io.IOException => () } // next stage touches again
-
-  private def releaseLock(spark: SparkSession, lock: org.apache.hadoop.fs.Path): Unit = {
-    lock.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lock, false)
-    ()
+  private def withStoreLock[T](spark: SparkSession, root: String,
+                               kind: String, token: String = "")(body: => T): T = {
+    val lock = acquireLock(spark, root, kind, token)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      while (!stop.get()) {
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch { case _: java.io.IOException => () } // next beat retries
+        try Thread.sleep(HeartbeatMs)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt(); stop.set(true) }
+      }
+    }, s"pair-store-lock-heartbeat-$kind")
+    beat.setDaemon(true)
+    beat.start()
+    try body
+    finally {
+      stop.set(true)
+      beat.interrupt()
+      beat.join(2000)
+      fs.delete(lock, false)
+      ()
+    }
   }
 
   // ------------------------------------------------------ the batch path
@@ -497,8 +566,7 @@ object IncrementalPairs {
     // store a live compactHistory is mid-swap on would misdiagnose
     // healthy maintenance as corruption — under the lock every state
     // they can see is quiescent, so a failure there is real
-    val lock = acquireLock(spark, root, "batch", token = batchId.toString)
-    try {
+    withStoreLock(spark, root, "batch", token = batchId.toString) {
       ensureLayout(spark, root, Layout(parts, cfg.maxHamming))
       // re-read under the lock (a reclaimed same-batch retry could in
       // principle follow a competing replay — single-writer makes this
@@ -572,7 +640,6 @@ object IncrementalPairs {
         // Only probable hits do the pruned exact confirm — that key set
         // is dup-count + fpp-sized, small enough that its In() pushes as
         // eq-chains and row-group stats bite.
-        touchLock(spark, lock) // post-curation heartbeat
         val batchCaps = curated.select(col(idCol).as("id"),
           col("cap_h"), col("cap_h2"))
         val bloomState = readBloomState(spark, root, hwm)
@@ -599,7 +666,6 @@ object IncrementalPairs {
         captionDups.unpersist()
         try {
           val nAdmitted = admitted.count()
-          touchLock(spark, lock) // pre-append heartbeat
           // accepted FIRST (at-least-once), store tables second, manifest
           // flip LAST — a crash anywhere leaves only invisible partials
           admitted
@@ -631,7 +697,6 @@ object IncrementalPairs {
           // caption keys at every instant — an extra uncommitted key only
           // costs an exact confirm; a missing committed key would be a
           // false negative = silent dup admit
-          touchLock(spark, lock) // pre-flip heartbeat
           commitCaptionBloom(spark, root, bloomState,
             admitted.select(col("cap_h"), col("cap_h2")), nAdmitted)
           Manifests.writeAtomic(spark, s"$root/$StateName",
@@ -645,7 +710,7 @@ object IncrementalPairs {
         // forever — release it
         curated0.unpersist(); ()
       }
-    } finally releaseLock(spark, lock)
+    }
   }
 
   // ---------------------------------------------------------- maintenance
@@ -672,24 +737,20 @@ object IncrementalPairs {
       return 0L
     }
     val hwm = committedBatchId(spark, root).getOrElse(return 0L)
-    val lock = acquireLock(spark, root, "maintenance")
-    try {
+    withStoreLock(spark, root, "maintenance") {
       val h = compactOne(spark, root, "history", layout.parts, Seq("id"),
         Seq("id"), Seq("id"), hwm)
-      touchLock(spark, lock)
       val b = compactOne(spark, root, "bands", layout.parts, Seq("t", "bk"),
         Seq("bk", "t"), Seq("t", "bk", "id"), hwm)
-      touchLock(spark, lock)
       val c = compactOne(spark, root, "captions", layout.parts,
         Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2"),
         Seq("cap_h", "cap_h2"), hwm)
-      touchLock(spark, lock)
       // always rebuild the caption seen-set: re-sized to the live count
       // (fpp healing), uncommitted keys dropped, lost-seen-set recovery,
       // delta chain collapsed, orphan pieces swept
       rebuildCaptionBloom(spark, root)
       h + b + c
-    } finally releaseLock(spark, lock)
+    }
   }
 
   /** Rewrite one store table keep-one-per-`dedupKeys` (min `batch_id`
@@ -763,8 +824,7 @@ object IncrementalPairs {
                    parts: Int = DefaultParts, maxHamming: Int = 1): Unit = {
     require(readLayout(spark, root).isEmpty,
       s"$root is already band-indexed ($LayoutName exists)")
-    val lock = acquireLock(spark, root, "maintenance")
-    try {
+    withStoreLock(spark, root, "maintenance") {
       val path = new org.apache.hadoop.fs.Path(s"$root/history")
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val old = new org.apache.hadoop.fs.Path(s"$root/history.compact_old")
@@ -774,8 +834,17 @@ object IncrementalPairs {
             s"indexHistory: crash-recovery rename $old -> $path failed")
       }
       require(fs.exists(path), s"$root/history does not exist — nothing to migrate")
+      val pendingName = s"$LayoutName.pending"
+      val pendingJson =
+        s"""{"v":2,"parts":$parts,"bits":$Bits,"max_hamming":$maxHamming}"""
       val flat = spark.read.parquet(path.toString)
       if (!flat.columns.contains(KeyedHistory.PartCol)) {
+        // stamp the INTENDED layout before any mutation: a crash after
+        // the history swap leaves this as the resumable record of the
+        // parameters the partitioned dirs were built with (the flat
+        // history is untouched up to the swap, so overwriting a stale
+        // pending from an earlier pre-swap crash is safe)
+        Manifests.writeAtomic(spark, s"$root/$pendingName", pendingJson)
         // history: rewrite partitioned via write-aside + swap
         val tmp = new org.apache.hadoop.fs.Path(s"$root/history.compact_tmp")
         fs.delete(tmp, true)
@@ -791,20 +860,25 @@ object IncrementalPairs {
         // already partitioned with no layout stamp = a prior indexHistory
         // crashed after its history swap — RESUME: the partitioned
         // history is complete (the swap is atomic), only the derived
-        // tables below need (re)building. Its partition count must match
-        // this call's (a pure key function — a drifted P would mis-prune).
-        val pts = fs.listStatus(path).filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(KeyedHistory.PartCol + "="))
-          .map(_.getPath.getName.stripPrefix(KeyedHistory.PartCol + "=").toInt)
-        require(pts.isEmpty || pts.max < parts,
-          s"$root/history is partitioned with values up to ${pts.max} but " +
-            s"this call resumes with parts=$parts — re-run with the " +
-            "original partition count")
+        // tables below need (re)building. The pending stamp records the
+        // parameters those partitions were BUILT with; this call must
+        // match them exactly (partition values are a pure function of
+        // parts — a drifted P would prune to the wrong partitions and
+        // silently admit every duplicate; dir-name inspection cannot
+        // catch a LARGER parts, empty high partitions hide a smaller).
+        val pending = Manifests.read(spark, s"$root/$pendingName")
+        require(pending.isDefined,
+          s"$root/history is hash-partitioned but neither $LayoutName nor " +
+            s"$pendingName exists — this store was not produced by " +
+            "indexHistory; rebuild it or stamp the layout by hand")
+        require(pending.get.trim == pendingJson,
+          s"$root has a half-done migration stamped ${pending.get.trim} " +
+            s"but this call resumes with $pendingJson — re-run with the " +
+            "ORIGINAL parameters")
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"indexHistory: resuming a half-done migration at $root " +
             "(partitioned history found without a layout stamp)")
       }
-      touchLock(spark, lock)
       // derived tables: rebuild from scratch (delete any partial attempt)
       val hist = spark.read.parquet(path.toString).drop(KeyedHistory.PartCol)
         .persist()
@@ -828,9 +902,10 @@ object IncrementalPairs {
       } finally { hist.unpersist(); () }
       fs.delete(old, true)
       // the stamp lands LAST: its presence asserts a complete index
-      Manifests.writeAtomic(spark, s"$root/$LayoutName",
-        s"""{"v":2,"parts":$parts,"bits":$Bits,"max_hamming":$maxHamming}""")
-    } finally releaseLock(spark, lock)
+      Manifests.writeAtomic(spark, s"$root/$LayoutName", pendingJson)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$pendingName"), false)
+      ()
+    }
   }
 
   /** The streaming wrapper: micro-batches of `(idCol, imageCol,

@@ -112,10 +112,8 @@ object KeyedHistory {
     val hasParts = fs.listStatus(dir).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
     if (!hasParts) return empty
-    val pts = probePartitions(probe, p, keyCols)
-    if (pts.isEmpty) return empty
-    val base = spark.read.parquet(path)
-      .where(col(partCol).isin(pts: _*)).drop(partCol)
+    def prunedTo(pts: Seq[Int]): DataFrame =
+      spark.read.parquet(path).where(col(partCol).isin(pts: _*)).drop(partCol)
     pushKeyCol match {
       case Some(k) =>
         // SUPERSET filter on the highest-cardinality key column, redundant
@@ -125,15 +123,25 @@ object KeyedHistory {
         // groups INSIDE the partitions the pt filter could not prune —
         // bytes read stay ∝ the batch's keys even as each partition grows
         // with the corpus (partition pruning alone still reads
-        // corpus/P × keys-hit bytes). Collected only when driver-bounded;
-        // an oversized key set (backfill batch) falls back to
-        // partition-level pruning, never an error.
-        val vals = probe.select(col(k)).distinct()
-          .limit(maxPushKeys + 1).collect().map(_.get(0))
-        if (vals.nonEmpty && vals.length <= maxPushKeys)
-          base.where(col(k).isin(vals.toIndexedSeq: _*))
-        else base
-      case None => base
+        // corpus/P × keys-hit bytes). ONE collect serves both the
+        // partition values and the push keys (the partition is a function
+        // of the full key tuple, so distinct (pt, key) pairs are bounded
+        // by the distinct keys); an oversized key set (backfill batch)
+        // falls back to partition-level pruning, never an error.
+        val rows = probe
+          .select(partValue(p, keyCols.map(col): _*).as("_pt"), col(k).as("_k"))
+          .distinct().limit(maxPushKeys + 1).collect()
+        if (rows.isEmpty) empty
+        else if (rows.length <= maxPushKeys)
+          prunedTo(rows.map(_.getInt(0)).distinct.toSeq)
+            .where(col(k).isin(rows.map(_.get(1)).distinct.toIndexedSeq: _*))
+        else {
+          val pts = probePartitions(probe, p, keyCols)
+          if (pts.isEmpty) empty else prunedTo(pts)
+        }
+      case None =>
+        val pts = probePartitions(probe, p, keyCols)
+        if (pts.isEmpty) empty else prunedTo(pts)
     }
   }
 

@@ -373,9 +373,20 @@ object EventSink {
     val partPath: String = {
       val matching: Seq[String] =
         if (partitionSpec.size <= 4) {
+          // existence alone is not enough: an UNDER-specified spec hits
+          // an intermediate dir (we would bootstrap a bogus manifest into
+          // it), and a layout migration's stale alternate-order empty
+          // dirs would fake ambiguity — accept a candidate only if it
+          // DIRECTLY holds data (parquet) or is already under the
+          // manifest protocol, mirroring the walk regime's
+          // parquet-bearing filter
+          def holdsData(p: org.apache.hadoop.fs.Path): Boolean =
+            fs.exists(p) && fs.listStatus(p).exists(f => f.isFile &&
+              (f.getPath.getName.endsWith(".parquet") ||
+                f.getPath.getName == ManifestName))
           partitionSpec.toSeq.permutations
             .map(_.map { case (k, v) => s"$k=$v" }.mkString("/"))
-            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(s"$tablePath/$p")))
+            .filter(p => holdsData(new org.apache.hadoop.fs.Path(s"$tablePath/$p")))
             .toSeq.distinct
         } else {
           val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(tablePath))

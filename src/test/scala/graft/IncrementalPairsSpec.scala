@@ -324,12 +324,23 @@ class IncrementalPairsSpec extends SparkSpecBase {
         1L, root, accepted, cfg = cfg)
     }
     assert(e2.getMessage.contains("single-writer"), e2.getMessage)
-    // a RETRY of the SAME batch reclaims the dead prior attempt's lock
-    // immediately (foreachBatch only re-offers a batch after its earlier
-    // attempt died — the writer-token discipline), even with a fresh
-    // heartbeat on the corpse
+    // a RETRY of the SAME batch against a STILL-HEARTBEATING predecessor
+    // refuses (zombie protection: two live drivers can never both hold
+    // the lock), naming the retry grace
     java.nio.file.Files.write(lockPath,
       "batch dead-nonce token=1\n".getBytes)
+    val zombie = intercept[IllegalStateException] {
+      IncrementalPairs.processBatch(
+        Seq((2L, png(50), "some new caption")).toDF("pair_id", "image", "caption"),
+        1L, root, accepted, cfg = cfg)
+    }
+    assert(zombie.getMessage.contains("retry of batch 1"), zombie.getMessage)
+    // once the predecessor's heartbeat has been quiet past the retry
+    // grace, the same-batch retry reclaims WITHOUT waiting the full
+    // stale grace (minutes, not an hour, after a driver crash)
+    java.nio.file.Files.setLastModifiedTime(lockPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 4 * 60 * 1000L))
     val led = IncrementalPairs.processBatch(
       Seq((2L, png(50), "some new caption")).toDF("pair_id", "image", "caption"),
       1L, root, accepted, cfg = cfg).toMap
@@ -399,10 +410,19 @@ class IncrementalPairsSpec extends SparkSpecBase {
 
     // RESUME: a migration that crashed AFTER its history swap (the
     // hours-long derived phase at corpus scale) leaves a partitioned
-    // history with no layout stamp — re-running indexHistory must resume
-    // (rebuild the derived tables), not refuse
-    Seq("bands", "captions", "caption_bloom", IncrementalPairs.LayoutName)
+    // history, the PENDING parameter stamp, and no final layout stamp —
+    // re-running indexHistory must resume (rebuild the derived tables),
+    // not refuse; and it must refuse DRIFTED resume parameters loudly
+    Seq("bands", "captions", "caption_bloom")
       .foreach(t => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$root/${IncrementalPairs.LayoutName}"),
+      new org.apache.hadoop.fs.Path(s"$root/${IncrementalPairs.LayoutName}.pending")))
+    val driftedResume = intercept[IllegalArgumentException] {
+      IncrementalPairs.indexHistory(spark, root, parts = 8,
+        maxHamming = cfg.maxHamming)
+    }
+    assert(driftedResume.getMessage.contains("ORIGINAL"), driftedResume.getMessage)
     IncrementalPairs.indexHistory(spark, root, maxHamming = cfg.maxHamming)
     val led2 = IncrementalPairs.processBatch(
       Seq((21L, png(0), "after resume fresh cap"),
