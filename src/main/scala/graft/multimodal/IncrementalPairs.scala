@@ -100,7 +100,7 @@ object IncrementalPairs {
 
   /** A lock whose heartbeat mtime is younger than this is live; older is
     * a crashed holder's torn lock, reclaimed with a nonce confirm. The
-    * holder heartbeats from a BACKGROUND daemon ([[withHeartbeat]]) every
+    * holder heartbeats from a BACKGROUND daemon ([[withStoreLock]]) every
     * [[HeartbeatMs]], so even an hours-long single Spark stage keeps the
     * lock visibly live.
     */
