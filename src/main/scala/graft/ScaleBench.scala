@@ -843,33 +843,65 @@ object ScaleBench {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.getContentSummary(p).getLength
       }
-      def point(h: Long): (Double, Long, Long) = {
-        val (root, acc) = store(h)
+      // the steady-state batch: a SECOND batch against the same store,
+      // where the per-generation base-bloom cache is already warm — the
+      // bloom read (the residual history-proportional term of the first
+      // batch) disappears and bytes drop to the batch's own key spread
+      val warmBatch = spark.range(240).select(col("id").as("pair_id"),
+          concat(lit("steady caption number "), col("id").cast("string")).as("caption"))
+        .collect().map(r => (1000L + r.getLong(0),
+          JdkMedia.solidPng(8, 8, (r.getLong(0) % 40).toInt * 6 + 3,
+            (r.getLong(0) % 40).toInt * 6 + 3, (r.getLong(0) % 40).toInt * 6 + 3),
+          r.getString(1)))
+      import spark.implicits._
+      val warmDf = warmBatch.toSeq.toDF("pair_id", "image", "caption")
+        .repartition(8).localCheckpoint(true)
+      def measure(body: => Map[String, Long]): (Double, Long, Long, Map[String, Long]) = {
         val listener = new ShuffleBytesListener
+        val dbg = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val in = sc.stageInfo.taskMetrics.inputMetrics.bytesRead
+            if (in > 100000 && sys.env.contains("SPARK_GRAFT_INCPAIRS_DEBUG"))
+              System.err.println(f"[incpairs-stage] ${in / 1048576.0}%.2f MB  ${sc.stageInfo.name.take(120)}")
+          }
+        }
+        spark.sparkContext.addSparkListener(dbg)
         spark.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
-        val led = IncrementalPairs.processBatch(batchDf, 1L, root, acc, cfg = cfg).toMap
+        val led = body
         val secs = (System.nanoTime() - t0) / 1e9
         Thread.sleep(2000)
         spark.sparkContext.removeSparkListener(listener)
+        spark.sparkContext.removeSparkListener(dbg)
+        (secs, listener.records.get(), listener.inputBytes.get(), led)
+      }
+      def point(h: Long): (Double, Long, Long, Long) = {
+        val (root, acc) = store(h)
+        val (secs, recs, bytes, led) = measure(
+          IncrementalPairs.processBatch(batchDf, 1L, root, acc, cfg = cfg).toMap)
         require(led("admitted") == 40L, s"history must not collide: $led")
+        val (wSecs, _, wBytes, wLed) = measure(
+          IncrementalPairs.processBatch(warmDf, 2L, root, acc, cfg = cfg).toMap)
         println(f"""{"incpairs":{"history":$h,"sec":$secs%.2f,""" +
-          f""""shuffle_records":${listener.records.get()},""" +
-          f""""input_mb":${listener.inputBytes.get() / 1048576.0}%.2f,""" +
+          f""""shuffle_records":$recs,""" +
+          f""""input_mb":${bytes / 1048576.0}%.2f,""" +
+          f""""warm_sec":$wSecs%.2f,"warm_input_mb":${wBytes / 1048576.0}%.2f,""" +
           f""""store_mb":${storeBytes(root) / 1048576.0}%.2f,""" +
-          f""""admitted":${led("admitted")}}}""")
-        (secs, listener.records.get(), listener.inputBytes.get())
+          f""""admitted":${led("admitted")},"warm_admitted":${wLed("admitted")}}}""")
+        (secs, recs, bytes, wBytes)
       }
       point(100000L) // warm (JIT + codec paths)
-      val (s1, r1, b1) = point(100000L)
-      val (s10, r10, b10) = point(1000000L)
+      val (s1, r1, b1, w1) = point(100000L)
+      val (s10, r10, b10, w10) = point(1000000L)
       println(f"""{"incpairs_linearity":{"sec_1x":$s1%.2f,"sec_10x":$s10%.2f,""" +
         f""""wall_ratio":${s10 / math.max(s1, 1e-9)}%.2f,""" +
         f""""records_1x":$r1,"records_10x":$r10,""" +
         f""""records_ratio":${r10.toDouble / math.max(r1, 1L)}%.2f,""" +
         f""""input_mb_1x":${b1 / 1048576.0}%.2f,"input_mb_10x":${b10 / 1048576.0}%.2f,""" +
-        f""""bytes_ratio":${b10.toDouble / math.max(b1, 1L)}%.2f}}""")
-      batchDf.unpersist()
+        f""""bytes_ratio":${b10.toDouble / math.max(b1, 1L)}%.2f,""" +
+        f""""warm_mb_1x":${w1 / 1048576.0}%.2f,"warm_mb_10x":${w10 / 1048576.0}%.2f,""" +
+        f""""warm_bytes_ratio":${w10.toDouble / math.max(w1, 1L)}%.2f}}""")
+      batchDf.unpersist(); warmDf.unpersist()
     }
 
     if (sections("gzip")) {

@@ -230,6 +230,37 @@ object IncrementalPairs {
       captionBloomKey, BloomSeed, g.kHashes, g.mBits, g.numShards), sized)
   }
 
+  /** Per-generation DRIVER-LOCAL cache of the base filter rows: the base
+    * only changes on folds/rebuilds (every ≥ fold-threshold admissions),
+    * so between them a long-lived driver serves the probe from memory
+    * instead of re-reading ~1.2 bytes/key of parquet — and, because the
+    * probe BROADCASTS the filter anyway, the broadcast builds (one per
+    * consumer — Spark races them as futures before any block cache can
+    * materialize, so `persist()` does NOT deduplicate these reads; the
+    * stage trace showed 3-4 full re-reads per batch) now build from a
+    * LocalRelation with ZERO file IO. Memory held = the filter's
+    * `broadcastBytes`, the same budget [[graft.operators.SeenFilter]]'s
+    * geometry doc already charges the probe with. Keyed by gen path
+    * (plain rows, session-independent); superseded generations of the
+    * same store are evicted on access.
+    */
+  private val baseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (StructType, java.util.List[Row])]()
+
+  private def cachedBase(spark: SparkSession, path: String): DataFrame = {
+    val storePrefix = path.substring(0, path.lastIndexOf('/') + 1)
+    val it = baseCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != path && k.startsWith(storePrefix)) it.remove()
+    }
+    val (schema, rows) = baseCache.computeIfAbsent(path, p => {
+      val df = spark.read.parquet(p)
+      (df.schema, java.util.Arrays.asList(df.collect(): _*))
+    })
+    spark.createDataFrame(rows, schema)
+  }
+
   /** The CURRENT seen-set state. Absent is legitimate only on a store
     * with no committed batch — on a live store a lost seen-set means
     * false negatives (silent duplicate re-admission), so fail loudly and
@@ -261,7 +292,7 @@ object IncrementalPairs {
             deltaDirs.map(d => s"$root/caption_bloom/$d"): _*)
             .select(col("cap_h"), col("cap_h2"))
         BloomState(
-          spark.read.parquet(s"$root/caption_bloom/$baseDir"),
+          cachedBase(spark, s"$root/caption_bloom/$baseDir"),
           field(baseLine, "keys"), field(baseLine, "cap"),
           baseLine, deltaLines, deltaKeys,
           deltaLines.map(field(_, "keys")).sum, persisted = true)
