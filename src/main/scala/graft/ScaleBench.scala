@@ -30,6 +30,34 @@ import graft.operators.Dedup
   */
 object ScaleBench {
 
+  /** Counting local filesystem (`cfile://`): every metadata call
+    * (listStatus / getFileStatus) and file open routed through it is
+    * counted, so the `incmeta` section MEASURES per-batch driver
+    * metadata cost (dir listings + file stats + footer-read opens)
+    * instead of asserting it. Bench-only tooling — registered via
+    * `fs.cfile.impl` on the session's Hadoop conf.
+    */
+  final class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+    override def getScheme: String = "cfile"
+    override def getUri: java.net.URI = CountingLocalFs.FsUri
+    override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+      CountingLocalFs.lists.incrementAndGet(); super.listStatus(f)
+    }
+    override def getFileStatus(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileStatus = {
+      CountingLocalFs.stats.incrementAndGet(); super.getFileStatus(f)
+    }
+    override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+      CountingLocalFs.opens.incrementAndGet(); super.open(f, bufferSize)
+    }
+  }
+  object CountingLocalFs {
+    private val FsUri = java.net.URI.create("cfile:///")
+    val lists = new AtomicLong(0L)
+    val stats = new AtomicLong(0L)
+    val opens = new AtomicLong(0L)
+    def snap(): (Long, Long, Long) = (lists.get(), stats.get(), opens.get())
+  }
+
   private final class ShuffleBytesListener extends SparkListener {
     val bytes = new AtomicLong(0L)
     val records = new AtomicLong(0L)
@@ -312,7 +340,7 @@ object ScaleBench {
     val known = Set("minhash", "emb", "spans", "increment", "recap", "ivfappend",
       "ivfdedup", "knntopk", "relayout", "initsample", "gzip", "bpe", "avi",
       "preclean", "bloom", "shuffle", "classifier", "crawl", "dsir", "robots",
-      "kernels", "keepbest", "incpairs")
+      "kernels", "keepbest", "incpairs", "incmeta")
     val sections = if (args.isEmpty) known else args.toSet
     require(sections.subsetOf(known),
       s"unknown ScaleBench section(s) ${(sections -- known).mkString(", ")} — " +
@@ -902,6 +930,90 @@ object ScaleBench {
         f""""warm_mb_1x":${w1 / 1048576.0}%.2f,"warm_mb_10x":${w10 / 1048576.0}%.2f,""" +
         f""""warm_bytes_ratio":${w10.toDouble / math.max(w1, 1L)}%.2f}}""")
       batchDf.unpersist(); warmDf.unpersist()
+    }
+
+    if (sections("incmeta")) {
+      // ---- pair-store METADATA plane: per-batch driver metadata calls
+      //      (dir listings, file stats, footer-read opens) across a
+      //      12-batch stream, auto-fold ON (foldEvery=4) vs OFF. The
+      //      r15 claim: probes list only their selected partition dirs
+      //      (path-construction pruning) and the self-fold bounds files
+      //      per partition, so per-batch metadata cost is FLAT in batch
+      //      count; with the fold disabled the same run trends upward
+      //      with the accumulating per-batch files. Solid PNGs all pHash
+      //      to 0, concentrating every batch's band keys in the same 4
+      //      partitions — the hot-partition worst case for both file
+      //      accumulation and listing. Measured through a counting
+      //      FileSystem (cfile://), not inferred. ----
+      import graft.multimodal.{IncrementalPairs, PairCuration, JdkMedia}
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.cfile.impl", classOf[CountingLocalFs].getName)
+      val cfg = PairCuration.Config(minCaptionTokens = 2, meanTol = 2.0)
+      val nBatches = 10 // luma = 3·(b·8+i) must stay ≤ 255 (80 pairs)
+      val perBatch = 8
+      // SMALL parts so the partition-dir axis SATURATES within the run
+      // (dirs touched per batch is ≤ P by construction — the flat O(P)
+      // term at any scale); what's left growing across batches is FILE
+      // count, the axis the self-fold bounds. At the production default
+      // (1024) this toy run would sit entirely in the pre-saturation
+      // regime and measure dir-count growth instead of the fold.
+      val metaParts = 8
+      def run(foldEvery: Int): (Seq[Long], Seq[Long], Seq[Long], Seq[Int]) = {
+        val localRoot = graft.sources.BucketedTables.scratchDir(
+          s"sb_incmeta_f${foldEvery}_").toString
+        val root = "cfile://" + localRoot + "/store"
+        val acc = "cfile://" + localRoot + "/accepted"
+        def storeFiles: Int = {
+          val base = java.nio.file.Paths.get(localRoot, "store")
+          if (!java.nio.file.Files.exists(base)) 0
+          else {
+            val s = java.nio.file.Files.walk(base)
+            try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+            finally s.close()
+          }
+        }
+        val out = (0 until nBatches).map { b =>
+          import spark.implicits._
+          // luma gap 3 > meanTol: no in-batch near-dup chains (a chain
+          // drives iterative CC — irrelevant to the metadata claim);
+          // checkpointed so per-batch lineage stays flat (the incpairs
+          // section's discipline)
+          val df = (0 until perBatch).map { i =>
+            val luma = 3 * (b * perBatch + i) // unique per pair across the run
+            (b * 1000L + i, JdkMedia.solidPng(8, 8, luma, luma, luma),
+              s"incmeta fold=$foldEvery batch $b caption $i")
+          }.toDF("pair_id", "image", "caption").localCheckpoint(true)
+          val (l0, s0, o0) = CountingLocalFs.snap()
+          IncrementalPairs.processBatch(df, b.toLong, root, acc, cfg = cfg,
+            parts = metaParts, foldEvery = foldEvery)
+          val (l1, s1, o1) = CountingLocalFs.snap()
+          df.unpersist()
+          (l1 - l0, s1 - s0, o1 - o0, storeFiles)
+        }
+        (out.map(_._1), out.map(_._2), out.map(_._3), out.map(_._4))
+      }
+      val (flL, flS, flO, flF) = run(foldEvery = 4)
+      val (nfL, nfS, nfO, nfF) = run(foldEvery = 0)
+      def arr(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+      // STEADY-STATE trend: fold batches ((i+1) % foldEvery == 0) carry
+      // the fold's own amortized IO — exclude them (and the 2-batch cold
+      // start) so the trend isolates the per-batch probe/append cost.
+      // Fold-on should sit ~1×; fold-off drifts up with file count.
+      def trend(xs: Seq[Long]): Double = {
+        val s = xs.zipWithIndex.collect {
+          case (x, i) if i >= 2 && (i + 1) % 4 != 0 => x.toDouble
+        }
+        s.takeRight(2).sum / 2.0 / math.max(s.take(2).sum / 2.0, 1e-9)
+      }
+      println(f"""{"incmeta":{"batches":$nBatches,"fold_every":4,""" +
+        f""""fold_lists":${arr(flL)},"fold_stats":${arr(flS)},""" +
+        f""""fold_opens":${arr(flO)},"fold_files":${arr(flF.map(_.toLong))},""" +
+        f""""nofold_lists":${arr(nfL)},"nofold_stats":${arr(nfS)},""" +
+        f""""nofold_opens":${arr(nfO)},"nofold_files":${arr(nfF.map(_.toLong))},""" +
+        f""""fold_list_trend":${trend(flL)}%.2f,""" +
+        f""""nofold_list_trend":${trend(nfL)}%.2f,""" +
+        f""""fold_open_trend":${trend(flO)}%.2f,""" +
+        f""""nofold_open_trend":${trend(nfO)}%.2f}}""")
     }
 
     if (sections("gzip")) {

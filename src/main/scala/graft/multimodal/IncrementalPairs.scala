@@ -89,11 +89,23 @@ object IncrementalPairs {
   private val LockName = ".store_lock"
 
   /** Default partition count for all three store tables. Pruning bites
-    * when P exceeds a batch's distinct key spread — size UP with the
-    * corpus and batch cadence (a re-index rewrite changes it; partitions
-    * are a pure key function).
+    * when P exceeds a batch's distinct key spread ([[KeyedHistory]]'s
+    * "P ≫ the per-batch key spread" rule): a realistic curation batch
+    * emits ~4 band keys per image, so a 240-pair batch probes ~10³ band
+    * keys — at the old default of 64 that hit EVERY partition with
+    * probability ≈ 1 and the bands leg's bytes-flatness rested entirely
+    * on the pushed-In row-group skip; at 1024 the probe prunes a real
+    * subset AND the row-group skip still works inside each selected
+    * partition (both mechanisms are spec-gated). Size further UP with
+    * corpus and batch cadence.
+    *
+    * MIGRATION: the stamp wins — a store created under an older default
+    * keeps its stamped P (callers pass `parts = <stamped>`); moving an
+    * existing store to the new default is a whole-table re-index
+    * (partitions are a pure key function), same as
+    * [[graft.operators.Dedup.relayoutSignatures]].
     */
-  val DefaultParts = 64
+  val DefaultParts = 1024
 
   /** pHash width is fixed: [[JdkMedia.phash64]]. */
   private val Bits = 64
@@ -238,26 +250,88 @@ object IncrementalPairs {
     * consumer — Spark races them as futures before any block cache can
     * materialize, so `persist()` does NOT deduplicate these reads; the
     * stage trace showed 3-4 full re-reads per batch) now build from a
-    * LocalRelation with ZERO file IO. Memory held = the filter's
-    * `broadcastBytes`, the same budget [[graft.operators.SeenFilter]]'s
-    * geometry doc already charges the probe with. Keyed by gen path
-    * (plain rows, session-independent); superseded generations of the
-    * same store are evicted on access.
+    * LocalRelation with ZERO file IO.
+    *
+    * BOUNDED ACROSS STORES, not just within one: superseded generations
+    * of the same store are evicted on access, AND the whole cache is a
+    * byte-budgeted LRU ([[BaseCacheMaxBytes]], default 2 GiB ≈ a 10⁹-key
+    * base plus headroom) — a driver serving MANY stores (multi-tenant,
+    * test suites, finished streams) evicts the coldest store's base
+    * instead of pinning one `broadcastBytes` per store for the JVM's
+    * lifetime. An evicted live base costs one parquet re-read on its
+    * store's next batch, never correctness.
     */
-  private val baseCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (StructType, java.util.List[Row])]()
+  private[graft] val DefaultBaseCacheMaxBytes: Long = 2L << 30
+
+  /** Test seam: the cache's byte budget. Production leaves the default. */
+  @volatile private[graft] var baseCacheMaxBytes: Long = DefaultBaseCacheMaxBytes
+
+  private val baseCache = new java.util.LinkedHashMap[
+      String, (StructType, java.util.List[Row], Long)](16, 0.75f, true) {
+    private def totalBytes: Long = {
+      var t = 0L
+      val it = values().iterator()
+      while (it.hasNext) t += it.next()._3
+      t
+    }
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, (StructType, java.util.List[Row], Long)]): Boolean =
+      false // eviction is explicit (evictOver) — size-many, not count-one
+    def evictOver(budget: Long): Unit = {
+      val it = entrySet().iterator()
+      var t = totalBytes
+      while (t > budget && it.hasNext) { // iterates eldest-access first
+        t -= it.next().getValue._3
+        it.remove()
+      }
+    }
+  }
+
+  /** ~bytes a cached filter holds on the driver: the bitset words
+    * dominate; the per-row constant covers the Row + config fields.
+    */
+  private def filterRowBytes(schema: StructType, rows: java.util.List[Row]): Long = {
+    val wi = schema.fieldNames.indexOf("words")
+    var t = 0L
+    val it = rows.iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      t += 128L + (if (wi >= 0 && !r.isNullAt(wi)) r.getSeq[Long](wi).length * 8L else 0L)
+    }
+    t
+  }
+
+  /** Test seams: the cached gen paths (access order, eldest first) and
+    * the cache's resident byte estimate.
+    */
+  private[graft] def baseCacheEntries: Seq[String] = baseCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    baseCache.keySet().asScala.toSeq
+  }
+  private[graft] def baseCacheBytes: Long = baseCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    baseCache.values().asScala.map(_._3).sum
+  }
 
   private def cachedBase(spark: SparkSession, path: String): DataFrame = {
     val storePrefix = path.substring(0, path.lastIndexOf('/') + 1)
-    val it = baseCache.keySet().iterator()
-    while (it.hasNext) {
-      val k = it.next()
-      if (k != path && k.startsWith(storePrefix)) it.remove()
+    val (schema, rows) = baseCache.synchronized {
+      val it = baseCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k != path && k.startsWith(storePrefix)) it.remove()
+      }
+      Option(baseCache.get(path)) match {
+        case Some((s, r, _)) => (s, r)
+        case None =>
+          val df = spark.read.parquet(path)
+          val r = java.util.Arrays.asList(df.collect(): _*)
+          val entry = (df.schema, r, filterRowBytes(df.schema, r))
+          baseCache.put(path, entry)
+          baseCache.evictOver(baseCacheMaxBytes)
+          (df.schema, r)
+      }
     }
-    val (schema, rows) = baseCache.computeIfAbsent(path, p => {
-      val df = spark.read.parquet(p)
-      (df.schema, java.util.Arrays.asList(df.collect(): _*))
-    })
     spark.createDataFrame(rows, schema)
   }
 
@@ -459,7 +533,7 @@ object IncrementalPairs {
     *    drivers can never both hold it).
     */
   private def acquireLock(spark: SparkSession, root: String, kind: String,
-                          token: String = ""): org.apache.hadoop.fs.Path = {
+                          token: String = ""): (org.apache.hadoop.fs.Path, String) = {
     val lock = new org.apache.hadoop.fs.Path(s"$root/$LockName")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(root))
@@ -484,7 +558,7 @@ object IncrementalPairs {
         } finally in.close()
       } catch { case _: java.io.IOException => None }
     val nonce = java.util.UUID.randomUUID().toString
-    if (tryCreate(nonce)) return lock
+    if (tryCreate(nonce)) return (lock, nonce)
     val held = readContent().getOrElse("")
     val heldParts = held.trim.split(" ")
     val heldKind = heldParts.headOption.getOrElse("?")
@@ -497,7 +571,7 @@ object IncrementalPairs {
         case _: java.io.FileNotFoundException =>
           // the holder released between our create-fail and the stat:
           // one clean retry, then loud contention
-          if (tryCreate(nonce)) return lock
+          if (tryCreate(nonce)) return (lock, nonce)
           throw new IllegalStateException(s"lock at $lock is contended — retry")
         case e: java.io.IOException =>
           // a transient stat fault is NOT evidence of a dead holder —
@@ -537,7 +611,7 @@ object IncrementalPairs {
         s"lost the torn-lock reclaim race at $lock (another reclaimer " +
           "overwrote the lock during the confirm window) — retry")
     }
-    lock
+    (lock, nonce)
   }
 
   /** Run `body` holding the store lock with a BACKGROUND heartbeat
@@ -548,10 +622,24 @@ object IncrementalPairs {
     * a filesystem that honors it (HDFS/POSIX — the store's supported
     * homes, same caveat as the lock's create-exclusive; an object store
     * that no-ops setTimes degrades to the r13 write-once-age behavior).
+    *
+    * RELEASE IS NONCE-CONFIRMED: the finally re-reads the lock and
+    * deletes it only while it still carries THIS holder's nonce. A
+    * predecessor that stalled past [[BatchRetryGraceMs]] without
+    * heartbeating and then resumed after a retry reclaimed its lock
+    * would otherwise delete the NEW holder's lock on exit — briefly
+    * re-opening the two-writer window. (The mutual-exclusion guarantee
+    * itself assumes a holder's STALLS are bounded by the grace while the
+    * heartbeat daemon lives — a zombie that keeps heartbeating keeps its
+    * lock; one that stops AND stalls past the grace AND resumes
+    * mid-critical-section races the retry's appends until its next
+    * manifest/nonce check. Appends are at-least-once and flips are
+    * nonce/manifest-guarded, so the exposure is duplicate table rows,
+    * reclaimed by [[compactHistory]] — same as a crash replay.)
     */
   private def withStoreLock[T](spark: SparkSession, root: String,
                                kind: String, token: String = "")(body: => T): T = {
-    val lock = acquireLock(spark, root, kind, token)
+    val (lock, nonce) = acquireLock(spark, root, kind, token)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = new Thread(() => {
@@ -570,7 +658,21 @@ object IncrementalPairs {
       stop.set(true)
       beat.interrupt()
       beat.join(2000)
-      fs.delete(lock, false)
+      val stillOurs =
+        try {
+          val in = fs.open(lock)
+          try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            n > 0 && new String(buf, 0, n,
+              java.nio.charset.StandardCharsets.UTF_8).contains(nonce)
+          } finally in.close()
+        } catch { case _: java.io.IOException => false } // gone/unreadable: not ours
+      if (stillOurs) fs.delete(lock, false)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"pair-store lock at $lock no longer carries this holder's nonce " +
+          "on release (reclaimed by a retry after a heartbeat stall?) — " +
+          "leaving it in place for its current holder")
       ()
     }
   }
@@ -588,7 +690,8 @@ object IncrementalPairs {
                    acceptedPath: String, idCol: String = "pair_id",
                    imageCol: String = "image", captionCol: String = "caption",
                    cfg: PairCuration.Config = PairCuration.Config(),
-                   parts: Int = DefaultParts): Seq[(String, Long)] = {
+                   parts: Int = DefaultParts,
+                   foldEvery: Int = FoldEveryBatches): Seq[(String, Long)] = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     val spark = batch.sparkSession
     if (committedBatchId(spark, root).exists(batchId <= _))
@@ -730,8 +833,20 @@ object IncrementalPairs {
           // false negative = silent dup admit
           commitCaptionBloom(spark, root, bloomState,
             admitted.select(col("cap_h"), col("cap_h2")), nAdmitted)
+          // auto small-file fold (see minorFold): every foldEvery
+          // committed batches, counted in the state manifest (absent on
+          // pre-fold-era stores = 0). The reset is stamped WITH the flip:
+          // a crash after the flip but before the fold completes only
+          // postpones the next fold by one cycle, never corrupts
+          val sinceFold = committed
+            .flatMap(_ => Manifests.read(spark, s"$root/$StateName"))
+            .flatMap(Manifests.numFieldOpt(_, "since_fold"))
+            .map(_.toLong).getOrElse(0L) + 1L
+          val willFold = foldEvery > 0 && sinceFold >= foldEvery
           Manifests.writeAtomic(spark, s"$root/$StateName",
-            s"""{"batch_id":$batchId,"admitted":$nAdmitted}""")
+            s"""{"batch_id":$batchId,"admitted":$nAdmitted,""" +
+              s""""since_fold":${if (willFold) 0L else sinceFold}}""")
+          if (willFold) minorFold(spark, root)
           ledger ++ Seq("history_image_dup" -> nImageDup,
             "history_caption_dup" -> nCaptionDup, "admitted" -> nAdmitted)
         } finally { admitted.unpersist(); () }
@@ -745,6 +860,44 @@ object IncrementalPairs {
   }
 
   // ---------------------------------------------------------- maintenance
+
+  /** Every append writes one file per touched partition per batch — a
+    * store run purely via [[curateStream]] would otherwise accumulate
+    * ≤ P files per table per batch forever, and probe-side file listing
+    * (O(files in the selected partitions)) would grow linearly in
+    * batches: the metadata-plane twin of the bytes problem the
+    * band-indexed layout retired. So [[processBatch]] SELF-FOLDS, the
+    * way the seen-set delta chain does: every [[FoldEveryBatches]]
+    * committed batches it merges each partition's accumulated SMALL
+    * files (< [[MinorFoldSmallBytes]]) into one sorted file, under the
+    * already-held store lock. Files at or above the size floor are never
+    * rewritten again — size-tiered, so a row is re-copied O(log) times
+    * over the store's life and the amortized per-batch fold cost is
+    * batch-proportional, never a corpus term. Steady-state files per
+    * partition: one near-floor file per tier plus < FoldEveryBatches
+    * fresh ones — bounded regardless of batch count.
+    */
+  private[graft] val FoldEveryBatches = 16
+  private[graft] val MinorFoldSmallBytes = 128L * 1024 * 1024
+
+  /** Merge each partition's small files into one sorted file, all three
+    * tables, PRESERVING the hash-partitioned layout and row-group sort
+    * (the fold re-sorts on each table's probe key, so the pushed-filter
+    * row-group skip keeps biting after the merge). Rows are rewritten
+    * VERBATIM (batch_id kept — uncommitted partials stay invisible to
+    * the committed-prefix reads). Crash windows leave only harmless
+    * duplicates (merged copy + not-yet-deleted originals), the same
+    * class as a crash replay's re-appends, reclaimed by
+    * [[compactHistory]]. Caller must hold the store lock. Returns the
+    * number of files folded away.
+    */
+  private[graft] def minorFold(spark: SparkSession, root: String,
+                               smallBytes: Long = MinorFoldSmallBytes): Long =
+    Seq(("history", Seq("id")), ("bands", Seq("bk", "t")),
+      ("captions", Seq("cap_h", "cap_h2"))).map { case (table, sortCols) =>
+      KeyedHistory.foldSmallFiles(spark, s"$root/$table", sortCols,
+        smallBytes = smallBytes)
+    }.sum
 
   /** Maintenance: collapse the rare duplicate rows a crash-replay leaves
     * behind and drop uncommitted partials (`batch_id` above the
@@ -767,20 +920,31 @@ object IncrementalPairs {
           "before maintenance")
       return 0L
     }
-    val hwm = committedBatchId(spark, root).getOrElse(return 0L)
     withStoreLock(spark, root, "maintenance") {
-      val h = compactOne(spark, root, "history", layout.parts, Seq("id"),
-        Seq("id"), Seq("id"), hwm)
-      val b = compactOne(spark, root, "bands", layout.parts, Seq("t", "bk"),
-        Seq("bk", "t"), Seq("t", "bk", "id"), hwm)
-      val c = compactOne(spark, root, "captions", layout.parts,
-        Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2"),
-        Seq("cap_h", "cap_h2"), hwm)
-      // always rebuild the caption seen-set: re-sized to the live count
-      // (fpp healing), uncommitted keys dropped, lost-seen-set recovery,
-      // delta chain collapsed, orphan pieces swept
-      rebuildCaptionBloom(spark, root)
-      h + b + c
+      // the high-water mark is sampled UNDER the lock, where the store is
+      // provably quiescent (the same re-read-under-lock discipline as
+      // processBatch): a pre-lock sample could miss a batch that
+      // committed its _PAIRSTATE flip between the read and the acquire —
+      // compactOne would then rewrite that batch's committed rows away as
+      // "uncommitted partials" and rebuildCaptionBloom would drop its
+      // caption keys, permanently erasing committed admissions while the
+      // manifest still marks them committed (silent future re-admits).
+      committedBatchId(spark, root) match {
+        case None => 0L
+        case Some(hwm) =>
+          val h = compactOne(spark, root, "history", layout.parts, Seq("id"),
+            Seq("id"), Seq("id"), hwm)
+          val b = compactOne(spark, root, "bands", layout.parts, Seq("t", "bk"),
+            Seq("bk", "t"), Seq("t", "bk", "id"), hwm)
+          val c = compactOne(spark, root, "captions", layout.parts,
+            Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2"),
+            Seq("cap_h", "cap_h2"), hwm)
+          // always rebuild the caption seen-set: re-sized to the live count
+          // (fpp healing), uncommitted keys dropped, lost-seen-set recovery,
+          // delta chain collapsed, orphan pieces swept
+          rebuildCaptionBloom(spark, root)
+          h + b + c
+      }
     }
   }
 
@@ -948,11 +1112,12 @@ object IncrementalPairs {
                    idCol: String = "pair_id", imageCol: String = "image",
                    captionCol: String = "caption",
                    cfg: PairCuration.Config = PairCuration.Config(),
-                   parts: Int = DefaultParts): DataStreamWriter[Row] =
+                   parts: Int = DefaultParts,
+                   foldEvery: Int = FoldEveryBatches): DataStreamWriter[Row] =
     pairs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, root, acceptedPath, idCol, imageCol,
-          captionCol, cfg, parts)
+          captionCol, cfg, parts, foldEvery)
         ()
       }
 }

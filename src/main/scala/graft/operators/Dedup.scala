@@ -603,16 +603,30 @@ object Dedup {
     val idCol = ids.columns.head
     val pts = KeyedHistory.probePartitions(
       ids.select(col(idCol).as("id")), sigPartitions, Seq("id"))
-    val table = spark.read.parquet(sigTablePath)
+    val dir = new org.apache.hadoop.fs.Path(sigTablePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirsByValue = KeyedHistory.partitionDirs(fs, dir, SigPartitionCol)
     // a FLAT table reached with sigPartitions > 0 means the caller's
     // config and the table's layout disagree — name the repair instead of
-    // surfacing an unresolved-column error from the filter below
-    require(table.columns.contains(SigPartitionCol),
-      s"$sigTablePath has no $SigPartitionCol partition column (it was written " +
+    // silently matching nothing (the table HAS rows, just no sig_pt dirs)
+    require(dirsByValue.nonEmpty || fs.listStatus(dir).forall(s =>
+        !s.getPath.getName.endsWith(".parquet")),
+      s"$sigTablePath has no $SigPartitionCol partition dirs (it was written " +
         "flat) but the caller expects a hash-partitioned layout — re-write it " +
         "with writeSignatures(sigPartitions = P) or run with sigPartitions = 0")
-    table
-      .where(col(SigPartitionCol).isin(pts: _*))
+    val selected = pts.flatMap(dirsByValue.get)
+    if (selected.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))))
+    // only the selected dirs reach the reader (KeyedHistory.prunedRead's
+    // path-construction pruning): per-probe listing is O(selected
+    // partitions' files), flat in the signature table's total file count
+    else KeyedHistory.readPartitionDirs(spark, sigTablePath, selected)
       .select(col("id"), col("sig"))
   }
 

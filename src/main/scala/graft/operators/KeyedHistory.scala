@@ -100,6 +100,34 @@ object KeyedHistory {
     * instead of dying in schema inference — an empty history is a normal
     * state for an incremental store's first batches.
     */
+  /** The EXISTING partition dirs of a hash-partitioned table, value →
+    * path — ONE top-level `listStatus` of ≤ P dir entries (plus state
+    * files), O(P) driver metadata RPCs FLAT in the table's file count.
+    * The per-probe listing story rests on this: file-level listing then
+    * happens only inside the dirs a probe actually selects
+    * ([[readPartitionDirs]]), never over the whole tree.
+    */
+  def partitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                    dir: org.apache.hadoop.fs.Path,
+                    partCol: String = PartCol): Map[Int, org.apache.hadoop.fs.Path] =
+    fs.listStatus(dir).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .flatMap { s =>
+        val v = s.getPath.getName.stripPrefix(partCol + "=")
+        try Some(v.toInt -> s.getPath) catch { case _: NumberFormatException => None }
+      }
+      .toMap
+
+  /** Read ONLY the given partition dirs, `basePath`-anchored so the
+    * partition column survives and carries each dir's value. Spark's
+    * file index then lists just these dirs — the driver never stats an
+    * unselected partition, and per-probe metadata cost is
+    * O(files in the selected partitions), not O(files in the table).
+    */
+  def readPartitionDirs(spark: SparkSession, basePath: String,
+                        dirs: Seq[org.apache.hadoop.fs.Path]): DataFrame =
+    spark.read.option("basePath", basePath).parquet(dirs.map(_.toString): _*)
+
   def prunedRead(spark: SparkSession, path: String, p: Int,
                  keyCols: Seq[String], probe: DataFrame, schema: StructType,
                  partCol: String = PartCol,
@@ -109,11 +137,20 @@ object KeyedHistory {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return empty
-    val hasParts = fs.listStatus(dir).exists(s =>
-      s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
-    if (!hasParts) return empty
-    def prunedTo(pts: Seq[Int]): DataFrame =
-      spark.read.parquet(path).where(col(partCol).isin(pts: _*)).drop(partCol)
+    val dirsByValue = partitionDirs(fs, dir, partCol)
+    if (dirsByValue.isEmpty) return empty
+    // only the selected dirs reach the reader: partition pruning happens
+    // at PATH CONSTRUCTION, before any file listing — a probe's driver
+    // metadata cost is one O(P) dir listing plus the selected partitions'
+    // files, flat in the table's total file count (the full-tree
+    // `spark.read.parquet(table)` flavor re-listed every file of every
+    // partition per probe: per-batch listing grew with the corpus even
+    // though the pruned bytes did not)
+    def prunedTo(pts: Seq[Int]): DataFrame = {
+      val selected = pts.flatMap(dirsByValue.get)
+      if (selected.isEmpty) empty
+      else readPartitionDirs(spark, path, selected).drop(partCol)
+    }
     pushKeyCol match {
       case Some(k) =>
         // SUPERSET filter on the highest-cardinality key column, redundant
@@ -143,6 +180,67 @@ object KeyedHistory {
         val pts = probePartitions(probe, p, keyCols)
         if (pts.isEmpty) empty else prunedTo(pts)
     }
+  }
+
+  /** Merge each partition's accumulated SMALL files (< `smallBytes`)
+    * into one file, preserving the hash-partitioned layout and
+    * re-sorting on `sortCols` so parquet row-group min/max stats keep
+    * serving the probes' pushed key filters after the merge. The
+    * metadata-plane twin of the pruned probe: every [[append]] writes
+    * one file per touched partition per batch, so a stream-fed table's
+    * file count — and with it per-probe file listing and footer reads —
+    * grows linearly in batches unless it folds. Size-tiered: files at
+    * or above `smallBytes` are never rewritten again, so a row is
+    * re-copied O(log) times over the table's life and the amortized
+    * per-call cost is proportional to the data appended since the last
+    * fold, never a corpus term.
+    *
+    * Rows are rewritten VERBATIM (any commit-marker columns survive, so
+    * committed-prefix reads are unaffected). Crash windows leave only
+    * harmless duplicate rows (merged copy + not-yet-deleted originals)
+    * — the same class as an at-least-once replay's re-appends, for the
+    * caller's keep-one maintenance to reclaim. CALLER owns write
+    * exclusion: fold only from the table's single writer or under its
+    * maintenance lock. Returns the number of files folded away.
+    */
+  def foldSmallFiles(spark: SparkSession, path: String, sortCols: Seq[String],
+                     partCol: String = PartCol,
+                     smallBytes: Long = 128L * 1024 * 1024): Long = {
+    val tPath = new org.apache.hadoop.fs.Path(path)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tPath)) return 0L
+    val dirs = partitionDirs(fs, tPath, partCol)
+    // only partitions holding ≥ 2 small files benefit; this listing is
+    // O(files in the table), amortized over the caller's fold cadence
+    // and bounded by the fold itself
+    val smallByDir = dirs.toSeq.flatMap { case (v, d) =>
+      val fls = fs.listStatus(d).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet") && s.getLen < smallBytes)
+      if (fls.length >= 2) Some((v, fls.toSeq)) else None
+    }
+    if (smallByDir.isEmpty) return 0L
+    val files = smallByDir.flatMap(_._2).map(_.getPath.toString)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.fold_tmp")
+    fs.delete(tmp, true)
+    val laid = readPartitionDirs(spark, path, smallByDir.flatMap(_._2).map(_.getPath))
+      .repartition(col(partCol))
+    (if (sortCols.isEmpty) laid
+     else laid.sortWithinPartitions(sortCols.map(col): _*))
+      .write.partitionBy(partCol).parquet(tmp.toString)
+    // merged files in FIRST, originals deleted second: a crash between
+    // the two duplicates rows (harmless), never loses them
+    partitionDirs(fs, tmp, partCol).foreach { case (v, d) =>
+      fs.listStatus(d).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val dest = new org.apache.hadoop.fs.Path(dirs(v), f.getPath.getName)
+        if (!fs.rename(f.getPath, dest))
+          throw new java.io.IOException(
+            s"foldSmallFiles: rename ${f.getPath} -> $dest failed")
+      }
+    }
+    smallByDir.foreach(_._2.foreach(f => fs.delete(f.getPath, false)))
+    fs.delete(tmp, true)
+    files.length.toLong
   }
 
   /** The banded-probe join shape both incremental stores share: history

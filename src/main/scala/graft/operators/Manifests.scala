@@ -98,6 +98,14 @@ object Manifests {
   /** Minimal field extractor for the flat JSON objects WE write — no JSON
     * library in the dependency budget. Numeric / bare-word fields.
     */
+  /** [[numField]] tolerant of absence — for fields ADDED to a manifest
+    * format after stores stamped without them already exist (the reader
+    * defaults; the next write carries the field).
+    */
+  def numFieldOpt(json: String, field: String): Option[String] =
+    ("\"" + field + "\"\\s*:\\s*([-0-9.eE]+|true|false)").r.findFirstMatchIn(json)
+      .map(_.group(1))
+
   def numField(json: String, field: String): String =
     ("\"" + field + "\"\\s*:\\s*([-0-9.eE]+|true|false)").r.findFirstMatchIn(json)
       .map(_.group(1))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.{Dedup, DedupLayout}
+import graft.operators.{Dedup, DedupLayout, KeyedHistory}
 
 /** The 100 TB daily-ingest near-dup story EXECUTED in streaming: each
   * micro-batch of new documents is deduplicated against a materialized
@@ -88,7 +88,8 @@ object IncrementalDedup {
                    bandedPreCapped: Boolean = false,
                    broadcastIncrement: Boolean = true,
                    maxBroadcastBandRows: Long = 4000000L,
-                   sigPartitions: Int = 0): Unit = {
+                   sigPartitions: Int = 0,
+                   foldEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
     val (nBands, rowsPerBand) = Dedup.lshBandingFor(numHashes, threshold)
     val layout = DedupLayout.Layout(shingleK, numHashes, nBands, rowsPerBand,
@@ -240,6 +241,29 @@ object IncrementalDedup {
             "changed since batch start) — the rows this batch appended " +
             "went to the swapped-out directory; REPLAY the batch (replay " +
             "is dedup-safe, see above)")
+        // auto small-file fold ([[KeyedHistory.foldSmallFiles]]): each
+        // batch appends up to P files to the partitioned sig table, so a
+        // stream-fed table's file count — and the pruned verifies'
+        // per-batch listing/footer reads — would grow linearly in
+        // batches between maintainServingTables runs. Every foldEvery
+        // batches (counted in _FOLDSTATE; this writer is the table's
+        // single writer, same contract as the appends; foldEvery ≤ 0
+        // disables) each partition's small files merge into one,
+        // id-sorted. Crash windows duplicate rows harmlessly — the
+        // replayed-sig shape compactSignatures already reclaims.
+        if (sigPartitions > 0 && foldEvery > 0) {
+          val statePath = s"$sigTablePath/_FOLDSTATE"
+          val since = graft.operators.Manifests.read(spark, statePath)
+            .flatMap(graft.operators.Manifests.numFieldOpt(_, "since"))
+            .map(_.toLong).getOrElse(0L) + 1L
+          if (since >= foldEvery) {
+            KeyedHistory.foldSmallFiles(spark, sigTablePath, Seq("id"),
+              partCol = Dedup.SigPartitionCol)
+            graft.operators.Manifests.writeAtomic(spark, statePath,
+              """{"since":0}""")
+          } else graft.operators.Manifests.writeAtomic(spark, statePath,
+            s"""{"since":$since}""")
+        }
       } finally {
         novel.unpersist(); comps.unpersist()
         if (sigPartitions > 0) { candidates.unpersist(); () }
@@ -262,12 +286,13 @@ object IncrementalDedup {
                   bandedPreCapped: Boolean = false,
                   broadcastIncrement: Boolean = true,
                   maxBroadcastBandRows: Long = 4000000L,
-                  sigPartitions: Int = 0): DataStreamWriter[Row] =
+                  sigPartitions: Int = 0,
+                  foldEvery: Int = 16): DataStreamWriter[Row] =
     increments.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch, idCol, sigTablePath, acceptedPath, textCol,
           shingleK, numHashes, threshold, maxBucket, bandedTablePath,
           bandedPreCapped, broadcastIncrement, maxBroadcastBandRows,
-          sigPartitions)
+          sigPartitions, foldEvery)
       }
 }

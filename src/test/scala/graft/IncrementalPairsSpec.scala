@@ -433,6 +433,130 @@ class IncrementalPairsSpec extends SparkSpecBase {
     assert(led2("admitted") == 1, led2.toString)
   }
 
+  test("auto minor fold: a stream-only store's file count stays BOUNDED across batches (the metadata plane), and dedup survives the fold") {
+    val root = java.nio.file.Files.createTempDirectory("incpairs_fold_").toString
+    val accepted = s"$root/accepted"
+    def parquetFiles(table: String): Int = {
+      val base = java.nio.file.Paths.get(root, table)
+      if (!java.nio.file.Files.exists(base)) 0
+      else {
+        val s = java.nio.file.Files.walk(base)
+        try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+        finally s.close()
+      }
+    }
+    // 7 two-pair batches, folding every 3. Solid PNGs all pHash to 0, so
+    // EVERY batch appends its band keys into the SAME 4 (t, bk=0)
+    // partitions — the production shape where hot partitions accumulate
+    // one small file per batch and per-probe listing grows with batch
+    // count unless the store self-folds.
+    for (b <- 0 until 7) {
+      val led = IncrementalPairs.processBatch(
+        Seq((b * 10L, png(b * 30), s"fold test caption number $b"),
+          (b * 10L + 1, png(b * 30 + 15), s"second caption of batch $b"))
+          .toDF("pair_id", "image", "caption"),
+        b.toLong, root, accepted, cfg = cfg, foldEvery = 3).toMap
+        assert(led.contains("admitted"), led.toString)
+    }
+    // unfolded, the 4 hot band partitions would hold 7 files each (28);
+    // folds at batches 2 and 5 merge each dir's accumulation into one
+    // sorted file, leaving ≤ (1 merged + fresh-since-fold) per dir
+    val bandFiles = parquetFiles("bands")
+    assert(bandFiles <= 12, s"bands/ holds $bandFiles files — fold not bounding")
+    // the folded store still dedups BOTH legs: batch 0's image (near-dup
+    // band probe through merged files) and a batch-1 caption (seen-set +
+    // pruned exact confirm through merged files)
+    val led = IncrementalPairs.processBatch(
+      Seq((100L, png(0), "entirely fresh caption words"),
+        (101L, png(200), "second caption of batch 1"),
+        (102L, png(220), "genuinely novel admitted pair"))
+        .toDF("pair_id", "image", "caption"),
+      7L, root, accepted, cfg = cfg, foldEvery = 3).toMap
+    assert(led("history_image_dup") == 1, led.toString)
+    assert(led("history_caption_dup") == 1, led.toString)
+    assert(led("admitted") == 1, led.toString)
+    // a full compactHistory after folds still reconciles cleanly
+    assert(IncrementalPairs.compactHistory(spark, root) == 0L)
+  }
+
+  test("baseCache is byte-budgeted ACROSS stores: an idle store's base evicts LRU under a small budget; the evicted store still dedups (one re-read, no correctness change)") {
+    val budget0 = IncrementalPairs.baseCacheMaxBytes
+    try {
+      // each store's base filter is ~1 MB of bitset words (default
+      // geometry); a 1.5 MB budget holds exactly one
+      IncrementalPairs.baseCacheMaxBytes = 3L << 19
+      val rootA = java.nio.file.Files.createTempDirectory("incpairs_lru_a_").toString
+      val rootB = java.nio.file.Files.createTempDirectory("incpairs_lru_b_").toString
+      IncrementalPairs.processBatch(
+        Seq((1L, png(0), "store a caption one")).toDF("pair_id", "image", "caption"),
+        0L, rootA, s"$rootA/accepted", cfg = cfg)
+      // batch 1 on A probes through A's cached base
+      IncrementalPairs.processBatch(
+        Seq((2L, png(60), "store a caption two")).toDF("pair_id", "image", "caption"),
+        1L, rootA, s"$rootA/accepted", cfg = cfg)
+      assert(IncrementalPairs.baseCacheEntries.exists(_.startsWith(rootA)),
+        IncrementalPairs.baseCacheEntries.mkString(","))
+      // store B's probes push A's base out under the budget
+      IncrementalPairs.processBatch(
+        Seq((1L, png(0), "store b caption one")).toDF("pair_id", "image", "caption"),
+        0L, rootB, s"$rootB/accepted", cfg = cfg)
+      IncrementalPairs.processBatch(
+        Seq((2L, png(60), "store b caption two")).toDF("pair_id", "image", "caption"),
+        1L, rootB, s"$rootB/accepted", cfg = cfg)
+      assert(IncrementalPairs.baseCacheBytes <= IncrementalPairs.baseCacheMaxBytes,
+        s"cache ${IncrementalPairs.baseCacheBytes} B over budget " +
+          s"${IncrementalPairs.baseCacheMaxBytes} B")
+      assert(!IncrementalPairs.baseCacheEntries.exists(_.startsWith(rootA)),
+        s"store A's base was not evicted: " +
+          IncrementalPairs.baseCacheEntries.mkString(","))
+      // the evicted store re-reads its base and still refuses its dup
+      val led = IncrementalPairs.processBatch(
+        Seq((3L, png(120), "store a caption one"),
+          (4L, png(180), "store a novel three"))
+          .toDF("pair_id", "image", "caption"),
+        2L, rootA, s"$rootA/accepted", cfg = cfg).toMap
+      assert(led("history_caption_dup") == 1, led.toString)
+      assert(led("admitted") == 1, led.toString)
+    } finally IncrementalPairs.baseCacheMaxBytes = budget0
+  }
+
+  test("release is nonce-confirmed: a lock reclaimed mid-run by another holder is NOT deleted on exit") {
+    val root = java.nio.file.Files.createTempDirectory("incpairs_steal_").toString
+    val accepted = s"$root/accepted"
+    val lockPath = java.nio.file.Paths.get(root, ".store_lock")
+    // run a batch on a worker thread; as soon as its lock appears,
+    // overwrite it with a foreign holder's content (simulating a
+    // post-stall retry reclaim). The batch must complete (its work was
+    // already in flight) but its release must LEAVE the foreign lock.
+    val done = new java.util.concurrent.CompletableFuture[Map[String, Long]]()
+    val t = new Thread(() => {
+      try done.complete(IncrementalPairs.processBatch(
+        Seq((1L, png(0), "alpha beta gamma")).toDF("pair_id", "image", "caption"),
+        0L, root, accepted, cfg = cfg).toMap)
+      catch { case e: Throwable => done.completeExceptionally(e) }
+    })
+    t.start()
+    // wait for the holder's COMPLETE lock line (create + write + close
+    // are separate steps — overwriting mid-write would itself be
+    // clobbered by the holder's flush) before stealing it
+    val deadline = System.currentTimeMillis() + 60000
+    def holderLine: String =
+      if (!java.nio.file.Files.exists(lockPath)) ""
+      else new String(java.nio.file.Files.readAllBytes(lockPath))
+    while (!holderLine.endsWith("\n") && System.currentTimeMillis() < deadline)
+      Thread.sleep(5)
+    assert(holderLine.startsWith("batch "), s"lock never written: '$holderLine'")
+    java.nio.file.Files.write(lockPath,
+      "batch foreign-nonce token=0\n".getBytes)
+    val led = done.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    assert(led("admitted") == 1, led.toString)
+    assert(java.nio.file.Files.exists(lockPath),
+      "release deleted a lock it no longer owned")
+    assert(new String(java.nio.file.Files.readAllBytes(lockPath))
+      .contains("foreign-nonce"))
+    java.nio.file.Files.delete(lockPath)
+  }
+
   test("streaming restart: a re-offered batch under the same id is a no-op; the stream continues past it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -83,6 +83,76 @@ class KeyedHistorySpec extends SparkSpecBase {
       KeyedHistory.probeFrames(uncapped, bigProbe, Seq("k")).count())
   }
 
+  test("METADATA-flat probes: the scan's root paths are exactly the selected partition dirs — an unselected dir is never listed") {
+    val dir = java.nio.file.Files.createTempDirectory("kh_meta_").toString
+    KeyedHistory.append(
+      spark.range(2000).select(col("id").as("k"), (col("id") * 3).as("v")),
+      dir, 16, Seq("k"), sortCols = Seq("k"))
+    val allDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(KeyedHistory.PartCol + "="))
+      .map(_.getName).toSet
+    assert(allDirs.size > 4, s"fixture too small: $allDirs")
+    val probe = Seq(7L, 1999L).toDF("k")
+    val pts = KeyedHistory.probePartitions(probe, 16, Seq("k")).toSet
+    val pruned = KeyedHistory.prunedRead(spark, dir, 16, Seq("k"), probe, schema)
+    val scan = pruned.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // partition pruning happens at PATH CONSTRUCTION: the relation's
+    // root paths (what the file index lists) are only the selected dirs,
+    // so the driver's file-level metadata cost is O(selected partitions'
+    // files) — the old full-tree read listed every file of every
+    // partition per probe, the O(batches²) cumulative term at scale
+    val roots = scan.relation.location.rootPaths.map(_.getName).toSet
+    assert(roots.subsetOf(allDirs), s"scan roots $roots not partition dirs")
+    assert(roots == pts.map(v => s"${KeyedHistory.PartCol}=$v").intersect(allDirs),
+      s"scan lists $roots, probe selected $pts")
+    assert(roots.size < allDirs.size, "probe listed the whole table")
+    // and the rows still come back right
+    assert(KeyedHistory.probeFrames(pruned, probe, Seq("k"))
+      .select("v").as[Long].collect().toSet == Set(21L, 5997L))
+  }
+
+  test("pushed In() SKIPS row groups inside a selected partition: bytes ∝ probe keys even when partition pruning is vacuous (P=1)") {
+    val dir = java.nio.file.Files.createTempDirectory("kh_rg_").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    try {
+      // tiny row groups so one file holds MANY of them — the scale shape
+      // of a corpus partition, where the pushed filter (not partition
+      // pruning) must carry the bytes claim
+      hc.setInt("parquet.block.size", 16 * 1024)
+      hc.setInt("parquet.page.size", 4 * 1024)
+      KeyedHistory.append(
+        spark.range(200000).select(col("id").as("k"), (col("id") * 3).as("v"))
+          .coalesce(1),
+        dir, 1, Seq("k"), sortCols = Seq("k"))
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+      hc.unset("parquet.page.size")
+    }
+    val probe = Seq(31337L, 99123L, 170001L).toDF("k")
+    val pruned = KeyedHistory.prunedRead(spark, dir, 1, Seq("k"), probe,
+      schema, pushKeyCol = Some("k"))
+    // the mechanism: the In() reaches the parquet scan…
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata.getOrElse("PushedFilters", "").contains("In(k"),
+      scan.metadata.getOrElse("PushedFilters", ""))
+    // …and it BITES: rows surfaced by the reader are a sliver of the
+    // partition (row-group min/max stats over the k-sorted file skip
+    // non-matching groups before any IO; numOutputRows counts what the
+    // reader actually materialized)
+    // execute THE SAME plan the scan node belongs to (a fresh count()
+    // would build a new execution whose metrics this node never sees)
+    assert(pruned.queryExecution.toRdd.count() == 3)
+    val surfaced = scan.metrics("numOutputRows").value
+    assert(surfaced > 0 && surfaced < 20000,
+      s"reader materialized $surfaced of 200000 rows — row-group skip not biting")
+  }
+
   test("sig-table delegation: Dedup.writeSignatures/prunedCorpusSigs ride the same formula (sig_pt layout unchanged)") {
     val dir = java.nio.file.Files.createTempDirectory("kh_sig_").toString + "/sigs"
     val sigs = spark.range(100).select(col("id"),

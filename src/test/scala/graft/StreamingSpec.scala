@@ -466,16 +466,18 @@ class StreamingSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("layout mismatch"))
 
-    // plan witness: the pruned verify read carries a sig_pt partition
-    // filter and selects strictly fewer partitions than the table has
+    // plan witness: pruning happens at PATH CONSTRUCTION (r15 —
+    // metadata-flat reads): the scan's root paths are only the selected
+    // sig_pt dirs, so unselected partitions are never even listed
     val candIds = Seq(5L, 17L).toDF("corpus_id")
     val pruned = Dedup.prunedCorpusSigs(spark, sigTable, candIds, P)
     val scans = graft.sources.BucketedTables.PlanWitness.collectNodes(pruned) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scans.nonEmpty)
-    assert(scans.forall(_.partitionFilters.exists(_.toString.contains("sig_pt"))),
-      "pruned read must push a sig_pt partition filter")
+    assert(scans.forall(_.relation.location.rootPaths.forall(
+        _.getName.startsWith("sig_pt="))),
+      "pruned read must be constructed over selected sig_pt dirs only")
     val selected = scans.map(_.selectedPartitions.partitionCount).sum
     assert(selected <= 2 && selected < ptDirs.length,
       s"pruned scan selected $selected of ${ptDirs.length} partitions")
@@ -499,6 +501,53 @@ class StreamingSpec extends SparkSpecBase {
     // partitioned layout survived the compaction (sig_pt still prunable)
     assert(Dedup.prunedCorpusSigs(spark, sigTable, Seq(102L).toDF("corpus_id"), P)
       .where(col("id") === 102L).count() == 1)
+  }
+
+  test("streaming sig-table self-fold: file count bounded across increments, layout and pruned dedup unaffected") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import graft.streaming.IncrementalDedup
+
+    val work = java.nio.file.Files.createTempDirectory("inc_fold_").toString
+    val sigTable = s"$work/sigs"; val accepted = s"$work/accepted"
+    val P = 4 // small so every batch's sigs land in ALL partitions —
+              // the hot-partition shape where files accumulate per batch
+    def text(i: Int) = (0 until 12).map(t => s"f${i}y$t").mkString(" ")
+    val corpus = (0 until 16).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    corpus.write.parquet(accepted)
+    Dedup.writeSignatures(
+      Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 126), sigTable, P)
+    def sigFiles: Int = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(sigTable))
+      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val seeded = sigFiles
+    // 6 increments of 4 novel docs each, folding every 2: unfolded the
+    // table would gain ~P files per batch (24+); folded it stays within
+    // one merged + one fresh file per partition
+    for (b <- 0 until 6) {
+      IncrementalDedup.processBatch(
+        (0 until 4).map(i => (1000L + b * 10 + i, text(100 + b * 10 + i)))
+          .toDF("doc_id", "text"),
+        "doc_id", sigTable, accepted, sigPartitions = P, foldEvery = 2)
+    }
+    val after = sigFiles
+    assert(after <= seeded + 3 * P,
+      s"sig table grew $seeded -> $after files across 6 batches — fold not bounding")
+    // the folded table still serves: a dup of an early increment's doc
+    // collides through the pruned verify and is refused
+    val n = spark.read.parquet(accepted).count()
+    IncrementalDedup.processBatch(
+      Seq((9999L, text(100))).toDF("doc_id", "text"),
+      "doc_id", sigTable, accepted, sigPartitions = P, foldEvery = 2)
+    assert(spark.read.parquet(accepted).count() == n, "dup admitted after fold")
+    // one signature per accepted doc survived the folds (verbatim rewrite)
+    val sigsNow = spark.read.parquet(sigTable)
+    assert(sigsNow.select("id").distinct().count() == sigsNow.count())
+    // layout intact: partition dirs still match the stamped formula
+    assert(sigsNow.where(col(Dedup.SigPartitionCol) =!=
+      graft.operators.KeyedHistory.partValue(P, col("id"))).count() == 0)
   }
 
   test("streaming token budget: whole batches while they fit, the crossing batch cut, later batches empty; restart resumes mid-budget") {
