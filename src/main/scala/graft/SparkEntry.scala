@@ -2408,11 +2408,15 @@ object SparkEntry {
       val root = s"$work/store"
       val acc = s"$work/accepted"
       val cfg = PairCuration.Config(minCaptionTokens = 2, meanTol = 1.0)
-      IncrementalPairs.processBatch(fixture(0, 120), 0L, root, acc, cfg = cfg)
+      // foldEvery = 2: batch 1 triggers the minor fold, so the gate also
+      // witnesses the L0 delta tier being absorbed into the partitioned
+      // base (indexed_ok checks the pt dirs the fold creates)
+      IncrementalPairs.processBatch(fixture(0, 120), 0L, root, acc, cfg = cfg,
+        foldEvery = 2)
       val led = IncrementalPairs.processBatch(fixture(120, 240), 1L, root, acc,
-        cfg = cfg).toMap
+        cfg = cfg, foldEvery = 2).toMap
       val replay = IncrementalPairs.processBatch(fixture(120, 240), 1L, root,
-        acc, cfg = cfg).toMap
+        acc, cfg = cfg, foldEvery = 2).toMap
       val replayOk = replay == Map("replay_skipped" -> 1L)
       // band-index witness (r14): the store is the partitioned layout —
       // stamp present, all three key tables + the caption Bloom live

@@ -439,9 +439,10 @@ object IncrementalPairs {
         st.baseLine +: (st.deltaLines :+ s"delta $dir keys=$nNew"))
     } else if (st.baseKeys + st.deltaTotal + nNew > st.baseCap) {
       // capacity crossed: rebuild from the captions table with 2×
-      // headroom (reading EVERY row there — uncommitted partials
-      // included — keeps the superset invariant trivially)
-      val caps = spark.read.parquet(s"$root/captions")
+      // headroom (reading EVERY row there — uncommitted partials and the
+      // L0 delta tier included — keeps the superset invariant trivially;
+      // a reader that skipped _l0 would drop keys = false negatives)
+      val caps = KeyedHistory.readAll(spark, s"$root/captions", captionsSchema)
         .select(col("cap_h"), col("cap_h2"))
       val n = caps.count()
       val cap = math.max(n * 2, DefaultBloomKeys)
@@ -472,13 +473,10 @@ object IncrementalPairs {
     * swept. Runs under the store lock.
     */
   private def rebuildCaptionBloom(spark: SparkSession, root: String): Unit = {
-    val path = new org.apache.hadoop.fs.Path(s"$root/captions")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val caps =
-      if (fs.exists(path) && fs.listStatus(path).exists(s =>
-          s.isDirectory && s.getPath.getName.startsWith(KeyedHistory.PartCol + "=")))
-        spark.read.parquet(path.toString).select(col("cap_h"))
-      else emptyCapsFrame(spark).select(col("cap_h"))
+    // readAll: base AND the L0 delta tier — a rebuild that missed _l0
+    // keys would hand out false negatives (silent duplicate re-admission)
+    val caps = KeyedHistory.readAll(spark, s"$root/captions", captionsSchema)
+      .select(col("cap_h"))
     val n = caps.count()
     // 2x headroom so appends between maintenance runs stay near target fpp
     val cap = math.max(n * 2, DefaultBloomKeys)
@@ -492,17 +490,18 @@ object IncrementalPairs {
   }
 
   // data schemas (partition column excluded) — used by the pruned reads
-  // to resolve an empty/unborn table to an empty frame of the right shape
-  private val historySchema = StructType(Seq(
+  // to resolve an empty/unborn table to an empty frame of the right
+  // shape (package-visible for the specs' readAll calls)
+  private[graft] val historySchema = StructType(Seq(
     StructField("batch_id", LongType), StructField("id", LongType),
     StructField("ahash", LongType), StructField("mean", DoubleType),
     StructField("centered", ArrayType(DoubleType)),
     StructField("norm0", BooleanType),
     StructField("cap_h", LongType), StructField("cap_h2", LongType)))
-  private val bandsSchema = StructType(Seq(
+  private[graft] val bandsSchema = StructType(Seq(
     StructField("batch_id", LongType), StructField("t", IntegerType),
     StructField("bk", LongType), StructField("id", LongType)))
-  private val captionsSchema = StructType(Seq(
+  private[graft] val captionsSchema = StructType(Seq(
     StructField("batch_id", LongType), StructField("cap_h", LongType),
     StructField("cap_h2", LongType)))
 
@@ -802,6 +801,11 @@ object IncrementalPairs {
           val nAdmitted = admitted.count()
           // accepted FIRST (at-least-once), store tables second, manifest
           // flip LAST — a crash anywhere leaves only invisible partials
+          // store appends land in the L0 DELTA tier (one key-sorted file
+          // per table per batch, not one per touched partition — at
+          // production key spreads dir-mode appends write ~P small files
+          // per table per batch); minorFold absorbs the deltas into the
+          // partitioned base on the fold cadence
           admitted
             .select(col(idCol), col(captionCol), col("ahash").as("phash"))
             .write.mode(SaveMode.Append).parquet(acceptedPath)
@@ -809,7 +813,8 @@ object IncrementalPairs {
             admitted.select(lit(batchId).as("batch_id"),
               col(idCol).as("id"), col("ahash"), col("mean"),
               col("centered"), col("norm0"), col("cap_h"), col("cap_h2")),
-            s"$root/history", parts, Seq("id"), sortCols = Seq("id"))
+            s"$root/history", parts, Seq("id"), sortCols = Seq("id"),
+            l0 = true)
           KeyedHistory.append(
             JdkMedia.bandSubsetKeys(
                 admitted.select(col(idCol).as("id"), col("ahash"),
@@ -821,12 +826,12 @@ object IncrementalPairs {
             // t-primary sort would give every row group the full bk range
             // (stats too wide to skip anything)
             s"$root/bands", parts, Seq("t", "bk"),
-            sortCols = Seq("bk", "t"))
+            sortCols = Seq("bk", "t"), l0 = true)
           KeyedHistory.append(
             admitted.select(lit(batchId).as("batch_id"), col("cap_h"),
               col("cap_h2")),
             s"$root/captions", parts, Seq("cap_h", "cap_h2"),
-            sortCols = Seq("cap_h", "cap_h2"))
+            sortCols = Seq("cap_h", "cap_h2"), l0 = true)
           // seen-set BEFORE the flip: it must be a SUPERSET of committed
           // caption keys at every instant — an extra uncommitted key only
           // costs an exact confirm; a missing committed key would be a
@@ -846,7 +851,7 @@ object IncrementalPairs {
           Manifests.writeAtomic(spark, s"$root/$StateName",
             s"""{"batch_id":$batchId,"admitted":$nAdmitted,""" +
               s""""since_fold":${if (willFold) 0L else sinceFold}}""")
-          if (willFold) minorFold(spark, root)
+          if (willFold) minorFold(spark, root, parts)
           ledger ++ Seq("history_image_dup" -> nImageDup,
             "history_caption_dup" -> nCaptionDup, "admitted" -> nAdmitted)
         } finally { admitted.unpersist(); () }
@@ -891,13 +896,15 @@ object IncrementalPairs {
     * [[compactHistory]]. Caller must hold the store lock. Returns the
     * number of files folded away.
     */
-  private[graft] def minorFold(spark: SparkSession, root: String,
+  private[graft] def minorFold(spark: SparkSession, root: String, parts: Int,
                                smallBytes: Long = MinorFoldSmallBytes): Long =
-    Seq(("history", Seq("id")), ("bands", Seq("bk", "t")),
-      ("captions", Seq("cap_h", "cap_h2"))).map { case (table, sortCols) =>
-      KeyedHistory.foldSmallFiles(spark, s"$root/$table", sortCols,
-        smallBytes = smallBytes)
-    }.sum
+    Seq(("history", Seq("id"), Seq("id")),
+      ("bands", Seq("bk", "t"), Seq("t", "bk")),
+      ("captions", Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2")))
+      .map { case (table, sortCols, keyCols) =>
+        KeyedHistory.foldSmallFiles(spark, s"$root/$table", sortCols,
+          smallBytes = smallBytes, p = parts, keyCols = keyCols)
+      }.sum
 
   /** Maintenance: collapse the rare duplicate rows a crash-replay leaves
     * behind and drop uncommitted partials (`batch_id` above the
@@ -933,12 +940,12 @@ object IncrementalPairs {
         case None => 0L
         case Some(hwm) =>
           val h = compactOne(spark, root, "history", layout.parts, Seq("id"),
-            Seq("id"), Seq("id"), hwm)
+            Seq("id"), Seq("id"), hwm, historySchema)
           val b = compactOne(spark, root, "bands", layout.parts, Seq("t", "bk"),
-            Seq("bk", "t"), Seq("t", "bk", "id"), hwm)
+            Seq("bk", "t"), Seq("t", "bk", "id"), hwm, bandsSchema)
           val c = compactOne(spark, root, "captions", layout.parts,
             Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2"),
-            Seq("cap_h", "cap_h2"), hwm)
+            Seq("cap_h", "cap_h2"), hwm, captionsSchema)
           // always rebuild the caption seen-set: re-sized to the live count
           // (fpp healing), uncommitted keys dropped, lost-seen-set recovery,
           // delta chain collapsed, orphan pieces swept
@@ -954,7 +961,7 @@ object IncrementalPairs {
   private def compactOne(spark: SparkSession, root: String, table: String,
                          parts: Int, keyCols: Seq[String],
                          sortCols: Seq[String], dedupKeys: Seq[String],
-                         hwm: Long): Long = {
+                         hwm: Long, schema: StructType): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$root/$table")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(s"$root/$table.compact_old")
@@ -967,12 +974,16 @@ object IncrementalPairs {
           s"compactHistory: crash-recovery rename $old -> $path failed")
     }
     if (!fs.exists(path)) return 0L
-    // an empty table (zero-row appends only) has no partition dirs and
-    // nothing to reclaim
+    // an empty table (zero-row appends only) has no partition dirs, no
+    // L0 deltas, and nothing to reclaim
     if (!fs.listStatus(path).exists(s =>
-        s.isDirectory && s.getPath.getName.startsWith(KeyedHistory.PartCol + "=")))
+        s.isDirectory && s.getPath.getName.startsWith(KeyedHistory.PartCol + "=")) &&
+        KeyedHistory.l0ParquetFiles(fs, path).isEmpty)
       return 0L
-    val tbl = spark.read.parquet(path.toString).drop(KeyedHistory.PartCol)
+    // readAll: the rewrite must absorb the L0 delta tier too (the swap
+    // moves the whole old dir — _l0 included — out and the new dir has
+    // none, so missing delta rows here would LOSE them)
+    val tbl = KeyedHistory.readAll(spark, path.toString, schema)
     val before = tbl.count()
     val data = tbl.where(col("batch_id") <= hwm)
     val cols = data.columns
@@ -1074,8 +1085,9 @@ object IncrementalPairs {
           s"indexHistory: resuming a half-done migration at $root " +
             "(partitioned history found without a layout stamp)")
       }
-      // derived tables: rebuild from scratch (delete any partial attempt)
-      val hist = spark.read.parquet(path.toString).drop(KeyedHistory.PartCol)
+      // derived tables: rebuild from scratch (delete any partial attempt);
+      // readAll for the hypothetical L0 tier on a resumed store
+      val hist = KeyedHistory.readAll(spark, path.toString, historySchema)
         .persist()
       try {
         fs.delete(new org.apache.hadoop.fs.Path(s"$root/bands"), true)

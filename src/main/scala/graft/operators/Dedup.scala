@@ -532,14 +532,32 @@ object Dedup {
     val dir = new org.apache.hadoop.fs.Path(sigTablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return false
+    // L0 deltas fold into the partitioned base FIRST, so the per-dir
+    // replay-dedup below sees every row (a dup pair split across base
+    // and delta would otherwise survive). P comes from the layout stamp
+    // — the only writers of an L0 tier (IncrementalDedup increments)
+    // stamp it on their first batch.
+    val l0Folded =
+      if (KeyedHistory.l0ParquetFiles(fs, dir).isEmpty) false
+      else {
+        val p = DedupLayout.read(spark, sigTablePath).map(_.sigPartitions)
+          .getOrElse(throw new IllegalStateException(
+            s"$sigTablePath holds an L0 delta tier but no " +
+              s"${DedupLayout.ManifestName} — cannot place delta rows " +
+              "without the stamped partition count"))
+        KeyedHistory.foldSmallFiles(spark, sigTablePath, Seq("id"),
+          partCol = SigPartitionCol, p = p, keyCols = Seq("id")) > 0
+      }
     val partDirs = fs.listStatus(dir).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith(s"$SigPartitionCol="))
-    if (partDirs.isEmpty)
-      rewriteTableDir(spark, sigTablePath, _.dropDuplicates("id"), targetFiles)
-    else
-      Maintenance.parallelSweep(partDirs.toSeq, s"compactSignatures at $sigTablePath") {
-        p => rewriteTableDir(spark, p.getPath.toString, _.dropDuplicates("id"), targetFiles)
-      }.exists(identity)
+    val compacted =
+      if (partDirs.isEmpty)
+        rewriteTableDir(spark, sigTablePath, _.dropDuplicates("id"), targetFiles)
+      else
+        Maintenance.parallelSweep(partDirs.toSeq, s"compactSignatures at $sigTablePath") {
+          p => rewriteTableDir(spark, p.getPath.toString, _.dropDuplicates("id"), targetFiles)
+        }.exists(identity)
+    l0Folded || compacted
   }
 
   // ------------------------------------ signature-table hash partitioning
@@ -581,11 +599,29 @@ object Dedup {
     * (tasks × P small files, the write-side small-file explosion); with
     * it the table lands as one file per partition.
     */
+  /** Data schema of a signature table (partition column excluded). */
+  private[graft] val sigSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+
+  /** The whole signature table — partitioned base plus the L0 delta tier
+    * ([[KeyedHistory.readAll]]). Every full read of a partitioned sig
+    * table MUST come through here: a plain `spark.read.parquet` skips
+    * `_l0`, which for the candidate band join or a re-layout would mean
+    * silently missing (or losing) the not-yet-folded increments.
+    */
+  def readAllSignatures(spark: SparkSession, path: String): DataFrame =
+    KeyedHistory.readAll(spark, path, sigSchema, SigPartitionCol)
+
   def writeSignatures(sigs: DataFrame, path: String, sigPartitions: Int,
-                      mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+                      mode: SaveMode = SaveMode.ErrorIfExists,
+                      l0: Boolean = false): Unit =
     if (sigPartitions <= 0) sigs.write.mode(mode).parquet(path)
     else KeyedHistory.append(sigs, path, sigPartitions, Seq("id"),
-      mode = mode, partCol = SigPartitionCol)
+      mode = mode, partCol = SigPartitionCol, l0 = l0)
 
   /** Partition-pruned read of the signature rows a candidate id set can
     * touch: the distinct `hash(id) % P` values of `ids` (≤ P rows —
@@ -606,28 +642,32 @@ object Dedup {
     val dir = new org.apache.hadoop.fs.Path(sigTablePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirsByValue = KeyedHistory.partitionDirs(fs, dir, SigPartitionCol)
+    val l0 = KeyedHistory.l0ParquetFiles(fs, dir)
     // a FLAT table reached with sigPartitions > 0 means the caller's
     // config and the table's layout disagree — name the repair instead of
     // silently matching nothing (the table HAS rows, just no sig_pt dirs)
-    require(dirsByValue.nonEmpty || fs.listStatus(dir).forall(s =>
+    require(dirsByValue.nonEmpty || l0.nonEmpty || fs.listStatus(dir).forall(s =>
         !s.getPath.getName.endsWith(".parquet")),
       s"$sigTablePath has no $SigPartitionCol partition dirs (it was written " +
         "flat) but the caller expects a hash-partitioned layout — re-write it " +
         "with writeSignatures(sigPartitions = P) or run with sigPartitions = 0")
-    val selected = pts.flatMap(dirsByValue.get)
-    if (selected.isEmpty)
+    def empty =
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sig",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.LongType)))))
+        sigSchema)
     // only the selected dirs reach the reader (KeyedHistory.prunedRead's
     // path-construction pruning): per-probe listing is O(selected
-    // partitions' files), flat in the signature table's total file count
-    else KeyedHistory.readPartitionDirs(spark, sigTablePath, selected)
-      .select(col("id"), col("sig"))
+    // partitions' files), flat in the signature table's total file
+    // count. The L0 delta tier (not-yet-folded increments) is read
+    // whole — its files are increment-sized and ≤ fold-cadence many;
+    // missing them would silently re-admit the last increments' docs.
+    val selected = pts.flatMap(dirsByValue.get)
+    val base =
+      if (selected.isEmpty) empty
+      else KeyedHistory.readPartitionDirs(spark, sigTablePath, selected)
+        .select(col("id"), col("sig"))
+    if (l0.isEmpty) base
+    else base.unionByName(
+      spark.read.schema(sigSchema).parquet(l0.map(_.toString): _*))
   }
 
   /** Re-layout a signature table to a NEW hash-partition count — the "grow
@@ -692,9 +732,11 @@ object Dedup {
       val stamp = System.currentTimeMillis() + "-" +
         java.util.UUID.randomUUID().toString.take(8)
       val tmp = new org.apache.hadoop.fs.Path(s"$sigTablePath.relayout_tmp/$stamp")
+      // readAllSignatures: the swap trashes the WHOLE old dir — _l0
+      // included — so a re-layout that read only the partitioned base
+      // would silently LOSE the not-yet-folded increments
       writeSignatures(
-        spark.read.parquet(sigTablePath).select(col("id"), col("sig"))
-          .dropDuplicates("id"),
+        readAllSignatures(spark, sigTablePath).dropDuplicates("id"),
         tmp.toString, newP)
       DedupLayout.write(spark, tmp.toString, layout.copy(sigPartitions = newP))
       fs.mkdirs(trashRoot)

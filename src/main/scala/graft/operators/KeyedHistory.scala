@@ -25,7 +25,17 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   *  3. '''broadcast-batch join''': the batch side of the probe join is
   *     broadcast ([[probe]] / [[probeFrames]]) so the history side —
   *     already pruned — is a map-only scan with no corpus-keyed
-  *     exchange.
+  *     exchange;
+  *  4. '''L0 delta tier + fold''' (the metadata plane): per-batch
+  *     appends land as ONE key-sorted file under `_l0/`
+  *     ([[append]]`(l0 = true)`) instead of one file per touched
+  *     partition (~P small files per batch at production key spreads);
+  *     probes read base ∪ deltas ([[prunedRead]] includes the tier
+  *     automatically), and [[foldSmallFiles]] absorbs deltas + small
+  *     base files into the partitioned layout on the caller's cadence,
+  *     size-tiered so amortized per-batch rewrite cost stays
+  *     batch-proportional. Full readers MUST use [[readAll]] — a plain
+  *     `spark.read.parquet(table)` silently skips `_l0`.
   *
   * [[Dedup.writeSignatures]]/[[Dedup.prunedCorpusSigs]] (MinHash
   * signature serving) and [[graft.multimodal.IncrementalPairs]] (banded
@@ -44,6 +54,29 @@ object KeyedHistory {
     * this module and keeps its historical `sig_pt`.
     */
   val PartCol = "pt"
+
+  /** The L0 delta tier's directory. Underscore-prefixed on purpose:
+    * Spark's file index treats `_`-dirs as metadata and skips them, so a
+    * plain `spark.read.parquet(table)` never double-reads deltas — every
+    * reader that WANTS them goes through [[prunedRead]]/[[readAll]],
+    * which union them explicitly.
+    */
+  val L0Dir = "_l0"
+
+  /** The L0 delta parquet files of a table — one `listStatus` of the
+    * `_l0` dir plus one per delta subdir, both bounded by the fold
+    * cadence (each [[append]]`(l0 = true)` adds ONE delta; each
+    * [[foldSmallFiles]] absorbs them all).
+    */
+  def l0ParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+                     dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val l0 = new org.apache.hadoop.fs.Path(dir, L0Dir)
+    if (!fs.exists(l0)) Nil
+    else fs.listStatus(l0).toIndexedSeq.filter(_.isDirectory).flatMap(d =>
+      fs.listStatus(d.getPath).toIndexedSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath))
+  }
 
   /** The hash partition a key tuple lives in: `pmod(xxhash64(keys…), P)`.
     * Pure function of the keys — see the object doc's coordination note.
@@ -64,19 +97,40 @@ object KeyedHistory {
   def append(df: DataFrame, path: String, p: Int, keyCols: Seq[String],
              sortCols: Seq[String] = Nil,
              mode: SaveMode = SaveMode.Append,
-             partCol: String = PartCol): Unit = {
+             partCol: String = PartCol,
+             l0: Boolean = false): Unit = {
     require(keyCols.nonEmpty, "append needs at least one key column")
     require(!df.columns.contains(partCol),
       s"append: the frame already carries a '$partCol' column — it would " +
         "be silently overwritten by the partition value; rename it or " +
         "drop the stale partition column before re-appending")
-    val withPt = df
-      .withColumn(partCol, partValue(p, keyCols.map(col): _*))
-      .repartition(col(partCol))
-    val laid =
-      if (sortCols.isEmpty) withPt
-      else withPt.sortWithinPartitions(sortCols.map(col): _*)
-    laid.write.mode(mode).partitionBy(partCol).parquet(path)
+    if (l0) {
+      // L0 DELTA append: ONE flat key-sorted file per call under _l0/,
+      // instead of one file per touched partition. At production key
+      // spreads a batch touches ~P partitions, so dir-mode appends write
+      // ~P small files per table per batch — millions of files a day on
+      // a minutes cadence even with folding. The delta tier makes the
+      // per-batch write O(1) files; probes read base ∪ deltas (deltas
+      // are batch-sized and ≤ fold-cadence many), and foldSmallFiles
+      // absorbs them into the partitioned base. Micro-batch-sized input
+      // only (one file!) — backfills use dir-mode or fold right after.
+      require(mode == SaveMode.Append, s"l0 appends are append-only (got $mode)")
+      val stamp = System.currentTimeMillis() + "-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val one = df.coalesce(1)
+      (if (sortCols.isEmpty) one
+       else one.sortWithinPartitions(sortCols.map(col): _*))
+        .write.mode(SaveMode.ErrorIfExists)
+        .parquet(s"$path/$L0Dir/delta-$stamp")
+    } else {
+      val withPt = df
+        .withColumn(partCol, partValue(p, keyCols.map(col): _*))
+        .repartition(col(partCol))
+      val laid =
+        if (sortCols.isEmpty) withPt
+        else withPt.sortWithinPartitions(sortCols.map(col): _*)
+      laid.write.mode(mode).partitionBy(partCol).parquet(path)
+    }
   }
 
   /** The distinct partition values `probe`'s key tuples hit — ≤ P ints,
@@ -138,15 +192,23 @@ object KeyedHistory {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return empty
     val dirsByValue = partitionDirs(fs, dir, partCol)
-    if (dirsByValue.isEmpty) return empty
+    val l0 = l0ParquetFiles(fs, dir)
+    if (dirsByValue.isEmpty && l0.isEmpty) return empty
     // only the selected dirs reach the reader: partition pruning happens
     // at PATH CONSTRUCTION, before any file listing — a probe's driver
     // metadata cost is one O(P) dir listing plus the selected partitions'
     // files, flat in the table's total file count (the full-tree
     // `spark.read.parquet(table)` flavor re-listed every file of every
     // partition per probe: per-batch listing grew with the corpus even
-    // though the pruned bytes did not)
-    def prunedTo(pts: Seq[Int]): DataFrame = {
+    // though the pruned bytes did not). The L0 delta tier — not yet
+    // folded into any partition — is read WHOLE alongside the pruned
+    // base: deltas are batch-sized, ≤ fold-cadence many, and key-sorted
+    // (the pushed key filter row-group-skips inside them too).
+    def withL0(base: DataFrame): DataFrame =
+      if (l0.isEmpty) base
+      else base.unionByName(
+        spark.read.schema(schema).parquet(l0.map(_.toString): _*))
+    def prunedTo(pts: Seq[Int]): DataFrame = withL0 {
       val selected = pts.flatMap(dirsByValue.get)
       if (selected.isEmpty) empty
       else readPartitionDirs(spark, path, selected).drop(partCol)
@@ -182,6 +244,31 @@ object KeyedHistory {
     }
   }
 
+  /** The WHOLE table — partitioned base (partition column dropped) plus
+    * the L0 delta tier. The full-read counterpart of [[prunedRead]] for
+    * maintenance, seen-set rebuilds and tests: a plain
+    * `spark.read.parquet(table)` silently SKIPS `_l0` (underscore dirs
+    * are metadata to Spark's file index), which for a seen-set rebuild
+    * would mean missing keys = false negatives = silent duplicate
+    * re-admission. Resolves a missing/empty table to an empty frame of
+    * `schema`.
+    */
+  def readAll(spark: SparkSession, path: String, schema: StructType,
+              partCol: String = PartCol): DataFrame = {
+    def empty = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return empty
+    val dirs = partitionDirs(fs, dir, partCol)
+    val l0 = l0ParquetFiles(fs, dir)
+    val base =
+      if (dirs.isEmpty) empty
+      else readPartitionDirs(spark, path, dirs.values.toSeq).drop(partCol)
+    if (l0.isEmpty) base
+    else base.unionByName(
+      spark.read.schema(schema).parquet(l0.map(_.toString): _*))
+  }
+
   /** Merge each partition's accumulated SMALL files (< `smallBytes`)
     * into one file, preserving the hash-partitioned layout and
     * re-sorting on `sortCols` so parquet row-group min/max stats keep
@@ -205,42 +292,62 @@ object KeyedHistory {
     */
   def foldSmallFiles(spark: SparkSession, path: String, sortCols: Seq[String],
                      partCol: String = PartCol,
-                     smallBytes: Long = 128L * 1024 * 1024): Long = {
+                     smallBytes: Long = 128L * 1024 * 1024,
+                     p: Int = 0, keyCols: Seq[String] = Nil): Long = {
     val tPath = new org.apache.hadoop.fs.Path(path)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tPath)) return 0L
     val dirs = partitionDirs(fs, tPath, partCol)
-    // only partitions holding ≥ 2 small files benefit; this listing is
-    // O(files in the table), amortized over the caller's fold cadence
-    // and bounded by the fold itself
+    val l0 = l0ParquetFiles(fs, tPath)
+    require(l0.isEmpty || (p > 0 && keyCols.nonEmpty),
+      s"$path holds an L0 delta tier — folding it into the base needs " +
+        "(p, keyCols) to compute each delta row's partition")
+    // only partitions holding ≥ 2 small files benefit (the L0 tier
+    // always folds); this listing is O(files in the table), amortized
+    // over the caller's fold cadence and bounded by the fold itself
     val smallByDir = dirs.toSeq.flatMap { case (v, d) =>
       val fls = fs.listStatus(d).filter(s => s.isFile &&
         s.getPath.getName.endsWith(".parquet") && s.getLen < smallBytes)
       if (fls.length >= 2) Some((v, fls.toSeq)) else None
     }
-    if (smallByDir.isEmpty) return 0L
-    val files = smallByDir.flatMap(_._2).map(_.getPath.toString)
+    if (smallByDir.isEmpty && l0.isEmpty) return 0L
     val tmp = new org.apache.hadoop.fs.Path(s"$path.fold_tmp")
     fs.delete(tmp, true)
-    val laid = readPartitionDirs(spark, path, smallByDir.flatMap(_._2).map(_.getPath))
-      .repartition(col(partCol))
-    (if (sortCols.isEmpty) laid
-     else laid.sortWithinPartitions(sortCols.map(col): _*))
+    val basePart =
+      if (smallByDir.isEmpty) None
+      else Some(readPartitionDirs(spark, path, smallByDir.flatMap(_._2).map(_.getPath)))
+    val l0Part =
+      if (l0.isEmpty) None
+      else Some(spark.read.parquet(l0.map(_.toString): _*)
+        .withColumn(partCol, partValue(p, keyCols.map(col): _*)))
+    val laid = (basePart, l0Part) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) => return 0L // unreachable
+    }
+    val re = laid.repartition(col(partCol))
+    (if (sortCols.isEmpty) re
+     else re.sortWithinPartitions(sortCols.map(col): _*))
       .write.partitionBy(partCol).parquet(tmp.toString)
     // merged files in FIRST, originals deleted second: a crash between
     // the two duplicates rows (harmless), never loses them
     partitionDirs(fs, tmp, partCol).foreach { case (v, d) =>
       fs.listStatus(d).filter(s => s.isFile &&
         s.getPath.getName.endsWith(".parquet")).foreach { f =>
-        val dest = new org.apache.hadoop.fs.Path(dirs(v), f.getPath.getName)
+        val destDir = dirs.getOrElse(v,
+          new org.apache.hadoop.fs.Path(tPath, s"$partCol=$v"))
+        fs.mkdirs(destDir)
+        val dest = new org.apache.hadoop.fs.Path(destDir, f.getPath.getName)
         if (!fs.rename(f.getPath, dest))
           throw new java.io.IOException(
             s"foldSmallFiles: rename ${f.getPath} -> $dest failed")
       }
     }
     smallByDir.foreach(_._2.foreach(f => fs.delete(f.getPath, false)))
+    l0.map(_.getParent).distinct.foreach(d => fs.delete(d, true))
     fs.delete(tmp, true)
-    files.length.toLong
+    smallByDir.map(_._2.length).sum.toLong + l0.length
   }
 
   /** The banded-probe join shape both incremental stores share: history

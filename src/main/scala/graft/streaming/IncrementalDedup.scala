@@ -136,7 +136,13 @@ object IncrementalDedup {
       "signature table first: Dedup.writeSignatures(Dedup.minHashSignatures(" +
       "corpus, ...), path, sigPartitions) (an increment-only stream cannot " +
       "bootstrap the table itself)")
-    lazy val corpusSigs = spark.read.parquet(sigTablePath)
+    // partitioned tables read base ∪ the L0 delta tier (a plain read
+    // skips _l0 — the last increments' sigs would be invisible to the
+    // candidate join and their docs silently re-admitted); flat tables
+    // have no delta tier and keep the plain read
+    lazy val corpusSigs =
+      if (sigPartitions > 0) Dedup.readAllSignatures(spark, sigTablePath)
+      else spark.read.parquet(sigTablePath)
     val newSigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleK, numHashes)
       .persist() // consumed by both band joins, the verifies AND the sig append
     try {
@@ -227,10 +233,13 @@ object IncrementalDedup {
           Dedup.bandedTable(novelSigs, nBands, rowsPerBand)
             .write.mode(SaveMode.Append).parquet(bp)
         }
-        // partition-aware append: survivors land in their hash partitions
-        // so later batches' pruned verifies see them
+        // partition-aware append: survivors land in the L0 delta tier
+        // (one file per batch, not one per touched hash partition —
+        // KeyedHistory's L0 discipline); later batches' pruned verifies
+        // read base ∪ deltas, and the self-fold below absorbs deltas on
+        // the fold cadence
         Dedup.writeSignatures(novelSigs, sigTablePath, sigPartitions,
-          SaveMode.Append)
+          SaveMode.Append, l0 = sigPartitions > 0)
         assertNoRelayout("after the append",
           "a re-layout started during this batch's writes and may trash " +
             "them mid-swap — REPLAY this batch once it completes (replay " +
@@ -258,7 +267,8 @@ object IncrementalDedup {
             .map(_.toLong).getOrElse(0L) + 1L
           if (since >= foldEvery) {
             KeyedHistory.foldSmallFiles(spark, sigTablePath, Seq("id"),
-              partCol = Dedup.SigPartitionCol)
+              partCol = Dedup.SigPartitionCol,
+              p = sigPartitions, keyCols = Seq("id"))
             graft.operators.Manifests.writeAtomic(spark, statePath,
               """{"since":0}""")
           } else graft.operators.Manifests.writeAtomic(spark, statePath,

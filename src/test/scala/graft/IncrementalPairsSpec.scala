@@ -59,17 +59,27 @@ class IncrementalPairsSpec extends SparkSpecBase {
     assert(spark.read.parquet(accepted).count() == 4)
 
     // survivors carry the pHash for downstream banding; history carries
-    // features + caption hash pair under the hash-partitioned layout,
-    // never image bytes or caption bytes beyond the accepted table
-    val hist = spark.read.parquet(s"$root/history")
+    // features + caption hash pair, never image bytes or caption bytes
+    // beyond the accepted table. Pre-fold, batch appends live in the L0
+    // delta tier (readAll = partitioned base ∪ deltas; a plain read of
+    // the table sees only the folded base)
+    val hist = KeyedHistory.readAll(spark, s"$root/history",
+      IncrementalPairs.historySchema)
     assert(hist.columns.toSet == Set("batch_id", "id", "ahash", "mean",
-      "centered", "norm0", "cap_h", "cap_h2", KeyedHistory.PartCol),
-      hist.columns.mkString(","))
+      "centered", "norm0", "cap_h", "cap_h2"), hist.columns.mkString(","))
     assert(hist.count() == 4)
     // the derived tables carry the PRECOMPUTED keys: 4 band-subset rows
     // per admitted image, one caption key row per admitted pair
-    assert(spark.read.parquet(s"$root/bands").count() == 16)
-    assert(spark.read.parquet(s"$root/captions").count() == 4)
+    assert(KeyedHistory.readAll(spark, s"$root/bands",
+      IncrementalPairs.bandsSchema).count() == 16)
+    assert(KeyedHistory.readAll(spark, s"$root/captions",
+      IncrementalPairs.captionsSchema).count() == 4)
+    // the per-batch write shape IS the delta tier: one L0 file per table
+    // per batch, not one per touched partition
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(KeyedHistory.l0ParquetFiles(fs,
+      new org.apache.hadoop.fs.Path(s"$root/history")).size == 2)
     // layout stamped
     assert(IncrementalPairs.readLayout(spark, root)
       .contains(IncrementalPairs.Layout(IncrementalPairs.DefaultParts, cfg.maxHamming)))
@@ -93,10 +103,13 @@ class IncrementalPairsSpec extends SparkSpecBase {
   test("probes read a STRICT SUBSET of the store's partitions (partition-pruned, bytes ∝ batch)") {
     val root = java.nio.file.Files.createTempDirectory("incpairs_prune_").toString
     val accepted = s"$root/accepted"
-    // 40 structurally distinct pairs spread keys over many pt partitions
+    // 40 structurally distinct pairs spread keys over many pt partitions;
+    // foldEvery = 1 folds the L0 delta into the partitioned base at the
+    // commit, so the pruning witness below sees the base layout
     val b1 = (0 until 40).map(i =>
       (i.toLong, patternPng(i), s"seed caption c$i word")).toDF("pair_id", "image", "caption")
-    IncrementalPairs.processBatch(b1, 0L, root, accepted, cfg = cfg)
+    IncrementalPairs.processBatch(b1, 0L, root, accepted, cfg = cfg,
+      foldEvery = 1)
 
     def ptDirs(table: String): Set[String] = {
       val d = new java.io.File(s"$root/$table")
@@ -192,14 +205,14 @@ class IncrementalPairsSpec extends SparkSpecBase {
       xxhash64Lit("brand new pair"), xxhash64SaltedLit("brand new pair")))
       .toDF("batch_id", "id", "ahash", "mean", "centered", "norm0",
         "cap_h", "cap_h2")
-    KeyedHistory.append(histRow, s"$root/history", P, Seq("id"))
+    KeyedHistory.append(histRow, s"$root/history", P, Seq("id"), l0 = true)
     KeyedHistory.append(
       (0 until 4).map(t => (1L, t, 0L, 21L)).toDF("batch_id", "t", "bk", "id"),
-      s"$root/bands", P, Seq("t", "bk"))
+      s"$root/bands", P, Seq("t", "bk"), l0 = true)
     KeyedHistory.append(
       Seq((1L, xxhash64Lit("brand new pair"), xxhash64SaltedLit("brand new pair")))
         .toDF("batch_id", "cap_h", "cap_h2"),
-      s"$root/captions", P, Seq("cap_h", "cap_h2"))
+      s"$root/captions", P, Seq("cap_h", "cap_h2"), l0 = true)
     // the replayed batch must NOT see the crashed attempt's rows on any
     // leg (it would self-collide and be dropped = permanent loss); it
     // recomputes against committed batch 0 only and admits
@@ -212,9 +225,11 @@ class IncrementalPairsSpec extends SparkSpecBase {
     // maintenance reclaims the crashed attempt's now-duplicate rows:
     // 1 history row + 4 band rows + 1 caption row (each collapsing onto
     // the committed replay's identical keys) = 6 removals
-    assert(spark.read.parquet(s"$root/history").count() == 3)
+    assert(KeyedHistory.readAll(spark, s"$root/history",
+      IncrementalPairs.historySchema).count() == 3)
     assert(IncrementalPairs.compactHistory(spark, root) == 6L)
-    val hist = spark.read.parquet(s"$root/history")
+    val hist = KeyedHistory.readAll(spark, s"$root/history",
+      IncrementalPairs.historySchema)
     assert(hist.count() == 2)
     assert(hist.select("id").as[Long].collect().toSet == Set(1L, 21L))
     // idempotent: nothing more to reclaim
@@ -375,9 +390,10 @@ class IncrementalPairsSpec extends SparkSpecBase {
     assert(drift.getMessage.contains("layout drift"), drift.getMessage)
 
     // strip the store back to the r13-era FLAT shape: flat history/, no
-    // derived tables, no layout stamp
-    val flat = spark.read.parquet(s"$root/history")
-      .drop(KeyedHistory.PartCol).localCheckpoint(true)
+    // derived tables, no layout stamp (readAll: the live store's rows
+    // sit in the L0 delta tier pre-fold)
+    val flat = KeyedHistory.readAll(spark, s"$root/history",
+      IncrementalPairs.historySchema).localCheckpoint(true)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("history", "bands", "captions", IncrementalPairs.LayoutName).foreach(t =>

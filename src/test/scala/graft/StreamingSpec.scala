@@ -452,7 +452,13 @@ class StreamingSpec extends SparkSpecBase {
       "doc_id", sigTable, accepted,
       bandedTablePath = Some(banded), bandedPreCapped = true, sigPartitions = P)
     assert(spark.read.parquet(accepted).count() == 65, "dup of a survivor admitted")
-    // survivor's signature row landed in the partition its hash says
+    // the survivor's signature lives in the L0 delta tier until a fold
+    // (readAll sees it immediately; a plain read of the base does not)
+    assert(Dedup.readAllSignatures(spark, sigTable)
+      .where(col("id") === 102L).count() == 1)
+    assert(spark.read.parquet(sigTable).where(col("id") === 102L).count() == 0)
+    // maintenance folds the delta into the partition its hash says
+    assert(Dedup.compactSignatures(spark, sigTable))
     val survivorPt = spark.read.parquet(sigTable).where(col("id") === 102L)
       .select("sig_pt").as[Int].head()
     val expectedPt = corpusDocs.sparkSession.range(1)
