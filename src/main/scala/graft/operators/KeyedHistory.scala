@@ -298,10 +298,22 @@ object KeyedHistory {
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tPath)) return 0L
     val dirs = partitionDirs(fs, tPath, partCol)
+    val l0Root = new org.apache.hadoop.fs.Path(tPath, L0Dir)
+    val deltaDirs =
+      if (!fs.exists(l0Root)) Seq.empty
+      else fs.listStatus(l0Root).toIndexedSeq.filter(_.isDirectory).map(_.getPath)
     val l0 = l0ParquetFiles(fs, tPath)
     require(l0.isEmpty || (p > 0 && keyCols.nonEmpty),
       s"$path holds an L0 delta tier — folding it into the base needs " +
         "(p, keyCols) to compute each delta row's partition")
+    // sweep FILE-LESS delta dirs (a zero-row append writes only _SUCCESS;
+    // unswept they leak one dir per empty batch forever). Safe under the
+    // caller's write-exclusion contract: no delta dir can be mid-write.
+    val emptyDeltas = {
+      val withFiles = l0.map(_.getParent).toSet
+      deltaDirs.filterNot(withFiles)
+    }
+    emptyDeltas.foreach(d => fs.delete(d, true))
     // only partitions holding ≥ 2 small files benefit (the L0 tier
     // always folds); this listing is O(files in the table), amortized
     // over the caller's fold cadence and bounded by the fold itself

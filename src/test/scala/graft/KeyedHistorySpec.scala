@@ -153,6 +153,49 @@ class KeyedHistorySpec extends SparkSpecBase {
       s"reader materialized $surfaced of 200000 rows — row-group skip not biting")
   }
 
+  test("L0 delta tier: one file per append, probes see base ∪ deltas, fold absorbs into the partitioned base, empty deltas swept") {
+    val dir = java.nio.file.Files.createTempDirectory("kh_l0_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tPath = new org.apache.hadoop.fs.Path(dir)
+    // base via a dir-mode write, then two L0 batches + one empty batch
+    KeyedHistory.append(
+      spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, 8, Seq("k"), sortCols = Seq("k"))
+    KeyedHistory.append(Seq((1000L, 1L), (1001L, 2L)).toDF("k", "v"),
+      dir, 8, Seq("k"), sortCols = Seq("k"), l0 = true)
+    KeyedHistory.append(Seq((2000L, 3L)).toDF("k", "v"),
+      dir, 8, Seq("k"), sortCols = Seq("k"), l0 = true)
+    KeyedHistory.append(spark.range(0).select(col("id").as("k"),
+      col("id").as("v")), dir, 8, Seq("k"), l0 = true)
+    // a FILE-LESS delta dir (crash before any task commit): fold sweeps it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tPath,
+      s"${KeyedHistory.L0Dir}/delta-craSHED-000"))
+    assert(KeyedHistory.l0ParquetFiles(fs, tPath).size == 3,
+      "one delta file per append (zero-row appends write an empty file)")
+    // probes see base AND delta rows before any fold
+    val probe = Seq(5L, 1000L, 2000L).toDF("k")
+    assert(KeyedHistory.probe(spark, dir, 8, Seq("k"), probe, schema)
+      .select("v").as[Long].collect().toSet == Set(10L, 1L, 3L))
+    // readAll = everything; a plain read of the table sees only base
+    assert(KeyedHistory.readAll(spark, dir, schema).count() == 103)
+    assert(spark.read.parquet(dir).count() == 100)
+    // the fold absorbs deltas into the partitioned layout and sweeps
+    // the empty delta dir; answers unchanged, layout intact
+    assert(KeyedHistory.foldSmallFiles(spark, dir, Seq("k"),
+      p = 8, keyCols = Seq("k")) > 0)
+    assert(KeyedHistory.l0ParquetFiles(fs, tPath).isEmpty)
+    val l0Sub = new org.apache.hadoop.fs.Path(tPath, KeyedHistory.L0Dir)
+    assert(!fs.exists(l0Sub) || fs.listStatus(l0Sub).forall(!_.isDirectory),
+      "empty delta dirs must be swept")
+    assert(spark.read.parquet(dir).count() == 103)
+    assert(spark.read.parquet(dir).where(col(KeyedHistory.PartCol) =!=
+      KeyedHistory.partValue(8, col("k"))).count() == 0,
+      "folded delta rows must land in the partition their key hashes to")
+    assert(KeyedHistory.probe(spark, dir, 8, Seq("k"), probe, schema)
+      .select("v").as[Long].collect().toSet == Set(10L, 1L, 3L))
+  }
+
   test("sig-table delegation: Dedup.writeSignatures/prunedCorpusSigs ride the same formula (sig_pt layout unchanged)") {
     val dir = java.nio.file.Files.createTempDirectory("kh_sig_").toString + "/sigs"
     val sigs = spark.range(100).select(col("id"),
