@@ -96,6 +96,31 @@ object Dedup {
 
   // --------------------------------------------------------- bucket bounds
 
+  /** Repartition by `cols` with the session's shuffle-partition count
+    * pinned EXPLICITLY — for the exchanges that feed COMPUTE-DENSE stages:
+    * bucketed self-joins and the pair-verify chains fused after their
+    * `dropDuplicates`. AQE's partition coalescing sizes post-shuffle
+    * partitions by the BYTES IN THE EXCHANGE, which is the wrong signal
+    * when the next stage expands rows quadratically (a bucket self-join
+    * turns a few-MB banded table into millions of candidate pairs) or runs
+    * a heavy per-row kernel (exact-Jaccard / cosine verify): the coalesced
+    * 1-5 tasks then generate and verify every pair serially while the rest
+    * of the cluster idles (guide §2.2/§2.5; measured with JobProfile r15 —
+    * q_pipeline_full's verify chain ran 19 s of CPU in 5 tasks,
+    * q_embed_neardup's in 1). An explicit count opts ONLY this exchange out
+    * of coalescing; the count is the session's user-tunable shuffle
+    * parallelism, so the fix is scale-adaptive rather than a local-mode
+    * constant — at corpus scale the operator behaves exactly as before
+    * (these exchanges carry enough bytes that AQE would not have coalesced
+    * them anyway). Only safe where downstream math is per-row or
+    * order-independent (never ahead of a float sum/avg whose emitted value
+    * rides the fold order — e.g. [[Similarity.trainCentroids]]' mean
+    * update stays untouched).
+    */
+  private[graft] def fanout(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      cols: _*)
+
   /** Drop rows belonging to buckets larger than `maxBucket` (skew guard for
     * bucketed self-joins: one boilerplate-heavy bucket must not go
     * quadratic). Implemented as aggregate → broadcast anti-join: the
@@ -200,15 +225,21 @@ object Dedup {
     */
   def minHashCandidatePairs(sigs: DataFrame, nBands: Int, rowsPerBand: Int,
                             maxBucket: Int): DataFrame = {
-    val banded = sigs
+    // fanout (r15): the banded exchange feeds the quadratic bucket
+    // self-join and the pair dedup feeds the fused verify chain — both
+    // pinned to the session's shuffle parallelism (see [[fanout]]); the
+    // cap aggregate and the self-join legs all REUSE the one pinned
+    // exchange (same key), so this adds no shuffle, it only stops AQE
+    // from serializing the pair generation onto 1-2 coalesced tasks
+    val banded = fanout(sigs
       .select(col("id"),
         posexplode(VectorExpressions.sig_band_hashes(col("sig"), nBands, rowsPerBand))
-          .as(Seq("band", "bucket")))
+          .as(Seq("band", "bucket"))), col("band"), col("bucket"))
     val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-    bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    fanout(bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(bounded.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")), col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -285,9 +316,13 @@ object Dedup {
       else capBuckets(corpus, Seq("band", "bucket"), maxBucket)
     val incBands = bandedTable(newSigs, nBands, rowsPerBand)
       .select(col("id").as("new_id"), col("band"), col("bucket"))
-    KeyedHistory.probeFrames(capped, incBands, Seq("band", "bucket"),
+    // fanout (r15): the pair dedup's exchange is where the est-Jaccard +
+    // exact-verify chain fuses downstream — pin it so AQE's bytes-based
+    // coalescing cannot serialize the verify (the dropDuplicates already
+    // owned an exchange on exactly these keys, so nothing new is added)
+    fanout(KeyedHistory.probeFrames(capped, incBands, Seq("band", "bucket"),
         broadcastBatch = broadcastIncrement)
-      .select(col("new_id"), col("corpus_id"))
+      .select(col("new_id"), col("corpus_id")), col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
   }
 
@@ -1289,16 +1324,21 @@ object Dedup {
     */
   def embeddingCandidatePairs(base: DataFrame, bands: Int, bitsPerBand: Int,
                               maxBucket: Int): DataFrame = {
-    val banded = base.select(col("id"),
+    // fanout (r15): same two pinned exchanges as [[minHashCandidatePairs]]
+    // — banding feeds the quadratic bucket self-join, the pair dedup feeds
+    // the fused cosine verify (measured: q_embed_neardup's whole chain ran
+    // on ONE AQE-coalesced task before this)
+    val banded = fanout(base.select(col("id"),
       explode(array((0 until bands).map(bnd =>
         struct(lit(bnd).as("band"),
           VectorExpressions.hyperplane_sig(col("v"), bitsPerBand, bnd).as("sig"))): _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.sig").as("sig")),
+      col("band"), col("sig"))
     val bounded = capBuckets(banded, Seq("band", "sig"), maxBucket)
-    bounded.select(col("band"), col("sig"), col("id").as("id_a"))
+    fanout(bounded.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(bounded.select(col("band"), col("sig"), col("id").as("id_b")), Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")), col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

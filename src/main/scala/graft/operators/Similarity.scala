@@ -206,9 +206,13 @@ object Similarity {
       Seq("cid"), maxBucket)
     val qProbes = q.select(col("query_id"),
       explode(VectorExpressions.centroid_probes(col("qv"), centroids, nProbe)).as("cid"))
-    val candidates = qProbes.join(cAssigned, "cid")
+    // fanout (r15): pin the pair-dedup exchange so the fused cosine verify
+    // downstream keeps the session's parallelism (see Dedup.fanout — AQE
+    // coalesces this few-MB exchange to 1-2 tasks otherwise)
+    val candidates = Dedup.fanout(qProbes.join(cAssigned, "cid")
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")),
+      col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
       .join(q, "query_id")
@@ -351,9 +355,11 @@ object Similarity {
     val cSigs = Dedup.capBuckets(
       bandSigs(c, "neighbor_id", col("cv"), bands, bitsPerBand),
       Seq("band", "sig"), maxBucket)
-    val candidates = cSigs.join(qSigs, Seq("band", "sig"))
+    // fanout (r15): same pinned pair-dedup exchange as [[ivfTopK]]
+    val candidates = Dedup.fanout(cSigs.join(qSigs, Seq("band", "sig"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")),
+      col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
       .join(q, "query_id")
@@ -515,8 +521,12 @@ object Similarity {
       .join(capped.select(col("cid"), col("id").as("id_b")), Seq("cid"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    // a pair co-probed into BOTH shared clusters would verify twice
-    val idPairs = if (nProbe > 1) rawPairs.distinct() else rawPairs
+    // a pair co-probed into BOTH shared clusters would verify twice.
+    // fanout (r15): pin the pair exchange in BOTH arms — the cid join's
+    // parallelism is bounded by the centroid count, and the exact-cosine
+    // verify fuses after this exchange (see Dedup.fanout)
+    val fanned = Dedup.fanout(rawPairs, col("id_a"), col("id_b"))
+    val idPairs = if (nProbe > 1) fanned.dropDuplicates("id_a", "id_b") else fanned
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val dupPairs = idPairs
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
