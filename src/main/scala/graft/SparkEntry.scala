@@ -26,6 +26,17 @@ import graft.sources.{BucketedTables, Tables}
   */
 object SparkEntry {
 
+  /** Fan a wire-fixture's source rows out to the session's shuffle
+    * parallelism before the typed encode map (r15, guide §2.5): the events
+    * table is a single parquet file at bench scale, so the proto encode —
+    * and the in-plan decode fused after it — otherwise runs as ONE task.
+    * Keyed on event_id (deterministic), 8-24 bytes/row moved; content is a
+    * pure function of the row, so results are identical under any layout.
+    */
+  private def fanWire(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.Dedup.fanout(df, col("event_id"))
+
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -74,6 +85,7 @@ object SparkEntry {
     import graft.model.{EventModel, ProtoDescriptors}
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .transform(fanWire)
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         it.flatMap { case (eventId, userId, tsMs) =>
@@ -114,7 +126,7 @@ object SparkEntry {
     import s.implicits._
     import graft.model.{EventModel, ProtoDescriptors}
     t(s, dir, "events")
-      .select(col("event_id"), col("user_id")).as[(Long, Long)]
+      .select(col("event_id"), col("user_id")).transform(fanWire).as[(Long, Long)]
       .mapPartitions { it =>
         it.map { case (eventId, userId) =>
           val tsMs = 1700000000000L + eventId * 1000L
@@ -150,6 +162,7 @@ object SparkEntry {
     val actions = HeuristicAggs.fsActions.toArray
     t(s, dir, "events")
       .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .transform(fanWire)
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         it.flatMap { case (eventId, userId, tsMs) =>
@@ -730,7 +743,7 @@ object SparkEntry {
     //      implementations must agree on lengths and bytes. ----
     "q_nfc_normalize" -> ((s, dir) => {
       import s.implicits._
-      val fix = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val fix = graft.multimodal.Multimodal.fanOutIds(t(s, dir, "documents")).map { id =>
         val sb = new StringBuilder("w")
         (0 until ((id % 3).toInt + 1)).foreach(_ =>
           sb.append('e').append('́')) // e + combining acute
@@ -762,7 +775,7 @@ object SparkEntry {
     //      both mis-decodes are byte→char bijections). ----
     "q_mojibake" -> ((s, dir) => {
       import s.implicits._
-      val fix = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val fix = graft.multimodal.Multimodal.fanOutIds(t(s, dir, "documents")).map { id =>
         val clean =
           if (id % 5 == 0) s"plain${id % 9}"
           else {
@@ -1694,7 +1707,7 @@ object SparkEntry {
       import graft.sources.{EventTables, FrameSource}
       val rows = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
-        .as[(Long, Long, String)]
+        .transform(fanWire).as[(Long, Long, String)]
       val frames = rows.mapPartitions { it =>
         it.map { case (eventId, userId, eventType) =>
           val header = ProtoDescriptors.header.encode(Seq(
@@ -1747,7 +1760,7 @@ object SparkEntry {
       import graft.model.{EventModel, ProtoDescriptors}
       import graft.sources.FrameSource
       val rows = t(s, dir, "events")
-        .select(col("event_id"), col("user_id")).as[(Long, Long)]
+        .select(col("event_id"), col("user_id")).transform(fanWire).as[(Long, Long)]
       val frames = rows.mapPartitions { it =>
         it.map { case (eventId, userId) =>
           val header = ProtoDescriptors.header.encode(Seq(
@@ -1849,6 +1862,7 @@ object SparkEntry {
       import graft.sources.FrameSource
       val frames = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .transform(fanWire)
         .as[(Long, Long, Long)]
         .mapPartitions { it =>
           it.map { case (eventId, userId, tsMs) =>
@@ -2397,9 +2411,9 @@ object SparkEntry {
     "q_pair_incremental" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.{IncrementalPairs, JdkMedia, PairCuration}
-      def fixture(lo: Long, hi: Long) = t(s, dir, "documents")
-        .where(col("doc_id") >= lo && col("doc_id") < hi)
-        .select(col("doc_id")).as[Long].map { id =>
+      def fixture(lo: Long, hi: Long) = graft.multimodal.Multimodal.fanOutIds(
+        t(s, dir, "documents")
+          .where(col("doc_id") >= lo && col("doc_id") < hi)).map { id =>
           val cls = (if (id % 5 == 0) (id / 2) % 60 else id / 2).toInt
           val cap = "inc cap c" + (if (id % 7 == 0) id % 120 else id) + " x y"
           (id, JdkMedia.solidPng(8, 8, cls * 2, cls * 2, cls * 2), cap)
@@ -3269,6 +3283,7 @@ object SparkEntry {
       import graft.sources.FrameSource
       val frames = t(s, dir, "events").where(col("event_id") < 500)
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+        .transform(fanWire)
         .as[(Long, Long)]
         .mapPartitions { it =>
           it.flatMap { case (eid, tsMs) =>
@@ -3383,6 +3398,7 @@ object SparkEntry {
       val localities = Array("PROCESS_LOCAL", "NODE_LOCAL", "ANY")
       val frames = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .transform(fanWire)
         .as[(Long, Long, Long)]
         .mapPartitions { it =>
           it.flatMap { case (eventId, userId, tsMs) =>
@@ -3468,7 +3484,7 @@ object SparkEntry {
       val rows = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_millis(col("ts")).as("ts_ms"))
-        .as[(Long, Long, String, Long)]
+        .transform(fanWire).as[(Long, Long, String, Long)]
       val frames = rows.mapPartitions { it =>
         it.map { case (eventId, userId, eventType, tsMs) =>
           val header = ProtoDescriptors.header.encode(Seq(
@@ -3821,8 +3837,8 @@ object SparkEntry {
   private def pairCurationFixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.JdkMedia
-    t(s, dir, "documents").where(col("doc_id") < 240)
-      .select(col("doc_id")).as[Long].map { id =>
+    graft.multimodal.Multimodal.fanOutIds(
+      t(s, dir, "documents").where(col("doc_id") < 240)).map { id =>
         val v = ((id % 40) * 6).toInt
         val img =
           if (id % 13 == 0) "not an image payload".getBytes("UTF-8")

@@ -829,7 +829,7 @@ object JdkMedia {
   def gradientPngMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    docs.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.fanOutIds(docs).map { id =>
       val d = PHashDim
       val img = new BufferedImage(d, d, BufferedImage.TYPE_INT_RGB)
       var y = 0
@@ -919,7 +919,7 @@ object JdkMedia {
   def pngMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    docs.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.fanOutIds(docs).map { id =>
       val w = (id % 13).toInt + 1
       val h = (id % 7).toInt + 1
       val r = (id % 251).toInt
@@ -939,7 +939,7 @@ object JdkMedia {
   def gifMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    docs.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.fanOutIds(docs).map { id =>
       val w = (id % 11).toInt + 2
       val h = (id % 5).toInt + 2
       val n = (id % 3).toInt + 1
@@ -963,7 +963,7 @@ object JdkMedia {
   def mixedMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    docs.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.fanOutIds(docs).map { id =>
       (id % 4) match {
         case 0 =>
           val w = (id % 13).toInt + 1
@@ -997,7 +997,7 @@ object JdkMedia {
   def wavMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    docs.select(col("doc_id")).as[Long].map { id =>
+    Multimodal.fanOutIds(docs).map { id =>
       val frames = (id % 400).toInt + 100
       val amp = ((id * 37) % 32768).toInt.toShort
       Multimodal.MediaRow(id, constWav(8000, frames, amp),

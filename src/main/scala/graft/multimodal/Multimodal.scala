@@ -31,6 +31,22 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** The doc-id stream every deterministic media fixture maps its encoder
+    * over, FANNED OUT to the session's shuffle parallelism (r15, guide
+    * §2.5 input skew): the documents table is one parquet file at bench
+    * scale, so the `.as[Long].map(encode)` fixtures — and the decode
+    * chains fused onto them — otherwise run as ONE task (JobProfile:
+    * q_video_frames spent its whole wall in two single-task jobs). The
+    * repartition moves 8 bytes/row; the encode/decode work it spreads is
+    * orders of magnitude heavier at any scale, and content is a pure
+    * function of the id, so results are identical under any layout.
+    */
+  private[graft] def fanOutIds(docs: DataFrame): Dataset[Long] = {
+    import org.apache.spark.sql.Encoders
+    graft.operators.Dedup.fanout(docs.select(col("doc_id")), col("doc_id"))
+      .as(Encoders.scalaLong)
+  }
+
   /** Typed metadata carried next to the blob. */
   final case class MediaMeta(format: String, width: Int, height: Int, durationMs: Long)
 

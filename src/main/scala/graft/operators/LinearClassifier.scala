@@ -188,9 +188,19 @@ object LinearClassifier {
     require(numBuckets >= 2 && numBuckets <= (1 << 18),
       s"numBuckets must be in [2, 2^18] (the driver holds one long per bucket), got $numBuckets")
     require(epochs >= 1 && epochs <= 64, s"epochs must be in [1,64], got $epochs")
-    val feats = features(labeled, idCol, numBuckets, textCol, bigrams)
-      .join(labeled.select(col(idCol), col(labelCol).cast(LongType).as("_y")),
-        Seq(idCol))
+    // hash-partition the feature table by doc id ONCE before persisting
+    // (r15, guide §2.4): every epoch both groups by (id, _y) and joins the
+    // misclassified ids back on id — with an unpartitioned cache each of
+    // the E epochs re-shuffles the full feature table twice; partitioned
+    // on a subset of both keys, the cached layout satisfies the epoch
+    // aggregates' and join's distribution, so epochs run exchange-free on
+    // the persisted partitions. Pinned count (Dedup.fanout) so AQE cannot
+    // coalesce the CACHED layout to 1-2 partitions and serialize every
+    // epoch's compute. Integer sums — bit-identical under any layout.
+    val feats = Dedup.fanout(
+      features(labeled, idCol, numBuckets, textCol, bigrams)
+        .join(labeled.select(col(idCol), col(labelCol).cast(LongType).as("_y")),
+          Seq(idCol)), col(idCol))
       .persist()
     try {
       var w = new Array[Long](numBuckets)

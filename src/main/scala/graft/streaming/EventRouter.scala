@@ -76,12 +76,22 @@ object EventRouter {
     * once per ABSENT type), append each present type's typed rows.
     */
   def routeDecodedBatch(frames: DataFrame, basePath: String, types: Seq[String]): Unit = {
+    // NOTE (r15): repartitioning the batch here (or the raw stream ahead
+    // of the decode) was tried and MEASURED SLOWER on the gate harness —
+    // the added exchange cost more than the decode parallelism it bought;
+    // per-type parallelism below is what pays
     frames.persist()
     try {
       import org.apache.spark.sql.functions.{col, date_trunc, to_date}
       val present = frames.select("event_type").distinct()
         .collect().map(_.getString(0)).toSet
-      types.filter(present).foreach { tpe =>
+      // independent per-type appends run CONCURRENTLY (r15, guide §2.6):
+      // they read the same cached batch and write disjoint table dirs, so
+      // the only serialization left is the scheduler; one type's straggler
+      // tail back-fills with the next type's tasks. Same pool discipline
+      // as sinkMaintenance's partition sweep.
+      graft.operators.Maintenance.parallelSweep(
+        types.filter(present), s"routeDecodedBatch at $basePath") { tpe =>
         val typed = FrameSource.typedTable(frames, tpe)
         // the present set is PRE-decode: a type whose only frames fail the
         // proto decode (typedTable's isNotNull filter) still reaches here,

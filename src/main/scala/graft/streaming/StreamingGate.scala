@@ -113,9 +113,12 @@ object StreamingGate {
       .toFile.getAbsolutePath
     val srcDir = s"$work/frames"; val base = s"$work/tables"; val ckpt = s"$work/ckpt"
 
-    val rows = graft.sources.Tables.load(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"))
+    // fanout (r15): the single-file events scan would otherwise run the
+    // whole wire-encode map as one task (see Dedup.fanout)
+    val rows = graft.operators.Dedup.fanout(
+      graft.sources.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms")), col("event_id"))
       .as[(Long, Long, String, Long)]
     val frames = rows.mapPartitions { it =>
       it.flatMap { case (eventId, userId, eventType, tsMs) =>
