@@ -96,7 +96,9 @@ object JobProfile {
       }
       println(f"PROFILE $q wall=$wall%.2f njobs=${js.size} " +
         f"jobsum=$jobSum%.2f covered=${covered / 1000.0}%.2f " +
-        f"drivergap=${wall - covered / 1000.0}%.2f")
+        f"drivergap=${wall - covered / 1000.0}%.2f " +
+        f"cpusum=${js.map(_.cpuMs).sum / 1000.0}%.2f " +
+        f"runsum=${js.map(_.runMs).sum / 1000.0}%.2f")
       val descs = jobs.synchronized(execDesc.toMap)
       js.sortBy(j => -(j.t1 - j.t0)).take(60).foreach { j =>
         val owner = descs.getOrElse(j.execId, j.name)

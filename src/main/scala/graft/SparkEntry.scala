@@ -1976,7 +1976,10 @@ object SparkEntry {
         k = 5, centroids, nProbe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .persist()
-      val nIdx = fromIndex.count(); val nMem = direct.count()
+      // materialize the two independent witness legs CONCURRENTLY (r15,
+      // guide §2.6) — each leg's straggler tail back-fills with the other's
+      val Seq(nIdx, nMem) = graft.operators.Maintenance.parallelSweep(
+        Seq(fromIndex, direct), "q_ivf_index witness legs")(_.count())
       val same = nIdx == nMem && fromIndex.intersect(direct).count() == nIdx
       fromIndex.unpersist(); direct.unpersist()
       val probed = queries.select(explode(graft.functions.VectorExpressions
@@ -2011,7 +2014,9 @@ object SparkEntry {
         k = 5, centroids, nProbe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .persist()
-      val nQ = fromQuant.count(); val nMem = direct.count()
+      // concurrent witness-leg materialization (r15, guide §2.6)
+      val Seq(nQ, nMem) = graft.operators.Maintenance.parallelSweep(
+        Seq(fromQuant, direct), "q_ivf_quant witness legs")(_.count())
       val same = nQ == nMem && fromQuant.intersect(direct).count() == nQ
       fromQuant.unpersist(); direct.unpersist()
       val probed = queries.select(explode(graft.functions.VectorExpressions
@@ -2041,11 +2046,19 @@ object SparkEntry {
       IvfIndexStore.append(s, increment, "vec_id", "embedding", root) // at-least-once replay
       val gen = IvfIndexStore.currentGeneration(s, root).get
       val idxPath = IvfIndexStore.indexPath(root, gen)
-      val dupsSeeded =
-        s.read.parquet(idxPath).count() > s.read.parquet(idxPath).select("vec_id").distinct().count()
+      // one-pass witnesses (r15, guide §1.2 "don't compute things twice"):
+      // count vs distinct-count in a single aggregate instead of two full
+      // scans of the index per witness — same booleans
+      def uniqueWitness(): (Long, Long) = {
+        val r = s.read.parquet(idxPath)
+          .agg(count(lit(1)), countDistinct(col("vec_id"))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      val preCompact = uniqueWitness()
+      val dupsSeeded = preCompact._1 > preCompact._2
       IvfIndexStore.compactGeneration(s, root)
-      val compacted =
-        s.read.parquet(idxPath).count() == s.read.parquet(idxPath).select("vec_id").distinct().count()
+      val postCompact = uniqueWitness()
+      val compacted = postCompact._1 == postCompact._2
       val queries = embs.where(col("vec_id") < 3)
       val served = IvfIndexStore.topK(s, queries, root, k = 5, nProbe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
@@ -2054,7 +2067,9 @@ object SparkEntry {
         k = 5, centroids, nProbe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .persist()
-      val nSrv = served.count(); val nMem = direct.count()
+      // concurrent witness-leg materialization (r15, guide §2.6)
+      val Seq(nSrv, nMem) = graft.operators.Maintenance.parallelSweep(
+        Seq(served, direct), "ivf served-vs-direct witness legs")(_.count())
       val same = nSrv == nMem && served.intersect(direct).count() == nSrv
       served.unpersist(); direct.unpersist()
       val statsTotal = IvfIndexStore.driftStats(s, root).agg(sum("n")).first().getLong(0)
@@ -2146,7 +2161,9 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, centroids, nProbe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .persist()
-      val nSrv = served.count(); val nMem = direct.count()
+      // concurrent witness-leg materialization (r15, guide §2.6)
+      val Seq(nSrv, nMem) = graft.operators.Maintenance.parallelSweep(
+        Seq(served, direct), "ivf served-vs-direct witness legs")(_.count())
       val same = nSrv == nMem && served.intersect(direct).count() == nSrv
       val allMatch = served
         .join(embs.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")

@@ -167,9 +167,19 @@ object Similarity {
         if (sampled.length >= k) sampled
         else seedsFrom(corpus)
       }
+    // fanout (r15): the assignment scan is compute-dense (k×dim dots per
+    // row) and a single-file corpus would run every Lloyd's pass as one
+    // task (measured ~1.2 s/iteration single-task at bench scale). The
+    // repartition changes the mean's partial-aggregation fold order, so
+    // centroids can move in the last ulp — acceptable HERE because
+    // trainCentroids feeds witness comparisons whose both sides share the
+    // returned array (and recall bounds with wide margins), never an
+    // emitted float (q_drift_stats derives its centroids from data rows,
+    // not from this trainer).
+    val fanned = Dedup.fanout(corpus.select(col(idCol), col(vecCol)), col(idCol))
     var it = 0
     while (it < iters) {
-      val assigned = corpus.select(
+      val assigned = fanned.select(
         element_at(VectorExpressions.centroid_probes(col(vecCol), centroids, 1), 1).as("cid"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
       val means = assigned.groupBy("cid", "pos").agg(avg("x").as("m"))
