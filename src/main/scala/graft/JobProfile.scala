@@ -100,6 +100,17 @@ object JobProfile {
         f"cpusum=${js.map(_.cpuMs).sum / 1000.0}%.2f " +
         f"runsum=${js.map(_.runMs).sum / 1000.0}%.2f")
       val descs = jobs.synchronized(execDesc.toMap)
+      // top driver gaps: idle stretches between a job's end and the next
+      // job's start — names the action whose PLANNING/driver work fills it
+      val byStart = js.sortBy(_.t0)
+      val gaps = byStart.sliding(2).collect {
+        case Vector(a, b) if b.t0 > a.t1 => (b.t0 - a.t1, b)
+      }.toVector.sortBy(-_._1).take(12)
+      gaps.foreach { case (g, j) =>
+        val owner = descs.getOrElse(j.execId, j.name)
+        println(f"  GAP ${g / 1000.0}%7.3f s before job=${j.id}%5d " +
+          f"exec=${j.execId}%4s  ${owner.take(120)}")
+      }
       js.sortBy(j => -(j.t1 - j.t0)).take(60).foreach { j =>
         val owner = descs.getOrElse(j.execId, j.name)
         println(f"  ${(j.t1 - j.t0) / 1000.0}%8.3f s  job=${j.id}%5d " +

@@ -737,32 +737,44 @@ object IncrementalPairs {
         // history/ partitions holding their verify features. Both dup
         // frames are MATERIALIZED (≤ batch-size id lists) so the ledger
         // counts and the anti-joins below share one probe per leg.
-        val batchFeats = curated.select(col(idCol).as("id"), col("ahash"),
-          col("mean"), col("centered"), col("norm0"))
-        val batchBandKeys = JdkMedia.bandSubsetKeys(batchFeats, Bits, cfg.maxHamming)
-          .select(col("t"), col("bk"), col("id").as("id_b"))
-        val candPairs = KeyedHistory.probe(spark, s"$root/bands", parts,
-            Seq("t", "bk"), batchBandKeys, bandsSchema,
-            col("batch_id") <= hwm, pushKeyCol = Some("bk"))
-          .select(col("id").as("id_h"), col("id_b"))
-          .distinct()
-          .persist() // partition collect + feature join: one band probe
-        val histFeats = KeyedHistory.prunedRead(spark, s"$root/history",
-            parts, Seq("id"), candPairs.select(col("id_h").as("id")),
-            historySchema, pushKeyCol = Some("id"))
-          .where(col("batch_id") <= hwm)
-          .select(col("id").as("id_h"), col("mean").as("mean_h"),
-            col("centered").as("c_h"), col("norm0").as("z_h"))
-        val batchVerify = batchFeats.select(col("id").as("id_b"),
-          col("mean").as("mean_b"), col("centered").as("c_b"),
-          col("norm0").as("z_b"))
-        val imageDups = histFeats
-          .join(candPairs, Seq("id_h"))
-          .join(broadcast(batchVerify), Seq("id_b"))
-          .where(JdkMedia.centeredMatch(cfg.threshold, cfg.meanTol))
-          .select(col("id_b").as("id")).distinct()
-          .localCheckpoint(true)
-        candPairs.unpersist()
+        // the IMAGE leg and the CAPTION leg are independent read-only
+        // probes of disjoint store tables over the same checkpointed
+        // curated batch — they run CONCURRENTLY (r15, guide §2.6): each
+        // leg is a chain of small sequential jobs (partition collect,
+        // pruned scan, verify join), so overlapping the two roughly
+        // halves the probe phase's fixed per-job latency. Both thunks
+        // return an eagerly CHECKPOINTED id frame, so all compute is
+        // inside the sweep.
+        val bloomState = readBloomState(spark, root, hwm)
+        def imageLeg(): DataFrame = {
+          val batchFeats = curated.select(col(idCol).as("id"), col("ahash"),
+            col("mean"), col("centered"), col("norm0"))
+          val batchBandKeys = JdkMedia.bandSubsetKeys(batchFeats, Bits, cfg.maxHamming)
+            .select(col("t"), col("bk"), col("id").as("id_b"))
+          val candPairs = KeyedHistory.probe(spark, s"$root/bands", parts,
+              Seq("t", "bk"), batchBandKeys, bandsSchema,
+              col("batch_id") <= hwm, pushKeyCol = Some("bk"))
+            .select(col("id").as("id_h"), col("id_b"))
+            .distinct()
+            .persist() // partition collect + feature join: one band probe
+          try {
+            val histFeats = KeyedHistory.prunedRead(spark, s"$root/history",
+                parts, Seq("id"), candPairs.select(col("id_h").as("id")),
+                historySchema, pushKeyCol = Some("id"))
+              .where(col("batch_id") <= hwm)
+              .select(col("id").as("id_h"), col("mean").as("mean_h"),
+                col("centered").as("c_h"), col("norm0").as("z_h"))
+            val batchVerify = batchFeats.select(col("id").as("id_b"),
+              col("mean").as("mean_b"), col("centered").as("c_b"),
+              col("norm0").as("z_b"))
+            histFeats
+              .join(candPairs, Seq("id_h"))
+              .join(broadcast(batchVerify), Seq("id_b"))
+              .where(JdkMedia.centeredMatch(cfg.threshold, cfg.meanTol))
+              .select(col("id_b").as("id")).distinct()
+              .localCheckpoint(true)
+          } finally { candPairs.unpersist(); () }
+        }
 
         // caption leg, TWO-TIER: the persisted seen-set (base Bloom +
         // exact-key delta chain) answers definite-NEGATIVE for most of
@@ -773,21 +785,26 @@ object IncrementalPairs {
         // Only probable hits do the pruned exact confirm — that key set
         // is dup-count + fpp-sized, small enough that its In() pushes as
         // eq-chains and row-group stats bite.
-        val batchCaps = curated.select(col(idCol).as("id"),
-          col("cap_h"), col("cap_h2"))
-        val bloomState = readBloomState(spark, root, hwm)
-        val marked = graft.operators.SeenFilter
-          .markSeenKeyed(batchCaps, bloomState.base, captionBloomKey)
-        val probable = marked.where(col("maybe_seen")).drop("maybe_seen")
-          .unionByName(marked.where(!col("maybe_seen")).drop("maybe_seen")
-            .join(broadcast(bloomState.deltaKeys),
-              Seq("cap_h", "cap_h2"), "left_semi"))
-          .localCheckpoint(true) // partition collect + probe join: one pass
-        val captionDups = KeyedHistory.probe(spark, s"$root/captions",
-            parts, Seq("cap_h", "cap_h2"), probable, captionsSchema,
-            col("batch_id") <= hwm, pushKeyCol = Some("cap_h"))
-          .select(col("id")).distinct().localCheckpoint(true)
-        probable.unpersist()
+        def captionLeg(): DataFrame = {
+          val batchCaps = curated.select(col(idCol).as("id"),
+            col("cap_h"), col("cap_h2"))
+          val marked = graft.operators.SeenFilter
+            .markSeenKeyed(batchCaps, bloomState.base, captionBloomKey)
+          val probable = marked.where(col("maybe_seen")).drop("maybe_seen")
+            .unionByName(marked.where(!col("maybe_seen")).drop("maybe_seen")
+              .join(broadcast(bloomState.deltaKeys),
+                Seq("cap_h", "cap_h2"), "left_semi"))
+            .localCheckpoint(true) // partition collect + probe join: one pass
+          try KeyedHistory.probe(spark, s"$root/captions",
+              parts, Seq("cap_h", "cap_h2"), probable, captionsSchema,
+              col("batch_id") <= hwm, pushKeyCol = Some("cap_h"))
+            .select(col("id")).distinct().localCheckpoint(true)
+          finally { probable.unpersist(); () }
+        }
+        val Seq(imageDups, captionDups) =
+          graft.operators.Maintenance.parallelSweep(
+            Seq(imageLeg _, captionLeg _), s"processBatch probe legs at $root")(
+            _.apply())
 
         val nImageDup = imageDups.count()
         val nCaptionDup = captionDups.count()
@@ -809,13 +826,17 @@ object IncrementalPairs {
           admitted
             .select(col(idCol), col(captionCol), col("ahash").as("phash"))
             .write.mode(SaveMode.Append).parquet(acceptedPath)
-          KeyedHistory.append(
+          // the three store appends are independent single-file L0 writes
+          // off the same checkpointed `admitted` — CONCURRENT (r15, guide
+          // §2.6); all three still strictly precede the manifest flip, so
+          // the crash-ordering contract (accepted → tables → flip) holds
+          def appendHistory(): Unit = KeyedHistory.append(
             admitted.select(lit(batchId).as("batch_id"),
               col(idCol).as("id"), col("ahash"), col("mean"),
               col("centered"), col("norm0"), col("cap_h"), col("cap_h2")),
             s"$root/history", parts, Seq("id"), sortCols = Seq("id"),
             l0 = true)
-          KeyedHistory.append(
+          def appendBands(): Unit = KeyedHistory.append(
             JdkMedia.bandSubsetKeys(
                 admitted.select(col(idCol).as("id"), col("ahash"),
                   col("mean"), col("centered"), col("norm0")),
@@ -827,11 +848,14 @@ object IncrementalPairs {
             // (stats too wide to skip anything)
             s"$root/bands", parts, Seq("t", "bk"),
             sortCols = Seq("bk", "t"), l0 = true)
-          KeyedHistory.append(
+          def appendCaptions(): Unit = KeyedHistory.append(
             admitted.select(lit(batchId).as("batch_id"), col("cap_h"),
               col("cap_h2")),
             s"$root/captions", parts, Seq("cap_h", "cap_h2"),
             sortCols = Seq("cap_h", "cap_h2"), l0 = true)
+          graft.operators.Maintenance.parallelSweep(
+            Seq(appendHistory _, appendBands _, appendCaptions _),
+            s"processBatch L0 appends at $root")(_.apply())
           // seen-set BEFORE the flip: it must be a SUPERSET of committed
           // caption keys at every instant — an extra uncommitted key only
           // costs an exact confirm; a missing committed key would be a
@@ -898,13 +922,16 @@ object IncrementalPairs {
     */
   private[graft] def minorFold(spark: SparkSession, root: String, parts: Int,
                                smallBytes: Long = MinorFoldSmallBytes): Long =
-    Seq(("history", Seq("id"), Seq("id")),
-      ("bands", Seq("bk", "t"), Seq("t", "bk")),
-      ("captions", Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2")))
-      .map { case (table, sortCols, keyCols) =>
-        KeyedHistory.foldSmallFiles(spark, s"$root/$table", sortCols,
-          smallBytes = smallBytes, p = parts, keyCols = keyCols)
-      }.sum
+    // the three tables fold independently (disjoint dirs, caller holds the
+    // store lock) — concurrent via the shared pool (r15, guide §2.6)
+    graft.operators.Maintenance.parallelSweep(
+      Seq(("history", Seq("id"), Seq("id")),
+        ("bands", Seq("bk", "t"), Seq("t", "bk")),
+        ("captions", Seq("cap_h", "cap_h2"), Seq("cap_h", "cap_h2"))),
+      s"minorFold at $root") { case (table, sortCols, keyCols) =>
+      KeyedHistory.foldSmallFiles(spark, s"$root/$table", sortCols,
+        smallBytes = smallBytes, p = parts, keyCols = keyCols)
+    }.sum
 
   /** Maintenance: collapse the rare duplicate rows a crash-replay leaves
     * behind and drop uncommitted partials (`batch_id` above the

@@ -1041,6 +1041,19 @@ object Dedup {
     * near-dup graphs are dense tiny-diameter clusters where a handful of
     * its cheaper rounds beats the star rounds' extra joins.
     */
+  /** Edge-count bound for [[connectedComponents]]' driver fast path: a
+    * symmetrized edge set at or below this collects to the driver (two
+    * longs per row ⇒ ≤ ~32 MB) and labels via union-find in one pass —
+    * near-dup pair graphs at batch/bench scale are a few hundred edges,
+    * and the distributed loop's per-ROUND fixed cost (one planned job +
+    * Catalyst/AQE latency, × diameter rounds, × every CC call site) was
+    * the measured driver-gap term in half the lifecycle queries
+    * (JobProfile r15). Labels are IDENTICAL to the loop's fixpoint
+    * (component = min id, union-find keeps the min as root); corpus-scale
+    * graphs exceed the bound and take the distributed loop unchanged.
+    */
+  private val DriverCcMaxEdges = 1L << 20
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // the edge set participates in EVERY round's join — persist it for the
     // loop's lifetime or each round re-derives the (expensive) pair
@@ -1049,6 +1062,40 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
+    // driver fast path: long-keyed graphs under the bound label in ONE
+    // collect (the count doubles as the cache materialization the loop
+    // paid anyway via its first labelSum)
+    val longKeyed = sym.schema.fields.forall(_.dataType == LongType)
+    if (longKeyed && sym.count() <= DriverCcMaxEdges) {
+      val spark = pairs.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      sym.collect().foreach { row => // bounded by DriverCcMaxEdges
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // min id stays root ⇒ every node's root IS its component label
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      sym.unpersist()
+      val it = parent.keySet().iterator()
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      while (it.hasNext) {
+        val id = it.next()
+        out.add(org.apache.spark.sql.Row(id, find(id)))
+      }
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("component", LongType)))
+      return spark.createDataFrame(out, schema).persist()
+    }
     // each round materializes (persist + count) so lineage stays one round
     // deep — iterative algorithms must not re-derive round N-1 per action
     var labels = sym.select(col("src").as("id")).distinct()
