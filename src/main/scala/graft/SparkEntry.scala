@@ -743,7 +743,7 @@ object SparkEntry {
     //      implementations must agree on lengths and bytes. ----
     "q_nfc_normalize" -> ((s, dir) => {
       import s.implicits._
-      val fix = graft.multimodal.Multimodal.fanOutIds(t(s, dir, "documents")).map { id =>
+      val fix = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
         val sb = new StringBuilder("w")
         (0 until ((id % 3).toInt + 1)).foreach(_ =>
           sb.append('e').append('́')) // e + combining acute
@@ -775,7 +775,7 @@ object SparkEntry {
     //      both mis-decodes are byte→char bijections). ----
     "q_mojibake" -> ((s, dir) => {
       import s.implicits._
-      val fix = graft.multimodal.Multimodal.fanOutIds(t(s, dir, "documents")).map { id =>
+      val fix = t(s, dir, "documents").select(col("doc_id")).as[Long].map { id =>
         val clean =
           if (id % 5 == 0) s"plain${id % 9}"
           else {
@@ -3300,7 +3300,6 @@ object SparkEntry {
       import graft.sources.FrameSource
       val frames = t(s, dir, "events").where(col("event_id") < 500)
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
-        .transform(fanWire)
         .as[(Long, Long)]
         .mapPartitions { it =>
           it.flatMap { case (eid, tsMs) =>

@@ -650,7 +650,7 @@ object AviMjpeg {
   def aviDibMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    Multimodal.fanOutIds(docs).map { id =>
+    docs.select(col("doc_id")).as[Long].map { id =>
       val w = (id % 6).toInt + 3
       val h = (id % 4).toInt + 2
       val n = (id % 3).toInt + 1
@@ -677,7 +677,7 @@ object AviMjpeg {
   def aviPal8MediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    Multimodal.fanOutIds(docs).map { id =>
+    docs.select(col("doc_id")).as[Long].map { id =>
       val w = (id % 6).toInt + 3
       val h = (id % 4).toInt + 2
       val n = (id % 3).toInt + 1

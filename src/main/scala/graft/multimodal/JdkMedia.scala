@@ -963,7 +963,7 @@ object JdkMedia {
   def mixedMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    Multimodal.fanOutIds(docs).map { id =>
+    docs.select(col("doc_id")).as[Long].map { id =>
       (id % 4) match {
         case 0 =>
           val w = (id % 13).toInt + 1
@@ -997,7 +997,7 @@ object JdkMedia {
   def wavMediaFromDocs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    Multimodal.fanOutIds(docs).map { id =>
+    docs.select(col("doc_id")).as[Long].map { id =>
       val frames = (id % 400).toInt + 100
       val amp = ((id * 37) % 32768).toInt.toShort
       Multimodal.MediaRow(id, constWav(8000, frames, amp),

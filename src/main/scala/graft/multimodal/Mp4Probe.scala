@@ -210,7 +210,7 @@ object Mp4Probe {
   def mp4MediaFromDocs(docs: org.apache.spark.sql.DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    Multimodal.fanOutIds(docs).map { id =>
+    docs.select(col("doc_id")).as[Long].map { id =>
       val dur = (id % 9000L) + 1000L
       val w = ((id % 16L) + 1L).toInt * 80
       val h = ((id % 9L) + 1L).toInt * 80
