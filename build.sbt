@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and line-parses stdout for
+// the summary JSON. sbt's default outputStrategy routes the forked process's
+// stdout through its logger, prefixing every line with "[info] ", and then
+// prints its own "[success] Total time…" as the final line — so for two
+// rounds the driver found no parseable JSON line (BENCH_r14/r15
+// "parsed": null). StdoutOutput passes the forked JVM's stdout through
+// verbatim, and showSuccess drops the trailing "[success]" line, so the
+// bench's summary JSON is the last line of stdout, prefix-free.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint so the warning doesn't pollute stdout.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

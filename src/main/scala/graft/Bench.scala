@@ -144,11 +144,13 @@ object Bench {
       } + "\""
     val errs = failures.map { case (k, msg) => "\"" + k + "\":" + jstr(msg) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$stats,""" +
-      s""""errors":$errs,"n_errors":${failures.size},""" +
-      s""""canary":{"first":${f(canaryFirst)},"last":${f(canaryLast)},"spread":${f(canarySpread)}},""" +
-      s""""canary_jobs":{"first":${f(canaryJobsFirst)},"last":${f(canaryJobsLast)},"spread":${f(canaryJobsSpread)}},""" +
-      s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"stats":$stats,""" +
+        s""""errors":$errs,"n_errors":${failures.size},""" +
+        s""""canary":{"first":${f(canaryFirst)},"last":${f(canaryLast)},"spread":${f(canarySpread)}},""" +
+        s""""canary_jobs":{"first":${f(canaryJobsFirst)},"last":${f(canaryJobsLast)},"spread":${f(canaryJobsSpread)}},""" +
+        s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}"""
+    println(fullLine)
     // Compact SECOND line after the full stats: the driver's artifact
     // captures the output tail, and the full per-query line is ~15 KB —
     // truncation used to leave BENCH_r*.json unparseable. This line is
@@ -157,11 +159,24 @@ object Bench {
     val top5 = results.map { case (k, ts) => k -> medianOf(ts) }
       .sortBy(-_._2).take(5)
       .map { case (k, m) => "\"" + k + "\":" + f(m) }.mkString("{", ",", "}")
-    println(s"""{"metric":"summary","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""n_errors":${failures.size},""" +
-      s""""top5":$top5,"canary_first":${f(canaryFirst)},"canary_last":${f(canaryLast)},""" +
-      s""""canary_jobs_first":${f(canaryJobsFirst)},"canary_jobs_last":${f(canaryJobsLast)},""" +
-      s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}""")
+    val summaryLine =
+      s"""{"metric":"summary","value":${f(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""n_errors":${failures.size},""" +
+        s""""top5":$top5,"canary_first":${f(canaryFirst)},"canary_last":${f(canaryLast)},""" +
+        s""""canary_jobs_first":${f(canaryJobsFirst)},"canary_jobs_last":${f(canaryJobsLast)},""" +
+        s""""dirty":$dirty,"runs":$runs,"sf":"$sfDir"}"""
+    println(summaryLine)
+    // Belt-and-braces for the driver's line parser (its artifact keeps only a
+    // truncated stdout tail, and BENCH_r14/r15 both ended "parsed": null):
+    // ALSO write the two JSON lines to a file. Purely additive — stdout
+    // carries the exact same lines it always has.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
+      val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
+      try { w.println(fullLine); w.println(summaryLine) } finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] summary file write failed (non-fatal): $e")
+    }
     spark.stop()
     // Nonzero exit AFTER emitting partial numbers: the artifact stays
     // parseable, the failure stays loud.
